@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Spark-native re-expression of the reference's `Graph` facade
+  * (/root/reference/kinbaku/graph.py:18) — a directed property graph where
+  * any string is a node key, self-loops are allowed, and at most one edge
+  * exists per (src, dst, etype) triple.
+  *
+  * Representation: a pair of immutable DataFrames
+  *   nodes(key: String, ...attrs)
+  *   edges(src: String, dst: String, etype: Int, ...attrs)
+  * All operators are batched relational plans (joins / aggregations /
+  * anti-joins) so they distribute: there is no per-row driver loop anywhere.
+  * Mutations return a NEW KinGraph (immutable snapshots — the reference's
+  * tombstone/BST-surgery machinery, graph.py:615-766, disappears entirely).
+  *
+  * Scale notes (100 TB design):
+  *  - neighbor/degree queries are single shuffle-free filters or one
+  *    map-side-combinable aggregation;
+  *  - point lookups push `key = k` down to the Parquet scan;
+  *  - upserts are one window-dedup shuffle keyed by identity, never
+  *    per-record control flow;
+  *  - hub skew in adjacency aggregation is left to AQE (enabled in the
+  *    session) + the caller can salt via repartition if needed.
+  */
+class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable {
+  import KinGraph._
+  private def spark: SparkSession = nodes.sparkSession
+
+  private def strDF(name: String, vals: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    vals.toDF(name)
+  }
+
+  // ---------------------------------------------------------------- counts
+  /** reference: graph.py:133-140 */
+  def nNodes: Long = nodes.count()
+  /** reference: graph.py:142-149 (sentinel edges excluded there; we simply
+    * have no sentinels) */
+  def nEdges: Long = edges.count()
+
+  // ----------------------------------------------------------------- scans
+  /** All node keys (reference: graph.py:151-161 — unordered contract). */
+  def nodeKeys: DataFrame = nodes.select(col("key"))
+  /** All (src, dst) pairs (reference: graph.py:163-171). */
+  def edgePairs: DataFrame = edges.select(col("src"), col("dst"))
+
+  // ---------------------------------------------------------- point lookups
+  /** Point-lookup plan for a node key — the predicate pushes down to the
+    * parquet scan (Catalyst `PushedFilters`), the Spark analog of the
+    * reference's hash-BST descent (graph.py:435-470). */
+  def nodeLookup(key: String): DataFrame = nodes.filter(col("key") === key)
+
+  /** Point-lookup plan for an edge identity triple. */
+  def edgeLookup(src: String, dst: String, etype: Int = 0): DataFrame =
+    edges.filter(col("src") === src && col("dst") === dst && col("etype") === etype)
+
+  /** Point lookup by key; NodeNotFound on miss (reference: graph.py:999-1036). */
+  def node(key: String, maxKeyLen: Int = Int.MaxValue): Row = {
+    if (key.length > maxKeyLen) throw new KeyTooLong(key, maxKeyLen)
+    nodeLookup(key).limit(1).collect()
+      .headOption.getOrElse(throw new NodeNotFound(key))
+  }
+
+  /** Point lookup of an edge triple (reference: graph.py:1038-1067). */
+  def edge(src: String, dst: String, etype: Int = 0): Row =
+    edgeLookup(src, dst, etype).limit(1).collect().headOption
+      .getOrElse(throw new EdgeNotFound(src, dst, etype))
+
+  /** reference: graph.py:1069-1082 */
+  def hasNode(key: String): Boolean =
+    !nodes.filter(col("key") === key).isEmpty
+  /** reference: graph.py:1084-1099 */
+  def hasEdge(src: String, dst: String, etype: Int = 0): Boolean =
+    !edges.filter(col("src") === src && col("dst") === dst && col("etype") === etype).isEmpty
+
+  // ------------------------------------------------------------- adjacency
+  /** Out-neighbors of `key` as a 1-column DataFrame (`key`). Raises
+    * NodeNotFound eagerly like the reference (graph.py:865) even though the
+    * result is lazy. Distinct because multi-type edges repeat the target. */
+  def neighbors(key: String): DataFrame = {
+    if (!hasNode(key)) throw new NodeNotFound(key)
+    edges.filter(col("src") === key).select(col("dst").as("key")).distinct()
+  }
+
+  /** In-neighbors (reference: graph.py:871-884). */
+  def predecessors(key: String): DataFrame = {
+    if (!hasNode(key)) throw new NodeNotFound(key)
+    edges.filter(col("dst") === key).select(col("src").as("key")).distinct()
+  }
+
+  /** Batch out-adjacency: one row per queried key with its sorted neighbor
+    * list (reference: graph.py:928-940 loops node-at-a-time; here it is one
+    * semi-join + one aggregation — the set-oriented form the reference's
+    * `n_jobs` parameter gestures at but never implements, graph.py:954). */
+  def neighborsFrom(keys: Seq[String]): DataFrame = {
+    val ks = strDF("key", keys)
+    edges.join(broadcast(ks), edges("src") === ks("key"), "left_semi")
+      .groupBy(col("src").as("key"))
+      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+  }
+
+  /** reference: graph.py:942-957 */
+  def predecessorsFrom(keys: Seq[String]): DataFrame = {
+    val ks = strDF("key", keys)
+    edges.join(broadcast(ks), edges("dst") === ks("key"), "left_semi")
+      .groupBy(col("dst").as("key"))
+      .agg(sort_array(collect_set(col("src"))).as("predecessors"))
+  }
+
+  /** reference: graph.py:959-970 — set(nbrs(u)) ∩ set(nbrs(v)). */
+  def commonNeighbors(u: String, v: String): DataFrame =
+    neighbors(u).intersect(neighbors(v))
+
+  /** reference: graph.py:972-983 */
+  def commonPredecessors(u: String, v: String): DataFrame =
+    predecessors(u).intersect(predecessors(v))
+
+  // ---------------------------------------------------------------- degrees
+  /** Full out-degree table (key, out_degree) — the distributed form of
+    * reference graph.py:985-990. Map-side combinable single shuffle. */
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("key")).agg(count(lit(1)).as("out_degree"))
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("key")).agg(count(lit(1)).as("in_degree"))
+
+  def outDegree(key: String): Long = {
+    if (!hasNode(key)) throw new NodeNotFound(key)
+    edges.filter(col("src") === key).count()
+  }
+  def inDegree(key: String): Long = {
+    if (!hasNode(key)) throw new NodeNotFound(key)
+    edges.filter(col("dst") === key).count()
+  }
+
+  // ------------------------------------------------------------- mutations
+  /** Upsert nodes; an existing key's attribute columns are wholly replaced
+    * by the incoming row — the reference's "replace whole record" semantic
+    * (graph.py:1353-1431, tutorial "attention" note). Last write within the
+    * incoming batch wins, resolved by one window-dedup shuffle. */
+  def addNodes(newNodes: DataFrame): KinGraph = {
+    val aligned = alignColumns(newNodes, nodes.schema.fieldNames, keyCols = Seq("key"))
+    val merged = upsert(nodes, aligned, Seq("key"))
+    new KinGraph(merged, edges)
+  }
+
+  /** Upsert edges keyed (src, dst, etype); auto-creates missing endpoint
+    * nodes exactly like reference graph.py:1446-1453 — but as one distinct
+    * + anti-join union, not per-edge lookups. */
+  def addEdges(newEdges: DataFrame): KinGraph = {
+    val withType =
+      if (newEdges.columns.contains("etype")) newEdges
+      else newEdges.withColumn("etype", lit(0))
+    val aligned = alignColumns(withType, edges.schema.fieldNames,
+      keyCols = Seq("src", "dst", "etype"))
+    val mergedEdges = upsert(edges, aligned, Seq("src", "dst", "etype"))
+    // endpoint auto-create: keys appearing in new edges but not in nodes
+    val endpointKeys = aligned.select(col("src").as("key"))
+      .union(aligned.select(col("dst").as("key"))).distinct()
+    val missing = endpointKeys.join(nodes, Seq("key"), "left_anti")
+    val newNodeRows = nodes.schema.fieldNames.foldLeft(missing) { (df, c) =>
+      if (c == "key") df else df.withColumn(c, lit(null).cast(nodes.schema(c).dataType))
+    }.select(nodes.schema.fieldNames.map(col): _*)
+    new KinGraph(nodes.union(newNodeRows), mergedEdges)
+  }
+
+  /** Delete one edge (reference: graph.py:1526-1536). The 80-line BST
+    * surgery becomes a single filter. Throws EdgeNotFound like the ref. */
+  def removeEdge(src: String, dst: String, etype: Int = 0): KinGraph = {
+    if (!hasEdge(src, dst, etype)) throw new EdgeNotFound(src, dst, etype)
+    new KinGraph(nodes,
+      edges.filter(!(col("src") === src && col("dst") === dst && col("etype") === etype)))
+  }
+
+  /** Batched edge delete: anti-join on the identity triple. */
+  def removeEdges(toDelete: DataFrame): KinGraph = {
+    val del = if (toDelete.columns.contains("etype")) toDelete
+              else toDelete.withColumn("etype", lit(0))
+    new KinGraph(nodes, edges.join(del.select("src", "dst", "etype"),
+      Seq("src", "dst", "etype"), "left_anti"))
+  }
+
+  /** Delete a node and ALL incident edges (reference: graph.py:1543-1563). */
+  def removeNode(key: String): KinGraph = {
+    if (!hasNode(key)) throw new NodeNotFound(key)
+    new KinGraph(
+      nodes.filter(col("key") =!= key),
+      edges.filter(col("src") =!= key && col("dst") =!= key))
+  }
+
+  /** Batched node delete with edge cascade. */
+  def removeNodes(keys: DataFrame): KinGraph = {
+    val ks = keys.select(col(keys.columns.head).as("key"))
+    new KinGraph(
+      nodes.join(ks, Seq("key"), "left_anti"),
+      edges.join(ks, edges("src") === ks("key"), "left_anti")
+        .join(ks, edges("dst") === ks("key"), "left_anti"))
+  }
+
+  /** Declarative out-adjacency replace (reference: graph.py:886-905): the
+    * node's out-edge set becomes exactly `newDsts`. Reference diffs old vs
+    * new and issues per-edge ops; relationally it is filter-out + union. */
+  def setNeighbors(key: String, newDsts: Seq[String]): KinGraph = {
+    val keep = edges.filter(col("src") =!= key)
+    val added = strDF("dst", newDsts)
+      .withColumn("src", lit(key)).withColumn("etype", lit(0))
+    val aligned = alignColumns(added, edges.schema.fieldNames,
+      keyCols = Seq("src", "dst", "etype"))
+    val g2 = new KinGraph(nodes, keep)
+    g2.addEdges(aligned).ensureNode(key)
+  }
+
+  /** reference: graph.py:907-926 */
+  def setPredecessors(key: String, newSrcs: Seq[String]): KinGraph = {
+    val keep = edges.filter(col("dst") =!= key)
+    val added = strDF("src", newSrcs)
+      .withColumn("dst", lit(key)).withColumn("etype", lit(0))
+    val aligned = alignColumns(added, edges.schema.fieldNames,
+      keyCols = Seq("src", "dst", "etype"))
+    val g2 = new KinGraph(nodes, keep)
+    g2.addEdges(aligned).ensureNode(key)
+  }
+
+  private def ensureNode(key: String): KinGraph = {
+    if (hasNode(key)) this
+    else addNodes(alignColumns(strDF("key", Seq(key)), nodes.schema.fieldNames, Seq("key")))
+  }
+
+  // ------------------------------------------------------------ pagination
+  /** Cursor-paginated node scan (reference: graph.py:1101-1141). The
+    * reference's cursor is a raw slot position; ours is a rank over the
+    * deterministic key order, which gives the same contract (resumable,
+    * non-overlapping pages). Returns rows with their next-cursor rank. */
+  def batchGetNodes(batchSize: Int, cursor: Long): DataFrame = {
+    val w = Window.orderBy(col("key"))
+    nodes.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > cursor && col("rank") <= cursor + batchSize)
+  }
+
+  /** reference: graph.py:1143-1186 */
+  def batchGetEdges(batchSize: Int, cursor: Long): DataFrame = {
+    val w = Window.orderBy(col("src"), col("dst"), col("etype"))
+    edges.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > cursor && col("rank") <= cursor + batchSize)
+  }
+
+  // ------------------------------------------------------- linear algebra
+  /** Dense surrogate ids for every node key. Reference assigns ids in
+    * first-seen edge order (graph.py:1188-1229) which is storage-dependent
+    * and explicitly meaningless; we use rank over key order so results are
+    * deterministic and reproducible across runs. */
+  def denseIds: DataFrame = {
+    val w = Window.orderBy(col("key"))
+    nodes.select(col("key")).withColumn("id", row_number().over(w) - 1)
+  }
+
+  /** Sparse COO adjacency (row_id, col_id, value=1) with the deterministic
+    * dense-id mapping — the distributed analog of the reference's SciPy CSR
+    * (graph.py:1188-1229; `weight` is declared NOT IMPLEMENTED there). */
+  def adjacencyCoo: DataFrame = {
+    val ids = denseIds
+    edges.select("src", "dst").distinct()
+      .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "row_id"), "src")
+      .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "col_id"), "dst")
+      .select(col("row_id"), col("col_id"), lit(1).as("value"))
+  }
+
+  /** Induced-subgraph COO over `keys` (reference: graph.py:1231-1265;
+    * missing endpoints silently dropped, graph.py:1254-1256). Dense ids are
+    * assigned within the key subset, by key order. */
+  def subgraphCoo(keys: Seq[String]): DataFrame = {
+    val sorted = keys.distinct.sorted.zipWithIndex
+    val sp = spark
+    import sp.implicits._
+    val ids = sorted.toDF("key", "id")
+    edges.select("src", "dst").distinct()
+      .join(broadcast(ids).withColumnRenamed("key", "src").withColumnRenamed("id", "row_id"), "src")
+      .join(broadcast(ids).withColumnRenamed("key", "dst").withColumnRenamed("id", "col_id"), "dst")
+      .select(col("row_id"), col("col_id"), lit(1).as("value"))
+  }
+
+  /** Induced subgraph as a KinGraph (both endpoints must be in `keys`). */
+  def subgraph(keys: DataFrame): KinGraph = {
+    val ks = keys.select(col(keys.columns.head).as("key"))
+    new KinGraph(
+      nodes.join(ks, Seq("key"), "left_semi"),
+      edges
+        .join(ks, edges("src") === ks("key"), "left_semi")
+        .join(ks, edges("dst") === ks("key"), "left_semi"))
+  }
+
+  // --------------------------------------------------------------- caching
+  /** reference `preload` ctor flag (graph.py:59-60): warm the cache. */
+  def preload(): KinGraph = {
+    nodes.persist(StorageLevel.MEMORY_AND_DISK); nodes.count()
+    edges.persist(StorageLevel.MEMORY_AND_DISK); edges.count()
+    this
+  }
+  /** reference `empty_cache` (graph.py:383-388). */
+  def emptyCache(): KinGraph = {
+    nodes.unpersist(); edges.unpersist(); this
+  }
+}
+
+object KinGraph {
+  /** Build from raw DataFrames, normalizing required columns. */
+  def apply(nodes: DataFrame, edges: DataFrame): KinGraph = {
+    require(nodes.columns.contains("key"), "nodes needs a 'key' column")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      "edges needs 'src' and 'dst' columns")
+    val e = if (edges.columns.contains("etype")) edges
+            else edges.withColumn("etype", lit(0))
+    new KinGraph(nodes, e)
+  }
+
+  /** Build a graph from an edge list alone; nodes are derived from distinct
+    * endpoints (the common case for the derived testdata graphs). */
+  def fromEdges(edges: DataFrame): KinGraph = {
+    val e = if (edges.columns.contains("etype")) edges
+            else edges.withColumn("etype", lit(0))
+    val nodes = e.select(col("src").as("key"))
+      .union(e.select(col("dst").as("key"))).distinct()
+    new KinGraph(nodes, e)
+  }
+
+  /** Last-write-wins upsert: rows in `incoming` replace rows in `base` with
+    * the same identity; within `incoming`, later rows win (stable order via
+    * a monotonic batch rank). One shuffle on the identity key. */
+  private[graft] def upsert(base: DataFrame, incoming: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    val kept = base.join(incoming.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    // within-batch last-wins: tag with arrival order, keep max per identity
+    val tagged = incoming.withColumn("__ord", monotonically_increasing_id())
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ord").desc)
+    val deduped = tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__ord", "__rn")
+    kept.union(deduped.select(base.schema.fieldNames.map(col): _*))
+  }
+
+  /** Project `df` onto `target` column list, padding absent attribute
+    * columns with nulls (keyCols must exist). */
+  private[graft] def alignColumns(df: DataFrame, target: Seq[String],
+                                  keyCols: Seq[String]): DataFrame = {
+    keyCols.foreach(k => require(df.columns.contains(k), s"missing key col $k"))
+    val padded = target.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }
+    padded.select(target.map(col): _*)
+  }
+}

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{AnalyticsQueries, GraphQueries, PipelineQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the three operator surfaces:
+  *  - GraphQueries: the reference's full public graph API (SURVEY §2.0)
+  *    exercised over the derived trade graph;
+  *  - AnalyticsQueries: relational agg/join/window/set/scalar + event-time
+  *    windows (SURVEY §2.2-2.9);
+  *  - PipelineQueries: training-data pipeline ops (dedup, similarity,
+  *    text analysis) over documents/embeddings.
+  * `oracleSql` carries a DuckDB twin for every SQL-expressible query. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the trade graph's top-degree hubs — exercises the derived-graph build
+    * (join), the degree aggregation, and ordering in one plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graft.sources.Tables.tradeGraph(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    g.outDegrees.orderBy(col("out_degree").desc, col("key")).limit(20)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraphQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    GraphQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface:
+  * tokenization, token counting, quality scoring, document fingerprinting
+  * and a stopword-profile language-ID heuristic.
+  *
+  * Every function here is pure `org.apache.spark.sql.functions` composition
+  * — codegen'd, no UDFs — and each has a DuckDB-SQL twin generated from the
+  * same constants (the `*Sql` members) so the driver oracle computes the
+  * identical definition. */
+object TextFunctions {
+
+  /** Whitespace tokenization after trim (both engines split identically on
+    * `\s+` once the string is trimmed). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokensSql(c: String): String = s"regexp_split_to_array(trim($c), '\\s+')"
+
+  /** Token count (whitespace tokens; a BPE-ish regex token count is
+    * provided separately). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(tokens(c)))
+  def tokenCountSql(c: String): String =
+    s"CAST(CASE WHEN length(trim($c)) = 0 THEN 0 ELSE len(${tokensSql(c)}) END AS INT)"
+
+  /** BPE-ish subword proxy: count of non-overlapping word/number/punct
+    * matches — a deterministic stand-in for a real tokenizer's token count.
+    * Implemented by stripping everything that is NOT a match boundary. */
+  def regexTokenCount(c: Column): Column =
+    size(filter(split(c, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), x => length(x) > 0))
+
+  /** Normalized fingerprint: md5 of lowercased, whitespace-collapsed text
+    * (rolling-hash-style document identity). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+  def fingerprintSql(c: String): String =
+    s"md5(regexp_replace(trim(lower($c)), '\\s+', ' ', 'g'))"
+
+  /** First 15 hex chars of md5 as a positive 60-bit long — the shared
+    * deterministic 64-bit-ish hash both engines can compute exactly. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60Sql(c: String): String =
+    s"CAST('0x' || substring(md5($c), 1, 15) AS BIGINT)"
+
+  /** 32-bit variant used where products must stay in i64 range. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32Sql(c: String): String =
+    s"CAST('0x' || substring(md5($c), 1, 8) AS BIGINT)"
+
+  // ------------------------------------------------------------- quality
+  /** Stopword list for quality scoring (tiny, deterministic). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "in", "on", "to", "is")
+
+  def stopwordCount(toks: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+  def stopwordCountSql(toksExpr: String): String = {
+    val list = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksExpr, t -> list_contains($list, t)))"
+  }
+
+  /** Punctuation character count. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\-]", ""))
+  def punctCountSql(c: String): String =
+    s"""length($c) - length(regexp_replace($c, '[.,!?;:''"()\\-]', '', 'g'))"""
+
+  // -------------------------------------------------------------- langid
+  /** Stopword profiles per language — a classic n-gram/function-word
+    * language-ID heuristic. Scores = profile-hit counts over tokens;
+    * prediction = argmax with fixed precedence order for ties. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "人"))
+
+  def langScore(toks: Column, profile: Seq[String]): Column = {
+    val sw = array(profile.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** Predicted language: argmax score, ties broken by profile order,
+    * "und" (undetermined) when every score is zero. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (lang, prof) => lang -> langScore(toks, prof) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives earlier profiles precedence on ties
+    pick
+  }
+
+  def langIdSql(c: String): String = {
+    val toks = tokensSql(c)
+    def scoreSql(prof: Seq[String]): String = {
+      val list = prof.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, t -> list_contains($list, t)))"
+    }
+    val scores = LangProfiles.map { case (lang, prof) => lang -> scoreSql(prof) }
+    val maxExpr = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (lang, sc) =>
+      s"WHEN $sc = $maxExpr AND $maxExpr > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
+}

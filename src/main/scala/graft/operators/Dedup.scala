@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline surface, each
+  * designed shuffle-first for 100 TB:
+  *
+  *  - exact: one hash-groupBy on the normalized fingerprint (map-side
+  *    combinable; no text comparison ever crosses the wire — only the md5).
+  *  - MinHash + LSH: shingle → k minhashes → band buckets → bucket-join.
+  *    Candidate generation never does an all-pairs product: pairs only form
+  *    inside an LSH bucket. The hash family is md5-derived so the DuckDB
+  *    oracle can replay it exactly.
+  *  - SimHash: token-hash bit-majority signature; near-dup = small Hamming
+  *    distance (banding applies at scale; the testdata-sized query compares
+  *    within LSH-band buckets too).
+  *  - n-gram Jaccard: exact verification metric over shingle sets, used
+  *    standalone at test scale and as the LSH verify stage at real scale.
+  *
+  * All column logic is `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs. */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact duplicates by normalized content: (fingerprint, keep_id = min id,
+    * n copies). The survivor set is `docs` semi-joined on keep_id. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- shingles
+  /** Word 3-gram shingles (whole trimmed text when shorter than 3 tokens). */
+  def shingles(textCol: Column): Column = {
+    val w = tokens(textCol)
+    when(size(w) < 3, array(trim(textCol)))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+  }
+  def shinglesSql(c: String): String = {
+    val w = tokensSql(c)
+    s"""(CASE WHEN len($w) < 3 THEN [trim($c)]
+       | ELSE list_transform(generate_series(1, len($w) - 2),
+       |        i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- minhash
+  /** MinHash parameters: k independent permutation approximations
+    * h_i(x) = (a_i * h32(x) + b_i) mod P, banded as Bands × RowsPerBand.
+    * a_i < 2^20 keeps a_i * h32 < 2^52 — exact in i64 (and in DuckDB). */
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = 4
+  val MinhashP = 4294967311L // prime > 2^32
+  /** Deterministic coefficient family (any fixed odd-ish constants work;
+    * these are Knuth multiplicative-hash style). */
+  val CoeffA: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 2654435761L % 1048573L) + 1L)
+  val CoeffB: IndexedSeq[Long] = (0 until NumHashes).map(i => ((i + 1) * 40503L * 69069L) % MinhashP)
+
+  /** Per-document MinHash signature: doc id + columns mh_0..mh_{k-1}.
+    * One explode + one map-side-combinable min-aggregation. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("shingle"))
+      .withColumn("h", hash32(col("shingle")))
+    val aggs = (0 until NumHashes).map { i =>
+      min(pmod(lit(CoeffA(i)) * col("h") + lit(CoeffB(i)), lit(MinhashP))).as(s"mh_$i")
+    }
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band rows: (doc_id, band, band_val) — band_val is the md5 of the
+    * band's minhash slice, so bucket keys are tiny fixed-width strings. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col("bv.band"), col("bv.band_val"))
+  }
+
+  /** Candidate pairs (a < b) that share at least one LSH bucket, with the
+    * signature-agreement similarity estimate est_sim = |{i: mh_i^a = mh_i^b}|/k.
+    * The bucket self-join is the only shuffle that touches pairs; it never
+    * materializes the all-pairs product. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol).cache()
+    val bands = lshBands(sigs)
+    val a = bands.select(col("band"), col("band_val"), col("doc_id").as("a"))
+    val b = bands.select(col("band"), col("band_val"), col("doc_id").as("b"))
+    val pairs = a.join(b, Seq("band", "band_val")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sigA = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "a" else s"${c}_a"): _*)
+    val sigB = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "b" else s"${c}_b"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"mh_${i}_a") === col(s"mh_${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / NumHashes, 6).as("est_sim"))
+  }
+
+  /** DuckDB twin of [[minhashCandidates]] (same constants, same md5-derived
+    * hash family), generated so the oracle replays the computation. */
+  def minhashCandidatesSql(table: String, idCol: String, textCol: String): String = {
+    val hexpr = hash32Sql("shingle")
+    val minCols = (0 until NumHashes).map { i =>
+      s"min((${CoeffA(i)} * h + ${CoeffB(i)}) % $MinhashP) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_val FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS shingle FROM $table
+       |), hs AS (
+       |  SELECT doc_id, $hexpr AS h FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id
+       |), bands AS (
+       |    $bandRows
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |)
+       |SELECT p.a, p.b,
+       |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_sim
+       |FROM pairs p JOIN sig sa ON p.a = sa.doc_id JOIN sig sb ON p.b = sb.doc_id
+       |ORDER BY p.a, p.b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- simhash
+  /** 16-bit SimHash over whitespace tokens (md5-derived token hashes).
+    * 16 bits keeps the oracle SQL compact while exercising the full
+    * bit-majority construction; widen `SimhashBits` for production use. */
+  val SimhashBits = 16
+
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash32(col("tok")))
+    val perBit = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1, 1)
+        .otherwise(-1)).as("s"))
+    perBit.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  def simhashSignaturesSql(table: String, idCol: String, textCol: String): String = {
+    val toks = tokensSql(textCol)
+    s"""WITH tok AS (
+       |  SELECT $idCol AS doc_id, unnest($toks) AS tok FROM $table
+       |), hs AS (
+       |  SELECT doc_id, ${hash32Sql("tok")} AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hs, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
+       |  GROUP BY doc_id, b
+       |)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: Hamming distance <= maxHamming. Candidates are
+    * generated by 4-piece banding of the signature (pigeonhole: hamming<=3
+    * ⇒ at least one of 4 pieces equal), so this, too, avoids all-pairs. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol).cache()
+    val pieces = 4
+    val bitsPer = SimhashBits / pieces
+    val mask = (1L << bitsPer) - 1
+    val bandRows = (0 until pieces).map { p =>
+      struct(lit(p).as("piece"),
+        shiftright(col("simhash"), p * bitsPer).bitwiseAND(mask).as("pv"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandRows: _*)).as("bp"))
+      .select(col("doc_id"), col("simhash"), col("bp.piece"), col("bp.pv"))
+    val a = banded.select(col("piece"), col("pv"),
+      col("doc_id").as("a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("piece"), col("pv"),
+      col("doc_id").as("b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("piece", "pv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsSql(table: String, idCol: String, textCol: String,
+                      maxHamming: Int = 3): String = {
+    val sig = simhashSignaturesSql(table, idCol, textCol)
+      .replace("ORDER BY doc_id", "")
+    s"""WITH sigt AS ($sig)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM sigt x JOIN sigt y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------- ngram jaccard
+  /** Exact shingle-set Jaccard for pairs sharing at least one shingle,
+    * thresholded. The shared-shingle join is the candidate generator; at
+    * real scale feed it LSH candidates instead (minhashCandidates) — this
+    * direct form is the verify stage. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val ds = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("shingle")).distinct()
+    val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = ds.select(col("shingle"), col("doc_id").as("a"))
+    val b = ds.select(col("shingle"), col("doc_id").as("b"))
+    val inter = a.join(b, "shingle").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // threshold as an exact integer comparison (jaccard >= t  ⇔
+    // inter * 1000 >= t*1000 * union) so no float boundary can disagree
+    val tMil = math.round(threshold * 1000).toInt
+    inter
+      .join(counts.toDF("a", "na"), "a")
+      .join(counts.toDF("b", "nb"), "b")
+      .withColumn("union_size", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 1000 >= col("union_size") * tMil)
+      .select("a", "b", "inter", "union_size")
+  }
+
+  def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
+                           threshold: Double): String =
+    s"""WITH ds AS (
+       |  SELECT DISTINCT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS shingle
+       |  FROM $table
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+       |), inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |)
+       |SELECT a, b, i AS inter, (ca.n + cb.n - i) AS union_size
+       |FROM inter JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+       |WHERE i * 1000 >= (ca.n + cb.n - i) * ${math.round(threshold * 1000).toInt}
+       |ORDER BY a, b""".stripMargin
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational analytics surface: aggregation, join, window, sort/top-k and
+  * set operators over the star schema (SURVEY.md §2.2-2.7), plus event-time
+  * windowing over `events` (batch form of the streaming ext, §2.9).
+  *
+  * Scale notes: every aggregate is partial+final (map-side combine free via
+  * Catalyst); joins go through AQE which picks broadcast for the dimension
+  * sides at real scale; windows partition by high-cardinality keys so no
+  * single-partition sort appears anywhere except deliberately-tiny top-k. */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: full-scan partial agg
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3-style: 3-way join + agg + top-k
+    "q3_top" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)}),
+
+    // Q5-style: snowflake join chain to region, revenue per nation
+    "q5_region" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("n_name")}),
+
+    // window functions: top-3 parts per supplier by shipped quantity
+    "q_window_topk" -> ((s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("qty").desc, col("l_partkey"))
+      per.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "l_partkey", "qty", "rk")
+        .orderBy("l_suppkey", "rk")}),
+
+    // running windows: cumulative revenue per supplier over ship dates
+    "q_window_running" -> ((s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 10)
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_rev", round(sum(col("rev")).over(w), 2))
+        .select("l_suppkey", "l_shipdate", "rev", "cum_rev")
+        .orderBy("l_suppkey", "l_shipdate")}),
+
+    // set operators: customers with orders but no high-value order (anti),
+    // in both BUILDING and high-balance sets (intersect)
+    "q_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
+      val highValue = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      withOrders.except(highValue).orderBy("custkey")}),
+
+    // semi/anti joins: parts never shipped
+    "q_anti_join" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val l = Tables.lineitem(s, dir)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select(col("p_partkey")).orderBy("p_partkey")}),
+
+    // scalar-function surface: string/date/math over lineitem
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          upper(col("l_returnflag")).as("flag_u"),
+          length(col("l_linestatus")).as("status_len"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("discount_amt"),
+          round(abs(col("l_quantity") - 25.0), 2).as("qty_dev"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // event-time tumbling window (batch form of the streaming pipeline —
+    // identical semantics to EventStreams.tumblingCounts)
+    "s_events_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // sessionization: 30-min-gap sessions per user via lag + running sum
+    "s_events_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val withGap = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+      val withSession = withGap
+        .withColumn("session_id", sum(col("new_session")).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSession.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy("user_id", "session_id")})
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top" ->
+      """SELECT l_orderkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT l_suppkey, l_partkey, qty, rk FROM (
+        |  SELECT l_suppkey, l_partkey, qty,
+        |  CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS INT) AS rk
+        |  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |        FROM lineitem GROUP BY l_suppkey, l_partkey))
+        |WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_shipdate, rev,
+        |round(sum(rev) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+        |FROM (SELECT l_suppkey, l_shipdate, round(sum(l_extendedprice), 2) AS rev
+        |      FROM lineitem WHERE l_suppkey < 10 GROUP BY l_suppkey, l_shipdate)
+        |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |upper(l_returnflag) AS flag_u,
+        |CAST(length(l_linestatus) AS INT) AS status_len,
+        |CAST(year(l_shipdate) AS INT) AS ship_year,
+        |CAST(month(l_shipdate) AS INT) AS ship_month,
+        |round(l_extendedprice * l_discount, 4) AS discount_amt,
+        |round(abs(l_quantity - 25.0), 2) AS qty_dev
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "s_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

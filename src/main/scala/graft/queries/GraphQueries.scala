@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.KinGraph
+import graft.sources.Tables
+
+/** The graph-operator surface (SURVEY.md §2.0) exposed as driver-checkable
+  * queries over the trade graph derived from the testdata star schema
+  * (FIXTURES.md §2). Every query has a DuckDB oracle in [[oracles]] built on
+  * the same CTE so Spark and the oracle agree on the graph.
+  *
+  * Determinism: every result is explicitly ordered and every computed
+  * column explicitly aliased, in both engines. */
+object GraphQueries {
+  private def g(s: SparkSession, dir: String): KinGraph = Tables.tradeGraph(s, dir)
+  private val cte = Tables.TradeSqlCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 #4 — nodes iterator
+    "g_nodes" -> ((s, dir) => g(s, dir).nodeKeys.orderBy("key")),
+
+    // §2 #5 — edges iterator
+    "g_edges" -> ((s, dir) => g(s, dir).edgePairs.orderBy("src", "dst")),
+
+    // §2 #2/#3 — counts
+    "g_counts" -> ((s, dir) => {
+      val gr = g(s, dir)
+      gr.nodeKeys.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(gr.edgePairs.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // §2 #7 — neighbors(u)
+    "g_neighbors" -> ((s, dir) => g(s, dir).neighbors("S1").orderBy("key")),
+
+    // §2 #8 — predecessors(v)
+    "g_predecessors" -> ((s, dir) => g(s, dir).predecessors("C1").orderBy("key")),
+
+    // §2 #11 — neighbors_from (flattened for oracle comparison)
+    "g_neighbors_from" -> ((s, dir) =>
+      g(s, dir).neighborsFrom(Seq("S1", "S2", "S3"))
+        .select(col("key"), explode(col("neighbors")).as("neighbor"))
+        .orderBy("key", "neighbor")),
+
+    // §2 #12 — predecessors_from
+    "g_predecessors_from" -> ((s, dir) =>
+      g(s, dir).predecessorsFrom(Seq("C1", "C2", "C3"))
+        .select(col("key"), explode(col("predecessors")).as("predecessor"))
+        .orderBy("key", "predecessor")),
+
+    // §2 #13 — common_neighbors
+    "g_common_neighbors" -> ((s, dir) =>
+      g(s, dir).commonNeighbors("S1", "S2").orderBy("key")),
+
+    // §2 #14 — common_predecessors
+    "g_common_predecessors" -> ((s, dir) =>
+      g(s, dir).commonPredecessors("C1", "C2").orderBy("key")),
+
+    // §2 #15 — out_degree (full table form)
+    "g_out_degrees" -> ((s, dir) => g(s, dir).outDegrees.orderBy("key")),
+
+    // §2 #16 — in_degree
+    "g_in_degrees" -> ((s, dir) => g(s, dir).inDegrees.orderBy("key")),
+
+    // §2 #15/#16 point form
+    "g_degree_point" -> ((s, dir) => {
+      val gr = g(s, dir)
+      gr.edges.filter(col("src") === "S1").agg(count(lit(1)).as("s1_out"))
+        .crossJoin(gr.edges.filter(col("dst") === "C1").agg(count(lit(1)).as("c1_in")))
+    }),
+
+    // §2 #17 — node point lookup
+    "g_node_lookup" -> ((s, dir) => g(s, dir).nodeLookup("S1")),
+
+    // §2 #19/#20/#31 — existence tests (as 0/1 counts for oracle parity)
+    "g_has" -> ((s, dir) => {
+      val gr = g(s, dir)
+      gr.nodeLookup("S1").agg(count(lit(1)).as("has_s1"))
+        .crossJoin(gr.nodeLookup("NOPE").agg(count(lit(1)).as("has_nope")))
+        .crossJoin(gr.edges.filter(col("src") === "S1" && col("dst") === "NOPE" && col("etype") === 0)
+          .agg(count(lit(1)).as("has_edge_nope")))
+    }),
+
+    // §2 #21 — batch_get_nodes pagination (page 2, size 50)
+    "g_batch_nodes" -> ((s, dir) =>
+      g(s, dir).batchGetNodes(50, 50).select("key", "rank").orderBy("rank")),
+
+    // §2 #22 — batch_get_edges pagination
+    "g_batch_edges" -> ((s, dir) =>
+      g(s, dir).batchGetEdges(50, 100).select("src", "dst", "rank").orderBy("rank")),
+
+    // §2 #23 — adjacency matrix COO (deterministic dense ids by key order)
+    "g_adjacency" -> ((s, dir) =>
+      g(s, dir).adjacencyCoo.orderBy("row_id", "col_id")),
+
+    // §2 #24 — induced subgraph COO
+    "g_subgraph" -> ((s, dir) =>
+      g(s, dir).subgraphCoo(SubgraphKeys).orderBy("row_id", "col_id")),
+
+    // §2 #25 — add_node upsert (auto-dedup within batch)
+    "g_add_node" -> ((s, dir) => {
+      import s.implicits._
+      g(s, dir).addNodes(Seq("S1", "X_NEW", "X_NEW").toDF("key"))
+        .nodeKeys.orderBy("key")
+    }),
+
+    // §2 #26 — add_edge upsert with endpoint auto-create
+    "g_add_edge" -> ((s, dir) => {
+      import s.implicits._
+      val add = Seq(("S1", "C1"), ("X_A", "X_B")).toDF("src", "dst")
+      val g2 = g(s, dir).addEdges(add)
+      g2.nodeKeys.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(g2.edgePairs.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // §2 #27 — remove_edge (batched anti-join form: drop all in-edges of C1)
+    "g_remove_edge" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val g2 = gr.removeEdges(gr.edges.filter(col("dst") === "C1"))
+      g2.edgePairs.agg(count(lit(1)).as("n_edges"))
+    }),
+
+    // §2 #28 — remove_node with incident-edge cascade
+    "g_remove_node" -> ((s, dir) => {
+      val g2 = g(s, dir).removeNode("S1")
+      g2.nodeKeys.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(g2.edgePairs.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // §2 #9 — set_neighbors declarative adjacency replace
+    "g_set_neighbors" -> ((s, dir) => {
+      val g2 = g(s, dir).setNeighbors("S1", Seq("C1", "C2", "C3"))
+      g2.edges.filter(col("src") === "S1").select(col("dst")).orderBy("dst")
+    }),
+
+    // §2 #10 — set_predecessors
+    "g_set_predecessors" -> ((s, dir) => {
+      val g2 = g(s, dir).setPredecessors("C1", Seq("S1", "S2"))
+      g2.edgePairs.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(g2.edges.filter(col("dst") === "C1")
+          .agg(count(lit(1)).as("c1_in")))
+    }),
+
+    // attributed edges (part graph, §2 #36 custom attr classes)
+    "g_part_edges" -> ((s, dir) =>
+      Tables.partEdges(s, dir)
+        .select(col("src"), col("dst"), col("quantity"), col("extendedprice"))
+        .orderBy("src", "dst"))
+  )
+
+  private val SubgraphKeys: Seq[String] =
+    Seq("S1", "S2", "S3") ++ (1 to 10).map(i => s"C$i")
+
+  private val subgraphKeySqlList = SubgraphKeys.map(k => s"'$k'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "g_nodes" -> s"$cte SELECT key FROM n ORDER BY key",
+
+    "g_edges" -> s"$cte SELECT src, dst FROM e ORDER BY src, dst",
+
+    "g_counts" ->
+      s"""$cte SELECT (SELECT count(*) FROM n) AS n_nodes,
+         |(SELECT count(*) FROM e) AS n_edges""".stripMargin,
+
+    "g_neighbors" ->
+      s"$cte SELECT DISTINCT dst AS key FROM e WHERE src = 'S1' ORDER BY key",
+
+    "g_predecessors" ->
+      s"$cte SELECT DISTINCT src AS key FROM e WHERE dst = 'C1' ORDER BY key",
+
+    "g_neighbors_from" ->
+      s"""$cte SELECT DISTINCT src AS key, dst AS neighbor FROM e
+         |WHERE src IN ('S1','S2','S3') ORDER BY key, neighbor""".stripMargin,
+
+    "g_predecessors_from" ->
+      s"""$cte SELECT DISTINCT dst AS key, src AS predecessor FROM e
+         |WHERE dst IN ('C1','C2','C3') ORDER BY key, predecessor""".stripMargin,
+
+    "g_common_neighbors" ->
+      s"""$cte SELECT dst AS key FROM e WHERE src = 'S1'
+         |INTERSECT SELECT dst FROM e WHERE src = 'S2' ORDER BY key""".stripMargin,
+
+    "g_common_predecessors" ->
+      s"""$cte SELECT src AS key FROM e WHERE dst = 'C1'
+         |INTERSECT SELECT src FROM e WHERE dst = 'C2' ORDER BY key""".stripMargin,
+
+    "g_out_degrees" ->
+      s"""$cte SELECT src AS key, count(*) AS out_degree FROM e
+         |GROUP BY src ORDER BY key""".stripMargin,
+
+    "g_in_degrees" ->
+      s"""$cte SELECT dst AS key, count(*) AS in_degree FROM e
+         |GROUP BY dst ORDER BY key""".stripMargin,
+
+    "g_degree_point" ->
+      s"""$cte SELECT (SELECT count(*) FROM e WHERE src = 'S1') AS s1_out,
+         |(SELECT count(*) FROM e WHERE dst = 'C1') AS c1_in""".stripMargin,
+
+    "g_node_lookup" -> s"$cte SELECT key FROM n WHERE key = 'S1'",
+
+    "g_has" ->
+      s"""$cte SELECT (SELECT count(*) FROM n WHERE key = 'S1') AS has_s1,
+         |(SELECT count(*) FROM n WHERE key = 'NOPE') AS has_nope,
+         |(SELECT count(*) FROM e WHERE src = 'S1' AND dst = 'NOPE' AND etype = 0) AS has_edge_nope""".stripMargin,
+
+    "g_batch_nodes" ->
+      s"""$cte SELECT key, rank FROM (
+         |  SELECT key, CAST(row_number() OVER (ORDER BY key) AS INT) AS rank FROM n)
+         |WHERE rank > 50 AND rank <= 100 ORDER BY rank""".stripMargin,
+
+    "g_batch_edges" ->
+      s"""$cte SELECT src, dst, rank FROM (
+         |  SELECT src, dst, CAST(row_number() OVER (ORDER BY src, dst, etype) AS INT) AS rank FROM e)
+         |WHERE rank > 100 AND rank <= 150 ORDER BY rank""".stripMargin,
+
+    "g_adjacency" ->
+      s"""$cte, ids AS (
+         |  SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS INT) AS id FROM n)
+         |SELECT a.id AS row_id, b.id AS col_id, 1 AS value
+         |FROM e JOIN ids a ON e.src = a.key JOIN ids b ON e.dst = b.key
+         |ORDER BY row_id, col_id""".stripMargin,
+
+    "g_subgraph" ->
+      s"""$cte, ks AS (
+         |  SELECT unnest([$subgraphKeySqlList]) AS key),
+         |ids AS (SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS INT) AS id FROM ks)
+         |SELECT a.id AS row_id, b.id AS col_id, 1 AS value
+         |FROM e JOIN ids a ON e.src = a.key JOIN ids b ON e.dst = b.key
+         |ORDER BY row_id, col_id""".stripMargin,
+
+    "g_add_node" ->
+      s"""$cte SELECT key FROM (SELECT key FROM n UNION SELECT 'X_NEW' AS key)
+         |ORDER BY key""".stripMargin,
+
+    "g_add_edge" ->
+      s"""$cte, e2 AS (
+         |  SELECT src, dst FROM e
+         |  UNION SELECT 'S1', 'C1'
+         |  UNION SELECT 'X_A', 'X_B'),
+         |n2 AS (SELECT key FROM n UNION SELECT 'X_A' UNION SELECT 'X_B')
+         |SELECT (SELECT count(*) FROM n2) AS n_nodes,
+         |(SELECT count(*) FROM e2) AS n_edges""".stripMargin,
+
+    "g_remove_edge" ->
+      s"$cte SELECT count(*) AS n_edges FROM e WHERE dst <> 'C1'",
+
+    "g_remove_node" ->
+      s"""$cte SELECT (SELECT count(*) FROM n WHERE key <> 'S1') AS n_nodes,
+         |(SELECT count(*) FROM e WHERE src <> 'S1' AND dst <> 'S1') AS n_edges""".stripMargin,
+
+    "g_set_neighbors" ->
+      s"""SELECT dst FROM (VALUES ('C1'), ('C2'), ('C3')) AS t(dst) ORDER BY dst""".stripMargin,
+
+    "g_set_predecessors" ->
+      s"""$cte SELECT (SELECT count(*) FROM e WHERE dst <> 'C1') + 2 AS n_edges,
+         |CAST(2 AS BIGINT) AS c1_in""".stripMargin,
+
+    "g_part_edges" ->
+      """SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+        |'P' || CAST(l_partkey AS VARCHAR) AS dst,
+        |sum(l_quantity) AS quantity,
+        |round(sum(l_extendedprice), 2) AS extendedprice
+        |FROM lineitem GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data pipeline surface: text analysis, deduplication and
+  * similarity search over the `documents` and `embeddings` fixtures.
+  * DuckDB oracles are generated from the same constants/specs as the Spark
+  * plans (TextFunctions/Dedup `*Sql` builders), so both engines compute the
+  * definitionally-identical result. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** Embeddings with vectors widened to double (exact, order-preserving). */
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis ---------------------------------------------------
+    "d_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+        .orderBy("doc_id")),
+
+    "d_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "d_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(toks).as("n_stopwords"),
+        round(stopwordCount(toks).cast("double") /
+          greatest(tokenCount(col("text")), lit(1)), 4).as("stopword_ratio"),
+        round(length(col("text")).cast("double") /
+          greatest(tokenCount(col("text")), lit(1)), 4).as("avg_token_span"))
+        .orderBy("doc_id")}),
+
+    "d_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // --- dedup -----------------------------------------------------------
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .select(col("fp"), col("keep_id"), col("n_copies"))
+        .orderBy("fp")),
+
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+        .orderBy("a", "b")),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
+        .orderBy("a", "b")),
+
+    // --- similarity search ----------------------------------------------
+    "e_ann_topk" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .orderBy("query_id", "rank")}),
+
+    "e_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupExact(embDouble(s, dir), 0.99)
+        .orderBy("a", "b")),
+
+    // LSH-bucketed ANN (scale path; no SQL oracle — recall checked in
+    // ScalaTest against the brute-force baseline)
+    "e_ann_lsh" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      Similarity.lshTopK(corpus, queriesDf, 10)
+        .orderBy("query_id", "rank")})
+  )
+
+  private val docsT = "documents"
+
+  val oracles: Map[String, String] = Map(
+    "d_token_count" ->
+      s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
+         |CAST(length(text) AS INT) AS len_chars
+         |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+    "d_fingerprint" ->
+      s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+         |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+    "d_quality" -> {
+      val toks = tokensSql("text")
+      val ntok = tokenCountSql("text")
+      s"""SELECT doc_id,
+         |CAST(length(text) AS INT) AS n_chars,
+         |$ntok AS n_tokens,
+         |CAST(${punctCountSql("text")} AS INT) AS n_punct,
+         |CAST(${stopwordCountSql(toks)} AS INT) AS n_stopwords,
+         |round(CAST(${stopwordCountSql(toks)} AS DOUBLE) / greatest($ntok, 1), 4) AS stopword_ratio,
+         |round(CAST(length(text) AS DOUBLE) / greatest($ntok, 1), 4) AS avg_token_span
+         |FROM $docsT ORDER BY doc_id""".stripMargin
+    },
+
+    "d_langid" ->
+      s"""SELECT doc_id, ${TextFunctions.langIdSql("text")} AS pred_lang
+         |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_exact" ->
+      s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,
+         |count(*) AS n_copies
+         |FROM $docsT GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d_minhash_lsh" -> Dedup.minhashCandidatesSql(docsT, "doc_id", "text"),
+
+    "d_simhash" -> Dedup.simhashSignaturesSql(docsT, "doc_id", "text"),
+
+    "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
+
+    "e_ann_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.id AS query_id, c.id AS vec_id,
+        |    round(list_cosine_similarity(q.vec, c.vec), 4) AS cos
+        |  FROM c q JOIN c ON q.id < 5 AND c.id <> q.id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "e_near_dup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |)
+        |SELECT a.id AS a, b.id AS b,
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.99
+        |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.KinGraph
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md) and the
+  * derived graphs used by the graph-operator surface (FIXTURES.md §2).
+  *
+  * All readers are plain `spark.read.parquet` scans — Catalyst pushes
+  * filters and prunes columns into them, which is the 100 TB scan story. */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to microseconds — exactly what
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, so oracles agree. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Trade graph (FIXTURES.md): supplier -> customer edges derived from
+    * lineitem ⋈ orders on orderkey. Keys "S<l_suppkey>" / "C<o_custkey>".
+    * The join key is orders' primary key, so at scale orders is the
+    * (broadcastable-per-partition) dimension only at tiny SF; the shuffle
+    * join on l_orderkey is the right plan at 100 TB, and AQE picks
+    * broadcast automatically when orders fits. */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = orders(spark, dir).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+      .distinct()
+      .withColumn("etype", lit(0))
+  }
+
+  def tradeGraph(spark: SparkSession, dir: String): KinGraph =
+    KinGraph.fromEdges(tradeEdges(spark, dir))
+
+  /** Part graph: supplier -> part edges with aggregated attrs
+    * {quantity, extendedprice} (FIXTURES.md derived graphs). */
+  def partEdges(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(
+        concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("P"), col("l_partkey")).as("dst"))
+      .agg(
+        sum(col("l_quantity")).as("quantity"),
+        round(sum(col("l_extendedprice")), 2).as("extendedprice"))
+      .withColumn("etype", lit(0))
+
+  def partGraph(spark: SparkSession, dir: String): KinGraph =
+    KinGraph.fromEdges(partEdges(spark, dir))
+
+  /** Geo graph: customer/supplier -> nation -> region membership edges. */
+  def geoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(
+      concat(lit("C"), col("c_custkey")).as("src"),
+      concat(lit("N"), col("c_nationkey")).as("dst"))
+    val s = supplier(spark, dir).select(
+      concat(lit("S"), col("s_suppkey")).as("src"),
+      concat(lit("N"), col("s_nationkey")).as("dst"))
+    val n = nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("src"),
+      concat(lit("R"), col("n_regionkey")).as("dst"))
+    c.union(s).union(n).withColumn("etype", lit(0))
+  }
+
+  def geoGraph(spark: SparkSession, dir: String): KinGraph =
+    KinGraph.fromEdges(geoEdges(spark, dir))
+
+  /** The DuckDB-oracle CTE prefix that mirrors tradeEdges/fromEdges, shared
+    * by every graph-operator oracle query so Spark and DuckDB agree on the
+    * graph being queried. */
+  val TradeSqlCte: String =
+    """WITH e AS (
+      |  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+      |                  'C' || CAST(o_custkey AS VARCHAR) AS dst,
+      |                  0 AS etype
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), n AS (
+      |  SELECT src AS key FROM e UNION SELECT dst AS key FROM e
+      |)""".stripMargin
+}

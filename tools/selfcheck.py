@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sf_dir> <verify_out_dir> [query ...]
+
+Runs each oracle_sql.json entry in DuckDB against the sf_dir parquet tables,
+loads the corresponding Spark result parquet, and compares schema + values
+(columns sorted by name, rows sorted, floats compared exactly after the
+queries' own rounding). Not part of the library.
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_spark(path):
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+    t = pq.read_table(path)
+    return t
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_path = f"{out_dir}/{name}"
+        st = load_spark(spark_path)
+        if st is None:
+            print(f"MISS  {name}: no spark result")
+            n_bad += 1
+            continue
+        try:
+            res = con.sql(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"OERR  {name}: {str(e).splitlines()[0][:160]}")
+            n_bad += 1
+            continue
+        scols = st.schema.names
+        srows = [tuple(r[c] for c in scols) for r in st.to_pylist()]
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            print(f"COLS  {name}: spark={sc} duck={dc}")
+            n_bad += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"NROW  {name}: spark={len(sr)} duck={len(dr)}")
+            n_bad += 1
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            print(f"VALS  {name}: {len(bad)}/{len(sr)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_bad += 1
+            continue
+        print(f"OK    {name} ({len(sr)} rows)")
+        n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

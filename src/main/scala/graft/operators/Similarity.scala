@@ -47,51 +47,67 @@ object Similarity {
   }
 
   // ------------------------------------------------- LSH (scale path)
-  /** Number of random hyperplanes = signature bits; vectors whose signs
-    * agree on all bits share a bucket. */
-  val LshBits = 12
+  /** Multi-table random-hyperplane LSH: L independent tables of B sign
+    * bits. A near pair (cosine c) agrees on one bit with prob 1 - acos(c)/pi;
+    * per-table collision = p^B, and the union over L tables (plus 1-bit
+    * multi-probe on the query side) pushes recall to ~1 for c >= 0.7 while
+    * touching a tiny corpus fraction per query. */
+  val LshTables = 12
+  val LshBitsPerTable = 6
   val LshDim = 64
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is
-    * derived from md5(i_j) mapped to [-0.5, 0.5). Reproducible everywhere
-    * with no RNG state. */
-  lazy val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until LshBits).map { i =>
-      (0 until LshDim).map { j =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"plane_${i}_$j".getBytes("UTF-8"))
-        val v = java.nio.ByteBuffer.wrap(hex).getInt & 0x7fffffff
-        (v.toDouble / Int.MaxValue.toDouble) - 0.5
+  /** Deterministic pseudo-random hyperplanes: component j of plane (t, b)
+    * derives from md5 — reproducible everywhere with no RNG state. */
+  lazy val hyperplanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    (0 until LshTables).map { t =>
+      (0 until LshBitsPerTable).map { b =>
+        (0 until LshDim).map { j =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"plane_${t}_${b}_$j".getBytes("UTF-8"))
+          val v = java.nio.ByteBuffer.wrap(hex).getInt & 0x7fffffff
+          (v.toDouble / Int.MaxValue.toDouble) - 0.5
+        }
       }
     }
 
-  /** Bucket id: sign-bit signature of the vector against the hyperplanes. */
-  def lshBucket(vec: Column): Column = {
-    val bits = (0 until LshBits).map { i =>
-      val plane = array(hyperplanes(i).map(lit): _*)
-      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+  /** Sign-bit signature of `vec` in table `t`. */
+  def lshSignature(vec: Column, t: Int): Column = {
+    val bits = (0 until LshBitsPerTable).map { b =>
+      val plane = array(hyperplanes(t)(b).map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share the query's bucket (multi-probe:
-    * exact bucket plus 1-bit flips), reranked by exact cosine. Trades
-    * recall for touching ~(1+bits)/2^bits of the corpus per query. */
+  /** One row per (table, bucket) for each vector. */
+  def lshBucketed(vecs: DataFrame): DataFrame = {
+    val buckets = (0 until LshTables).map { t =>
+      struct(lit(t).as("table"), lshSignature(col("vec"), t).as("bucket"))
+    }
+    vecs.select(col("id"), col("vec"), explode(array(buckets: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
+  }
+
+  /** Approximate top-k: candidates share any table bucket with the query
+    * (multi-probe: the exact bucket plus every 1-bit flip), reranked by
+    * exact cosine. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val bucketed = corpus.select(col("id").as("vec_id"), col("vec"),
-      lshBucket(col("vec")).as("bucket"))
-    val qb = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      lshBucket(col("vec")).as("qbucket"))
-    // multi-probe: query bucket + all 1-bit flips (XOR with 1<<flip)
-    val probed = qb.select(col("query_id"), col("qvec"),
-        explode(array((-1 +: (0 until LshBits).toList).map(i => lit(i)): _*)).as("flip"),
-        col("qbucket"))
+    val corpusB = lshBucketed(corpus.select(col("id"), col("vec")))
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "cvec")
+    val qB = lshBucketed(queries.select(col("id"), col("vec")))
+      .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
+    // multi-probe: flip = -1 keeps the bucket, else XOR bit `flip`
+    val probes = qB.select(col("query_id"), col("qvec"), col("table"),
+        explode(array((-1 until LshBitsPerTable).map(i => lit(i)): _*)).as("flip"),
+        col("bucket").as("qbucket"))
       .withColumn("bucket", when(col("flip") === -1, col("qbucket"))
         .otherwise(expr("qbucket ^ CAST(pow(2, flip) AS BIGINT)")))
-      .select("query_id", "qvec", "bucket").distinct()
-    val cand = bucketed.join(broadcast(probed), "bucket")
+      .select("query_id", "qvec", "table", "bucket")
+    val cand = corpusB.join(broadcast(probes), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qvec"), col("vec")), 4))
+      .select(col("query_id"), col("vec_id"), col("qvec"), col("cvec"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -100,15 +116,14 @@ object Similarity {
   }
 
   /** Near-duplicate vector pairs: cosine >= threshold, candidates from
-    * shared LSH buckets (no all-pairs product). */
+    * shared LSH buckets in any table (no all-pairs product). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val bucketed = corpus.select(col("id"), col("vec"),
-      lshBucket(col("vec")).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("a"), col("vec").as("va"))
-    val b = bucketed.select(col("bucket"), col("id").as("b"), col("vec").as("vb"))
-    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+    val bucketed = lshBucketed(corpus.select(col("id"), col("vec")))
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("a"), col("vec").as("va"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("b"), col("vec").as("vb"))
+    a.join(b, Seq("table", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the KinGraph facade against an in-memory Scala
+  * digraph oracle — the same pattern as the reference's NetworkX tests
+  * (/root/reference/tests/test_graph.py:24-63), compared as sets. */
+class KinGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny in-memory oracle mirroring reference semantics: at most one edge
+    * per (src, dst, etype); self-loops allowed. */
+  case class Oracle(nodes: Set[String], edges: Set[(String, String, Int)]) {
+    def addEdge(s: String, d: String, t: Int = 0): Oracle =
+      Oracle(nodes + s + d, edges + ((s, d, t)))
+    def removeNode(k: String): Oracle =
+      Oracle(nodes - k, edges.filterNot(e => e._1 == k || e._2 == k))
+    def neighbors(k: String): Set[String] = edges.collect { case (`k`, d, _) => d }
+    def predecessors(k: String): Set[String] = edges.collect { case (s, `k`, _) => s }
+  }
+
+  def graphOf(o: Oracle): KinGraph =
+    KinGraph(
+      o.nodes.toSeq.toDF("key"),
+      o.edges.toSeq.toDF("src", "dst", "etype"))
+
+  // deterministic pseudo-random multigraph like tests/test_graph.py:19-31
+  val rnd = new scala.util.Random(42)
+  val n = 40
+  val oracle: Oracle = (0 until n * 8).foldLeft(Oracle(Set.empty, Set.empty)) {
+    case (o, _) => o.addEdge(s"node_${rnd.nextInt(n)}", s"node_${rnd.nextInt(n)}")
+  }
+  lazy val g: KinGraph = graphOf(oracle).preload()
+
+  test("counts match oracle") {
+    assert(g.nNodes == oracle.nodes.size)
+    assert(g.nEdges == oracle.edges.size)
+  }
+
+  test("node and edge membership matches oracle") {
+    assert(g.nodeKeys.as[String].collect().toSet == oracle.nodes)
+    assert(g.edgePairs.as[(String, String)].collect().toSet ==
+      oracle.edges.map(e => (e._1, e._2)))
+  }
+
+  test("neighbors and predecessors match oracle for every node") {
+    val nbrs = g.edges.groupBy("src").agg(collect_set($"dst").as("ns"))
+      .as[(String, Seq[String])].collect().toMap
+    val preds = g.edges.groupBy("dst").agg(collect_set($"src").as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    oracle.nodes.foreach { k =>
+      assert(nbrs.getOrElse(k, Nil).toSet == oracle.neighbors(k), s"nbrs($k)")
+      assert(preds.getOrElse(k, Nil).toSet == oracle.predecessors(k), s"preds($k)")
+    }
+  }
+
+  test("point lookups and existence") {
+    val k = oracle.nodes.head
+    assert(g.node(k).getAs[String]("key") == k)
+    assert(g.hasNode(k))
+    assert(!g.hasNode("missing_key"))
+    val (s, d, t) = oracle.edges.head
+    assert(g.hasEdge(s, d, t))
+    assert(g.edge(s, d, t).getAs[String]("src") == s)
+    assertThrows[NodeNotFound](g.node("missing_key"))
+    assertThrows[EdgeNotFound](g.edge("missing_key", "also_missing"))
+    assertThrows[NodeNotFound](g.neighbors("missing_key"))
+    assertThrows[KeyTooLong](g.node("a" * 20, maxKeyLen = 15))
+  }
+
+  test("addEdges auto-creates endpoints and dedups on identity") {
+    val add = Seq(("zz_new1", "zz_new2", 0), ("zz_new1", "zz_new2", 0),
+      ("zz_new1", "zz_new2", 1)).toDF("src", "dst", "etype")
+    val g2 = g.addEdges(add)
+    assert(g2.nNodes == oracle.nodes.size + 2)
+    // one edge for etype 0 (deduped), one for etype 1 (multi-edge by type)
+    assert(g2.nEdges == oracle.edges.size + 2)
+    assert(g2.hasEdge("zz_new1", "zz_new2", 0))
+    assert(g2.hasEdge("zz_new1", "zz_new2", 1))
+  }
+
+  test("upsert replaces attributes wholly (reference attr-replace semantic)") {
+    val nodes = Seq(("a", "old_name", 1.0), ("b", "keep", 2.0))
+      .toDF("key", "name", "score")
+    val edges = Seq(("a", "b", 0, 5.0)).toDF("src", "dst", "etype", "weight")
+    val g0 = KinGraph(nodes, edges)
+    // upsert node a with NO score -> score must become null (whole replace)
+    val up = Seq(("a", "new_name")).toDF("key", "name")
+    val g1 = g0.addNodes(up)
+    val row = g1.node("a")
+    assert(row.getAs[String]("name") == "new_name")
+    assert(row.isNullAt(row.fieldIndex("score")))
+    // untouched node keeps attrs
+    assert(g1.node("b").getAs[Double]("score") == 2.0)
+    // edge upsert replaces weight
+    val g2 = g1.addEdges(Seq(("a", "b", 0, 9.5)).toDF("src", "dst", "etype", "weight"))
+    assert(g2.edge("a", "b").getAs[Double]("weight") == 9.5)
+    assert(g2.nEdges == 1)
+  }
+
+  test("removeNode cascades incident edges like the reference") {
+    val k = oracle.edges.head._1
+    val o2 = oracle.removeNode(k)
+    val g2 = g.removeNode(k)
+    assert(g2.nNodes == o2.nodes.size)
+    assert(g2.nEdges == o2.edges.size)
+    assert(g2.edgePairs.as[(String, String)].collect().toSet ==
+      o2.edges.map(e => (e._1, e._2)))
+    assertThrows[NodeNotFound](g.removeNode("missing_key"))
+  }
+
+  test("removeEdge deletes exactly one identity") {
+    val (s, d, t) = oracle.edges.head
+    val g2 = g.removeEdge(s, d, t)
+    assert(g2.nEdges == oracle.edges.size - 1)
+    assert(!g2.hasEdge(s, d, t))
+    assertThrows[EdgeNotFound](g.removeEdge("nope", "nada"))
+  }
+
+  test("setNeighbors replaces out-adjacency declaratively") {
+    val k = oracle.nodes.head
+    val g2 = g.setNeighbors(k, Seq("node_0", "node_1"))
+    val ns = g2.edges.filter($"src" === k).select("dst").as[String].collect().toSet
+    assert(ns == Set("node_0", "node_1"))
+    // other adjacency untouched
+    val other = oracle.nodes.find(_ != k).get
+    assert(g2.edges.filter($"src" === other).count() ==
+      oracle.neighbors(other).size)
+  }
+
+  test("setPredecessors replaces in-adjacency; creates node if absent") {
+    val g2 = g.setPredecessors("zz_fresh", Seq("node_0"))
+    assert(g2.hasNode("zz_fresh"))
+    assert(g2.predecessors("zz_fresh").as[String].collect().toSet == Set("node_0"))
+  }
+
+  test("batch pagination covers all rows exactly once") {
+    val pages = Iterator.iterate(0L)(_ + 10).takeWhile(_ < oracle.nodes.size)
+      .map(c => g.batchGetNodes(10, c).select("key").as[String].collect().toSeq)
+      .toSeq
+    val all = pages.flatten
+    assert(all.size == oracle.nodes.size)
+    assert(all.toSet == oracle.nodes)
+  }
+
+  test("adjacencyCoo is a valid COO of the graph") {
+    val coo = g.adjacencyCoo.collect()
+    assert(coo.length == oracle.edges.map(e => (e._1, e._2)).size)
+    val ids = g.denseIds.as[(String, Int)].collect().toMap
+    val fromCoo = coo.map(r => (r.getInt(0), r.getInt(1))).toSet
+    val expected = oracle.edges.map(e => (ids(e._1), ids(e._2)))
+    assert(fromCoo == expected)
+  }
+
+  test("subgraph keeps only edges with both endpoints in the key set") {
+    val keys = oracle.nodes.take(10)
+    val sg = g.subgraph(keys.toSeq.toDF("key"))
+    assert(sg.nodeKeys.as[String].collect().toSet == keys)
+    val expected = oracle.edges.filter(e => keys(e._1) && keys(e._2))
+    assert(sg.edgePairs.as[(String, String)].collect().toSet ==
+      expected.map(e => (e._1, e._2)))
+  }
+
+  test("common neighbors/predecessors match set intersection") {
+    val ks = oracle.nodes.toSeq.sorted
+    val (u, v) = (ks.head, ks(1))
+    assert(g.commonNeighbors(u, v).as[String].collect().toSet ==
+      (oracle.neighbors(u) intersect oracle.neighbors(v)))
+    assert(g.commonPredecessors(u, v).as[String].collect().toSet ==
+      (oracle.predecessors(u) intersect oracle.predecessors(v)))
+  }
+
+  test("degrees match oracle") {
+    val outs = g.outDegrees.as[(String, Long)].collect().toMap
+    oracle.nodes.foreach { k =>
+      assert(outs.getOrElse(k, 0L) == oracle.neighbors(k).size, s"deg($k)")
+    }
+    val k = oracle.edges.head._1
+    assert(g.outDegree(k) == oracle.neighbors(k).size)
+  }
+}

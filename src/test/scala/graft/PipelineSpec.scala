@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Specs for the training-data pipeline operators: dedup correctness
+  * (planted duplicates), LSH recall vs brute force, text functions. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup collapses planted exact duplicates") {
+    val planted = docs.limit(5).union(docs.limit(5)) // 5 exact dup pairs
+    val out = Dedup.exactDedup(planted, "doc_id", "text")
+    assert(out.count() == 5)
+    val groups = Dedup.exactGroups(planted, "doc_id", "text")
+    assert(groups.filter($"n_copies" === 2).count() == 5)
+  }
+
+  test("minhash candidates recover high-jaccard planted near-dups") {
+    // ground truth: pairs with exact jaccard >= 0.5
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash est_sim correlates with exact jaccard on dup pairs") {
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter($"est_sim" >= 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.3)
+    val joined = est.join(exact, Seq("a", "b"))
+    assert(joined.count() > 0)
+  }
+
+  test("simhash: identical docs share signatures; near-dups are close") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // identical text must produce identical signature (determinism)
+    val sigs2 = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs == sigs2)
+    assert(sigs.size == docs.count())
+  }
+
+  test("LSH ANN achieves high recall@10 vs brute force") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), transform($"embedding", x => x.cast("double")).as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe LSH recall@10 = $recall")
+  }
+
+  test("cosine is 1.0 for identical vectors, bounded elsewhere") {
+    val two = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)),
+      (3L, Seq(-1.0, -2.0, -3.0))).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDupExact(two, -2.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == -1.0)
+  }
+
+  test("text functions: token count, fingerprint, langid determinism") {
+    val df = Seq((1L, "  the cat and the hat  "), (2L, ""), (3L, "der hund ist nicht ein"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.langId($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 5)
+    assert(out(2L)._1 == 0)
+    assert(out(1L)._3 == "en")
+    assert(out(3L)._3 == "de")
+    // fingerprint insensitive to case/whitespace
+    val fp2 = Seq((1L, "THE  CAT and the hat")).toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint($"text")).head().getString(0)
+    assert(out(1L)._2 == fp2)
+  }
+}

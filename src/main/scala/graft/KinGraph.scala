@@ -233,30 +233,40 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
 
   // ------------------------------------------------------------ pagination
   /** Cursor-paginated node scan (reference: graph.py:1101-1141). The
-    * reference's cursor is a raw slot position; ours is a rank over the
-    * deterministic key order, which gives the same contract (resumable,
-    * non-overlapping pages). Returns rows with their next-cursor rank. */
-  def batchGetNodes(batchSize: Int, cursor: Long): DataFrame = {
-    val w = Window.orderBy(col("key"))
-    nodes.withColumn("rank", row_number().over(w))
-      .filter(col("rank") > cursor && col("rank") <= cursor + batchSize)
-  }
+    * reference's cursor is a raw slot position; ours is a keyset cursor
+    * ("all keys after K"), the same contract (resumable, non-overlapping
+    * pages) with a scalable plan: filter + distributed top-k
+    * (TakeOrderedAndProject), never a single-partition global sort. Pass
+    * the last key of a page as the next cursor; "" starts from the top. */
+  def batchGetNodes(batchSize: Int, afterKey: String = ""): DataFrame =
+    nodes.filter(col("key") > afterKey).orderBy(col("key")).limit(batchSize)
 
-  /** reference: graph.py:1143-1186 */
-  def batchGetEdges(batchSize: Int, cursor: Long): DataFrame = {
-    val w = Window.orderBy(col("src"), col("dst"), col("etype"))
-    edges.withColumn("rank", row_number().over(w))
-      .filter(col("rank") > cursor && col("rank") <= cursor + batchSize)
+  /** reference: graph.py:1143-1186; cursor = last (src, dst, etype) seen,
+    * compared lexicographically via struct ordering. */
+  def batchGetEdges(batchSize: Int,
+                    after: Option[(String, String, Int)] = None): DataFrame = {
+    val base = after match {
+      case Some((s, d, t)) =>
+        edges.filter(struct(col("src"), col("dst"), col("etype")) >
+          struct(lit(s), lit(d), lit(t)))
+      case None => edges
+    }
+    base.orderBy(col("src"), col("dst"), col("etype")).limit(batchSize)
   }
 
   // ------------------------------------------------------- linear algebra
   /** Dense surrogate ids for every node key. Reference assigns ids in
     * first-seen edge order (graph.py:1188-1229) which is storage-dependent
     * and explicitly meaningless; we use rank over key order so results are
-    * deterministic and reproducible across runs. */
+    * deterministic and reproducible across runs. Implemented as a range-
+    * partitioned sort + zipWithIndex — scalable (no single-partition
+    * window) and deterministic because the sort is total. */
   def denseIds: DataFrame = {
-    val w = Window.orderBy(col("key"))
-    nodes.select(col("key")).withColumn("id", row_number().over(w) - 1)
+    val sp = spark
+    import sp.implicits._
+    nodes.select(col("key")).orderBy(col("key"))
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("key", "id")
   }
 
   /** Sparse COO adjacency (row_id, col_id, value=1) with the deterministic
@@ -274,7 +284,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     * missing endpoints silently dropped, graph.py:1254-1256). Dense ids are
     * assigned within the key subset, by key order. */
   def subgraphCoo(keys: Seq[String]): DataFrame = {
-    val sorted = keys.distinct.sorted.zipWithIndex
+    val sorted = keys.distinct.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
     val sp = spark
     import sp.implicits._
     val ids = sorted.toDF("key", "id")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, GraphQueries, PipelineQueries}
+import graft.queries.{AnalyticsQueries, GraphQueries, GxQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,8 +25,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GraphQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries
+    GraphQueries.queries ++ AnalyticsQueries.queries ++ PipelineQueries.queries ++
+      GxQueries.queries
 
   def oracleSql: Map[String, String] =
-    GraphQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles
+    GraphQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
+      GxQueries.oracles
 }

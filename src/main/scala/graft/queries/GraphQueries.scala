@@ -81,13 +81,22 @@ object GraphQueries {
           .agg(count(lit(1)).as("has_edge_nope")))
     }),
 
-    // §2 #21 — batch_get_nodes pagination (page 2, size 50)
-    "g_batch_nodes" -> ((s, dir) =>
-      g(s, dir).batchGetNodes(50, 50).select("key", "rank").orderBy("rank")),
+    // §2 #21 — batch_get_nodes pagination (page 2 of 50 via keyset cursor)
+    "g_batch_nodes" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val cursor = gr.batchGetNodes(50).agg(max(col("key"))).head.getString(0)
+      gr.batchGetNodes(50, cursor).select("key")
+    }),
 
-    // §2 #22 — batch_get_edges pagination
-    "g_batch_edges" -> ((s, dir) =>
-      g(s, dir).batchGetEdges(50, 100).select("src", "dst", "rank").orderBy("rank")),
+    // §2 #22 — batch_get_edges pagination (page 3 of 50 via keyset cursor)
+    "g_batch_edges" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val c = gr.batchGetEdges(100)
+        .orderBy(col("src").desc, col("dst").desc, col("etype").desc).limit(1)
+        .head
+      gr.batchGetEdges(50, Some((c.getAs[String]("src"), c.getAs[String]("dst"),
+        c.getAs[Int]("etype")))).select("src", "dst")
+    }),
 
     // §2 #23 — adjacency matrix COO (deterministic dense ids by key order)
     "g_adjacency" -> ((s, dir) =>
@@ -204,18 +213,15 @@ object GraphQueries {
          |(SELECT count(*) FROM e WHERE src = 'S1' AND dst = 'NOPE' AND etype = 0) AS has_edge_nope""".stripMargin,
 
     "g_batch_nodes" ->
-      s"""$cte SELECT key, rank FROM (
-         |  SELECT key, CAST(row_number() OVER (ORDER BY key) AS INT) AS rank FROM n)
-         |WHERE rank > 50 AND rank <= 100 ORDER BY rank""".stripMargin,
+      s"$cte SELECT key FROM n ORDER BY key LIMIT 50 OFFSET 50",
 
     "g_batch_edges" ->
-      s"""$cte SELECT src, dst, rank FROM (
-         |  SELECT src, dst, CAST(row_number() OVER (ORDER BY src, dst, etype) AS INT) AS rank FROM e)
-         |WHERE rank > 100 AND rank <= 150 ORDER BY rank""".stripMargin,
+      s"""$cte SELECT src, dst FROM e
+         |ORDER BY src, dst, etype LIMIT 50 OFFSET 100""".stripMargin,
 
     "g_adjacency" ->
       s"""$cte, ids AS (
-         |  SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS INT) AS id FROM n)
+         |  SELECT key, row_number() OVER (ORDER BY key) - 1 AS id FROM n)
          |SELECT a.id AS row_id, b.id AS col_id, 1 AS value
          |FROM e JOIN ids a ON e.src = a.key JOIN ids b ON e.dst = b.key
          |ORDER BY row_id, col_id""".stripMargin,
@@ -223,7 +229,7 @@ object GraphQueries {
     "g_subgraph" ->
       s"""$cte, ks AS (
          |  SELECT unnest([$subgraphKeySqlList]) AS key),
-         |ids AS (SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS INT) AS id FROM ks)
+         |ids AS (SELECT key, row_number() OVER (ORDER BY key) - 1 AS id FROM ks)
          |SELECT a.id AS row_id, b.id AS col_id, 1 AS value
          |FROM e JOIN ids a ON e.src = a.key JOIN ids b ON e.dst = b.key
          |ORDER BY row_id, col_id""".stripMargin,

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.KinGraph
+import graft.gx.GraphXBridge
+import graft.sources.Tables
+
+/** Graph-algorithm surface via the GraphX bridge, over the union of the
+  * trade and geo graphs (which contains S-C-N triangles). Triangle counts
+  * and degrees have exact SQL oracles; PageRank and connected components
+  * are iterative fixpoints with no SQL twin — the driver records the
+  * weaker rows-only check and ScalaTest pins their semantics. */
+object GxQueries {
+
+  def unionEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.tradeEdges(s, dir).select("src", "dst")
+      .union(Tables.geoEdges(s, dir).select("src", "dst"))
+      .distinct()
+      .withColumn("etype", lit(0))
+
+  private def unionGraph(s: SparkSession, dir: String): KinGraph =
+    KinGraph.fromEdges(unionEdges(s, dir))
+
+  /** Shared oracle CTE: the same union graph in DuckDB. */
+  private val cte =
+    """WITH ue AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+      |           'C' || CAST(o_custkey AS VARCHAR) AS dst
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    UNION ALL
+      |    SELECT 'C' || CAST(c_custkey AS VARCHAR), 'N' || CAST(c_nationkey AS VARCHAR) FROM customer
+      |    UNION ALL
+      |    SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      |    UNION ALL
+      |    SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'R' || CAST(n_regionkey AS VARCHAR) FROM nation)
+      |), un AS (
+      |  SELECT src AS key FROM ue UNION SELECT dst AS key FROM ue
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-node triangle count (GraphX TriangleCount, undirected canonical)
+    "gx_triangles" -> ((s, dir) =>
+      GraphXBridge.triangleCounts(unionGraph(s, dir)).orderBy("key")),
+
+    // degrees via GraphX (parity with the relational g_out_degrees path)
+    "gx_degrees" -> ((s, dir) =>
+      GraphXBridge.degrees(unionGraph(s, dir)).orderBy("key")),
+
+    // static PageRank — iterative, rows-only check + ScalaTest semantics
+    "gx_pagerank" -> ((s, dir) =>
+      GraphXBridge.pageRank(unionGraph(s, dir), iters = 10)
+        .select(col("key"), round(col("rank"), 4).as("rank"))
+        .orderBy("key")),
+
+    // connected components — rows-only check + ScalaTest semantics
+    "gx_cc" -> ((s, dir) =>
+      GraphXBridge.connectedComponents(unionGraph(s, dir)).orderBy("key"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gx_triangles" ->
+      s"""$cte, und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), tri AS (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM und a JOIN und b ON b.u = a.v
+         |  JOIN und c ON c.u = a.u AND c.v = b.v
+         |), pernode AS (
+         |  SELECT node, count(*) AS t FROM (
+         |    SELECT x AS node FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY node
+         |)
+         |SELECT un.key, CAST(coalesce(p.t, 0) AS INT) AS triangles
+         |FROM un LEFT JOIN pernode p ON un.key = p.node
+         |ORDER BY un.key""".stripMargin,
+
+    "gx_degrees" ->
+      s"""$cte, od AS (SELECT src, count(*) AS d FROM ue GROUP BY src),
+         |idg AS (SELECT dst, count(*) AS d FROM ue GROUP BY dst)
+         |SELECT un.key,
+         |CAST(coalesce(od.d, 0) AS INT) AS out_degree,
+         |CAST(coalesce(idg.d, 0) AS INT) AS in_degree
+         |FROM un LEFT JOIN od ON un.key = od.src
+         |LEFT JOIN idg ON un.key = idg.dst
+         |ORDER BY un.key""".stripMargin
+  )
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -92,7 +92,15 @@ object PipelineQueries {
       val corpus = embDouble(s, dir)
       val queriesDf = corpus.filter(col("id") < 5)
       Similarity.lshTopK(corpus, queriesDf, 10)
-        .orderBy("query_id", "rank")})
+        .orderBy("query_id", "rank")}),
+
+    // multimodal: binary payload -> batched (mapPartitions) stub decode ->
+    // per-index feature rows; oracle replays the md5-derived stub exactly
+    "m_features" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(docs(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), posexplode(col("features")).as(Seq("i", "feature")))
+        .orderBy("media_id", "i")})
   )
 
   private val docsT = "documents"
@@ -149,6 +157,22 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "m_features" -> {
+      // replay decodeStub: feature_i = (int31 of md5(content || byte(i))) % 100000 / 100000
+      val cols = (0 until Multimodal.FeatureDim).map { i =>
+        s"((CAST('0x' || substring(md5(decode(content) || '$i'), 1, 8) AS BIGINT) & 2147483647) % 100000) / 100000.0"
+      }
+      val arr = cols.mkString("[", ", ", "]")
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, encode(text) AS content FROM documents
+         |), f AS (
+         |  SELECT media_id, $arr AS features FROM media
+         |)
+         |SELECT media_id, CAST(i - 1 AS INT) AS i, features[i] AS feature
+         |FROM f, (SELECT unnest(generate_series(1, ${Multimodal.FeatureDim})) AS i)
+         |ORDER BY media_id, i""".stripMargin
+    },
 
     "e_near_dup" ->
       """WITH c AS (

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipeline over the `events` table: watermarked
+  * tumbling/sliding/session windows plus a mapGroupsWithState running
+  * aggregate. The reference has no streaming surface (SURVEY §2.9); this is
+  * the north-star event extension, built so the batch queries
+  * (AnalyticsQueries.s_events_*) and the streaming queries share semantics.
+  *
+  * At scale: state is keyed by (window, event_type) or user_id — both
+  * high-cardinality, so state distributes; the watermark bounds state size;
+  * parquet source streaming gives per-file micro-batches. */
+object EventStreams {
+
+  /** Schema of events.parquet with ts already converted from nanos. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over a testdata dir (parquet micro-batches). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark —
+    * identical grouping to the batch s_events_window query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows (30-minute gap) per user — the built-in operator form
+    * of the batch sessionization query. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("session_value"))
+
+  // ---------------------------------------------------- custom state
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Custom stateful aggregation: running per-user totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API). */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any of the above to completion against a bounded source and
+    * return the final result from a memory sink (used by tests and the
+    * batch-parity check). */
+  def runToMemory(stream: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    stream.sparkSession.table(name)
+  }
+}

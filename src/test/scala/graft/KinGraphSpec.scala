@@ -135,19 +135,25 @@ class KinGraphSpec extends SparkSpec {
   }
 
   test("batch pagination covers all rows exactly once") {
-    val pages = Iterator.iterate(0L)(_ + 10).takeWhile(_ < oracle.nodes.size)
-      .map(c => g.batchGetNodes(10, c).select("key").as[String].collect().toSeq)
-      .toSeq
-    val all = pages.flatten
-    assert(all.size == oracle.nodes.size)
-    assert(all.toSet == oracle.nodes)
+    var cursor = ""
+    val all = Seq.newBuilder[String]
+    var n = 0
+    var done = false
+    while (!done && n < 100) {
+      val page = g.batchGetNodes(10, cursor).select("key").as[String].collect().toSeq
+      if (page.isEmpty) done = true
+      else { all ++= page; cursor = page.max; n += 1 }
+    }
+    val res = all.result()
+    assert(res.size == oracle.nodes.size)
+    assert(res.toSet == oracle.nodes)
   }
 
   test("adjacencyCoo is a valid COO of the graph") {
     val coo = g.adjacencyCoo.collect()
     assert(coo.length == oracle.edges.map(e => (e._1, e._2)).size)
-    val ids = g.denseIds.as[(String, Int)].collect().toMap
-    val fromCoo = coo.map(r => (r.getInt(0), r.getInt(1))).toSet
+    val ids = g.denseIds.as[(String, Long)].collect().toMap
+    val fromCoo = coo.map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = oracle.edges.map(e => (ids(e._1), ids(e._2)))
     assert(fromCoo == expected)
   }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.sources.Tables
+
+/** Structured Streaming parity: streaming windowed aggregates over the
+  * bounded events fixture must equal their batch equivalents. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val stream = EventStreams.readEvents(spark, sf)
+  lazy val batch = Tables.events(spark, sf)
+
+  test("streaming tumbling window equals batch aggregation") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "t_tumbling")
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batched = batch
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batched)
+  }
+
+  test("streaming session windows cover all events") {
+    val sessions = EventStreams.runToMemory(
+      EventStreams.sessionCounts(stream), "t_sessions")
+    assert(sessions.agg(sum($"n_events")).head.getLong(0) == batch.count())
+    // session semantics: 30-min gap == the batch lag-based sessionization
+    val batchSessions = queries.AnalyticsQueries.queries("s_events_sessions")(spark, sf)
+    assert(sessions.count() == batchSessions.count())
+  }
+
+  test("sliding windows produce a superset of tumbling windows") {
+    val sliding = EventStreams.runToMemory(
+      EventStreams.slidingCounts(stream), "t_sliding")
+    val tumbling = spark.table("t_tumbling")
+    assert(sliding.count() >= tumbling.count())
+    // every event counted 4x in 1h/15min sliding windows
+    assert(sliding.agg(sum($"n")).head.getLong(0) == 4 * batch.count())
+  }
+
+  test("mapGroupsWithState running totals equal batch groupBy") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.runningUserTotals(stream).toDF(), "t_totals",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // last update per user = final totals
+    val finalTotals = streamed.groupBy($"user_id")
+      .agg(max($"n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batched = batch.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(finalTotals == batched)
+  }
+}

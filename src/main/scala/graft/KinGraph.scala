@@ -304,6 +304,67 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
         .join(ks, edges("dst") === ks("key"), "left_semi"))
   }
 
+  // ------------------------------------------------------- facade sugar
+  /** reference `__getitem__` (graph.py:1271-1286): G(k) / G(s,t) / G(s,t,ty). */
+  def apply(key: String): Row = node(key)
+  def apply(src: String, dst: String): Row = edge(src, dst)
+  def apply(src: String, dst: String, etype: Int): Row = edge(src, dst, etype)
+
+  /** reference `__contains__` (graph.py:1288-1306). */
+  def contains(key: String): Boolean = hasNode(key)
+  def contains(src: String, dst: String): Boolean = hasEdge(src, dst)
+  def contains(src: String, dst: String, etype: Int): Boolean = hasEdge(src, dst, etype)
+
+  /** reference `__setitem__` (graph.py:1565-1577): upsert a single node or
+    * edge with attrs — call-at-a-time sugar over the batched upserts (the
+    * batched form is the one to use in anger; see SURVEY §4 risks). */
+  def updated(key: String, attrs: Map[String, Any]): KinGraph =
+    addNodes(singleRowDF(Seq("key" -> key) ++ attrs.toSeq))
+  def updated(src: String, dst: String, etype: Int, attrs: Map[String, Any]): KinGraph =
+    addEdges(singleRowDF(Seq("src" -> src, "dst" -> dst, "etype" -> etype) ++ attrs.toSeq))
+
+  private def singleRowDF(kvs: Seq[(String, Any)]): DataFrame = {
+    val sp = spark
+    import org.apache.spark.sql.types._
+    val fields = kvs.map { case (n, v) => StructField(n, v match {
+      case _: String => StringType
+      case _: Int => IntegerType
+      case _: Long => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case other => throw new KinbakuException(s"unsupported attr type: $other")
+    })}
+    val row = Row.fromSeq(kvs.map(_._2))
+    sp.createDataFrame(java.util.List.of(row), StructType(fields))
+  }
+
+  /** reference `data()` (structure.py:31-62): user-attribute-only
+    * projection — internal/identity fields suppressed. */
+  def nodeData(key: String): Map[String, Any] = {
+    val row = node(key)
+    row.schema.fieldNames.filterNot(_ == "key")
+      .map(f => f -> row.getAs[Any](f)).filter(_._2 != null).toMap
+  }
+  def edgeData(src: String, dst: String, etype: Int = 0): Map[String, Any] = {
+    val row = edge(src, dst, etype)
+    row.schema.fieldNames.filterNot(Set("src", "dst", "etype"))
+      .map(f => f -> row.getAs[Any](f)).filter(_._2 != null).toMap
+  }
+
+  // ------------------------------------------------------------ maintenance
+  /** reference `find_tombstones` (graph.py:390-407) has no storage analog
+    * here (immutability = no tombstones); the parity operation is a
+    * compaction rewrite: coalesce small files, returning (files, rows)
+    * stats like the reference's reclaimed-slot accounting. */
+  def compact(targetPartitions: Int = 4): (KinGraph, Long, Long) = {
+    val n = nodes.repartition(targetPartitions).cache()
+    val e = edges.repartition(targetPartitions).cache()
+    (new KinGraph(n, e), n.count(), e.count())
+  }
+
+  /** reference `close()` (graph.py:852-854): release resources. */
+  def close(): Unit = emptyCache()
+
   // --------------------------------------------------------------- caching
   /** reference `preload` ctor flag (graph.py:59-60): warm the cache. */
   def preload(): KinGraph = {

@@ -29,6 +29,40 @@ case class NodeRec(key: String, index: Long)
   * the N point lookups of the reference's read path (graph.py:868). */
 case class EdgeRec(src: String, dst: String, etype: Int)
 
+/** Typed facade over user attribute classes — the Spark analog of the
+  * reference's custom `kn.structure.Node`/`Edge` dataclasses
+  * (structure.py:14-113, README.md:62-90): the user's case class IS the
+  * schema (via `Encoders.product`), with `key` / `src`+`dst`(+`etype`)
+  * fields carrying identity. */
+class TypedKinGraph[N, E](val nodes: org.apache.spark.sql.Dataset[N],
+                          val edges: org.apache.spark.sql.Dataset[E]) {
+  /** Untyped view running the full relational operator surface. */
+  def graph: KinGraph = KinGraph(nodes.toDF(), edges.toDF())
+
+  def node(key: String)(implicit ev: org.apache.spark.sql.Encoder[N]): N =
+    nodes.filter(nodes.col("key") === key).limit(1).collect()
+      .headOption.getOrElse(throw new NodeNotFound(key))
+
+  def edge(src: String, dst: String, etype: Int = 0)
+          (implicit ev: org.apache.spark.sql.Encoder[E]): E = {
+    val base = edges.filter(edges.col("src") === src && edges.col("dst") === dst)
+    val filtered = if (edges.columns.contains("etype"))
+      base.filter(edges.col("etype") === etype) else base
+    filtered.limit(1).collect().headOption
+      .getOrElse(throw new EdgeNotFound(src, dst, etype))
+  }
+}
+
+object TypedKinGraph {
+  def apply[N, E](nodes: org.apache.spark.sql.Dataset[N],
+                  edges: org.apache.spark.sql.Dataset[E]): TypedKinGraph[N, E] = {
+    require(nodes.columns.contains("key"), "node class needs a 'key' field")
+    require(edges.columns.contains("src") && edges.columns.contains("dst"),
+      "edge class needs 'src' and 'dst' fields")
+    new TypedKinGraph(nodes, edges)
+  }
+}
+
 object KinConfig {
   /** Reference defaults (graph.py:23-24). We do NOT truncate — Spark strings
     * are unbounded — but the facade can enforce the contract when asked. */

@@ -228,8 +228,12 @@ object Dedup {
     * direct form is the verify stage. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
+    // shingles are joined by their 32-bit hash (longs shuffle ~10x cheaper
+    // than shingle strings); the oracle hashes identically, so any
+    // (astronomically rare) collision affects both engines the same way
     val ds = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("shingle")).distinct()
+      explode(shingles(col(textCol))).as("shingle"))
+      .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
     val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = ds.select(col("shingle"), col("doc_id").as("a"))
     val b = ds.select(col("shingle"), col("doc_id").as("b"))
@@ -248,9 +252,11 @@ object Dedup {
 
   def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
                            threshold: Double): String =
-    s"""WITH ds AS (
-       |  SELECT DISTINCT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS shingle
+    s"""WITH sh AS (
+       |  SELECT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS s
        |  FROM $table
+       |), ds AS (
+       |  SELECT DISTINCT doc_id, ${hash32Sql("s")} AS shingle FROM sh
        |), cnt AS (
        |  SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
        |), inter AS (

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions.{dotNative, normNative}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -20,25 +21,29 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Σ a_i b_i with left-to-right accumulation (same order as DuckDB's
-    * list functions, so rounded results agree across engines). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * list functions, so rounded results agree across engines). Backed by a
+    * codegen'd Catalyst expression (VectorExpressions.DotProduct) — the
+    * equivalent `aggregate(zip_with(...))` composition runs interpreted
+    * lambdas per element and is ~10x slower on the pair hot path. */
+  def dot(a: Column, b: Column): Column = dotNative(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = normNative(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector. `queries` and
     * `corpus` both carry (id, vec: array<double>); self-matches excluded.
-    * Queries are broadcast (the small side by construction). */
+    * Queries are broadcast (the small side by construction); norms are
+    * precomputed once per row on each side. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec")))
-    val scored = corpus.select(col("id").as("vec_id"), col("vec"))
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")))
+    val scored = corpus.select(col("id").as("vec_id"), col("vec"),
+        norm(col("vec")).as("cn"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qvec"), col("vec")), 4))
+      .withColumn("cos", round(dot(col("qvec"), col("vec")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -103,10 +108,15 @@ object Similarity {
       .withColumn("bucket", when(col("flip") === -1, col("qbucket"))
         .otherwise(expr("qbucket ^ CAST(pow(2, flip) AS BIGINT)")))
       .select("query_id", "qvec", "table", "bucket")
-    val cand = corpusB.join(broadcast(probes), Seq("table", "bucket"))
+    // dedup on ids BEFORE re-attaching vectors: distinct over two longs,
+    // not over 64-double arrays
+    val candIds = corpusB.select(col("table"), col("bucket"), col("vec_id"))
+      .join(broadcast(probes.select("table", "bucket", "query_id")), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qvec"), col("cvec"))
-      .distinct()
+      .select("query_id", "vec_id").distinct()
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val cv = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
+    val cand = candIds.join(broadcast(qv), "query_id").join(cv, "vec_id")
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -121,18 +131,26 @@ object Similarity {
     val bucketed = lshBucketed(corpus.select(col("id"), col("vec")))
     val a = bucketed.select(col("table"), col("bucket"), col("id").as("a"), col("vec").as("va"))
     val b = bucketed.select(col("table"), col("bucket"), col("id").as("b"), col("vec").as("vb"))
-    a.join(b, Seq("table", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
+    val pairIds = a.select(col("table"), col("bucket"), col("a"))
+      .join(b.select(col("table"), col("bucket"), col("b")), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairIds
+      .join(corpus.select(col("id").as("a"), col("vec").as("va")), "a")
+      .join(corpus.select(col("id").as("b"), col("vec").as("vb")), "b")
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
-  /** Exact all-pairs near-dup (testdata-scale oracle-checkable form). */
+  /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
+    * Norms are precomputed per vector — same arithmetic as [[cosine]]
+    * (sqrt of the same ordered sum), 3x fewer flops per pair. */
   def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("id").as("a"), col("vec").as("va"))
-    val b = corpus.select(col("id").as("b"), col("vec").as("vb"))
+    val withNorm = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+    val a = withNorm.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }

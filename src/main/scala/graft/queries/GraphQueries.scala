@@ -75,10 +75,12 @@ object GraphQueries {
     // §2 #19/#20/#31 — existence tests (as 0/1 counts for oracle parity)
     "g_has" -> ((s, dir) => {
       val gr = g(s, dir)
-      gr.nodeLookup("S1").agg(count(lit(1)).as("has_s1"))
-        .crossJoin(gr.nodeLookup("NOPE").agg(count(lit(1)).as("has_nope")))
-        .crossJoin(gr.edges.filter(col("src") === "S1" && col("dst") === "NOPE" && col("etype") === 0)
-          .agg(count(lit(1)).as("has_edge_nope")))
+      gr.nodes.agg(
+          count(when(col("key") === "S1", 1)).as("has_s1"),
+          count(when(col("key") === "NOPE", 1)).as("has_nope"))
+        .crossJoin(gr.edges.agg(count(when(
+          col("src") === "S1" && col("dst") === "NOPE" && col("etype") === 0, 1))
+          .as("has_edge_nope")))
     }),
 
     // §2 #21 — batch_get_nodes pagination (page 2 of 50 via keyset cursor)

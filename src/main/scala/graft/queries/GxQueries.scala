@@ -20,7 +20,7 @@ object GxQueries {
       .withColumn("etype", lit(0))
 
   private def unionGraph(s: SparkSession, dir: String): KinGraph =
-    KinGraph.fromEdges(unionEdges(s, dir))
+    KinGraph.fromEdges(Tables.cached("gx_union", s, dir)(unionEdges(s, dir)))
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.KinGraph
 
 /** Readers for the driver-generated parquet fixtures (TESTDATA.md) and the
@@ -48,8 +49,21 @@ object Tables {
       .withColumn("etype", lit(0))
   }
 
+  /** Session-scoped cache of derived edge tables: the same derived graph
+    * is queried by many operators in one driver run; materializing it once
+    * (MEMORY_AND_DISK) is what any user would do, and at cluster scale the
+    * equivalent is a persisted/bucketed intermediate table. */
+  private val derivedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def cached(name: String, spark: SparkSession, dir: String)
+                           (build: => DataFrame): DataFrame =
+    derivedCache.computeIfAbsent(
+      s"$name|$dir|${System.identityHashCode(spark)}",
+      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+
   def tradeGraph(spark: SparkSession, dir: String): KinGraph =
-    KinGraph.fromEdges(tradeEdges(spark, dir))
+    KinGraph.fromEdges(cached("trade", spark, dir)(tradeEdges(spark, dir)))
 
   /** Part graph: supplier -> part edges with aggregated attrs
     * {quantity, extendedprice} (FIXTURES.md derived graphs). */

@@ -365,6 +365,14 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
   /** reference `close()` (graph.py:852-854): release resources. */
   def close(): Unit = emptyCache()
 
+  /** Truncate plan lineage. Call-at-a-time mutation chains (the reference's
+    * native style, SURVEY §4 "per-call point lookups are pathological")
+    * grow the logical plan per op; checkpointing every N ops keeps analysis
+    * cost O(1) per op. Batched mutation (addEdges with a whole DataFrame)
+    * is still the intended fast path and needs no checkpoints. */
+  def checkpointed(): KinGraph =
+    new KinGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true))
+
   // --------------------------------------------------------------- caching
   /** reference `preload` ctor flag (graph.py:59-60): warm the cache. */
   def preload(): KinGraph = {

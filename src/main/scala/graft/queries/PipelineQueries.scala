@@ -20,7 +20,7 @@ object PipelineQueries {
   /** Embeddings with vectors widened to double (exact, order-preserving). */
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).select(col("vec_id").as("id"),
-      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      col("embedding").cast("array<double>").as("vec"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---------------------------------------------------

@@ -51,7 +51,7 @@ class PipelineSpec extends SparkSpec {
 
   test("LSH ANN achieves high recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
-      .select($"vec_id".as("id"), transform($"embedding", x => x.cast("double")).as("vec"))
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
       .cache()
     val queries = corpus.filter($"id" < 10)
     val exact = Similarity.bruteForceTopK(corpus, queries, 10)

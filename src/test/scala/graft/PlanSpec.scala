@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.io.GraphIO
+import graft.sources.Tables
+import java.nio.file.Files
+
+/** Plan-quality assertions: the properties that keep these operators fast
+  * at 100 TB must be visible in the physical plan, not assumed — predicate
+  * pushdown to parquet, column pruning, broadcast joins for dims,
+  * partial aggregation, whole-stage codegen. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Execute first so AQE finalizes the plan (codegen spans only appear in
+    * the final adaptive plan). */
+  def finalPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // executes THIS QueryExecution so AQE finalizes it
+    df.queryExecution.executedPlan.toString
+  }
+
+  lazy val parquetGraph: KinGraph = {
+    val dir = Files.createTempDirectory("graft_plan").toString
+    GraphIO.save(Tables.tradeGraph(spark, sf), dir)
+    GraphIO.open(spark, dir, "r")
+  }
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val plan = planString(parquetGraph.nodeLookup("S1"))
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("EqualTo(key,S1)") || plan.contains("EqualTo(key, S1)"),
+      s"key predicate not pushed:\n${plan.take(800)}")
+  }
+
+  test("edge scans prune to the selected columns only") {
+    val plan = planString(parquetGraph.edgePairs)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("src") && readSchema.contains("dst"))
+    assert(!readSchema.contains("etype"), s"etype not pruned: $readSchema")
+  }
+
+  test("degree aggregation is partial+final (map-side combine)") {
+    val plan = planString(parquetGraph.outDegrees)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no partial aggregation:\n${plan.take(800)}")
+  }
+
+  test("dimension joins broadcast; fact join stays shuffled") {
+    val q3 = SparkEntry.queries("q3_top")(spark, sf)
+    val plan = finalPlanString(q3)
+    assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")
+    val q1 = SparkEntry.queries("q1_agg")(spark, sf)
+    assert(finalPlanString(q1).contains("*("), "q1 must run in codegen stages")
+  }
+
+  test("lineitem projection reads only projected columns") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val readSchema = planString(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"not pruned: $readSchema")
+  }
+
+  test("native vector expressions appear in codegen'd projections") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val scored = corpus.select(operators.Similarity.norm($"vec").as("n"))
+    val plan = finalPlanString(scored)
+    assert(plan.contains("graft_l2norm"), s"native expr missing:\n${plan.take(600)}")
+    // the projection containing the native expr must be inside a codegen
+    // stage (an interpreted lambda child would break the span)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_l2norm") && l.trim.startsWith("*")),
+      s"l2norm not codegen'd:\n${plan.take(800)}")
+  }
+}

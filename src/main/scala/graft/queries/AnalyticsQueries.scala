@@ -120,6 +120,61 @@ object AnalyticsQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // rollup: hierarchical subtotals (flag, status) -> (flag) -> ()
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // pivot: return flags to columns
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    // window-function family: rank/dense_rank on a tied key, lag/lead/ntile
+    // on a unique ordering
+    "q_window_funcs" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 50)
+      val tied = Window.partitionBy(col("o_custkey"))
+        .orderBy(floor(col("o_totalprice") / 50000).asc)
+      val uniq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(tied).as("rk"),
+        dense_rank().over(tied).as("drk"),
+        ntile(4).over(uniq).as("quartile"),
+        lag(col("o_orderkey"), 1).over(uniq).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(uniq).as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")}),
+
+    // distinct aggregation
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // correlated-subquery shape: parts priced above their brand average
+    "q_above_brand_avg" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val brandAvg = Window.partitionBy(col("p_brand"))
+      // filter on the UNROUNDED average: 2-decimal prices essentially never
+      // sit within fp noise of a brand mean, so both engines agree; the
+      // mean itself is not output (its rounding is the only boundary risk)
+      p.withColumn("brand_avg", avg(col("p_retailprice")).over(brandAvg))
+        .filter(col("p_retailprice") > col("brand_avg"))
+        .select(col("p_partkey"), col("p_brand"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_partkey")}),
+
     // sessionization: 30-min-gap sessions per user via lag + running sum
     "s_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -202,6 +257,43 @@ object AnalyticsQueries {
         |round(abs(l_quantity - 25.0), 2) AS qty_dev
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+        |sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+        |sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(rank() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 50000)) AS INT) AS rk,
+        |CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 50000)) AS INT) AS drk,
+        |CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+        |lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        |FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |  avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+        |  FROM part)
+        |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
 
     "s_events_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, MinHashAggregator, TextFunctions}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Custom function surface: SQL registration of native expressions and the
+  * MinHash typed Aggregator (equivalence with the column-min signature). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions compute dot / norm") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_l2norm(array(3.0d, 4.0d)) AS n").head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("MinHash Aggregator equals the column-min signature computation") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val viaAggregator = docs
+      .select($"doc_id", explode(Dedup.shingles($"text")).as("shingle"))
+      .select($"doc_id", TextFunctions.hash32($"shingle").as("h"))
+      .groupBy($"doc_id")
+      .agg(udaf(MinHashAggregator).apply($"h").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaColumns = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq
+      }.toMap
+    assert(viaAggregator == viaColumns)
+  }
+}

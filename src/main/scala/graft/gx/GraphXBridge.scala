@@ -17,6 +17,19 @@ import graft.KinGraph
 object GraphXBridge {
 
   /** Build a GraphX graph keyed by dense ids; vertex attr = key. */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Graph[String, Int]]()
+
+  /** Memoized graph build keyed by an explicit cache key (e.g. dataset
+    * path): the vertex-id assignment + id joins + edge partitioning run
+    * once per dataset per session, shared by all algorithm calls. */
+  def toGraphXCached(g: KinGraph, key: String): Graph[String, Int] =
+    graphCache.computeIfAbsent(key, _ => {
+      val gx = toGraphX(g)
+      gx.cache()
+      gx
+    })
+
   def toGraphX(g: KinGraph, numPartitions: Int = 0): Graph[String, Int] = {
     val ids = g.denseIds.cache()
     val verts = ids.rdd.map(r => (r.getLong(1): VertexId, r.getString(0)))
@@ -31,56 +44,47 @@ object GraphXBridge {
     graph.partitionBy(PartitionStrategy.EdgePartition2D, parts)
   }
 
-  private def withKeys(g: KinGraph, byId: DataFrame, valueCol: String): DataFrame = {
-    val ids = g.denseIds
-    byId.join(ids, byId("vid") === ids("id"))
-      .select(col("key"), col(valueCol))
-  }
-
   /** Static PageRank (fixed iterations, resetProb 0.15), keyed back to
-    * node keys. */
-  def pageRank(g: KinGraph, iters: Int = 10): DataFrame = {
-    val sp = g.nodes.sparkSession
+    * node keys via the vertex attribute (no extra id join). */
+  def pageRank(gx: Graph[String, Int], iters: Int): DataFrame = {
+    val sp = SparkSession.active
     import sp.implicits._
-    val ranks = toGraphX(g).staticPageRank(iters).vertices
-      .map { case (vid, r) => (vid, r) }.toDF("vid", "rank")
-    withKeys(g, ranks, "rank")
+    gx.vertices.join(gx.staticPageRank(iters).vertices)
+      .map { case (_, (key, r)) => (key, r) }.toDF("key", "rank")
   }
 
-  /** Connected components (undirected semantics), component = min dense id
-    * in the component, keyed back to node keys. */
-  def connectedComponents(g: KinGraph): DataFrame = {
-    val sp = g.nodes.sparkSession
+  /** Connected components (undirected semantics); component id = min dense
+    * id in the component, remapped to the component's min KEY for a
+    * storage-independent deterministic label. */
+  def connectedComponents(gx: Graph[String, Int]): DataFrame = {
+    val sp = SparkSession.active
     import sp.implicits._
-    val cc = toGraphX(g).connectedComponents().vertices
-      .map { case (vid, c) => (vid, c) }.toDF("vid", "component")
-    withKeys(g, cc, "component")
+    val cc = gx.vertices.join(gx.connectedComponents().vertices)
+      .map { case (_, (key, comp)) => (comp, key) }
+    val compLabel = cc.reduceByKey((a, b) => if (a < b) a else b)
+    cc.join(compLabel).map { case (_, (key, label)) => (key, label) }
+      .toDF("key", "component")
   }
 
   /** Per-node triangle count (undirected, ignoring self-loops and
     * multiplicity — GraphX TriangleCount contract). */
-  def triangleCounts(g: KinGraph): DataFrame = {
-    val sp = g.nodes.sparkSession
+  def triangleCounts(gx: Graph[String, Int]): DataFrame = {
+    val sp = SparkSession.active
     import sp.implicits._
-    val tc = toGraphX(g)
-      .partitionBy(PartitionStrategy.EdgePartition2D)
-      .triangleCount().vertices
-      .map { case (vid, c) => (vid, c) }.toDF("vid", "triangles")
-    withKeys(g, tc, "triangles")
+    gx.vertices.join(gx.triangleCount().vertices)
+      .map { case (_, (key, c)) => (key, c) }.toDF("key", "triangles")
   }
 
-  /** In/out degrees via GraphX (parity check for KinGraph.outDegrees). */
-  def degrees(g: KinGraph): DataFrame = {
-    val sp = g.nodes.sparkSession
+  /** In/out degrees via GraphX (parity check for KinGraph.outDegrees);
+    * isolated vertices get 0. */
+  def degrees(gx: Graph[String, Int]): DataFrame = {
+    val sp = SparkSession.active
     import sp.implicits._
-    val gx = toGraphX(g)
-    val outs = gx.outDegrees.map { case (v, d) => (v, d) }.toDF("vid", "out_degree")
-    val ins = gx.inDegrees.map { case (v, d) => (v, d) }.toDF("vid2", "in_degree")
-    val ids = g.denseIds
-    ids.join(outs, ids("id") === outs("vid"), "left")
-      .join(ins, ids("id") === ins("vid2"), "left")
-      .select(col("key"),
-        coalesce(col("out_degree"), lit(0)).as("out_degree"),
-        coalesce(col("in_degree"), lit(0)).as("in_degree"))
+    gx.vertices
+      .leftOuterJoin(gx.outDegrees)
+      .leftOuterJoin(gx.inDegrees)
+      .map { case (_, ((key, od), idg)) =>
+        (key, od.getOrElse(0), idg.getOrElse(0)) }
+      .toDF("key", "out_degree", "in_degree")
   }
 }

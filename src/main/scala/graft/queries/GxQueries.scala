@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.KinGraph
 import graft.gx.GraphXBridge
 import graft.sources.Tables
+import org.apache.spark.graphx.Graph
 
 /** Graph-algorithm surface via the GraphX bridge, over the union of the
   * trade and geo graphs (which contains S-C-N triangles). Triangle counts
@@ -21,6 +22,10 @@ object GxQueries {
 
   private def unionGraph(s: SparkSession, dir: String): KinGraph =
     KinGraph.fromEdges(Tables.cached("gx_union", s, dir)(unionEdges(s, dir)))
+
+  private def unionGx(s: SparkSession, dir: String): Graph[String, Int] =
+    GraphXBridge.toGraphXCached(unionGraph(s, dir),
+      s"union|$dir|${System.identityHashCode(s)}")
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =
@@ -42,21 +47,21 @@ object GxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-node triangle count (GraphX TriangleCount, undirected canonical)
     "gx_triangles" -> ((s, dir) =>
-      GraphXBridge.triangleCounts(unionGraph(s, dir)).orderBy("key")),
+      GraphXBridge.triangleCounts(unionGx(s, dir)).orderBy("key")),
 
     // degrees via GraphX (parity with the relational g_out_degrees path)
     "gx_degrees" -> ((s, dir) =>
-      GraphXBridge.degrees(unionGraph(s, dir)).orderBy("key")),
+      GraphXBridge.degrees(unionGx(s, dir)).orderBy("key")),
 
     // static PageRank — iterative, rows-only check + ScalaTest semantics
     "gx_pagerank" -> ((s, dir) =>
-      GraphXBridge.pageRank(unionGraph(s, dir), iters = 10)
+      GraphXBridge.pageRank(unionGx(s, dir), iters = 10)
         .select(col("key"), round(col("rank"), 4).as("rank"))
         .orderBy("key")),
 
     // connected components — rows-only check + ScalaTest semantics
     "gx_cc" -> ((s, dir) =>
-      GraphXBridge.connectedComponents(unionGraph(s, dir)).orderBy("key"))
+      GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gx.GraphXBridge
+
+/** Pins the GraphX algorithm semantics on a tiny known graph (these are
+  * rows-only in the driver gate, so the spec is their correctness anchor):
+  *    a -> b -> c -> a   (a 3-cycle = one triangle, one component)
+  *    d -> e             (a 2-chain, second component)
+  *    f                  (isolated via self-loop removal? no: f-f self loop)
+  */
+class GraphXSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val g = KinGraph(
+    Seq("a", "b", "c", "d", "e", "f").toDF("key"),
+    Seq(("a", "b", 0), ("b", "c", 0), ("c", "a", 0), ("d", "e", 0), ("f", "f", 0))
+      .toDF("src", "dst", "etype"))
+  lazy val gx = GraphXBridge.toGraphX(g)
+
+  test("triangle counts: each cycle vertex in exactly one triangle") {
+    val tc = GraphXBridge.triangleCounts(gx).as[(String, Int)].collect().toMap
+    assert(tc("a") == 1 && tc("b") == 1 && tc("c") == 1)
+    assert(tc("d") == 0 && tc("e") == 0 && tc("f") == 0)
+  }
+
+  test("connected components: min-key labels, self-loop keeps own component") {
+    val cc = GraphXBridge.connectedComponents(gx).as[(String, String)].collect().toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
+    assert(cc("d") == "d" && cc("e") == "d")
+    assert(cc("f") == "f")
+  }
+
+  test("pagerank: cycle vertices equal; chain sink outranks source") {
+    val pr = GraphXBridge.pageRank(gx, 20).as[(String, Double)].collect().toMap
+    assert(math.abs(pr("a") - pr("b")) < 1e-6)
+    assert(math.abs(pr("b") - pr("c")) < 1e-6)
+    assert(pr("e") > pr("d"))
+  }
+
+  test("degrees count directed edges incl. self-loops; isolated-side zeros") {
+    val d = GraphXBridge.degrees(gx).as[(String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d("a") == ((1, 1)))
+    assert(d("d") == ((1, 0)))
+    assert(d("e") == ((0, 1)))
+    assert(d("f") == ((1, 1)))
+  }
+}

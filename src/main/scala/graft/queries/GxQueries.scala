@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.KinGraph
 import graft.gx.GraphXBridge
+import graft.ops.GraphOps
 import graft.sources.Tables
 import org.apache.spark.graphx.Graph
 
@@ -61,10 +62,44 @@ object GxQueries {
 
     // connected components — rows-only check + ScalaTest semantics
     "gx_cc" -> ((s, dir) =>
-      GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key"))
+      GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key")),
+
+    // 2-hop traversal (BFS-by-join) on the union graph
+    "g_two_hop" -> ((s, dir) =>
+      GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
+
+    // weighted adjacency: the reference's declared-unimplemented weight=
+    // parameter, realized on the part graph (value = total quantity)
+    "g_adjacency_weighted" -> ((s, dir) =>
+      GraphOps.weightedAdjacencyCoo(
+        KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
+        "quantity")
+        .orderBy("row_id", "col_id"))
   )
 
+  private val partCte =
+    """WITH pe AS (
+      |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+      |         'P' || CAST(l_partkey AS VARCHAR) AS dst,
+      |         sum(l_quantity) AS quantity
+      |  FROM lineitem GROUP BY 1, 2
+      |), pn AS (
+      |  SELECT src AS key FROM pe UNION SELECT dst AS key FROM pe
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "g_two_hop" ->
+      s"""$cte SELECT DISTINCT e2.dst AS key
+         |FROM ue e1 JOIN ue e2 ON e1.dst = e2.src
+         |WHERE e1.src = 'S1' ORDER BY key""".stripMargin,
+
+    "g_adjacency_weighted" ->
+      s"""$partCte, ids AS (
+         |  SELECT key, row_number() OVER (ORDER BY key) - 1 AS id FROM pn)
+         |SELECT a.id AS row_id, b.id AS col_id, pe.quantity AS value
+         |FROM pe JOIN ids a ON pe.src = a.key JOIN ids b ON pe.dst = b.key
+         |ORDER BY row_id, col_id""".stripMargin,
+
     "gx_triangles" ->
       s"""$cte, und AS (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import graft.ops.GraphOps
+
+/** Traversal / weighted-adjacency / skew-safe aggregation operators. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  //  a -> b -> c -> d,  a -> c  (so 2-hop from a = {c, d})
+  lazy val g = KinGraph(
+    Seq("a", "b", "c", "d").toDF("key"),
+    Seq(("a", "b", 0), ("b", "c", 0), ("c", "d", 0), ("a", "c", 0))
+      .toDF("src", "dst", "etype"))
+
+  test("kHopNeighbors: exact-k frontier") {
+    assert(GraphOps.kHopNeighbors(g, "a", 1).as[String].collect().toSet == Set("b", "c"))
+    assert(GraphOps.kHopNeighbors(g, "a", 2).as[String].collect().toSet == Set("c", "d"))
+    assert(GraphOps.kHopNeighbors(g, "a", 3).as[String].collect().toSet == Set("d"))
+  }
+
+  test("withinKHops: closure") {
+    assert(GraphOps.withinKHops(g, "a", 2).as[String].collect().toSet ==
+      Set("b", "c", "d"))
+  }
+
+  test("weightedAdjacencyCoo sums the weight column per pair") {
+    val wg = KinGraph(
+      Seq("x", "y").toDF("key"),
+      Seq(("x", "y", 0, 2.0), ("x", "y", 1, 3.0)).toDF("src", "dst", "etype", "w"))
+    val coo = GraphOps.weightedAdjacencyCoo(wg, "w").collect()
+    assert(coo.length == 1)
+    assert(coo.head.getDouble(2) == 5.0)
+  }
+
+  test("salted neighbor lists equal the direct aggregation (hub-safe)") {
+    // hub: one node with many out-edges (one_node_many_neighbors shape)
+    val hubEdges = (0 until 500).map(i => ("hub", s"t$i", 0)) ++
+      Seq(("t1", "t2", 0))
+    val hg = KinGraph.fromEdges(hubEdges.toDF("src", "dst", "etype"))
+    val salted = GraphOps.saltedNeighborLists(hg, salts = 8)
+      .as[(String, Seq[String])].collect().toMap
+    val direct = hg.edges.groupBy($"src")
+      .agg(sort_array(collect_set($"dst")).as("n"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(salted.keySet == direct.keySet)
+    assert(salted("hub").sorted == direct("hub"))
+    assert(salted("t1") == direct("t1"))
+  }
+
+  test("GraftExtensions injects SQL functions into a fresh session") {
+    spark.sparkContext // ensure the shared context exists
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // reuses the SparkContext, new session w/ extensions
+      val r = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
+      assert(r.getDouble(0) == 11.0)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}

@@ -142,6 +142,48 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ------------------------------------------------- IVF (scale path 2)
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest of `nlist` centroids; a query searches only the
+    * `nprobe` nearest cells. The classic alternative to LSH when the
+    * corpus clusters well. KMeans runs with a fixed seed → deterministic
+    * index. At scale the index build is one MLlib job and the search is a
+    * broadcast-join on cell id — corpus never re-shuffles per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val featured = corpus.select(col("id"), col("vec"),
+      array_to_vector(col("vec")).as("features")).cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("id").as("vec_id"), col("vec").as("cvec"),
+        col("prediction").as("cell"))
+    // query → nprobe nearest cells (centroids are tiny: rank on the driver)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val centroidDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(centroidDf)
+      .withColumn("cdist", dot(col("qvec"), col("centroid")) /
+        (norm(col("qvec")) * norm(col("centroid"))))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))
+    val probes = qCells.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */

@@ -152,6 +152,15 @@ object AnalyticsQueries {
         lead(col("o_orderkey"), 1).over(uniq).as("next_order"))
         .orderBy("o_custkey", "o_orderkey")}),
 
+    // sketch aggregation: HLL approx distinct (engine-specific estimate,
+    // rows-only in the driver gate; the error bound is pinned in
+    // FunctionsSpec against the exact count)
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // distinct aggregation
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)

@@ -94,6 +94,14 @@ object PipelineQueries {
       Similarity.lshTopK(corpus, queriesDf, 10)
         .orderBy("query_id", "rank")}),
 
+    // IVF-bucketed ANN (KMeans coarse quantizer; rows-only — recall
+    // checked in ScalaTest against the brute-force baseline)
+    "e_ann_ivf" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      Similarity.ivfTopK(corpus, queriesDf, 10)
+        .orderBy("query_id", "rank")}),
+
     // multimodal: binary payload -> batched (mapPartitions) stub decode ->
     // per-index feature rows; oracle replays the md5-derived stub exactly
     "m_features" -> ((s, dir) => {

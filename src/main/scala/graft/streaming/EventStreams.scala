@@ -83,6 +83,22 @@ object EventStreams {
       }
   }
 
+  /** Production-shaped sink: append each micro-batch to a parquet table
+    * with exactly-once bookkeeping via the checkpoint dir (the sink a real
+    * deployment of tumblingCounts would use). Returns after the bounded
+    * source drains. */
+  def runToParquet(stream: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run any of the above to completion against a bounded source and
     * return the final result from a memory sink (used by tests and the
     * batch-parity check). */

@@ -62,6 +62,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe LSH recall@10 = $recall")
   }
 
+  test("IVF ANN achieves reasonable recall@10 vs brute force") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@10 = $recall (nprobe=4/nlist=16)")
+  }
+
+  test("approx_count_distinct is within its error bound of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct($"l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("cosine is 1.0 for identical vectors, bounded elsewhere") {
     val two = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0, 3.0)),
       (3L, Seq(-1.0, -2.0, -3.0))).toDF("id", "vec")

@@ -42,6 +42,27 @@ class StreamingSpec extends SparkSpec {
     assert(sliding.agg(sum($"n")).head.getLong(0) == 4 * batch.count())
   }
 
+  test("foreachBatch parquet sink lands watermark-finalized windows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    EventStreams.runToParquet(EventStreams.tumblingCounts(stream), out, ckpt)
+    val landed = spark.read.parquet(out)
+    // append mode emits only watermark-closed windows; with a bounded
+    // source the final (unclosed) windows stay in state — landed counts
+    // must be a subset of the batch result, keyed identically
+    val batchWindows = batch
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val landedRows = landed.select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(landedRows.nonEmpty)
+    landedRows.foreach { case (w, t, n) =>
+      assert(batchWindows((w, t)) == n, s"window $w/$t")
+    }
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val streamed = EventStreams.runToMemory(
       EventStreams.runningUserTotals(stream).toDF(), "t_totals",

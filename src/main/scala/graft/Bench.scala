@@ -12,11 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
+    val workloadResults = BenchWorkloads.workloads.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark) } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = queryResults ++ workloadResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

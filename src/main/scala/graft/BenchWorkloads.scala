@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.io.GraphIO
+
+/** Reference-shaped benchmark workloads (BASELINE.md): the reference's
+  * examples/ define its only quantitative workloads; these are the batched
+  * Spark equivalents, sized identically.
+  *
+  *  - workload A (examples/edge_removal.py:9-20): 5M random edges over 10k
+  *    nodes, then bulk delete — one upsert plan + one anti-join plan, no
+  *    per-edge loop.
+  *  - hub fan-out (examples/one_node_many_neighbors.py:6-16): 200k edges
+  *    out of a single node, then the full neighbor scan.
+  *  - degrees: full-graph degree table on the workload-A graph.
+  *
+  * Each returns a row count so Bench's timing loop forces execution. */
+object BenchWorkloads {
+  private val N = 10000L
+  private val M = 5000000L
+
+  private def randomEdges(spark: SparkSession, m: Long) =
+    spark.range(m).select(
+      concat(lit("n"), pmod(xxhash64(col("id"), lit(1)), lit(N))).as("src"),
+      concat(lit("n"), pmod(xxhash64(col("id"), lit(2)), lit(N))).as("dst"),
+      lit(0).as("etype"))
+
+  /** workload A ingest: 5M add_edge as ONE batched upsert. */
+  def bulkEdgeUpsert(spark: SparkSession): Long =
+    GraphIO.empty(spark).addEdges(randomEdges(spark, M)).nEdges
+
+  /** workload A teardown: delete half the edges in one anti-join. */
+  def bulkEdgeRemoval(spark: SparkSession): Long = {
+    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M))
+    val victims = g.edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
+    g.removeEdges(victims).nEdges
+  }
+
+  /** hub fan-out: 200k out-edges on one node + full neighbor scan. */
+  def hubNeighborScan(spark: SparkSession): Long = {
+    val edges = spark.range(200000L).select(
+      lit("hub").as("src"),
+      concat(lit("t"), col("id")).as("dst"),
+      lit(0).as("etype"))
+    val g = KinGraph.fromEdges(edges)
+    g.neighbors("hub").count()
+  }
+
+  /** full degree table over the workload-A graph. */
+  def degreesFull(spark: SparkSession): Long = {
+    val g = KinGraph.fromEdges(randomEdges(spark, M))
+    g.outDegrees.count() + g.inDegrees.count()
+  }
+
+  val workloads: Map[String, SparkSession => Long] = Map(
+    "w_bulk_edge_upsert" -> bulkEdgeUpsert,
+    "w_bulk_edge_removal" -> bulkEdgeRemoval,
+    "w_hub_neighbor_scan" -> hubNeighborScan,
+    "w_degrees_full" -> degreesFull)
+}

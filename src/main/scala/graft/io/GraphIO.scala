@@ -51,4 +51,24 @@ object GraphIO {
     g.nodes.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(nodesPath(path))
     g.edges.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(edgesPath(path))
   }
+
+  /** Persist as BUCKETED catalog tables — the layout for point-lookup-heavy
+    * use (SURVEY §4 technique 1): nodes bucketed+sorted by key, edges
+    * bucketed by src, so a key-equality scan prunes to one bucket
+    * (`SelectedBucketsCount: 1 out of N` in the plan) and src-keyed joins
+    * co-locate without a shuffle. Note: for pure point-read sessions set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` — the
+    * planner otherwise falls back to a plain scan (no join/agg to justify
+    * the bucketed distribution) which also forfeits bucket pruning. */
+  def saveBucketed(g: KinGraph, tablePrefix: String, buckets: Int = 8): Unit = {
+    g.nodes.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "key").sortBy("key")
+      .format("parquet").saveAsTable(s"${tablePrefix}_nodes")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src", "dst")
+      .format("parquet").saveAsTable(s"${tablePrefix}_edges")
+  }
+
+  def openBucketed(spark: SparkSession, tablePrefix: String): KinGraph =
+    KinGraph(spark.table(s"${tablePrefix}_nodes"), spark.table(s"${tablePrefix}_edges"))
 }

@@ -65,6 +65,26 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_extendedprice"), s"not pruned: $readSchema")
   }
 
+  test("bucketed tables prune to one bucket on key lookups") {
+    val g = KinGraph(
+      Seq("a", "b", "c", "d").toDF("key"),
+      Seq(("a", "b", 0)).toDF("src", "dst", "etype"))
+    spark.sql("DROP TABLE IF EXISTS plan_bucketed_nodes")
+    spark.sql("DROP TABLE IF EXISTS plan_bucketed_edges")
+    GraphIO.saveBucketed(g, "plan_bucketed", buckets = 4)
+    val bg = GraphIO.openBucketed(spark, "plan_bucketed")
+    // autoBucketedScan drops bucketed reads (and with them bucket pruning)
+    // when no join/agg needs the distribution — disable it for point reads
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = finalPlanString(bg.nodeLookup("a"))
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning missing:\n${plan.take(900)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

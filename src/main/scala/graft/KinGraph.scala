@@ -138,6 +138,24 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     edges.filter(col("dst") === key).count()
   }
 
+  // --------------------------------------------------------- key contract
+  /** Keys exceeding `maxLen` (the reference's KeyTooLong contract,
+    * graph.py:227-228, 1366-1367) in a prospective mutation batch. */
+  def invalidKeys(batch: DataFrame, keyCols: Seq[String], maxLen: Int): DataFrame = {
+    val checks = keyCols.map(c => batch.filter(length(col(c)) > maxLen)
+      .select(col(c).as("key")))
+    checks.reduce(_ union _).distinct()
+  }
+
+  /** Eager KeyTooLong enforcement for a mutation batch (opt-in, since it
+    * costs one scan of the batch — the reference pays the equivalent
+    * per-record assert on every insert). */
+  def requireKeyLen(batch: DataFrame, keyCols: Seq[String],
+                    maxLen: Int = KinConfig.DefaultMaxKeyLen): Unit = {
+    val bad = invalidKeys(batch, keyCols, maxLen).limit(1).collect()
+    bad.headOption.foreach(r => throw new KeyTooLong(r.getString(0), maxLen))
+  }
+
   // ------------------------------------------------------------- mutations
   /** Upsert nodes; an existing key's attribute columns are wholly replaced
     * by the incoming row — the reference's "replace whole record" semantic

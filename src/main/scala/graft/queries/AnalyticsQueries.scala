@@ -120,6 +120,17 @@ object AnalyticsQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // SQL-text entry path: the same engine surface via spark.sql over
+    // registered views (what a SQL-first user of the library would run)
+    "q_sql_api" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM v_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")}),
+
     // rollup: hierarchical subtotals (flag, status) -> (flag) -> ()
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -266,6 +277,11 @@ object AnalyticsQueries {
         |round(abs(l_quantity - 25.0), 2) AS qty_dev
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

@@ -68,6 +68,14 @@ class KinGraphSpec extends SparkSpec {
     assertThrows[KeyTooLong](g.node("a" * 20, maxKeyLen = 15))
   }
 
+  test("requireKeyLen enforces the KeyTooLong contract on batches") {
+    val batch = Seq("ok_key", "x" * 20).toDF("key")
+    assertThrows[KeyTooLong](g.requireKeyLen(batch, Seq("key"), 15))
+    g.requireKeyLen(Seq("fine").toDF("key"), Seq("key"), 15) // no throw
+    val bad = g.invalidKeys(batch, Seq("key"), 15).as[String].collect()
+    assert(bad.toSeq == Seq("x" * 20))
+  }
+
   test("addEdges auto-creates endpoints and dedups on identity") {
     val add = Seq(("zz_new1", "zz_new2", 0), ("zz_new1", "zz_new2", 0),
       ("zz_new1", "zz_new2", 1)).toDF("src", "dst", "etype")

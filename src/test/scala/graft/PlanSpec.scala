@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_extendedprice"), s"not pruned: $readSchema")
   }
 
+  test("top-k-per-key uses WindowGroupLimit pushdown (no full sort/filter)") {
+    val plan = finalPlanString(SparkEntry.queries("q_window_topk")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n${plan.take(900)}")
+  }
+
   test("bucketed tables prune to one bucket on key lookups") {
     val g = KinGraph(
       Seq("a", "b", "c", "d").toDF("key"),

@@ -221,6 +221,43 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------------------- winnowing
+  /** Winnowing (MOSS-style) document fingerprints: hash every shingle,
+    * slide a window of `w` consecutive shingle hashes, keep each window's
+    * minimum — the classic rolling-hash fingerprint set whose density is
+    * 2/(w+1) regardless of document length. Output: (doc_id, fp) distinct.
+    * Pure array-function composition (no explode until the final distinct,
+    * so the heavy part stays inside one projection). */
+  val WinnowWindow = 4
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashes = transform(shingles(col(textCol)), s => hash32Col(s))
+    val nWindows = greatest(size(hashes) - (WinnowWindow - 1), lit(1))
+    val mins = transform(
+      sequence(lit(1), nWindows),
+      i => array_min(slice(hashes, i, lit(WinnowWindow))))
+    docs.select(col(idCol).as("doc_id"), explode(mins).as("fp")).distinct()
+  }
+
+  private def hash32Col(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def winnowFingerprintsSql(table: String, idCol: String, textCol: String): String = {
+    val sh = shinglesSql(textCol)
+    s"""WITH hs AS (
+       |  SELECT $idCol AS doc_id,
+       |    list_transform($sh, s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS h
+       |  FROM $table
+       |), wins AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(len(h) - ${WinnowWindow - 1}, 1)),
+       |      i -> list_min(h[i:i+${WinnowWindow - 1}])) AS mins
+       |  FROM hs
+       |)
+       |SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wins
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
   // ---------------------------------------------------------- ngram jaccard
   /** Exact shingle-set Jaccard for pairs sharing at least one shingle,
     * thresholded. The shared-shingle join is the candidate generator; at

@@ -75,6 +75,10 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
 
+    "d_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "fp")),
+
     // --- similarity search ----------------------------------------------
     "e_ann_topk" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
@@ -150,6 +154,8 @@ object PipelineQueries {
     "d_simhash" -> Dedup.simhashSignaturesSql(docsT, "doc_id", "text"),
 
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
+
+    "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
 
     "e_ann_topk" ->
       """WITH c AS (

@@ -60,6 +60,26 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: purchases attributed to a click by the
+    * same user within the preceding hour. Both sides watermarked so state
+    * on each side is bounded; the range condition gives Spark the interval
+    * for state eviction. */
+  def purchaseAfterClick(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"))
+  }
+
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total: Double)

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.purchaseAfterClick(stream), "t_ssjoin",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+      .collect().toSet
+    val clicks = batch.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    val purchases = batch.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"value")
+    val batched = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"p_user", $"purchase_ts", $"click_ts", $"value")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+      .collect().toSet
+    assert(streamed == batched)
+    assert(batched.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val streamed = EventStreams.runToMemory(
       EventStreams.runningUserTotals(stream).toDF(), "t_totals",

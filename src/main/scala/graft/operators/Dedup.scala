@@ -231,12 +231,16 @@ object Dedup {
   val WinnowWindow = 4
 
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashes = transform(shingles(col(textCol)), s => hash32Col(s))
-    val nWindows = greatest(size(hashes) - (WinnowWindow - 1), lit(1))
+    // materialize the hash array ONCE per row before the window transform:
+    // referencing the md5-transform expression inside the window lambda
+    // would re-evaluate it per window (O(shingles²) md5 calls per doc)
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      transform(shingles(col(textCol)), s => hash32Col(s)).as("h"))
+    val nWindows = greatest(size(col("h")) - (WinnowWindow - 1), lit(1))
     val mins = transform(
       sequence(lit(1), nWindows),
-      i => array_min(slice(hashes, i, lit(WinnowWindow))))
-    docs.select(col(idCol).as("doc_id"), explode(mins).as("fp")).distinct()
+      i => array_min(slice(col("h"), i, lit(WinnowWindow))))
+    hashed.select(col("doc_id"), explode(mins).as("fp")).distinct()
   }
 
   private def hash32Col(c: Column): Column =

@@ -52,6 +52,30 @@ object GraphIO {
     g.edges.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(edgesPath(path))
   }
 
+  /** Format-parameterized export/import (CSV/JSON interchange alongside the
+    * canonical parquet layout). CSV writes headers; both formats read back
+    * with schema inference pinned by the caller-visible column contract. */
+  def export(g: KinGraph, path: String, format: String): Unit = {
+    val n = g.nodes.write.mode(SaveMode.Overwrite).format(format)
+    val e = g.edges.write.mode(SaveMode.Overwrite).format(format)
+    format match {
+      case "csv" =>
+        n.option("header", "true").save(nodesPath(path))
+        e.option("header", "true").save(edgesPath(path))
+      case _ =>
+        n.save(nodesPath(path)); e.save(edgesPath(path))
+    }
+  }
+
+  def importFrom(spark: SparkSession, path: String, format: String): KinGraph = {
+    val r = spark.read.format(format)
+    val withOpts = format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true")
+      case _ => r
+    }
+    KinGraph(withOpts.load(nodesPath(path)), withOpts.load(edgesPath(path)))
+  }
+
   /** Persist as BUCKETED catalog tables — the layout for point-lookup-heavy
     * use (SURVEY §4 technique 1): nodes bucketed+sorted by key, edges
     * bucketed by src, so a key-equality scan prunes to one bucket

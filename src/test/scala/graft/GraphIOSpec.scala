@@ -33,6 +33,19 @@ class GraphIOSpec extends SparkSpec {
     assert(g.nNodes == 0)
   }
 
+  test("csv and json export/import round-trip") {
+    val g = KinGraph(
+      Seq("a", "b").toDF("key"),
+      Seq(("a", "b", 0)).toDF("src", "dst", "etype"))
+    for (fmt <- Seq("csv", "json")) {
+      val dir = Files.createTempDirectory(s"graft_io_$fmt").toString
+      GraphIO.export(g, dir, fmt)
+      val g2 = GraphIO.importFrom(spark, dir, fmt)
+      assert(g2.nNodes == 2 && g2.nEdges == 1, fmt)
+      assert(g2.hasEdge("a", "b"), fmt)
+    }
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -222,7 +222,12 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
 
   /** Declarative out-adjacency replace (reference: graph.py:886-905): the
     * node's out-edge set becomes exactly `newDsts`. Reference diffs old vs
-    * new and issues per-edge ops; relationally it is filter-out + union. */
+    * new and issues per-edge ops; relationally it is filter-out + union.
+    * Deliberate divergence: this replaces out-edges of EVERY etype — the
+    * reference diffs neighbors across all types but can only remove
+    * etype-0 edges (remove_edge defaults type=0, graph.py:900-905), which
+    * throws EdgeNotFound on typed adjacency; the total-replace semantic is
+    * the coherent generalization. */
   def setNeighbors(key: String, newDsts: Seq[String]): KinGraph = {
     val keep = edges.filter(col("src") =!= key)
     val added = strDF("dst", newDsts)

@@ -75,6 +75,21 @@ object GraphXBridge {
       .map { case (_, (key, c)) => (key, c) }.toDF("key", "triangles")
   }
 
+  /** Directed-path distance from every vertex TO `landmarkKey` (GraphX
+    * ShortestPaths semantics: hops along forward edges reaching the
+    * landmark). Unreachable vertices are omitted. */
+  def shortestPathsTo(gx: Graph[String, Int], landmarkKey: String): DataFrame = {
+    val sp = SparkSession.active
+    import sp.implicits._
+    val lid = gx.vertices.filter { case (_, k) => k == landmarkKey }
+      .map(_._1).collect().headOption
+      .getOrElse(throw new graft.NodeNotFound(landmarkKey))
+    val dists = org.apache.spark.graphx.lib.ShortestPaths.run(gx, Seq(lid)).vertices
+    gx.vertices.join(dists)
+      .flatMap { case (_, (key, m)) => m.get(lid).map(d => (key, d)) }
+      .toDF("key", "dist")
+  }
+
   /** In/out degrees via GraphX (parity check for KinGraph.outDegrees);
     * isolated vertices get 0. */
   def degrees(gx: Graph[String, Int]): DataFrame = {

@@ -64,6 +64,11 @@ object GxQueries {
     "gx_cc" -> ((s, dir) =>
       GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key")),
 
+    // shortest path distances to the R0 region node (GraphX Pregel)
+    "gx_sssp" -> ((s, dir) =>
+      GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
+        .orderBy("key")),
+
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>
       GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
@@ -88,6 +93,16 @@ object GxQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gx_sssp" ->
+      s"""$cte, rev AS (
+         |  WITH RECURSIVE r(key, d) AS (
+         |    SELECT 'R0' AS key, 0 AS d
+         |    UNION ALL
+         |    SELECT e.src, r.d + 1 FROM r JOIN ue e ON e.dst = r.key
+         |  ) SELECT key, min(d) AS dist FROM r GROUP BY key
+         |)
+         |SELECT key, CAST(dist AS INT) AS dist FROM rev ORDER BY key""".stripMargin,
+
     "g_two_hop" ->
       s"""$cte SELECT DISTINCT e2.dst AS key
          |FROM ue e1 JOIN ue e2 ON e1.dst = e2.src

@@ -38,6 +38,14 @@ class GraphXSpec extends SparkSpec {
     assert(pr("e") > pr("d"))
   }
 
+  test("shortest paths: forward-edge hop distance to the landmark") {
+    // a->b->c->a cycle: distance to c is 2 from a, 1 from b, 0 from c
+    val d = GraphXBridge.shortestPathsTo(gx, "c").as[(String, Int)].collect().toMap
+    assert(d("c") == 0 && d("b") == 1 && d("a") == 2)
+    assert(!d.contains("d") && !d.contains("f")) // unreachable omitted
+    assertThrows[NodeNotFound](GraphXBridge.shortestPathsTo(gx, "nope"))
+  }
+
   test("degrees count directed edges incl. self-loops; isolated-side zeros") {
     val d = GraphXBridge.degrees(gx).as[(String, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap

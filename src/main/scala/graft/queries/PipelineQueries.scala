@@ -75,6 +75,13 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
 
+    // banded SimHash near-dup pairs: the banding is exact for
+    // hamming <= 3 (pigeonhole over 4 signature pieces), so the all-pairs
+    // DuckDB oracle produces the identical set
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")),
+
     "d_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "fp")),
@@ -156,6 +163,8 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_simhash_pairs" -> Dedup.simhashPairsSql(docsT, "doc_id", "text", 3),
 
     "e_ann_topk" ->
       """WITH c AS (

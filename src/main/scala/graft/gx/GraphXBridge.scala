@@ -39,9 +39,12 @@ object GraphXBridge {
       .select(col("sid"), col("did"), col("etype"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
     val graph = Graph(verts, e)
-    val parts = if (numPartitions > 0) numPartitions
-                else graph.edges.getNumPartitions
-    graph.partitionBy(PartitionStrategy.EdgePartition2D, parts)
+    // re-partitioning is left to the algorithms that profit from it
+    // (triangleCounts 2D-partitions its canonical graph); an eager
+    // EdgePartition2D here would cost every caller a full edge shuffle
+    if (numPartitions > 0)
+      graph.partitionBy(PartitionStrategy.EdgePartition2D, numPartitions)
+    else graph
   }
 
   /** Static PageRank (fixed iterations, resetProb 0.15), keyed back to

@@ -275,6 +275,7 @@ object Dedup {
     val ds = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol))).as("shingle"))
       .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
+      .cache() // consumed 3x: per-doc counts + both join sides
     val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = ds.select(col("shingle"), col("doc_id").as("a"))
     val b = ds.select(col("shingle"), col("doc_id").as("b"))

@@ -131,6 +131,27 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")}),
 
+    // json functions over the events props column
+    "q_json_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 100)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .orderBy("event_id")),
+
+    // array functions over the embeddings column
+    "q_array_funcs" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+            (acc, x) => acc + x), 4).as("vec_sum"))
+        .orderBy("vec_id")),
+
     // rollup: hierarchical subtotals (flag, status) -> (flag) -> ()
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -282,6 +303,18 @@ object AnalyticsQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |CAST(len(embedding) AS INT) AS dim,
+        |round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

@@ -131,6 +131,25 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")}),
 
+    // exact percentiles (linear interpolation in both engines)
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // statistical aggregates: correlation / sample stddev / variance
+    "q_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 6).as("discount_sd"),
+          round(var_samp(col("l_tax")), 6).as("tax_var"))
+        .orderBy("l_returnflag")),
+
     // json functions over the events props column
     "q_json_funcs" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -303,6 +322,19 @@ object AnalyticsQueries {
       """SELECT o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |round(stddev_samp(l_discount), 6) AS discount_sd,
+        |round(var_samp(l_tax), 6) AS tax_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_json_funcs" ->
       """SELECT event_id,

@@ -262,6 +262,36 @@ object Dedup {
        |ORDER BY doc_id, fp""".stripMargin
   }
 
+  // ------------------------------------------------- end-to-end pipeline
+  /** Full near-dup dedup pipeline: MinHash-LSH candidates filtered by
+    * signature similarity become edges of a duplicate graph; connected
+    * components group transitive duplicates; the minimum doc id of each
+    * component survives. Returns the surviving rows of `docs`.
+    *
+    * This is the operator a training-data pipeline actually runs: candidate
+    * generation is bucket-join-bounded (no all-pairs), grouping is GraphX
+    * CC (iterations bounded by dup-cluster diameter, which is tiny), and
+    * survivor selection is one aggregation + semi-join. */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                       minEstSim: Double = 0.5): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val pairs = minhashCandidates(docs, idCol, textCol)
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+    val dupGraph = graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))
+    val comps = graft.gx.GraphXBridge.connectedComponents(
+      graft.gx.GraphXBridge.toGraphX(dupGraph))
+    // victims = duplicated ids that are NOT their component's min
+    val victims = comps
+      .select(col("key").cast("long").as("__vid"), col("component"))
+      .withColumn("__keep",
+        min(col("__vid")).over(Window.partitionBy(col("component"))))
+      .filter(col("__vid") =!= col("__keep"))
+      .select(col("__vid"))
+    docs.join(victims, docs(idCol) === victims("__vid"), "left_anti")
+  }
+
   // ---------------------------------------------------------- ngram jaccard
   /** Exact shingle-set Jaccard for pairs sharing at least one shingle,
     * thresholded. The shared-shingle join is the candidate generator; at

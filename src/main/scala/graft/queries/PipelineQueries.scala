@@ -75,6 +75,12 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
 
+    // end-to-end near-dup pipeline: surviving doc ids after LSH-candidate
+    // clustering (GraphX CC grouping — rows-only; PipelineSpec pins it)
+    "d_dedup_pipeline" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5)
+        .select(col("doc_id")).orderBy("doc_id")),
+
     // banded SimHash near-dup pairs: the banding is exact for
     // hamming <= 3 (pigeonhole over 4 signature pieces), so the all-pairs
     // DuckDB oracle produces the identical set

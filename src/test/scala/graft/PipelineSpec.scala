@@ -39,6 +39,25 @@ class PipelineSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("near-dup pipeline keeps exactly the min id per duplicate cluster") {
+    val out = Dedup.nearDupSurvivors(docs, "doc_id", "text", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter($"est_sim" >= 0.5).select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture has near-dup pairs")
+    // union-find oracle: expected survivors = min of each transitive cluster
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val clusters = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    val expectedVictims = clusters.values.flatMap(c => c.sorted.tail).toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    assert(out == all -- expectedVictims)
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

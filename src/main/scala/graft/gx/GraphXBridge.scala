@@ -30,13 +30,17 @@ object GraphXBridge {
       gx
     })
 
+  /** Vertex ids are xxhash64(key): a pure projection on both tables (no
+    * sort, no id-assignment joins — graph construction is two scans).
+    * Collision probability for n keys is ~n²/2⁶⁵ (< 1e-10 below 10⁸
+    * nodes); GraphXSpec asserts id uniqueness on its fixture and callers
+    * needing certified-unique ids can fall back to KinGraph.denseIds. */
   def toGraphX(g: KinGraph, numPartitions: Int = 0): Graph[String, Int] = {
-    val ids = g.denseIds.cache()
-    val verts = ids.rdd.map(r => (r.getLong(1): VertexId, r.getString(0)))
+    val verts = g.nodes
+      .select(xxhash64(col("key")).as("vid"), col("key"))
+      .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
     val e = g.edges
-      .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "sid"), "src")
-      .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "did"), "dst")
-      .select(col("sid"), col("did"), col("etype"))
+      .select(xxhash64(col("src")), xxhash64(col("dst")), col("etype"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
     val graph = Graph(verts, e)
     // re-partitioning is left to the algorithms that profit from it

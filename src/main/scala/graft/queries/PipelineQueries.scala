@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -74,6 +74,18 @@ object PipelineQueries {
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
+
+    // deterministic hash sampling (reproducible, engine-auditable)
+    "d_sample" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), col("doc_id"), 0.2)
+        .select("doc_id").orderBy("doc_id")),
+
+    // deterministic train/val/test split counts
+    "d_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"), 0.1, 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
 
     // end-to-end near-dup pipeline: surviving doc ids after LSH-candidate
     // clustering (GraphX CC grouping — rows-only; PipelineSpec pins it)
@@ -169,6 +181,13 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_sample" -> (Sampling.hashSampleSql("(SELECT doc_id FROM documents)", "doc_id", 0.2)
+      .replace("SELECT *", "SELECT doc_id") + " ORDER BY doc_id"),
+
+    "d_split" ->
+      s"""SELECT ${Sampling.splitColumnSql("doc_id", 0.1, 0.1)} AS split,
+         |count(*) AS n FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "d_simhash_pairs" -> Dedup.simhashPairsSql(docsT, "doc_id", "text", 3),
 

@@ -111,6 +111,27 @@ class PipelineSpec extends SparkSpec {
     assert(pairs((1L, 3L)) == -1.0)
   }
 
+  test("hash sampling is deterministic, partition-independent, ~rate-sized") {
+    import graft.operators.Sampling
+    val s1 = Sampling.hashSample(docs, $"doc_id", 0.2).select("doc_id")
+      .as[Long].collect().toSet
+    val s2 = Sampling.hashSample(docs.repartition(7), $"doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.2) < 0.08, s"rate ${s1.size / n}")
+    // split covers everything exactly once and is append-stable
+    val split = docs.withColumn("split",
+      Sampling.splitColumn($"doc_id", 0.1, 0.1))
+    assert(split.count() == n)
+    val halfSplit = docs.filter($"doc_id" < 250).withColumn("split",
+      Sampling.splitColumn($"doc_id", 0.1, 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val fullSplit = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    halfSplit.foreach { case (id, sp) => assert(fullSplit(id) == sp) }
+  }
+
   test("text functions: token count, fingerprint, langid determinism") {
     val df = Seq((1L, "  the cat and the hat  "), (2L, ""), (3L, "der hund ist nicht ein"))
       .toDF("doc_id", "text")

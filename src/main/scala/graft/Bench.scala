@@ -1,6 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Forces full evaluation of every expression in the plan. A bare
+    * `.count()` lets Catalyst prune projections (a fingerprint query would
+    * time only the parquet scan); the noop sink evaluates all columns. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,22 +18,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queryResults = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // failures are recorded as JSON null, never as a plausible-looking duration
+    val queryResults: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val timing =
+          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+          }
+          finally CacheScope.releaseAll() // drop operator-local caches per query
+        name -> timing
+      }
     // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
-    val workloadResults = BenchWorkloads.workloads.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val workloadResults: Seq[(String, Option[Double])] =
+      BenchWorkloads.workloads.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val timing =
+          try { fn(spark); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+          }
+        name -> timing
+      }
     val results = queryResults ++ workloadResults
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,16 +156,43 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     bad.headOption.foreach(r => throw new KeyTooLong(r.getString(0), maxLen))
   }
 
+  /** Eager max_str_len enforcement for STRING ATTRIBUTE columns of a
+    * mutation batch — the reference asserts every string attr fits the
+    * declared width on insert (graph.py:227-228), not just the key. One
+    * scan with an OR-of-lengths predicate, like [[requireKeyLen]]. */
+  def requireAttrLen(batch: DataFrame, keyCols: Seq[String],
+                     maxLen: Int = KinConfig.DefaultMaxStrLen): Unit = {
+    val strAttrs = batch.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType &&
+        !keyCols.contains(f.name) => f.name
+    }
+    if (strAttrs.nonEmpty) {
+      val tooLong = strAttrs.map(c => length(col(c)) > maxLen).reduce(_ || _)
+      batch.filter(tooLong).limit(1).collect().headOption.foreach { r =>
+        val offending = strAttrs.find { c =>
+          Option(r.getAs[String](c)).exists(_.length > maxLen)
+        }.get
+        throw new StringTooLong(offending, r.getAs[String](offending), maxLen)
+      }
+    }
+  }
+
   // ------------------------------------------------------------- mutations
   /** Upsert nodes; an existing key's attribute columns are wholly replaced
     * by the incoming row — the reference's "replace whole record" semantic
     * (graph.py:1353-1431, tutorial "attention" note). Last write within the
     * incoming batch wins, resolved by one window-dedup shuffle. */
   def addNodes(newNodes: DataFrame): KinGraph = {
-    val aligned = alignColumns(newNodes, nodes.schema.fieldNames, keyCols = Seq("key"))
+    val aligned = alignColumns(newNodes,
+      nodes.schema.fieldNames ++ seqColOf(newNodes), keyCols = Seq("key"))
     val merged = upsert(nodes, aligned, Seq("key"))
     new KinGraph(merged, edges)
   }
+
+  /** Pass-through of the optional explicit batch-order column. */
+  private def seqColOf(df: DataFrame): Seq[String] =
+    if (df.columns.contains(KinGraph.BatchOrderCol)) Seq(KinGraph.BatchOrderCol)
+    else Nil
 
   /** Upsert edges keyed (src, dst, etype); auto-creates missing endpoint
     * nodes exactly like reference graph.py:1446-1453 — but as one distinct
@@ -174,7 +201,8 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     val withType =
       if (newEdges.columns.contains("etype")) newEdges
       else newEdges.withColumn("etype", lit(0))
-    val aligned = alignColumns(withType, edges.schema.fieldNames,
+    val aligned = alignColumns(withType,
+      edges.schema.fieldNames ++ seqColOf(withType),
       keyCols = Seq("src", "dst", "etype"))
     val mergedEdges = upsert(edges, aligned, Seq("src", "dst", "etype"))
     // endpoint auto-create: keys appearing in new edges but not in nodes
@@ -296,11 +324,19 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     * dense-id mapping — the distributed analog of the reference's SciPy CSR
     * (graph.py:1188-1229; `weight` is declared NOT IMPLEMENTED there). */
   def adjacencyCoo: DataFrame = {
-    val ids = denseIds
-    edges.select("src", "dst").distinct()
+    // ids feeds BOTH the row and col joins: materialize it once (eager
+    // localCheckpoint), or Spark recomputes the global sort + zipWithIndex
+    // per branch and the RDD boundary blocks AQE on both sides. The
+    // checkpointed relation has an exact size, so AQE broadcasts it when
+    // nodes fit. Dedup of multi-etype parallel edges happens AFTER the id
+    // joins, on compact (long, long) pairs — one narrow shuffle instead of
+    // a full-width string shuffle before the joins.
+    val ids = denseIds.localCheckpoint(true)
+    edges.select("src", "dst")
       .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "row_id"), "src")
       .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "col_id"), "dst")
-      .select(col("row_id"), col("col_id"), lit(1).as("value"))
+      .select(col("row_id"), col("col_id")).distinct()
+      .withColumn("value", lit(1))
   }
 
   /** Induced-subgraph COO over `keys` (reference: graph.py:1231-1265;
@@ -361,17 +397,24 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     sp.createDataFrame(java.util.List.of(row), StructType(fields))
   }
 
-  /** reference `data()` (structure.py:31-62): user-attribute-only
-    * projection — internal/identity fields suppressed. */
+  /** reference `data()` (structure.py:49-62): user-attribute-only
+    * projection — internal/identity fields suppressed, and EMPTY-STRING
+    * attrs dropped too (structure.py:59-60 skips `len(val) == 0`, the
+    * reference's storage encoding for "unset string"). */
+  private def dropUnset(v: Any): Boolean = v match {
+    case null => false
+    case s: String if s.isEmpty => false
+    case _ => true
+  }
   def nodeData(key: String): Map[String, Any] = {
     val row = node(key)
     row.schema.fieldNames.filterNot(_ == "key")
-      .map(f => f -> row.getAs[Any](f)).filter(_._2 != null).toMap
+      .map(f => f -> row.getAs[Any](f)).filter(kv => dropUnset(kv._2)).toMap
   }
   def edgeData(src: String, dst: String, etype: Int = 0): Map[String, Any] = {
     val row = edge(src, dst, etype)
     row.schema.fieldNames.filterNot(Set("src", "dst", "etype"))
-      .map(f => f -> row.getAs[Any](f)).filter(_._2 != null).toMap
+      .map(f => f -> row.getAs[Any](f)).filter(kv => dropUnset(kv._2)).toMap
   }
 
   // ------------------------------------------------------------ maintenance
@@ -430,16 +473,35 @@ object KinGraph {
     new KinGraph(nodes, e)
   }
 
+  /** Name of the optional caller-supplied sequence column that pins
+    * within-batch "last write wins" order (higher = later). Add it BEFORE
+    * any shuffle to replay the reference's sequential replace semantic
+    * exactly on arbitrary inputs. */
+  val BatchOrderCol = "__seq"
+
   /** Last-write-wins upsert: rows in `incoming` replace rows in `base` with
-    * the same identity; within `incoming`, later rows win (stable order via
-    * a monotonic batch rank). One shuffle on the identity key. */
+    * the same identity; within `incoming`, later rows win. One shuffle on
+    * the identity key.
+    *
+    * Within-batch order: if `incoming` carries [[BatchOrderCol]], that
+    * explicit sequence defines "later" (the faithful analog of the
+    * reference's sequential add_node/add_edge replay, graph.py:1353-1431).
+    * Otherwise `monotonically_increasing_id` is used — which reflects row
+    * order only for order-preserving sources (local collections, file
+    * scans); after a join/shuffle it is partition-major, so the winner is
+    * arbitrary-but-DETERMINISTIC: ties beyond the id are broken by a hash
+    * of the full row, never by partition scheduling. */
   private[graft] def upsert(base: DataFrame, incoming: DataFrame,
                             keys: Seq[String]): DataFrame = {
     val kept = base.join(incoming.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
-    // within-batch last-wins: tag with arrival order, keep max per identity
-    val tagged = incoming.withColumn("__ord", monotonically_increasing_id())
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ord").desc)
+    val tagged =
+      if (incoming.columns.contains(BatchOrderCol))
+        incoming.withColumn("__ord", col(BatchOrderCol).cast("long"))
+      else incoming.withColumn("__ord", monotonically_increasing_id())
+    val attrCols = incoming.columns.filterNot(_ == BatchOrderCol).map(col)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord").desc, xxhash64(attrCols: _*).asc)
     val deduped = tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__ord", "__rn")
     kept.union(deduped.select(base.schema.fieldNames.map(col): _*))

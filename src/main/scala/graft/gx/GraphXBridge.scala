@@ -30,19 +30,44 @@ object GraphXBridge {
       gx
     })
 
-  /** Vertex ids are xxhash64(key): a pure projection on both tables (no
-    * sort, no id-assignment joins — graph construction is two scans).
-    * Collision probability for n keys is ~n²/2⁶⁵ (< 1e-10 below 10⁸
-    * nodes); GraphXSpec asserts id uniqueness on its fixture and callers
-    * needing certified-unique ids can fall back to KinGraph.denseIds. */
-  def toGraphX(g: KinGraph, numPartitions: Int = 0): Graph[String, Int] = {
-    val verts = g.nodes
-      .select(xxhash64(col("key")).as("vid"), col("key"))
-      .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
-    val e = g.edges
-      .select(xxhash64(col("src")), xxhash64(col("dst")), col("etype"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
-    val graph = Graph(verts, e)
+  /** Above this node count the xxhash64 id assignment switches to
+    * collision-safe dense ids: birthday-bound collision probability is
+    * ~n²/2⁶⁵, which crosses ~3% at 10⁹ keys — real at 100 TB scale.
+    * Below it (< 2.7e-4 at 10⁸) the hash path's two-scan construction
+    * wins: no global sort, no id-assignment joins. */
+  val HashIdMaxNodes: Long = 100000000L
+
+  /** Vertex ids: xxhash64(key) for graphs up to [[HashIdMaxNodes]] (a pure
+    * projection on both tables — graph construction is two scans), dense
+    * rank ids beyond it (certified collision-free; one sort + two id
+    * joins). GraphXSpec asserts the switchover and hash-id uniqueness. */
+  def toGraphX(g: KinGraph, numPartitions: Int = 0): Graph[String, Int] =
+    toGraphX(g, numPartitions, HashIdMaxNodes)
+
+  private[graft] def toGraphX(g: KinGraph, numPartitions: Int,
+                              maxHashNodes: Long): Graph[String, Int] = {
+    val graph =
+      if (g.nNodes <= maxHashNodes) {
+        val verts = g.nodes
+          .select(xxhash64(col("key")).as("vid"), col("key"))
+          .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
+        val e = g.edges
+          .select(xxhash64(col("src")), xxhash64(col("dst")), col("etype"))
+          .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
+        Graph(verts, e)
+      } else {
+        // ids feed the vertex projection AND both edge joins: materialize
+        // once (same pattern as KinGraph.adjacencyCoo)
+        val ids = g.denseIds.localCheckpoint(true)
+        val verts = ids.rdd
+          .map(r => (r.getLong(1): VertexId, r.getString(0)))
+        val e = g.edges
+          .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "sid"), "src")
+          .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "did"), "dst")
+          .select(col("sid"), col("did"), col("etype"))
+          .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
+        Graph(verts, e)
+      }
     // re-partitioning is left to the algorithms that profit from it
     // (triangleCounts 2D-partitions its canonical graph); an eager
     // EdgePartition2D here would cost every caller a full edge shuffle

@@ -16,6 +16,9 @@ class EdgeNotFound(src: String, dst: String, etype: Int)
     extends KinbakuException(s"edge not found: ($src, $dst, type=$etype)")
 class KeyTooLong(key: String, max: Int)
     extends KinbakuException(s"key too long (${key.length} > $max): $key")
+class StringTooLong(field: String, value: String, max: Int)
+    extends KinbakuException(
+      s"string attr '$field' too long (${value.length} > $max): $value")
 
 /** A node row. `key` is the identity (reference: graph.py:999-1036);
   * `index` is the monotonically-assigned surrogate id used by the dense

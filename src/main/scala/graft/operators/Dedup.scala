@@ -94,7 +94,7 @@ object Dedup {
     * The bucket self-join is the only shuffle that touches pairs; it never
     * materializes the all-pairs product. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol).cache()
+    val sigs = graft.CacheScope.cached(minhashSignatures(docs, idCol, textCol))
     val bands = lshBands(sigs)
     val a = bands.select(col("band"), col("band_val"), col("doc_id").as("a"))
     val b = bands.select(col("band"), col("band_val"), col("doc_id").as("b"))
@@ -146,49 +146,64 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- simhash
-  /** 16-bit SimHash over whitespace tokens (md5-derived token hashes).
-    * 16 bits keeps the oracle SQL compact while exercising the full
-    * bit-majority construction; widen `SimhashBits` for production use. */
-  val SimhashBits = 16
+  /** 60-bit SimHash over whitespace tokens (md5-derived token hashes —
+    * 60 bits is the widest the exactly-oracle-replayable hash family
+    * allows while every shift/sum stays in i64 on both engines). Banded
+    * in 4 pieces of 15 bits ⇒ 2^15 distinct values per band, so the band
+    * self-join stays bucket-bounded at corpus scale (a 16-bit signature's
+    * 4-bit pieces had only 16 buckets — O(n²/16) candidates).
+    *
+    * The signature is built with one bit-sum aggregate column per bit
+    * (map-side combinable, same shape as the MinHash signature): one
+    * shuffle of (doc_id, 60 ints), no per-bit row explosion. */
+  val SimhashBits = 60
+  val SimhashPieces = 4
 
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", hash32(col("tok")))
-    val perBit = tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1, 1)
-        .otherwise(-1)).as("s"))
-    perBit.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .withColumn("h", hash60(col("tok")))
+    val aggs = (0 until SimhashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$b")
+    }
+    val perBit = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    perBit.select(col("doc_id"), sig.as("simhash"))
   }
 
   def simhashSignaturesSql(table: String, idCol: String, textCol: String): String = {
     val toks = tokensSql(textCol)
+    val sumCols = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n    ")
+    val sig = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT $idCol AS doc_id, unnest($toks) AS tok FROM $table
        |), hs AS (
-       |  SELECT doc_id, ${hash32Sql("tok")} AS h FROM tok
+       |  SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok
        |), bits AS (
-       |  SELECT doc_id, b,
-       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM hs, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS b)
-       |  GROUP BY doc_id, b
+       |  SELECT doc_id,
+       |    $sumCols
+       |  FROM hs GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
   }
 
   /** SimHash near-dup pairs: Hamming distance <= maxHamming. Candidates are
-    * generated by 4-piece banding of the signature (pigeonhole: hamming<=3
-    * ⇒ at least one of 4 pieces equal), so this, too, avoids all-pairs. */
+    * generated by 4-piece banding of the signature (pigeonhole: hamming <
+    * pieces ⇒ at least one piece equal), so this, too, avoids all-pairs. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol).cache()
-    val pieces = 4
+    require(maxHamming < SimhashPieces,
+      s"banding is pigeonhole-exact only for maxHamming < $SimhashPieces pieces; " +
+        s"got maxHamming=$maxHamming (raise SimhashPieces instead)")
+    val sigs = graft.CacheScope.cached(simhashSignatures(docs, idCol, textCol))
+    val pieces = SimhashPieces
     val bitsPer = SimhashBits / pieces
     val mask = (1L << bitsPer) - 1
     val bandRows = (0 until pieces).map { p =>
@@ -274,6 +289,17 @@ object Dedup {
     * survivor selection is one aggregation + semi-join. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
                        minEstSim: Double = 0.5): DataFrame = {
+    // doc ids round-trip through the duplicate graph's string keys and back
+    // via cast(long); a non-integral idCol would cast to null and the final
+    // anti-join would silently match nothing (no dedup at all) — fail fast
+    // instead of silently skipping the whole operation
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"nearDupSurvivors needs an integral id column; '$idCol' is $other " +
+          "(map your ids to long first, e.g. via xxhash64 or a dense rank)")
+    }
     val sp = docs.sparkSession
     import sp.implicits._
     val pairs = minhashCandidates(docs, idCol, textCol)
@@ -302,10 +328,10 @@ object Dedup {
     // shingles are joined by their 32-bit hash (longs shuffle ~10x cheaper
     // than shingle strings); the oracle hashes identically, so any
     // (astronomically rare) collision affects both engines the same way
-    val ds = docs.select(col(idCol).as("doc_id"),
+    val ds0 = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol))).as("shingle"))
       .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
-      .cache() // consumed 3x: per-doc counts + both join sides
+    val ds = graft.CacheScope.cached(ds0) // consumed 3x: counts + both join sides
     val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = ds.select(col("shingle"), col("doc_id").as("a"))
     val b = ds.select(col("shingle"), col("doc_id").as("b"))

@@ -59,35 +59,47 @@ object Similarity {
     * touching a tiny corpus fraction per query. */
   val LshTables = 12
   val LshBitsPerTable = 6
-  val LshDim = 64
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane (t, b)
-    * derives from md5 — reproducible everywhere with no RNG state. */
-  lazy val hyperplanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
-    (0 until LshTables).map { t =>
-      (0 until LshBitsPerTable).map { b =>
-        (0 until LshDim).map { j =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"plane_${t}_${b}_$j".getBytes("UTF-8"))
-          val v = java.nio.ByteBuffer.wrap(hex).getInt & 0x7fffffff
-          (v.toDouble / Int.MaxValue.toDouble) - 0.5
+  /** Deterministic pseudo-random hyperplanes for a given embedding
+    * dimensionality: component j of plane (t, b) derives from md5 —
+    * reproducible everywhere with no RNG state. Memoized per dim (the
+    * planes are tiny: tables × bits × dim doubles). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+  def hyperplanes(dim: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    planeCache.computeIfAbsent(dim, _ =>
+      (0 until LshTables).map { t =>
+        (0 until LshBitsPerTable).map { b =>
+          (0 until dim).map { j =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"plane_${t}_${b}_$j".getBytes("UTF-8"))
+            val v = java.nio.ByteBuffer.wrap(hex).getInt & 0x7fffffff
+            (v.toDouble / Int.MaxValue.toDouble) - 0.5
+          }
         }
-      }
-    }
+      })
+
+  /** Embedding dimensionality, read from the first row (array columns
+    * carry no length in the schema). One tiny LIMIT-1 job, not a scan. */
+  def inferDim(vecs: DataFrame): Int = {
+    val row = vecs.select(size(col("vec")).as("d")).limit(1).collect()
+    require(row.nonEmpty, "cannot infer embedding dim from an empty DataFrame")
+    row(0).getInt(0)
+  }
 
   /** Sign-bit signature of `vec` in table `t`. */
-  def lshSignature(vec: Column, t: Int): Column = {
+  def lshSignature(vec: Column, t: Int, dim: Int): Column = {
     val bits = (0 until LshBitsPerTable).map { b =>
-      val plane = array(hyperplanes(t)(b).map(lit): _*)
+      val plane = array(hyperplanes(dim)(t)(b).map(lit): _*)
       when(dot(vec, plane) >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
   /** One row per (table, bucket) for each vector. */
-  def lshBucketed(vecs: DataFrame): DataFrame = {
+  def lshBucketed(vecs: DataFrame, dim: Int): DataFrame = {
     val buckets = (0 until LshTables).map { t =>
-      struct(lit(t).as("table"), lshSignature(col("vec"), t).as("bucket"))
+      struct(lit(t).as("table"), lshSignature(col("vec"), t, dim).as("bucket"))
     }
     vecs.select(col("id"), col("vec"), explode(array(buckets: _*)).as("tb"))
       .select(col("id"), col("vec"), col("tb.table"), col("tb.bucket"))
@@ -97,9 +109,10 @@ object Similarity {
     * (multi-probe: the exact bucket plus every 1-bit flip), reranked by
     * exact cosine. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val corpusB = lshBucketed(corpus.select(col("id"), col("vec")))
+    val dim = inferDim(queries)
+    val corpusB = lshBucketed(corpus.select(col("id"), col("vec")), dim)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("vec", "cvec")
-    val qB = lshBucketed(queries.select(col("id"), col("vec")))
+    val qB = lshBucketed(queries.select(col("id"), col("vec")), dim)
       .withColumnRenamed("id", "query_id").withColumnRenamed("vec", "qvec")
     // multi-probe: flip = -1 keeps the bucket, else XOR bit `flip`
     val probes = qB.select(col("query_id"), col("qvec"), col("table"),
@@ -128,7 +141,7 @@ object Similarity {
   /** Near-duplicate vector pairs: cosine >= threshold, candidates from
     * shared LSH buckets in any table (no all-pairs product). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val bucketed = lshBucketed(corpus.select(col("id"), col("vec")))
+    val bucketed = lshBucketed(corpus.select(col("id"), col("vec")), inferDim(corpus))
     val a = bucketed.select(col("table"), col("bucket"), col("id").as("a"), col("vec").as("va"))
     val b = bucketed.select(col("table"), col("bucket"), col("id").as("b"), col("vec").as("vb"))
     val pairIds = a.select(col("table"), col("bucket"), col("a"))
@@ -149,23 +162,58 @@ object Similarity {
     * corpus clusters well. KMeans runs with a fixed seed → deterministic
     * index. At scale the index build is one MLlib job and the search is a
     * broadcast-join on cell id — corpus never re-shuffles per query. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sp = corpus.sparkSession
+  /** A built IVF index: the corpus with its cell assignment (persisted —
+    * the whole point of an index is to outlive one query batch) and the
+    * centroid table. Build once with [[ivfBuild]], search many times with
+    * [[ivfSearch]]; at scale the equivalent is a bucketed/partitioned
+    * table keyed by cell id that query batches broadcast-join against. */
+  final case class IvfIndex(assigned: DataFrame,
+                            centroids: Seq[(Int, Array[Double])],
+                            nlist: Int) {
+    def release(): Unit = assigned.unpersist(false)
+  }
+
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** Fit the KMeans coarse quantizer and assign every corpus vector to its
+    * cell. `cacheKey` memoizes the built index session-wide (like
+    * `Tables.cached`) so repeated query batches reuse it instead of
+    * re-clustering the corpus per call. */
+  def ivfBuild(corpus: DataFrame, nlist: Int = 16,
+               cacheKey: Option[String] = None): IvfIndex = {
+    def build(): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val featured = corpus.select(col("id"), col("vec"),
+        array_to_vector(col("vec")).as("features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+        .fit(featured)
+      val assigned = model.transform(featured)
+        .select(col("id").as("vec_id"), col("vec").as("cvec"),
+          col("prediction").as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count() // materialize, then drop the fit-time feature cache
+      featured.unpersist(false)
+      val centroids = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+      IvfIndex(assigned, centroids, nlist)
+    }
+    cacheKey match {
+      case Some(key) => ivfIndexCache.computeIfAbsent(s"$key|$nlist", _ => build())
+      case None => build()
+    }
+  }
+
+  /** Search a prebuilt index: each query probes its `nprobe` nearest cells
+    * (centroid ranking is a broadcast of the tiny centroid table), exact
+    * cosine reranks only the probed cells' vectors. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
+                nprobe: Int = 4): DataFrame = {
+    val sp = queries.sparkSession
     import sp.implicits._
-    val featured = corpus.select(col("id"), col("vec"),
-      array_to_vector(col("vec")).as("features")).cache()
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(featured)
-    val assigned = model.transform(featured)
-      .select(col("id").as("vec_id"), col("vec").as("cvec"),
-        col("prediction").as("cell"))
-    // query → nprobe nearest cells (centroids are tiny: rank on the driver)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-    val centroidDf = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    val centroidDf = broadcast(index.centroids.toDF("cell", "centroid"))
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
       .crossJoin(centroidDf)
       .withColumn("cdist", dot(col("qvec"), col("centroid")) /
@@ -174,7 +222,7 @@ object Similarity {
     val probes = qCells.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cell"))
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
+    val cand = index.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("query_id"))
@@ -183,6 +231,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
   }
+
+  /** Build-then-search convenience (kept for API parity); pass `cacheKey`
+    * to reuse the index across calls. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              cacheKey: Option[String] = None): DataFrame =
+    ivfSearch(ivfBuild(corpus, nlist, cacheKey), queries, k, nprobe)
 
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]

@@ -44,13 +44,18 @@ object GraphOps {
     * reference declares NOT IMPLEMENTED (graph.py:1192): value = the named
     * edge-attribute column (summed across duplicate (src,dst) pairs). */
   def weightedAdjacencyCoo(g: KinGraph, weightCol: String): DataFrame = {
-    val ids = g.denseIds
+    // Same shape as KinGraph.adjacencyCoo: the id mapping feeds two joins,
+    // so it is materialized once (eager localCheckpoint) — otherwise the
+    // global sort + zipWithIndex re-runs per branch. The weight aggregation
+    // runs AFTER the id joins, keyed on compact (long, long) ids: with the
+    // checkpointed ids broadcast by AQE, the map side stays narrow and the
+    // only wide shuffle moves (long, long, double) rows.
+    val ids = g.denseIds.localCheckpoint(true)
     g.edges
-      .groupBy(col("src"), col("dst"))
-      .agg(sum(col(weightCol)).as("value"))
       .join(ids.withColumnRenamed("key", "src").withColumnRenamed("id", "row_id"), "src")
       .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "col_id"), "dst")
-      .select(col("row_id"), col("col_id"), col("value"))
+      .groupBy(col("row_id"), col("col_id"))
+      .agg(sum(col(weightCol)).as("value"))
   }
 
   /** Hub-skew-safe neighbor collection: two-stage collect_list with a salt

@@ -78,19 +78,22 @@ object AnalyticsQueries {
         .select("l_suppkey", "l_shipdate", "rev", "cum_rev")
         .orderBy("l_suppkey", "l_shipdate")}),
 
-    // set operators: customers with orders but no high-value order (anti),
-    // in both BUILDING and high-balance sets (intersect)
+    // set operators: customers with orders but no high-value (> 400k) order
+    // — 400k leaves a non-empty EXCEPT at every SF (200k was empty at
+    // sf0.001, a vacuous check)
     "q_set_ops" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
-      val highValue = o.filter(col("o_totalprice") > 200000)
+      val highValue = o.filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("custkey")).distinct()
       withOrders.except(highValue).orderBy("custkey")}),
 
-    // semi/anti joins: parts never shipped
+    // semi/anti joins: parts never shipped in a high-quantity (>= 48)
+    // lineitem — "never shipped at all" was the empty set at every SF, a
+    // vacuous check; this predicate leaves a real anti-join survivor set
     "q_anti_join" -> ((s, dir) => {
       val p = Tables.part(s, dir)
-      val l = Tables.lineitem(s, dir)
+      val l = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
       p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
         .select(col("p_partkey")).orderBy("p_partkey")}),
 
@@ -299,12 +302,13 @@ object AnalyticsQueries {
 
     "q_set_ops" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders
-        |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY custkey""".stripMargin,
 
     "q_anti_join" ->
       """SELECT p_partkey FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 48)
         |ORDER BY p_partkey""".stripMargin,
 
     "q_scalar_funcs" ->

@@ -93,6 +93,21 @@ object GxQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // undirected connected components via recursive min-label propagation
+    // (the gx_sssp recursive-CTE technique): reach(key, label) closes over
+    // the undirected edge set; component = min key label reaching the node
+    "gx_cc" ->
+      s"""$cte, ud AS (
+         |  SELECT src, dst FROM ue UNION SELECT dst, src FROM ue
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM un
+         |    UNION
+         |    SELECT e.dst, r.label FROM reach r JOIN ud e ON e.src = r.key
+         |  ) SELECT key, min(label) AS component FROM reach GROUP BY key
+         |)
+         |SELECT key, component FROM rch ORDER BY key""".stripMargin,
+
     "gx_sssp" ->
       s"""$cte, rev AS (
          |  WITH RECURSIVE r(key, d) AS (

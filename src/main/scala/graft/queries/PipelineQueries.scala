@@ -88,7 +88,8 @@ object PipelineQueries {
         .orderBy("split")),
 
     // end-to-end near-dup pipeline: surviving doc ids after LSH-candidate
-    // clustering (GraphX CC grouping — rows-only; PipelineSpec pins it)
+    // clustering (GraphX CC grouping); oracle replays min-id survivor
+    // selection over the (oracle-exact) minhash candidate set in SQL
     "d_dedup_pipeline" -> ((s, dir) =>
       Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
@@ -111,8 +112,11 @@ object PipelineQueries {
       Similarity.bruteForceTopK(corpus, queriesDf, 10)
         .orderBy("query_id", "rank")}),
 
+    // threshold 0.45 sits just under the fixtures' max pairwise cosine —
+    // the check returns rows at every SF (a 0.99 threshold matched zero
+    // rows, which verified nothing about the cosine/threshold logic)
     "e_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDupExact(embDouble(s, dir), 0.99)
+      Similarity.cosineNearDupExact(embDouble(s, dir), 0.45)
         .orderBy("a", "b")),
 
     // LSH-bucketed ANN (scale path; no SQL oracle — recall checked in
@@ -128,7 +132,7 @@ object PipelineQueries {
     "e_ann_ivf" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
       val queriesDf = corpus.filter(col("id") < 5)
-      Similarity.ivfTopK(corpus, queriesDf, 10)
+      Similarity.ivfTopK(corpus, queriesDf, 10, cacheKey = Some(s"emb|$dir"))
         .orderBy("query_id", "rank")}),
 
     // multimodal: binary payload -> batched (mapPartitions) stub decode ->
@@ -191,6 +195,28 @@ object PipelineQueries {
 
     "d_simhash_pairs" -> Dedup.simhashPairsSql(docsT, "doc_id", "text", 3),
 
+    // replay of nearDupSurvivors: minhash candidates (est_sim >= 0.5) form
+    // an undirected dup graph; recursive min-label propagation = connected
+    // components; victims = nodes that are not their component's min id
+    "d_dedup_pipeline" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM cand WHERE est_sim >= 0.5
+         |  UNION SELECT b, a FROM cand WHERE est_sim >= 0.5
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+         |)
+         |SELECT doc_id FROM $docsT
+         |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
+         |ORDER BY doc_id""".stripMargin,
+
     "e_ann_topk" ->
       """WITH c AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
@@ -230,7 +256,7 @@ object PipelineQueries {
         |SELECT a.id AS a, b.id AS b,
         |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
         |FROM c a JOIN c b ON a.id < b.id
-        |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.99
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.45
         |ORDER BY a, b""".stripMargin
   )
 }

@@ -103,17 +103,19 @@ object EventStreams {
       }
   }
 
-  /** Production-shaped sink: append each micro-batch to a parquet table
-    * with exactly-once bookkeeping via the checkpoint dir (the sink a real
-    * deployment of tumblingCounts would use). Returns after the bounded
-    * source drains. */
+  /** Production-shaped sink: the NATIVE parquet file sink (the sink a real
+    * deployment of tumblingCounts would use). The file-sink commit log
+    * makes replayed batches idempotent — true exactly-once output. (A
+    * foreachBatch with a blind `mode("append")` parquet write is only
+    * at-least-once: a batch replayed after a failure between write and
+    * checkpoint commit lands twice.) Returns after the bounded source
+    * drains. */
   def runToParquet(stream: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
       .start()
     q.processAllAvailable()
     q.stop()

@@ -46,6 +46,23 @@ class GraphXSpec extends SparkSpec {
     assertThrows[NodeNotFound](GraphXBridge.shortestPathsTo(gx, "nope"))
   }
 
+  test("vertex-id switchover: hash ids below threshold, dense ids above") {
+    // hash path (default): ids are xxhash64 values, unique on this fixture
+    val hashIds = gx.vertices.map(_._1).collect()
+    assert(hashIds.distinct.length == hashIds.length)
+    assert(!hashIds.forall(id => id >= 0 && id < 6)) // genuinely hashes
+    // forcing the threshold to 0 nodes switches to collision-safe dense ids
+    val dense = GraphXBridge.toGraphX(g, 0, maxHashNodes = 0L)
+    val denseIds = dense.vertices.map(_._1).collect().sorted
+    assert(denseIds.toSeq == (0L until 6L)) // rank over key order
+    // both id schemes produce the same algorithm results
+    val ccHash = GraphXBridge.connectedComponents(gx)
+      .as[(String, String)].collect().toMap
+    val ccDense = GraphXBridge.connectedComponents(dense)
+      .as[(String, String)].collect().toMap
+    assert(ccHash == ccDense)
+  }
+
   test("degrees count directed edges incl. self-loops; isolated-side zeros") {
     val d = GraphXBridge.degrees(gx).as[(String, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap

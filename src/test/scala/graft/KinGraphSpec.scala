@@ -76,6 +76,28 @@ class KinGraphSpec extends SparkSpec {
     assert(bad.toSeq == Seq("x" * 20))
   }
 
+  test("requireAttrLen enforces max_str_len on string ATTRS (ref graph.py:227-228)") {
+    val batch = Seq(("k1", "short"), ("k2", "y" * 20)).toDF("key", "name")
+    assertThrows[StringTooLong](g.requireAttrLen(batch, Seq("key"), 15))
+    // key length is exempt here (that's requireKeyLen's contract)
+    g.requireAttrLen(Seq(("k" * 20, "ok")).toDF("key", "name"), Seq("key"), 15)
+    // non-string attrs never trip the guard
+    g.requireAttrLen(Seq(("k1", 123456789)).toDF("key", "n"), Seq("key"), 5)
+  }
+
+  test("upsert honors explicit __seq batch order on shuffled input") {
+    val base = KinGraph(Seq(("n1", "orig")).toDF("key", "name"),
+      Seq.empty[(String, String, Int)].toDF("src", "dst", "etype"))
+    // __seq pins last-write-wins even though the winner appears first in
+    // the local Seq and the batch is repartitioned (shuffled) before upsert
+    val batch = Seq(("n1", "winner", 9L), ("n1", "loser", 1L))
+      .toDF("key", "name", KinGraph.BatchOrderCol)
+      .repartition(4)
+    val out = base.addNodes(batch)
+    assert(out.node("n1").getAs[String]("name") == "winner")
+    assert(out.nodes.columns.toSeq == Seq("key", "name")) // __seq dropped
+  }
+
   test("addEdges auto-creates endpoints and dedups on identity") {
     val add = Seq(("zz_new1", "zz_new2", 0), ("zz_new1", "zz_new2", 0),
       ("zz_new1", "zz_new2", 1)).toDF("src", "dst", "etype")

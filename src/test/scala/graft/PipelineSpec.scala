@@ -58,6 +58,14 @@ class PipelineSpec extends SparkSpec {
     assert(out == all -- expectedVictims)
   }
 
+  test("nearDupSurvivors fails fast on non-integral id columns") {
+    // string ids would silently cast to null downstream (no dedup at all)
+    val bad = Seq(("a", "one two three"), ("b", "four five six"))
+      .toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      Dedup.nearDupSurvivors(bad, "doc_id", "text"))
+  }
+
   test("simhash: identical docs share signatures; near-dups are close") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -79,6 +87,22 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.5, s"multi-probe LSH recall@10 = $recall")
+  }
+
+  test("LSH ANN works on a non-64-dim corpus (dim inferred from data)") {
+    // 7-dim synthetic vectors: two tight clusters + noise
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0)
+                 else Array(0.0, 0.1, 0.9, 0.4, 0.0, 0.2, 0.8)
+      (i, base.zipWithIndex.map { case (v, j) => v + 0.01 * ((i + j) % 5) }.toSeq)
+    }.toDF("id", "vec")
+    val queries = vecs.filter($"id" < 4)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"7-dim LSH recall@5 = $recall")
   }
 
   test("IVF ANN achieves reasonable recall@10 vs brute force") {

@@ -34,6 +34,11 @@ class TypedGraphSpec extends SparkSpec {
     assert(g.edgeData("u1", "u2") == Map("love" -> 0.9))
   }
 
+  test("data() drops empty-string attrs like the reference (structure.py:59-60)") {
+    val g = tg.graph.updated("u4", Map("name" -> "Dee", "email" -> ""))
+    assert(g.nodeData("u4") == Map("name" -> "Dee")) // "" suppressed
+  }
+
   test("facade sugar: apply/contains") {
     val g = tg.graph
     assert(g("u1").getAs[String]("key") == "u1")

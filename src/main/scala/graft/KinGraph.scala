@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -27,9 +27,16 @@ import org.apache.spark.storage.StorageLevel
   *  - hub skew in adjacency aggregation is left to AQE (enabled in the
   *    session) + the caller can salt via repartition if needed.
   */
-class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable {
+class KinGraph(val nodes: DataFrame, val edges: DataFrame,
+               val hashFunc: Column => Column = KinGraph.DefaultHashFunc)
+    extends Serializable {
   import KinGraph._
   private def spark: SparkSession = nodes.sparkSession
+
+  /** Derived graph carrying the same pluggable key hash (reference's
+    * user-supplied hash_func ctor parameter, graph.py:41-43, 82-90). */
+  private def derive(n: DataFrame, e: DataFrame): KinGraph =
+    new KinGraph(n, e, hashFunc)
 
   private def strDF(name: String, vals: Seq[String]): DataFrame = {
     val sp = spark
@@ -186,7 +193,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     val aligned = alignColumns(newNodes,
       nodes.schema.fieldNames ++ seqColOf(newNodes), keyCols = Seq("key"))
     val merged = upsert(nodes, aligned, Seq("key"))
-    new KinGraph(merged, edges)
+    derive(merged, edges)
   }
 
   /** Pass-through of the optional explicit batch-order column. */
@@ -212,14 +219,14 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     val newNodeRows = nodes.schema.fieldNames.foldLeft(missing) { (df, c) =>
       if (c == "key") df else df.withColumn(c, lit(null).cast(nodes.schema(c).dataType))
     }.select(nodes.schema.fieldNames.map(col): _*)
-    new KinGraph(nodes.union(newNodeRows), mergedEdges)
+    derive(nodes.union(newNodeRows), mergedEdges)
   }
 
   /** Delete one edge (reference: graph.py:1526-1536). The 80-line BST
     * surgery becomes a single filter. Throws EdgeNotFound like the ref. */
   def removeEdge(src: String, dst: String, etype: Int = 0): KinGraph = {
     if (!hasEdge(src, dst, etype)) throw new EdgeNotFound(src, dst, etype)
-    new KinGraph(nodes,
+    derive(nodes,
       edges.filter(!(col("src") === src && col("dst") === dst && col("etype") === etype)))
   }
 
@@ -227,14 +234,14 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
   def removeEdges(toDelete: DataFrame): KinGraph = {
     val del = if (toDelete.columns.contains("etype")) toDelete
               else toDelete.withColumn("etype", lit(0))
-    new KinGraph(nodes, edges.join(del.select("src", "dst", "etype"),
+    derive(nodes, edges.join(del.select("src", "dst", "etype"),
       Seq("src", "dst", "etype"), "left_anti"))
   }
 
   /** Delete a node and ALL incident edges (reference: graph.py:1543-1563). */
   def removeNode(key: String): KinGraph = {
     if (!hasNode(key)) throw new NodeNotFound(key)
-    new KinGraph(
+    derive(
       nodes.filter(col("key") =!= key),
       edges.filter(col("src") =!= key && col("dst") =!= key))
   }
@@ -242,7 +249,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
   /** Batched node delete with edge cascade. */
   def removeNodes(keys: DataFrame): KinGraph = {
     val ks = keys.select(col(keys.columns.head).as("key"))
-    new KinGraph(
+    derive(
       nodes.join(ks, Seq("key"), "left_anti"),
       edges.join(ks, edges("src") === ks("key"), "left_anti")
         .join(ks, edges("dst") === ks("key"), "left_anti"))
@@ -262,7 +269,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
       .withColumn("src", lit(key)).withColumn("etype", lit(0))
     val aligned = alignColumns(added, edges.schema.fieldNames,
       keyCols = Seq("src", "dst", "etype"))
-    val g2 = new KinGraph(nodes, keep)
+    val g2 = derive(nodes, keep)
     g2.addEdges(aligned).ensureNode(key)
   }
 
@@ -273,7 +280,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
       .withColumn("dst", lit(key)).withColumn("etype", lit(0))
     val aligned = alignColumns(added, edges.schema.fieldNames,
       keyCols = Seq("src", "dst", "etype"))
-    val g2 = new KinGraph(nodes, keep)
+    val g2 = derive(nodes, keep)
     g2.addEdges(aligned).ensureNode(key)
   }
 
@@ -356,7 +363,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
   /** Induced subgraph as a KinGraph (both endpoints must be in `keys`). */
   def subgraph(keys: DataFrame): KinGraph = {
     val ks = keys.select(col(keys.columns.head).as("key"))
-    new KinGraph(
+    derive(
       nodes.join(ks, Seq("key"), "left_semi"),
       edges
         .join(ks, edges("src") === ks("key"), "left_semi")
@@ -425,7 +432,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
   def compact(targetPartitions: Int = 4): (KinGraph, Long, Long) = {
     val n = nodes.repartition(targetPartitions).cache()
     val e = edges.repartition(targetPartitions).cache()
-    (new KinGraph(n, e), n.count(), e.count())
+    (derive(n, e), n.count(), e.count())
   }
 
   /** reference `close()` (graph.py:852-854): release resources. */
@@ -437,7 +444,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
     * cost O(1) per op. Batched mutation (addEdges with a whole DataFrame)
     * is still the intended fast path and needs no checkpoints. */
   def checkpointed(): KinGraph =
-    new KinGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true))
+    derive(nodes.localCheckpoint(true), edges.localCheckpoint(true))
 
   // --------------------------------------------------------------- caching
   /** reference `preload` ctor flag (graph.py:59-60): warm the cache. */
@@ -454,23 +461,28 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame) extends Serializable 
 
 object KinGraph {
   /** Build from raw DataFrames, normalizing required columns. */
-  def apply(nodes: DataFrame, edges: DataFrame): KinGraph = {
+  /** Default key hash (the reference's built-in dictionary hash analog). */
+  val DefaultHashFunc: Column => Column = c => xxhash64(c)
+
+  def apply(nodes: DataFrame, edges: DataFrame,
+            hashFunc: Column => Column = DefaultHashFunc): KinGraph = {
     require(nodes.columns.contains("key"), "nodes needs a 'key' column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges needs 'src' and 'dst' columns")
     val e = if (edges.columns.contains("etype")) edges
             else edges.withColumn("etype", lit(0))
-    new KinGraph(nodes, e)
+    new KinGraph(nodes, e, hashFunc)
   }
 
   /** Build a graph from an edge list alone; nodes are derived from distinct
     * endpoints (the common case for the derived testdata graphs). */
-  def fromEdges(edges: DataFrame): KinGraph = {
+  def fromEdges(edges: DataFrame,
+                hashFunc: Column => Column = DefaultHashFunc): KinGraph = {
     val e = if (edges.columns.contains("etype")) edges
             else edges.withColumn("etype", lit(0))
     val nodes = e.select(col("src").as("key"))
       .union(e.select(col("dst").as("key"))).distinct()
-    new KinGraph(nodes, e)
+    new KinGraph(nodes, e, hashFunc)
   }
 
   /** Name of the optional caller-supplied sequence column that pins

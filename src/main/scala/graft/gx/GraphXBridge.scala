@@ -48,11 +48,13 @@ object GraphXBridge {
                               maxHashNodes: Long): Graph[String, Int] = {
     val graph =
       if (g.nNodes <= maxHashNodes) {
+        // the graph's pluggable key hash (reference hash_func ctor param)
+        // drives id assignment — xxhash64 unless the user supplied one
         val verts = g.nodes
-          .select(xxhash64(col("key")).as("vid"), col("key"))
+          .select(g.hashFunc(col("key")).as("vid"), col("key"))
           .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
         val e = g.edges
-          .select(xxhash64(col("src")), xxhash64(col("dst")), col("etype"))
+          .select(g.hashFunc(col("src")), g.hashFunc(col("dst")), col("etype"))
           .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getInt(2)))
         Graph(verts, e)
       } else {

@@ -21,12 +21,19 @@ object GraphIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def open(spark: SparkSession, path: String, flag: String = "w"): KinGraph =
+  /** `hashFunc` is the reference's user-supplied `hash_func` ctor
+    * parameter (graph.py:41-43, 82-90) in generalized form: the pluggable
+    * key hash the opened graph uses wherever keys are hashed (e.g. GraphX
+    * vertex-id assignment). */
+  def open(spark: SparkSession, path: String, flag: String = "w",
+           hashFunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+             KinGraph.DefaultHashFunc): KinGraph =
     flag match {
       case "r" | "w" if exists(spark, path) =>
         KinGraph(
           spark.read.parquet(nodesPath(path)),
-          spark.read.parquet(edgesPath(path)))
+          spark.read.parquet(edgesPath(path)),
+          hashFunc)
       case "r" =>
         throw new KinbakuError(s"graph not found at $path (flag=r)")
       case "w" | "n" => empty(spark)

@@ -302,9 +302,13 @@ object Dedup {
     }
     val sp = docs.sparkSession
     import sp.implicits._
+    // materialize the candidate pairs once: the duplicate graph's node
+    // derivation, size check and GraphX conversion would otherwise each
+    // re-run the LSH candidate join (3x the dominant cost of the pipeline)
     val pairs = minhashCandidates(docs, idCol, textCol)
       .filter(col("est_sim") >= minEstSim)
       .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      .localCheckpoint(true)
     val dupGraph = graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))
     val comps = graft.gx.GraphXBridge.connectedComponents(
       graft.gx.GraphXBridge.toGraphX(dupGraph))

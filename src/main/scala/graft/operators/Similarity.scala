@@ -244,9 +244,15 @@ object Similarity {
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */
   def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
     val withNorm = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    val a = withNorm.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
+    // spread the stream side across the cluster before the O(n^2) compare:
+    // a small corpus arrives as one file = one partition, and the broadcast
+    // nested-loop join would run every pair in a single task. The O(n)
+    // repartition is noise next to the quadratic stage it parallelizes.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val a = withNorm.repartition(par)
+      .select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
     val b = withNorm.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
+    a.join(broadcast(b), col("a") < col("b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")

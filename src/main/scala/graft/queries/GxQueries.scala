@@ -16,9 +16,14 @@ import org.apache.spark.graphx.Graph
 object GxQueries {
 
   def unionEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.tradeEdges(s, dir).select("src", "dst")
+    // reuse the session-cached trade derivation (shared with the g_*
+    // queries) rather than re-running the lineitem ⋈ orders join. No
+    // distinct over the union: tradeEdges is distinct by construction,
+    // geoEdges rows are unique per source table, and the three edge shapes
+    // are mutually disjoint by key prefix (S->C vs C/S->N vs N->R) — the
+    // dedup shuffle over the full union would remove nothing.
+    Tables.cached("trade", s, dir)(Tables.tradeEdges(s, dir)).select("src", "dst")
       .union(Tables.geoEdges(s, dir).select("src", "dst"))
-      .distinct()
       .withColumn("etype", lit(0))
 
   private def unionGraph(s: SparkSession, dir: String): KinGraph =

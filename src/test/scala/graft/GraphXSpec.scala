@@ -63,6 +63,17 @@ class GraphXSpec extends SparkSpec {
     assert(ccHash == ccDense)
   }
 
+  test("user-supplied hashFunc drives vertex ids (ref hash_func ctor param)") {
+    val custom = KinGraph(g.nodes, g.edges, c => xxhash64(lit("salt"), c))
+    val gx2 = GraphXBridge.toGraphX(custom)
+    val expected = custom.nodes.select(xxhash64(lit("salt"), $"key"))
+      .as[Long].collect().toSet
+    assert(gx2.vertices.map(_._1).collect().toSet == expected)
+    val cc = GraphXBridge.connectedComponents(gx2)
+      .as[(String, String)].collect().toMap
+    assert(cc("b") == "a") // algorithms unaffected by the id family
+  }
+
   test("degrees count directed edges incl. self-loops; isolated-side zeros") {
     val d = GraphXBridge.degrees(gx).as[(String, Int, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap

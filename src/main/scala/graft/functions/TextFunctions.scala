@@ -71,6 +71,29 @@ object TextFunctions {
   def punctCountSql(c: String): String =
     s"""length($c) - length(regexp_replace($c, '[.,!?;:''"()\\-]', '', 'g'))"""
 
+  /** Word 2-grams ([] when fewer than 2 tokens). */
+  def bigrams(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+  }
+  def bigramsSql(c: String): String = {
+    val w = tokensSql(c)
+    s"""list_transform(generate_series(1, greatest(len($w) - 1, 0)),
+       |  i -> ($w)[i] || ' ' || ($w)[i+1])""".stripMargin
+  }
+
+  /** Repetition signal (Gopher-style quality filter): fraction of word
+    * 2-grams that are repeats of an earlier 2-gram in the same document.
+    * High ratio = boilerplate/spam/looping text. Returned as exact integer
+    * counts plus the rounded ratio so thresholds replay across engines. */
+  def repetitionCounts(c: Column): (Column, Column) = {
+    val bg = bigrams(c)
+    (size(bg), size(array_distinct(bg)))
+  }
+
   // -------------------------------------------------------------- langid
   /** Stopword profiles per language — a classic n-gram/function-word
     * language-ID heuristic. Scores = profile-hit counts over tokens;

@@ -57,6 +57,17 @@ object PipelineQueries {
         langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // repetition quality signal (duplicate word-2-gram fraction) as exact
+    // integer counts — threshold via cross-multiplication (dup * K >= t * n)
+    // like the Jaccard query, so no float boundary can disagree
+    "d_repetition" -> ((s, dir) => {
+      val (n, nd) = repetitionCounts(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        n.as("n_bigrams"),
+        nd.as("n_distinct"))
+        .orderBy("doc_id")}),
+
     // --- dedup -----------------------------------------------------------
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -172,6 +183,17 @@ object PipelineQueries {
     "d_langid" ->
       s"""SELECT doc_id, ${TextFunctions.langIdSql("text")} AS pred_lang
          |FROM $docsT ORDER BY doc_id""".stripMargin,
+
+    "d_repetition" -> {
+      val bg = TextFunctions.bigramsSql("text")
+      s"""WITH b AS (
+         |  SELECT doc_id, $bg AS bg FROM $docsT
+         |)
+         |SELECT doc_id,
+         |CAST(len(bg) AS INT) AS n_bigrams,
+         |CAST(len(list_distinct(bg)) AS INT) AS n_distinct
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "d_dedup_exact" ->
       s"""SELECT ${fingerprintSql("text")} AS fp, min(doc_id) AS keep_id,

@@ -80,6 +80,17 @@ object EventStreams {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** Streaming exact dedup — the streaming face of the batch pipeline's
+    * exact-dedup operator: drop events whose content fingerprint was seen
+    * before, with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark keys state on the dedup columns and
+    * evicts entries older than the watermark — without it, dedup state
+    * grows without bound on an infinite stream). */
+  def dedupedEvents(events: DataFrame, fingerprintCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(fingerprintCols)
+
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total: Double)

@@ -156,6 +156,19 @@ class PipelineSpec extends SparkSpec {
     halfSplit.foreach { case (id, sp) => assert(fullSplit(id) == sp) }
   }
 
+  test("repetition counts flag duplicated bigrams; short docs yield zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all these words differ"),
+      (3L, "one")).toDF("doc_id", "text")
+    val (n, nd) = TextFunctions.repetitionCounts(col("text"))
+    val out = df.select($"doc_id", n, nd).as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3, 1))) // "spam spam" x3 -> 1 distinct
+    assert(out(2L) == ((3, 3)))
+    assert(out(3L) == ((0, 0))) // < 2 tokens: no bigrams
+  }
+
   test("text functions: token count, fingerprint, langid determinism") {
     val df = Seq((1L, "  the cat and the hat  "), (2L, ""), (3L, "der hund ist nicht ein"))
       .toDF("doc_id", "text")

@@ -42,6 +42,17 @@ class StreamingSpec extends SparkSpec {
     assert(sliding.agg(sum($"n")).head.getLong(0) == 4 * batch.count())
   }
 
+  test("streaming dedup equals batch dropDuplicates on the fingerprint") {
+    val deduped = EventStreams.runToMemory(
+      EventStreams.dedupedEvents(stream, Seq("user_id", "event_type")),
+      "t_dedup", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    // every (user_id, event_type) survives exactly once
+    assert(deduped.groupBy($"user_id", $"event_type").count()
+      .filter($"count" > 1).isEmpty)
+    assert(deduped.count() ==
+      batch.dropDuplicates("user_id", "event_type").count())
+  }
+
   test("foreachBatch parquet sink lands watermark-finalized windows") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

@@ -36,11 +36,20 @@ object Similarity {
     * `corpus` both carry (id, vec: array<double>); self-matches excluded.
     * Queries are broadcast (the small side by construction); norms are
     * precomputed once per row on each side. */
+  /** Spread an under-partitioned corpus before a per-row-quadratic stage:
+    * a small corpus arrives as one file = one partition and the whole
+    * O(n·q) compare would run in a single task. At cluster scale the input
+    * is already wide and this is a no-op (no shuffle added). */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       norm(col("vec")).as("qn")))
-    val scored = corpus.select(col("id").as("vec_id"), col("vec"),
-        norm(col("vec")).as("cn"))
+    val scored = spread(corpus.select(col("id").as("vec_id"), col("vec"),
+        norm(col("vec")).as("cn")))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("qvec"), col("vec")) / (col("qn") * col("cn")), 4))
@@ -244,12 +253,10 @@ object Similarity {
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */
   def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
     val withNorm = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    // spread the stream side across the cluster before the O(n^2) compare:
-    // a small corpus arrives as one file = one partition, and the broadcast
-    // nested-loop join would run every pair in a single task. The O(n)
-    // repartition is noise next to the quadratic stage it parallelizes.
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val a = withNorm.repartition(par)
+    // spread the stream side before the O(n^2) broadcast nested-loop join
+    // (see [[spread]]) — otherwise a one-file corpus compares every pair
+    // in a single task
+    val a = spread(withNorm)
       .select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na"))
     val b = withNorm.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("a") < col("b"))

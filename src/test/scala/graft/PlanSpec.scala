@@ -91,6 +91,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("adjacencyCoo materializes the dense-id sort once (checkpoint scans)") {
+    val plan = planString(parquetGraph.adjacencyCoo)
+    // both id joins must read the checkpointed RDD, not replay the
+    // orderBy+zipWithIndex lineage: ExistingRDD scans appear, and the
+    // global range-partitioned sort that builds dense ids does NOT
+    // (any Sort left is a join's local sort, which is fine)
+    assert(plan.contains("Scan ExistingRDD"), plan.take(800))
+    assert(!plan.contains("rangepartitioning"),
+      s"dense-id global sort re-entered the plan:\n${plan.take(800)}")
+  }
+
+  test("operator-local caches are dropped by CacheScope.releaseAll") {
+    val df = CacheScope.cached(parquetGraph.edges.select("src"))
+    df.count()
+    assert(df.storageLevel.useMemory, "cache not in effect")
+    CacheScope.releaseAll()
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "releaseAll left the operator cache persisted")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

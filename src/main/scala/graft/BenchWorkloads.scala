@@ -20,10 +20,10 @@ object BenchWorkloads {
   private val N = 10000L
   private val M = 5000000L
 
-  private def randomEdges(spark: SparkSession, m: Long) =
+  private def randomEdges(spark: SparkSession, m: Long, n: Long = N) =
     spark.range(m).select(
-      concat(lit("n"), pmod(xxhash64(col("id"), lit(1)), lit(N))).as("src"),
-      concat(lit("n"), pmod(xxhash64(col("id"), lit(2)), lit(N))).as("dst"),
+      concat(lit("n"), pmod(xxhash64(col("id"), lit(1)), lit(n))).as("src"),
+      concat(lit("n"), pmod(xxhash64(col("id"), lit(2)), lit(n))).as("dst"),
       lit(0).as("etype"))
 
   /** workload A ingest: 5M add_edge as ONE batched upsert. */
@@ -35,6 +35,15 @@ object BenchWorkloads {
     val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M))
     val victims = g.edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
     g.removeEdges(victims).nEdges
+  }
+
+  /** workload B (examples/node_removal.py:9-21): 2M edges over 2k nodes,
+    * then remove every node but two — one cascade anti-join, not 1,998
+    * per-node BST surgeries. */
+  def bulkNodeRemoval(spark: SparkSession): Long = {
+    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, 2000000L, 2000L))
+    val victims = g.nodes.filter(!col("key").isin("n0", "n1"))
+    g.removeNodes(victims).nNodes
   }
 
   /** hub fan-out: 200k out-edges on one node + full neighbor scan. */
@@ -56,6 +65,7 @@ object BenchWorkloads {
   val workloads: Map[String, SparkSession => Long] = Map(
     "w_bulk_edge_upsert" -> bulkEdgeUpsert,
     "w_bulk_edge_removal" -> bulkEdgeRemoval,
+    "w_bulk_node_removal" -> bulkNodeRemoval,
     "w_hub_neighbor_scan" -> hubNeighborScan,
     "w_degrees_full" -> degreesFull)
 }

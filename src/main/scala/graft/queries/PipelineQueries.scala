@@ -60,13 +60,9 @@ object PipelineQueries {
     // repetition quality signal (duplicate word-2-gram fraction) as exact
     // integer counts — threshold via cross-multiplication (dup * K >= t * n)
     // like the Jaccard query, so no float boundary can disagree
-    "d_repetition" -> ((s, dir) => {
-      val (n, nd) = repetitionCounts(col("text"))
-      docs(s, dir).select(
-        col("doc_id"),
-        n.as("n_bigrams"),
-        nd.as("n_distinct"))
-        .orderBy("doc_id")}),
+    "d_repetition" -> ((s, dir) =>
+      TextFunctions.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // --- dedup -----------------------------------------------------------
     "d_dedup_exact" -> ((s, dir) =>
@@ -85,6 +81,14 @@ object PipelineQueries {
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
+
+    // corpus vocabulary: top-100 tokens by frequency (the 100 TB wordcount
+    // shape — map-side-combinable count + distributed TakeOrdered top-k)
+    "d_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)),
 
     // deterministic hash sampling (reproducible, engine-auditable)
     "d_sample" -> ((s, dir) =>
@@ -207,6 +211,11 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_vocab" ->
+      s"""SELECT token, count(*) AS n FROM (
+         |  SELECT unnest(${tokensSql("text")}) AS token FROM $docsT
+         |) GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "d_sample" -> (Sampling.hashSampleSql("(SELECT doc_id FROM documents)", "doc_id", 0.2)
       .replace("SELECT *", "SELECT doc_id") + " ORDER BY doc_id"),

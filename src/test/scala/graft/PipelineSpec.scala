@@ -167,6 +167,10 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == ((3, 1))) // "spam spam" x3 -> 1 distinct
     assert(out(2L) == ((3, 3)))
     assert(out(3L) == ((0, 0))) // < 2 tokens: no bigrams
+    // the explode+window scale form computes identical counts
+    val stats = TextFunctions.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats == out)
   }
 
   test("text functions: token count, fingerprint, langid determinism") {

@@ -22,6 +22,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale result from a previous run: a leftover parquet
+        // would let the comparator silently grade yesterday's output
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
       }
       finally CacheScope.releaseAll() // drop operator-local caches per query
     }

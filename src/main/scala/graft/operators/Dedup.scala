@@ -246,20 +246,24 @@ object Dedup {
   val WinnowWindow = 4
 
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the hash array ONCE per row before the window transform:
-    // referencing the md5-transform expression inside the window lambda
-    // would re-evaluate it per window (O(shingles²) md5 calls per doc)
-    val hashed = docs.select(col(idCol).as("doc_id"),
-      transform(shingles(col(textCol)), s => hash32Col(s)).as("h"))
-    val nWindows = greatest(size(col("h")) - (WinnowWindow - 1), lit(1))
-    val mins = transform(
-      sequence(lit(1), nWindows),
-      i => array_min(slice(col("h"), i, lit(WinnowWindow))))
-    hashed.select(col("doc_id"), explode(mins).as("fp")).distinct()
+    // explode + windowed min instead of array lambdas: a `transform` lambda
+    // runs interpreted (md5 per shingle outside codegen) and the per-window
+    // array_min/slice adds O(windows x w) interpreted work. Here md5 is a
+    // codegen'd projection and each window minimum is one window-function
+    // frame; both window ops share one hash shuffle on doc_id.
+    val sh = docs.select(col(idCol).as("doc_id"),
+      posexplode(shingles(col(textCol))).as(Seq("i", "s")))
+      .select(col("doc_id"), col("i"), hash32(col("s")).as("h"))
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    sh.withColumn("mn", min(col("h")).over(byPos))
+      .withColumn("nsh", count(lit(1)).over(perDoc))
+      // windows start at each of the first max(n - w + 1, 1) positions; the
+      // final (clamped) frame also covers the short-doc n < w case exactly
+      .filter(col("i") < greatest(col("nsh") - (WinnowWindow - 1), lit(1)))
+      .select(col("doc_id"), col("mn").as("fp")).distinct()
   }
-
-  private def hash32Col(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   def winnowFingerprintsSql(table: String, idCol: String, textCol: String): String = {
     val sh = shinglesSql(textCol)

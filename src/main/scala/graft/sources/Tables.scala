@@ -56,11 +56,22 @@ object Tables {
   private val derivedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** get/putIfAbsent rather than computeIfAbsent: derived builds NEST
+    * (the gx union graph builds on the cached trade edges), and a nested
+    * computeIfAbsent on the same map throws "Recursive update". The race
+    * (two threads building the same entry) is benign — the loser's copy is
+    * unpersisted and discarded. */
   private[graft] def cached(name: String, spark: SparkSession, dir: String)
-                           (build: => DataFrame): DataFrame =
-    derivedCache.computeIfAbsent(
-      s"$name|$dir|${System.identityHashCode(spark)}",
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+                           (build: => DataFrame): DataFrame = {
+    val key = s"$name|$dir|${System.identityHashCode(spark)}"
+    val existing = derivedCache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = derivedCache.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(false); prev } else built
+    }
+  }
 
   def tradeGraph(spark: SparkSession, dir: String): KinGraph =
     KinGraph.fromEdges(cached("trade", spark, dir)(tradeEdges(spark, dir)))

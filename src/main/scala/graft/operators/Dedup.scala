@@ -53,6 +53,31 @@ object Dedup {
        |        i -> ($w)[i] || ' ' || ($w)[i+1] || ' ' || ($w)[i+2]) END)""".stripMargin
   }
 
+  /** One row per shingle: (doc_id, i, shingle) — the codegen'd form of
+    * `explode(shingles(...))`. The array lambda in [[shingles]] runs
+    * interpreted per element; here shingle assembly is a window-lead
+    * projection, which matters because every dedup operator starts by
+    * exploding this set. Docs shorter than 3 tokens contribute their whole
+    * trimmed text as the single shingle (same contract as [[shingles]];
+    * they come from a second cheap scan so the fat text column is never
+    * carried through the token shuffle). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), trim(col(textCol)).as("txt"))
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("txt"), "\\s+")).as(Seq("i", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val long = toks
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", col("t"), col("t1"), col("t2")).as("shingle"))
+    val short = base
+      .filter(size(split(col("txt"), "\\s+")) < 3)
+      .select(col("doc_id"), lit(0).as("i"), col("txt").as("shingle"))
+    long.union(short)
+  }
+
   // ---------------------------------------------------------------- minhash
   /** MinHash parameters: k independent permutation approximations
     * h_i(x) = (a_i * h32(x) + b_i) mod P, banded as Bands × RowsPerBand.
@@ -69,8 +94,7 @@ object Dedup {
   /** Per-document MinHash signature: doc id + columns mh_0..mh_{k-1}.
     * One explode + one map-side-combinable min-aggregation. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("shingle"))
+    val exploded = shingleRows(docs, idCol, textCol)
       .withColumn("h", hash32(col("shingle")))
     val aggs = (0 until NumHashes).map { i =>
       min(pmod(lit(CoeffA(i)) * col("h") + lit(CoeffB(i)), lit(MinhashP))).as(s"mh_$i")
@@ -251,9 +275,8 @@ object Dedup {
     // array_min/slice adds O(windows x w) interpreted work. Here md5 is a
     // codegen'd projection and each window minimum is one window-function
     // frame; both window ops share one hash shuffle on doc_id.
-    val sh = docs.select(col(idCol).as("doc_id"),
-      posexplode(shingles(col(textCol))).as(Seq("i", "s")))
-      .select(col("doc_id"), col("i"), hash32(col("s")).as("h"))
+    val sh = shingleRows(docs, idCol, textCol)
+      .select(col("doc_id"), col("i"), hash32(col("shingle")).as("h"))
     val byPos = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.currentRow, WinnowWindow - 1)
     val perDoc = Window.partitionBy("doc_id")
@@ -336,8 +359,7 @@ object Dedup {
     // shingles are joined by their 32-bit hash (longs shuffle ~10x cheaper
     // than shingle strings); the oracle hashes identically, so any
     // (astronomically rare) collision affects both engines the same way
-    val ds0 = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("shingle"))
+    val ds0 = shingleRows(docs, idCol, textCol)
       .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
     val ds = graft.CacheScope.cached(ds0) // consumed 3x: counts + both join sides
     val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

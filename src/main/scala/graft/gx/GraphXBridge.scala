@@ -46,11 +46,15 @@ object GraphXBridge {
 
   private[graft] def toGraphX(g: KinGraph, numPartitions: Int,
                               maxHashNodes: Long): Graph[String, Int] = {
+    // materialize the key set once: for fromEdges-derived graphs the node
+    // set is an endpoint-distinct shuffle, and it feeds BOTH the size
+    // check and the vertex projection
+    val keys = g.nodes.select(col("key")).localCheckpoint(true)
     val graph =
-      if (g.nNodes <= maxHashNodes) {
+      if (keys.count() <= maxHashNodes) {
         // the graph's pluggable key hash (reference hash_func ctor param)
         // drives id assignment — xxhash64 unless the user supplied one
-        val verts = g.nodes
+        val verts = keys
           .select(g.hashFunc(col("key")).as("vid"), col("key"))
           .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
         val e = g.edges

@@ -41,11 +41,15 @@ object Tables {
   def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir).select("l_orderkey", "l_suppkey")
     val o = orders(spark, dir).select("o_orderkey", "o_custkey")
+    // dedup on the int key pair BEFORE concatenating: the distinct
+    // shuffle moves (int, int) rows instead of built strings, and the
+    // prefix-concat is bijective so the edge set is identical
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("C"), col("o_custkey")).as("dst"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
       .distinct()
+      .select(
+        concat(lit("S"), col("sk")).as("src"),
+        concat(lit("C"), col("ck")).as("dst"))
       .withColumn("etype", lit(0))
   }
 

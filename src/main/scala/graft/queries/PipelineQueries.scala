@@ -109,6 +109,17 @@ object PipelineQueries {
       Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // the flagship composite: quality filter -> language filter -> near-dup
+    // dedup (LSH + CC survivors) -> deterministic split assignment. Every
+    // stage is exactly SQL-replayable, so the END-TO-END pipeline is
+    // hash-checked against DuckDB, not just its pieces.
+    "d_pipeline_e2e" -> ((s, dir) => {
+      val filtered = docs(s, dir)
+        .filter(tokenCount(col("text")) >= 20 && langId(col("text")) === "en")
+      Dedup.nearDupSurvivors(filtered, "doc_id", "text", 0.5)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"), 0.1, 0.1))
+        .select("doc_id", "split").orderBy("doc_id")}),
+
     // banded SimHash near-dup pairs: the banding is exact for
     // hamming <= 3 (pigeonhole over 4 signature pieces), so the all-pairs
     // DuckDB oracle produces the identical set
@@ -225,6 +236,31 @@ object PipelineQueries {
          |count(*) AS n FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "d_simhash_pairs" -> Dedup.simhashPairsSql(docsT, "doc_id", "text", 3),
+
+    // full pipeline replay: filters + the CC survivor selection + split
+    "d_pipeline_e2e" -> {
+      val filt = s"SELECT doc_id, text FROM $docsT " +
+        s"WHERE ${tokenCountSql("text")} >= 20 AND ${TextFunctions.langIdSql("text")} = 'en'"
+      s"""WITH filt AS ($filt),
+         |cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql("filt", "doc_id", "text")})
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM cand WHERE est_sim >= 0.5
+         |  UNION SELECT b, a FROM cand WHERE est_sim >= 0.5
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+         |)
+         |SELECT doc_id, ${Sampling.splitColumnSql("doc_id", 0.1, 0.1)} AS split
+         |FROM filt
+         |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // replay of nearDupSurvivors: minhash candidates (est_sim >= 0.5) form
     // an undirected dup graph; recursive min-label propagation = connected

@@ -497,21 +497,22 @@ object KinGraph {
     *
     * Within-batch order: if `incoming` carries [[BatchOrderCol]], that
     * explicit sequence defines "later" (the faithful analog of the
-    * reference's sequential add_node/add_edge replay, graph.py:1353-1431).
-    * Otherwise `monotonically_increasing_id` is used — which reflects row
+    * reference's sequential add_node/add_edge replay, graph.py:1353-1431);
+    * ties on equal __seq break deterministically by a full-row hash.
+    * Otherwise `monotonically_increasing_id` is used, which reflects row
     * order only for order-preserving sources (local collections, file
-    * scans); after a join/shuffle it is partition-major, so the winner is
-    * arbitrary-but-DETERMINISTIC: ties beyond the id are broken by a hash
-    * of the full row, never by partition scheduling. */
+    * scans); after a join/shuffle the id is partition-major, so the winner
+    * depends on the batch's partitioning — supply [[BatchOrderCol]] before
+    * any shuffle when exact replay order matters. */
   private[graft] def upsert(base: DataFrame, incoming: DataFrame,
                             keys: Seq[String]): DataFrame = {
     val kept = base.join(incoming.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
+    val attrCols = incoming.columns.filterNot(_ == BatchOrderCol).map(col)
     val tagged =
       if (incoming.columns.contains(BatchOrderCol))
         incoming.withColumn("__ord", col(BatchOrderCol).cast("long"))
       else incoming.withColumn("__ord", monotonically_increasing_id())
-    val attrCols = incoming.columns.filterNot(_ == BatchOrderCol).map(col)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ord").desc, xxhash64(attrCols: _*).asc)
     val deduped = tagged.withColumn("__rn", row_number().over(w))

@@ -53,9 +53,16 @@ object GraphXBridge {
     val graph =
       if (keys.count() <= maxHashNodes) {
         // the graph's pluggable key hash (reference hash_func ctor param)
-        // drives id assignment — xxhash64 unless the user supplied one
-        val verts = keys
-          .select(g.hashFunc(col("key")).as("vid"), col("key"))
+        // drives id assignment — xxhash64 unless the user supplied one.
+        // Fail fast at the construction site if the supplied function
+        // doesn't produce longs (a ClassCastException would otherwise
+        // surface inside an executor task at algorithm time).
+        val hashed = keys.select(g.hashFunc(col("key")).as("vid"), col("key"))
+        require(hashed.schema("vid").dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"hashFunc must produce a bigint vertex id; got " +
+            s"${hashed.schema("vid").dataType} (wrap it, e.g. xxhash64(yourHash(c)))")
+        val verts = hashed
           .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
         val e = g.edges
           .select(g.hashFunc(col("src")), g.hashFunc(col("dst")), col("etype"))

@@ -36,11 +36,13 @@ object GraphIO {
           hashFunc)
       case "r" =>
         throw new KinbakuError(s"graph not found at $path (flag=r)")
-      case "w" | "n" => empty(spark)
+      case "w" | "n" => empty(spark, hashFunc)
       case other => throw new KinbakuError(s"unknown flag: $other")
     }
 
-  def empty(spark: SparkSession): KinGraph = {
+  def empty(spark: SparkSession,
+            hashFunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+              KinGraph.DefaultHashFunc): KinGraph = {
     import org.apache.spark.sql.types._
     val nodeSchema = StructType(Seq(StructField("key", StringType)))
     val edgeSchema = StructType(Seq(
@@ -48,7 +50,8 @@ object GraphIO {
       StructField("etype", IntegerType)))
     KinGraph(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], nodeSchema),
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema),
+      hashFunc)
   }
 
   /** Persist a graph snapshot. Output files are size-coalesced: at local

@@ -88,12 +88,15 @@ object Similarity {
         }
       })
 
-  /** Embedding dimensionality, read from the first row (array columns
-    * carry no length in the schema). One tiny LIMIT-1 job, not a scan. */
+  /** Embedding dimensionality, read from the first non-null row (array
+    * columns carry no length in the schema). One tiny LIMIT-1 job, not a
+    * scan. An empty (or all-null) input infers dim 1 — every downstream
+    * plan then evaluates to the correct empty result instead of throwing
+    * on a query set a filter happened to empty out. */
   def inferDim(vecs: DataFrame): Int = {
-    val row = vecs.select(size(col("vec")).as("d")).limit(1).collect()
-    require(row.nonEmpty, "cannot infer embedding dim from an empty DataFrame")
-    row(0).getInt(0)
+    val row = vecs.select(size(col("vec")).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+    if (row.isEmpty) 1 else row(0).getInt(0)
   }
 
   /** Sign-bit signature of `vec` in table `t`. */
@@ -191,7 +194,10 @@ object Similarity {
     * re-clustering the corpus per call. */
   def ivfBuild(corpus: DataFrame, nlist: Int = 16,
                cacheKey: Option[String] = None): IvfIndex = {
-    def build(): IvfIndex = {
+    // un-memoized indexes are operator-local: route the persist through
+    // CacheScope so the harness's per-query releaseAll frees it (a raw
+    // persist here leaked one corpus copy per call)
+    def build(scoped: Boolean): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val featured = corpus.select(col("id"), col("vec"),
@@ -199,10 +205,12 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
         .fit(featured)
-      val assigned = model.transform(featured)
+      val assignedPlan = model.transform(featured)
         .select(col("id").as("vec_id"), col("vec").as("cvec"),
           col("prediction").as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned =
+        if (scoped) graft.CacheScope.cached(assignedPlan)
+        else assignedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       assigned.count() // materialize, then drop the fit-time feature cache
       featured.unpersist(false)
       val centroids = model.clusterCenters.zipWithIndex
@@ -210,8 +218,12 @@ object Similarity {
       IvfIndex(assigned, centroids, nlist)
     }
     cacheKey match {
-      case Some(key) => ivfIndexCache.computeIfAbsent(s"$key|$nlist", _ => build())
-      case None => build()
+      // session identity in the key: a memoized index bound to a stopped
+      // SparkSession must not be served to its successor
+      case Some(key) => ivfIndexCache.computeIfAbsent(
+        s"$key|$nlist|${System.identityHashCode(corpus.sparkSession)}",
+        _ => build(scoped = false))
+      case None => build(scoped = true)
     }
   }
 

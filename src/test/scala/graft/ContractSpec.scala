@@ -28,7 +28,11 @@ class ContractSpec extends SparkSpec {
     }
   }
 
-  test("every query is evaluable at sf0.001 (plan analysis only)") {
+  test("every query constructs and resolves its schema at sf0.001") {
+    // NOT purely lazy: operators that materialize shared intermediates
+    // eagerly (checkpointed dense ids, LSH candidate pairs, the IVF index)
+    // run real sf0.001 jobs here — that is intended, the contract is that
+    // construction succeeds and the schema resolves on the smallest fixture
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.schema.nonEmpty, s"$name produced an empty schema")

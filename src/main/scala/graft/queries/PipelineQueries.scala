@@ -82,6 +82,25 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.3)
         .orderBy("a", "b")),
 
+    // language-ID evaluation against the fixture's ground-truth lang column
+    // (the confusion table a pipeline engineer actually reads)
+    "d_langid_eval" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang").as("true_lang"),
+          langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")),
+
+    // per-source corpus profile (exact integer stats)
+    "d_source_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")),
+
     // corpus vocabulary: top-100 tokens by frequency (the 100 TB wordcount
     // shape — map-side-combinable count + distributed TakeOrdered top-k)
     "d_vocab" -> ((s, dir) =>
@@ -222,6 +241,17 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_langid_eval" ->
+      s"""SELECT lang AS true_lang, ${TextFunctions.langIdSql("text")} AS pred_lang,
+         |count(*) AS n FROM $docsT
+         |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "d_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
+         |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
 
     "d_vocab" ->
       s"""SELECT token, count(*) AS n FROM (

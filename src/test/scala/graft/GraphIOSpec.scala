@@ -33,6 +33,17 @@ class GraphIOSpec extends SparkSpec {
     assert(g.nNodes == 0)
   }
 
+  test("open carries the user hashFunc on every flag, including n/w-create") {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val custom: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => xxhash64(lit("io_salt"), c)
+    val fresh = GraphIO.open(spark, "/tmp/graft_missing_xyz2", "n", custom)
+    assert(fresh.hashFunc eq custom) // create path must not reset to default
+    val dir = Files.createTempDirectory("graft_io_h").toString
+    GraphIO.save(fresh.addNodes(Seq("a").toDF("key")), dir)
+    assert(GraphIO.open(spark, dir, "r", custom).hashFunc eq custom)
+  }
+
   test("csv and json export/import round-trip") {
     val g = KinGraph(
       Seq("a", "b").toDF("key"),

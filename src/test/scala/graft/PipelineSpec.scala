@@ -105,6 +105,13 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"7-dim LSH recall@5 = $recall")
   }
 
+  test("LSH ANN on an empty query set returns empty, not an error") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val none = corpus.filter($"id" < 0) // nothing matches
+    assert(Similarity.lshTopK(corpus, none, 10).isEmpty)
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

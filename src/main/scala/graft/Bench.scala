@@ -18,9 +18,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // failures are recorded as JSON null, never as a plausible-looking duration
+    // failures are recorded as JSON null, never as a plausible-looking duration.
+    // Name-sorted execution: per-query timings stay comparable across rounds
+    // (map iteration order reshuffles whenever the key set changes, silently
+    // moving shared-cache build costs between first-toucher queries)
     val queryResults: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val timing =
           try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -33,7 +36,7 @@ object Bench {
       }
     // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
     val workloadResults: Seq[(String, Option[Double])] =
-      BenchWorkloads.workloads.toSeq.map { case (name, fn) =>
+      BenchWorkloads.workloads.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val timing =
           try { fn(spark); Some((System.nanoTime() - t0) / 1e9) }

@@ -39,6 +39,35 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.toSeq == viaSql)
   }
 
+  test("probeMeta decodes real PNG/BMP/WAV headers (no codec library)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length + "IHDR" + width=400 + height=200 (BE)
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D) ++ "IHDR".getBytes ++
+      b(0, 0, 1, 0x90) ++ b(0, 0, 0, 0xC8) ++ b(8, 6, 0, 0, 0)
+    // BMP: "BM" + size/reserved/offset + DIB size + width=640, height=480 (LE)
+    val bmp = "BM".getBytes ++ b(0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0) ++
+      b(40, 0, 0, 0) ++ b(0x80, 2, 0, 0) ++ b(0xE0, 1, 0, 0)
+    // WAV (canonical 44-byte): rate=16000, byteRate=32000, data=64000 -> 2000ms
+    val wav = "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ b(16, 0, 0, 0) ++ b(1, 0) ++ b(1, 0) ++
+      b(0x80, 0x3E, 0, 0) ++ b(0, 0x7D, 0, 0) ++ b(2, 0) ++ b(16, 0) ++
+      "data".getBytes ++ b(0, 0xFA, 0, 0)
+    val df = Seq((1L, png), (2L, bmp), (3L, wav), (4L, "junk".getBytes))
+      .toDF("media_id", "content")
+    val out = Multimodal.probeMeta(df)
+      .select($"media_id", $"detected", $"probed_width", $"probed_height",
+        $"probed_sample_rate", $"probed_duration_ms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "image/png")
+    assert(out(1L).getInt(2) == 400 && out(1L).getInt(3) == 200)
+    assert(out(2L).getString(1) == "image/bmp")
+    assert(out(2L).getInt(2) == 640 && out(2L).getInt(3) == 480)
+    assert(out(3L).getString(1) == "audio/wav")
+    assert(out(3L).getInt(4) == 16000 && out(3L).getLong(5) == 2000L)
+    assert(out(4L).getString(1) == "unknown" && out(4L).isNullAt(2))
+  }
+
   test("truncate and frame-sample keep schema and bounds") {
     val t = Multimodal.truncateContent(media, 16)
     assert(t.select(max(length($"content"))).head.getInt(0) <= 16)

@@ -120,6 +120,33 @@ object TextFunctions {
         coalesce(col("n_distinct"), lit(0)).as("n_distinct"))
   }
 
+  // ----------------------------------------------------------- pii scrub
+  /** Redaction patterns shared by both engines. Kept to the regex subset
+    * where Java regex and DuckDB's RE2 agree exactly (character classes,
+    * bounded repetition — no backrefs, no lookaround). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9\\- ]{6,}[0-9]"
+
+  /** Count of email/phone matches (for redaction accounting). */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern))
+  def emailCountSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '$EmailPattern')) AS INT)"
+  def phoneCountSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '$PhonePattern')) AS INT)"
+
+  /** PII scrub: emails then phone numbers replaced with typed redaction
+    * tags. Email first — the local part contains digits, so scrubbing
+    * phones first could chew into an address. Pure codegen'd
+    * regexp_replace, no UDF. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+  def scrubPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$PhonePattern', '<PHONE>', 'g')"
+
   // -------------------------------------------------------------- langid
   /** Stopword profiles per language — a classic n-gram/function-word
     * language-ID heuristic. Scores = profile-hit counts over tokens;

@@ -42,6 +42,33 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Stratified deterministic sampling: a per-stratum keep rate (strata
+    * missing from `rates` fall back to `defaultRate`). Same hash-threshold
+    * membership as [[hashSample]] — reproducible, append-stable, and a
+    * single narrow filter (no shuffle, no per-stratum pass: the rate
+    * lookup is a constant-folded CASE on the stratum column). */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                       rates: Seq[(String, Double)], defaultRate: Double,
+                       salt: String = "strat"): DataFrame = {
+    val h = pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(1000000L))
+    val bound = rates.foldRight(lit((defaultRate * 1000000L).toLong): Column) {
+      case ((stratum, rate), acc) =>
+        when(stratumCol === stratum, lit((rate * 1000000L).toLong)).otherwise(acc)
+    }
+    df.filter(h < bound)
+  }
+
+  def stratifiedSampleSql(table: String, stratumCol: String, keyCol: String,
+                          rates: Seq[(String, Double)], defaultRate: Double,
+                          salt: String = "strat"): String = {
+    val h = s"${hash60Sql(s"CAST($keyCol AS VARCHAR) || '$salt'")} % 1000000"
+    val cases = rates.map { case (stratum, rate) =>
+      s"WHEN $stratumCol = '$stratum' THEN ${(rate * 1000000L).toLong}"
+    }.mkString(" ")
+    val bound = s"(CASE $cases ELSE ${(defaultRate * 1000000L).toLong} END)"
+    s"SELECT * FROM $table WHERE $h < $bound"
+  }
+
   def splitColumnSql(keyCol: String, valFrac: Double, testFrac: Double,
                      salt: String = "split"): String = {
     val valBound = (valFrac * 1000000L).toLong

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators the reference has no analog for, but which every
+  * event/training-data pipeline needs: backward as-of join and
+  * point-in-interval (range) join. Both are expressed as single-shuffle
+  * relational plans — never as a range cross-product — so they survive a
+  * 100 TB event table.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * single LATEST right row in the same key group with
+    * `right.ts <= left.ts` (inclusive), or nulls when no prior right row
+    * exists.
+    *
+    * Plan shape (the scale story): union the two inputs, ONE shuffle on the
+    * key columns, one in-partition sort, then a running
+    * `last(_, ignoreNulls)` window — no per-left-row probe, no range-join
+    * blowup, and the window frame is running (Spark evaluates it in a
+    * single pass, no O(n²) re-scan).
+    *
+    * The payload columns travel inside ONE struct so all output fields come
+    * from the SAME matched right row — per-column `last(ignoreNulls)` could
+    * stitch different rows together when a payload field is legitimately
+    * null.
+    *
+    * Determinism: right rows order before left rows at equal ts (a right
+    * row AT the left timestamp matches, mirroring `ASOF JOIN`'s `>=`), and
+    * equal-(key, ts) right rows resolve to the greatest payload struct, so
+    * the result is stable under any input partitioning.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, on: Seq[String],
+                       leftTs: String, rightTs: String,
+                       payload: Seq[String],
+                       prefix: String = "matched_"): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equality key")
+    require(payload.nonEmpty, "payload columns required")
+    val l2 = left.select(
+      on.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__is_left"),
+        struct(left.columns.map(col): _*).as("__left")): _*)
+    val r2 = right.select(
+      on.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__is_left"),
+        struct(payload.map(col): _*).as("__payload")): _*)
+    val unioned = l2
+      .withColumn("__payload", lit(null).cast(r2.schema("__payload").dataType))
+      .unionByName(
+        r2.withColumn("__left", lit(null).cast(l2.schema("__left").dataType)))
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_left").asc, col("__payload").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(
+        left.columns.map(c => col(s"__left.`$c`").as(c)) ++
+          payload.map(p => col(s"__m.`$p`").as(prefix + p)): _*)
+  }
+
+  /** Point-in-interval join: every (point, interval) pair with
+    * `start <= ts <= end` (inclusive bounds). No equality key relates the
+    * two sides, so a naive join is a cartesian product with a residual
+    * filter; this plan buckets time instead:
+    *
+    *  - each point lands in exactly ONE bucket (`floor(ts / width)`),
+    *  - each interval is exploded to every bucket it covers,
+    *  - the join is an equi-join on bucket + the exact range residual.
+    *
+    * Because a point belongs to one bucket only, no dedup pass is needed.
+    * `bucketWidthUs` should be on the order of the typical interval length:
+    * wider buckets mean fewer interval replicas but a weaker pre-filter.
+    * Intervals with `end < start` fail fast (Spark's `sequence` rejects
+    * inverted bounds with a positive step) rather than silently matching
+    * nothing or everything. */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+                          pointTs: String, startTs: String, endTs: String,
+                          bucketWidthUs: Long = 3600000000L): DataFrame = {
+    require(bucketWidthUs > 0, "bucket width must be positive")
+    val p = points.withColumn("__pb",
+      floor(unix_micros(col(pointTs)) / bucketWidthUs))
+    val i = intervals.withColumn("__ib",
+      explode(sequence(
+        floor(unix_micros(col(startTs)) / bucketWidthUs),
+        floor(unix_micros(col(endTs)) / bucketWidthUs),
+        lit(1L))))
+    p.join(i, p("__pb") === i("__ib") &&
+        col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+      .drop("__pb", "__ib")
+  }
+}

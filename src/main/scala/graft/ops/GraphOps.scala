@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.KinGraph
+import graft.{CacheScope, KinGraph}
 
 /** Batched traversal / aggregation operators beyond the reference's
   * point-wise surface — the set-oriented forms a Spark engine should offer.
@@ -56,6 +56,66 @@ object GraphOps {
       .join(ids.withColumnRenamed("key", "dst").withColumnRenamed("id", "col_id"), "dst")
       .groupBy(col("row_id"), col("col_id"))
       .agg(sum(col(weightCol)).as("value"))
+  }
+
+  /** Fixed-point (integer) PageRank: ranks are maintained as 64-bit
+    * integers in units of `1/scale`, so every arithmetic step — the
+    * per-edge contribution `rank div out_degree`, the exact integer sum of
+    * incoming contributions, and the damping `base + 85·inc div 100` — is
+    * deterministic and replayable bit-for-bit by any engine (the DuckDB
+    * twin is [[fixedPointPageRankSql]], making an ITERATIVE algorithm
+    * hash-checkable, unlike float PageRank whose sum order perturbs low
+    * bits). Semantics: standard damping 0.85, rank_0 = scale, dangling
+    * mass dropped (same choice GraphX's staticPageRank makes).
+    *
+    * Scale: each iteration is one join + one map-side-combinable sum — the
+    * aggregateMessages shape. Ranks are materialized per iteration
+    * (localCheckpoint) so plan depth stays O(1) per iteration. `scale`
+    * must satisfy n_nodes · scale · 100 < 2^63; the default 1e9 (nine
+    * fractional digits) is safe to ~10^8 nodes. */
+  def fixedPointPageRank(g: KinGraph, iters: Int,
+                         scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = g.edges.select(col("src"), col("dst"))
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val outdeg = CacheScope.cached(
+      e.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")))
+    val base = (15L * scale) / 100L
+    var r = nodes.withColumn("r", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(outdeg, "key")
+        .select(col("key"), expr("r div od").as("c"))
+      val inc = e.join(contrib, e("src") === contrib("key"))
+        .groupBy(e("dst").as("key")).agg(sum(col("c")).as("inc"))
+      r = nodes.join(inc, Seq("key"), "left")
+        .select(col("key"),
+          (lit(base) + expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** DuckDB twin of [[fixedPointPageRank]]: CTE fragments (od, r0..rN)
+    * over an edge CTE `edges`(src, dst) and node CTE `nodes`(key), with the
+    * iterations unrolled (recursive CTEs cannot aggregate in the recursive
+    * term). Append after an existing WITH list; the final ranks are in
+    * `r<iters>`. */
+  def fixedPointPageRankSql(edges: String, nodes: String, iters: Int,
+                            scale: Long = 1000000000L): String = {
+    val base = (15L * scale) / 100L
+    val its = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.key, CAST($base + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+         |  FROM $nodes n LEFT JOIN (
+         |    SELECT e.dst AS key, CAST(SUM(r.r // od.od) AS BIGINT) AS inc
+         |    FROM $edges e JOIN r${k - 1} r ON e.src = r.key
+         |    JOIN od ON e.src = od.key
+         |    GROUP BY e.dst) s ON n.key = s.key)""".stripMargin
+    }
+    (s"od AS (SELECT src AS key, count(*) AS od FROM $edges GROUP BY src)" +:
+      s"r0 AS (SELECT key, CAST($scale AS BIGINT) AS r FROM $nodes)" +:
+      its).mkString(",\n")
   }
 
   /** Hub-skew-safe neighbor collection: two-stage collect_list with a salt

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.TemporalJoins
 import graft.sources.Tables
 
 /** Relational analytics surface: aggregation, join, window, sort/top-k and
@@ -238,6 +239,45 @@ object AnalyticsQueries {
           round(col("p_retailprice"), 2).as("price"))
         .orderBy("p_partkey")}),
 
+    // cube: all grouping-set combinations over (flag, status)
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // backward as-of join: each purchase matched to the user's latest click
+    // at-or-before it (single-shuffle union+window plan, TemporalJoins)
+    "s_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoins.asofJoinBackward(purchases, clicks, Seq("user_id"),
+          "ts", "ts", Seq("click_id", "ts"), prefix = "m_")
+        .select(col("purchase_id"), col("user_id"),
+          col("m_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
+        .orderBy("purchase_id")}),
+
+    // point-in-interval (range) join: views falling inside the 30-minute
+    // window after each error event — bucketed plan, no cartesian residual
+    "s_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+          col("ts").as("v_ts"))
+      TemporalJoins.pointInIntervalJoin(views, errors,
+          "v_ts", "w_start", "w_end", bucketWidthUs = 1800000000L)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_views"),
+          countDistinct(col("view_user")).as("n_users"))
+        .orderBy("error_id")}),
+
     // sessionization: 30-min-gap sessions per user via lag + running sum
     "s_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -393,6 +433,45 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // window replay of the as-of join (same running last-non-null trick the
+    // Spark plan uses; ties resolve identically: right-before-left at equal
+    // ts, greatest click_id among equal-ts clicks). ts is cast to
+    // microsecond TIMESTAMP so ordering matches Spark's nanos->micros read.
+    "s_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(NULL AS BIGINT) AS purchase_id, 0 AS is_left,
+        |         event_id AS c_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT purchase_id, user_id, ts, is_left,
+        |    last_value(c_id IGNORE NULLS) OVER win AS click_id,
+        |    last_value(c_ts IGNORE NULLS) OVER win AS m_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left, c_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT purchase_id, user_id, click_id,
+        |  epoch_us(ts) - epoch_us(m_ts) AS gap_us
+        |FROM w WHERE is_left = 1 ORDER BY purchase_id""".stripMargin,
+
+    "s_range_join" ->
+      """SELECT e.event_id AS error_id, count(*) AS n_views,
+        |  count(DISTINCT v.user_id) AS n_users
+        |FROM events e JOIN events v
+        |  ON e.event_type = 'error' AND v.event_type = 'view'
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s_events_sessions" ->
       """WITH g AS (

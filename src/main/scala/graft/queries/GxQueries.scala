@@ -69,6 +69,15 @@ object GxQueries {
     "gx_cc" -> ((s, dir) =>
       GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key")),
 
+    // fixed-point (integer-arithmetic) PageRank: the hash-checkable form of
+    // the iterative algorithm — every step is exact 64-bit integer math, so
+    // the DuckDB unrolled-CTE twin reproduces it bit-for-bit (float
+    // PageRank above stays rows-only; this one is the full oracle check)
+    "gx_pagerank_fp" -> ((s, dir) =>
+      GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
+        .select(col("key"), col("r").as("rank_fp"))
+        .orderBy("key")),
+
     // shortest path distances to the R0 region node (GraphX Pregel)
     "gx_sssp" -> ((s, dir) =>
       GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
@@ -112,6 +121,10 @@ object GxQueries {
          |  ) SELECT key, min(label) AS component FROM reach GROUP BY key
          |)
          |SELECT key, component FROM rch ORDER BY key""".stripMargin,
+
+    "gx_pagerank_fp" ->
+      s"""$cte, ${GraphOps.fixedPointPageRankSql("ue", "un", 5)}
+         |SELECT key, r AS rank_fp FROM r5 ORDER BY key""".stripMargin,
 
     "gx_sssp" ->
       s"""$cte, rev AS (

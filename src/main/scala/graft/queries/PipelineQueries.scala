@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
@@ -149,6 +150,49 @@ object PipelineQueries {
     "d_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "fp")),
+
+    // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;
+    // ranking orders by the UNROUNDED score (identical doubles in both
+    // engines — same tf·ln(n/df) product of exact inputs) with token
+    // tiebreak, so rank and the 4-dp rounded score replay exactly
+    "d_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val ndocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfx, "token").crossJoin(broadcast(ndocs))
+        .withColumn("tfidf",
+          col("tf") * log(col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")}),
+
+    // PII scrubbing: the fixture corpus carries no PII, so the query plants
+    // deterministic emails/phones (from doc_id) and then proves the
+    // scrubber finds and redacts them — counts + a fingerprint of the
+    // scrubbed text, all exactly replayable
+    "d_pii_scrub" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      withPii.select(
+        col("doc_id"),
+        TextFunctions.emailCount(col("text")).as("n_emails"),
+        TextFunctions.phoneCount(col("text")).as("n_phones"),
+        md5(TextFunctions.scrubPii(col("text"))).as("scrub_fp"))
+        .orderBy("doc_id")}),
+
+    // stratified deterministic sampling: per-language keep rates
+    "d_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"),
+          Seq("en" -> 0.3, "de" -> 0.2), defaultRate = 0.05)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
 
     // --- similarity search ----------------------------------------------
     "e_ann_topk" -> ((s, dir) => {
@@ -313,6 +357,44 @@ object PipelineQueries {
          |SELECT doc_id FROM $docsT
          |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
          |ORDER BY doc_id""".stripMargin,
+
+    "d_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dfx AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), nd AS (
+         |  SELECT count(*) AS n_docs FROM $docsT
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+         |    tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfx.df) AS tfidf
+         |  FROM tf JOIN dfx USING (token), nd
+         |), ranked AS (
+         |  SELECT doc_id, token, tf, df, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, token) AS INT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rk
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "d_pii_scrub" -> {
+      val piiText = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      s"""WITH p AS (SELECT doc_id, $piiText AS text FROM $docsT)
+         |SELECT doc_id,
+         |${TextFunctions.emailCountSql("text")} AS n_emails,
+         |${TextFunctions.phoneCountSql("text")} AS n_phones,
+         |md5(${TextFunctions.scrubPiiSql("text")}) AS scrub_fp
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "d_stratified" ->
+      s"""SELECT lang, count(*) AS n FROM (
+         |${Sampling.stratifiedSampleSql(docsT, "lang", "doc_id",
+              Seq("en" -> 0.3, "de" -> 0.2), 0.05)}
+         |) GROUP BY lang ORDER BY lang""".stripMargin,
 
     "e_ann_topk" ->
       """WITH c AS (

@@ -49,6 +49,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(salted("t1") == direct("t1"))
   }
 
+  test("fixedPointPageRank replays an exact integer reference loop") {
+    // x -> y, y -> x, z -> x  (z is a source; ranks exactly computable)
+    val pg = KinGraph(
+      Seq("x", "y", "z").toDF("key"),
+      Seq(("x", "y", 0), ("y", "x", 0), ("z", "x", 0)).toDF("src", "dst", "etype"))
+    val scale = 1000000000L
+    val got = GraphOps.fixedPointPageRank(pg, iters = 5, scale)
+      .as[(String, Long)].collect().toMap
+    // reference loop: same integer arithmetic, driver-side
+    val edges = Seq("x" -> "y", "y" -> "x", "z" -> "x")
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = Map("x" -> scale, "y" -> scale, "z" -> scale)
+    val base = 15L * scale / 100L
+    for (_ <- 1 to 5) {
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = r.keys.map(k => k -> (base + 85L * inc.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(got == r)
+    // sink z never receives rank; hub x outranks y
+    assert(got("z") == base && got("x") > got("y"))
+  }
+
+  test("fixedPointPageRank conserves order with GraphX static PageRank") {
+    val edges = Seq(("a", "b", 0), ("b", "c", 0), ("c", "a", 0),
+      ("d", "a", 0), ("e", "a", 0), ("a", "c", 0)).toDF("src", "dst", "etype")
+    val g = KinGraph.fromEdges(edges)
+    val fp = GraphOps.fixedPointPageRank(g, iters = 20)
+      .as[(String, Long)].collect().sortBy(r => (-r._2, r._1)).map(_._1)
+    val gx = graft.gx.GraphXBridge.pageRank(
+      graft.gx.GraphXBridge.toGraphX(g), iters = 20)
+      .as[(String, Double)].collect().sortBy(r => (-r._2, r._1)).map(_._1)
+    assert(fp.toSeq == gx.toSeq) // identical ranking order
+  }
+
   test("GraftExtensions injects SQL functions into a fresh session") {
     spark.sparkContext // ensure the shared context exists
     val prev = SparkSession.getDefaultSession

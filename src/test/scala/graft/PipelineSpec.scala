@@ -163,6 +163,46 @@ class PipelineSpec extends SparkSpec {
     halfSplit.foreach { case (id, sp) => assert(fullSplit(id) == sp) }
   }
 
+  test("stratified sampling honors per-stratum rates and stays deterministic") {
+    import graft.operators.Sampling
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, $"lang", $"id",
+      Seq("en" -> 0.5, "de" -> 0.05), defaultRate = 0.0)
+    val byLang = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") / 1000.0 - 0.5) < 0.08)
+    assert(math.abs(byLang.getOrElse("de", 0L) / 1000.0 - 0.05) < 0.04)
+    // deterministic + partition independent
+    val again = Sampling.stratifiedSample(df.repartition(7), $"lang", $"id",
+      Seq("en" -> 0.5, "de" -> 0.05), defaultRate = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+    // a stratum's membership does not depend on the OTHER rates (auditable:
+    // the same id keeps its fate when unrelated strata change)
+    val enOnly = Sampling.stratifiedSample(df, $"lang", $"id",
+      Seq("en" -> 0.5), defaultRate = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(enOnly == kept.filter($"lang" === "en").select("id").as[Long].collect().toSet)
+  }
+
+  test("PII scrub redacts emails and phones; clean text untouched") {
+    val df = Seq(
+      (1L, "write me at jane.doe+x@corp.example.com or call +1-555-123 4567 now"),
+      (2L, "no pii here at all"),
+      (3L, "double a@b.io c@d.org and 555-123-9876")).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.emailCount($"text").as("e"),
+      TextFunctions.phoneCount($"text").as("p"),
+      TextFunctions.scrubPii($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "write me at <EMAIL> or call <PHONE> now")
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+    assert(out(3L)._1 == 2 && out(3L)._2 == 1)
+    assert(out(3L)._3 == "double <EMAIL> <EMAIL> and <PHONE>")
+  }
+
   test("repetition counts flag duplicated bigrams; short docs yield zero") {
     val df = Seq(
       (1L, "spam spam spam spam"),

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.operators.TemporalJoins
+
+/** As-of and point-in-interval join semantics + plan shape. */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // clicks (right) / purchases (left) for one user, plus a user with no clicks
+  lazy val clicks = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L),
+    (1L, ts("2024-01-01 10:05:00"), 101L),
+    (1L, ts("2024-01-01 10:30:00"), 102L),
+    (2L, ts("2024-01-01 09:00:00"), 200L)
+  ).toDF("user_id", "ts", "click_id")
+
+  lazy val purchases = Seq(
+    (1L, ts("2024-01-01 10:04:00"), 900L), // after click 100
+    (1L, ts("2024-01-01 10:05:00"), 901L), // ties click 101 -> inclusive match
+    (1L, ts("2024-01-01 11:00:00"), 902L), // after click 102
+    (2L, ts("2024-01-01 08:00:00"), 903L), // before user 2's only click -> null
+    (3L, ts("2024-01-01 12:00:00"), 904L)  // user with no clicks -> null
+  ).toDF("user_id", "ts", "purchase_id")
+
+  test("asofJoinBackward matches the latest right row at-or-before each left ts") {
+    val out = TemporalJoins.asofJoinBackward(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"))
+      .select($"purchase_id", $"matched_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(900L).contains(100L))
+    assert(out(901L).contains(101L)) // inclusive: right AT left ts matches
+    assert(out(902L).contains(102L))
+    assert(out(903L).isEmpty)
+    assert(out(904L).isEmpty)
+  }
+
+  test("asofJoinBackward equals the naive max-per-left join on random data") {
+    val r = new scala.util.Random(7)
+    val right = Seq.tabulate(300)(i =>
+      (r.nextInt(5).toLong, new Timestamp(r.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "ts", "rid")
+    val left = Seq.tabulate(200)(i =>
+      (r.nextInt(6).toLong, new Timestamp(r.nextInt(100000) * 1000L), (1000 + i).toLong))
+      .toDF("k", "ts", "lid")
+    val fast = TemporalJoins.asofJoinBackward(left, right, Seq("k"),
+        "ts", "ts", Seq("rid", "ts"), prefix = "m_")
+      .select($"lid", $"m_rid").as[(Long, Option[Long])].collect().toMap
+    // naive: range join + argmax (largest ts, then largest rid on ties)
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" <= $"l.ts", "left")
+      .groupBy($"lid")
+      .agg(max_by(struct($"r.ts", $"rid"), struct($"r.ts", $"rid")).as("m"))
+      .select($"lid", $"m.rid").as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("asofJoinBackward payload fields all come from the same matched row") {
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), Some("a"), 10L),
+                    (1L, ts("2024-01-01 10:10:00"), None, 20L))
+      .toDF("k", "ts", "tag", "v") // latest row has a NULL payload field
+    val left = Seq((1L, ts("2024-01-01 10:20:00"), 1L)).toDF("k", "ts", "lid")
+    val row = TemporalJoins.asofJoinBackward(left, right, Seq("k"),
+        "ts", "ts", Seq("tag", "v")).select($"matched_tag", $"matched_v")
+      .collect().head
+    // per-column last(ignoreNulls) would have stitched ("a", 20); the
+    // struct transport keeps the matched row intact: (null, 20)
+    assert(row.isNullAt(0) && row.getLong(1) == 20L)
+  }
+
+  test("asofJoinBackward plan has exactly one shuffle (union+window, no range join)") {
+    val out = TemporalJoins.asofJoinBackward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id"))
+    out.collect() // finalize the adaptive plan
+    // count Exchanges in the FINAL adaptive plan only (the plan string
+    // repeats the pre-AQE plan under "== Initial Plan ==")
+    val planStr = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = planStr.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$planStr")
+  }
+
+  test("pointInIntervalJoin equals the naive range join; spans bucket boundaries") {
+    val points = (0 until 500).map(i =>
+      (i.toLong, new Timestamp(i * 60L * 1000000L / 1000))) // every minute
+      .toDF("pid", "pts")
+    // intervals of varied length incl. several crossing the 10-min buckets
+    val ivals = Seq(
+      (1L, 0L, 5L), (2L, 8L, 23L), (3L, 100L, 100L), (4L, 250L, 400L))
+      .map { case (id, a, b) =>
+        (id, new Timestamp(a * 60000L), new Timestamp(b * 60000L)) }
+      .toDF("iid", "start", "end")
+    val fast = TemporalJoins.pointInIntervalJoin(points, ivals,
+        "pts", "start", "end", bucketWidthUs = 600000000L) // 10-min buckets
+      .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivals,
+        $"pts" >= $"start" && $"pts" <= $"end")
+      .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty && fast.count(_._1 == 3L) == 1) // degenerate interval
+  }
+}

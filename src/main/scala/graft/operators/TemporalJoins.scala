@@ -62,6 +62,46 @@ object TemporalJoins {
           payload.map(p => col(s"__m.`$p`").as(prefix + p)): _*)
   }
 
+  /** Forward as-of join: for every left row, attach the payload of the
+    * single EARLIEST right row in the same key group with
+    * `right.ts >= left.ts` (inclusive), or nulls when no later right row
+    * exists. Mirror image of [[asofJoinBackward]] — same single-shuffle
+    * union+window plan, sorted ts-DESCENDING so the frame stays the running
+    * unboundedPreceding..currentRow shape (Spark evaluates it in one pass;
+    * a currentRow..unboundedFollowing frame re-scans the tail per row).
+    *
+    * Determinism: right rows order before left rows at equal ts (so a right
+    * row AT the left timestamp matches, mirroring `>=`), and equal-(key, ts)
+    * right rows resolve to the least payload struct. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, on: Seq[String],
+                      leftTs: String, rightTs: String,
+                      payload: Seq[String],
+                      prefix: String = "matched_"): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equality key")
+    require(payload.nonEmpty, "payload columns required")
+    val l2 = left.select(
+      on.map(col) ++ Seq(
+        col(leftTs).as("__ts"), lit(1).as("__is_left"),
+        struct(left.columns.map(col): _*).as("__left")): _*)
+    val r2 = right.select(
+      on.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__is_left"),
+        struct(payload.map(col): _*).as("__payload")): _*)
+    val unioned = l2
+      .withColumn("__payload", lit(null).cast(r2.schema("__payload").dataType))
+      .unionByName(
+        r2.withColumn("__left", lit(null).cast(l2.schema("__left").dataType)))
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").desc, col("__is_left").asc, col("__payload").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(
+        left.columns.map(c => col(s"__left.`$c`").as(c)) ++
+          payload.map(p => col(s"__m.`$p`").as(prefix + p)): _*)
+  }
+
   /** Point-in-interval join: every (point, interval) pair with
     * `start <= ts <= end` (inclusive bounds). No equality key relates the
     * two sides, so a naive join is a cartesian product with a residual
@@ -76,20 +116,35 @@ object TemporalJoins {
     * wider buckets mean fewer interval replicas but a weaker pre-filter.
     * Intervals with `end < start` fail fast (Spark's `sequence` rejects
     * inverted bounds with a positive step) rather than silently matching
-    * nothing or everything. */
+    * nothing or everything, and an interval spanning more than
+    * `maxBucketsPerInterval` buckets fails with an actionable error (the
+    * replication factor IS the cost model — an unbounded explode is a
+    * misconfigured bucket width, not a bigger join).
+    *
+    * The residual predicate is qualified against each side's frame, so the
+    * two inputs may freely share column names (e.g. both carrying `ts`). */
   def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
                           pointTs: String, startTs: String, endTs: String,
-                          bucketWidthUs: Long = 3600000000L): DataFrame = {
+                          bucketWidthUs: Long = 3600000000L,
+                          maxBucketsPerInterval: Int = 10000): DataFrame = {
     require(bucketWidthUs > 0, "bucket width must be positive")
+    require(maxBucketsPerInterval > 0, "bucket cap must be positive")
     val p = points.withColumn("__pb",
       floor(unix_micros(col(pointTs)) / bucketWidthUs))
+    val startB = floor(unix_micros(col(startTs)) / bucketWidthUs)
+    val endB = floor(unix_micros(col(endTs)) / bucketWidthUs)
+    val guarded = when(
+      endB - startB >= lit(maxBucketsPerInterval.toLong),
+      raise_error(concat(
+        lit("pointInIntervalJoin: interval spans "),
+        (endB - startB + lit(1L)).cast("string"),
+        lit(s" buckets (> maxBucketsPerInterval=$maxBucketsPerInterval); " +
+          s"widen bucketWidthUs (currently $bucketWidthUs us) or raise the cap"))))
+      .otherwise(startB)
     val i = intervals.withColumn("__ib",
-      explode(sequence(
-        floor(unix_micros(col(startTs)) / bucketWidthUs),
-        floor(unix_micros(col(endTs)) / bucketWidthUs),
-        lit(1L))))
+      explode(sequence(guarded, endB, lit(1L))))
     p.join(i, p("__pb") === i("__ib") &&
-        col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+        p(pointTs) >= i(startTs) && p(pointTs) <= i(endTs))
       .drop("__pb", "__ib")
   }
 }

@@ -261,6 +261,21 @@ object AnalyticsQueries {
           (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
         .orderBy("purchase_id")}),
 
+    // forward as-of join: each click matched to the user's next purchase
+    // at-or-after it (ts-descending running-window plan, TemporalJoins)
+    "s_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      TemporalJoins.asofJoinForward(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_id", "ts"), prefix = "m_")
+        .select(col("click_id"), col("user_id"),
+          col("m_purchase_id").as("purchase_id"),
+          (unix_micros(col("m_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("click_id")}),
+
     // point-in-interval (range) join: views falling inside the 30-minute
     // window after each error event — bucketed plan, no cartesian residual
     "s_range_join" -> ((s, dir) => {
@@ -463,6 +478,30 @@ object AnalyticsQueries {
         |SELECT purchase_id, user_id, click_id,
         |  epoch_us(ts) - epoch_us(m_ts) AS gap_us
         |FROM w WHERE is_left = 1 ORDER BY purchase_id""".stripMargin,
+
+    // forward replay: ts-DESCENDING running last-non-null (the same
+    // one-pass trick the Spark plan uses); ties resolve identically:
+    // right-before-left at equal ts, least purchase_id among equal-ts rows.
+    "s_asof_fwd" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(NULL AS BIGINT) AS click_id, 0 AS is_left,
+        |         event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT click_id, user_id, ts, is_left,
+        |    last_value(p_id IGNORE NULLS) OVER win AS purchase_id,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS m_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, is_left, p_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT click_id, user_id, purchase_id,
+        |  epoch_us(m_ts) - epoch_us(ts) AS gap_us
+        |FROM w WHERE is_left = 1 ORDER BY click_id""".stripMargin,
 
     "s_range_join" ->
       """SELECT e.event_id AS error_id, count(*) AS n_views,

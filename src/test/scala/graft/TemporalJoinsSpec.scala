@@ -85,6 +85,77 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$planStr")
   }
 
+  test("asofJoinForward matches the earliest right row at-or-after each left ts") {
+    val out = TemporalJoins.asofJoinForward(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"))
+      .select($"purchase_id", $"matched_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(900L).contains(101L)) // next click after 10:04 is 10:05
+    assert(out(901L).contains(101L)) // inclusive: right AT left ts matches
+    assert(out(902L).isEmpty)        // no click after 11:00
+    assert(out(903L).contains(200L)) // user 2's click is later
+    assert(out(904L).isEmpty)        // user with no clicks
+  }
+
+  test("asofJoinForward equals the naive min-per-left join on random data") {
+    val r = new scala.util.Random(11)
+    val right = Seq.tabulate(300)(i =>
+      (r.nextInt(5).toLong, new Timestamp(r.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "ts", "rid")
+    val left = Seq.tabulate(200)(i =>
+      (r.nextInt(6).toLong, new Timestamp(r.nextInt(100000) * 1000L), (1000 + i).toLong))
+      .toDF("k", "ts", "lid")
+    val fast = TemporalJoins.asofJoinForward(left, right, Seq("k"),
+        "ts", "ts", Seq("rid", "ts"), prefix = "m_")
+      .select($"lid", $"m_rid").as[(Long, Option[Long])].collect().toMap
+    // naive: range join + argmin (smallest ts, then smallest rid on ties)
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" >= $"l.ts", "left")
+      .groupBy($"lid")
+      .agg(min_by(struct($"r.ts", $"rid"), struct($"r.ts", $"rid")).as("m"))
+      .select($"lid", $"m.rid").as[(Long, Option[Long])].collect().toMap
+    assert(fast == naive)
+  }
+
+  test("asofJoinForward plan has exactly one shuffle") {
+    val out = TemporalJoins.asofJoinForward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id"))
+    out.collect()
+    val planStr = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = planStr.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$planStr")
+  }
+
+  test("pointInIntervalJoin tolerates shared column names across the two sides") {
+    // both sides carry a column literally named `ts` — the residual
+    // predicate must resolve per-side, not ambiguously
+    val points = Seq((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 12:00:00")))
+      .toDF("pid", "ts")
+    val ivals = Seq((10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+        ts("2024-01-01 00:00:00")))
+      .toDF("iid", "start", "end", "ts") // interval side ALSO has `ts`
+    val out = TemporalJoins.pointInIntervalJoin(points, ivals,
+        "ts", "start", "end", bucketWidthUs = 600000000L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("pointInIntervalJoin fails fast with a clear error on overlong intervals") {
+    val points = Seq((1L, ts("2024-01-01 10:05:00"))).toDF("pid", "pts")
+    val ivals = Seq((10L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))
+      .toDF("iid", "start", "end")
+    val ex = intercept[Exception] {
+      TemporalJoins.pointInIntervalJoin(points, ivals, "pts", "start", "end",
+        bucketWidthUs = 60000000L, maxBucketsPerInterval = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxBucketsPerInterval")),
+      s"expected actionable error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("pointInIntervalJoin equals the naive range join; spans bucket boundaries") {
     val points = (0 until 500).map(i =>
       (i.toLong, new Timestamp(i * 60L * 1000000L / 1000))) // every minute

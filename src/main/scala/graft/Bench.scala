@@ -22,8 +22,15 @@ object Bench {
     // Name-sorted execution: per-query timings stay comparable across rounds
     // (map iteration order reshuffles whenever the key set changes, silently
     // moving shared-cache build costs between first-toucher queries)
+    // optional comma-separated name filter for local profiling runs; the
+    // driver never sets it (first-toucher cache accounting shifts when the
+    // query set shrinks, so filtered timings are for relative work only)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryResults: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val timing =
           try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -36,7 +43,9 @@ object Bench {
       }
     // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
     val workloadResults: Seq[(String, Option[Double])] =
-      BenchWorkloads.workloads.toSeq.sortBy(_._1).map { case (name, fn) =>
+      BenchWorkloads.workloads.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val timing =
           try { fn(spark); Some((System.nanoTime() - t0) / 1e9) }

@@ -68,32 +68,57 @@ object GraphOps {
     * bits). Semantics: standard damping 0.85, rank_0 = scale, dangling
     * mass dropped (same choice GraphX's staticPageRank makes).
     *
-    * Scale: each iteration is one join + one map-side-combinable sum — the
-    * aggregateMessages shape. Ranks are materialized per iteration
-    * (localCheckpoint) so plan depth stays O(1) per iteration. `scale`
-    * must satisfy n_nodes · scale · 100 < 2^63; the default 1e9 (nine
-    * fractional digits) is safe to ~10^8 nodes. */
+    * Scale: each iteration is ONE big-small join (edges ⋈ current
+    * contributions) + one map-side-combinable sum — the aggregateMessages
+    * shape. Two static structures are built once and reused by every
+    * iteration (the same trick GraphX's Pregel uses):
+    *
+    *  - the edge set is cached HASH-PARTITIONED ON dst, so the incoming-sum
+    *    aggregation reuses that partitioning — zero per-iteration edge
+    *    shuffle (without this, AQE materializes a full edge shuffle per
+    *    iteration before it can even decide to broadcast);
+    *  - the node frame carries the out-degree, so there is no per-iteration
+    *    degree re-join.
+    *
+    * While the rank state fits in a broadcast (`nNodes <=
+    * broadcastNodeLimit`) the contribution side is explicitly broadcast and
+    * an iteration is a fully narrow stage; beyond the limit both sides fall
+    * back to declarative joins (ranks shuffle-partition on key — the only
+    * correct plan at 10^9 nodes, where ranks cannot fit on one executor).
+    * The rank state is referenced exactly once per iteration, so lineage is
+    * a chain (no branch recompute) and checkpointing is only for plan
+    * depth, every `checkpointEvery` iterations. `scale` must satisfy
+    * n_nodes · scale · 100 < 2^63; the default 1e9 (nine fractional
+    * digits) is safe to ~10^8 nodes. */
   def fixedPointPageRank(g: KinGraph, iters: Int,
-                         scale: Long = 1000000000L): DataFrame = {
+                         scale: Long = 1000000000L,
+                         checkpointEvery: Int = 4,
+                         broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e = g.edges.select(col("src"), col("dst"))
-    val nodes = CacheScope.cached(g.nodes.select(col("key")))
-    val outdeg = CacheScope.cached(
-      e.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")))
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
+    // (key, od) with od null for sink nodes — the one static node-side frame
+    val nodesOd = CacheScope.cached(
+      g.nodes.select(col("key")).join(
+        g.edges.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")),
+        Seq("key"), "left"))
+    val small = nodesOd.count() <= broadcastNodeLimit
+    val e = CacheScope.cached(
+      g.edges.select(col("src"), col("dst")).repartition(col("dst")))
     val base = (15L * scale) / 100L
-    var r = nodes.withColumn("r", lit(scale))
-    for (_ <- 1 to iters) {
-      val contrib = r.join(outdeg, "key")
+    var r = nodesOd.withColumn("r", lit(scale))
+    for (i <- 1 to iters) {
+      val contrib = r.filter(col("od").isNotNull)
         .select(col("key"), expr("r div od").as("c"))
-      val inc = e.join(contrib, e("src") === contrib("key"))
+      val inc = e.join(if (small) broadcast(contrib) else contrib,
+          e("src") === contrib("key"))
         .groupBy(e("dst").as("key")).agg(sum(col("c")).as("inc"))
-      r = nodes.join(inc, Seq("key"), "left")
-        .select(col("key"),
+      r = nodesOd.join(if (small) broadcast(inc) else inc, Seq("key"), "left")
+        .select(col("key"), col("od"),
           (lit(base) + expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
     }
-    r
+    r.select(col("key"), col("r"))
   }
 
   /** DuckDB twin of [[fixedPointPageRank]]: CTE fragments (od, r0..rN)

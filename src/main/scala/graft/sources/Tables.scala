@@ -83,13 +83,21 @@ object Tables {
   /** Part graph: supplier -> part edges with aggregated attrs
     * {quantity, extendedprice} (FIXTURES.md derived graphs). */
   def partEdges(spark: SparkSession, dir: String): DataFrame =
+    // aggregate on the int key pair BEFORE concatenating (same trick as
+    // tradeEdges): the groupBy shuffle moves (int, int, double, double)
+    // rows instead of built strings, and the prefix-concat is bijective so
+    // the edge set is identical. Key type does not perturb the float sum:
+    // map-side partials accumulate in encounter order and merge in map-id
+    // order either way.
     lineitem(spark, dir)
-      .groupBy(
-        concat(lit("S"), col("l_suppkey")).as("src"),
-        concat(lit("P"), col("l_partkey")).as("dst"))
+      .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
       .agg(
         sum(col("l_quantity")).as("quantity"),
         round(sum(col("l_extendedprice")), 2).as("extendedprice"))
+      .select(
+        concat(lit("S"), col("sk")).as("src"),
+        concat(lit("P"), col("pk")).as("dst"),
+        col("quantity"), col("extendedprice"))
       .withColumn("etype", lit(0))
 
   def partGraph(spark: SparkSession, dir: String): KinGraph =

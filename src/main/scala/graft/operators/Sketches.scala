@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Fixed-size sketch operators for corpus-scale frequency and membership
+  * questions — the structures a 100 TB pipeline uses when the exact answer
+  * (a full groupBy over every token, an exact anti-join against a reference
+  * corpus) would shuffle the world:
+  *
+  *  - count-min sketch: frequency estimation in depth × width integer
+  *    cells. The build is one map-side-combinable aggregation whose result
+  *    is AT MOST depth·width rows regardless of input size; estimation
+  *    broadcasts the sketch and stays narrow.
+  *  - Bloom filter: set membership in `m` bits with `k` probes, built as a
+  *    distinct set of bit positions (≤ m rows however large the input);
+  *    probing broadcasts the bit set. No false negatives, quantifiable
+  *    false positives.
+  *
+  * Both use the md5-derived hash family (TextFunctions.hash32) with
+  * Knuth-style coefficient schedules, so a DuckDB oracle replays every cell
+  * bit-for-bit — the `*Sql` builders generate that twin. All arithmetic
+  * stays in i64: a < 2^20, h < 2^32 ⇒ a·h + b < 2^53. */
+object Sketches {
+
+  // ---------------------------------------------------------- count-min
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsP = 4294967311L // prime > 2^32 (same modulus family as MinHash)
+  /** Coefficient schedule offset from the MinHash family (seeds 7..) so the
+    * two operators' hash rows are independent. */
+  val CmsA: IndexedSeq[Long] =
+    (0 until CmsDepth).map(i => ((i + 7) * 2654435761L % 1048573L) + 1L)
+  val CmsB: IndexedSeq[Long] =
+    (0 until CmsDepth).map(i => ((i + 7) * 97781L * 69069L) % CmsP)
+
+  private def cmsBucket(h: Column, r: Int): Column =
+    pmod(lit(CmsA(r)) * h + lit(CmsB(r)), lit(CmsP)) % CmsWidth
+  private def cmsBucketSql(h: String, r: Int): String =
+    s"(((${CmsA(r)} * $h + ${CmsB(r)}) % $CmsP) % $CmsWidth)"
+
+  /** Build the sketch: (r, bucket, cnt) with at most depth·width rows.
+    * One explode(depth) + one map-side-combinable count — the sketch of a
+    * petabyte token stream is still ≤ 2048 rows. */
+  def cmsBuild(items: DataFrame, itemCol: String): DataFrame = {
+    val h = items.select(hash32(col(itemCol)).as("h"))
+    val rows = (0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket")))
+    h.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for (distinct) probe items: min over the depth rows of
+    * the probed cells — the classic CMS upper-bound estimate (est >= true,
+    * overestimation bounded by collisions). The sketch side is tiny and
+    * broadcast; the probe side never shuffles more than its distinct. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String): DataFrame = {
+    val pr = probes.select(col(itemCol).as("item")).distinct()
+      .withColumn("h", hash32(col("item")))
+    val rbs = (0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket")))
+    pr.select(col("item"), explode(array(rbs: _*)).as("rb"))
+      .select(col("item"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** DuckDB twin of cmsBuild + cmsEstimate over a token expression:
+    * heavy hitters by TRUE count (top `topK`, ties broken by token) with
+    * their sketch estimates alongside — the estimator-quality view. */
+  def cmsHeavyHittersSql(table: String, tokensExpr: String, topK: Int): String = {
+    val buildRows = (0 until CmsDepth).map(r =>
+      s"SELECT $r AS r, ${cmsBucketSql("h", r)} AS bucket FROM h")
+      .mkString("\n    UNION ALL ")
+    val probeRows = (0 until CmsDepth).map(r =>
+      s"SELECT token, $r AS r, ${cmsBucketSql("h", r)} AS bucket FROM probe")
+      .mkString("\n    UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest($tokensExpr) AS token FROM $table
+       |), h AS (
+       |  SELECT token, ${hash32Sql("token")} AS h FROM tok
+       |), sk AS (
+       |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    $buildRows
+       |  ) GROUP BY r, bucket
+       |), probe AS (
+       |  SELECT DISTINCT token, h FROM h
+       |), pb AS (
+       |    $probeRows
+       |), est AS (
+       |  SELECT token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+       |  FROM pb LEFT JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket
+       |  GROUP BY token
+       |), truth AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM tok GROUP BY token
+       |)
+       |SELECT t.token, t.true_cnt, e.est_cnt
+       |FROM truth t JOIN est e ON t.token = e.token
+       |ORDER BY t.true_cnt DESC, t.token LIMIT $topK""".stripMargin
+  }
+
+  // -------------------------------------------------------------- bloom
+  val BloomBits = 2048
+  val BloomHashes = 6
+  val BloomA: IndexedSeq[Long] =
+    (0 until BloomHashes).map(i => ((i + 13) * 2654435761L % 1048573L) + 1L)
+  val BloomB: IndexedSeq[Long] =
+    (0 until BloomHashes).map(i => ((i + 13) * 40087L * 69069L) % CmsP)
+
+  private def bloomPos(h: Column, i: Int): Column =
+    pmod(lit(BloomA(i)) * h + lit(BloomB(i)), lit(CmsP)) % BloomBits
+  private def bloomPosSql(h: String, i: Int): String =
+    s"(((${BloomA(i)} * $h + ${BloomB(i)}) % $CmsP) % $BloomBits)"
+
+  /** Build the filter: the distinct set of set bit positions (≤ BloomBits
+    * rows regardless of input size). */
+  def bloomBits(items: DataFrame, itemCol: String): DataFrame = {
+    val h = items.select(hash32(col(itemCol)).as("h"))
+    val positions = (0 until BloomHashes).map(i => bloomPos(col("h"), i))
+    h.select(explode(array(positions: _*)).as("pos")).distinct()
+  }
+
+  /** Membership probe: `maybe = true` iff all k probed bits are set. The
+    * bit set is broadcast; no false negatives by construction. */
+  def bloomMayContain(bits: DataFrame, probes: DataFrame, itemCol: String): DataFrame = {
+    val pr = probes.select(col(itemCol).as("item")).distinct()
+      .withColumn("h", hash32(col("item")))
+    val positions = (0 until BloomHashes).map(i => bloomPos(col("h"), i))
+    pr.select(col("item"), explode(array(positions: _*)).as("pos"))
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("pos"), "left")
+      .groupBy("item")
+      .agg((sum(coalesce(col("__set"), lit(0))) === BloomHashes).as("maybe"))
+  }
+
+  /** DuckDB twin: contamination check of `probeFilter` rows against a
+    * filter built from `buildFilter` rows (same table), by fingerprint.
+    * Output per probe doc: (doc_id, maybe, exact). */
+  def bloomContaminationSql(table: String, fpExpr: String,
+                            buildFilter: String, probeFilter: String): String = {
+    val buildPos = (0 until BloomHashes).map(i =>
+      s"SELECT ${bloomPosSql("h", i)} AS pos FROM bh").mkString("\n    UNION ALL ")
+    val probePos = (0 until BloomHashes).map(i =>
+      s"SELECT fp, $i AS i, ${bloomPosSql("h", i)} AS pos FROM ph")
+      .mkString("\n    UNION ALL ")
+    s"""WITH bfp AS (
+       |  SELECT DISTINCT $fpExpr AS fp FROM $table WHERE $buildFilter
+       |), bh AS (
+       |  SELECT ${hash32Sql("fp")} AS h FROM bfp
+       |), bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    $buildPos
+       |  )
+       |), probes AS (
+       |  SELECT doc_id, $fpExpr AS fp FROM $table WHERE $probeFilter
+       |), pfp AS (
+       |  SELECT DISTINCT fp FROM probes
+       |), ph AS (
+       |  SELECT fp, ${hash32Sql("fp")} AS h FROM pfp
+       |), pp AS (
+       |    $probePos
+       |), may AS (
+       |  SELECT fp, (count(bits.pos) = $BloomHashes) AS maybe
+       |  FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+       |  GROUP BY fp
+       |)
+       |SELECT p.doc_id, m.maybe, (b.fp IS NOT NULL) AS exact
+       |FROM probes p
+       |JOIN may m ON p.fp = m.fp
+       |LEFT JOIN bfp b ON p.fp = b.fp
+       |ORDER BY p.doc_id""".stripMargin
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -194,6 +194,55 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // --- sketches --------------------------------------------------------
+    // count-min heavy hitters: fixed-size (depth × width) frequency sketch
+    // + estimates for the top-50 true-count tokens. est >= true by
+    // construction; carrying the true count alongside makes the
+    // overestimation (bucket collisions) visible — the estimator-quality
+    // view you'd check before trusting the sketch at corpus scale
+    "d_heavy_hitters" -> ((s, dir) => {
+      val tok = graft.CacheScope.cached(
+        docs(s, dir).select(explode(tokens(col("text"))).as("token")))
+      val sketch = Sketches.cmsBuild(tok, "token")
+      val truth = tok.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      val est = Sketches.cmsEstimate(sketch, tok, "token")
+      truth.join(est, col("token") === col("item"))
+        .select(col("token"), col("true_cnt"), col("est").as("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("token")).limit(50)}),
+
+    // Bloom-filter contamination check: src10..19 docs probed against a
+    // filter built from src0..9 fingerprints (the fixed-memory test-set
+    // contamination sweep). No false negatives by construction; `exact`
+    // alongside `maybe` makes false positives visible
+    "d_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val buildSrcs = (0 to 9).map("src" + _)
+      val train = d.filter(col("source").isin(buildSrcs: _*))
+        .select(fingerprint(col("text")).as("fp"))
+      val bits = Sketches.bloomBits(train, "fp")
+      val probes = d.filter(!col("source").isin(buildSrcs: _*))
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val may = Sketches.bloomMayContain(bits, probes, "fp")
+      val exact = train.distinct().withColumn("exact", lit(true))
+      probes.join(may, probes("fp") === may("item"))
+        .join(exact, Seq("fp"), "left")
+        .select(col("doc_id"), col("maybe"),
+          coalesce(col("exact"), lit(false)).as("exact"))
+        .orderBy("doc_id")}),
+
+    // MinHash estimator quality: LSH candidate pairs with BOTH the
+    // signature-agreement estimate and the exact shingle Jaccard — the
+    // view used to tune bands/rows before trusting est_sim at full scale
+    "d_minhash_est" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.0)
+      cand.join(exact, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("est_sim"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          coalesce(col("union_size"), lit(0L)).as("union_size"))
+        .orderBy("a", "b")}),
+
     // --- similarity search ----------------------------------------------
     "e_ann_topk" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
@@ -285,6 +334,21 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_heavy_hitters" -> Sketches.cmsHeavyHittersSql(docsT, tokensSql("text"), 50),
+
+    "d_bloom" -> Sketches.bloomContaminationSql(docsT, fingerprintSql("text"),
+      (0 to 9).map("src" + _).mkString("source IN ('", "', '", "')"),
+      (0 to 9).map("src" + _).mkString("source NOT IN ('", "', '", "')")),
+
+    "d_minhash_est" ->
+      s"""WITH cand AS (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")}),
+         |ex AS (${Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.0)})
+         |SELECT c.a, c.b, c.est_sim,
+         |  CAST(coalesce(e.inter, 0) AS BIGINT) AS inter,
+         |  CAST(coalesce(e.union_size, 0) AS BIGINT) AS union_size
+         |FROM cand c LEFT JOIN ex e ON c.a = e.a AND c.b = e.b
+         |ORDER BY c.a, c.b""".stripMargin,
 
     "d_langid_eval" ->
       s"""SELECT lang AS true_lang, ${TextFunctions.langIdSql("text")} AS pred_lang,

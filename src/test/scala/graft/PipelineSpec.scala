@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Sketches}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 
@@ -29,6 +29,46 @@ class PipelineSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     val recall = truth.count(cand.contains).toDouble / truth.size
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("count-min estimates dominate true counts; collisions overestimate only") {
+    // vocabulary (2000) > sketch width (512) forces bucket collisions, so
+    // the one-sided error property is exercised, not vacuous
+    val items = (0 until 20000).map(i => s"item_${i % 2000}").toDF("item")
+    val sketch = Sketches.cmsBuild(items, "item")
+    val rows = sketch.agg(count(lit(1)), sum($"cnt")).as[(Long, Long)].head()
+    assert(rows._1 <= Sketches.CmsDepth.toLong * Sketches.CmsWidth,
+      "sketch must stay within depth x width cells")
+    assert(rows._2 == 20000L * Sketches.CmsDepth, "cells must conserve total mass")
+    val truth = items.groupBy("item").agg(count(lit(1)).as("true_cnt"))
+    val est = Sketches.cmsEstimate(sketch, items, "item")
+    val checked = truth.join(est, truth("item") === est("item"))
+      .select(truth("item"), $"true_cnt", $"est")
+      .as[(String, Long, Long)].collect()
+    assert(checked.length == 2000)
+    assert(checked.forall { case (_, t, e) => e >= t }, "CMS never underestimates")
+    assert(checked.exists { case (_, t, e) => e > t },
+      "with vocab > width some bucket must collide")
+    // CMS bound: overestimate ≤ total/width per row w.h.p.; depth rows of
+    // independent hashes make the min far tighter — generous 3x margin
+    val bound = 3L * 20000L / Sketches.CmsWidth
+    assert(checked.forall { case (_, t, e) => e - t <= bound },
+      s"overestimate must stay within ~${bound}")
+  }
+
+  test("bloom filter has no false negatives and a small false-positive rate") {
+    val trainItems = (0 until 300).map(i => s"member_$i").toDF("v")
+    val bits = Sketches.bloomBits(trainItems, "v").cache()
+    assert(bits.count() <= Sketches.BloomBits)
+    val probes = ((0 until 300).map(i => s"member_$i") ++
+      (0 until 1000).map(i => s"outsider_$i")).toDF("v")
+    val out = Sketches.bloomMayContain(bits, probes, "v")
+      .as[(String, Boolean)].collect().toMap
+    assert((0 until 300).forall(i => out(s"member_$i")),
+      "members must always report maybe=true (no false negatives)")
+    val fp = (0 until 1000).count(i => out(s"outsider_$i"))
+    assert(fp.toDouble / 1000 <= 0.10, s"false-positive rate too high: $fp/1000")
+    bits.unpersist()
   }
 
   test("minhash est_sim correlates with exact jaccard on dup pairs") {

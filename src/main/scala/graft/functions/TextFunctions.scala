@@ -120,6 +120,62 @@ object TextFunctions {
         coalesce(col("n_distinct"), lit(0)).as("n_distinct"))
   }
 
+  // ---------------------------------------------------------- surprisal
+  /** Corpus-relative unigram surprisal (the CCNet-style "how unusual is
+    * this document against its own corpus" quality signal, with the
+    * corpus itself as the language model): per doc,
+    * `Σ_t tf(t) · (ln N − ln cnt(t))` — high = rare-token-heavy.
+    *
+    * Exact-replay form: each ln is rounded to integer MICRO-NATS first
+    * (`round(ln(x)·1e6)` — deterministic across engines on identical
+    * integer inputs), then summed as plain i64 — an order-free integer
+    * sum, so partial-aggregation order can never perturb the result the
+    * way a float Σln would. Output: (doc_id, n_tokens, surprisal_micro,
+    * mean_micro = surprisal_micro div n_tokens).
+    *
+    * Scale shape: two map-side-combinable aggregations (tf per (doc,
+    * token), corpus counts per token) + one join keyed on token; the
+    * token-count side is vocabulary-sized. i64 headroom: terms are
+    * ≤ tf · ln(N)·1e6 < 2^63 for any corpus below ~10^13 tokens/doc. */
+  def surprisalStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = graft.CacheScope.cached(
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy("token").agg(sum("tf").as("cnt"))
+    val totals = cnt.agg(sum("cnt").as("n_total"))
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    tf.join(cnt, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("term",
+        col("tf") * (lmicro(col("n_total")) - lmicro(col("cnt"))))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum("term").as("surprisal_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
+        expr("surprisal_micro div n_tokens").as("mean_micro"))
+  }
+
+  def surprisalStatsSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH tok AS (
+       |  SELECT $idCol AS doc_id, unnest(${tokensSql(textCol)}) AS token FROM $table
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), cnt AS (
+       |  SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cnt) AS n_total FROM cnt
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tf * (CAST(round(ln(n_total) * 1000000.0) AS BIGINT)
+       |                 - CAST(round(ln(cnt) * 1000000.0) AS BIGINT))) AS BIGINT)
+       |      AS surprisal_micro
+       |  FROM tf JOIN cnt USING (token) CROSS JOIN tot
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, surprisal_micro,
+       |  CAST(surprisal_micro // n_tokens AS BIGINT) AS mean_micro
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- pii scrub
   /** Redaction patterns shared by both engines. Kept to the regex subset
     * where Java regex and DuckDB's RE2 agree exactly (character classes,

@@ -194,6 +194,13 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // corpus-relative unigram surprisal (CCNet-style quality signal) in
+    // exact integer micro-nats — order-free sums, so the iterative-free
+    // two-pass LM score is hash-checked, not rows-only
+    "d_surprisal" -> ((s, dir) =>
+      TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // --- sketches --------------------------------------------------------
     // count-min heavy hitters: fixed-size (depth × width) frequency sketch
     // + estimates for the top-50 true-count tokens. est >= true by
@@ -334,6 +341,8 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
 
     "d_heavy_hitters" -> Sketches.cmsHeavyHittersSql(docsT, tokensSql("text"), 50),
 

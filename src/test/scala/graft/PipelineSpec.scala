@@ -31,6 +31,24 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("surprisal ranks rare-token docs above common-token docs") {
+    // 10 docs of a shared phrase + 1 doc of tokens seen nowhere else:
+    // the unique-token doc must carry the highest mean surprisal, the
+    // repeated docs identical (and lower) scores
+    val corpus = ((1 to 10).map(i => (i.toLong, "the quick brown fox")) :+
+      (99L, "zyzzyva qoph xylyl")).toDF("doc_id", "text")
+    val out = TextFunctions.surprisalStats(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out(99L) > out(1L), "rare tokens must score higher")
+    assert((1 to 10).map(i => out(i.toLong)).toSet.size == 1,
+      "identical docs must score identically")
+    // n_total = 43? no: 10*4 + 3 tokens; unique tokens have cnt=1 so each
+    // term is exactly round(ln(43)*1e6) micro-nats
+    val nTotal = 43L
+    val expected = math.round(math.log(nTotal.toDouble) * 1e6)
+    assert(out(99L) == expected, s"cnt=1 tokens: mean == ln(N) micro-nats")
+  }
+
   test("count-min estimates dominate true counts; collisions overestimate only") {
     // vocabulary (2000) > sketch width (512) forces bucket collisions, so
     // the one-sided error property is exercised, not vacuous

@@ -349,6 +349,111 @@ object Dedup {
     docs.join(victims, docs(idCol) === victims("__vid"), "left_anti")
   }
 
+  // ------------------------------------------------------------ line dedup
+  /** C4/RefinedWeb-style LINE-level global deduplication: split every doc
+    * on newlines, keep only the FIRST occurrence of each normalized line
+    * corpus-wide (first = smallest (doc_id, line_no)), and reassemble each
+    * doc from its surviving lines. This is the boilerplate-removal pass a
+    * web corpus runs before document-level dedup.
+    *
+    * Output: (doc_id, n_kept, n_dropped, clean_fp = md5 of the reassembled
+    * text). The only corpus-wide shuffle is the window over the line
+    * fingerprint — the same hash-partitioned shape as exact dedup; the
+    * reassembly groups by doc (collect_list over a doc's own lines, never
+    * cross-doc). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+    val w = Window.partitionBy(fingerprint(col("line")))
+      .orderBy(col("doc_id"), col("i"))
+    val kept = lines.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("i"), col("line")))),
+        x => x.getField("line"))).as("clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+  }
+
+  /** DuckDB twin of [[lineDedup]] over `textExpr` (an expression so the
+    * caller can plant lines the same way the Spark query does). */
+  def lineDedupSql(table: String, idCol: String, textExpr: String): String =
+    s"""WITH lined AS (
+       |  SELECT $idCol AS doc_id, $textExpr AS text FROM $table
+       |), larr AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined
+       |), l AS (
+       |  SELECT doc_id, s['i'] AS i, s['line'] AS line FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(lines)),
+       |      i -> {'i': i, 'line': lines[i]})) AS s
+       |    FROM larr)
+       |), kept AS (
+       |  SELECT doc_id, i, line FROM (
+       |    SELECT doc_id, i, line, row_number() OVER (
+       |      PARTITION BY ${fingerprintSql("line")} ORDER BY doc_id, i) AS rn
+       |    FROM l) WHERE rn = 1
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY i) AS clean
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT la.doc_id,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(la.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(a.clean, '')) AS clean_fp
+       |FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
+       |ORDER BY la.doc_id""".stripMargin
+
+  // -------------------------------------------------------- decontamination
+  /** Benchmark decontamination sweep: flag every corpus doc sharing at
+    * least one shingle with the benchmark set (the n-gram-overlap test-set
+    * contamination check every LLM training run performs). The benchmark
+    * shingle set is distinct-small and broadcast; the corpus side never
+    * does more than its own shingle explode + one semi-shaped join. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val bsh = shingleRows(benchmark, idCol, textCol)
+      .select(hash32(col("shingle")).as("shingle")).distinct()
+    val dsh = shingleRows(docs, idCol, textCol)
+      .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
+    val hits = dsh.join(broadcast(bsh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  def contaminationReportSql(table: String, idCol: String, textCol: String,
+                             docsFilter: String, benchFilter: String): String =
+    s"""WITH bsh AS (
+       |  SELECT DISTINCT ${hash32Sql("s")} AS shingle FROM (
+       |    SELECT unnest(${shinglesSql(textCol)}) AS s
+       |    FROM $table WHERE $benchFilter)
+       |), dsh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT $idCol AS doc_id, ${hash32Sql("s")} AS shingle FROM (
+       |      SELECT $idCol, unnest(${shinglesSql(textCol)}) AS s
+       |      FROM $table WHERE $docsFilter))
+       |), hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM dsh JOIN bsh USING (shingle) GROUP BY doc_id
+       |)
+       |SELECT d.$idCol AS doc_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  (coalesce(h.n_hits, 0) > 0) AS contaminated
+       |FROM (SELECT $idCol FROM $table WHERE $docsFilter) d
+       |LEFT JOIN hits h ON d.$idCol = h.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- ngram jaccard
   /** Exact shingle-set Jaccard for pairs sharing at least one shingle,
     * thresholded. The shared-shingle join is the candidate generator; at

@@ -194,6 +194,26 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // C4-style global line dedup: fixture docs are single-line, so the
+    // query plants per-source boilerplate lines (the shared header/footer
+    // shape of a web source) and the operator must strip every copy but
+    // the corpus-first one; body lines survive
+    "d_line_dedup" -> ((s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nvisit us at "), col("source"), lit(" dot example")).as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text").orderBy("doc_id")}),
+
+    // benchmark decontamination: src19 is the held-out benchmark; every
+    // other doc is flagged by shared-shingle count — the n-gram-overlap
+    // contamination sweep an LLM data pipeline runs before training
+    "d_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("source") =!= "src19"),
+        d.filter(col("source") === "src19"),
+        "doc_id", "text").orderBy("doc_id")}),
+
     // corpus-relative unigram surprisal (CCNet-style quality signal) in
     // exact integer micro-nats — order-free sums, so the iterative-free
     // two-pass LM score is hash-checked, not rows-only
@@ -341,6 +361,12 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_line_dedup" -> Dedup.lineDedupSql(docsT, "doc_id",
+      "text || chr(10) || 'visit us at ' || source || ' dot example'"),
+
+    "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
+      "source <> 'src19'", "source = 'src19'"),
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
 

@@ -31,6 +31,40 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("line dedup keeps the corpus-first copy of each line, rebuilds docs") {
+    val corpus = Seq(
+      (1L, "unique alpha\nshared boilerplate\nunique beta"),
+      (2L, "shared boilerplate\nunique gamma"),
+      (3L, "Shared  Boilerplate\nunique delta"), // normalized duplicate
+      (4L, "shared boilerplate")                 // nothing survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == 3 && out(1L)._2 == 0) // first occurrence keeps all
+    assert(out(2L)._1 == 1 && out(2L)._2 == 1)
+    assert(out(3L)._1 == 1 && out(3L)._2 == 1) // case/space-normalized match
+    assert(out(4L)._1 == 0 && out(4L)._2 == 1) // fully-boilerplate doc empties
+    // doc 2's surviving text is exactly "unique gamma"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique gamma".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(2L)._3 == md)
+  }
+
+  test("contamination report flags exactly the docs sharing benchmark shingles") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd"),      // shares shingle "bb cc dd" with benchmark
+      (2L, "xx yy zz ww"),      // disjoint
+      (3L, "short")             // short-doc whole-text shingle, disjoint
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "bb cc dd ee")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(corpus, benchmark, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
   test("surprisal ranks rare-token docs above common-token docs") {
     // 10 docs of a shared phrase + 1 doc of tokens seen nowhere else:
     // the unique-token doc must carry the highest mean surprisal, the

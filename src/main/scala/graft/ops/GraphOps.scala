@@ -143,6 +143,75 @@ object GraphOps {
       its).mkString(",\n")
   }
 
+  /** Synchronous label propagation (community detection) with DETERMINISTIC
+    * semantics, so the iterative algorithm is exactly SQL-replayable (the
+    * [[labelPropagationSql]] twin unrolls the iterations):
+    *
+    *  - undirected neighbor view (edges + reversed, self-loops dropped);
+    *  - label_0(v) = v's key;
+    *  - label_{i+1}(v) = the most frequent label among v's neighbors, ties
+    *    broken by the lexicographically SMALLEST label (vanilla async LPA
+    *    breaks ties randomly — useless for a verifiable pipeline);
+    *  - isolated nodes never receive messages and keep their own key.
+    *
+    * Scale: per iteration one join keyed on the (cached, pre-shuffled)
+    * undirected edge set + one map-side-combinable count + one per-node
+    * window argmax — aggregateMessages-shaped, no all-pairs anywhere. The
+    * label state is referenced once per iteration (the no-message fallback
+    * is the INITIAL key, not the previous label — isolated nodes get no
+    * messages in any iteration, so the two are equivalent), keeping
+    * lineage a chain; checkpoints only bound plan depth. */
+  def labelPropagationSync(g: KinGraph, iters: Int,
+                           checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val ud = CacheScope.cached(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .repartition(col("dst")))
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    var labels = nodes.withColumn("label", col("key"))
+    for (i <- 1 to iters) {
+      val msgs = ud.join(labels.withColumnRenamed("key", "src"), "src")
+        .groupBy(col("dst").as("key"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("cnt").desc, col("label").asc)
+      val pick = msgs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("key"), col("label"))
+      labels = nodes.join(pick, Seq("key"), "left")
+        .select(col("key"), coalesce(col("label"), col("key")).as("label"))
+      if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** DuckDB twin of [[labelPropagationSync]]: CTE fragments (ud, l0..lN)
+    * over edge CTE `edges`(src, dst) and node CTE `nodes`(key); final
+    * labels in `l<iters>`. */
+  def labelPropagationSql(edges: String, nodes: String, iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s"""l$k AS (
+         |  SELECT n.key, coalesce(p.label, n.key) AS label
+         |  FROM $nodes n LEFT JOIN (
+         |    SELECT key, label FROM (
+         |      SELECT key, label,
+         |        row_number() OVER (PARTITION BY key ORDER BY cnt DESC, label) AS rn
+         |      FROM (
+         |        SELECT e.dst AS key, l.label, count(*) AS cnt
+         |        FROM ud e JOIN l${k - 1} l ON e.src = l.key
+         |        GROUP BY e.dst, l.label))
+         |    WHERE rn = 1) p ON n.key = p.key)""".stripMargin
+    }
+    (s"""ud AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM $edges UNION ALL
+        |    SELECT dst AS src, src AS dst FROM $edges)
+        |  WHERE src <> dst)""".stripMargin +:
+      s"l0 AS (SELECT key, key AS label FROM $nodes)" +:
+      its).mkString(",\n")
+  }
+
   /** Hub-skew-safe neighbor collection: two-stage collect_list with a salt
     * so one mega-hub's adjacency never lands in a single task's buffer in
     * stage one. Stage 2 still unions per key, but over `salts` partial

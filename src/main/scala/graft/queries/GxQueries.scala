@@ -78,6 +78,13 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // synchronous label propagation (community detection) — deterministic
+    // tie-breaking makes the ITERATIVE algorithm hash-checkable against an
+    // unrolled-CTE oracle, like gx_pagerank_fp
+    "gx_labelprop" -> ((s, dir) =>
+      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 4)
+        .orderBy("key")),
+
     // shortest path distances to the R0 region node (GraphX Pregel)
     "gx_sssp" -> ((s, dir) =>
       GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
@@ -125,6 +132,10 @@ object GxQueries {
     "gx_pagerank_fp" ->
       s"""$cte, ${GraphOps.fixedPointPageRankSql("ue", "un", 5)}
          |SELECT key, r AS rank_fp FROM r5 ORDER BY key""".stripMargin,
+
+    "gx_labelprop" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 4)}
+         |SELECT key, label FROM l4 ORDER BY key""".stripMargin,
 
     "gx_sssp" ->
       s"""$cte, rev AS (

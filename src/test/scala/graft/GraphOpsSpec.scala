@@ -72,6 +72,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("z") == base && got("x") > got("y"))
   }
 
+  test("labelPropagationSync splits two cliques at the bridge; replays a reference loop") {
+    // triangles {a,b,c} and {d,e,f} bridged by c-d
+    val lg = KinGraph(
+      Seq("a", "b", "c", "d", "e", "f").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("a", "c", 0),
+          ("d", "e", 0), ("e", "f", 0), ("d", "f", 0),
+          ("c", "d", 0)).toDF("src", "dst", "etype"))
+    val got = GraphOps.labelPropagationSync(lg, iters = 4)
+      .as[(String, String)].collect().toMap
+    // reference loop: same deterministic semantics, driver-side
+    val ud = Seq("a" -> "b", "b" -> "c", "a" -> "c", "d" -> "e", "e" -> "f",
+      "d" -> "f", "c" -> "d").flatMap { case (s, t) => Seq(s -> t, t -> s) }
+    var lab = Seq("a", "b", "c", "d", "e", "f").map(k => k -> k).toMap
+    for (_ <- 1 to 4) {
+      val next = ud.groupBy(_._2).view.mapValues { in =>
+        val counts = in.map { case (s, _) => lab(s) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+      lab = lab.keys.map(k => k -> next.getOrElse(k, k)).toMap
+    }
+    assert(got == lab)
+    // the two triangles end in different communities
+    assert(Set("a", "b", "c").map(got) != Set("d", "e", "f").map(got))
+    assert(Set("a", "b", "c").map(got).size == 1 ||
+      Set("d", "e", "f").map(got).size == 1)
+  }
+
   test("fixedPointPageRank conserves order with GraphX static PageRank") {
     val edges = Seq(("a", "b", 0), ("b", "c", 0), ("c", "a", 0),
       ("d", "a", 0), ("e", "a", 0), ("a", "c", 0)).toDF("src", "dst", "etype")

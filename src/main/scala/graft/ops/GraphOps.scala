@@ -212,6 +212,63 @@ object GraphOps {
       its).mkString(",\n")
   }
 
+  /** Bounded k-core peel: `rounds` synchronous iterations of "drop every
+    * node whose UNDIRECTED degree among surviving nodes is < k". With
+    * enough rounds this converges to the exact k-core; a bounded round
+    * count keeps the plan finite and SQL-replayable (the
+    * [[kCoreSql]] twin unrolls the rounds — convergence on a given graph
+    * is assertable by checking round N == round N-1, which the spec does).
+    *
+    * Returns the surviving node set (key). Per round: two semi-joins of
+    * the cached undirected edge set against the alive set + one
+    * map-side-combinable degree count — no all-pairs, no driver loop over
+    * rows. The alive set is referenced TWICE per round (once per
+    * endpoint), so it is materialized every round by default — that keeps
+    * the branched lineage from re-evaluating and hands AQE an exact
+    * (node-bounded, shrinking) size for the semi-join build sides. */
+  def kCore(g: KinGraph, k: Int, rounds: Int,
+            checkpointEvery: Int = 1): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1, "rounds >= 1")
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val ud = CacheScope.cached(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var alive = g.nodes.select(col("key"))
+    for (i <- 1 to rounds) {
+      // edges with BOTH endpoints alive, counted per dst — two semi joins
+      // against the (small) alive set, one count
+      val deg = ud
+        .join(alive.withColumnRenamed("key", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("key", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("dst").as("key")).agg(count(lit(1)).as("deg"))
+      alive = deg.filter(col("deg") >= k).select(col("key"))
+      if (i % checkpointEvery == 0 && i < rounds) alive = alive.localCheckpoint(true)
+    }
+    alive
+  }
+
+  /** DuckDB twin of [[kCore]]: CTE fragments (ud, a0..aN) over edge CTE
+    * `edges`(src, dst) and node CTE `nodes`(key); survivors in `a<rounds>`.
+    * `kExpr` is a SQL expression (a literal, or a scalar subquery over the
+    * emitted `ud` CTE for data-adaptive k). */
+  def kCoreSql(edges: String, nodes: String, kExpr: String, rounds: Int): String = {
+    val its = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT dst AS key FROM ud
+         |  WHERE src IN (SELECT key FROM a${r - 1})
+         |    AND dst IN (SELECT key FROM a${r - 1})
+         |  GROUP BY dst HAVING count(*) >= $kExpr)""".stripMargin
+    }
+    (s"""ud AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM $edges UNION ALL
+        |    SELECT dst AS src, src AS dst FROM $edges)
+        |  WHERE src <> dst)""".stripMargin +:
+      s"a0 AS (SELECT key FROM $nodes)" +:
+      its).mkString(",\n")
+  }
+
   /** Hub-skew-safe neighbor collection: two-stage collect_list with a salt
     * so one mega-hub's adjacency never lands in a single task's buffer in
     * stage one. Stage 2 still unions per key, but over `salts` partial

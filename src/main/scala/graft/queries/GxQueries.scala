@@ -85,6 +85,21 @@ object GxQueries {
       GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 4)
         .orderBy("key")),
 
+    // bounded k-core peel on the supplier-part graph with DATA-ADAPTIVE
+    // k = min undirected degree + 2 (a fixed k is vacuous across scale
+    // factors: degrees grow with SF, so one constant either peels nothing
+    // or empties the graph). Iterative, exact unrolled-CTE oracle with the
+    // same adaptive k; convergence on small graphs pinned in ScalaTest
+    "gx_kcore" -> ((s, dir) => {
+      val g = KinGraph.fromEdges(
+        Tables.cached("part", s, dir)(Tables.partEdges(s, dir)))
+      val e0 = g.edges.select(col("src"), col("dst"))
+      val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val minDeg = ud.groupBy("dst").agg(count(lit(1)).as("d"))
+        .agg(min(col("d"))).first().getLong(0)
+      GraphOps.kCore(g, k = (minDeg + 2).toInt, rounds = 3).orderBy("key")}),
+
     // shortest path distances to the R0 region node (GraphX Pregel)
     "gx_sssp" -> ((s, dir) =>
       GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
@@ -136,6 +151,13 @@ object GxQueries {
     "gx_labelprop" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 4)}
          |SELECT key, label FROM l4 ORDER BY key""".stripMargin,
+
+    "gx_kcore" -> {
+      val kExpr =
+        "(SELECT min(d) + 2 FROM (SELECT count(*) AS d FROM ud GROUP BY dst))"
+      s"""$partCte, ${GraphOps.kCoreSql("pe", "pn", kExpr, 3)}
+         |SELECT key FROM a3 ORDER BY key""".stripMargin
+    },
 
     "gx_sssp" ->
       s"""$cte, rev AS (

@@ -100,6 +100,21 @@ class GraphOpsSpec extends SparkSpec {
       Set("d", "e", "f").map(got).size == 1)
   }
 
+  test("kCore peels to the exact core once rounds converge") {
+    // triangle {a,b,c} + pendant d-a + pendant chain e-d: 2-core = triangle
+    val kg = KinGraph(
+      Seq("a", "b", "c", "d", "e").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("a", "c", 0),
+          ("d", "a", 0), ("e", "d", 0)).toDF("src", "dst", "etype"))
+    val r3 = GraphOps.kCore(kg, k = 2, rounds = 3).as[String].collect().toSet
+    assert(r3 == Set("a", "b", "c"))
+    // convergence: one more round changes nothing
+    val r4 = GraphOps.kCore(kg, k = 2, rounds = 4).as[String].collect().toSet
+    assert(r4 == r3)
+    // a 3-core does not exist in this graph
+    assert(GraphOps.kCore(kg, k = 3, rounds = 3).count() == 0)
+  }
+
   test("fixedPointPageRank conserves order with GraphX static PageRank") {
     val edges = Seq(("a", "b", 0), ("b", "c", 0), ("c", "a", 0),
       ("d", "a", 0), ("e", "a", 0), ("a", "c", 0)).toDF("src", "dst", "etype")

@@ -91,6 +91,55 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
+  /** Stream-static enrichment join: each micro-batch of the stream joined
+    * against a STATIC batch dimension (stateless — no watermark, no join
+    * state; Spark re-plans the static side per micro-batch, broadcasting
+    * it when small). The canonical "enrich the event stream with a
+    * dimension table" shape. */
+  def enrichWithStatic(stream: DataFrame, staticDim: DataFrame,
+                       on: Seq[String]): DataFrame =
+    stream.join(staticDim, on, "left")
+
+  /** Schema of documents.parquet (for streaming-ingest pipelines). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over a testdata dir's documents (parquet micro-batches). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming decontamination filter — the ingest-time face of
+    * `Dedup.contaminationReport`: drop any streamed doc sharing a shingle
+    * with the benchmark set. The benchmark's hashed shingles are collected
+    * once and shipped as a broadcast-style literal set (the standard
+    * decontamination deployment: the benchmark side is small and static —
+    * millions of n-grams at most — while the doc stream is unbounded), so
+    * the filter is a stateless per-row projection: no join state, no
+    * watermark, works in append mode.
+    *
+    * The shingle lambda runs interpreted per element (streams cannot take
+    * the window-based `shingleRows` path — a per-doc window is stateful);
+    * that is the right trade at ingest: per-doc work is O(tokens), and the
+    * corpus-wide relational sweep stays available in batch. */
+  def decontaminatedDocs(docsStream: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val sp = benchmark.sparkSession
+    import sp.implicits._
+    val benchHashes = graft.operators.Dedup
+      .shingleRows(benchmark, idCol, textCol)
+      .select(graft.functions.TextFunctions.hash32(col("shingle")))
+      .distinct().as[Long].collect().sorted
+    docsStream.filter(!arrays_overlap(
+      transform(graft.operators.Dedup.shingles(col(textCol)),
+        s => graft.functions.TextFunctions.hash32(s)),
+      lit(benchHashes)))
+  }
+
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total: Double)

@@ -74,6 +74,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    // static dimension: each user's first-seen timestamp from batch
+    val userDim = batch.groupBy($"user_id")
+      .agg(min($"ts").as("first_seen"))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.enrichWithStatic(stream, userDim, Seq("user_id")),
+      "t_enrich",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"event_id", $"first_seen")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    val batched = batch.join(userDim, Seq("user_id"), "left")
+      .select($"event_id", $"first_seen")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(streamed == batched)
+  }
+
+  test("streaming decontamination filter equals the batch contamination report") {
+    val docsStream = EventStreams.readDocuments(spark, sf)
+    val docsBatch = Tables.documents(spark, sf)
+    val benchmark = docsBatch.filter($"source" === "src19")
+    val corpus = docsBatch.filter($"source" =!= "src19")
+    val clean = EventStreams.runToMemory(
+      EventStreams.decontaminatedDocs(docsStream, benchmark, "doc_id", "text")
+        .filter($"source" =!= "src19"),
+      "t_decontam",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = graft.operators.Dedup
+      .contaminationReport(corpus, benchmark, "doc_id", "text")
+      .filter(!$"contaminated").select($"doc_id").as[Long].collect().toSet
+    assert(clean == expected)
+    assert(clean.nonEmpty && clean.size < corpus.count())
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = EventStreams.runToMemory(
       EventStreams.purchaseAfterClick(stream), "t_ssjoin",

@@ -162,28 +162,42 @@ object GraphOps {
     * messages in any iteration, so the two are equivalent), keeping
     * lineage a chain; checkpoints only bound plan depth. */
   def labelPropagationSync(g: KinGraph, iters: Int,
-                           checkpointEvery: Int = 3): DataFrame = {
+                           checkpointEvery: Int = 3,
+                           broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e0 = g.edges.select(col("src"), col("dst"))
-    val ud = CacheScope.cached(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
-        .repartition(col("dst")))
+    // cached hash-partitioned ON dst: the per-iteration (dst, label) count
+    // and the per-dst window argmax both reuse this partitioning, so with
+    // the label state broadcast an iteration is fully narrow over the edge
+    // set — no per-iteration edge shuffle (same shape as fixedPointPageRank)
+    val ud = undirectedEdges(g, Some(col("dst")))
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val small = nodes.count() <= broadcastNodeLimit
     var labels = nodes.withColumn("label", col("key"))
     for (i <- 1 to iters) {
-      val msgs = ud.join(labels.withColumnRenamed("key", "src"), "src")
+      val lsrc = labels.withColumnRenamed("key", "src")
+      val msgs = ud.join(if (small) broadcast(lsrc) else lsrc, "src")
         .groupBy(col("dst").as("key"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("key")).orderBy(col("cnt").desc, col("label").asc)
       val pick = msgs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("key"), col("label"))
-      labels = nodes.join(pick, Seq("key"), "left")
+      labels = nodes.join(if (small) broadcast(pick) else pick, Seq("key"), "left")
         .select(col("key"), coalesce(col("label"), col("key")).as("label"))
       if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint(true)
     }
     labels
+  }
+
+  /** Cached undirected edge view (edges + reversed, self-loops dropped),
+    * optionally pre-partitioned so downstream per-key aggregations reuse
+    * the shuffle. */
+  private def undirectedEdges(g: KinGraph,
+                              partitionOn: Option[Column]): DataFrame = {
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    CacheScope.cached(partitionOn.fold(ud)(ud.repartition(_)))
   }
 
   /** DuckDB twin of [[labelPropagationSync]]: CTE fragments (ud, l0..lN)
@@ -227,20 +241,41 @@ object GraphOps {
     * the branched lineage from re-evaluating and hands AQE an exact
     * (node-bounded, shrinking) size for the semi-join build sides. */
   def kCore(g: KinGraph, k: Int, rounds: Int,
-            checkpointEvery: Int = 1): DataFrame = {
+            checkpointEvery: Int = 1,
+            broadcastNodeLimit: Long = 5000000L): DataFrame =
+    kCorePeel(undirectedEdges(g, Some(col("dst"))),
+      g.nodes.select(col("key")), k, rounds, checkpointEvery, broadcastNodeLimit)
+
+  /** [[kCore]] with DATA-ADAPTIVE k = (min undirected degree + kOffset):
+    * a fixed k is the wrong knob across corpus sizes — degrees grow with
+    * the data, so one constant either peels nothing or empties the graph.
+    * Builds the undirected view once and reuses it for both the degree
+    * floor and the peel. */
+  def kCoreAdaptive(g: KinGraph, kOffset: Int, rounds: Int,
+                    checkpointEvery: Int = 1,
+                    broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    val ud = undirectedEdges(g, Some(col("dst")))
+    val minDeg = ud.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .agg(min(col("d"))).first().getLong(0)
+    kCorePeel(ud, g.nodes.select(col("key")),
+      (minDeg + kOffset).toInt, rounds, checkpointEvery, broadcastNodeLimit)
+  }
+
+  private def kCorePeel(ud: DataFrame, nodes0: DataFrame, k: Int, rounds: Int,
+                        checkpointEvery: Int, broadcastNodeLimit: Long): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1, "rounds >= 1")
-    val e0 = g.edges.select(col("src"), col("dst"))
-    val ud = CacheScope.cached(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct())
-    var alive = g.nodes.select(col("key"))
+    var alive = nodes0
+    val small = nodes0.count() <= broadcastNodeLimit
     for (i <- 1 to rounds) {
       // edges with BOTH endpoints alive, counted per dst — two semi joins
-      // against the (small) alive set, one count
+      // against the (broadcast-sized, shrinking) alive set, one count that
+      // reuses ud's dst partitioning
+      val aSrc = alive.withColumnRenamed("key", "src")
+      val aDst = alive.withColumnRenamed("key", "dst")
       val deg = ud
-        .join(alive.withColumnRenamed("key", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("key", "dst"), Seq("dst"), "left_semi")
+        .join(if (small) broadcast(aSrc) else aSrc, Seq("src"), "left_semi")
+        .join(if (small) broadcast(aDst) else aDst, Seq("dst"), "left_semi")
         .groupBy(col("dst").as("key")).agg(count(lit(1)).as("deg"))
       alive = deg.filter(col("deg") >= k).select(col("key"))
       if (i % checkpointEvery == 0 && i < rounds) alive = alive.localCheckpoint(true)

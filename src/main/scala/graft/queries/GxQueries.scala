@@ -90,15 +90,10 @@ object GxQueries {
     // factors: degrees grow with SF, so one constant either peels nothing
     // or empties the graph). Iterative, exact unrolled-CTE oracle with the
     // same adaptive k; convergence on small graphs pinned in ScalaTest
-    "gx_kcore" -> ((s, dir) => {
-      val g = KinGraph.fromEdges(
-        Tables.cached("part", s, dir)(Tables.partEdges(s, dir)))
-      val e0 = g.edges.select(col("src"), col("dst"))
-      val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .filter(col("src") =!= col("dst")).distinct()
-      val minDeg = ud.groupBy("dst").agg(count(lit(1)).as("d"))
-        .agg(min(col("d"))).first().getLong(0)
-      GraphOps.kCore(g, k = (minDeg + 2).toInt, rounds = 3).orderBy("key")}),
+    "gx_kcore" -> ((s, dir) =>
+      GraphOps.kCoreAdaptive(
+        KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
+        kOffset = 2, rounds = 3).orderBy("key")),
 
     // shortest path distances to the R0 region node (GraphX Pregel)
     "gx_sssp" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -100,6 +100,54 @@ object TemporalJoins {
       .select(
         left.columns.map(c => col(s"__left.`$c`").as(c)) ++
           payload.map(p => col(s"__m.`$p`").as(prefix + p)): _*)
+  }
+
+  /** Time-series resample + forward fill: per key, an even `stepUs` grid
+    * from floor(min ts) to floor(max ts), each grid point carrying the
+    * value of the LATEST observation at-or-before it (null before the
+    * first observation — the leading gap is not back-filled).
+    *
+    * Plan: one aggregation for the per-key bounds (grid explode), then the
+    * same union+running-window shape as the as-of joins — ONE shuffle on
+    * the key, no per-grid-point probe join. Observations order before grid
+    * points at equal ts (a grid point ON an observation takes it); equal-ts
+    * observations resolve to the greatest value, deterministically.
+    *
+    * `maxGridPoints` bounds the per-key explode the same way
+    * [[pointInIntervalJoin]] bounds interval replication: a span/step ratio
+    * past it is a misconfigured step, not a bigger query. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepUs: Long = 3600000000L,
+                    maxGridPoints: Int = 100000): DataFrame = {
+    require(stepUs > 0, "step must be positive")
+    require(maxGridPoints > 0, "grid cap must be positive")
+    def floorTs(c: Column): Column =
+      timestamp_micros((floor(unix_micros(c) / stepUs) * stepUs).cast("long"))
+    val vType = df.schema(valueCol).dataType
+    val obs = df.select(col(keyCol).as("key"), col(tsCol).as("__ts"),
+      col(valueCol).as("__v"), lit(0).as("__is_grid"))
+    val bounds = df.groupBy(col(keyCol).as("key"))
+      .agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
+    val startTs = when(
+      (unix_micros(floorTs(col("mx"))) - unix_micros(floorTs(col("mn")))) / stepUs
+        >= lit(maxGridPoints.toLong),
+      raise_error(concat(
+        lit(s"resampleFfill: key "), col("key").cast("string"),
+        lit(s" spans more than maxGridPoints=$maxGridPoints grid steps; " +
+          s"widen stepUs (currently $stepUs us) or raise the cap"))))
+      .otherwise(floorTs(col("mn")))
+    val grid = bounds.select(col("key"),
+        explode(sequence(startTs, floorTs(col("mx")),
+          expr(s"INTERVAL $stepUs MICROSECOND"))).as("__ts"))
+      .withColumn("__v", lit(null).cast(vType))
+      .withColumn("__is_grid", lit(1))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__ts").asc, col("__is_grid").asc, col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_grid") === 1)
+      .select(col("key"), col("__ts").as("grid_ts"), col("__f").as("value"))
   }
 
   /** Point-in-interval join: every (point, interval) pair with

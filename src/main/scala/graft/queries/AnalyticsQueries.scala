@@ -293,6 +293,15 @@ object AnalyticsQueries {
           countDistinct(col("view_user")).as("n_users"))
         .orderBy("error_id")}),
 
+    // time-series resample: per-user hourly grid with forward-filled
+    // values (union + one running window — no per-grid-point probe join)
+    "s_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("value"))
+      TemporalJoins.resampleFfill(ev, "user_id", "ts", "value")
+        .select(col("key").as("user_id"), col("grid_ts"), col("value"))
+        .orderBy("user_id", "grid_ts")}),
+
     // sessionization: 30-min-gap sessions per user via lag + running sum
     "s_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -511,6 +520,35 @@ object AnalyticsQueries {
         | AND CAST(v.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
         | AND CAST(v.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same running last-non-null replay as the as-of oracles; obs sort
+    // before grid rows at equal ts, equal-ts observations resolve to the
+    // greatest value in both engines (v NULLS LAST never ties: grid rows
+    // are unique per (user, ts))
+    "s_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id < 20
+        |), b AS (
+        |  SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM ev GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(
+        |    make_timestamp(CAST(floor(epoch_us(mn) / 3600000000) * 3600000000 AS BIGINT)),
+        |    make_timestamp(CAST(floor(epoch_us(mx) / 3600000000) * 3600000000 AS BIGINT)),
+        |    INTERVAL 1 HOUR)) AS ts
+        |  FROM b
+        |), u AS (
+        |  SELECT user_id, ts, value AS v, 0 AS is_grid FROM ev
+        |  UNION ALL SELECT user_id, ts, NULL, 1 FROM g
+        |), w AS (
+        |  SELECT user_id, ts, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_grid, v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM u
+        |)
+        |SELECT user_id, ts AS grid_ts, value FROM w WHERE is_grid = 1
+        |ORDER BY user_id, grid_ts""".stripMargin,
 
     "s_events_sessions" ->
       """WITH g AS (

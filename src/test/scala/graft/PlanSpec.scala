@@ -91,6 +91,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sketch probes broadcast the sketch side (never shuffle the stream)") {
+    import graft.operators.Sketches
+    val items = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = Sketches.cmsBuild(items, "token")
+    val est = Sketches.cmsEstimate(sketch, items, "token")
+    est.collect()
+    assert(finalPlanString(est).contains("BroadcastHashJoin"),
+      "CMS estimate must broadcast the (<= depth x width)-row sketch")
+    val bits = Sketches.bloomBits(items, "token")
+    val may = Sketches.bloomMayContain(bits, items, "token")
+    may.collect()
+    assert(finalPlanString(may).contains("BroadcastHashJoin"),
+      "bloom probe must broadcast the (<= m)-row bit set")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val d = Tables.documents(spark, sf)
+    val rep = graft.operators.Dedup.contaminationReport(
+      d.filter(col("source") =!= "src19"), d.filter(col("source") === "src19"),
+      "doc_id", "text")
+    rep.collect()
+    assert(finalPlanString(rep).contains("BroadcastHashJoin"),
+      "benchmark shingles must broadcast — the corpus side never shuffles to meet them")
+  }
+
   test("adjacencyCoo materializes the dense-id sort once (checkpoint scans)") {
     val plan = planString(parquetGraph.adjacencyCoo)
     // both id joins must read the checkpointed RDD, not replay the

@@ -128,6 +128,39 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$planStr")
   }
 
+  test("resampleFfill grids per key, forward-fills, leaves leading gaps null") {
+    val series = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 10.0), // first obs mid-hour
+      (1L, ts("2024-01-01 13:00:00"), 20.0), // obs exactly ON a grid point
+      (1L, ts("2024-01-01 14:45:00"), 30.0),
+      (2L, ts("2024-01-01 09:15:00"), 5.0)
+    ).toDF("k", "ts", "v")
+    val out = TemporalJoins.resampleFfill(series, "k", "ts", "v")
+      .as[(Long, Timestamp, Option[Double])].collect()
+      .map(r => (r._1, r._2.toString) -> r._3).toMap
+    // key 1: grid 10:00..14:00 (floor of min/max)
+    assert(out((1L, "2024-01-01 10:00:00.0")).isEmpty)      // before first obs
+    assert(out((1L, "2024-01-01 11:00:00.0")).contains(10.0)) // ffill
+    assert(out((1L, "2024-01-01 12:00:00.0")).contains(10.0))
+    assert(out((1L, "2024-01-01 13:00:00.0")).contains(20.0)) // obs ON the grid
+    assert(out((1L, "2024-01-01 14:00:00.0")).contains(20.0)) // 14:45 not yet
+    assert(out((2L, "2024-01-01 09:00:00.0")).isEmpty)
+    assert(out.count(_._1._1 == 1L) == 5 && out.count(_._1._1 == 2L) == 1)
+  }
+
+  test("resampleFfill fails fast when a key spans more than the grid cap") {
+    val series = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-03-01 00:00:00"), 2.0)).toDF("k", "ts", "v")
+    val ex = intercept[Exception] {
+      TemporalJoins.resampleFfill(series, "k", "ts", "v",
+        stepUs = 60000000L, maxGridPoints = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxGridPoints")))
+  }
+
   test("pointInIntervalJoin tolerates shared column names across the two sides") {
     // both sides carry a column literally named `ts` — the residual
     // predicate must resolve per-side, not ambiguously

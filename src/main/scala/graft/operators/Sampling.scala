@@ -1,5 +1,6 @@
 package graft.operators
 
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{hash60, hash60Sql}
@@ -68,6 +69,64 @@ object Sampling {
     val bound = s"(CASE $cases ELSE ${(defaultRate * 1000000L).toLong} END)"
     s"SELECT * FROM $table WHERE $h < $bound"
   }
+
+  /** Approximate sequence packing for training — assign every doc to a
+    * fixed-capacity context bin. The distributed form of first-fit: docs
+    * are hash-split into `groups` independent shards; within a shard they
+    * are dealt round-robin in DESCENDING length order (LPT scheduling)
+    * into `ceil(shard_tokens / ctxLen)` bins, so every bin's load is at
+    * most ~ctxLen + the longest doc. No global single-task window: the
+    * rank window partitions by shard, and the only global step is the
+    * `groups`-row bin-offset prefix sum.
+    *
+    * Deterministic (hash shard + length/id ordering), so the assignment is
+    * exactly replayable — [[seqPackSql]] is the DuckDB twin. Returns
+    * (doc_id, n_tokens, pack_id). */
+  def seqPack(docs: DataFrame, idCol: String, lenCol: String,
+              ctxLen: Long, groups: Int = 64): DataFrame = {
+    require(ctxLen > 0, "ctxLen > 0")
+    require(groups > 0, "groups > 0")
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(lenCol).cast("long").as("n_tokens"))
+      .withColumn("grp",
+        pmod(hash60(col("doc_id").cast("string")), lit(groups.toLong)))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("n_tokens").desc, col("doc_id"))
+    val ranked = base.withColumn("rk", row_number().over(wRank))
+    val gs = base.groupBy(col("grp")).agg(sum(col("n_tokens")).as("gtok"))
+      .withColumn("nbins",
+        greatest(expr(s"(gtok + ${ctxLen - 1}) div $ctxLen"), lit(1L)))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("grp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = gs.withColumn("off", coalesce(sum(col("nbins")).over(wOff), lit(0L)))
+    ranked.join(broadcast(offs.select(col("grp"), col("nbins"), col("off"))), "grp")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + pmod(col("rk") - 1, col("nbins"))).as("pack_id"))
+  }
+
+  /** DuckDB twin of [[seqPack]] over a token-length expression. */
+  def seqPackSql(table: String, idCol: String, lenExpr: String,
+                 ctxLen: Long, groups: Int): String =
+    s"""WITH base AS (
+       |  SELECT $idCol AS doc_id, CAST($lenExpr AS BIGINT) AS n_tokens,
+       |    ${hash60Sql(s"CAST($idCol AS VARCHAR)")} % $groups AS grp
+       |  FROM $table
+       |), ranked AS (
+       |  SELECT doc_id, n_tokens, grp, row_number() OVER (
+       |    PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS rk
+       |  FROM base
+       |), gs AS (
+       |  SELECT grp, greatest((sum(n_tokens) + ${ctxLen - 1}) // $ctxLen, 1) AS nbins
+       |  FROM base GROUP BY grp
+       |), offs AS (
+       |  SELECT grp, nbins, coalesce(sum(nbins) OVER (ORDER BY grp
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM gs
+       |)
+       |SELECT r.doc_id, r.n_tokens,
+       |  CAST(o.off + ((r.rk - 1) % o.nbins) AS BIGINT) AS pack_id
+       |FROM ranked r JOIN offs o ON r.grp = o.grp""".stripMargin
 
   def splitColumnSql(keyCol: String, valFrac: Double, testFrac: Double,
                      salt: String = "split"): String = {

@@ -221,6 +221,18 @@ object PipelineQueries {
       TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // approximate sequence packing: docs dealt into 512-token context bins
+    // (grouped LPT round-robin — the distributed, replayable packer); the
+    // per-bin profile is the view a training-data engineer checks for
+    // utilization before padding/truncation
+    "d_pack" -> ((s, dir) => {
+      val withLen = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      Sampling.seqPack(withLen, "doc_id", "n_tokens", ctxLen = 512, groups = 8)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("pack_id")}),
+
     // --- sketches --------------------------------------------------------
     // count-min heavy hitters: fixed-size (depth × width) frequency sketch
     // + estimates for the top-50 true-count tokens. est >= true by
@@ -367,6 +379,14 @@ object PipelineQueries {
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
       "source <> 'src19'", "source = 'src19'"),
+
+    "d_pack" ->
+      s"""WITH pk AS (
+         |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
+         |)
+         |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
 

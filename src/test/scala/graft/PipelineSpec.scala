@@ -65,6 +65,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("seqPack assigns every doc once, bounds bin load by ctx + longest doc") {
+    import graft.operators.Sampling
+    val lens = (1 to 400).map(i => (i.toLong, 20L + (i * 37) % 300))
+      .toDF("doc_id", "n_tokens")
+    val ctx = 512L
+    val packed = Sampling.seqPack(lens, "doc_id", "n_tokens", ctx, groups = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(packed.length == 400 && packed.map(_._1).distinct.length == 400)
+    val maxDoc = packed.map(_._2).max
+    val binLoads = packed.groupBy(_._3).map { case (_, ds) => ds.map(_._2).sum }
+    assert(binLoads.forall(_ <= ctx + maxDoc),
+      s"LPT round-robin bound violated: max=${binLoads.max} ctx=$ctx maxDoc=$maxDoc")
+    // deterministic under repartition
+    val packed2 = Sampling.seqPack(lens.repartition(13), "doc_id", "n_tokens",
+      ctx, groups = 4).as[(Long, Long, Long)].collect()
+    assert(packed.sortBy(_._1).toSeq == packed2.sortBy(_._1).toSeq)
+  }
+
   test("surprisal ranks rare-token docs above common-token docs") {
     // 10 docs of a shared phrase + 1 doc of tokens seen nowhere else:
     // the unique-token doc must carry the highest mean surprisal, the

@@ -260,6 +260,56 @@ object Similarity {
               cacheKey: Option[String] = None): DataFrame =
     ivfSearch(ivfBuild(corpus, nlist, cacheKey), queries, k, nprobe)
 
+  /** Per-dimension int8 scalar quantization — the embedding-compression
+    * pass an ANN index runs before storing vectors (4-8x smaller, rerank
+    * on the float originals). Codes are EXACT integers:
+    * `q = floor((v - min_d) * 255 / (max_d - min_d))` clamped to [0, 255],
+    * with per-dimension min/max from the corpus (min/max are
+    * order-independent, and the two-op affine map + floor is deterministic
+    * across engines — no float-sum-order hazard anywhere), so the whole
+    * quantization is hash-checkable.
+    *
+    * Relational shape: one posexplode + a broadcast join against the
+    * (dims-row) stats table + one per-vector re-assembly — the explode is
+    * the only wide stage and it is map-side-combinable into the stats agg.
+    * Returns (id, n_dims, q_fp = md5 of the comma-joined codes). */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+    val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = el.join(broadcast(stats), "i")
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
+            lit(255L)).cast("int")))
+    q.groupBy(col("id")).agg(
+      count(lit(1)).as("n_dims"),
+      md5(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("i"), col("q")))),
+        x => x.getField("q").cast("string")))).as("q_fp"))
+  }
+
+  /** DuckDB twin of [[quantizeInt8]] over the embeddings table. */
+  def quantizeInt8Sql(table: String): String =
+    s"""WITH el AS (
+       |  SELECT vec_id AS id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+       |    SELECT vec_id, unnest(list_transform(
+       |      generate_series(1, len(embedding)),
+       |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+       |    FROM $table)
+       |), stats AS (
+       |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+       |), q AS (
+       |  SELECT id, i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+       |    END AS q
+       |  FROM el JOIN stats USING (i)
+       |)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_dims,
+       |  md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY i)) AS q_fp
+       |FROM q GROUP BY id ORDER BY id""".stripMargin
+
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */

@@ -312,6 +312,11 @@ object PipelineQueries {
       Similarity.ivfTopK(corpus, queriesDf, 10, cacheKey = Some(s"emb|$dir"))
         .orderBy("query_id", "rank")}),
 
+    // int8 scalar quantization of the embedding corpus (the compression
+    // pass before ANN storage) — integer codes, exact md5 fingerprint
+    "e_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
+
     // multimodal: binary payload -> batched (mapPartitions) stub decode ->
     // per-index feature rows; oracle replays the md5-derived stub exactly
     "m_features" -> ((s, dir) => {
@@ -379,6 +384,8 @@ object PipelineQueries {
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
       "source <> 'src19'", "source = 'src19'"),
+
+    "e_quantize" -> Similarity.quantizeInt8Sql("embeddings"),
 
     "d_pack" ->
       s"""WITH pk AS (

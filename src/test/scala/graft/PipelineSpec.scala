@@ -65,6 +65,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("int8 quantization: identical vectors share codes, error within step") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(0.0, 10.0, -5.0)),
+      (2L, Array(0.0, 10.0, -5.0)), // exact duplicate of 1
+      (3L, Array(1.0, 0.0, 5.0)),
+      (4L, Array(0.5, 5.0, 0.0))
+    ).toDF("id", "vec")
+    val out = Similarity.quantizeInt8(vecs)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.values.forall(_._1 == 3L), "all dims quantized")
+    assert(out(1L)._2 == out(2L)._2, "identical vectors must share the fingerprint")
+    assert(out(1L)._2 != out(3L)._2, "distinct vectors must differ")
+    // reconstruction error bound: |v - dequant(q)| <= (mx - mn) / 255
+    val el = vecs.select($"id", posexplode($"vec").as(Seq("i", "v")))
+    val stats = el.groupBy($"i").agg(min($"v").as("mn"), max($"v").as("mx"))
+    val err = el.join(stats, "i")
+      .withColumn("q", when($"mx" === $"mn", lit(0))
+        .otherwise(least(floor(($"v" - $"mn") * 255.0 / ($"mx" - $"mn")), lit(255L)).cast("int")))
+      .withColumn("deq", $"mn" + $"q" * ($"mx" - $"mn") / 255.0)
+      .withColumn("step", ($"mx" - $"mn") / 255.0)
+      .filter(abs($"v" - $"deq") > $"step" * 1.000001)
+    assert(err.isEmpty, "dequantized values must sit within one step of the input")
+  }
+
   test("seqPack assigns every doc once, bounds bin load by ctx + longest doc") {
     import graft.operators.Sampling
     val lens = (1 to 400).map(i => (i.toLong, 20L + (i * 37) % 300))

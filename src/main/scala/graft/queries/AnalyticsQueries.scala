@@ -79,6 +79,27 @@ object AnalyticsQueries {
         .select("l_suppkey", "l_shipdate", "rev", "cum_rev")
         .orderBy("l_suppkey", "l_shipdate")}),
 
+    // RANGE window frame (time-valued bounds): per event, how many events
+    // the same user produced in the trailing hour — integer counts only,
+    // so no float-sum-order hazard inside the sliding frame
+    "q_window_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"))
+        .orderBy("event_id")}),
+
+    // INTERSECT: customers ordering in both 1995 and 1996
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("custkey")).distinct()
+      y95.intersect(y96).orderBy("custkey")}),
+
     // set operators: customers with orders but no high-value (> 400k) order
     // — 400k leaves a non-empty EXCEPT at every SF (200k was empty at
     // sf0.001, a vacuous check)
@@ -363,6 +384,19 @@ object AnalyticsQueries {
         |FROM (SELECT l_suppkey, l_shipdate, round(sum(l_extendedprice), 2) AS rev
         |      FROM lineitem WHERE l_suppkey < 10 GROUP BY l_suppkey, l_shipdate)
         |ORDER BY l_suppkey, l_shipdate""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_trailing_hour
+        |FROM events WHERE user_id < 50 ORDER BY event_id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
 
     "q_set_ops" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders

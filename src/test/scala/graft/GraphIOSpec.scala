@@ -57,6 +57,28 @@ class GraphIOSpec extends SparkSpec {
     }
   }
 
+  test("jsonl shard export round-trips, bounds shard sizes, orders globally") {
+    import graft.sources.{Export, Tables}
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val shards = Export.jsonlShards(docs, "doc_id", out, maxRowsPerShard = 100)
+    assert(shards == math.ceil(docs.count() / 100.0).toInt)
+    val back = Export.readJsonl(spark, out)
+    assert(back.count() == docs.count())
+    // every doc survives the round trip with its text intact
+    val a = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val b = back.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // range sharding: files exist and none exceeds the bound by more than
+    // the sampling slack (2x is generous; exact equality isn't the contract)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(files.size == shards)
+    val counts = files.map(f =>
+      spark.read.json(f.getPath).count())
+    assert(counts.sum == docs.count() && counts.forall(_ <= 200))
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

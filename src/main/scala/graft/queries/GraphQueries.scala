@@ -30,6 +30,35 @@ object GraphQueries {
         .crossJoin(gr.edgePairs.agg(count(lit(1)).as("n_edges")))
     }),
 
+    // one-row structural profile of the graph (the health-check view):
+    // self-loop and reciprocal counts are legitimately 0 on the bipartite
+    // trade graph — verified values inside a non-empty hash-checked row
+    "g_graph_stats" -> ((s, dir) => {
+      val gr = g(s, dir)
+      val e = gr.edgePairs
+      val n = gr.nodeKeys.agg(count(lit(1)).as("n_nodes"))
+      val em = e.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("src") === col("dst"), 1).otherwise(0)).as("n_self_loops"))
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_reciprocal"))
+      val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_out_degree"))
+      val maxIn = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("max_in_degree"))
+      n.crossJoin(em).crossJoin(recip).crossJoin(maxOut).crossJoin(maxIn)}),
+
+    // per-node mean-neighbor-degree building block (assortativity): exact
+    // integer sum + count, no float division to disagree on
+    "g_neighbor_degree" -> ((s, dir) => {
+      val e = g(s, dir).edgePairs
+      val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+      e.join(indeg, "dst")
+        .groupBy(col("src").as("key"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum(col("ind")).as("sum_neighbor_indegree"))
+        .orderBy("key")}),
+
     // §2 #7 — neighbors(u)
     "g_neighbors" -> ((s, dir) => g(s, dir).neighbors("S1").orderBy("key")),
 
@@ -172,6 +201,22 @@ object GraphQueries {
     "g_counts" ->
       s"""$cte SELECT (SELECT count(*) FROM n) AS n_nodes,
          |(SELECT count(*) FROM e) AS n_edges""".stripMargin,
+
+    "g_graph_stats" ->
+      s"""$cte SELECT
+         |(SELECT count(*) FROM n) AS n_nodes,
+         |(SELECT count(*) FROM e) AS n_edges,
+         |(SELECT CAST(coalesce(sum(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS BIGINT) FROM e) AS n_self_loops,
+         |(SELECT count(*) FROM e x WHERE EXISTS (
+         |   SELECT 1 FROM e r WHERE r.src = x.dst AND r.dst = x.src)) AS n_reciprocal,
+         |(SELECT CAST(max(d) AS BIGINT) FROM (SELECT count(*) AS d FROM e GROUP BY src)) AS max_out_degree,
+         |(SELECT CAST(max(d) AS BIGINT) FROM (SELECT count(*) AS d FROM e GROUP BY dst)) AS max_in_degree""".stripMargin,
+
+    "g_neighbor_degree" ->
+      s"""$cte, ind AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst)
+         |SELECT e.src AS key, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |CAST(sum(ind.ind) AS BIGINT) AS sum_neighbor_indegree
+         |FROM e JOIN ind ON e.dst = ind.dst GROUP BY e.src ORDER BY key""".stripMargin,
 
     "g_neighbors" ->
       s"$cte SELECT DISTINCT dst AS key FROM e WHERE src = 'S1' ORDER BY key",

@@ -93,9 +93,14 @@ object Dedup {
 
   /** Per-document MinHash signature: doc id + columns mh_0..mh_{k-1}.
     * One explode + one map-side-combinable min-aggregation. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = shingleRows(docs, idCol, textCol)
-      .withColumn("h", hash32(col("shingle")))
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSignaturesFrom(shingleRows(docs, idCol, textCol))
+
+  /** Signature aggregation over precomputed (doc_id, i, shingle) rows —
+    * callers running several shingle consumers over the same corpus (e.g.
+    * the estimator-quality view) share ONE cached shingle explode. */
+  def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val exploded = sh.withColumn("h", hash32(col("shingle")))
     val aggs = (0 until NumHashes).map { i =>
       min(pmod(lit(CoeffA(i)) * col("h") + lit(CoeffB(i)), lit(MinhashP))).as(s"mh_$i")
     }
@@ -117,8 +122,11 @@ object Dedup {
     * signature-agreement similarity estimate est_sim = |{i: mh_i^a = mh_i^b}|/k.
     * The bucket self-join is the only shuffle that touches pairs; it never
     * materializes the all-pairs product. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = graft.CacheScope.cached(minhashSignatures(docs, idCol, textCol))
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashCandidatesFrom(shingleRows(docs, idCol, textCol))
+
+  def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
+    val sigs = graft.CacheScope.cached(minhashSignaturesFrom(sh))
     val bands = lshBands(sigs)
     val a = bands.select(col("band"), col("band_val"), col("doc_id").as("a"))
     val b = bands.select(col("band"), col("band_val"), col("doc_id").as("b"))
@@ -460,11 +468,14 @@ object Dedup {
     * real scale feed it LSH candidates instead (minhashCandidates) — this
     * direct form is the verify stage. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    ngramJaccardPairsFrom(shingleRows(docs, idCol, textCol), threshold)
+
+  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     // shingles are joined by their 32-bit hash (longs shuffle ~10x cheaper
     // than shingle strings); the oracle hashes identically, so any
     // (astronomically rare) collision affects both engines the same way
-    val ds0 = shingleRows(docs, idCol, textCol)
+    val ds0 = sh
       .select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct()
     val ds = graft.CacheScope.cached(ds0) // consumed 3x: counts + both join sides
     val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

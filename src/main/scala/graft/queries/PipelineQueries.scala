@@ -256,8 +256,10 @@ object PipelineQueries {
     "d_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
       val buildSrcs = (0 to 9).map("src" + _)
-      val train = d.filter(col("source").isin(buildSrcs: _*))
-        .select(fingerprint(col("text")).as("fp"))
+      // cached: feeds both the bit-set build and the exact-membership flag
+      val train = graft.CacheScope.cached(
+        d.filter(col("source").isin(buildSrcs: _*))
+          .select(fingerprint(col("text")).as("fp")))
       val bits = Sketches.bloomBits(train, "fp")
       val probes = d.filter(!col("source").isin(buildSrcs: _*))
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -274,8 +276,11 @@ object PipelineQueries {
     // view used to tune bands/rows before trusting est_sim at full scale
     "d_minhash_est" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cand = Dedup.minhashCandidates(d, "doc_id", "text")
-      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.0)
+      // one cached shingle explode feeds BOTH the LSH candidates and the
+      // exact-Jaccard verify side
+      val sh = graft.CacheScope.cached(Dedup.shingleRows(d, "doc_id", "text"))
+      val cand = Dedup.minhashCandidatesFrom(sh)
+      val exact = Dedup.ngramJaccardPairsFrom(sh, 0.0)
       cand.join(exact, Seq("a", "b"), "left")
         .select(col("a"), col("b"), col("est_sim"),
           coalesce(col("inter"), lit(0L)).as("inter"),

@@ -214,6 +214,35 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // Gopher-style composite quality filter: every rule an exact integer
+    // comparison (cross-multiplied rationals — no float thresholds), so
+    // the keep/drop decision for every doc is hash-checked
+    "d_quality_flags" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = tokens(col("text"))
+      val base = d.select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_letter_chars"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(toks).as("n_stop"))
+      val rep = TextFunctions.repetitionStats(d, "doc_id", "text")
+      // thresholds sit inside the fixture's distribution (p5/p95 tails) so
+      // every rule actually fires on some docs — a bound the corpus never
+      // crosses would verify nothing about the comparison
+      base.join(rep, "doc_id")
+        .select(col("doc_id"),
+          (col("n_tokens") >= 15 && col("n_tokens") <= 100000).as("len_ok"),
+          (col("n_letter_chars") * 10 >= col("n_tokens") * 38 &&
+            col("n_letter_chars") * 10 <= col("n_tokens") * 48).as("word_len_ok"),
+          (col("n_punct") * 10 <= col("n_tokens") * 3).as("symbol_ok"),
+          (col("n_stop") >= 2).as("stopwords_ok"),
+          ((col("n_bigrams") - col("n_distinct")) * 20 <= col("n_bigrams"))
+            .as("repetition_ok"))
+        .withColumn("keep",
+          col("len_ok") && col("word_len_ok") && col("symbol_ok") &&
+            col("stopwords_ok") && col("repetition_ok"))
+        .orderBy("doc_id")}),
+
     // corpus-relative unigram surprisal (CCNet-style quality signal) in
     // exact integer micro-nats — order-free sums, so the iterative-free
     // two-pass LM score is hash-checked, not rows-only
@@ -383,6 +412,34 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_quality_flags" -> {
+      val ntok = tokenCountSql("text")
+      val toks = tokensSql("text")
+      val bg = TextFunctions.bigramsSql("text")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    $ntok AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_letter_chars,
+         |    CAST(${punctCountSql("text")} AS INT) AS n_punct,
+         |    CAST(${stopwordCountSql(toks)} AS INT) AS n_stop,
+         |    CAST(len($bg) AS INT) AS n_bigrams,
+         |    CAST(len(list_distinct($bg)) AS INT) AS n_distinct
+         |  FROM $docsT
+         |)
+         |SELECT doc_id,
+         |  (n_tokens >= 15 AND n_tokens <= 100000) AS len_ok,
+         |  (n_letter_chars * 10 >= n_tokens * 38 AND n_letter_chars * 10 <= n_tokens * 48) AS word_len_ok,
+         |  (n_punct * 10 <= n_tokens * 3) AS symbol_ok,
+         |  (n_stop >= 2) AS stopwords_ok,
+         |  ((n_bigrams - n_distinct) * 20 <= n_bigrams) AS repetition_ok,
+         |  ((n_tokens >= 15 AND n_tokens <= 100000)
+         |   AND (n_letter_chars * 10 >= n_tokens * 38 AND n_letter_chars * 10 <= n_tokens * 48)
+         |   AND (n_punct * 10 <= n_tokens * 3)
+         |   AND (n_stop >= 2)
+         |   AND ((n_bigrams - n_distinct) * 20 <= n_bigrams)) AS keep
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
 
     "d_line_dedup" -> Dedup.lineDedupSql(docsT, "doc_id",
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),

@@ -351,6 +351,46 @@ object PipelineQueries {
     "e_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
 
+    // multimodal header probe under oracle: payloads are REAL PNG/BMP/WAV
+    // headers assembled arithmetically from doc_id (hex-built, unhex'd to
+    // binary); probeMeta must PARSE the bytes back out, and the oracle
+    // computes the planted ground truth directly — a hash match proves the
+    // byte-offset parser inverts the construction exactly
+    "m_probe" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      def leHex(c: Column, nBytes: Int): Column =
+        concat((0 until nBytes).map(i =>
+          lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+      def beHex(c: Column, nBytes: Int): Column = lpad(hex(c), nBytes * 2, "0")
+      val w = pmod(col("doc_id"), lit(999)) + 1
+      val h = pmod(col("doc_id"), lit(499)) + 1
+      val sr = pmod(col("doc_id"), lit(40000)) + 8000
+      val dataSz = pmod(col("doc_id"), lit(100000)) * 2
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        beHex(w, 4), beHex(h, 4))
+      val bmp = concat(lit("424D"), lit("0" * 32), leHex(w, 4), leHex(h, 4))
+      val wav = concat(lit("52494646"), lit("00000000"), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        leHex(sr, 4), leHex(sr * 2, 4), lit("0200"), lit("1000"),
+        lit("64617461"), leHex(dataSz, 4))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val content = unhex(
+        when(m3 === 0, png).when(m3 === 1, bmp).otherwise(wav))
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(m3 === 2, "audio").otherwise("image").as("modality"),
+        content.as("content"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms"),
+          lit(0L).as("n_bytes")).as("meta"))
+      Multimodal.probeMeta(media)
+        .select(col("media_id"), col("detected"), col("probed_width"),
+          col("probed_height"), col("probed_sample_rate"),
+          col("probed_duration_ms"))
+        .orderBy("media_id")}),
+
     // multimodal: binary payload -> batched (mapPartitions) stub decode ->
     // per-index feature rows; oracle replays the md5-derived stub exactly
     "m_features" -> ((s, dir) => {
@@ -448,6 +488,19 @@ object PipelineQueries {
       "source <> 'src19'", "source = 'src19'"),
 
     "e_quantize" -> Similarity.quantizeInt8Sql("embeddings"),
+
+    // ground truth is the planted-header arithmetic, NOT a reimplementation
+    // of the parser — the hash match proves parse(build(x)) == x
+    "m_probe" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+         |       WHEN 1 THEN 'image/bmp' ELSE 'audio/wav' END AS detected,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 999 + 1 AS INT) END AS probed_width,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(doc_id % 499 + 1 AS INT) END AS probed_height,
+         |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40000 + 8000 AS INT) END AS probed_sample_rate,
+         |  CASE WHEN doc_id % 3 = 2 THEN CAST(((doc_id % 100000) * 2 * 1000)
+         |    // ((doc_id % 40000 + 8000) * 2) AS BIGINT) END AS probed_duration_ms
+         |FROM $docsT ORDER BY media_id""".stripMargin,
 
     "d_pack" ->
       s"""WITH pk AS (

@@ -62,10 +62,24 @@ object BenchWorkloads {
     g.outDegrees.count() + g.inDegrees.count()
   }
 
+  /** Streaming drain: the full watermarked tumbling aggregation consumed
+    * end-to-end through the micro-batch engine over the SF's events fixture
+    * (micro-batch scheduling + state store + memory sink — the streaming
+    * counterpart of s_events_window's batch plan). */
+  def streamTumblingDrain(spark: SparkSession): Long = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = graft.streaming.EventStreams.runToMemory(
+      graft.streaming.EventStreams.tumblingCounts(
+        graft.streaming.EventStreams.readEvents(spark, dir)),
+      s"w_stream_${System.nanoTime()}")
+    out.count()
+  }
+
   val workloads: Map[String, SparkSession => Long] = Map(
     "w_bulk_edge_upsert" -> bulkEdgeUpsert,
     "w_bulk_edge_removal" -> bulkEdgeRemoval,
     "w_bulk_node_removal" -> bulkNodeRemoval,
     "w_hub_neighbor_scan" -> hubNeighborScan,
-    "w_degrees_full" -> degreesFull)
+    "w_degrees_full" -> degreesFull,
+    "w_stream_tumbling" -> streamTumblingDrain)
 }

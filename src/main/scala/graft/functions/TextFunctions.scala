@@ -176,6 +176,70 @@ object TextFunctions {
        |  CAST(surprisal_micro // n_tokens AS BIGINT) AS mean_micro
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Bigram conditional surprisal — the next-word form of
+    * [[surprisalStats]]: per doc, `Σ tf(p,c) · (ln cnt(p·) − ln cnt(p,c))`
+    * ≈ −Σ ln P(cur|prev) under the corpus bigram LM (cnt(p·) = bigram
+    * instances with context p, so probabilities normalize per context).
+    * Same exact-replay construction: each ln rounded to integer micro-nats
+    * first, then an order-free i64 sum. Docs with < 2 tokens get (0, 0, 0)
+    * via the left join. Scale shape mirrors the unigram form: two
+    * map-side-combinable counts + one vocabulary-keyed join. */
+  def bigramSurprisalStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("i", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val bg = tok.withColumn("nxt", lead("t", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("nxt")).as("bg"))
+    val tf = graft.CacheScope.cached(
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")))
+    val cntBi = graft.CacheScope.cached(
+      tf.groupBy("bg").agg(sum("tf").as("cnt_bi")))
+    val cntCtx = cntBi
+      .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
+      .agg(sum("cnt_bi").as("cnt_ctx"))
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val scored = tf.join(cntBi, "bg")
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(cntCtx, "prev")
+      .withColumn("term",
+        col("tf") * (lmicro(col("cnt_ctx")) - lmicro(col("cnt_bi"))))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum("term").as("surprisal_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal_micro"), lit(0L)).as("surprisal_micro"),
+        coalesce(expr("surprisal_micro div n_bigrams"), lit(0L)).as("mean_micro"))
+  }
+
+  def bigramSurprisalStatsSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH bgr AS (
+       |  SELECT $idCol AS doc_id, unnest(${bigramsSql(textCol)}) AS bg FROM $table
+       |), tf AS (
+       |  SELECT doc_id, bg, count(*) AS tf FROM bgr GROUP BY 1, 2
+       |), cntbi AS (
+       |  SELECT bg, sum(tf) AS cnt_bi FROM tf GROUP BY 1
+       |), cntctx AS (
+       |  SELECT split_part(bg, ' ', 1) AS prev, sum(cnt_bi) AS cnt_ctx
+       |  FROM cntbi GROUP BY 1
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(tf * (CAST(round(ln(cnt_ctx) * 1000000.0) AS BIGINT)
+       |                 - CAST(round(ln(cnt_bi) * 1000000.0) AS BIGINT))) AS BIGINT)
+       |      AS surprisal_micro
+       |  FROM tf
+       |  JOIN cntbi USING (bg)
+       |  JOIN cntctx ON split_part(bg, ' ', 1) = cntctx.prev
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.$idCol AS doc_id,
+       |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(a.surprisal_micro, 0) AS BIGINT) AS surprisal_micro,
+       |  CAST(coalesce(a.surprisal_micro // a.n_bigrams, 0) AS BIGINT) AS mean_micro
+       |FROM $table d LEFT JOIN agg a ON d.$idCol = a.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- pii scrub
   /** Redaction patterns shared by both engines. Kept to the regex subset
     * where Java regex and DuckDB's RE2 agree exactly (character classes,

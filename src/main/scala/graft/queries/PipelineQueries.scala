@@ -214,6 +214,13 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // bigram conditional surprisal: the next-word LM quality signal
+    // (−Σ ln P(cur|prev) under the corpus bigram model), hash-checked via
+    // the same integer micro-nat construction as d_surprisal
+    "d_bigram_lm" -> ((s, dir) =>
+      TextFunctions.bigramSurprisalStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Gopher-style composite quality filter: every rule an exact integer
     // comparison (cross-multiplied rationals — no float thresholds), so
     // the keep/drop decision for every doc is hash-checked
@@ -511,6 +518,8 @@ object PipelineQueries {
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
+
+    "d_bigram_lm" -> TextFunctions.bigramSurprisalStatsSql(docsT, "doc_id", "text"),
 
     "d_heavy_hitters" -> Sketches.cmsHeavyHittersSql(docsT, tokensSql("text"), 50),
 

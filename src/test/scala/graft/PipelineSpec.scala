@@ -126,6 +126,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(99L) == expected, s"cnt=1 tokens: mean == ln(N) micro-nats")
   }
 
+  test("bigram surprisal: predictable continuations score zero, novel ones positive") {
+    // "a b" always continues the same way in docs 1-3 (P(b|a)=1 ⇒ 0 nats);
+    // doc 4's "a c" is the 1-of-4 continuation of context "a"
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "a c"),
+      (5L, "solo") // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.bigramSurprisalStats(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // ctx "a" occurs 4 times; "a b" 3 of them, "a c" once
+    val l = (x: Double) => math.round(math.log(x) * 1e6)
+    assert(out(1L) == ((1L, l(4) - l(3))))
+    assert(out(4L) == ((1L, l(4) - l(1))))
+    assert(out(4L)._2 > out(1L)._2, "rarer continuation must be more surprising")
+    assert(out(5L) == ((0L, 0L)), "bigram-free docs score zero")
+  }
+
   test("count-min estimates dominate true counts; collisions overestimate only") {
     // vocabulary (2000) > sketch width (512) forces bucket collisions, so
     // the one-sided error property is exercised, not vacuous

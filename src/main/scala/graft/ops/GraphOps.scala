@@ -189,6 +189,52 @@ object GraphOps {
     labels
   }
 
+  /** Bounded weighted single-source shortest paths — Bellman-Ford as
+    * `iters` relaxation joins (the aggregateMessages shape again; exact
+    * with integer weights, so the unrolled [[weightedSsspSql]] twin replays
+    * it bit-for-bit). `edges` must carry (src, dst, w); returns the nodes
+    * REACHED within `iters` hops with their best distance. The distance
+    * state feeds both the carry-over and the relaxation per iteration, so
+    * it is materialized every round (branched lineage + exact sizes for
+    * the join planner). */
+  def weightedSsspBounded(edges: DataFrame, nodes: DataFrame,
+                          source: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val e = CacheScope.cached(edges.select(col("src"), col("dst"), col("w")))
+    var dist = nodes.select(col("key"),
+      when(col("key") === source, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+    for (_ <- 1 to iters) {
+      val reached = dist.filter(col("d").isNotNull)
+      val relax = e.join(reached.withColumnRenamed("key", "src"), "src")
+        .select(col("dst").as("key"), (col("d") + col("w")).as("d"))
+      val cand = reached.select(col("key"), col("d")).unionByName(relax)
+        .groupBy(col("key")).agg(min(col("d")).as("d"))
+      dist = nodes.join(cand, Seq("key"), "left").localCheckpoint(true)
+    }
+    dist.filter(col("d").isNotNull)
+  }
+
+  /** DuckDB twin of [[weightedSsspBounded]]: CTE fragments (d0..dN) over a
+    * weighted edge CTE `edges`(src, dst, w) and node CTE `nodes`(key);
+    * reached set in `d<iters>` (filter d IS NOT NULL). */
+  def weightedSsspSql(edges: String, nodes: String, source: String,
+                      iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT n.key, c.d FROM $nodes n LEFT JOIN (
+         |    SELECT key, min(d) AS d FROM (
+         |      SELECT key, d FROM d${k - 1} WHERE d IS NOT NULL
+         |      UNION ALL
+         |      SELECT e.dst AS key, p.d + e.w AS d
+         |      FROM $edges e JOIN d${k - 1} p ON e.src = p.key
+         |      WHERE p.d IS NOT NULL
+         |    ) GROUP BY key) c ON n.key = c.key)""".stripMargin
+    }
+    (s"""d0 AS (SELECT key,
+        |  CASE WHEN key = '$source' THEN CAST(0 AS BIGINT) END AS d
+        |  FROM $nodes)""".stripMargin +: its).mkString(",\n")
+  }
+
   /** Cached undirected edge view (edges + reversed, self-loops dropped),
     * optionally pre-partitioned so downstream per-key aggregations reuse
     * the shuffle. */

@@ -95,6 +95,18 @@ object GxQueries {
         KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
         kOffset = 2, rounds = 3).orderBy("key")),
 
+    // bounded weighted SSSP from S1 over hash-weighted union edges
+    // (integer weights 1..100 derived from the shared md5 hash family, so
+    // the Bellman-Ford relaxations replay exactly in the unrolled oracle)
+    "gx_wsssp" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      val we = g.edges.select(col("src"), col("dst"))
+        .withColumn("w",
+          pmod(graft.functions.TextFunctions.hash60(
+            concat(col("src"), lit("|"), col("dst"))), lit(100L)) + 1L)
+      GraphOps.weightedSsspBounded(we, g.nodes.select(col("key")), "S1", 4)
+        .orderBy("key")}),
+
     // shortest path distances to the R0 region node (GraphX Pregel)
     "gx_sssp" -> ((s, dir) =>
       GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
@@ -152,6 +164,14 @@ object GxQueries {
         "(SELECT min(d) + 2 FROM (SELECT count(*) AS d FROM ud GROUP BY dst))"
       s"""$partCte, ${GraphOps.kCoreSql("pe", "pn", kExpr, 3)}
          |SELECT key FROM a3 ORDER BY key""".stripMargin
+    },
+
+    "gx_wsssp" -> {
+      val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"
+      s"""$cte, we AS (
+         |  SELECT src, dst, CAST($w AS BIGINT) AS w FROM ue
+         |), ${GraphOps.weightedSsspSql("we", "un", "S1", 4)}
+         |SELECT key, d FROM d4 WHERE d IS NOT NULL ORDER BY key""".stripMargin
     },
 
     "gx_sssp" ->

@@ -100,6 +100,20 @@ class GraphOpsSpec extends SparkSpec {
       Set("d", "e", "f").map(got).size == 1)
   }
 
+  test("weightedSsspBounded relaxes multi-hop shortcuts; bound limits reach") {
+    //  s -1-> a -1-> b ;  s -5-> b ;  b -1-> c   (cheapest s→b is 2 via a)
+    val edges = Seq(("s", "a", 1L), ("a", "b", 1L), ("s", "b", 5L), ("b", "c", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("s", "a", "b", "c", "iso").toDF("key")
+    val got = GraphOps.weightedSsspBounded(edges, nodes, "s", 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // one iteration reaches only direct successors, with the direct weight
+    val one = GraphOps.weightedSsspBounded(edges, nodes, "s", 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("s" -> 0L, "a" -> 1L, "b" -> 5L))
+  }
+
   test("kCore peels to the exact core once rounds converge") {
     // triangle {a,b,c} + pendant d-a + pendant chain e-d: 2-core = triangle
     val kg = KinGraph(

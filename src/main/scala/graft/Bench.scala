@@ -60,7 +60,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver captures only the log tail, which
+    // truncated ~34 per-query timings out of BENCH_r04.json
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH WARN could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

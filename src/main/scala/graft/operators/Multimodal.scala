@@ -53,14 +53,18 @@ object Multimodal {
   /** STUB decoder ???: a real implementation would decode `content` with an
     * image/audio codec and emit pixel/spectrogram features. The stand-in is
     * a deterministic md5-derived vector so the plumbing is testable and
-    * reproducible. Same bytes ⇒ same features, everywhere. */
+    * reproducible. Same bytes ⇒ same features, everywhere.
+    *
+    * The payload is hashed exactly ONCE; each feature dimension re-hashes
+    * only the 32-char hex digest (+ the dim index) — O(|content| + dims)
+    * per row, not O(|content| · dims). */
   def decodeStub(content: Array[Byte]): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val base = md.digest(content).map("%02x".format(_)).mkString
     (0 until FeatureDim).map { i =>
       md.reset()
-      md.update(content)
-      md.update(i.toString.getBytes("UTF-8"))
-      val h = java.nio.ByteBuffer.wrap(md.digest()).getInt & 0x7fffffff
+      val h = java.nio.ByteBuffer
+        .wrap(md.digest((base + i.toString).getBytes("UTF-8"))).getInt & 0x7fffffff
       (h % 100000).toDouble / 100000.0
     }.toArray
   }

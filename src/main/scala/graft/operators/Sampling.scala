@@ -63,10 +63,16 @@ object Sampling {
                           rates: Seq[(String, Double)], defaultRate: Double,
                           salt: String = "strat"): String = {
     val h = s"${hash60Sql(s"CAST($keyCol AS VARCHAR) || '$salt'")} % 1000000"
-    val cases = rates.map { case (stratum, rate) =>
-      s"WHEN $stratumCol = '$stratum' THEN ${(rate * 1000000L).toLong}"
-    }.mkString(" ")
-    val bound = s"(CASE $cases ELSE ${(defaultRate * 1000000L).toLong} END)"
+    // empty rates: a bare bound, not `CASE ELSE … END` (a WHEN-less CASE is
+    // a DuckDB syntax error — the Spark twin's foldRight handles it fine)
+    val bound =
+      if (rates.isEmpty) s"${(defaultRate * 1000000L).toLong}"
+      else {
+        val cases = rates.map { case (stratum, rate) =>
+          s"WHEN $stratumCol = '$stratum' THEN ${(rate * 1000000L).toLong}"
+        }.mkString(" ")
+        s"(CASE $cases ELSE ${(defaultRate * 1000000L).toLong} END)"
+      }
     s"SELECT * FROM $table WHERE $h < $bound"
   }
 

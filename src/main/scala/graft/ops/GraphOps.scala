@@ -155,8 +155,12 @@ object GraphOps {
     *  - isolated nodes never receive messages and keep their own key.
     *
     * Scale: per iteration one join keyed on the (cached, pre-shuffled)
-    * undirected edge set + one map-side-combinable count + one per-node
-    * window argmax — aggregateMessages-shaped, no all-pairs anywhere. The
+    * undirected edge set + one map-side-combinable count + one
+    * map-side-combinable `min(struct(-cnt, label))` argmax (NOT a window:
+    * a window argmax costs an extra sort-exchange per iteration; the
+    * struct-min aggregation partial-combines and its per-key groupBy is
+    * satisfied by the same dst partitioning the count reuses) —
+    * aggregateMessages-shaped, no all-pairs anywhere. The
     * label state is referenced once per iteration (the no-message fallback
     * is the INITIAL key, not the previous label — isolated nodes get no
     * messages in any iteration, so the two are equivalent), keeping
@@ -178,10 +182,12 @@ object GraphOps {
       val msgs = ud.join(if (small) broadcast(lsrc) else lsrc, "src")
         .groupBy(col("dst").as("key"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("key")).orderBy(col("cnt").desc, col("label").asc)
-      val pick = msgs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("key"), col("label"))
+      // deterministic argmax (max cnt, tie -> min label) as a struct-min
+      // aggregation: partial-combinable, no per-iteration sort-exchange
+      val pick = msgs
+        .groupBy(col("key"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("label"))).as("m"))
+        .select(col("key"), col("m.label").as("label"))
       labels = nodes.join(if (small) broadcast(pick) else pick, Seq("key"), "left")
         .select(col("key"), coalesce(col("label"), col("key")).as("label"))
       if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint(true)
@@ -193,25 +199,44 @@ object GraphOps {
     * `iters` relaxation joins (the aggregateMessages shape again; exact
     * with integer weights, so the unrolled [[weightedSsspSql]] twin replays
     * it bit-for-bit). `edges` must carry (src, dst, w); returns the nodes
-    * REACHED within `iters` hops with their best distance. The distance
-    * state feeds both the carry-over and the relaxation per iteration, so
-    * it is materialized every round (branched lineage + exact sizes for
-    * the join planner). */
+    * REACHED within `iters` hops with their best distance.
+    *
+    * Scale (the fixedPointPageRank pattern): the ONLY loop state is the
+    * reached set (key, best d) — node-bounded and usually far smaller;
+    * the full node frame is never materialized. The edge set is cached
+    * hash-partitioned ON dst so the per-iteration min-relaxation
+    * aggregation reuses that partitioning (HashPartitioning(dst) satisfies
+    * the groupBy(dst) distribution — zero per-iteration edge shuffle), and
+    * the reached set is explicitly broadcast into the relaxation join
+    * while the graph is under `broadcastNodeLimit` nodes (beyond it both
+    * fall back to declarative shuffle joins — the correct plan when the
+    * distance state itself no longer fits on one executor). The state is
+    * referenced twice per iteration (relax probe + carry-over), so it is
+    * checkpointed every `checkpointEvery` rounds to bound the branched
+    * recompute and hand AQE exact sizes. */
   def weightedSsspBounded(edges: DataFrame, nodes: DataFrame,
-                          source: String, iters: Int): DataFrame = {
+                          source: String, iters: Int,
+                          checkpointEvery: Int = 2,
+                          broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val e = CacheScope.cached(edges.select(col("src"), col("dst"), col("w")))
-    var dist = nodes.select(col("key"),
-      when(col("key") === source, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
-    for (_ <- 1 to iters) {
-      val reached = dist.filter(col("d").isNotNull)
-      val relax = e.join(reached.withColumnRenamed("key", "src"), "src")
-        .select(col("dst").as("key"), (col("d") + col("w")).as("d"))
-      val cand = reached.select(col("key"), col("d")).unionByName(relax)
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
+    val small = nodes.count() <= broadcastNodeLimit
+    // reached set only: starts as the single source row
+    var dist = nodes.filter(col("key") === source)
+      .select(col("key"), lit(0L).as("d"))
+    for (i <- 1 to iters) {
+      val dsrc = dist.withColumnRenamed("key", "src")
+      // per-dst min over relaxed candidates — narrow over e's partitioning
+      val relax = e.join(if (small) broadcast(dsrc) else dsrc, "src")
+        .groupBy(col("dst").as("key")).agg(min(col("d") + col("w")).as("d"))
+      // combine with carry-over: one node-bounded (reached-set-sized) shuffle
+      dist = dist.unionByName(relax)
         .groupBy(col("key")).agg(min(col("d")).as("d"))
-      dist = nodes.join(cand, Seq("key"), "left").localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) dist = dist.localCheckpoint(true)
     }
-    dist.filter(col("d").isNotNull)
+    dist
   }
 
   /** DuckDB twin of [[weightedSsspBounded]]: CTE fragments (d0..dN) over a
@@ -254,14 +279,13 @@ object GraphOps {
       s"""l$k AS (
          |  SELECT n.key, coalesce(p.label, n.key) AS label
          |  FROM $nodes n LEFT JOIN (
-         |    SELECT key, label FROM (
-         |      SELECT key, label,
-         |        row_number() OVER (PARTITION BY key ORDER BY cnt DESC, label) AS rn
-         |      FROM (
-         |        SELECT e.dst AS key, l.label, count(*) AS cnt
-         |        FROM ud e JOIN l${k - 1} l ON e.src = l.key
-         |        GROUP BY e.dst, l.label))
-         |    WHERE rn = 1) p ON n.key = p.key)""".stripMargin
+         |    SELECT key,
+         |      min(struct_pack(nc := -cnt, label := label)).label AS label
+         |    FROM (
+         |      SELECT e.dst AS key, l.label, count(*) AS cnt
+         |      FROM ud e JOIN l${k - 1} l ON e.src = l.key
+         |      GROUP BY e.dst, l.label)
+         |    GROUP BY key) p ON n.key = p.key)""".stripMargin
     }
     (s"""ud AS (
         |  SELECT DISTINCT src, dst FROM (

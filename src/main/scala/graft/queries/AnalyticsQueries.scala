@@ -133,6 +133,17 @@ object AnalyticsQueries {
           round(abs(col("l_quantity") - 25.0), 2).as("qty_dev"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // the ACTUAL streaming pipeline in the correctness gate: tumblingCounts
+    // read from the parquet micro-batch source, drained through the memory
+    // sink, checked against the SAME DuckDB oracle as its batch twin
+    // s_events_window — a streaming regression now shows up as a hash
+    // mismatch, not just a spec failure
+    "s_stream_tumbling" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.tumblingCounts(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_tumbling_sink")
+        .orderBy("window_start", "event_type")}),
+
     // event-time tumbling window (batch form of the streaming pipeline —
     // identical semantics to EventStreams.tumblingCounts)
     "s_events_window" -> ((s, dir) =>
@@ -488,6 +499,13 @@ object AnalyticsQueries {
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
 
     "s_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // identical oracle for the drained streaming form — window(ts, '1 hour')
+    // .start over micros-truncated nanos == date_trunc('hour', ts)
+    "s_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,

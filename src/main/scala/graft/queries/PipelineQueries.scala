@@ -152,9 +152,10 @@ object PipelineQueries {
         .orderBy("doc_id", "fp")),
 
     // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;
-    // ranking orders by the UNROUNDED score (identical doubles in both
-    // engines — same tf·ln(n/df) product of exact inputs) with token
-    // tiebreak, so rank and the 4-dp rounded score replay exactly
+    // ranking orders by the exact integer triple (tf desc, df asc, token)
+    // — NOT the double score, whose JDK-vs-libm ln() can differ by 1 ulp
+    // and flip near-equal ranks at scale. The rounded score is OUTPUT only
+    // (4 dp on a product of exact-integer logs — no ordering rides on it)
     "d_tfidf" -> ((s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -165,7 +166,7 @@ object PipelineQueries {
         .withColumn("tfidf",
           col("tf") * log(col("n_docs").cast("double") / col("df")))
       val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("token"))
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           round(col("tfidf"), 4).as("tfidf"), col("rk"))
@@ -344,6 +345,31 @@ object PipelineQueries {
       val queriesDf = corpus.filter(col("id") < 5)
       Similarity.lshTopK(corpus, queriesDf, 10)
         .orderBy("query_id", "rank")}),
+
+    // LSH ANN recall vs the exact baseline as a DRIVER-CHECKED number:
+    // both the brute-force top-k and the FULL LSH retrieval (md5-derived
+    // hyperplanes, sign-bit signatures, 1-bit multi-probe, rounded-cosine
+    // rerank) replay exactly in DuckDB — plane components are the shared
+    // int31-of-md5 family divided by exact constants, and the dot-product
+    // fold is left-to-right in both engines — so approximate-search
+    // quality is a hash-matched integer per query, not a ScalaTest-only
+    // assertion. (IVF recall stays spec-only: its coarse quantizer is
+    // MLlib KMeans, not SQL-replayable.)
+    "e_ann_recall" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.lshTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nl = approx.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+      val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nl, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_lsh"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
 
     // IVF-bucketed ANN (KMeans coarse quantizer; rows-only — recall
     // checked in ScalaTest against the brute-force baseline)
@@ -624,7 +650,7 @@ object PipelineQueries {
          |), ranked AS (
          |  SELECT doc_id, token, tf, df, tfidf,
          |    CAST(row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY tfidf DESC, token) AS INT) AS rk
+         |      ORDER BY tf DESC, df, token) AS INT) AS rk
          |  FROM scored)
          |SELECT doc_id, token, tf, df, round(tfidf, 4) AS tfidf, rk
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
@@ -661,14 +687,69 @@ object PipelineQueries {
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // full LSH replay: md5-derived hyperplanes, sign-bit signatures,
+    // 1-bit multi-probe, rounded-cosine rerank — then recall vs the
+    // brute-force exact top-k, all integer outputs
+    "e_ann_recall" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT len(vec) AS dim FROM c LIMIT 1
+         |), planes AS (
+         |  SELECT t, b, list(comp ORDER BY j) AS plane FROM (
+         |    SELECT t.range AS t, b.range AS b, jj.j AS j,
+         |      ((CAST('0x' || substring(md5('plane_' || t.range || '_' || b.range || '_' || jj.j), 1, 8) AS BIGINT) & 2147483647) / 2147483647.0) - 0.5 AS comp
+         |    FROM range(${Similarity.LshTables}) t, range(${Similarity.LshBitsPerTable}) b,
+         |      (SELECT unnest(generate_series(0, dim - 1)) AS j FROM dims) jj)
+         |  GROUP BY t, b
+         |), sig AS (
+         |  SELECT c.id, p.t AS tbl,
+         |    CAST(sum(CASE WHEN list_dot_product(c.vec, p.plane) >= 0 THEN (1 << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM c, planes p GROUP BY c.id, p.t
+         |), probes AS (
+         |  SELECT id AS query_id, tbl, bucket FROM sig WHERE id < 5
+         |  UNION ALL
+         |  SELECT id, tbl, xor(bucket, CAST(1 << CAST(f.range AS INT) AS BIGINT))
+         |  FROM sig, range(${Similarity.LshBitsPerTable}) f WHERE id < 5
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, s.id AS vec_id
+         |  FROM sig s JOIN probes p ON s.tbl = p.tbl AND s.bucket = p.bucket
+         |  WHERE s.id <> p.query_id
+         |), lsh AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT cand.query_id, cand.vec_id,
+         |      row_number() OVER (PARTITION BY cand.query_id
+         |        ORDER BY round(list_cosine_similarity(qv.vec, cv.vec), 4) DESC, cand.vec_id) AS rnk
+         |    FROM cand JOIN c qv ON qv.id = cand.query_id JOIN c cv ON cv.id = cand.vec_id)
+         |  WHERE rnk <= 10
+         |), exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.id AS query_id, c.id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+         |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+         |  WHERE rnk <= 10
+         |), ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+         |nl AS (SELECT query_id, count(*) AS n_lsh FROM lsh GROUP BY 1),
+         |nh AS (
+         |  SELECT l.query_id, count(*) AS n_hits
+         |  FROM lsh l JOIN exact e ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+         |  GROUP BY 1)
+         |SELECT ne.query_id, ne.n_exact, nl.n_lsh,
+         |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM ne JOIN nl USING (query_id) LEFT JOIN nh USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
     "m_features" -> {
-      // replay decodeStub: feature_i = (int31 of md5(content || byte(i))) % 100000 / 100000
+      // replay decodeStub: base = hex md5(content) computed ONCE;
+      // feature_i = (int31 of md5(base_hex || i)) % 100000 / 100000
       val cols = (0 until Multimodal.FeatureDim).map { i =>
-        s"((CAST('0x' || substring(md5(decode(content) || '$i'), 1, 8) AS BIGINT) & 2147483647) % 100000) / 100000.0"
+        s"((CAST('0x' || substring(md5(basehex || '$i'), 1, 8) AS BIGINT) & 2147483647) % 100000) / 100000.0"
       }
       val arr = cols.mkString("[", ", ", "]")
       s"""WITH media AS (
-         |  SELECT doc_id AS media_id, encode(text) AS content FROM documents
+         |  SELECT doc_id AS media_id, md5(text) AS basehex FROM documents
          |), f AS (
          |  SELECT media_id, $arr AS features FROM media
          |)

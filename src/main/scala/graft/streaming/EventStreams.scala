@@ -115,12 +115,17 @@ object EventStreams {
 
   /** Streaming decontamination filter — the ingest-time face of
     * `Dedup.contaminationReport`: drop any streamed doc sharing a shingle
-    * with the benchmark set. The benchmark's hashed shingles are collected
-    * once and shipped as a broadcast-style literal set (the standard
-    * decontamination deployment: the benchmark side is small and static —
-    * millions of n-grams at most — while the doc stream is unbounded), so
-    * the filter is a stateless per-row projection: no join state, no
-    * watermark, works in append mode.
+    * with the benchmark set. The benchmark's hashed shingles are shipped as
+    * a REAL `SparkContext.broadcast` variable probed inside the filter
+    * function (the standard decontamination deployment: the benchmark side
+    * is small and static — millions of n-grams at most — while the doc
+    * stream is unbounded). The logical plan carries only the broadcast
+    * handle, so a multi-million-entry benchmark never bloats plan
+    * serialization or per-micro-batch planning (a `lit(array)` literal of
+    * that size would); executors fetch the sorted hash array once via
+    * torrent broadcast and binary-search it per shingle. The filter stays
+    * a stateless per-row operation: no join state, no watermark, works in
+    * append mode.
     *
     * The shingle lambda runs interpreted per element (streams cannot take
     * the window-based `shingleRows` path — a per-doc window is stateful);
@@ -134,10 +139,14 @@ object EventStreams {
       .shingleRows(benchmark, idCol, textCol)
       .select(graft.functions.TextFunctions.hash32(col("shingle")))
       .distinct().as[Long].collect().sorted
-    docsStream.filter(!arrays_overlap(
+    val bc = sp.sparkContext.broadcast(benchHashes)
+    val clean = udf { hs: Seq[Long] =>
+      hs != null && !hs.exists(h =>
+        java.util.Arrays.binarySearch(bc.value, h) >= 0)
+    }
+    docsStream.filter(clean(
       transform(graft.operators.Dedup.shingles(col(textCol)),
-        s => graft.functions.TextFunctions.hash32(s)),
-      lit(benchHashes)))
+        s => graft.functions.TextFunctions.hash32(s))))
   }
 
   // ---------------------------------------------------- custom state

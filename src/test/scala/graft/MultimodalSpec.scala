@@ -31,7 +31,8 @@ class MultimodalSpec extends SparkSpec {
     val expected = Multimodal.decodeStub(bytes)
     val viaSql = (0 until Multimodal.FeatureDim).map { i =>
       val r = spark.sql(
-        s"""SELECT ((CAST(conv(substring(md5(concat(encode('hello world', 'UTF-8'),
+        s"""SELECT ((CAST(conv(substring(md5(concat(
+           | md5(encode('hello world', 'UTF-8')),
            | encode('$i', 'UTF-8'))), 1, 8), 16, 10) AS BIGINT) & 2147483647) % 100000)
            | / CAST(100000.0 AS DOUBLE)""".stripMargin).head.getDouble(0)
       r

@@ -340,6 +340,21 @@ class PipelineSpec extends SparkSpec {
     assert(enOnly == kept.filter($"lang" === "en").select("id").as[Long].collect().toSet)
   }
 
+  test("stratified sampling with empty rates degrades to the default rate in both twins") {
+    import graft.operators.Sampling
+    val df = (0 until 1000).map(i => (i.toLong, "en")).toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, $"lang", $"id",
+      Seq.empty, defaultRate = 0.2).select("id").as[Long].collect().toSet
+    // same default path as a rate list naming a stratum absent from the data
+    val viaAbsent = Sampling.stratifiedSample(df, $"lang", $"id",
+      Seq("zz" -> 0.9), defaultRate = 0.2).select("id").as[Long].collect().toSet
+    assert(kept == viaAbsent)
+    val sql = Sampling.stratifiedSampleSql("t", "lang", "id",
+      Seq.empty, defaultRate = 0.2)
+    assert(!sql.contains("CASE"), "WHEN-less CASE is a DuckDB syntax error")
+    assert(sql.contains("< 200000"), "bare default bound expected")
+  }
+
   test("PII scrub redacts emails and phones; clean text untouched") {
     val df = Seq(
       (1L, "write me at jane.doe+x@corp.example.com or call +1-555-123 4567 now"),

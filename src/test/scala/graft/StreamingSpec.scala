@@ -95,9 +95,12 @@ class StreamingSpec extends SparkSpec {
     val docsBatch = Tables.documents(spark, sf)
     val benchmark = docsBatch.filter($"source" === "src19")
     val corpus = docsBatch.filter($"source" =!= "src19")
-    val clean = EventStreams.runToMemory(
+    val decon =
       EventStreams.decontaminatedDocs(docsStream, benchmark, "doc_id", "text")
-        .filter($"source" =!= "src19"),
+    assert(decon.queryExecution.analyzed.toString.length < 20000,
+      "benchmark hashes must ride a broadcast variable, not a plan literal")
+    val clean = EventStreams.runToMemory(
+      decon.filter($"source" =!= "src19"),
       "t_decontam",
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
       .select($"doc_id").as[Long].collect().toSet

@@ -262,13 +262,18 @@ object GraphOps {
 
   /** Cached undirected edge view (edges + reversed, self-loops dropped),
     * optionally pre-partitioned so downstream per-key aggregations reuse
-    * the shuffle. */
+    * the shuffle. When pre-partitioning, the repartition runs BEFORE the
+    * distinct: HashPartitioning(dst) satisfies the (src, dst) dedup's
+    * clustered distribution (duplicate pairs share a dst), so the dedup
+    * reuses that one shuffle instead of adding its own — the build costs
+    * one edge shuffle, not two. */
   private def undirectedEdges(g: KinGraph,
                               partitionOn: Option[Column]): DataFrame = {
     val e0 = g.edges.select(col("src"), col("dst"))
     val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
-    CacheScope.cached(partitionOn.fold(ud)(ud.repartition(_)))
+      .filter(col("src") =!= col("dst"))
+    CacheScope.cached(
+      partitionOn.fold(ud.distinct())(p => ud.repartition(p).distinct()))
   }
 
   /** DuckDB twin of [[labelPropagationSync]]: CTE fragments (ud, l0..lN)

@@ -144,6 +144,28 @@ object AnalyticsQueries {
       graft.streaming.EventStreams.runToMemory(st, "s_stream_tumbling_sink")
         .orderBy("window_start", "event_type")}),
 
+    // streaming SESSION windows in the gate: session_window(ts, 30 min)
+    // drained to memory; the oracle replays the 30-min-gap rule with the
+    // lag/running-sum sessionization and session_start = min(ts). The two
+    // rules differ only when a gap is EXACTLY 30 minutes (Spark's merge is
+    // strict-<, the lag rule is inclusive-<=) — measure-zero on the
+    // nanosecond-random fixture timestamps
+    "s_stream_sessions" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.sessionCounts(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_sessions_sink")
+        .orderBy("user_id", "session_start")}),
+
+    // streaming stream-stream interval join in the gate: purchases
+    // attributed to same-user clicks in the preceding hour, drained in
+    // append mode; oracle = the equivalent relational interval join
+    "s_stream_join" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.purchaseAfterClick(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_join_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("user_id", "purchase_ts", "click_ts")}),
+
     // event-time tumbling window (batch form of the streaming pipeline —
     // identical semantics to EventStreams.tumblingCounts)
     "s_events_window" -> ((s, dir) =>
@@ -509,6 +531,35 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // session_window replay: 30-min-gap sessionization, session_start =
+    // first event ts (ns->us truncation matches Spark's micros read)
+    "s_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+        |round(sum(value), 2) AS session_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // relational replay of the stream-stream interval join
+    "s_stream_join" ->
+      """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value AS purchase_value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+        |ORDER BY user_id, purchase_ts, click_ts""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

@@ -56,21 +56,41 @@ object Bench {
         name -> timing
       }
     val results = queryResults ++ workloadResults
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Option[Double])], digits: Int): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + v.fold("null")(d => s"%.${digits}f".format(d))
+      }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val total = results.flatMap(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: the driver captures only the log tail, which
-    // truncated ~34 per-query timings out of BENCH_r04.json
+    // FULL per-query map (all queries, microsecond precision) -> file only.
+    // The driver captures a 2000-char log tail; the full line is ~3.5 KB and
+    // has overflowed it every round (BENCH_r01..r05 all have parsed:null).
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(results, 6)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"BENCH WARN could not write $outPath: ${e.getMessage}")
     }
+    // HEADLINE line -> stdout, LAST, sized to survive the tail window
+    // (~30 representative queries at 3 dp ≈ 900 chars incl. the sbt
+    // success-line overhead). Full fidelity lives in the file above and in
+    // the committed BENCH_LOCAL_*.json artifacts.
+    val headline = Set(
+      "q1_agg", "q3_top", "q5_region", "q_window_funcs", "q_percentiles",
+      "g_counts", "g_two_hop", "g_graph_stats",
+      "gx_pagerank_fp", "gx_cc", "gx_triangles", "gx_kcore", "gx_labelprop",
+      "gx_wsssp", "gx_sssp",
+      "d_dedup_exact", "d_minhash_lsh", "d_dedup_pipeline", "d_tfidf",
+      "d_decontaminate",
+      "e_ann_topk", "e_ann_lsh", "e_near_dup", "m_probe", "m_features",
+      "s_asof_join", "s_range_join", "s_stream_tumbling", "s_stream_join",
+      "w_bulk_edge_upsert", "w_bulk_edge_removal", "w_stream_tumbling")
+    val headlineResults = results.filter { case (k, _) => headline.contains(k) }
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${qsJson(headlineResults, 3)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
+    println(line)
     spark.stop()
   }
 }

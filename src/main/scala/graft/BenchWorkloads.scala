@@ -30,9 +30,13 @@ object BenchWorkloads {
   def bulkEdgeUpsert(spark: SparkSession): Long =
     GraphIO.empty(spark).addEdges(randomEdges(spark, M)).nEdges
 
-  /** workload A teardown: delete half the edges in one anti-join. */
+  /** workload A teardown: delete half the edges in one anti-join. The
+    * ingested graph is checkpointed ONCE before the delete — `victims`
+    * derives from `g.edges` and feeds an anti-join against the same
+    * `g.edges`, so without materialization the 5M-row upsert window runs
+    * twice (once per join side). Ingest once + one anti-join is the plan. */
   def bulkEdgeRemoval(spark: SparkSession): Long = {
-    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M))
+    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M)).checkpointed()
     val victims = g.edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
     g.removeEdges(victims).nEdges
   }
@@ -41,7 +45,10 @@ object BenchWorkloads {
     * then remove every node but two — one cascade anti-join, not 1,998
     * per-node BST surgeries. */
   def bulkNodeRemoval(spark: SparkSession): Long = {
-    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, 2000000L, 2000L))
+    // checkpoint before the cascade: removeNodes references nodes twice and
+    // edges twice (victim filter + anti-joins) — materialize the upsert once
+    val g = GraphIO.empty(spark)
+      .addEdges(randomEdges(spark, 2000000L, 2000L)).checkpointed()
     val victims = g.nodes.filter(!col("key").isin("n0", "n1"))
     g.removeNodes(victims).nNodes
   }

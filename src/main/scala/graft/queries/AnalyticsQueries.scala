@@ -141,20 +141,47 @@ object AnalyticsQueries {
     "s_stream_tumbling" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.tumblingCounts(
         graft.streaming.EventStreams.readEvents(s, dir))
-      graft.streaming.EventStreams.runToMemory(st, "s_stream_tumbling_sink")
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_tumbling_sink",
+        shufflePartitions = Some(8))
         .orderBy("window_start", "event_type")}),
 
     // streaming SESSION windows in the gate: session_window(ts, 30 min)
     // drained to memory; the oracle replays the 30-min-gap rule with the
-    // lag/running-sum sessionization and session_start = min(ts). The two
-    // rules differ only when a gap is EXACTLY 30 minutes (Spark's merge is
-    // strict-<, the lag rule is inclusive-<=) — measure-zero on the
-    // nanosecond-random fixture timestamps
+    // lag/running-sum sessionization and session_start = min(ts), using a
+    // >=-gap new-session rule that matches Spark's strict-< merge
+    // bit-for-bit on any input (a gap of exactly 30 min splits in both)
     "s_stream_sessions" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.sessionCounts(
         graft.streaming.EventStreams.readEvents(s, dir))
-      graft.streaming.EventStreams.runToMemory(st, "s_stream_sessions_sink")
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_sessions_sink",
+        shufflePartitions = Some(8))
         .orderBy("user_id", "session_start")}),
+
+    // streaming SLIDING windows in the gate: window(ts, 1h, 15min) — each
+    // event lands in 4 overlapping epoch-aligned windows; the oracle
+    // replays the window assignment by exploding each event into its 4
+    // window starts (floor-to-15min minus k slides, k = 0..3)
+    "s_stream_sliding" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.slidingCounts(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_sliding_sink",
+        shufflePartitions = Some(8))
+        .orderBy("window_start", "event_type")}),
+
+    // streaming exact dedup in the gate: dropDuplicatesWithinWatermark on
+    // (user_id, event_type) — the ingest-time dedup operator. Only the
+    // dedup-key columns are emitted (which duplicate's payload survives
+    // depends on arrival order — not a semantic of the operator), so the
+    // oracle is the order-free SELECT DISTINCT
+    "s_stream_dedup" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.dedupedEvents(
+        graft.streaming.EventStreams.readEvents(s, dir),
+        Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_dedup_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("user_id", "event_type")}),
 
     // streaming stream-stream interval join in the gate: purchases
     // attributed to same-user clicks in the preceding hour, drained in
@@ -163,7 +190,8 @@ object AnalyticsQueries {
       val st = graft.streaming.EventStreams.purchaseAfterClick(
         graft.streaming.EventStreams.readEvents(s, dir))
       graft.streaming.EventStreams.runToMemory(st, "s_stream_join_sink",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
         .orderBy("user_id", "purchase_ts", "click_ts")}),
 
     // event-time tumbling window (batch form of the streaming pipeline —
@@ -532,13 +560,31 @@ object AnalyticsQueries {
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    // sliding-window replay: Spark's window(ts, 1h, 15min) assigns each
+    // event to the 4 epoch-aligned 15-min starts covering it; explode
+    // k = 0..3 and bucket ts down to (floor15(ts) - k) slides. Integer
+    // micros arithmetic — no float, exact in both engines
+    "s_stream_sliding" ->
+      """SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k.k) * 900000000) AS window_start,
+        |event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // streaming dedup replay: only the dedup-key columns are emitted, so
+    // first-arrival-wins reduces to DISTINCT
+    "s_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // session_window replay: 30-min-gap sessionization, session_start =
-    // first event ts (ns->us truncation matches Spark's micros read)
+    // first event ts (ns->us truncation matches Spark's micros read).
+    // >= replays Spark's strict-< merge exactly: a gap of EXACTLY 30 min
+    // starts a new session in both engines on any input
     "s_stream_sessions" ->
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
         |       THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |s AS (
@@ -559,7 +605,7 @@ object AnalyticsQueries {
         |  ON p.user_id = c.user_id
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
-        |ORDER BY user_id, purchase_ts, click_ts""".stripMargin,
+        |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

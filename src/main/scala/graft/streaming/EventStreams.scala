@@ -192,13 +192,29 @@ object EventStreams {
 
   /** Run any of the above to completion against a bounded source and
     * return the final result from a memory sink (used by tests and the
-    * batch-parity check). */
+    * batch-parity check).
+    *
+    * `shufflePartitions`: stateful operators open one state store PER
+    * shuffle partition PER operator instance (a stream-stream join keeps
+    * FOUR per partition per side), and every micro-batch commits every
+    * store — so for a bounded drain the session default (sized for big
+    * batch shuffles) is pure per-batch commit overhead. Passing a small
+    * value pins the query's state partitioning at start (the count is
+    * frozen into the checkpoint anyway, so this is a per-query property,
+    * not a session one); the session conf is restored after the drain.
+    * Results are partition-count-invariant — this trades nothing. */
   def runToMemory(stream: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
-    stream.sparkSession.table(name)
+                  mode: OutputMode = OutputMode.Complete(),
+                  shufflePartitions: Option[Int] = None): DataFrame = {
+    val sp = stream.sparkSession
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    sp.table(name)
   }
 }

@@ -114,6 +114,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(one == Map("s" -> 0L, "a" -> 1L, "b" -> 5L))
   }
 
+  test("weightedSsspBounded is closed over nodes: foreign dst neither appears nor relays") {
+    // s -> x (x NOT in nodes) -> c : x must not appear AND must not relay to c,
+    // matching the SQL twin's per-round LEFT JOIN nodes behavior
+    val edges = Seq(("s", "x", 1L), ("x", "c", 1L), ("s", "a", 7L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("s", "a", "c").toDF("key")
+    val got = GraphOps.weightedSsspBounded(edges, nodes, "s", 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("s" -> 0L, "a" -> 7L))
+  }
+
   test("kCore peels to the exact core once rounds converge") {
     // triangle {a,b,c} + pendant d-a + pendant chain e-d: 2-core = triangle
     val kg = KinGraph(

@@ -213,7 +213,14 @@ object GraphOps {
     * distance state itself no longer fits on one executor). The state is
     * referenced twice per iteration (relax probe + carry-over), so it is
     * checkpointed every `checkpointEvery` rounds to bound the branched
-    * recompute and hand AQE exact sizes. */
+    * recompute and hand AQE exact sizes.
+    *
+    * The reached set is closed over `nodes` EVERY round (a key-only
+    * broadcast semi-join, never the full node frame): an edge dst absent
+    * from `nodes` neither appears in the result nor relays distance —
+    * exactly the per-round `LEFT JOIN nodes` of [[weightedSsspSql]], so
+    * the twin replays callers whose edge endpoints are NOT closed over
+    * `nodes` bit-for-bit too. */
   def weightedSsspBounded(edges: DataFrame, nodes: DataFrame,
                           source: String, iters: Int,
                           checkpointEvery: Int = 2,
@@ -222,15 +229,19 @@ object GraphOps {
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
     val e = CacheScope.cached(
       edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
-    val small = nodes.count() <= broadcastNodeLimit
+    val nk = CacheScope.cached(nodes.select(col("key")))
+    val small = nk.count() <= broadcastNodeLimit
     // reached set only: starts as the single source row
-    var dist = nodes.filter(col("key") === source)
+    var dist = nk.filter(col("key") === source)
       .select(col("key"), lit(0L).as("d"))
     for (i <- 1 to iters) {
       val dsrc = dist.withColumnRenamed("key", "src")
-      // per-dst min over relaxed candidates — narrow over e's partitioning
+      // per-dst min over relaxed candidates — narrow over e's partitioning;
+      // closed over nodes (key-only semi-join) so foreign dsts never enter
+      // the reached set, matching the twin's per-round LEFT JOIN nodes
       val relax = e.join(if (small) broadcast(dsrc) else dsrc, "src")
         .groupBy(col("dst").as("key")).agg(min(col("d") + col("w")).as("d"))
+        .join(if (small) broadcast(nk) else nk, Seq("key"), "left_semi")
       // combine with carry-over: one node-bounded (reached-set-sized) shuffle
       dist = dist.unionByName(relax)
         .groupBy(col("key")).agg(min(col("d")).as("d"))

@@ -72,14 +72,11 @@ object TextFunctions {
   def punctCountSql(c: String): String =
     s"""length($c) - length(regexp_replace($c, '[.,!?;:''"()\\-]', '', 'g'))"""
 
-  /** Word 2-grams ([] when fewer than 2 tokens). */
-  def bigrams(c: Column): Column = {
-    val w = tokens(c)
-    when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
-  }
+  /** Word 2-grams ([] when fewer than 2 tokens) — fused native loop
+    * ([[WordBigrams]]); the token split is evaluated once per row, not once
+    * per bigram as the composed transform/slice form would. */
+  def bigrams(c: Column): Column =
+    NgramExpressions.bigramsNative(tokens(c))
   def bigramsSql(c: String): String = {
     val w = tokensSql(c)
     s"""list_transform(generate_series(1, greatest(len($w) - 1, 0)),
@@ -185,27 +182,31 @@ object TextFunctions {
     * via the left join. Scale shape mirrors the unigram form: two
     * map-side-combinable counts + one vocabulary-keyed join. */
   def bigramSurprisalStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("i", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    val bg = tok.withColumn("nxt", lead("t", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t"), col("nxt")).as("bg"))
-    val tf = graft.CacheScope.cached(
-      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")))
-    val cntBi = graft.CacheScope.cached(
-      tf.groupBy("bg").agg(sum("tf").as("cnt_bi")))
+    // bigrams form row-side in one codegen'd pass (no posexplode + per-doc
+    // window sort — adjacency is already explicit in the token array)
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(bigrams(col(textCol))).as("bg"))
+    // no explicit persist: tf and cntBi each appear twice as IDENTICAL
+    // subplans, so their shuffle output is shared via ReusedExchange —
+    // measured faster than MEMORY_AND_DISK persists at every scale tried
+    // (a persist adds serialization + a materialization barrier; reuse is
+    // free) and nothing extra to evict on a 1000-executor cluster
+    val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cntBi = tf.groupBy("bg").agg(sum("tf").as("cnt_bi"))
     val cntCtx = cntBi
       .groupBy(substring_index(col("bg"), " ", 1).as("prev"))
       .agg(sum("cnt_bi").as("cnt_ctx"))
     def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
-    val scored = tf.join(cntBi, "bg")
+    // score per bigram TYPE first (vocabulary-sized joins), then hit the
+    // occurrence-level tf frame exactly once — the old shape shuffled the
+    // token-level frame twice (on bg, then again on prev)
+    val perBg = cntBi
       .withColumn("prev", substring_index(col("bg"), " ", 1))
       .join(cntCtx, "prev")
-      .withColumn("term",
-        col("tf") * (lmicro(col("cnt_ctx")) - lmicro(col("cnt_bi"))))
+      .select(col("bg"), (lmicro(col("cnt_ctx")) - lmicro(col("cnt_bi"))).as("s"))
+    val scored = tf.join(perBg, "bg")
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_bigrams"), sum("term").as("surprisal_micro"))
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("s")).as("surprisal_micro"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

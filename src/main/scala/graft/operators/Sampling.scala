@@ -76,6 +76,40 @@ object Sampling {
     s"SELECT * FROM $table WHERE $h < $bound"
   }
 
+  /** Data-mixture balancing: deterministically downsample every group to
+    * (expected) the size of the SMALLEST group — the "equalize sources
+    * before weighting" step of a training-data mixture. The keep decision
+    * is the exact integer cross-multiplication
+    * `hash(key) % 1e6 * n_group < min_n * 1e6` (keep probability
+    * min_n/n_group, no float threshold), so membership is reproducible,
+    * append-unstable only where group counts change, and replayable
+    * bit-for-bit by [[balanceGroupsSql]].
+    *
+    * Scale: two scans of `df` (one column-pruned count pass, one filter
+    * pass) and a broadcast join against the GROUP-sized count table — the
+    * per-row decision never shuffles the data. */
+  def balanceGroups(df: DataFrame, keyCol: Column, groupCol: Column,
+                    salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n_g"))
+    val minN = counts.agg(min(col("n_g")).as("min_n"))
+    val h = pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(counts), groupCol === col("g"))
+      .crossJoin(broadcast(minN))
+      .filter(h * col("n_g") < col("min_n") * 1000000L)
+      .drop("g", "n_g", "min_n")
+  }
+
+  def balanceGroupsSql(table: String, keyCol: String, groupCol: String,
+                       salt: String = "mix"): String = {
+    val h = s"${hash60Sql(s"CAST(t.$keyCol AS VARCHAR) || '$salt'")} % 1000000"
+    s"""WITH cnt AS (
+       |  SELECT $groupCol AS g, count(*) AS n_g FROM $table GROUP BY 1
+       |), mn AS (SELECT min(n_g) AS min_n FROM cnt)
+       |SELECT t.* FROM $table t
+       |JOIN cnt ON t.$groupCol = cnt.g CROSS JOIN mn
+       |WHERE $h * n_g < min_n * 1000000""".stripMargin
+  }
+
   /** Approximate sequence packing for training — assign every doc to a
     * fixed-capacity context bin. The distributed form of first-fit: docs
     * are hash-split into `groups` independent shards; within a shard they

@@ -186,6 +186,16 @@ object AnalyticsQueries {
     // streaming stream-stream interval join in the gate: purchases
     // attributed to same-user clicks in the preceding hour, drained in
     // append mode; oracle = the equivalent relational interval join
+    // streaming graph ingest in the gate: user → event_type edges deduped
+    // within their window, then counted = per-window distinct-neighbor
+    // out-degree (the streaming twin of count(DISTINCT) GROUP BY window)
+    "s_stream_degree" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.windowedDegrees(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_degree_sink",
+        shufflePartitions = Some(8))
+        .orderBy("window_start", "user_id")}),
+
     "s_stream_join" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.purchaseAfterClick(
         graft.streaming.EventStreams.readEvents(s, dir))
@@ -598,6 +608,12 @@ object AnalyticsQueries {
         |ORDER BY user_id, session_start""".stripMargin,
 
     // relational replay of the stream-stream interval join
+    "s_stream_degree" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  user_id, count(DISTINCT event_type) AS degree
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, user_id""".stripMargin,
+
     "s_stream_join" ->
       """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts, p.value AS purchase_value

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches}
+import graft.operators.{Chunking, Dedup, Multimodal, Sampling, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -194,6 +194,23 @@ object PipelineQueries {
           Seq("en" -> 0.3, "de" -> 0.2), defaultRate = 0.05)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy("lang")),
+
+    // data-mixture balancing: every language deterministically downsampled
+    // to (expected) the smallest language's size — integer cross-multiplied
+    // keep rule, so each kept doc_id is hash-checked. Balancing on lang,
+    // not source: the fixture's sources are uniform at every SF (rate 1 =
+    // vacuous), while its lang mix is skewed by construction (en ~2.5x de)
+    "d_mixture" -> ((s, dir) =>
+      Sampling.balanceGroups(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // context-length chunking: overlapping 32-token windows, stride 24
+    // (every chunk's id, length and text are hash-checked)
+    "d_chunk" -> ((s, dir) =>
+      Chunking.tokenChunks(docs(s, dir), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_id")),
 
     // C4-style global line dedup: fixture docs are single-line, so the
     // query plants per-source boilerplate lines (the shared header/footer
@@ -671,6 +688,15 @@ object PipelineQueries {
          |${Sampling.stratifiedSampleSql(docsT, "lang", "doc_id",
               Seq("en" -> 0.3, "de" -> 0.2), 0.05)}
          |) GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "d_mixture" ->
+      s"""${Sampling.balanceGroupsSql(
+             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "d_chunk" ->
+      s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "e_ann_topk" ->
       """WITH c AS (

@@ -91,6 +91,25 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(fingerprintCols)
 
+  /** Streaming graph ingest: the event stream read as user → event_type
+    * edges, aggregated to per-tumbling-window out-degrees. Duplicate edges
+    * within a window collapse first (dropDuplicatesWithinWatermark keyed on
+    * user, type and window start — state is edge-typed and watermark-
+    * evicted), then the windowed count of surviving edges is the node's
+    * per-window distinct-neighbor degree. This dedup → windowed-count
+    * composition is the streaming twin of
+    * `count(DISTINCT event_type) GROUP BY window, user` — which streaming
+    * aggregation cannot express directly. */
+  def windowedDegrees(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("wstart", date_trunc("hour", col("ts")))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "wstart"))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("degree"))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("degree"))
+
   /** Stream-static enrichment join: each micro-batch of the stream joined
     * against a STATIC batch dimension (stateless — no watermark, no join
     * state; Spark re-plans the static side per micro-batch, broadcasting

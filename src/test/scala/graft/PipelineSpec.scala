@@ -406,4 +406,48 @@ class PipelineSpec extends SparkSpec {
       .select(TextFunctions.fingerprint($"text")).head().getString(0)
     assert(out(1L)._2 == fp2)
   }
+
+  test("token chunking: overlap, short tail, one chunk per short doc") {
+    import graft.operators.Chunking
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x"),                   // 1 token -> single short chunk
+      (3L, "p q r s")              // 4 tokens, = window
+    ).toDF("doc_id", "text")
+    val out = Chunking.tokenChunks(df, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 4, "a b c d"), (1L, 1, 4, "d e f g"), (1L, 2, 4, "g h i j"),
+      (2L, 0, 1, "x"),
+      (3L, 0, 4, "p q r s")))
+    // every token position is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap { case (_, k, n, _) =>
+      (k * 3) until (k * 3 + n) }.toSet
+    assert(covered == (0 until 10).toSet)
+  }
+
+  test("mixture balancing equalizes skewed group sizes deterministically") {
+    import graft.operators.Sampling
+    val df = docs.select($"doc_id", $"lang")
+    val out = Sampling.balanceGroups(df, $"doc_id", $"lang")
+    val inCounts = df.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val minN = inCounts.values.min
+    assert(inCounts.values.max > minN * 2,
+      "fixture lang mix must be skewed or this test is vacuous")
+    val kept = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // every group lands near the smallest group's size (hash-thresholded:
+    // expected min_n, binomial spread); the smallest group keeps everything
+    assert(kept.keySet == inCounts.keySet, "no group may be emptied")
+    assert(kept(inCounts.minBy(_._2)._1) == minN)
+    kept.foreach { case (g, k) =>
+      assert(math.abs(k - minN) <= math.max(6L, minN / 2),
+        s"$g kept $k vs min $minN") }
+    // deterministic and partition-independent
+    val again = Sampling.balanceGroups(df.repartition(7), $"doc_id", $"lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
 }

@@ -42,6 +42,18 @@ class StreamingSpec extends SparkSpec {
     assert(sliding.agg(sum($"n")).head.getLong(0) == 4 * batch.count())
   }
 
+  test("streaming windowed degrees equal batch count(DISTINCT) per window") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowedDegrees(stream), "t_degrees")
+      .select($"window_start", $"user_id", $"degree")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val batched = batch
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"user_id")
+      .agg(countDistinct($"event_type").as("degree"))
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batched)
+  }
+
   test("streaming dedup equals batch dropDuplicates on the fingerprint") {
     val deduped = EventStreams.runToMemory(
       EventStreams.dedupedEvents(stream, Seq("user_id", "event_type")),

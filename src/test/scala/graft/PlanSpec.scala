@@ -137,6 +137,42 @@ class PlanSpec extends SparkSpec {
       "releaseAll left the operator cache persisted")
   }
 
+  test("token chunking is map-only (no exchange) and codegen'd") {
+    val chunks = graft.operators.Chunking.tokenChunks(
+      Tables.documents(spark, sf), "doc_id", "text", 32, 24)
+    val plan = finalPlanString(chunks)
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — it is row-local:\n${plan.take(800)}")
+    assert(plan.contains("graft_bigrams") || plan.contains("Generate"),
+      plan.take(400))
+    // the native bigram expression stays inside a codegen span wherever used
+    val bg = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.bigrams($"text")).as("bg"))
+    val bgPlan = finalPlanString(bg)
+    assert(bgPlan.contains("graft_bigrams"), bgPlan.take(600))
+  }
+
+  test("mixture balancing broadcasts the group-count table (no data shuffle)") {
+    val out = graft.operators.Sampling.balanceGroups(
+      Tables.documents(spark, sf).select($"doc_id", $"lang"),
+      $"doc_id", $"lang")
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group counts must broadcast:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
+      || plan.contains("BroadcastExchange"),
+      s"the 1-row min join must be broadcast too:\n${plan.take(800)}")
+  }
+
+  test("bigram surprisal reuses the tf/cntBi shuffles instead of recomputing") {
+    val out = graft.functions.TextFunctions.bigramSurprisalStats(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val plan = finalPlanString(out)
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage")
+      || plan.contains("ReusedQueryStage"),
+      s"repeated tf/cntBi subplans must share their exchanges:\n${plan.take(1200)}")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -273,15 +273,19 @@ object Similarity {
     * (dims-row) stats table + one per-vector re-assembly — the explode is
     * the only wide stage and it is map-side-combinable into the stats agg.
     * Returns (id, n_dims, q_fp = md5 of the comma-joined codes). */
+  /** The shared int8 code expression: floor-affine map to [0, 255] from
+    * per-dimension corpus min/max (exact across engines — see
+    * [[quantizeInt8]]). */
+  private def qCode(v: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0))
+      .otherwise(least(
+        floor((v - mn) * lit(255.0) / (mx - mn)), lit(255L)).cast("int"))
+
   def quantizeInt8(corpus: DataFrame): DataFrame = {
     val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
     val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val q = el.join(broadcast(stats), "i")
-      .withColumn("q",
-        when(col("mx") === col("mn"), lit(0))
-          .otherwise(least(
-            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
-            lit(255L)).cast("int")))
+      .withColumn("q", qCode(col("v"), col("mn"), col("mx")))
     q.groupBy(col("id")).agg(
       count(lit(1)).as("n_dims"),
       md5(concat_ws(",", transform(
@@ -309,6 +313,52 @@ object Similarity {
        |SELECT id, CAST(count(*) AS BIGINT) AS n_dims,
        |  md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY i)) AS q_fp
        |FROM q GROUP BY id ORDER BY id""".stripMargin
+
+  /** Integer-exact per-group centroids of int8-quantized embeddings — the
+    * cluster-profile step of semantic dedup / mixture analysis. The float
+    * quantization is the [[quantizeInt8]] affine+floor map (cross-engine
+    * exact); after it everything is integer: per (group, dim) the code SUM
+    * and count, plus `mean_milli = 1000·sum div n` — no float mean, so no
+    * sum-order hazard and the whole centroid table is hash-checkable.
+    *
+    * `corpus`: (id, grp, vec). Relational shape: one posexplode, a
+    * broadcast join against the dims-row stats table, one (grp, dim)
+    * aggregation — the group count is bounded (labels/clusters), so the
+    * output is tiny however large the corpus. */
+  def int8GroupCentroids(corpus: DataFrame): DataFrame = {
+    val el = corpus.select(col("id"), col("grp"),
+      posexplode(col("vec")).as(Seq("i", "v")))
+    val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    el.join(broadcast(stats), "i")
+      .select(col("grp"), col("i"), qCode(col("v"), col("mn"), col("mx")).as("q"))
+      .groupBy(col("grp"), col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .select(col("grp"), col("i").as("dim"), col("n"), col("sum_q"),
+        expr("(1000 * sum_q) div n").as("mean_milli"))
+  }
+
+  /** DuckDB twin of [[int8GroupCentroids]] over the embeddings table with
+    * `grpExpr` as the group column. */
+  def int8GroupCentroidsSql(table: String, grpExpr: String): String =
+    s"""WITH el AS (
+       |  SELECT id, grp, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+       |    SELECT vec_id AS id, $grpExpr AS grp, unnest(list_transform(
+       |      generate_series(1, len(embedding)),
+       |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+       |    FROM $table)
+       |), stats AS (
+       |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+       |), q AS (
+       |  SELECT grp, i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+       |    END AS q
+       |  FROM el JOIN stats USING (i)
+       |)
+       |SELECT grp, CAST(i AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(q) AS BIGINT) AS sum_q,
+       |  CAST((1000 * CAST(sum(q) AS BIGINT)) // count(*) AS BIGINT) AS mean_milli
+       |FROM q GROUP BY grp, i""".stripMargin
 
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]

@@ -271,6 +271,157 @@ object GraphOps {
         |  FROM $nodes)""".stripMargin +: its).mkString(",\n")
   }
 
+  /** HITS hubs & authorities — bounded iterations, integer fixed-point, so
+    * the iterative algorithm is exactly SQL-replayable ([[hitsSql]] unrolls
+    * it). Per round (the standard sequential update):
+    * `a_k(v) = Σ_{(u,v)∈E} h_{k-1}(u)`, then `h_k(u) = Σ_{(u,v)∈E} a_k(v)`,
+    * each rescaled back under `scale` by the integer division
+    * `raw div max(max_raw div scale, 1)` — no float normalization, no
+    * overflow (raw ≤ max_degree · scale, far under 2^63 at the default
+    * scale 1e6 even for 10^9-degree hubs), and the rescale denominator is
+    * a deterministic integer both engines compute identically.
+    *
+    * Scale (the fixedPointPageRank shape twice per round): the edge set is
+    * cached once per direction — dst-partitioned for the authority sum,
+    * src-partitioned for the hub sum — so neither per-round aggregation
+    * re-shuffles edges; the node-sized state is broadcast into the edge
+    * join under `broadcastNodeLimit`; each raw sum is eagerly checkpointed
+    * (it is referenced twice: the max-rescale and the rescaled frame), so
+    * lineage stays shallow and the per-round max is a cheap driver action
+    * on materialized blocks — the kCore data-adaptive-parameter pattern. */
+  def hits(g: KinGraph, iters: Int, scale: Long = 1000000L,
+           broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val small = nodes.count() <= broadcastNodeLimit
+    val ePair = g.edges.select(col("src"), col("dst"))
+    val eDst = CacheScope.cached(ePair.repartition(col("dst")))
+    val eSrc = CacheScope.cached(ePair.repartition(col("src")))
+    def half(e: DataFrame, state: DataFrame, joinKey: String,
+             groupKey: String): DataFrame = {
+      val st = state.withColumnRenamed("key", joinKey)
+      val raw = e.join(if (small) broadcast(st) else st, joinKey)
+        .groupBy(col(groupKey).as("key")).agg(sum(col("v")).as("raw"))
+        .localCheckpoint(true)
+      val mx = raw.agg(max(col("raw"))).head.get(0) match {
+        case m: java.lang.Long => math.max(m.longValue / scale, 1L)
+        case _ => 1L
+      }
+      nodes.join(if (small) broadcast(raw) else raw, Seq("key"), "left")
+        .select(col("key"),
+          coalesce(expr(s"raw div $mx"), lit(0L)).as("v"))
+    }
+    var h = nodes.select(col("key"), lit(scale).as("v"))
+    var a = h
+    for (_ <- 1 to iters) {
+      a = half(eDst, h, "src", "dst")
+      h = half(eSrc, a, "dst", "src")
+    }
+    h.withColumnRenamed("v", "hub")
+      .join(a.withColumnRenamed("v", "auth"), Seq("key"))
+  }
+
+  /** DuckDB twin of [[hits]]: unrolled CTE fragments (h0, a1r, a1, h1r,
+    * h1, ...) over `edges`(src, dst) and `nodes`(key); final values in
+    * `h<iters>` / `a<iters>`. The per-round max-rescale is a scalar
+    * subquery over the raw CTE — the same deterministic integer the Spark
+    * driver action computes. */
+  def hitsSql(edges: String, nodes: String, iters: Int,
+              scale: Long = 1000000L): String = {
+    val its = (1 to iters).flatMap { k =>
+      Seq(
+        s"""a${k}r AS (
+           |  SELECT e.dst AS key, CAST(SUM(h.v) AS BIGINT) AS raw
+           |  FROM $edges e JOIN h${k - 1} h ON e.src = h.key GROUP BY e.dst)""".stripMargin,
+        s"""a$k AS (
+           |  SELECT n.key, CAST(COALESCE(
+           |    r.raw // GREATEST((SELECT MAX(raw) FROM a${k}r) // $scale, 1),
+           |    0) AS BIGINT) AS v
+           |  FROM $nodes n LEFT JOIN a${k}r r ON n.key = r.key)""".stripMargin,
+        s"""h${k}r AS (
+           |  SELECT e.src AS key, CAST(SUM(a.v) AS BIGINT) AS raw
+           |  FROM $edges e JOIN a$k a ON e.dst = a.key GROUP BY e.src)""".stripMargin,
+        s"""h$k AS (
+           |  SELECT n.key, CAST(COALESCE(
+           |    r.raw // GREATEST((SELECT MAX(raw) FROM h${k}r) // $scale, 1),
+           |    0) AS BIGINT) AS v
+           |  FROM $nodes n LEFT JOIN h${k}r r ON n.key = r.key)""".stripMargin)
+    }
+    (s"h0 AS (SELECT key, CAST($scale AS BIGINT) AS v FROM $nodes)" +: its)
+      .mkString(",\n")
+  }
+
+  /** Adamic-Adar link-prediction scores over the undirected neighbor
+    * graph: `score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))`, kept in integer
+    * micro-units — each term is rounded to `round(1e6/ln(deg))` BEFORE
+    * summing (the repo's micro-nat discipline: the only float ever
+    * computed is inside a per-term round both engines evaluate
+    * identically, and a common neighbor necessarily has deg ≥ 2 so
+    * ln > 0). Returns the top `k` pairs by (score desc, a, b) — a total
+    * order, so the cut is deterministic.
+    *
+    * Scale: the candidate join is the triangle shape — neighbor lists
+    * joined through the shared middle w, cost Σ deg(w)², the inherent
+    * Adamic-Adar candidate volume. `hubCapPercentile` is the production
+    * guard: middles above that degree percentile are excluded BEFORE the
+    * pair join (hub middles dominate Σ deg² — 16x the volume on the
+    * fixture's union graph — while contributing the least signal,
+    * 1/ln(deg) being smallest for hubs). The cap is data-adaptive (a
+    * percentile, not a constant that goes vacuous across SFs) and exact
+    * across engines: an integer degree only sits on the boundary when the
+    * interpolated percentile lands on an integer, which both engines
+    * compute exactly. The undirected edge set is w-partitioned once and
+    * reused narrow by the degree aggregation, the per-w term join and
+    * BOTH sides of the self-join; the only new shuffle is the final
+    * (a,b) aggregation, and the top-k is a TakeOrdered, never a global
+    * sort. */
+  def adamicAdar(g: KinGraph, k: Int,
+                 hubCapPercentile: Double = 1.0): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(hubCapPercentile > 0.0 && hubCapPercentile <= 1.0,
+      "0 < hubCapPercentile <= 1")
+    val ud = undirectedEdges(g, Some(col("src")))
+    val deg = ud.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val cap = deg.agg(expr(s"percentile(deg, $hubCapPercentile)").as("cap"))
+    // deg-1 middles can never yield a pair; dropping them BEFORE the term
+    // keeps 1/ln(1) from ever being evaluated (inf would poison the cast)
+    val term = deg.crossJoin(broadcast(cap))
+      .filter(col("deg") >= 2 && col("deg") <= col("cap"))
+      .select(col("w"),
+        round(lit(1000000.0) / log(col("deg"))).cast("long").as("aa"))
+    val xa = ud.select(col("src").as("w"), col("dst").as("a"))
+      .join(term, "w")
+    val y = ud.select(col("src").as("w"), col("dst").as("b"))
+    xa.join(y, "w").filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("aa")).as("score_micro"), count(lit(1)).as("common"))
+      .orderBy(col("score_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[adamicAdar]]: CTE fragments (aud, adeg, acap, aterm,
+    * apair) over an edge CTE `edges`(src, dst); select the top-k from
+    * `apair` with `ORDER BY score_micro DESC, a, b LIMIT k`. */
+  def adamicAdarSql(edges: String, hubCapPercentile: Double = 1.0): String =
+    s"""aud AS (
+       |  SELECT src, dst FROM $edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM $edges WHERE src <> dst
+       |), adeg AS (
+       |  SELECT src AS w, count(*) AS deg FROM aud GROUP BY src
+       |), acap AS (
+       |  SELECT quantile_cont(deg, $hubCapPercentile) AS cap FROM adeg
+       |), aterm AS (
+       |  SELECT w, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS aa
+       |  FROM adeg, acap WHERE deg >= 2 AND deg <= cap
+       |), apair AS (
+       |  SELECT x.dst AS a, y.dst AS b,
+       |         CAST(SUM(t.aa) AS BIGINT) AS score_micro,
+       |         CAST(count(*) AS BIGINT) AS common
+       |  FROM aud x JOIN aud y ON x.src = y.src AND x.dst < y.dst
+       |  JOIN aterm t ON t.w = x.src
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** Cached undirected edge view (edges + reversed, self-loops dropped),
     * optionally pre-partitioned so downstream per-key aggregations reuse
     * the shuffle. When pre-partitioning, the repartition runs BEFORE the

@@ -112,6 +112,18 @@ object GxQueries {
       GraphXBridge.shortestPathsTo(unionGx(s, dir), "R0")
         .orderBy("key")),
 
+    // HITS hubs & authorities: integer fixed-point with per-round integer
+    // max-rescale — the iterative algorithm itself is hash-checked via the
+    // unrolled scalar-subquery oracle
+    "gx_hits" -> ((s, dir) =>
+      GraphOps.hits(unionGraph(s, dir), 3).orderBy("key")),
+
+    // Adamic-Adar link prediction: top-100 candidate pairs by summed
+    // integer micro-units of 1/ln(deg(common neighbor)), hub middles
+    // above the p90 degree excluded (the data-adaptive scale guard)
+    "gx_adamic" -> ((s, dir) =>
+      GraphOps.adamicAdar(unionGraph(s, dir), 100, hubCapPercentile = 0.9)),
+
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>
       GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
@@ -173,6 +185,16 @@ object GxQueries {
          |), ${GraphOps.weightedSsspSql("we", "un", "S1", 4)}
          |SELECT key, d FROM d4 WHERE d IS NOT NULL ORDER BY key""".stripMargin
     },
+
+    "gx_hits" ->
+      s"""$cte, ${GraphOps.hitsSql("ue", "un", 3)}
+         |SELECT h3.key, h3.v AS hub, a3.v AS auth
+         |FROM h3 JOIN a3 ON h3.key = a3.key ORDER BY h3.key""".stripMargin,
+
+    "gx_adamic" ->
+      s"""$cte, ${GraphOps.adamicAdarSql("ue", hubCapPercentile = 0.9)}
+         |SELECT a, b, score_micro, common FROM apair
+         |ORDER BY score_micro DESC, a, b LIMIT 100""".stripMargin,
 
     "gx_sssp" ->
       s"""$cte, rev AS (

@@ -212,6 +212,22 @@ object PipelineQueries {
       Chunking.tokenChunks(docs(s, dir), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // data-adaptive quality floor: drop the shortest quartile. The cut is
+    // the exact interpolated p25 of the integer token counts (Spark
+    // `percentile` == DuckDB `quantile_cont`; int >= fractional-cut can
+    // only sit on the boundary when the percentile lands on an integer,
+    // and integer percentiles are computed exactly in both engines) —
+    // non-vacuous at every SF because it tracks the corpus, and the 1-row
+    // cut broadcasts instead of collecting
+    "d_quality_cut" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      val cut = d.agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+      d.crossJoin(broadcast(cut))
+        .filter(col("n_tokens") >= col("p25"))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")}),
+
     // C4-style global line dedup: fixture docs are single-line, so the
     // query plants per-source boilerplate lines (the shared header/footer
     // shape of a web source) and the operator must strip every copy but
@@ -401,6 +417,15 @@ object PipelineQueries {
     "e_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
 
+    // per-label integer centroid of the int8-quantized embeddings (the
+    // cluster-profile step of semantic dedup): exact code sums + integer
+    // milli-mean, every cell hash-checked
+    "e_centroid" -> ((s, dir) =>
+      Similarity.int8GroupCentroids(
+          embs(s, dir).select(col("vec_id").as("id"), col("label").as("grp"),
+            col("embedding").cast("array<double>").as("vec")))
+        .orderBy("grp", "dim")),
+
     // multimodal header probe under oracle: payloads are REAL PNG/BMP/WAV
     // headers assembled arithmetically from doc_id (hex-built, unhex'd to
     // binary); probeMeta must PARSE the bytes back out, and the oracle
@@ -538,6 +563,10 @@ object PipelineQueries {
       "source <> 'src19'", "source = 'src19'"),
 
     "e_quantize" -> Similarity.quantizeInt8Sql("embeddings"),
+
+    "e_centroid" ->
+      (Similarity.int8GroupCentroidsSql("embeddings", "label") +
+        "\nORDER BY grp, dim"),
 
     // ground truth is the planted-header arithmetic, NOT a reimplementation
     // of the parser — the hash match proves parse(build(x)) == x
@@ -697,6 +726,14 @@ object PipelineQueries {
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_quality_cut" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${tokenCountSql("text")} AS n_tokens FROM $docsT
+         |)
+         |SELECT doc_id, n_tokens FROM t
+         |WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM t)
+         |ORDER BY doc_id""".stripMargin,
 
     "e_ann_topk" ->
       """WITH c AS (

@@ -100,6 +100,68 @@ class GraphOpsSpec extends SparkSpec {
       Set("d", "e", "f").map(got).size == 1)
   }
 
+  test("hits replays an exact integer reference loop; hub/authority split") {
+    // hub h points at a1,a2,a3; a1 also points at a2 (h = pure hub,
+    // a2 = strongest authority)
+    val hg = KinGraph(
+      Seq("h", "a1", "a2", "a3").toDF("key"),
+      Seq(("h", "a1", 0), ("h", "a2", 0), ("h", "a3", 0), ("a1", "a2", 0))
+        .toDF("src", "dst", "etype"))
+    val scale = 1000000L
+    val got = GraphOps.hits(hg, iters = 3, scale)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference loop: same integer arithmetic, driver-side
+    val edges = Seq("h" -> "a1", "h" -> "a2", "h" -> "a3", "a1" -> "a2")
+    val keys = Seq("h", "a1", "a2", "a3")
+    var h = keys.map(_ -> scale).toMap
+    var a = h
+    for (_ <- 1 to 3) {
+      val ar = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val ad = math.max(ar.values.max / scale, 1L)
+      a = keys.map(k => k -> ar.getOrElse(k, 0L) / ad).toMap
+      val hr = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hd = math.max(hr.values.max / scale, 1L)
+      h = keys.map(k => k -> hr.getOrElse(k, 0L) / hd).toMap
+    }
+    assert(got == keys.map(k => k -> ((h(k), a(k)))).toMap)
+    // h is the dominant hub; a2 the dominant authority; h has no authority
+    assert(got("h")._1 == keys.map(got(_)._1).max)
+    assert(got("a2")._2 == keys.map(got(_)._2).max)
+    assert(got("h")._2 == 0L)
+  }
+
+  test("adamicAdar scores the square's diagonals; rarer middles score higher") {
+    // square u-a-v-b: (u,v) and (a,b) each share 2 deg-2 middles
+    val sq = KinGraph(
+      Seq("u", "a", "v", "b").toDF("key"),
+      Seq(("u", "a", 0), ("a", "v", 0), ("v", "b", 0), ("b", "u", 0))
+        .toDF("src", "dst", "etype"))
+    val got = GraphOps.adamicAdar(sq, 10)
+      .as[(String, String, Long, Long)].collect().toSet
+    val t = math.round(1e6 / math.log(2)) // 1442695
+    assert(got == Set(("u", "v", 2 * t, 2L), ("a", "b", 2 * t, 2L)))
+    // a high-degree middle contributes less than a low-degree one
+    val star = KinGraph.fromEdges(
+      ((0 until 10).map(i => ("hub", s"x$i", 0)) ++
+        Seq(("x0", "w", 0), ("x1", "w", 0))).toDF("src", "dst", "etype"))
+    val scores = GraphOps.adamicAdar(star, 100)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (x0,x1) share hub (deg 10) AND w (deg 2); pairs sharing only the
+    // hub score exactly round(1e6/ln 10) < round(1e6/ln 2)
+    val hubT = math.round(1e6 / math.log(10))
+    assert(scores(("x0", "x1")) == hubT + t)
+    assert(scores(("x2", "x3")) == hubT)
+    assert(hubT < t)
+    // hub cap: p90 of the star's degrees is 2, so the deg-10 hub MIDDLE is
+    // excluded — every pair scored only through deg-2 middles. (hub,w) as
+    // ENDPOINTS still pair via their shared deg-2 middles x0 and x1
+    val capped = GraphOps.adamicAdar(star, 100, hubCapPercentile = 0.9)
+      .as[(String, String, Long, Long)].collect()
+    assert(capped.toSeq == Seq(("hub", "w", 2 * t, 2L), ("x0", "x1", t, 1L)))
+  }
+
   test("weightedSsspBounded relaxes multi-hop shortcuts; bound limits reach") {
     //  s -1-> a -1-> b ;  s -5-> b ;  b -1-> c   (cheapest s→b is 2 via a)
     val edges = Seq(("s", "a", 1L), ("a", "b", 1L), ("s", "b", 5L), ("b", "c", 1L))

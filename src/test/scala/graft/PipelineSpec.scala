@@ -427,6 +427,21 @@ class PipelineSpec extends SparkSpec {
     assert(covered == (0 until 10).toSet)
   }
 
+  test("int8 group centroids: exact integer sums on a hand-checked corpus") {
+    import graft.operators.Similarity
+    // dim 0 spans [0, 10] -> codes 0 and 255; dim 1 constant -> code 0
+    val corpus = Seq(
+      (1L, 0, Seq(0.0, 5.0)), (2L, 0, Seq(10.0, 5.0)), (3L, 1, Seq(10.0, 5.0)))
+      .toDF("id", "grp", "vec")
+    val out = Similarity.int8GroupCentroids(corpus)
+      .as[(Int, Int, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0, 0, 2L, 255L, 127500L), // codes 0 + 255
+      (0, 1, 2L, 0L, 0L),        // constant dim -> code 0
+      (1, 0, 1L, 255L, 255000L),
+      (1, 1, 1L, 0L, 0L)))
+  }
+
   test("mixture balancing equalizes skewed group sizes deterministically") {
     import graft.operators.Sampling
     val df = docs.select($"doc_id", $"lang")

@@ -271,6 +271,74 @@ object GraphOps {
         |  FROM $nodes)""".stripMargin +: its).mkString(",\n")
   }
 
+  /** Personalized PageRank from a single source — integer fixed-point
+    * (same micro-unit discipline as [[fixedPointPageRank]]: contribution
+    * `r div od`, damped `85·inc div 100`, teleport `15%·scale` to the
+    * SOURCE only), so the iterations replay bit-for-bit in the unrolled
+    * [[personalizedPageRankSql]] twin. Returns only the REACHED keys with
+    * nonzero-path mass — PPR is a local algorithm, and the loop state is
+    * kept sparse accordingly (the wsssp reached-set pattern, NOT the full
+    * node frame): at 10^9 nodes a 4-hop PPR touches only the source's
+    * neighborhood, and this plan's state is exactly that neighborhood.
+    *
+    * The out-degree frame is built once (cached); the edge set is cached
+    * dst-partitioned so the per-iteration message sum reuses its
+    * partitioning; the sparse rank state is broadcast into the edge join
+    * under `broadcastNodeLimit`. */
+  def personalizedPageRank(g: KinGraph, source: String, iters: Int,
+                           scale: Long = 1000000000L,
+                           checkpointEvery: Int = 2,
+                           broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
+    val od = CacheScope.cached(
+      g.edges.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")))
+    val e = CacheScope.cached(
+      g.edges.select(col("src"), col("dst")).repartition(col("dst")))
+    val small = g.nodes.count() <= broadcastNodeLimit
+    val base = (15L * scale) / 100L
+    val start = g.nodes.filter(col("key") === source)
+      .select(col("key"), lit(scale).as("r"))
+    val baseRow = start.select(col("key"), lit(base).as("v"))
+    var r = start
+    for (i <- 1 to iters) {
+      // sinks contribute nothing (od inner join), same as fixedPointPageRank
+      val contrib = r.join(if (small) broadcast(od) else od, "key")
+        .select(col("key").as("src"), expr("r div od").as("c"))
+      val inc = e.join(if (small) broadcast(contrib) else contrib, "src")
+        .groupBy(col("dst").as("key")).agg(sum(col("c")).as("inc"))
+      r = inc.select(col("key"), expr("(85 * inc) div 100").as("v"))
+        .unionByName(baseRow)
+        .groupBy(col("key")).agg(sum(col("v")).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r
+  }
+
+  /** DuckDB twin of [[personalizedPageRank]]: CTE fragments (od, p0..pN)
+    * over `edges`(src, dst) and `nodes`(key); reached ranks in
+    * `p<iters>`. */
+  def personalizedPageRankSql(edges: String, nodes: String, source: String,
+                              iters: Int,
+                              scale: Long = 1000000000L): String = {
+    val base = (15L * scale) / 100L
+    val its = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT key, CAST(SUM(v) AS BIGINT) AS r FROM (
+         |    SELECT key, CAST($base AS BIGINT) AS v FROM p0
+         |    UNION ALL
+         |    SELECT dst AS key, CAST((85 * inc) // 100 AS BIGINT) AS v FROM (
+         |      SELECT e.dst, CAST(SUM(p.r // od.od) AS BIGINT) AS inc
+         |      FROM $edges e JOIN p${k - 1} p ON e.src = p.key
+         |      JOIN od ON e.src = od.key
+         |      GROUP BY e.dst)
+         |  ) GROUP BY key)""".stripMargin
+    }
+    (s"od AS (SELECT src AS key, count(*) AS od FROM $edges GROUP BY src)" +:
+      s"""p0 AS (SELECT key, CAST($scale AS BIGINT) AS r FROM $nodes
+         |  WHERE key = '$source')""".stripMargin +: its).mkString(",\n")
+  }
+
   /** HITS hubs & authorities — bounded iterations, integer fixed-point, so
     * the iterative algorithm is exactly SQL-replayable ([[hitsSql]] unrolls
     * it). Per round (the standard sequential update):

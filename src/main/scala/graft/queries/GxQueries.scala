@@ -118,6 +118,12 @@ object GxQueries {
     "gx_hits" -> ((s, dir) =>
       GraphOps.hits(unionGraph(s, dir), 3).orderBy("key")),
 
+    // personalized PageRank from S1: sparse reached-set state, integer
+    // fixed-point, unrolled-CTE oracle
+    "gx_ppr" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(unionGraph(s, dir), "S1", 4)
+        .orderBy("key")),
+
     // Adamic-Adar link prediction: top-100 candidate pairs by summed
     // integer micro-units of 1/ln(deg(common neighbor)), hub middles
     // above the p90 degree excluded (the data-adaptive scale guard)
@@ -190,6 +196,10 @@ object GxQueries {
       s"""$cte, ${GraphOps.hitsSql("ue", "un", 3)}
          |SELECT h3.key, h3.v AS hub, a3.v AS auth
          |FROM h3 JOIN a3 ON h3.key = a3.key ORDER BY h3.key""".stripMargin,
+
+    "gx_ppr" ->
+      s"""$cte, ${GraphOps.personalizedPageRankSql("ue", "un", "S1", 4)}
+         |SELECT key, r FROM p4 ORDER BY key""".stripMargin,
 
     "gx_adamic" ->
       s"""$cte, ${GraphOps.adamicAdarSql("ue", hubCapPercentile = 0.9)}

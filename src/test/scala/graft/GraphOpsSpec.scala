@@ -100,6 +100,33 @@ class GraphOpsSpec extends SparkSpec {
       Set("d", "e", "f").map(got).size == 1)
   }
 
+  test("personalizedPageRank replays an exact integer reference loop; state stays sparse") {
+    // x -> y, y -> x, z -> x ; source x: z is never reached (no in-path)
+    val pg = KinGraph(
+      Seq("x", "y", "z").toDF("key"),
+      Seq(("x", "y", 0), ("y", "x", 0), ("z", "x", 0)).toDF("src", "dst", "etype"))
+    val scale = 1000000000L
+    val got = GraphOps.personalizedPageRank(pg, "x", 5, scale)
+      .as[(String, Long)].collect().toMap
+    // reference loop: same integer arithmetic, sparse state, driver-side
+    val edges = Seq("x" -> "y", "y" -> "x", "z" -> "x")
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * scale / 100L
+    var r = Map("x" -> scale)
+    for (_ <- 1 to 5) {
+      val inc = edges.filter(e => r.contains(e._1)).groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = (inc.keySet + "x").map(k =>
+        k -> ((if (k == "x") base else 0L) + 85L * inc.getOrElse(k, 0L) / 100L))
+        .toMap
+    }
+    assert(got == r)
+    // z never enters the reached set (no in-path from the source); the
+    // source always holds at least its teleport mass
+    assert(!got.contains("z"))
+    assert(got("x") >= base)
+  }
+
   test("hits replays an exact integer reference loop; hub/authority split") {
     // hub h points at a1,a2,a3; a1 also points at a2 (h = pure hub,
     // a2 = strongest authority)

@@ -472,7 +472,31 @@ object PipelineQueries {
       val media = Multimodal.fromDocuments(docs(s, dir))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), posexplode(col("features")).as(Seq("i", "feature")))
-        .orderBy("media_id", "i")})
+        .orderBy("media_id", "i")}),
+
+    // multimodal frame sampling under oracle: payloads are md5-derived
+    // bytes of deterministic length (16 * (doc_id%5 + 1)); sampleFrames
+    // takes every 7th byte, and the oracle re-derives those exact bytes by
+    // character-slicing the same repeated md5 hex — a hash match proves
+    // the byte-indexed frame extraction inverts the construction
+    "m_frames" -> ((s, dir) => {
+      val reps = pmod(col("doc_id"), lit(5)) + 1
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        lit("video").as("modality"),
+        unhex(expr(
+          "repeat(md5(cast(doc_id as string)), cast(pmod(doc_id, 5) + 1 as int))"))
+          .as("content"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms"),
+          (lit(16L) * reps).as("n_bytes")).as("meta"))
+      Multimodal.sampleFrames(media, 7)
+        .select(col("media_id"),
+          size(col("frames")).as("n_frames"),
+          array_join(transform(col("frames"), f => hex(f)), "").as("frames_hex"))
+        .orderBy("media_id")})
   )
 
   private val docsT = "documents"
@@ -820,6 +844,20 @@ object PipelineQueries {
          |FROM f, (SELECT unnest(generate_series(1, ${Multimodal.FeatureDim})) AS i)
          |ORDER BY media_id, i""".stripMargin
     },
+
+    "m_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    upper(repeat(md5(CAST(doc_id AS VARCHAR)),
+        |                 CAST(doc_id % 5 + 1 AS INT))) AS hx,
+        |    CAST(16 * (doc_id % 5 + 1) AS INT) AS nb
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(len(generate_series(1, nb, 7)) AS INT) AS n_frames,
+        |  array_to_string(list_transform(generate_series(1, nb, 7),
+        |    p -> substr(hx, 2 * p - 1, 2)), '') AS frames_hex
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "e_near_dup" ->
       """WITH c AS (

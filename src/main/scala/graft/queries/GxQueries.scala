@@ -124,6 +124,22 @@ object GxQueries {
       GraphOps.personalizedPageRank(unionGraph(s, dir), "S1", 4)
         .orderBy("key")),
 
+    // local clustering coefficient in integer micro-units:
+    // 2e6·T(v) div (deg·(deg-1)) over the undirected distinct-neighbor
+    // degree — exact integer ratio, no float division
+    "gx_clustering" -> ((s, dir) => {
+      val tri = GraphXBridge.triangleCounts(unionGx(s, dir))
+      val e0 = unionGraph(s, dir).edges.select(col("src"), col("dst"))
+      val deg = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .groupBy(col("src").as("key")).agg(count(lit(1)).as("deg"))
+      tri.join(deg, Seq("key"), "left")
+        .select(col("key"),
+          when(coalesce(col("deg"), lit(0L)) >= 2,
+            expr("(2000000 * cast(triangles as bigint)) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("cc_micro"))
+        .orderBy("key")}),
+
     // Adamic-Adar link prediction: top-100 candidate pairs by summed
     // integer micro-units of 1/ln(deg(common neighbor)), hub middles
     // above the p90 degree excluded (the data-adaptive scale guard)
@@ -200,6 +216,35 @@ object GxQueries {
     "gx_ppr" ->
       s"""$cte, ${GraphOps.personalizedPageRankSql("ue", "un", "S1", 4)}
          |SELECT key, r FROM p4 ORDER BY key""".stripMargin,
+
+    "gx_clustering" ->
+      s"""$cte, und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), tri AS (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM und a JOIN und b ON b.u = a.v
+         |  JOIN und c ON c.u = a.u AND c.v = b.v
+         |), pernode AS (
+         |  SELECT node, count(*) AS t FROM (
+         |    SELECT x AS node FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY node
+         |), udg AS (
+         |  SELECT src AS key, count(*) AS deg FROM (
+         |    SELECT src, dst FROM ue WHERE src <> dst
+         |    UNION SELECT dst, src FROM ue WHERE src <> dst)
+         |  GROUP BY src
+         |)
+         |SELECT un.key,
+         |  CASE WHEN coalesce(udg.deg, 0) >= 2
+         |       THEN CAST((2000000 * CAST(coalesce(p.t, 0) AS BIGINT))
+         |                 // (udg.deg * (udg.deg - 1)) AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS cc_micro
+         |FROM un LEFT JOIN pernode p ON un.key = p.node
+         |LEFT JOIN udg ON un.key = udg.key
+         |ORDER BY un.key""".stripMargin,
 
     "gx_adamic" ->
       s"""$cte, ${GraphOps.adamicAdarSql("ue", hubCapPercentile = 0.9)}

@@ -212,6 +212,24 @@ object PipelineQueries {
       Chunking.tokenChunks(docs(s, dir), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // per-doc out-of-vocabulary rate against the corpus top-1000 vocab
+    // (rank cut is the total order n desc, token — deterministic): the
+    // tokenizer-health / domain-shift signal of a training pipeline.
+    // Vocab is corpus-adaptive (never vacuous across SFs) and broadcasts;
+    // integer milli-rate, no float division
+    "d_oov" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(1000)
+        .select(col("token"), lit(1).as("iv"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_milli", expr("(1000 * n_oov) div n_tokens"))
+        .orderBy("doc_id")}),
+
     // data-adaptive quality floor: drop the shortest quartile. The cut is
     // the exact interpolated p25 of the integer token counts (Spark
     // `percentile` == DuckDB `quantile_cont`; int >= fractional-cut can
@@ -750,6 +768,21 @@ object PipelineQueries {
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_oov" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), v AS (
+         |  SELECT token, 1 AS iv FROM (
+         |    SELECT token, count(*) AS n FROM tok GROUP BY token
+         |    ORDER BY n DESC, token LIMIT 1000)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST((1000 * SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END))
+         |       // count(*) AS BIGINT) AS oov_milli
+         |FROM tok LEFT JOIN v USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_quality_cut" ->
       s"""WITH t AS (

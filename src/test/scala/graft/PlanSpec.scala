@@ -173,6 +173,26 @@ class PlanSpec extends SparkSpec {
       s"repeated tf/cntBi subplans must share their exchanges:\n${plan.take(1200)}")
   }
 
+  test("personalized PageRank broadcasts its sparse state; edges read from cache") {
+    val r = graft.ops.GraphOps.personalizedPageRank(parquetGraph, "S1", 3)
+    val plan = finalPlanString(r)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sparse rank state must broadcast into the edge join:\n${plan.take(800)}")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"edges must come from the per-direction cache:\n${plan.take(800)}")
+    CacheScope.releaseAll()
+  }
+
+  test("adamic-adar cuts top-k with TakeOrdered, never a global sort") {
+    val out = graft.ops.GraphOps.adamicAdar(parquetGraph, 50, 0.95)
+    val plan = finalPlanString(out)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n${plan.take(800)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort exchange for a LIMIT query:\n${plan.take(800)}")
+    CacheScope.releaseAll()
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

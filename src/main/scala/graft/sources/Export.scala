@@ -34,4 +34,38 @@ object Export {
   /** Read a JSONL shard directory back (schema inferred or supplied). */
   def readJsonl(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir)
+
+  /** Hive-partitioned parquet export — the columnar training-shard layout:
+    * one directory per `partitionCol` value (e.g. lang=en/), each holding
+    * ~`maxRowsPerShard`-row files. Readers then PRUNE partitions from the
+    * path alone (`WHERE lang = 'en'` never opens other directories — the
+    * 100 TB mixture-selection read path), and per-partition shard counts
+    * bound file sizes the same way [[jsonlShards]] does.
+    *
+    * The pre-write `repartition(partitionCol, bucket)` matters at scale:
+    * partitionBy alone makes EVERY input task write a file into EVERY
+    * partition directory (tasks × partitions small files); clustering by
+    * (partition, hash-bucket) first yields exactly one file per partition
+    * per bucket. */
+  def partitionedParquet(df: DataFrame, partitionCol: String, keyCol: String,
+                         outDir: String, maxRowsPerShard: Long,
+                         compression: String = "snappy"): Long = {
+    require(maxRowsPerShard > 0, "maxRowsPerShard > 0")
+    val maxPer = df.groupBy(col(partitionCol)).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val buckets = math.max(1, math.ceil(maxPer.toDouble / maxRowsPerShard).toInt)
+    df.withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(buckets)))
+      .repartition(col(partitionCol), col("__bucket"))
+      .drop("__bucket")
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .partitionBy(partitionCol)
+      .parquet(outDir)
+    maxPer
+  }
+
+  /** Read a partitioned parquet export back (partition column restored
+    * from the directory layout). */
+  def readPartitionedParquet(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

@@ -79,6 +79,31 @@ class GraphIOSpec extends SparkSpec {
     assert(counts.sum == docs.count() && counts.forall(_ <= 200))
   }
 
+  test("partitioned parquet export prunes by directory and round-trips") {
+    import graft.sources.{Export, Tables}
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val out = java.nio.file.Files.createTempDirectory("pparquet").toString
+    Export.partitionedParquet(docs, "lang", "doc_id", out, maxRowsPerShard = 100)
+    // hive layout: one directory per lang value
+    val dirs = new java.io.File(out).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(dirs == langs.map(l => s"lang=$l"))
+    // round trip: every doc survives with its partition value restored
+    val back = Export.readPartitionedParquet(spark, out)
+    assert(back.count() == docs.count())
+    val a = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val b = back.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // a partition-value filter reads only that directory (partition pruning
+    // visible in the scan's partition filters, not a post-scan filter)
+    val pruned = back.filter($"lang" === "en")
+    assert(pruned.count() == docs.filter($"lang" === "en").count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang filter must prune partitions:\n${scan.take(600)}")
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -212,6 +212,29 @@ object PipelineQueries {
       Chunking.tokenChunks(docs(s, dir), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // TF-IDF retrieval: rank the corpus against a fixed term query by
+    // Σ tf·idf_micro (idf rounded to integer micro-nats per TERM before
+    // any summing — the d_surprisal discipline), top-50 by a total order.
+    // The term filter pushes into the scan; idf is a term-count-sized
+    // broadcast; one per-doc aggregation — the search-scoring shape at
+    // any corpus size
+    "d_search" -> ((s, dir) => {
+      val terms = Seq("spark", "query", "vector")
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+      val nFrame = docs(s, dir).agg(count(lit(1)).as("n"))
+      val idf = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nFrame))
+        .select(col("token"),
+          round(log(col("n") / col("df")) * 1e6).cast("long").as("idf_micro"))
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
+
     // per-doc out-of-vocabulary rate against the corpus top-1000 vocab
     // (rank cut is the total order n desc, token — deterministic): the
     // tokenizer-health / domain-shift signal of a training pipeline.
@@ -768,6 +791,26 @@ object PipelineQueries {
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), qt AS (
+         |  SELECT doc_id, token FROM tok
+         |  WHERE token IN ('spark', 'query', 'vector')
+         |), nn AS (SELECT count(*) AS n FROM $docsT),
+         |idf AS (
+         |  SELECT token,
+         |    CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+         |      AS idf_micro
+         |  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM qt
+         |        GROUP BY token), nn
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS score_micro
+         |FROM tf JOIN idf USING (token)
+         |GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     "d_oov" ->
       s"""WITH tok AS (

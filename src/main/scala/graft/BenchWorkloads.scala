@@ -30,13 +30,18 @@ object BenchWorkloads {
   def bulkEdgeUpsert(spark: SparkSession): Long =
     GraphIO.empty(spark).addEdges(randomEdges(spark, M)).nEdges
 
-  /** workload A teardown: delete half the edges in one anti-join. The
-    * ingested graph is checkpointed ONCE before the delete — `victims`
-    * derives from `g.edges` and feeds an anti-join against the same
-    * `g.edges`, so without materialization the 5M-row upsert window runs
-    * twice (once per join side). Ingest once + one anti-join is the plan. */
+  /** workload A teardown: delete half the edges in one anti-join.
+    * `victims` derives from `g.edges` and anti-joins against the same
+    * `g.edges`, so the upsert subplan is referenced twice — and the
+    * pipelined double-reference is measurably CHEAPER than eagerly
+    * checkpointing 5M rows first (the round-5 checkpoint regressed this
+    * workload ~20-55%; reverted after an A/B at 32 cpus: generating and
+    * deduping synthetic rows twice beats materializing them once and
+    * scanning twice). The node-removal workload keeps its checkpoint: it
+    * references nodes AND edges twice each (4 re-reads of a smaller
+    * graph), which does amortize one materialization. */
   def bulkEdgeRemoval(spark: SparkSession): Long = {
-    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M)).checkpointed()
+    val g = GraphIO.empty(spark).addEdges(randomEdges(spark, M))
     val victims = g.edges.filter(pmod(xxhash64(col("src"), col("dst")), lit(2)) === 0)
     g.removeEdges(victims).nEdges
   }

@@ -419,6 +419,70 @@ object GraphOps {
       .mkString(",\n")
   }
 
+  /** Deterministic "random" walks — the DeepWalk/node2vec corpus-generation
+    * step with hash-driven choices instead of RNG, so every walk is
+    * reproducible, partition-independent, and exactly replayable by the
+    * unrolled [[hashWalksSql]] twin. At step k from node v the walk moves
+    * to the `hash(v || '|' || k) % out_deg(v)`-th neighbor in dst order
+    * (the md5-derived [[graft.functions.TextFunctions.hash60]] family both
+    * engines share); a walk ends early at a sink. One walk per start key;
+    * returns (start, step, node) path rows, step 0 = the start itself.
+    *
+    * Scale: the ranked-neighbor table (src, dst, rk, deg) is built with
+    * ONE window pass over the distinct edge set and cached — every step
+    * joins the (starts-sized) walk frontier against it on src, with the
+    * hash-index residual evaluated inside the join. The frontier is
+    * checkpointed per step (it is referenced twice: path output + next
+    * hop), so lineage stays flat for any `steps`. */
+  def hashWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "steps >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byDst = Window.partitionBy("src").orderBy("dst")
+    val bySrc = Window.partitionBy("src")
+    val ranked = CacheScope.cached(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("rk", row_number().over(byDst) - 1)
+        .withColumn("deg", count(lit(1)).over(bySrc)))
+    var cur = starts.select(col("key").as("start"), col("key").as("node"))
+    val paths = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0)))
+    for (k <- 1 to steps) {
+      val idx = pmod(graft.functions.TextFunctions.hash60(
+        concat(col("node"), lit(s"|$k"))), col("deg"))
+      cur = cur.join(ranked,
+          cur("node") === ranked("src") && ranked("rk") === idx)
+        .select(col("start"), col("dst").as("node"))
+        .localCheckpoint(true)
+      paths += cur.withColumn("step", lit(k))
+    }
+    paths.reduce(_ unionByName _).select(col("start"), col("step"), col("node"))
+  }
+
+  /** DuckDB twin of [[hashWalks]]: CTE fragments (rkn, wk0..wkN) over an
+    * edge CTE `edges`(src, dst); `startsSelect` must yield one column
+    * `key`. Select the path rows by UNION ALL over wk0..wkN (use
+    * [[hashWalksPathSql]]). */
+  def hashWalksSql(edges: String, startsSelect: String, steps: Int): String = {
+    import graft.functions.TextFunctions.hash60Sql
+    val its = (1 to steps).map { k =>
+      s"""wk$k AS (
+         |  SELECT w.start, e.dst AS node FROM wk${k - 1} w JOIN rkn e
+         |  ON e.src = w.node
+         |  AND e.rk = ${hash60Sql(s"w.node || '|$k'")} % e.deg)""".stripMargin
+    }
+    (s"""rkn AS (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+        |         count(*) OVER (PARTITION BY src) AS deg
+        |  FROM (SELECT DISTINCT src, dst FROM $edges))""".stripMargin +:
+      s"wk0 AS (SELECT key AS start, key AS node FROM ($startsSelect))" +:
+      its).mkString(",\n")
+  }
+
+  /** The path-row union over [[hashWalksSql]]'s wk0..wkN fragments. */
+  def hashWalksPathSql(steps: Int): String =
+    (0 to steps).map(k => s"SELECT start, $k AS step, node FROM wk$k")
+      .mkString("\nUNION ALL\n")
+
   /** Adamic-Adar link-prediction scores over the undirected neighbor
     * graph: `score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))`, kept in integer
     * micro-units — each term is rounded to `round(1e6/ln(deg))` BEFORE

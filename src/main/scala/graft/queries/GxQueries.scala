@@ -124,6 +124,16 @@ object GxQueries {
       GraphOps.personalizedPageRank(unionGraph(s, dir), "S1", 4)
         .orderBy("key")),
 
+    // deterministic hash-driven walks from every supplier node (the
+    // DeepWalk corpus-generation step, RNG replaced by the shared hash
+    // family so each path row is hash-checked)
+    "gx_walks" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      GraphOps.hashWalks(
+          g.edges.select(col("src"), col("dst")),
+          g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
+        .orderBy("start", "step", "node")}),
+
     // local clustering coefficient in integer micro-units:
     // 2e6·T(v) div (deg·(deg-1)) over the undirected distinct-neighbor
     // degree — exact integer ratio, no float division
@@ -216,6 +226,13 @@ object GxQueries {
     "gx_ppr" ->
       s"""$cte, ${GraphOps.personalizedPageRankSql("ue", "un", "S1", 4)}
          |SELECT key, r FROM p4 ORDER BY key""".stripMargin,
+
+    "gx_walks" ->
+      s"""$cte, ${GraphOps.hashWalksSql("ue",
+             "SELECT key FROM un WHERE key LIKE 'S%'", 4)}
+         |SELECT start, step, node FROM (
+         |${GraphOps.hashWalksPathSql(4)}
+         |) ORDER BY start, step, node""".stripMargin,
 
     "gx_clustering" ->
       s"""$cte, und AS (

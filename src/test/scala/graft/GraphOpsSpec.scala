@@ -127,6 +127,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("x") >= base)
   }
 
+  test("hashWalks: deterministic hash choices, sink stop, reference replay") {
+    import graft.functions.TextFunctions
+    // s has 3 neighbors; each t* leads to u; u is a sink
+    val edges = Seq(("s", "t0", 0), ("s", "t1", 0), ("s", "t2", 0),
+      ("t0", "u", 0), ("t1", "u", 0), ("t2", "u", 0))
+      .toDF("src", "dst", "etype").select($"src", $"dst")
+    val starts = Seq("s").toDF("key")
+    val got = GraphOps.hashWalks(edges, starts, 5)
+      .as[(String, Int, String)].collect().sortBy(r => (r._2, r._3))
+    // reference replay: neighbor index = hash60(node || '|k') % deg over
+    // dst-sorted neighbors, driver-side (hash60 = first 15 md5 hex chars)
+    def h60(sIn: String): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hx.take(15), 16)
+    }
+    val adj = Map("s" -> Seq("t0", "t1", "t2"),
+      "t0" -> Seq("u"), "t1" -> Seq("u"), "t2" -> Seq("u"))
+    var node = "s"
+    var ref = Seq(("s", 0, "s"))
+    var k = 1
+    var alive = true
+    while (k <= 5 && alive) {
+      adj.get(node) match {
+        case Some(ns) =>
+          node = ns((h60(s"$node|$k") % ns.size).toInt)
+          ref = ref :+ (("s", k, node))
+          k += 1
+        case None => alive = false // sink: walk ends
+      }
+    }
+    assert(got.toSeq == ref.sortBy(r => (r._2, r._3)))
+    // walk visits s -> t? -> u and stops at the sink: exactly 3 rows
+    assert(got.length == 3 && got.last._3 == "u")
+    // partition-independence
+    val again = GraphOps.hashWalks(edges.repartition(5), starts, 5)
+      .as[(String, Int, String)].collect().sortBy(r => (r._2, r._3))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("hits replays an exact integer reference loop; hub/authority split") {
     // hub h points at a1,a2,a3; a1 also points at a2 (h = pure hub,
     // a2 = strongest authority)

@@ -212,6 +212,19 @@ object PipelineQueries {
       Chunking.tokenChunks(docs(s, dir), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // corpus length profile: power-of-2 token-count histogram (the
+    // sequence-length diagnostic behind packing/chunking decisions).
+    // floor(log2(n)) is exact at powers of two in IEEE double and cannot
+    // straddle an integer elsewhere, so the bucketing is engine-exact
+    "d_len_hist" -> ((s, dir) =>
+      docs(s, dir).select(tokenCount(col("text")).as("n"))
+        .withColumn("bucket", when(col("n") === 0, lit(-1))
+          .otherwise(floor(log2(col("n"))).cast("int")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"))
+        .orderBy("bucket")),
+
     // TF-IDF retrieval: rank the corpus against a fixed term query by
     // Σ tf·idf_micro (idf rounded to integer micro-nats per TERM before
     // any summing — the d_surprisal discipline), top-50 by a total order.
@@ -791,6 +804,16 @@ object PipelineQueries {
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_len_hist" ->
+      s"""WITH t AS (
+         |  SELECT ${tokenCountSql("text")} AS n FROM $docsT
+         |)
+         |SELECT CASE WHEN n = 0 THEN -1
+         |            ELSE CAST(floor(log2(n)) AS INT) END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(n) AS INT) AS min_tokens, CAST(max(n) AS INT) AS max_tokens
+         |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "d_search" ->
       s"""WITH tok AS (

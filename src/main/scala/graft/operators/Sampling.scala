@@ -110,6 +110,50 @@ object Sampling {
        |WHERE $h * n_g < min_n * 1000000""".stripMargin
   }
 
+  /** Deterministic oversampling: replicate every group's rows up toward
+    * the LARGEST group's count (the mixture-balancing dual of
+    * [[balanceGroups]], for when minority sources must be upweighted
+    * rather than majority sources cut). Each row gets
+    * `max_n div n_g` base copies plus one extra copy when its salted key
+    * hash lands below the fractional remainder `(max_n mod n_g) / n_g` —
+    * the same hash-threshold rule as [[balanceGroups]], so group sizes hit
+    * max_n in expectation (exactly max_n when n_g divides max_n, e.g. the
+    * argmax group itself is passed through with copy_id = 1 unchanged).
+    * Adds `copy_id` (1..copies) so replicated rows stay distinct.
+    * Replayed bit-for-bit by [[upsampleGroupsSql]].
+    *
+    * Scale: one column-pruned count pass, then a broadcast join and a
+    * map-side `explode(sequence)` — the data rows themselves never
+    * shuffle, and no per-group window/rank is involved (a
+    * `partitionBy(group)` window would put an entire group on one task —
+    * exactly the skew this avoids). */
+  def upsampleGroups(df: DataFrame, keyCol: Column, groupCol: Column,
+                     salt: String = "up"): DataFrame = {
+    val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n_g"))
+    val maxN = counts.agg(max(col("n_g")).as("max_n"))
+    val h = pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(counts), groupCol === col("g"))
+      .crossJoin(broadcast(maxN))
+      .withColumn("copies", expr("max_n div n_g") +
+        when(h * col("n_g") < (col("max_n") % col("n_g")) * 1000000L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("copy_id", explode(sequence(lit(1L), col("copies"))))
+      .drop("g", "n_g", "max_n", "copies")
+  }
+
+  def upsampleGroupsSql(table: String, keyCol: String, groupCol: String,
+                        salt: String = "up"): String = {
+    val h = s"${hash60Sql(s"CAST(t.$keyCol AS VARCHAR) || '$salt'")} % 1000000"
+    s"""WITH cnt AS (
+       |  SELECT $groupCol AS g, count(*) AS n_g FROM $table GROUP BY 1
+       |), mx AS (SELECT max(n_g) AS max_n FROM cnt)
+       |SELECT t.*, unnest(generate_series(1,
+       |  (max_n // n_g) + CASE WHEN $h * n_g < (max_n % n_g) * 1000000
+       |                        THEN 1 ELSE 0 END)) AS copy_id
+       |FROM $table t
+       |JOIN cnt ON t.$groupCol = cnt.g CROSS JOIN mx""".stripMargin
+  }
+
   /** Approximate sequence packing for training — assign every doc to a
     * fixed-capacity context bin. The distributed form of first-fit: docs
     * are hash-split into `groups` independent shards; within a shard they

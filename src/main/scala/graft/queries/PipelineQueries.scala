@@ -206,6 +206,15 @@ object PipelineQueries {
           col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // mixture upsampling: replicate minority-lang docs toward the largest
+    // lang's count (the dual of d_mixture's downsampling; copy_id keeps
+    // replicas distinct and hash-checkable)
+    "d_upsample" -> ((s, dir) =>
+      Sampling.upsampleGroups(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"))
+        .orderBy("doc_id", "copy_id")),
+
     // context-length chunking: overlapping 32-token windows, stride 24
     // (every chunk's id, length and text are hash-checked)
     "d_chunk" -> ((s, dir) =>
@@ -800,6 +809,11 @@ object PipelineQueries {
       s"""${Sampling.balanceGroupsSql(
              "(SELECT doc_id, lang FROM documents)", "doc_id", "lang")}
          |ORDER BY doc_id""".stripMargin,
+
+    "d_upsample" ->
+      s"""${Sampling.upsampleGroupsSql(
+             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang")}
+         |ORDER BY doc_id, copy_id""".stripMargin,
 
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}

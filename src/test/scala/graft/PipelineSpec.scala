@@ -465,4 +465,33 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("mixture upsampling replicates minority groups toward the largest") {
+    import graft.operators.Sampling
+    val df = docs.select($"doc_id", $"lang")
+    val out = Sampling.upsampleGroups(df, $"doc_id", $"lang")
+    val inCounts = df.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val maxN = inCounts.values.max
+    assert(maxN > inCounts.values.min * 2,
+      "fixture lang mix must be skewed or this test is vacuous")
+    // every original row survives with copy_id 1..copies contiguous
+    val perKey = out.groupBy("doc_id").agg(
+        count(lit(1)).as("c"), max("copy_id").as("mx"), min("copy_id").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perKey.length == df.count(), "every original row must survive")
+    perKey.foreach { case (id, c, mx, mn) =>
+      assert(mn == 1L && mx == c, s"doc $id copy_ids not contiguous") }
+    // the argmax group passes through unchanged (max_n mod n_g == 0 there);
+    // every group lands near max_n (base copies exact, remainder binomial)
+    val got = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got(inCounts.maxBy(_._2)._1) == maxN)
+    got.foreach { case (g, k) =>
+      assert(math.abs(k - maxN) <= math.max(6L, maxN / 2),
+        s"$g upsampled to $k vs max $maxN") }
+    // deterministic and partition-independent
+    val again = Sampling.upsampleGroups(df.repartition(7), $"doc_id", $"lang")
+      .groupBy("doc_id").agg(max("copy_id")).as[(Long, Long)].collect().toMap
+    assert(again == perKey.map(t => t._1 -> t._2).toMap)
+  }
 }

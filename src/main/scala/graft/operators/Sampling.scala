@@ -110,6 +110,45 @@ object Sampling {
        |WHERE $h * n_g < min_n * 1000000""".stripMargin
   }
 
+  /** Temperature-flattened mixture sampling at T = 2: keep each row of
+    * group g with probability sqrt(min_n / n_g), so group sizes land at
+    * sqrt(min_n · n_g) — the square-root compression of the size-ratio
+    * range that multilingual training mixes use, in its downsample-only
+    * form (the smallest group is kept whole; T → ∞ full equalization is
+    * [[balanceGroups]], T = 1 a plain pass-through). T = 2 is the one
+    * temperature whose per-group keep-bound needs only sqrt, which IEEE
+    * correctly-rounds in both engines — pow/exp/ln (any other T) differ
+    * by 1 ulp between libms and would flip rows at the threshold. The
+    * bound floor(1e6 · sqrt(min_n/n_g)) is therefore bit-identical in
+    * [[temperatureSampleSql]], and membership is the usual salted-hash
+    * rule: reproducible, append-stable, partition-independent.
+    *
+    * Scale: identical shape to [[balanceGroups]] — one column-pruned
+    * count pass, broadcast joins, per-row filter; no data shuffle. */
+  def temperatureSample(df: DataFrame, keyCol: Column, groupCol: Column,
+                        salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n_g"))
+    val minN = counts.agg(min(col("n_g")).as("min_n"))
+    val h = pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(counts), groupCol === col("g"))
+      .crossJoin(broadcast(minN))
+      .filter(h < floor(lit(1000000.0) *
+        sqrt(col("min_n").cast("double") / col("n_g").cast("double"))))
+      .drop("g", "n_g", "min_n")
+  }
+
+  def temperatureSampleSql(table: String, keyCol: String, groupCol: String,
+                           salt: String = "temp"): String = {
+    val h = s"${hash60Sql(s"CAST(t.$keyCol AS VARCHAR) || '$salt'")} % 1000000"
+    s"""WITH cnt AS (
+       |  SELECT $groupCol AS g, count(*) AS n_g FROM $table GROUP BY 1
+       |), mn AS (SELECT min(n_g) AS min_n FROM cnt)
+       |SELECT t.* FROM $table t
+       |JOIN cnt ON t.$groupCol = cnt.g CROSS JOIN mn
+       |WHERE $h < floor(1000000.0 *
+       |  sqrt(CAST(min_n AS DOUBLE) / CAST(n_g AS DOUBLE)))""".stripMargin
+  }
+
   /** Deterministic oversampling: replicate every group's rows up toward
     * the LARGEST group's count (the mixture-balancing dual of
     * [[balanceGroups]], for when minority sources must be upweighted

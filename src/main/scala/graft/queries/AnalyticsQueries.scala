@@ -216,6 +216,30 @@ object AnalyticsQueries {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // conversion-funnel analysis: per user, earliest view, first click
+    // strictly after it, first purchase strictly after that. Three
+    // min-aggregations chained on user_id (every join and groupBy keys on
+    // user_id, so the exchange is reused; no per-user window sort) —
+    // timestamps compare in integer micros, exact in both engines
+    "s_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("view_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("view_ts"))
+        .groupBy("user_id").agg(min("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("click_ts"))
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_ts").isNotNull, lit(3))
+            .when(col("click_ts").isNotNull, lit(2)).otherwise(lit(1)))
+        .orderBy("user_id")
+    }),
+
     // SQL-text entry path: the same engine surface via spark.sql over
     // registered views (what a SQL-first user of the library would run)
     "q_sql_api" -> ((s, dir) => {
@@ -562,6 +586,30 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // funnel replay: the same three chained min-aggregations; ts compared
+    // in micros after the ns→us cast (matches Tables.events truncation)
+    "s_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1
+        |)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |       WHEN c.click_ts IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     // identical oracle for the drained streaming form — window(ts, '1 hour')
     // .start over micros-truncated nanos == date_trunc('hour', ts)

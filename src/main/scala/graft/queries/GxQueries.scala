@@ -156,6 +156,34 @@ object GxQueries {
     "gx_adamic" -> ((s, dir) =>
       GraphOps.adamicAdar(unionGraph(s, dir), 100, hubCapPercentile = 0.9)),
 
+    // out-in degree assortativity: per-edge (out_deg(src), in_deg(dst))
+    // pairs reduced to one row of exact BIGINT sufficient statistics
+    // (m, Σx, Σy, Σxy, Σx², Σy²) plus the Pearson coefficient derived
+    // from them in integer micro-units. All engine-divergence risk is
+    // confined to the single-row double step, where both engines apply
+    // the same correctly-rounded *,−,/,sqrt ops to identical integers —
+    // floor() is IEEE-exact, unlike round() — so the hash is stable.
+    "gx_assort" -> ((s, dir) => {
+      val e = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val od = e.groupBy(col("src").as("k1")).agg(count(lit(1)).as("x"))
+      val id = e.groupBy(col("dst").as("k2")).agg(count(lit(1)).as("y"))
+      val st = e.join(od, col("src") === col("k1"))
+        .join(id, col("dst") === col("k2"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y") * col("y")).as("sum_yy"))
+      def d(c: String) = col(c).cast("double")
+      st.withColumn("assort_micro",
+        floor(lit(1000000.0) *
+          (d("n_edges") * d("sum_xy") - d("sum_x") * d("sum_y")) /
+          sqrt((d("n_edges") * d("sum_xx") - d("sum_x") * d("sum_x")) *
+               (d("n_edges") * d("sum_yy") - d("sum_y") * d("sum_y"))))
+          .cast("long"))
+    }),
+
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>
       GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
@@ -308,6 +336,30 @@ object GxQueries {
          |SELECT un.key, CAST(coalesce(p.t, 0) AS INT) AS triangles
          |FROM un LEFT JOIN pernode p ON un.key = p.node
          |ORDER BY un.key""".stripMargin,
+
+    // same left-to-right association as the Spark column expression:
+    // (1e6 * (m·Σxy − Σx·Σy)) / sqrt(...) — identical double ops on
+    // identical integers, floor is IEEE-exact in both engines
+    "gx_assort" ->
+      s"""$cte, od AS (SELECT src, count(*) AS x FROM ue GROUP BY src),
+         |idg AS (SELECT dst, count(*) AS y FROM ue GROUP BY dst),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         |    CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         |    CAST(sum(y * y) AS BIGINT) AS sum_yy
+         |  FROM ue JOIN od USING (src) JOIN idg USING (dst)
+         |)
+         |SELECT *, CAST(floor(1000000.0 *
+         |  (CAST(n_edges AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+         |     - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)) /
+         |  sqrt((CAST(n_edges AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+         |          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+         |     * (CAST(n_edges AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+         |          - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))))
+         |  AS BIGINT) AS assort_micro
+         |FROM st""".stripMargin,
 
     "gx_degrees" ->
       s"""$cte, od AS (SELECT src, count(*) AS d FROM ue GROUP BY src),

@@ -206,6 +206,15 @@ object PipelineQueries {
           col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // temperature-flattened (T=2) lang mix: keep-rate sqrt(min_n/n_g),
+    // group sizes land at sqrt(min_n·n_g) — between d_mixture's full
+    // equalization and the raw skew
+    "d_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // mixture upsampling: replicate minority-lang docs toward the largest
     // lang's count (the dual of d_mixture's downsampling; copy_id keeps
     // replicas distinct and hash-checkable)
@@ -807,6 +816,11 @@ object PipelineQueries {
 
     "d_mixture" ->
       s"""${Sampling.balanceGroupsSql(
+             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "d_temperature" ->
+      s"""${Sampling.temperatureSampleSql(
              "(SELECT doc_id, lang FROM documents)", "doc_id", "lang")}
          |ORDER BY doc_id""".stripMargin,
 

@@ -466,6 +466,34 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperature sampling lands group sizes near sqrt(min_n * n_g)") {
+    import graft.operators.Sampling
+    val df = docs.select($"doc_id", $"lang")
+    val out = Sampling.temperatureSample(df, $"doc_id", $"lang")
+    val inCounts = df.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val minN = inCounts.values.min
+    assert(inCounts.values.max > minN * 2,
+      "fixture lang mix must be skewed or this test is vacuous")
+    val kept = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.keySet == inCounts.keySet, "no group may be emptied")
+    // smallest group kept whole (bound = floor(1e6*sqrt(1)) = 1e6 > any h)
+    assert(kept(inCounts.minBy(_._2)._1) == minN)
+    kept.foreach { case (g, k) =>
+      val target = math.sqrt(minN.toDouble * inCounts(g)).toLong
+      assert(math.abs(k - target) <= math.max(6L, target / 2),
+        s"$g kept $k vs sqrt target $target") }
+    // kept sets nest monotonically: temperature keeps a superset of the
+    // full-equalization sample at the same salt-family discipline
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(df.select("doc_id").as[Long].collect().toSet))
+    // deterministic and partition-independent
+    val again = Sampling.temperatureSample(df.repartition(7), $"doc_id", $"lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
   test("mixture upsampling replicates minority groups toward the largest") {
     import graft.operators.Sampling
     val df = docs.select($"doc_id", $"lang")

@@ -164,6 +164,21 @@ class PlanSpec extends SparkSpec {
       s"the 1-row min join must be broadcast too:\n${plan.take(800)}")
   }
 
+  test("mixture upsampling broadcasts counts and replicates map-side") {
+    val out = graft.operators.Sampling.upsampleGroups(
+      Tables.documents(spark, sf).select($"doc_id", $"lang"),
+      $"doc_id", $"lang")
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group counts must broadcast:\n${plan.take(800)}")
+    assert(plan.contains("Generate"),
+      s"replication must be a map-side explode:\n${plan.take(800)}")
+    // the only exchanges allowed are the broadcasts and the column-pruned
+    // count pass on lang — the data rows themselves never hash-repartition
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"data rows must not shuffle:\n${plan.take(1200)}")
+  }
+
   test("bigram surprisal reuses the tf/cntBi shuffles instead of recomputing") {
     val out = graft.functions.TextFunctions.bigramSurprisalStats(
       Tables.documents(spark, sf), "doc_id", "text")

@@ -436,6 +436,18 @@ object PipelineQueries {
       Similarity.bruteForceTopK(corpus, queriesDf, 10)
         .orderBy("query_id", "rank")}),
 
+    // metadata-filtered vector search (pre-filter strategy): the label
+    // predicate prunes the corpus BEFORE any distance math — pushed to
+    // the parquet scan at scale — instead of post-filtering an oversized
+    // top-k, which under-fills k whenever the filter is selective
+    "e_ann_filtered" -> ((s, dir) => {
+      val all = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"), col("label"))
+      val corpus = all.filter(col("label") === 1).select("id", "vec")
+      val queriesDf = all.filter(col("id") < 5).select("id", "vec")
+      Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .orderBy("query_id", "rank")}),
+
     // threshold 0.45 sits just under the fixtures' max pairwise cosine —
     // the check returns rows at every SF (a 0.99 threshold matched zero
     // rows, which verified nothing about the cosine/threshold logic)
@@ -894,6 +906,23 @@ object PipelineQueries {
         |  SELECT q.id AS query_id, c.id AS vec_id,
         |    round(list_cosine_similarity(q.vec, c.vec), 4) AS cos
         |  FROM c q JOIN c ON q.id < 5 AND c.id <> q.id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the e_ann_topk construction with the label pre-filter on the
+    // corpus side only (queries stay unrestricted)
+    "e_ann_filtered" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec, label
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.id AS query_id, c.id AS vec_id,
+        |    round(list_cosine_similarity(q.vec, c.vec), 4) AS cos
+        |  FROM c q JOIN c ON q.id < 5 AND c.label = 1 AND c.id <> q.id
         |), ranked AS (
         |  SELECT query_id, vec_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank

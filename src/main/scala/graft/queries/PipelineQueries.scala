@@ -363,6 +363,30 @@ object PipelineQueries {
       TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity split: bucket docs into head/middle/tail by
+    // the corpus terciles of mean unigram surprisal (integer micro-nats).
+    // Tercile fractions are written 1.0/3, 2.0/3 in BOTH engines — one
+    // correctly-rounded double division each — and Spark `percentile` ==
+    // DuckDB `quantile_cont` exactly (the d_quality_cut discipline), so
+    // the data-adaptive cuts are engine-identical
+    "d_ccnet_buckets" -> ((s, dir) => {
+      val sp = TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_micro"))
+      val cuts = sp.agg(
+        expr("percentile(mean_micro, 1.0D/3)").as("p33"),
+        expr("percentile(mean_micro, 2.0D/3)").as("p66"))
+      sp.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("mean_micro") < col("p33"), lit("head"))
+            .when(col("mean_micro") < col("p66"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("mean_micro").as("min_micro"),
+          max("mean_micro").as("max_micro"),
+          sum("n_tokens").as("sum_tokens"))
+        .orderBy("bucket")}),
+
     // approximate sequence packing: docs dealt into 512-token context bins
     // (grouped LPT round-robin — the distributed, replayable packer); the
     // per-bin profile is the view a training-data engineer checks for
@@ -698,6 +722,23 @@ object PipelineQueries {
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
+
+    "d_ccnet_buckets" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, n_tokens, mean_micro
+         |  FROM (${TextFunctions.surprisalStatsSql(docsT, "doc_id", "text")}) t
+         |), cut AS (
+         |  SELECT quantile_cont(mean_micro, 1.0/3) AS p33,
+         |         quantile_cont(mean_micro, 2.0/3) AS p66 FROM sp
+         |)
+         |SELECT CASE WHEN mean_micro < p33 THEN 'head'
+         |            WHEN mean_micro < p66 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(mean_micro) AS BIGINT) AS min_micro,
+         |  CAST(max(mean_micro) AS BIGINT) AS max_micro,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp CROSS JOIN cut GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "d_bigram_lm" -> TextFunctions.bigramSurprisalStatsSql(docsT, "doc_id", "text"),
 

@@ -240,6 +240,31 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // per-user activity anomaly score: z-score of event volume vs the
+    // population, in integer micro-units. The mean/sd step uses only
+    // correctly-rounded IEEE ops (÷, ×, −, sqrt) + floor on exact BIGINT
+    // sufficient statistics (n, Σc, Σc²), so it is bit-stable across
+    // engines; the zero-variance guard compares integers (n·Σc² = (Σc)²)
+    // rather than testing the double against 0
+    "s_user_zscore" -> ((s, dir) => {
+      val c = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val st = c.agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      def d(n: String) = col(n).cast("double")
+      c.crossJoin(broadcast(st))
+        .withColumn("z_micro",
+          when(col("n_users") * col("s2") === col("s1") * col("s1"), lit(0L))
+            .otherwise(floor(lit(1000000.0) *
+              (d("n_events") - d("s1") / d("n_users")) /
+              sqrt(d("s2") / d("n_users") -
+                (d("s1") / d("n_users")) * (d("s1") / d("n_users"))))
+              .cast("long")))
+        .select("user_id", "n_events", "z_micro")
+        .orderBy("user_id")
+    }),
+
     // SQL-text entry path: the same engine surface via spark.sql over
     // registered views (what a SQL-first user of the library would run)
     "q_sql_api" -> ((s, dir) => {
@@ -586,6 +611,27 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // identical expression association to the Spark column: ((1e6·diff) /
+    // sqrt(E[x²]−E[x]²)) with every cast spelled out — floor is IEEE-exact
+    "s_user_zscore" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM c
+        |)
+        |SELECT user_id, n_events,
+        |  CASE WHEN n_users * s2 = s1 * s1 THEN 0
+        |       ELSE CAST(floor(1000000.0 *
+        |         (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)) /
+        |         sqrt(CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |            - (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |            * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))))
+        |         AS BIGINT) END AS z_micro
+        |FROM c CROSS JOIN st ORDER BY user_id""".stripMargin,
 
     // funnel replay: the same three chained min-aggregations; ts compared
     // in micros after the ns→us cast (matches Tables.events truncation)

@@ -165,7 +165,11 @@ object Sampling {
     * map-side `explode(sequence)` — the data rows themselves never
     * shuffle, and no per-group window/rank is involved (a
     * `partitionBy(group)` window would put an entire group on one task —
-    * exactly the skew this avoids). */
+    * exactly the skew this avoids). The per-row `sequence` array is
+    * `max_n div n_g` long; on a corpus whose group ratio is extreme
+    * (say > 10⁴×), cap the ratio upstream (pre-filter the giant group or
+    * `least(copies, cap)`) — unbounded replication of a tiny group is a
+    * data-quality smell before it is a memory problem. */
   def upsampleGroups(df: DataFrame, keyCol: Column, groupCol: Column,
                      salt: String = "up"): DataFrame = {
     val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n_g"))

@@ -240,6 +240,21 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // cohort retention: users grouped by first-active day, distinct-user
+    // counts per (cohort_day, day_offset) cell — the classic retention
+    // triangle. Dates derive from UTC-session timestamp truncation and
+    // offsets are integer day diffs, so every cell is engine-exact
+    "s_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+      ev.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // per-user activity anomaly score: z-score of event volume vs the
     // population, in integer micro-units. The mean/sd step uses only
     // correctly-rounded IEEE ops (÷, ×, −, sqrt) + floor on exact BIGINT
@@ -611,6 +626,18 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "s_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+        |), f AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1
+        |)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     // identical expression association to the Spark column: ((1e6·diff) /
     // sqrt(E[x²]−E[x]²)) with every cast spelled out — floor is IEEE-exact

@@ -7,15 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched decode/feature-extract operators.
   *
-  * The Spark-side structure (schema, partition-local batching, operator
-  * signatures, output shape) is real and tested, and [[probeMeta]] is a
-  * REAL header-level decoder (PNG/BMP/WAV container detection + metadata
-  * by codegen'd byte arithmetic). Only the pixel/sample *codec* itself is
-  * a STUB — this container has no image/audio libraries, so `decodeStub`
-  * produces a deterministic md5-derived fake feature vector. Swapping in a
-  * real decoder is a one-function change: replace `decodeStub`'s body with
-  * the JNI/library call; everything around it (mapPartitions batch loop,
-  * metadata threading, schema) stays.
+  * Decode is REAL and JDK-only: [[probeMeta]] is a header-level decoder
+  * (PNG/BMP/WAV container detection + metadata by codegen'd byte
+  * arithmetic), and [[decodeMedia]] decodes actual pixels/samples —
+  * `javax.imageio` for PNG/BMP rasters, a hand-rolled RIFF walk for
+  * 16-bit PCM WAV — emitting per-channel sums/means and sample stats.
+  * No external codec library is needed for these formats; JPEG/MP3/video
+  * would slot into the same mapPartitions loop via their own library call.
   *
   * Scale notes: decode runs inside `mapPartitions` so each task processes
   * its partition as one batch (the Scala analog of mapInPandas' Arrow
@@ -48,47 +46,128 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms"),
         length(col("text")).cast(LongType).as("n_bytes")).as("meta"))
 
-  val FeatureDim = 8
+  // --------------------------------------------------- real pixel decode
+  /** Exact raster statistics of a decoded image: dimensions, pixel count
+    * and per-channel (sRGB) sums. Sums are integers, so they are
+    * order-independent and bit-reproducible — the per-channel mean is one
+    * IEEE division away and therefore also engine-exact. */
+  case class ImageStats(width: Int, height: Int, nPixels: Long,
+                        sumR: Long, sumG: Long, sumB: Long)
 
-  /** STUB decoder ???: a real implementation would decode `content` with an
-    * image/audio codec and emit pixel/spectrogram features. The stand-in is
-    * a deterministic md5-derived vector so the plumbing is testable and
-    * reproducible. Same bytes ⇒ same features, everywhere.
-    *
-    * The payload is hashed exactly ONCE; each feature dimension re-hashes
-    * only the 32-char hex digest (+ the dim index) — O(|content| + dims)
-    * per row, not O(|content| · dims). */
-  def decodeStub(content: Array[Byte]): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val base = md.digest(content).map("%02x".format(_)).mkString
-    (0 until FeatureDim).map { i =>
-      md.reset()
-      val h = java.nio.ByteBuffer
-        .wrap(md.digest((base + i.toString).getBytes("UTF-8"))).getInt & 0x7fffffff
-      (h % 100000).toDouble / 100000.0
-    }.toArray
+  /** Decode an encoded image payload (any `javax.imageio`-readable format:
+    * PNG, BMP, GIF, …) to its exact raster stats. None on undecodable
+    * bytes. JDK-only — no external codec library. */
+  def decodeImage(bytes: Array[Byte]): Option[ImageStats] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageStats(w, h, w.toLong * h, sr, sg, sb))
+      }
+    } catch { case _: Exception => None }
+
+  /** Exact sample statistics of a decoded 16-bit PCM WAV payload: sample
+    * count (all channels pooled), integer sum, min and max. */
+  case class AudioStats(nSamples: Long, sumSamples: Long,
+                        minSample: Int, maxSample: Int)
+
+  /** Decode a RIFF/WAVE payload holding 16-bit integer PCM (format tag 1),
+    * walking the chunk list (not assuming the canonical 44-byte layout).
+    * None on anything malformed or non-PCM-16. JDK-only byte arithmetic. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioStats] = {
+    def leU32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def leU16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+      val id = tag(off)
+      val sz = leU32(off + 4).toInt
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      if (id == "fmt " && sz >= 16)
+        fmtOk = leU16(off + 8) == 1 && leU16(off + 8 + 14) == 16
+      else if (id == "data") data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    data.filter(_ => fmtOk).map { case (dOff, dSz) =>
+      val n = dSz / 2
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(dOff + 2 * i + 1) << 8) | (bytes(dOff + 2 * i) & 0xff)).toShort.toInt
+        sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+        i += 1
+      }
+      AudioStats(n, sum, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+    }
   }
 
-  case class MediaFeatures(media_id: Long, modality: String,
-                           features: Array[Double], n_bytes: Long)
+  /** One decoded row per media row: images carry raster stats, audio
+    * carries sample stats, everything else decodes to kind "unknown" with
+    * all-null stats (a triage pass drops those, it does not crash). Means
+    * are a single IEEE division over exact integer sums — engine-exact. */
+  case class DecodedMedia(media_id: Long, kind: String,
+    width: Option[Int], height: Option[Int], n_pixels: Option[Long],
+    sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+    mean_b: Option[Double],
+    n_samples: Option[Long], sum_samples: Option[Long],
+    min_sample: Option[Int], max_sample: Option[Int],
+    mean_sample: Option[Double])
 
-  /** Batched feature extraction: one decode pass per partition, rows
-    * streamed through the stub codec. Output: (media_id, modality,
-    * features[FeatureDim], n_bytes). */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** Batched REAL decode: one pass per partition, rows routed by magic
+    * bytes to the pixel ([[decodeImage]]) or PCM ([[decodeWav]]) codec.
+    * The partition is the batch: codec instances and buffers amortize
+    * across its rows, nothing touches the driver, and upstream
+    * `repartition` controls decode parallelism — at 100 TB this is the
+    * same shape with the library decoder swapped in per modality. */
+  def decodeMedia(media: DataFrame): Dataset[DecodedMedia] = {
     val sp = media.sparkSession
     import sp.implicits._
-    media.select(col("media_id"), col("modality"), col("content"),
-      col("meta.n_bytes").as("n_bytes"))
+    val none = DecodedMedia(0L, "unknown", None, None, None, None, None,
+      None, None, None, None, None, None, None)
+    media.select(col("media_id"), col("content"))
       .mapPartitions { rows: Iterator[Row] =>
-        // partition = one batch: codec state (here the MD5 instance inside
-        // decodeStub) could be hoisted/reused per batch in a real decoder
+        javax.imageio.ImageIO.setUseCache(false) // no executor-disk staging
         rows.map { r =>
-          MediaFeatures(
-            r.getAs[Long]("media_id"),
-            r.getAs[String]("modality"),
-            decodeStub(r.getAs[Array[Byte]]("content")),
-            r.getAs[Long]("n_bytes"))
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          def hasMagic(hex: String, off: Int): Boolean = {
+            val m = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+            bytes.length >= off + m.length &&
+              m.indices.forall(i => bytes(off + i) == m(i))
+          }
+          val isImage = hasMagic("89504E47", 0) || hasMagic("424D", 0)
+          val isWav = hasMagic("52494646", 0) && hasMagic("57415645", 8)
+          if (isImage) decodeImage(bytes).fold(none.copy(media_id = id)) { s =>
+            DecodedMedia(id,
+              if (bytes(0) == 0x42) "image/bmp" else "image/png",
+              Some(s.width), Some(s.height), Some(s.nPixels),
+              Some(s.sumR), Some(s.sumG), Some(s.sumB),
+              Some(s.sumB.toDouble / s.nPixels),
+              None, None, None, None, None)
+          } else if (isWav) decodeWav(bytes).fold(none.copy(media_id = id)) { s =>
+            DecodedMedia(id, "audio/wav", None, None, None, None, None, None,
+              None, Some(s.nSamples), Some(s.sumSamples),
+              Some(s.minSample), Some(s.maxSample),
+              Some(if (s.nSamples == 0) 0.0
+                   else s.sumSamples.toDouble / s.nSamples))
+          } else none.copy(media_id = id)
         }
       }
   }

@@ -574,13 +574,46 @@ object PipelineQueries {
           col("probed_duration_ms"))
         .orderBy("media_id")}),
 
-    // multimodal: binary payload -> batched (mapPartitions) stub decode ->
-    // per-index feature rows; oracle replays the md5-derived stub exactly
+    // multimodal REAL decode under oracle: payloads are complete, valid
+    // 24-bit BMP rasters (even doc_id; blue channel varies per pixel) and
+    // 16-bit PCM WAV clips (odd doc_id; signed samples spanning both
+    // polarities), assembled arithmetically from doc_id. decodeMedia must
+    // decode ACTUAL pixels via javax.imageio / PCM samples via the RIFF
+    // walk; the oracle computes the planted stats directly — a hash match
+    // proves decode(build(x)) == x for every payload
     "m_features" -> ((s, dir) => {
-      val media = Multimodal.fromDocuments(docs(s, dir))
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), posexplode(col("features")).as(Seq("i", "feature")))
-        .orderBy("media_id", "i")}),
+      import org.apache.spark.sql.Column
+      def leHex(c: Column, nBytes: Int): Column =
+        concat((0 until nBytes).map(i =>
+          lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+      val d = col("doc_id")
+      val hgt = pmod(d, lit(8L)) + 1          // 1..8 rows, width fixed at 4
+      val g0 = pmod(d * 7, lit(256L))          // constant green (channel order)
+      val r0 = pmod(d * 13, lit(256L))         // constant red
+      val pixels = array_join(                 // BGR triplets, blue = (d+p)%256
+        transform(sequence(lit(0L), hgt * 4 - 1),
+          p => concat(lpad(hex(pmod(d + p, lit(256L))), 2, "0"),
+            lpad(hex(g0), 2, "0"), lpad(hex(r0), 2, "0"))), "")
+      val bmp = concat(
+        lit("424D"), leHex(lit(54L) + hgt * 12, 4),      // file size
+        lit("00000000"), lit("36000000"),                 // reserved, offset 54
+        lit("28000000"), lit("04000000"), leHex(hgt, 4),  // DIB, w=4, h
+        lit("0100"), lit("1800"), lit("00000000"),        // planes, 24bpp, BI_RGB
+        leHex(hgt * 12, 4), lit("00000000"), lit("00000000"),
+        lit("00000000"), lit("00000000"), pixels)
+      val n = pmod(d, lit(16L)) + 2            // 2..17 PCM samples
+      val samples = array_join(                // unsigned LE16 of planted value
+        transform(sequence(lit(0L), n - 1),
+          k => leHex(pmod(d * 31 + k * 997, lit(65536L)), 2)), "")
+      val wav = concat(
+        lit("52494646"), leHex(lit(36L) + n * 2, 4), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+        leHex(lit(8000L), 4), leHex(lit(16000L), 4), lit("0200"), lit("1000"),
+        lit("64617461"), leHex(n * 2, 4), samples)
+      val media = docs(s, dir).select(
+        d.as("media_id"),
+        unhex(when(pmod(d, lit(2)) === 0, bmp).otherwise(wav)).as("content"))
+      Multimodal.decodeMedia(media).toDF().orderBy("media_id")}),
 
     // multimodal frame sampling under oracle: payloads are md5-derived
     // bytes of deterministic length (16 * (doc_id%5 + 1)); sampleFrames
@@ -1025,22 +1058,37 @@ object PipelineQueries {
          |FROM ne JOIN nl USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY query_id""".stripMargin,
 
-    "m_features" -> {
-      // replay decodeStub: base = hex md5(content) computed ONCE;
-      // feature_i = (int31 of md5(base_hex || i)) % 100000 / 100000
-      val cols = (0 until Multimodal.FeatureDim).map { i =>
-        s"((CAST('0x' || substring(md5(basehex || '$i'), 1, 8) AS BIGINT) & 2147483647) % 100000) / 100000.0"
-      }
-      val arr = cols.mkString("[", ", ", "]")
-      s"""WITH media AS (
-         |  SELECT doc_id AS media_id, md5(text) AS basehex FROM documents
-         |), f AS (
-         |  SELECT media_id, $arr AS features FROM media
-         |)
-         |SELECT media_id, CAST(i - 1 AS INT) AS i, features[i] AS feature
-         |FROM f, (SELECT unnest(generate_series(1, ${Multimodal.FeatureDim})) AS i)
-         |ORDER BY media_id, i""".stripMargin
-    },
+    // ground truth is the planted-payload arithmetic, NOT a re-decode:
+    // the hash match proves the real pixel/PCM decoders invert the build
+    "m_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 + 1 AS hgt, doc_id % 16 + 2 AS n
+        |  FROM documents
+        |), calc AS (
+        |  SELECT doc_id, hgt, n,
+        |    CAST(list_aggregate(list_transform(generate_series(0, hgt * 4 - 1),
+        |      p -> (doc_id + p) % 256), 'sum') AS BIGINT) AS sum_b,
+        |    list_transform(generate_series(0, n - 1),
+        |      k -> CASE WHEN (doc_id * 31 + k * 997) % 65536 < 32768
+        |                THEN (doc_id * 31 + k * 997) % 65536
+        |                ELSE (doc_id * 31 + k * 997) % 65536 - 65536 END) AS smp
+        |  FROM base
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(hgt AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(hgt * 4 AS BIGINT) END AS n_pixels,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(hgt * 4 * (doc_id * 13 % 256) AS BIGINT) END AS sum_r,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(hgt * 4 * (doc_id * 7 % 256) AS BIGINT) END AS sum_g,
+        |  CASE WHEN doc_id % 2 = 0 THEN sum_b END AS sum_b,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(sum_b AS DOUBLE) / (hgt * 4) END AS mean_b,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(n AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'sum') AS BIGINT) END AS sum_samples,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'min') AS INT) END AS min_sample,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'max') AS INT) END AS max_sample,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'sum') AS DOUBLE) / n END AS mean_sample
+        |FROM calc ORDER BY media_id""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (

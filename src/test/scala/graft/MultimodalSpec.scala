@@ -16,28 +16,65 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 500)
   }
 
-  test("stub decode is deterministic and batch-shaped") {
-    val f1 = Multimodal.extractFeatures(media).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    val f2 = Multimodal.extractFeatures(media.repartition(7)).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    assert(f1 == f2, "partitioning must not change decode output")
-    assert(f1.values.forall(_.size == Multimodal.FeatureDim))
-    assert(f1.values.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+  test("decodeImage decodes a REAL PNG written by ImageIO to exact stats") {
+    // known 3x2 raster: pixel (x,y) = RGB(10x+y, 100+x, 200+y)
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 2)
+      img.setRGB(x, y, ((10 * x + y) << 16) | ((100 + x) << 8) | (200 + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = Multimodal.decodeImage(bos.toByteArray).get
+    assert(s.width == 3 && s.height == 2 && s.nPixels == 6)
+    assert(s.sumR == (for (x <- 0 until 3; y <- 0 until 2) yield 10 * x + y).sum)
+    assert(s.sumG == (for (x <- 0 until 3; _ <- 0 until 2) yield 100 + x).sum)
+    assert(s.sumB == (for (_ <- 0 until 3; y <- 0 until 2) yield 200 + y).sum)
   }
 
-  test("decodeStub matches its SQL-expressible definition") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val expected = Multimodal.decodeStub(bytes)
-    val viaSql = (0 until Multimodal.FeatureDim).map { i =>
-      val r = spark.sql(
-        s"""SELECT ((CAST(conv(substring(md5(concat(
-           | md5(encode('hello world', 'UTF-8')),
-           | encode('$i', 'UTF-8'))), 1, 8), 16, 10) AS BIGINT) & 2147483647) % 100000)
-           | / CAST(100000.0 AS DOUBLE)""".stripMargin).head.getDouble(0)
-      r
-    }
-    assert(expected.toSeq == viaSql)
+  test("decodeWav parses 16-bit PCM incl. negatives and non-canonical chunks") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(100, -200, 32767, -32768, 0)
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    // a LIST chunk between fmt and data: the walk must skip it
+    val junk = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = fmt ++ junk ++ "data".getBytes ++ le32(data.length) ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val st = Multimodal.decodeWav(wav).get
+    assert(st.nSamples == 5 && st.sumSamples == samples.map(_.toLong).sum)
+    assert(st.minSample == -32768 && st.maxSample == 32767)
+    // float-PCM (format 3) must be rejected, not mis-parsed
+    val fmtF = "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val bodyF = fmtF ++ "data".getBytes ++ le32(data.length) ++ data
+    val wavF = "RIFF".getBytes ++ le32(4 + bodyF.length) ++ "WAVE".getBytes ++ bodyF
+    assert(Multimodal.decodeWav(wavF).isEmpty)
+  }
+
+  test("decodeMedia routes by magic, is partition-invariant, survives junk") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 2; y <- 0 until 2) img.setRGB(x, y, 0x0A141E)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      (1L, bos.toByteArray),
+      (2L, "not a media file".getBytes("UTF-8")),
+      (3L, Array[Byte](0x42, 0x4D, 1, 2))) // BMP magic, truncated garbage
+      .toDF("media_id", "content")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeMedia(df).collect().map(d => d.media_id -> d).toMap
+    val out = run(rows)
+    assert(out(1L).kind == "image/png" && out(1L).n_pixels.contains(4L))
+    assert(out(1L).sum_r.contains(40L) && out(1L).sum_g.contains(80L) &&
+      out(1L).sum_b.contains(120L))
+    assert(out(2L).kind == "unknown" && out(2L).width.isEmpty)
+    assert(out(3L).kind == "unknown", "undecodable magic-matched bytes -> unknown")
+    assert(run(rows.repartition(3)) == run(rows),
+      "partitioning must not change decode output")
   }
 
   test("probeMeta decodes real PNG/BMP/WAV headers (no codec library)") {

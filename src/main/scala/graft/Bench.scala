@@ -96,8 +96,8 @@ object Bench {
     val headline = Set(
       "q1_agg", "q3_top", "q5_region", "q_window_funcs", "q_percentiles",
       "g_counts", "g_two_hop", "g_graph_stats",
-      "gx_pagerank_fp", "gx_cc", "gx_triangles", "gx_kcore", "gx_labelprop",
-      "gx_wsssp", "gx_sssp",
+      "gx_adamic", "gx_pagerank_fp", "gx_cc", "gx_triangles", "gx_kcore",
+      "gx_labelprop", "gx_wsssp", "gx_sssp", "gx_hits", "gx_ppr", "gx_walks",
       "d_dedup_exact", "d_minhash_lsh", "d_dedup_pipeline", "d_tfidf",
       "d_decontaminate",
       "e_ann_topk", "e_ann_lsh", "e_near_dup", "m_probe", "m_features",

@@ -31,7 +31,13 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
           s"$prettyName requires array<string>, got ${other.simpleString}")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the child: UTF8String.concat null-propagates, so
+  // a null token yields a null bigram — declaring containsNull = false for
+  // a nullable-element input would lie to downstream operators
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "graft_bigrams"
 
   private val SPACE = UTF8String.fromString(" ")

@@ -121,7 +121,10 @@ object Sampling {
     * by 1 ulp between libms and would flip rows at the threshold. The
     * bound floor(1e6 · sqrt(min_n/n_g)) is therefore bit-identical in
     * [[temperatureSampleSql]], and membership is the usual salted-hash
-    * rule: reproducible, append-stable, partition-independent.
+    * rule: reproducible and partition-independent, but — like
+    * [[balanceGroups]] and unlike the fixed-rate samplers — append-
+    * UNSTABLE wherever group counts change (the keep bound depends on
+    * min_n/n_g, so growing any group can flip rows near the threshold).
     *
     * Scale: identical shape to [[balanceGroups]] — one column-pruned
     * count pass, broadcast joins, per-row filter; no data shuffle. */
@@ -166,33 +169,36 @@ object Sampling {
     * shuffle, and no per-group window/rank is involved (a
     * `partitionBy(group)` window would put an entire group on one task —
     * exactly the skew this avoids). The per-row `sequence` array is
-    * `max_n div n_g` long; on a corpus whose group ratio is extreme
-    * (say > 10⁴×), cap the ratio upstream (pre-filter the giant group or
-    * `least(copies, cap)`) — unbounded replication of a tiny group is a
-    * data-quality smell before it is a memory problem. */
+    * `max_n div n_g` long, ENFORCED at most `maxCopies` (a pathological
+    * group ratio — one doc in a 10⁹-row-majority corpus — would otherwise
+    * explode a single row into max_n copies; unbounded replication of a
+    * tiny group is a data-quality smell before it is a memory problem, so
+    * the cap is a parameter, not a scaladoc note). Rows at the cap take
+    * exactly `maxCopies` copies with no fractional top-up. */
   def upsampleGroups(df: DataFrame, keyCol: Column, groupCol: Column,
-                     salt: String = "up"): DataFrame = {
+                     salt: String = "up", maxCopies: Long = 10000L): DataFrame = {
+    require(maxCopies >= 1, "maxCopies >= 1")
     val counts = df.groupBy(groupCol.as("g")).agg(count(lit(1)).as("n_g"))
     val maxN = counts.agg(max(col("n_g")).as("max_n"))
     val h = pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(1000000L))
     df.join(broadcast(counts), groupCol === col("g"))
       .crossJoin(broadcast(maxN))
-      .withColumn("copies", expr("max_n div n_g") +
+      .withColumn("copies", least(expr("max_n div n_g") +
         when(h * col("n_g") < (col("max_n") % col("n_g")) * 1000000L, lit(1L))
-          .otherwise(lit(0L)))
+          .otherwise(lit(0L)), lit(maxCopies)))
       .withColumn("copy_id", explode(sequence(lit(1L), col("copies"))))
       .drop("g", "n_g", "max_n", "copies")
   }
 
   def upsampleGroupsSql(table: String, keyCol: String, groupCol: String,
-                        salt: String = "up"): String = {
+                        salt: String = "up", maxCopies: Long = 10000L): String = {
     val h = s"${hash60Sql(s"CAST(t.$keyCol AS VARCHAR) || '$salt'")} % 1000000"
     s"""WITH cnt AS (
        |  SELECT $groupCol AS g, count(*) AS n_g FROM $table GROUP BY 1
        |), mx AS (SELECT max(n_g) AS max_n FROM cnt)
-       |SELECT t.*, unnest(generate_series(1,
+       |SELECT t.*, unnest(generate_series(1, least(
        |  (max_n // n_g) + CASE WHEN $h * n_g < (max_n % n_g) * 1000000
-       |                        THEN 1 ELSE 0 END)) AS copy_id
+       |                        THEN 1 ELSE 0 END, $maxCopies))) AS copy_id
        |FROM $table t
        |JOIN cnt ON t.$groupCol = cnt.g CROSS JOIN mx""".stripMargin
   }

@@ -36,14 +36,16 @@ object Similarity {
     * `corpus` both carry (id, vec: array<double>); self-matches excluded.
     * Queries are broadcast (the small side by construction); norms are
     * precomputed once per row on each side. */
-  /** Spread an under-partitioned corpus before a per-row-quadratic stage:
-    * a small corpus arrives as one file = one partition and the whole
-    * O(n·q) compare would run in a single task. At cluster scale the input
-    * is already wide and this is a no-op (no shuffle added). */
-  private def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  /** Spread the corpus before a per-row-quadratic stage: a small corpus
+    * arrives as one file = one partition and the whole O(n·q) compare
+    * would run in a single task. The repartition is UNCONDITIONAL — a
+    * conditional `df.rdd.getNumPartitions` probe forces an RDD conversion
+    * (full physical planning) at plan-construction time on every call,
+    * which costs more than the round-robin exchange it tries to avoid;
+    * against the O(n·q) broadcast-NLJ stage that follows, one narrow
+    * pass over the corpus is noise at any scale. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),

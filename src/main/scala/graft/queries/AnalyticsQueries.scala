@@ -196,6 +196,24 @@ object AnalyticsQueries {
         shufflePartitions = Some(8))
         .orderBy("window_start", "user_id")}),
 
+    // CUSTOM STATE in the gate: mapGroupsWithState running per-user totals
+    // drained in update mode. Each update re-emits the user's running
+    // (n, total_micro); the outer max(struct(n, ...)) keeps only the LAST
+    // update per user (n strictly increases), so the result is the final
+    // state whatever the micro-batch split. total_micro accumulates
+    // per-event floor(1e6·value) — integer, order-free, hash-checkable
+    "s_stream_totals" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.runningUserTotals(
+        graft.streaming.EventStreams.readEvents(s, dir)).toDF()
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_totals_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("total_micro"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n_events"),
+          col("m.total_micro").as("total_micro"))
+        .orderBy("user_id")}),
+
     "s_stream_join" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.purchaseAfterClick(
         graft.streaming.EventStreams.readEvents(s, dir))
@@ -259,8 +277,13 @@ object AnalyticsQueries {
     // population, in integer micro-units. The mean/sd step uses only
     // correctly-rounded IEEE ops (÷, ×, −, sqrt) + floor on exact BIGINT
     // sufficient statistics (n, Σc, Σc²), so it is bit-stable across
-    // engines; the zero-variance guard compares integers (n·Σc² = (Σc)²)
-    // rather than testing the double against 0
+    // engines. The zero-variance guard tests the COMPUTED double
+    // (var_d <= 0) identically in both engines: the integer identity
+    // n·Σc² = (Σc)² misses the case where double cancellation drives
+    // s2/n - (s1/n)² to exactly 0 or below with a nonzero true variance
+    // (sqrt would go NaN / division by zero — Spark casts that silently,
+    // DuckDB errors); since var_d is the same correctly-rounded double in
+    // both engines, the guard decision is also identical
     "s_user_zscore" -> ((s, dir) => {
       val c = Tables.events(s, dir).groupBy("user_id")
         .agg(count(lit(1)).as("n_events"))
@@ -269,12 +292,13 @@ object AnalyticsQueries {
         sum(col("n_events") * col("n_events")).as("s2"))
       def d(n: String) = col(n).cast("double")
       c.crossJoin(broadcast(st))
+        .withColumn("var_d",
+          d("s2") / d("n_users") -
+            (d("s1") / d("n_users")) * (d("s1") / d("n_users")))
         .withColumn("z_micro",
-          when(col("n_users") * col("s2") === col("s1") * col("s1"), lit(0L))
+          when(col("var_d") <= 0.0, lit(0L))
             .otherwise(floor(lit(1000000.0) *
-              (d("n_events") - d("s1") / d("n_users")) /
-              sqrt(d("s2") / d("n_users") -
-                (d("s1") / d("n_users")) * (d("s1") / d("n_users"))))
+              (d("n_events") - d("s1") / d("n_users")) / sqrt(col("var_d")))
               .cast("long")))
         .select("user_id", "n_events", "z_micro")
         .orderBy("user_id")
@@ -649,16 +673,19 @@ object AnalyticsQueries {
         |    CAST(sum(n_events) AS BIGINT) AS s1,
         |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
         |  FROM c
+        |), v AS (
+        |  SELECT user_id, n_events, n_users, s1,
+        |    CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)) AS var_d
+        |  FROM c CROSS JOIN st
         |)
         |SELECT user_id, n_events,
-        |  CASE WHEN n_users * s2 = s1 * s1 THEN 0
+        |  CASE WHEN var_d <= 0 THEN 0
         |       ELSE CAST(floor(1000000.0 *
         |         (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)) /
-        |         sqrt(CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
-        |            - (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))
-        |            * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE))))
-        |         AS BIGINT) END AS z_micro
-        |FROM c CROSS JOIN st ORDER BY user_id""".stripMargin,
+        |         sqrt(var_d)) AS BIGINT) END AS z_micro
+        |FROM v ORDER BY user_id""".stripMargin,
 
     // funnel replay: the same three chained min-aggregations; ts compared
     // in micros after the ns→us cast (matches Tables.events truncation)
@@ -734,6 +761,13 @@ object AnalyticsQueries {
         |  user_id, count(DISTINCT event_type) AS degree
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, user_id""".stripMargin,
+
+    // final mapGroupsWithState state = plain per-user aggregate; the
+    // micro-unit sum floors each term before summing (engine-exact)
+    "s_stream_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT) AS total_micro
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s_stream_join" ->
       """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,

@@ -80,9 +80,12 @@ object GxQueries {
 
     // synchronous label propagation (community detection) — deterministic
     // tie-breaking makes the ITERATIVE algorithm hash-checkable against an
-    // unrolled-CTE oracle, like gx_pagerank_fp
+    // unrolled-CTE oracle, like gx_pagerank_fp. iters = 5 reaches the
+    // period-2 limit cycle this graph's bipartite S-C structure settles
+    // into under synchronous updates (sync LPA oscillates rather than
+    // fixing on bipartite-ish graphs — GraphOpsSpec pins l5 == l7)
     "gx_labelprop" -> ((s, dir) =>
-      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 4)
+      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5)
         .orderBy("key")),
 
     // bounded k-core peel on the supplier-part graph with DATA-ADAPTIVE
@@ -228,8 +231,8 @@ object GxQueries {
          |SELECT key, r AS rank_fp FROM r5 ORDER BY key""".stripMargin,
 
     "gx_labelprop" ->
-      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 4)}
-         |SELECT key, label FROM l4 ORDER BY key""".stripMargin,
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}
+         |SELECT key, label FROM l5 ORDER BY key""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

@@ -51,11 +51,24 @@ object Export {
                          outDir: String, maxRowsPerShard: Long,
                          compression: String = "snappy"): Long = {
     require(maxRowsPerShard > 0, "maxRowsPerShard > 0")
-    val maxPer = df.groupBy(col(partitionCol)).count()
-      .agg(max(col("count"))).head.getLong(0)
+    // one stats pass: largest partition (sets the bucket count) and the
+    // partition count (sets the explicit shuffle width below)
+    val statsRow = df.groupBy(col(partitionCol)).count()
+      .agg(max(col("count")), count(lit(1))).head
+    val maxPer = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val nParts = statsRow.getLong(1)
     val buckets = math.max(1, math.ceil(maxPer.toDouble / maxRowsPerShard).toInt)
+    // the explicit width matters: repartition(cols) alone hashes the
+    // (partition, bucket) groups into the DEFAULT shuffle-partition count,
+    // so several groups can collide into one task and be written as a
+    // single merged several-×-maxRowsPerShard file. One shuffle partition
+    // per (partition, bucket) group keeps the bound real (hash collisions
+    // can still merge two groups, so it is tight-in-expectation, exact
+    // only per colliding pair — document, don't overpromise).
+    val width = math.max(1L, nParts * buckets)
+      .min(Int.MaxValue.toLong).toInt
     df.withColumn("__bucket", pmod(xxhash64(col(keyCol)), lit(buckets)))
-      .repartition(col(partitionCol), col("__bucket"))
+      .repartition(width, col(partitionCol), col("__bucket"))
       .drop("__bucket")
       .write.mode("overwrite")
       .option("compression", compression)

@@ -170,10 +170,16 @@ object EventStreams {
 
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
-  case class UserTotals(user_id: Long, n: Long, total: Double)
+  case class UserTotals(user_id: Long, n: Long, total_micro: Long)
 
   /** Custom stateful aggregation: running per-user totals via
-    * mapGroupsWithState (the KeyValueGroupedDataset state API). */
+    * mapGroupsWithState (the KeyValueGroupedDataset state API). The value
+    * total accumulates in integer micro-units, each term floored BEFORE
+    * the sum (`floor(1e6·value)` is one correctly-rounded IEEE multiply +
+    * an exact floor) — the iterator's row order inside a group is
+    * partition-arrival order, so a float running sum would be
+    * order-dependent; the integer sum is not, which is what makes the
+    * final state hash-checkable against a batch oracle. */
   def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
     val sp = events.sparkSession
     import sp.implicits._
@@ -181,9 +187,9 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
-          val (n, tot) = rows.foldLeft((prev.n, prev.total)) {
-            case ((c, t), e) => (c + 1, t + e.value)
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0L))
+          val (n, tot) = rows.foldLeft((prev.n, prev.total_micro)) {
+            case ((c, t), e) => (c + 1, t + math.floor(1000000.0 * e.value).toLong)
           }
           val next = UserTotals(uid, n, tot)
           state.update(next)

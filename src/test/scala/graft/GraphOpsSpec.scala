@@ -282,6 +282,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(fp.toSeq == gx.toSeq) // identical ranking order
   }
 
+  test("gx_labelprop/gx_wsssp bounded iterations HAVE stabilized at gate scale") {
+    // if a fixture change made the drivers' bounds under-iterate, the
+    // oracle would still agree (it replays the same bound) but the answer
+    // would silently stop being the stable one — this pins stability at
+    // the gate scale. WSSSP reaches a true fixpoint (d4 == d5). Sync LPA
+    // on this graph's bipartite S-C structure does NOT fix — it enters a
+    // period-2 limit cycle (classic synchronous-update oscillation), so
+    // the stability statement for gx_labelprop's iters = 5 is l5 == l7,
+    // and l5 != l6 is asserted too so this can't silently weaken into a
+    // fixpoint claim that a 2-cycle would also satisfy
+    val dir = "/root/testdata/sf0.01"
+    val ug = KinGraph.fromEdges(graft.queries.GxQueries.unionEdges(spark, dir))
+    def lpa(i: Int) = GraphOps.labelPropagationSync(ug, iters = i)
+      .as[(String, String)].collect().toMap
+    val (l5, l6, l7) = (lpa(5), lpa(6), lpa(7))
+    assert(l5 == l7, "gx_labelprop's iters=5 left the period-2 cycle at sf0.01")
+    assert(l5 != l6, "cycle collapsed to a fixpoint — tighten this to l5 == l6")
+    val we = ug.edges.select($"src", $"dst").withColumn("w",
+      pmod(graft.functions.TextFunctions.hash60(
+        concat($"src", lit("|"), $"dst")), lit(100L)) + 1L)
+    val nodes = ug.nodes.select($"key")
+    val d4 = GraphOps.weightedSsspBounded(we, nodes, "S1", 4)
+      .as[(String, Long)].collect().toMap
+    val d5 = GraphOps.weightedSsspBounded(we, nodes, "S1", 5)
+      .as[(String, Long)].collect().toMap
+    assert(d4 == d5, "gx_wsssp's rounds=4 no longer converges at sf0.01")
+  }
+
   test("GraftExtensions injects SQL functions into a fresh session") {
     spark.sparkContext // ensure the shared context exists
     val prev = SparkSession.getDefaultSession

@@ -522,4 +522,22 @@ class PipelineSpec extends SparkSpec {
       .groupBy("doc_id").agg(max("copy_id")).as[(Long, Long)].collect().toMap
     assert(again == perKey.map(t => t._1 -> t._2).toMap)
   }
+
+  test("upsampling replication is HARD-capped on pathological group ratios") {
+    import graft.operators.Sampling
+    // 1 minority row vs a 100k-row majority: uncapped would emit 100k copies
+    val skewed = spark.range(100000).selectExpr("id AS doc_id", "'big' AS grp")
+      .union(spark.range(1).selectExpr("id + 9000000 AS doc_id", "'tiny' AS grp"))
+    val out = Sampling.upsampleGroups(skewed, $"doc_id", $"grp", maxCopies = 64L)
+    val copies = out.filter($"grp" === "tiny").count()
+    assert(copies == 64L, s"cap must bound replication, got $copies")
+    // majority group passes through untouched below the cap
+    assert(out.filter($"grp" === "big").count() == 100000L)
+    // cap above the natural ratio changes nothing
+    val loose = Sampling.upsampleGroups(
+      docs.select($"doc_id", $"lang"), $"doc_id", $"lang")
+    val tight = Sampling.upsampleGroups(
+      docs.select($"doc_id", $"lang"), $"doc_id", $"lang", maxCopies = 1000000L)
+    assert(loose.count() == tight.count())
+  }
 }

@@ -148,12 +148,17 @@ class StreamingSpec extends SparkSpec {
     val streamed = EventStreams.runToMemory(
       EventStreams.runningUserTotals(stream).toDF(), "t_totals",
       org.apache.spark.sql.streaming.OutputMode.Update())
-    // last update per user = final totals
+    // last update per user = final totals (n strictly increases per update)
     val finalTotals = streamed.groupBy($"user_id")
-      .agg(max($"n").as("n"))
-      .as[(Long, Long)].collect().toMap
-    val batched = batch.groupBy($"user_id").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().toMap
+      .agg(max(struct($"n", $"total_micro")).as("m"))
+      .select($"user_id", $"m.n", $"m.total_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, t) => u -> (n, t) }.toMap
+    val batched = batch.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(lit(1000000.0) * $"value").cast("long")).as("t"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, t) => u -> (n, t) }.toMap
     assert(finalTotals == batched)
   }
 }

@@ -462,6 +462,84 @@ object Dedup {
        |LEFT JOIN hits h ON d.$idCol = h.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring decontamination — the character-level companion to
+    * [[contaminationReport]]'s token shingles (the relational form of the
+    * suffix-array substring pass of Lee et al. 2022's training-data dedup,
+    * /root/reference has no equivalent; north-star pipeline op). Fixed
+    * `windowLen`-char windows: the benchmark side windows at stride 1
+    * (every position), the corpus side at stride `corpusStride` — any
+    * literal run of at least windowLen + corpusStride − 1 shared chars
+    * necessarily aligns one corpus window fully inside the benchmark run,
+    * so detection at that substring length is EXACT, not probabilistic.
+    *
+    * Scale shape: corpus work is len/stride window hashes per doc (the
+    * stride is the cost knob), the benchmark's distinct window hashes
+    * broadcast (benchmarks are small by deployment), and the match joins
+    * 60-bit hashes from the shared md5 family — the oracle replays the
+    * same hashes, collisions included. Output: one row per corpus doc
+    * (doc_id, n_windows, n_hits, contaminated); docs shorter than
+    * windowLen carry n_windows = 0. */
+  def substringContamination(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             windowLen: Int = 50,
+                             corpusStride: Int = 10): DataFrame = {
+    require(windowLen > 0, "windowLen > 0")
+    require(corpusStride > 0, "corpusStride > 0")
+    def windowHashes(df: DataFrame, stride: Int): DataFrame = {
+      val t = col(textCol)
+      // guard: Spark's sequence throws on stop < start with a + step
+      val positions = when(length(t) >= windowLen,
+        sequence(lit(1L), (length(t) - (windowLen - 1)).cast("long"),
+          lit(stride.toLong)))
+        .otherwise(expr("CAST(array() AS array<bigint>)"))
+      // explode positions FIRST, hash in the post-Generate projection —
+      // a transform() lambda would hash interpreted per element
+      df.select(col(idCol).as("doc_id"), t.as("__t"),
+          explode(positions).as("p"))
+        .select(col("doc_id"),
+          hash60(col("__t").substr(col("p").cast("int"), lit(windowLen))).as("h"))
+    }
+    val bw = windowHashes(benchmark, 1).select("h").distinct()
+    val hits = windowHashes(corpus, corpusStride)
+      .join(broadcast(bw.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** DuckDB twin of [[substringContamination]] with `textExpr` as the
+    * (possibly computed) text column on both sides. */
+  def substringContaminationSql(table: String, idCol: String, textExpr: String,
+                                docsFilter: String, benchFilter: String,
+                                windowLen: Int = 50,
+                                corpusStride: Int = 10): String =
+    s"""WITH bw AS (
+       |  SELECT DISTINCT ${hash60Sql(s"substr(t, p, $windowLen)")} AS h FROM (
+       |    SELECT t, unnest(generate_series(1, len(t) - ${windowLen - 1})) AS p
+       |    FROM (SELECT $textExpr AS t FROM $table WHERE $benchFilter))
+       |), cw AS (
+       |  SELECT doc_id, ${hash60Sql(s"substr(t, p, $windowLen)")} AS h FROM (
+       |    SELECT doc_id, t,
+       |      unnest(generate_series(1, len(t) - ${windowLen - 1}, $corpusStride)) AS p
+       |    FROM (SELECT $idCol AS doc_id, $textExpr AS t
+       |          FROM $table WHERE $docsFilter))
+       |), hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(count(bw.h) AS BIGINT) AS n_hits
+       |  FROM cw LEFT JOIN bw ON cw.h = bw.h GROUP BY doc_id
+       |)
+       |SELECT d.$idCol AS doc_id,
+       |  CAST(coalesce(h.n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  (coalesce(h.n_hits, 0) > 0) AS contaminated
+       |FROM (SELECT $idCol FROM $table WHERE $docsFilter) d
+       |LEFT JOIN hits h ON d.$idCol = h.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- ngram jaccard
   /** Exact shingle-set Jaccard for pairs sharing at least one shingle,
     * thresholded. The shared-shingle join is the candidate generator; at

@@ -320,6 +320,21 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // EXACT substring decontamination (50-char windows, corpus stride 10):
+    // a 96-char leak string keyed by doc_id % 5 is planted onto every
+    // benchmark (src19) doc AND every doc_id % 7 == 0 corpus doc — well
+    // past the 59-char guaranteed-detection length, so those corpus docs
+    // MUST flag, and the oracle replays windows + hashes exactly
+    "d_substring" -> ((s, dir) => {
+      val leak = repeat(md5(pmod(col("doc_id"), lit(5L)).cast("string")), 3)
+      val aug = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("source") === "src19" || pmod(col("doc_id"), lit(7L)) === 0,
+          concat(col("text"), lit("|"), leak)).otherwise(col("text")).as("text"))
+      Dedup.substringContamination(
+        aug.filter(col("source") =!= "src19"),
+        aug.filter(col("source") === "src19"),
+        "doc_id", "text").orderBy("doc_id")}),
+
     // bigram conditional surprisal: the next-word LM quality signal
     // (−Σ ln P(cur|prev) under the corpus bigram model), hash-checked via
     // the same integer micro-nat construction as d_surprisal
@@ -725,6 +740,12 @@ object PipelineQueries {
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
+      "source <> 'src19'", "source = 'src19'"),
+
+    "d_substring" -> Dedup.substringContaminationSql(docsT, "doc_id",
+      """CASE WHEN source = 'src19' OR doc_id % 7 = 0
+        |     THEN text || '|' || repeat(md5(CAST(doc_id % 5 AS VARCHAR)), 3)
+        |     ELSE text END""".stripMargin,
       "source <> 'src19'", "source = 'src19'"),
 
     "e_quantize" -> Similarity.quantizeInt8Sql("embeddings"),

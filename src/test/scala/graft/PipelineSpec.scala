@@ -65,6 +65,39 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("substring contamination detects exactly at the guarantee length") {
+    // windowLen 8, stride 4: guaranteed detection for shared runs of
+    // >= 8 + 4 - 1 = 11 chars. Use distinct alphabets so no accidental
+    // window matches.
+    val shared11 = "QWERTYUIOPA"        // 11 chars, guaranteed
+    val bench = Seq((100L, s"zz $shared11 zz")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // guarantee-length run embedded at an arbitrary offset
+      (1L, s"abcdefgh $shared11 ijklmnop"),
+      // disjoint text of ample length
+      (2L, "0123456789 0123456789 0123456789"),
+      // shorter than one window: zero windows, clean
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringContamination(corpus, bench, "doc_id", "text",
+        windowLen = 8, corpusStride = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._3, "guarantee-length shared run must flag")
+    assert(out(1L)._2 >= 1)
+    assert(out(2L) == ((7L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false)))
+    // a run one char short of the guarantee CAN evade the stride: a
+    // 10-char run at offset 6 has valid window starts {6,7,8}, while the
+    // stride-4 grid hits 1 and 5 only (len 15 -> last start 8) — no
+    // corpus window falls fully inside the run
+    val corpus2 = Seq((4L, s"abcde${shared11.take(10)}")).toDF("doc_id", "text")
+    val miss = Dedup.substringContamination(corpus2, bench, "doc_id", "text",
+        windowLen = 8, corpusStride = 4)
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(!miss._4, "sub-guarantee run at a misaligned offset evades stride")
+  }
+
   test("int8 quantization: identical vectors share codes, error within step") {
     import graft.operators.Similarity
     val vecs = Seq(

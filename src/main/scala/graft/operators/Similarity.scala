@@ -262,6 +262,111 @@ object Similarity {
               cacheKey: Option[String] = None): DataFrame =
     ivfSearch(ivfBuild(corpus, nlist, cacheKey), queries, k, nprobe)
 
+  // --------------------------------------- deterministic (trainless) IVF
+  /** Sampled-centroid IVF: the classic TRAINLESS coarse quantizer — cells
+    * are the vectors of the `nlist` corpus ids with the smallest salted
+    * hash (a deterministic uniform sample), no KMeans. Used in practice
+    * when quantizer training is skipped or deferred; cell balance is worse
+    * than KMeans' but the whole index (sample, assignment, probes, rerank)
+    * is replayable in SQL — which makes this variant's RECALL hash-
+    * checkable end-to-end (e_ann_ivf_recall), unlike the KMeans index
+    * whose recall is spec-pinned. Returns (cell, centroid). */
+  def ivfSampledCells(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val hc = graft.functions.TextFunctions
+      .hash60(concat(col("id").cast("string"), lit("ivfc")))
+    val sample = corpus.select(col("id"), col("vec"), hc.as("hc"))
+      .orderBy(col("hc"), col("id")).limit(nlist)
+    // rank within the nlist-row sample = cell id (tiny: window is fine)
+    val w = Window.orderBy(col("hc"), col("id"))
+    sample.withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"), col("vec").as("centroid"))
+  }
+
+  /** Nearest-sampled-centroid assignment: rounded-cosine argmax with
+    * min-cell tie-break. The scored rows drop the vectors BEFORE the
+    * aggregation (map-side-combinable max(struct)), so the shuffle carries
+    * (id, sim, cell) triples, not nlist copies of every vector. */
+  def ivfSampledAssign(corpus: DataFrame, cells: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(cells))
+      .select(col("id"),
+        round(cosine(col("vec"), col("centroid")), 4).as("sim"), col("cell"))
+    val best = scored.groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("id").as("vec_id"), (-col("m.nc")).cast("int").as("cell"))
+    best.join(corpus.select(col("id").as("vec_id"), col("vec").as("cvec")), "vec_id")
+  }
+
+  /** Search the sampled-centroid index: top-`nprobe` cells per query by
+    * rounded centroid cosine (cell tie-break), exact rounded-cosine rerank
+    * of the probed cells only — same shape as [[ivfSearch]], every step
+    * SQL-replayable. */
+  def ivfSampledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cells = ivfSampledCells(corpus, nlist)
+    val assigned = ivfSampledAssign(corpus, cells)
+    val qScored = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cells))
+      .withColumn("sim", round(cosine(col("qvec"), col("centroid")), 4))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = qScored.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  // ------------------------------------------------------------ SemDeDup
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the IVF coarse quantizer, find near-duplicate pairs
+    * ONLY within each cell (the cluster bounds the candidate set — no
+    * all-pairs product), connect them into duplicate components, keep each
+    * component's min-id representative. Returns the surviving corpus rows.
+    *
+    * Scale shape: the cell self-join is per-cell quadratic by design
+    * (SemDeDup's trade: cells are small and semantically tight), the dup
+    * graph is tiny relative to the corpus, GraphX CC iterations are
+    * bounded by dup-component diameter, and survivor removal is one
+    * left_anti join. The candidate pairs localCheckpoint once — the dup
+    * graph's node derivation and GraphX conversion would otherwise re-run
+    * the quadratic join (same reuse pattern as Dedup.nearDupSurvivors). */
+  def semanticSurvivors(corpus: DataFrame, threshold: Double = 0.8,
+                        nlist: Int = 16,
+                        cacheKey: Option[String] = None): DataFrame = {
+    // ids round-trip through the dup graph's string keys and back via
+    // cast(long) — same contract as Dedup.nearDupSurvivors
+    corpus.schema("id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticSurvivors needs an integral id column; got $other")
+    }
+    val index = ivfBuild(corpus, nlist, cacheKey)
+    val a = index.assigned.select(col("cell"), col("vec_id").as("a"), col("cvec").as("va"))
+    val b = index.assigned.select(col("cell"), col("vec_id").as("b"), col("cvec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      .localCheckpoint(true)
+    val dupGraph = graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))
+    val comps = graft.gx.GraphXBridge.connectedComponents(
+      graft.gx.GraphXBridge.toGraphX(dupGraph))
+    val victims = comps
+      .select(col("key").cast("long").as("__vid"), col("component"))
+      .withColumn("__keep",
+        min(col("__vid")).over(Window.partitionBy(col("component"))))
+      .filter(col("__vid") =!= col("__keep"))
+      .select(col("__vid"))
+    corpus.join(victims, corpus("id") === victims("__vid"), "left_anti")
+  }
+
   /** Per-dimension int8 scalar quantization — the embedding-compression
     * pass an ANN index runs before storing vectors (4-8x smaller, rerank
     * on the float originals). Codes are EXACT integers:

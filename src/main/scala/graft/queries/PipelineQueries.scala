@@ -535,6 +535,37 @@ object PipelineQueries {
       Similarity.ivfTopK(corpus, queriesDf, 10, cacheKey = Some(s"emb|$dir"))
         .orderBy("query_id", "rank")}),
 
+    // IVF recall under ORACLE: the trainless sampled-centroid IVF is
+    // fully SQL-replayable (deterministic hash-sampled centroids ->
+    // rounded-cosine argmax assignment -> probes -> rounded rerank), so
+    // this variant's recall-vs-exact is hash-checked end-to-end — the
+    // KMeans index (e_ann_ivf) keeps its spec-pinned recall
+    "e_ann_ivf_recall" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.ivfSampledTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nv = approx.groupBy("query_id").agg(count(lit(1)).as("n_ivf"))
+      val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nv, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_ivf"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
+
+    // SemDeDup cluster-then-dedup end-to-end: IVF cells -> within-cell
+    // near-dup pairs -> CC -> min-id survivors (rows-only: the KMeans
+    // quantizer is not SQL-replayable; PipelineSpec pins the semantics on
+    // constructed clusters)
+    "e_semdedup" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      Similarity.semanticSurvivors(corpus, threshold = 0.45,
+          cacheKey = Some(s"emb|$dir"))
+        .select(col("id")).orderBy("id")}),
+
     // int8 scalar quantization of the embedding corpus (the compression
     // pass before ANN storage) — integer codes, exact md5 fingerprint
     "e_quantize" -> ((s, dir) =>
@@ -1078,6 +1109,59 @@ object PipelineQueries {
          |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
          |FROM ne JOIN nl USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // full sampled-centroid IVF replay: hash-sampled centroids, rounded-
+    // cosine argmax assignment with min-cell tie-break, nprobe=4 probes,
+    // rounded rerank — then recall vs brute-force, all integer outputs
+    "e_ann_ivf_recall" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+        |    vec AS centroid
+        |  FROM (
+        |    SELECT id, vec,
+        |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+        |    FROM c ORDER BY hc, id LIMIT 16)
+        |), assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT c.id, cells.cell, row_number() OVER (PARTITION BY c.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c, cells) WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.id AS query_id, cells.cell, row_number() OVER (PARTITION BY q.id
+        |      ORDER BY round(list_cosine_similarity(q.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c q, cells WHERE q.id < 5) WHERE rn <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.id AS vec_id
+        |  FROM assign a JOIN probes p ON a.cell = p.cell
+        |  WHERE a.id <> p.query_id
+        |), ivf AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT cand.query_id, cand.vec_id,
+        |      row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY round(list_cosine_similarity(qv.vec, cv.vec), 4) DESC, cand.vec_id) AS rnk
+        |    FROM cand JOIN c qv ON qv.id = cand.query_id JOIN c cv ON cv.id = cand.vec_id)
+        |  WHERE rnk <= 10
+        |), exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+        |  WHERE rnk <= 10
+        |), ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+        |nv AS (SELECT query_id, count(*) AS n_ivf FROM ivf GROUP BY 1),
+        |nh AS (
+        |  SELECT i.query_id, count(*) AS n_hits
+        |  FROM ivf i JOIN exact e ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        |  GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact, nv.n_ivf,
+        |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM ne JOIN nv USING (query_id) LEFT JOIN nh USING (query_id)
+        |ORDER BY ne.query_id""".stripMargin,
 
     // ground truth is the planted-payload arithmetic, NOT a re-decode:
     // the hash match proves the real pixel/PCM decoders invert the build

@@ -168,6 +168,38 @@ object EventStreams {
         s => graft.functions.TextFunctions.hash32(s))))
   }
 
+  /** Stream-static JOIN variant of [[decontaminatedDocs]]: the benchmark's
+    * hashed shingles stay a DataFrame and the filter is a stream-static
+    * LEFT ANTI join (`array_contains(doc_hashes, bench_h)`) — a streamed
+    * doc survives iff NO benchmark hash appears among its shingle hashes,
+    * exactly the broadcast form's semantics, still stateless (no join
+    * state, no watermark, append mode).
+    *
+    * Trade vs [[decontaminatedDocs]]: no driver-side `collect()` — the
+    * static side is planned per micro-batch and shipped as a per-batch
+    * broadcast relation, so nothing pins a giant sorted array in the
+    * driver session for the stream's lifetime, and benchmark refreshes
+    * are picked up per batch (the collect form freezes the benchmark at
+    * stream start). The cost: the non-equi condition plans as a
+    * broadcast nested-loop anti join — contaminated docs short-circuit
+    * at the first matching hash, clean docs scan the full benchmark per
+    * doc — so the broadcast form's binary search is faster when the
+    * benchmark fits comfortably in the driver; past broadcast size,
+    * decontamination belongs in the batch relational sweep
+    * (Dedup.contaminationReport / substringContamination). */
+  def decontaminatedDocsJoin(docsStream: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val bh = graft.operators.Dedup.shingleRows(benchmark, idCol, textCol)
+      .select(graft.functions.TextFunctions.hash32(col("shingle")).as("__bench_h"))
+      .distinct()
+    docsStream
+      .withColumn("__hashes",
+        transform(graft.operators.Dedup.shingles(col(textCol)),
+          s => graft.functions.TextFunctions.hash32(s)))
+      .join(bh, array_contains(col("__hashes"), col("__bench_h")), "left_anti")
+      .drop("__hashes")
+  }
+
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total_micro: Long)

@@ -312,6 +312,39 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@10 = $recall (nprobe=4/nlist=16)")
   }
 
+  test("sampled-centroid IVF achieves reasonable recall and is deterministic") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfSampledTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"sampled IVF recall@10 = $recall (nprobe=4/nlist=16)")
+    // trainless index is a pure function of the data: identical re-run
+    val again = Similarity.ivfSampledTopK(corpus.repartition(7), queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again == ivf, "sampled IVF must be partition-invariant")
+  }
+
+  test("semantic dedup keeps one representative per tight embedding cluster") {
+    def jitter(base: Array[Double], eps: Double) = base.map(_ + eps).toSeq
+    val cl1 = Array(10.0, 0.0, 0.0, 0.0)
+    val cl2 = Array(0.0, 10.0, 0.0, 0.0)
+    val iso = Array(0.0, 0.0, 10.0, 0.0)
+    val corpus = Seq(
+      (1L, cl1.toSeq), (2L, jitter(cl1, 0.01)), (3L, jitter(cl1, 0.02)),
+      (10L, cl2.toSeq), (11L, jitter(cl2, 0.01)),
+      (20L, iso.toSeq)
+    ).toDF("id", "vec")
+    val out = Similarity.semanticSurvivors(corpus, threshold = 0.99, nlist = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(out == Set(1L, 10L, 20L),
+      s"each tight cluster keeps its min id, the isolate survives: $out")
+  }
+
   test("approx_count_distinct is within its error bound of exact") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct($"l_partkey")).head.getLong(0)

@@ -123,6 +123,24 @@ class StreamingSpec extends SparkSpec {
     assert(clean.nonEmpty && clean.size < corpus.count())
   }
 
+  test("stream-static ANTI-join decontamination matches the broadcast form") {
+    val docsStream = EventStreams.readDocuments(spark, sf)
+    val docsBatch = Tables.documents(spark, sf)
+    val benchmark = docsBatch.filter($"source" === "src19")
+    val corpus = docsBatch.filter($"source" =!= "src19")
+    val clean = EventStreams.runToMemory(
+      EventStreams.decontaminatedDocsJoin(docsStream, benchmark, "doc_id", "text")
+        .filter($"source" =!= "src19"),
+      "t_decontam_join",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = graft.operators.Dedup
+      .contaminationReport(corpus, benchmark, "doc_id", "text")
+      .filter(!$"contaminated").select($"doc_id").as[Long].collect().toSet
+    assert(clean == expected, "join form must equal the batch report")
+    assert(clean.nonEmpty && clean.size < corpus.count())
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = EventStreams.runToMemory(
       EventStreams.purchaseAfterClick(stream), "t_ssjoin",

@@ -84,11 +84,15 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"BENCH WARN could not write $outPath: ${e.getMessage}")
-    }
+    // the detail also lands in the repo cwd so the driver's round-end
+    // commit captures the full per-query map (the stdout tail holds only
+    // the headline; cross-round per-query forensics need this file)
+    for (p <- Seq(outPath, "BENCH_DETAIL_last.json").distinct)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH WARN could not write $p: ${e.getMessage}")
+      }
     // HEADLINE line -> stdout, LAST, sized to survive the tail window
     // (~30 representative queries at 3 dp ≈ 900 chars incl. the sbt
     // success-line overhead). Full fidelity lives in the file above and in

@@ -462,6 +462,55 @@ object Dedup {
        |LEFT JOIN hits h ON d.$idCol = h.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style duplicate-n-gram coverage: per doc, the fraction of
+    * token positions lying inside at least one WITHIN-DOC duplicated
+    * 3-gram — the "fraction of characters in duplicate n-grams" repetition
+    * rule, in exact integer milli-units (Rae et al. 2021 filter family;
+    * complements d_repetition's distinct-bigram counts). Reuses the shared
+    * shingle explode; duplicated shingles are a per-(doc, shingle) count,
+    * coverage is a distinct-position count — two map-side-combinable
+    * aggregations, no window. Output: (doc_id, n_tokens, n_covered,
+    * covered_milli). */
+  def dupShingleCoverage(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol)
+    val dup = sh.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("doc_id"), col("shingle"))
+    val covered = sh.join(dup, Seq("doc_id", "shingle"))
+      .select(col("doc_id"),
+        explode(array(col("i"), col("i") + 1, col("i") + 2)).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("(1000 * coalesce(n_covered, 0)) div greatest(n_tokens, 1)")
+          .as("covered_milli"))
+  }
+
+  /** DuckDB twin of [[dupShingleCoverage]]. */
+  def dupShingleCoverageSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS doc_id, ${graft.functions.TextFunctions.tokensSql(textCol)} AS toks,
+       |    ${graft.functions.TextFunctions.tokenCountSql(textCol)} AS n_tokens
+       |  FROM $table
+       |), g AS (
+       |  SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t)
+       |), d AS (
+       |  SELECT doc_id, gram FROM g GROUP BY doc_id, gram HAVING count(*) >= 2
+       |), cov AS (
+       |  SELECT DISTINCT g.doc_id, g.i + o.k AS pos
+       |  FROM g JOIN d USING (doc_id, gram), (SELECT unnest([0, 1, 2]) AS k) o
+       |), nc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(nc.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CAST((1000 * coalesce(nc.n_covered, 0)) // greatest(t.n_tokens, 1) AS BIGINT) AS covered_milli
+       |FROM t LEFT JOIN nc USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** Exact-substring decontamination — the character-level companion to
     * [[contaminationReport]]'s token shingles (the relational form of the
     * suffix-array substring pass of Lee et al. 2022's training-data dedup,

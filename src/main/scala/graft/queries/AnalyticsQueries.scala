@@ -214,6 +214,19 @@ object AnalyticsQueries {
           col("m.total_micro").as("total_micro"))
         .orderBy("user_id")}),
 
+    // LEFT OUTER stream-stream join in the gate: null-padded unmatched
+    // purchases emit only below the final query watermark
+    // (min(max click, max purchase) - 2h); the oracle replays matches as
+    // the relational interval join and null rows with the same cutoff
+    "s_stream_join_outer" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.purchaseAfterClickOuter(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_join_outer_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy(col("user_id"), col("purchase_ts"),
+          col("click_ts").asc_nulls_first)}),
+
     "s_stream_join" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.purchaseAfterClick(
         graft.streaming.EventStreams.readEvents(s, dir))
@@ -768,6 +781,38 @@ object AnalyticsQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT) AS total_micro
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // outer-join replay: matches = the same interval join; null-padded
+    // rows replay Spark's watermark cutoff EXACTLY — the watermark tracks
+    // max event time in MILLISECONDS (floor of the micros max), minus the
+    // 2h delay, min'd across the two watermarked inputs; a purchase
+    // null-emits iff strictly below it
+    "s_stream_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT (least((SELECT epoch_us(max(ts)) FROM c),
+        |                (SELECT epoch_us(max(ts)) FROM p)) // 1000
+        |          - 7200000) * 1000 AS w_us
+        |), matched AS (
+        |  SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+        |    p.value AS purchase_value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+        |), unmatched AS (
+        |  SELECT p.user_id, p.ts AS purchase_ts,
+        |    CAST(NULL AS TIMESTAMP) AS click_ts, p.value AS purchase_value
+        |  FROM p CROSS JOIN wm
+        |  WHERE epoch_us(p.ts) < wm.w_us AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000)
+        |)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, purchase_ts, click_ts NULLS FIRST""".stripMargin,
 
     "s_stream_join" ->
       """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,

@@ -320,6 +320,13 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // Gopher duplicate-n-gram coverage: per-doc fraction of token
+    // positions inside within-doc duplicated 3-grams, integer milli-units
+    // (27/500 fixture docs carry natural duplication — non-vacuous)
+    "d_dupfrac" -> ((s, dir) =>
+      Dedup.dupShingleCoverage(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // EXACT substring decontamination (50-char windows, corpus stride 10):
     // a 96-char leak string keyed by doc_id % 5 is planted onto every
     // benchmark (src19) doc AND every doc_id % 7 == 0 corpus doc — well
@@ -772,6 +779,8 @@ object PipelineQueries {
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
       "source <> 'src19'", "source = 'src19'"),
+
+    "d_dupfrac" -> Dedup.dupShingleCoverageSql(docsT, "doc_id", "text"),
 
     "d_substring" -> Dedup.substringContaminationSql(docsT, "doc_id",
       """CASE WHEN source = 'src19' OR doc_id % 7 = 0

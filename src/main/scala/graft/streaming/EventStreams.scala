@@ -80,6 +80,34 @@ object EventStreams {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER form of [[purchaseAfterClick]]: purchases with NO click in
+    * the preceding hour still emit, null-padded — but only once the query
+    * watermark guarantees no future click can match. The emission cutoff
+    * is deterministic and REPLAYABLE: the query watermark after a bounded
+    * drain is min(max click_ts, max purchase_ts) − delay (one no-data
+    * batch finalizes it), and a purchase row is safe to null-emit exactly
+    * when purchase_ts < watermark (future clicks all have click_ts above
+    * it, and a match needs click_ts ≤ purchase_ts). Unmatched purchases
+    * inside the final watermark window stay in state forever on a bounded
+    * input — the oracle twin replays that cutoff, which is the honest
+    * semantics of outer stream joins, not an artifact. */
+  def purchaseAfterClickOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup — the streaming face of the batch pipeline's
     * exact-dedup operator: drop events whose content fingerprint was seen
     * before, with state bounded by the watermark

@@ -65,6 +65,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("duplicate-ngram coverage counts positions inside repeated trigrams") {
+    val corpus = Seq(
+      (1L, "a b c a b c"), // "a b c" at 0 and 3: all 6 positions covered
+      (2L, "x y z w"),     // 2 distinct trigrams, none repeated
+      (3L, "q r")          // short doc: no trigrams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupShingleCoverage(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 6L, 1000L)))
+    assert(out(2L) == ((4L, 0L, 0L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+  }
+
   test("substring contamination detects exactly at the guarantee length") {
     // windowLen 8, stride 4: guaranteed detection for shared runs of
     // >= 8 + 4 - 1 = 11 chars. Use distinct alphabets so no accidental

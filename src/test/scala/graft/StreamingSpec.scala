@@ -162,6 +162,41 @@ class StreamingSpec extends SparkSpec {
     assert(batched.nonEmpty)
   }
 
+  test("outer stream-stream join: matches + watermark-gated null padding") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.purchaseAfterClickOuter(stream), "t_ssjoin_outer",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val matched = streamed.filter($"click_ts".isNotNull)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+    val inner = EventStreams.runToMemory(
+      EventStreams.purchaseAfterClick(stream), "t_ssjoin_inner2",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+    assert(matched == inner, "outer join's matched rows == inner join")
+    // null-padded rows: exactly the clickless purchases below the
+    // ms-floored min-side watermark (max event time - 2h)
+    val clicks = batch.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val purchases = batch.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"value")
+    val wUs = {
+      val mc = clicks.agg(max($"cts")).head.getTimestamp(0).getTime // ms
+      val mp = purchases.agg(max($"purchase_ts")).head.getTimestamp(0).getTime
+      (math.min(mc, mp) - 7200000L) * 1000L
+    }
+    val expectedNull = purchases
+      .join(clicks, $"user_id" === $"cu" && $"cts" <= $"purchase_ts" &&
+        $"cts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"), "left_anti")
+      .filter(unix_micros($"purchase_ts") < wUs)
+      .select($"user_id", $"purchase_ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    val gotNull = streamed.filter($"click_ts".isNull)
+      .select($"user_id", $"purchase_ts", $"purchase_value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    assert(gotNull == expectedNull)
+    assert(gotNull.nonEmpty, "fixture must produce clickless purchases")
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val streamed = EventStreams.runToMemory(
       EventStreams.runningUserTotals(stream).toDF(), "t_totals",

@@ -322,6 +322,22 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  // ------------------------------------------- Matryoshka truncation
+  /** Matryoshka-style truncated search (Kusupati et al. 2022): rank with
+    * only the FIRST `dims` components of every vector — the
+    * dimensionality-reduction shortcut MRL-trained embeddings support
+    * natively (prefixes are themselves valid embeddings). Cosine is
+    * scale-invariant, so no renormalization is needed for ranking. At
+    * 100 TB this is the cheap first-pass ranker (dims/fullDim of the
+    * flops and bytes); rerank survivors with the full vectors. Everything
+    * is a `slice` + the exact ranker — fully SQL-replayable. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dims: Int): DataFrame = {
+    require(dims >= 1, "dims >= 1")
+    def cut(df: DataFrame) = df.withColumn("vec", slice(col("vec"), 1, dims))
+    bruteForceTopK(cut(corpus), cut(queries), k)
+  }
+
   // ------------------------------------------------------------ SemDeDup
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     * the corpus with the IVF coarse quantizer, find near-duplicate pairs

@@ -554,6 +554,73 @@ object GraphOps {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** Landmark harmonic closeness: multi-source bounded BFS from the
+    * `nLandmarks` nodes with the smallest salted key hash (a deterministic
+    * uniform sample — exact all-pairs closeness is O(n·m) and no 100 TB
+    * pipeline runs it; landmark estimation is the standard scale form).
+    * Per node: how many landmarks reach it within `rounds` undirected hops
+    * and the harmonic sum Σ floor(1e6/d) over positive distances —
+    * integer micro-units per term BEFORE summing, so the result is
+    * order-free and replays in [[landmarkClosenessSql]].
+    *
+    * Scale shape: loop state is the reached (landmark, node, dist) set —
+    * at most nLandmarks·n rows, usually far sparser; the edge set is
+    * cached dst-partitioned once so each round's frontier expansion
+    * reuses its shuffle; the frontier broadcasts under the node limit. */
+  def landmarkCloseness(g: KinGraph, nLandmarks: Int = 4, rounds: Int = 4,
+                        checkpointEvery: Int = 2,
+                        broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(nLandmarks >= 1, "nLandmarks >= 1")
+    require(rounds >= 1, "rounds >= 1")
+    val ud = undirectedEdges(g, Some(col("dst")))
+    val small = g.nodes.count() * nLandmarks <= broadcastNodeLimit
+    val lm = g.nodes.select(col("key"))
+      .withColumn("h", graft.functions.TextFunctions.hash60(
+        concat(col("key"), lit("lm"))))
+      .orderBy(col("h"), col("key")).limit(nLandmarks)
+      .select(col("key").as("landmark"))
+    var st = lm.select(col("landmark"), col("landmark").as("node"),
+      lit(0L).as("d"))
+    for (i <- 1 to rounds) {
+      val fr = st.withColumnRenamed("node", "src")
+      val nxt = ud.join(if (small) broadcast(fr) else fr, "src")
+        .groupBy(col("landmark"), col("dst").as("node"))
+        .agg((min(col("d")) + 1L).as("d"))
+      st = st.unionByName(nxt)
+        .groupBy(col("landmark"), col("node")).agg(min(col("d")).as("d"))
+      if (i % checkpointEvery == 0 && i < rounds) st = st.localCheckpoint(true)
+    }
+    st.groupBy(col("node").as("key")).agg(
+      count(lit(1)).as("n_reached"),
+      sum(when(col("d") > 0,
+        floor(lit(1000000.0) / col("d")).cast("long")).otherwise(0L))
+        .as("harmonic_micro"))
+  }
+
+  /** DuckDB twin of [[landmarkCloseness]]: CTE fragments (udc, lmc,
+    * c0..cN) over edge CTE `edges`(src, dst) and node CTE `nodes`(key);
+    * reached set in `c<rounds>`. Duplicate undirected edges are harmless
+    * under min-distance, so udc's UNION-dedup need not match the Spark
+    * side's distinct exactly. */
+  def landmarkClosenessSql(edges: String, nodes: String,
+                           nLandmarks: Int, rounds: Int): String = {
+    val h = graft.functions.TextFunctions.hash60Sql("key || 'lm'")
+    val its = (1 to rounds).map { k =>
+      s"""c$k AS (
+         |  SELECT landmark, node, min(d) AS d FROM (
+         |    SELECT landmark, node, d FROM c${k - 1}
+         |    UNION ALL
+         |    SELECT p.landmark, e.dst AS node, p.d + 1 AS d
+         |    FROM udc e JOIN c${k - 1} p ON e.src = p.node
+         |  ) GROUP BY landmark, node)""".stripMargin
+    }
+    (Seq(
+      s"udc AS (SELECT src, dst FROM $edges WHERE src <> dst UNION SELECT dst, src FROM $edges WHERE src <> dst)",
+      s"lmc AS (SELECT key AS landmark FROM $nodes ORDER BY $h, key LIMIT $nLandmarks)",
+      "c0 AS (SELECT landmark, landmark AS node, CAST(0 AS BIGINT) AS d FROM lmc)"
+    ) ++ its).mkString(",\n")
+  }
+
   /** Cached undirected edge view (edges + reversed, self-loops dropped),
     * optionally pre-partitioned so downstream per-key aggregations reuse
     * the shuffle. When pre-partitioning, the repartition runs BEFORE the

@@ -98,6 +98,14 @@ object GxQueries {
         KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
         kOffset = 2, rounds = 3).orderBy("key")),
 
+    // landmark harmonic closeness: bounded multi-source BFS from 4
+    // hash-sampled landmarks; per-node reach count + Σ floor(1e6/d) in
+    // integer micro-units (the scale form of closeness centrality —
+    // exact all-pairs is O(n·m)); exact unrolled-CTE oracle
+    "gx_closeness" -> ((s, dir) =>
+      GraphOps.landmarkCloseness(unionGraph(s, dir), nLandmarks = 4, rounds = 4)
+        .orderBy("key")),
+
     // bounded weighted SSSP from S1 over hash-weighted union edges
     // (integer weights 1..100 derived from the shared md5 hash family, so
     // the Bellman-Ford relaxations replay exactly in the unrolled oracle)
@@ -240,6 +248,13 @@ object GxQueries {
       s"""$partCte, ${GraphOps.kCoreSql("pe", "pn", kExpr, 3)}
          |SELECT key FROM a3 ORDER BY key""".stripMargin
     },
+
+    "gx_closeness" ->
+      s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)}
+         |SELECT node AS key, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(CASE WHEN d > 0 THEN CAST(floor(1000000.0 / d) AS BIGINT)
+         |           ELSE 0 END) AS BIGINT) AS harmonic_micro
+         |FROM c4 GROUP BY node ORDER BY key""".stripMargin,
 
     "gx_wsssp" -> {
       val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"

@@ -563,6 +563,24 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // Matryoshka truncated search quality: top-k with only the first 8
+    // components vs full-dim top-k — slice + exact rank, fully replayable
+    "e_mrl_recall" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val full = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val trunc = Similarity.matryoshkaTopK(corpus, queriesDf, 10, dims = 8)
+        .select(col("query_id"), col("vec_id"))
+      val nf = full.groupBy("query_id").agg(count(lit(1)).as("n_full"))
+      val nt = trunc.groupBy("query_id").agg(count(lit(1)).as("n_trunc"))
+      val nh = trunc.join(full, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      nf.join(nt, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_full"), col("n_trunc"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
+
     // SemDeDup cluster-then-dedup end-to-end: IVF cells -> within-cell
     // near-dup pairs -> CC -> min-id survivors (rows-only: the KMeans
     // quantizer is not SQL-replayable; PipelineSpec pins the semantics on
@@ -1118,6 +1136,37 @@ object PipelineQueries {
          |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
          |FROM ne JOIN nl USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // truncated-prefix replay: list slice + the exact ranker on both the
+    // full and 8-dim views, recall as integer counts
+    "e_mrl_recall" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), full_k AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+        |  WHERE rnk <= 10
+        |), trunc_k AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec[1:8], c.vec[1:8]), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+        |  WHERE rnk <= 10
+        |), nf AS (SELECT query_id, count(*) AS n_full FROM full_k GROUP BY 1),
+        |nt AS (SELECT query_id, count(*) AS n_trunc FROM trunc_k GROUP BY 1),
+        |nh AS (
+        |  SELECT t.query_id, count(*) AS n_hits
+        |  FROM trunc_k t JOIN full_k f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |  GROUP BY 1)
+        |SELECT nf.query_id, nf.n_full, nt.n_trunc,
+        |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM nf JOIN nt USING (query_id) LEFT JOIN nh USING (query_id)
+        |ORDER BY nf.query_id""".stripMargin,
 
     // full sampled-centroid IVF replay: hash-sampled centroids, rounded-
     // cosine argmax assignment with min-cell tie-break, nprobe=4 probes,

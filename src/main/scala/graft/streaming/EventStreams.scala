@@ -257,6 +257,61 @@ object EventStreams {
       }
   }
 
+  /** [[runningUserTotals]] on the transformWithState API (the arbitrary-
+    * stateful-processing v2 that supersedes mapGroupsWithState in Spark
+    * 4.x): an explicit `ValueState` handle instead of the implicit
+    * GroupState, composable with ListState/MapState/timers for richer
+    * state machines. Semantics are identical — same integer micro-unit
+    * accumulation, same per-key re-emit in update mode. Requires the
+    * RocksDB state store provider (the only provider transformWithState
+    * supports); [[runToMemoryRocksDB]] pins it for the drain. */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotals] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      val (n, tot) = rows.foldLeft((prev.n, prev.total_micro)) {
+        case ((c, t), e) => (c + 1, t + math.floor(1000000.0 * e.value).toLong)
+      }
+      val next = UserTotals(key, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserTotals] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** [[runToMemory]] with the RocksDB state store provider pinned for the
+    * query (transformWithState refuses the default HDFS-backed provider);
+    * the session conf is restored after the drain. */
+  def runToMemoryRocksDB(stream: DataFrame, name: String,
+                         mode: OutputMode = OutputMode.Update(),
+                         shufflePartitions: Option[Int] = None): DataFrame = {
+    val sp = stream.sparkSession
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(stream, name, mode, shufflePartitions)
+    finally prev match {
+      case Some(v) => sp.conf.set(key, v)
+      case None => sp.conf.unset(key)
+    }
+  }
+
   /** Production-shaped sink: the NATIVE parquet file sink (the sink a real
     * deployment of tumblingCounts would use). The file-sink commit log
     * makes replayed batches idempotent — true exactly-once output. (A

@@ -282,6 +282,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(fp.toSeq == gx.toSeq) // identical ranking order
   }
 
+  test("landmark closeness: all-landmarks on a path = exact harmonic centrality") {
+    // path a-b-c, undirected; with every node a landmark and enough
+    // rounds, the landmark estimate IS the exact harmonic centrality
+    val pg = KinGraph(
+      Seq("a", "b", "c").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0)).toDF("src", "dst", "etype"))
+    val got = GraphOps.landmarkCloseness(pg, nLandmarks = 3, rounds = 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a: d=1 to b, d=2 to c -> 1e6 + 5e5; b: 1e6 + 1e6; c symmetric to a
+    assert(got("a") == ((3L, 1500000L)))
+    assert(got("b") == ((3L, 2000000L)))
+    assert(got("c") == ((3L, 1500000L)))
+    // bounded rounds truncate honestly: 1 round sees only direct neighbors
+    val r1 = GraphOps.landmarkCloseness(pg, nLandmarks = 3, rounds = 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(r1("a") == 2L && r1("b") == 3L)
+  }
+
   test("gx_labelprop/gx_wsssp bounded iterations HAVE stabilized at gate scale") {
     // if a fixture change made the drivers' bounds under-iterate, the
     // oracle would still agree (it replays the same bound) but the answer

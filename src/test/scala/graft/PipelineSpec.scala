@@ -343,6 +343,22 @@ class PipelineSpec extends SparkSpec {
     assert(again == ivf, "sampled IVF must be partition-invariant")
   }
 
+  test("matryoshka truncation at full width is exactly the exact ranker") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+    val dim = corpus.select(size($"vec")).head.getInt(0)
+    val full = Similarity.bruteForceTopK(corpus, queries, 10)
+      .collect().map(_.toSeq).toSet
+    val cutFull = Similarity.matryoshkaTopK(corpus, queries, 10, dims = dim)
+      .collect().map(_.toSeq).toSet
+    assert(cutFull == full, "dims = full width must be a no-op")
+    // a strict prefix still ranks (sanity: right shape, self excluded)
+    val half = Similarity.matryoshkaTopK(corpus, queries, 10, dims = dim / 2)
+    assert(half.count() == 50)
+    assert(half.filter($"query_id" === $"vec_id").isEmpty)
+  }
+
   test("semantic dedup keeps one representative per tight embedding cluster") {
     def jitter(base: Array[Double], eps: Double) = base.map(_ + eps).toSeq
     val cl1 = Array(10.0, 0.0, 0.0, 0.0)

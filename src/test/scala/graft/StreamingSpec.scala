@@ -197,6 +197,24 @@ class StreamingSpec extends SparkSpec {
     assert(gotNull.nonEmpty, "fixture must produce clickless purchases")
   }
 
+  test("transformWithState totals equal the mapGroupsWithState totals") {
+    val tws = EventStreams.runToMemoryRocksDB(
+      EventStreams.runningUserTotalsTws(stream).toDF(), "t_totals_tws")
+      .groupBy($"user_id")
+      .agg(max(struct($"n", $"total_micro")).as("m"))
+      .select($"user_id", $"m.n", $"m.total_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val mgws = EventStreams.runToMemory(
+      EventStreams.runningUserTotals(stream).toDF(), "t_totals_mgws",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy($"user_id")
+      .agg(max(struct($"n", $"total_micro")).as("m"))
+      .select($"user_id", $"m.n", $"m.total_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tws == mgws)
+    assert(tws.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals equal batch groupBy") {
     val streamed = EventStreams.runToMemory(
       EventStreams.runningUserTotals(stream).toDF(), "t_totals",

@@ -226,6 +226,28 @@ object Dedup {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** PER-ROW form of [[simhashSignatures]]: the signature as a projection
+    * over the row's own token array (no explode, no groupBy) — exactly the
+    * same bit votes, so the two forms are equal row-for-row (spec-pinned).
+    * This is the form a STREAM can run (a stateless projection composes
+    * with streaming dedup; the explode+groupBy form is an aggregation and
+    * cannot precede one). The token-hash array materializes in its own
+    * projection so the 60 per-bit aggregates reference the attribute
+    * instead of re-tokenizing 60 times (CollapseProject keeps non-cheap
+    * multi-referenced expressions un-inlined). Batch callers should prefer
+    * [[simhashSignatures]] — codegen'd explode beats 60 interpreted
+    * lambda passes per row. */
+  def withSimhash(df: DataFrame, textCol: String,
+                  out: String = "simhash"): DataFrame = {
+    val hs = df.withColumn("__hs", transform(tokens(col(textCol)), t => hash60(t)))
+    val sig = (0 until SimhashBits).map { b =>
+      when(aggregate(col("__hs"), lit(0L),
+        (acc, x) => acc + (shiftright(x, b).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hs.withColumn(out, sig).drop("__hs")
+  }
+
   /** SimHash near-dup pairs: Hamming distance <= maxHamming. Candidates are
     * generated by 4-piece banding of the signature (pigeonhole: hamming <
     * pieces ⇒ at least one piece equal), so this, too, avoids all-pairs. */

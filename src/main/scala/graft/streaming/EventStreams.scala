@@ -228,6 +228,20 @@ object EventStreams {
       .drop("__hashes")
   }
 
+  /** Streaming near-duplicate suppression: keep the first-arriving doc per
+    * 60-bit SimHash signature (exact and trivially-near duplicates share
+    * the signature; banded Hamming matching stays a batch sweep). The
+    * signature is the per-row projection form ([[graft.operators.Dedup.withSimhash]])
+    * so the whole operator is projection + streaming dedup. State is keyed
+    * by the 8-byte signature; on a source with event time, swap
+    * `dropDuplicates` for `dropDuplicatesWithinWatermark` to bound it —
+    * the documents fixture carries none, so this form's state grows with
+    * the distinct-signature count (honest trade, documented). */
+  def nearDupFreeDocs(docsStream: DataFrame, textCol: String): DataFrame =
+    graft.operators.Dedup.withSimhash(docsStream, textCol, "__sig")
+      .dropDuplicates("__sig")
+      .drop("__sig")
+
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotals(user_id: Long, n: Long, total_micro: Long)

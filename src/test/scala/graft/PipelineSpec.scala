@@ -277,6 +277,14 @@ class PipelineSpec extends SparkSpec {
     assert(sigs.size == docs.count())
   }
 
+  test("per-row simhash projection equals the explode+groupBy signatures") {
+    val viaAgg = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaRow = Dedup.withSimhash(docs.select($"doc_id", $"text"), "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(viaRow == viaAgg)
+  }
+
   test("LSH ANN achieves high recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -123,6 +123,23 @@ class StreamingSpec extends SparkSpec {
     assert(clean.nonEmpty && clean.size < corpus.count())
   }
 
+  test("streaming near-dup suppression keeps one doc per simhash signature") {
+    val docsStream = EventStreams.readDocuments(spark, sf)
+    val docsBatch = Tables.documents(spark, sf)
+    val kept = EventStreams.runToMemory(
+      EventStreams.nearDupFreeDocs(docsStream, "text"),
+      "t_neardup_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    val keptSigs = graft.operators.Dedup
+      .withSimhash(kept.select($"doc_id", $"text"), "text")
+      .select($"simhash").as[Long].collect().toSeq
+    val allSigs = graft.operators.Dedup
+      .simhashSignatures(docsBatch, "doc_id", "text")
+      .select($"simhash").as[Long].collect().toSet
+    assert(keptSigs.size == keptSigs.toSet.size, "one survivor per signature")
+    assert(keptSigs.toSet == allSigs, "every signature keeps a representative")
+  }
+
   test("stream-static ANTI-join decontamination matches the broadcast form") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

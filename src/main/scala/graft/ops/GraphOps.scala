@@ -572,29 +572,57 @@ object GraphOps {
                         broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(nLandmarks >= 1, "nLandmarks >= 1")
     require(rounds >= 1, "rounds >= 1")
+    val sp = g.nodes.sparkSession
     val ud = undirectedEdges(g, Some(col("dst")))
-    val small = g.nodes.count() * nLandmarks <= broadcastNodeLimit
-    val lm = g.nodes.select(col("key"))
+    val small = g.nodes.count() <= broadcastNodeLimit
+    // the landmark keys themselves ride to the driver — nLandmarks is a
+    // handful by construction (a documented tiny collect, like the other
+    // threshold probes)
+    val lm: Array[String] = g.nodes.select(col("key"))
       .withColumn("h", graft.functions.TextFunctions.hash60(
         concat(col("key"), lit("lm"))))
       .orderBy(col("h"), col("key")).limit(nLandmarks)
-      .select(col("key").as("landmark"))
-    var st = lm.select(col("landmark"), col("landmark").as("node"),
-      lit(0L).as("d"))
+      .select("key").collect().map(_.getString(0))
+    val L = lm.length
+    val dCols = (0 until L).map(i => s"d$i")
+    // state: ONE row per reached node with a distance column per landmark
+    // (nulls = unreached). Keying by node alone is what lets each round's
+    // message aggregation group by dst and reuse ud's dst partitioning —
+    // a (landmark, node) compound key would re-shuffle the edge-sized
+    // message set every round.
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.StringType) +:
+      dCols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)))
+    val initRows = lm.zipWithIndex.map { case (k, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        k +: (0 until L).map(j => if (i == j) 0L else null))
+    }
+    var st = sp.createDataFrame(
+      sp.sparkContext.parallelize(initRows.toSeq, 1), schema)
+    def minAgg(of: String => Column) = {
+      val aggs = dCols.map(c => of(c).as(c))
+      (df: org.apache.spark.sql.RelationalGroupedDataset) =>
+        df.agg(aggs.head, aggs.tail: _*)
+    }
     for (i <- 1 to rounds) {
       val fr = st.withColumnRenamed("node", "src")
-      val nxt = ud.join(if (small) broadcast(fr) else fr, "src")
-        .groupBy(col("landmark"), col("dst").as("node"))
-        .agg((min(col("d")) + 1L).as("d"))
-      st = st.unionByName(nxt)
-        .groupBy(col("landmark"), col("node")).agg(min(col("d")).as("d"))
+      // min-then-+1 per landmark column == min of (d+1); min skips nulls
+      val msgs = minAgg(c => min(col(c)) + 1L)(
+        ud.join(if (small) broadcast(fr) else fr, "src")
+          .groupBy(col("dst").as("node")))
+      st = minAgg(c => min(col(c)))(
+        st.unionByName(msgs).groupBy(col("node")))
       if (i % checkpointEvery == 0 && i < rounds) st = st.localCheckpoint(true)
     }
-    st.groupBy(col("node").as("key")).agg(
-      count(lit(1)).as("n_reached"),
-      sum(when(col("d") > 0,
-        floor(lit(1000000.0) / col("d")).cast("long")).otherwise(0L))
-        .as("harmonic_micro"))
+    val nReached = dCols.map(c =>
+      when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val harmonic = dCols.map(c =>
+      when(col(c) > 0, floor(lit(1000000.0) / col(c)).cast("long"))
+        .otherwise(0L)).reduce(_ + _)
+    st.select(col("node").as("key"), nReached.as("n_reached"),
+      harmonic.as("harmonic_micro"))
   }
 
   /** DuckDB twin of [[landmarkCloseness]]: CTE fragments (udc, lmc,

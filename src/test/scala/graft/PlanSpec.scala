@@ -208,6 +208,32 @@ class PlanSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("substring contamination broadcasts the benchmark window hashes") {
+    val d = Tables.documents(spark, sf)
+    val out = graft.operators.Dedup.substringContamination(
+      d.filter($"source" =!= "src19"), d.filter($"source" === "src19"),
+      "doc_id", "text")
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark hash set must broadcast:\n${plan.take(800)}")
+    assert(plan.contains("Generate"),
+      s"window explode must be a map-side Generate:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"equi-join on hashes only, never a product:\n${plan.take(800)}")
+  }
+
+  test("landmark closeness reuses the cached undirected edges per round") {
+    val out = graft.ops.GraphOps.landmarkCloseness(parquetGraph,
+      nLandmarks = 2, rounds = 3)
+    val plan = finalPlanString(out)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"undirected edges must come from the cache:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the frontier must broadcast into the edge join:\n${plan.take(800)}")
+    CacheScope.releaseAll()
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

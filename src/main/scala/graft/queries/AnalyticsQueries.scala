@@ -400,13 +400,22 @@ object AnalyticsQueries {
         lead(col("o_orderkey"), 1).over(uniq).as("next_order"))
         .orderBy("o_custkey", "o_orderkey")}),
 
-    // sketch aggregation: HLL approx distinct (engine-specific estimate,
-    // rows-only in the driver gate; the error bound is pinned in
-    // FunctionsSpec against the exact count)
+    // sketch aggregation: HLL approx distinct. The raw estimate is
+    // engine-specific (DuckDB's sketch differs), so the HASH-CHECKED
+    // surface is the exact count plus the ERROR-BOUND VERDICT: Spark
+    // computes |hll − exact| ≤ 3·rsd·exact (rsd 0.02; HLL++ is
+    // deterministic for a fixed input, so the boolean is stable) and the
+    // oracle pins exact + TRUE — an HLL regression past the bound now
+    // breaks the gate, not just FunctionsSpec
     "q_approx_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("hll") - col("exact_parts")).cast("double") <=
+            lit(0.06) * col("exact_parts").cast("double")).as("within_bound"))
         .orderBy("l_returnflag")),
 
     // distinct aggregation
@@ -774,6 +783,15 @@ object AnalyticsQueries {
         |  user_id, count(DISTINCT event_type) AS degree
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, user_id""".stripMargin,
+
+    // the estimate itself is engine-specific; the gate checks the exact
+    // count and that Spark's HLL landed within its declared error bound
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // final mapGroupsWithState state = plain per-user aggregate; the
     // micro-unit sum floors each term before summing (engine-exact)

@@ -102,6 +102,7 @@ object Bench {
       "g_counts", "g_two_hop", "g_graph_stats",
       "gx_adamic", "gx_pagerank_fp", "gx_cc", "gx_triangles", "gx_kcore",
       "gx_labelprop", "gx_wsssp", "gx_sssp", "gx_hits", "gx_ppr", "gx_walks",
+      "gx_closeness", "gx_betweenness",
       "d_dedup_exact", "d_minhash_lsh", "d_dedup_pipeline", "d_tfidf",
       "d_decontaminate",
       "e_ann_topk", "e_ann_lsh", "e_near_dup", "m_probe", "m_features",

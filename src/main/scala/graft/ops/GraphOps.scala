@@ -649,6 +649,144 @@ object GraphOps {
     ) ++ its).mkString(",\n")
   }
 
+  /** Landmark betweenness (stress form): for every node v, the number of
+    * landmark-pair shortest paths passing THROUGH v —
+    * Σ over ordered landmark pairs (a, b) of σ(a→v)·σ(v→b) where
+    * d(a,v) + d(v,b) equals the pair's shortest distance (computed as
+    * min over v of that sum, exact whenever ≤ 2·rounds). Endpoints are
+    * excluded by d > 0 on both legs, the standard betweenness convention.
+    * Unlike Brandes' δ-accumulation this form is RATIO-FREE: path counts
+    * σ are integers from a level-synchronous BFS (a node's σ is the sum
+    * of its distance-(k−1) predecessors' σ, fixed at first reach), so
+    * every term is an integer product and the whole statistic replays
+    * bit-for-bit in [[landmarkBetweennessSql]]. Exact full betweenness is
+    * O(n·m) (no 100 TB pipeline runs it); landmark pairs are the standard
+    * scale estimate.
+    *
+    * Scale shape: one sparse BFS per landmark per direction (states are
+    * reached-set-sized; the frontier broadcasts; per-landmark loops are
+    * independent — a cluster runs them as parallel jobs), then one join
+    * of the two state tables on node. σ products fit i64 comfortably at
+    * bounded depth on hub-capped degrees — on graphs with 10⁵⁺ fan-out
+    * hubs, cap rounds (σ grows as Π degree per level). */
+  def landmarkBetweenness(g: KinGraph, nLandmarks: Int = 3, rounds: Int = 3,
+                          symmetric: Boolean = false,
+                          broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(nLandmarks >= 2, "nLandmarks >= 2")
+    require(rounds >= 1, "rounds >= 1")
+    val sp = g.nodes.sparkSession
+    import sp.implicits._
+    val e = CacheScope.cached(g.edges.select(col("src"), col("dst")))
+    val er = e.select(col("dst").as("src"), col("src").as("dst"))
+    // nodes derive from the CACHED edge set (landmarks are sampled from
+    // the connected support — an isolated node carries no paths anyway);
+    // going through g.nodes would rescan the raw edge plan per use
+    val nk = CacheScope.cached(
+      e.select(col("src").as("key")).union(e.select(col("dst").as("key")))
+        .distinct())
+    val small = nk.count() <= broadcastNodeLimit
+    val lms: Array[String] = nk
+      .withColumn("h", graft.functions.TextFunctions.hash60(
+        concat(col("key"), lit("lm"))))
+      .orderBy(col("h"), col("key")).limit(nLandmarks)
+      .select("key").collect().map(_.getString(0))
+    // ONE landmark-tagged level-synchronous BFS per direction (landmarks
+    // never interact, so the tagged loop is exactly the per-landmark loop
+    // with 1/nLandmarks the job count): a node enters the visited set at
+    // its FINAL distance with sigma = Σ of its frontier predecessors'
+    // sigma (all of them, by level synchrony)
+    def bfs(edges: DataFrame, tag: String): DataFrame = {
+      var visited = lms.zipWithIndex
+        .map { case (l, i) => (i, l, 0L, 1L) }.toSeq
+        .toDF(tag, "node", "d", "sigma")
+      var frontier = visited
+      for (k <- 1 to rounds) {
+        val cand = edges
+          .join(broadcast(frontier.select(col(tag), col("node").as("src"),
+            col("sigma"))), "src")
+          .groupBy(col(tag), col("dst").as("node"))
+          .agg(sum(col("sigma")).as("sigma"))
+        val vKeys = visited.select(tag, "node")
+        frontier = cand
+          .join(if (small) broadcast(vKeys) else vKeys,
+            Seq(tag, "node"), "left_anti")
+          .select(col(tag), col("node"), lit(k.toLong).as("d"), col("sigma"))
+          .localCheckpoint(true) // reused by the union AND the next round
+        visited = visited.unionByName(frontier)
+      }
+      visited
+    }
+    // on a symmetric (undirected) edge set the backward BFS IS the
+    // forward one — callers passing an undirected graph set `symmetric`
+    // and halve the work
+    val fwd = bfs(e, "i")
+    val bwd =
+      if (symmetric) fwd.withColumnRenamed("i", "j") else bfs(er, "j")
+    val joined = fwd.select(col("i"), col("node"),
+        col("d").as("df"), col("sigma").as("sf"))
+      .join(bwd.select(col("j"), col("node"),
+        col("d").as("db"), col("sigma").as("sb")), "node")
+      .filter(col("i") =!= col("j"))
+    val dmin = joined.groupBy("i", "j")
+      .agg(min(col("df") + col("db")).as("dij"))
+    joined.join(broadcast(dmin), Seq("i", "j"))
+      .filter(col("df") + col("db") === col("dij") &&
+        col("df") > 0 && col("db") > 0)
+      .groupBy(col("node").as("key"))
+      .agg(sum(col("sf") * col("sb")).as("n_paths_through"))
+  }
+
+  /** DuckDB twin of [[landmarkBetweenness]]: CTE fragments over edge CTE
+    * `edges`(src, dst) and node CTE `nodes`(key) — per-landmark BFS chains
+    * (distance + path counts per level), both directions, then the
+    * pair-distance join. Final SELECT comes from the caller over `bwj`
+    * and `bwd_min`. */
+  def landmarkBetweennessSql(edges: String, nodes: String,
+                             nLandmarks: Int, rounds: Int,
+                             symmetric: Boolean = false): String = {
+    val h = graft.functions.TextFunctions.hash60Sql("key || 'lm'")
+    val lmSel = (i: Int) =>
+      s"(SELECT key FROM $nodes ORDER BY $h, key LIMIT 1 OFFSET $i)"
+    def chain(tag: String, i: Int, fromCol: String, toCol: String): Seq[String] = {
+      val f0 =
+        s"""$tag${i}f0 AS (SELECT ${lmSel(i)} AS node,
+           |  CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma)""".stripMargin
+      val v0 = s"$tag${i}v0 AS (SELECT * FROM $tag${i}f0)"
+      val levels = (1 to rounds).flatMap { k =>
+        Seq(
+          s"""$tag${i}f$k AS (
+             |  SELECT e.$toCol AS node, CAST($k AS BIGINT) AS d,
+             |    CAST(SUM(f.sigma) AS BIGINT) AS sigma
+             |  FROM $edges e JOIN $tag${i}f${k - 1} f ON e.$fromCol = f.node
+             |  WHERE e.$toCol NOT IN (SELECT node FROM $tag${i}v${k - 1})
+             |  GROUP BY e.$toCol)""".stripMargin,
+          s"""$tag${i}v$k AS (SELECT * FROM $tag${i}v${k - 1}
+             |  UNION ALL SELECT * FROM $tag${i}f$k)""".stripMargin)
+      }
+      f0 +: v0 +: levels
+    }
+    val chains = (0 until nLandmarks).flatMap { i =>
+      chain("bwf", i, "src", "dst") ++
+        (if (symmetric)
+          Seq(s"bwb${i}v$rounds AS (SELECT * FROM bwf${i}v$rounds)")
+        else chain("bwb", i, "dst", "src"))
+    }
+    val fwdAll = (0 until nLandmarks)
+      .map(i => s"SELECT $i AS i, node, d, sigma FROM bwf${i}v$rounds")
+      .mkString(" UNION ALL ")
+    val bwdAll = (0 until nLandmarks)
+      .map(j => s"SELECT $j AS j, node, d, sigma FROM bwb${j}v$rounds")
+      .mkString(" UNION ALL ")
+    val joins = Seq(
+      s"""bwj AS (
+         |  SELECT f.i, b.j, f.node, f.d AS df, f.sigma AS sf,
+         |    b.d AS db, b.sigma AS sb
+         |  FROM ($fwdAll) f JOIN ($bwdAll) b ON f.node = b.node
+         |  WHERE f.i <> b.j)""".stripMargin,
+      "bwd_min AS (SELECT i, j, min(df + db) AS dij FROM bwj GROUP BY i, j)")
+    (chains ++ joins).mkString(",\n")
+  }
+
   /** Cached undirected edge view (edges + reversed, self-loops dropped),
     * optionally pre-partitioned so downstream per-key aggregations reuse
     * the shuffle. When pre-partitioning, the repartition runs BEFORE the

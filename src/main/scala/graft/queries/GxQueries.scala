@@ -98,6 +98,23 @@ object GxQueries {
         KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
         kOffset = 2, rounds = 3).orderBy("key")),
 
+    // landmark betweenness (stress form): shortest landmark-pair paths
+    // THROUGH each node — ratio-free Brandes alternative (integer σ
+    // products, level-synchronous BFS both directions), so the classic
+    // "hard at scale" centrality is hash-checked via an unrolled oracle.
+    // Runs on the UNDIRECTED view: the union graph's directed edges flow
+    // strictly S/C -> N -> R, so directed landmark pairs are mutually
+    // unreachable and the directed statistic is vacuously empty
+    "gx_betweenness" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      val e0 = g.edges.select(col("src"), col("dst"))
+      val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.landmarkBetweenness(
+          graft.KinGraph.fromEdges(ud.withColumn("etype", lit(0))),
+          nLandmarks = 3, rounds = 3, symmetric = true)
+        .orderBy("key")}),
+
     // landmark harmonic closeness: bounded multi-source BFS from 4
     // hash-sampled landmarks; per-node reach count + Σ floor(1e6/d) in
     // integer micro-units (the scale form of closeness centrality —
@@ -248,6 +265,16 @@ object GxQueries {
       s"""$partCte, ${GraphOps.kCoreSql("pe", "pn", kExpr, 3)}
          |SELECT key FROM a3 ORDER BY key""".stripMargin
     },
+
+    "gx_betweenness" ->
+      s"""$cte, uebw AS (
+         |  SELECT src, dst FROM ue WHERE src <> dst
+         |  UNION SELECT dst, src FROM ue WHERE src <> dst
+         |), ${GraphOps.landmarkBetweennessSql("uebw", "un", 3, 3, symmetric = true)}
+         |SELECT node AS key, CAST(SUM(sf * sb) AS BIGINT) AS n_paths_through
+         |FROM bwj JOIN bwd_min USING (i, j)
+         |WHERE df + db = dij AND df > 0 AND db > 0
+         |GROUP BY node ORDER BY key""".stripMargin,
 
     "gx_closeness" ->
       s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)}

@@ -301,6 +301,49 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1("a") == 2L && r1("b") == 3L)
   }
 
+  test("landmark betweenness counts exact shortest paths through nodes") {
+    // diamond a->{b,c}->d: with all 4 nodes as landmarks, pair (a,d) has
+    // D=2 with one shortest path through each of b and c
+    val dg = KinGraph(
+      Seq("a", "b", "c", "d").toDF("key"),
+      Seq(("a", "b", 0), ("a", "c", 0), ("b", "d", 0), ("c", "d", 0))
+        .toDF("src", "dst", "etype"))
+    val got = GraphOps.landmarkBetweenness(dg, nLandmarks = 4, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("b" -> 1L, "c" -> 1L))
+    // a shortcut kills the through-path: a->c direct makes the 2-hop
+    // route via b non-shortest for (a, c)
+    val sg = KinGraph(
+      Seq("a", "b", "c").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("a", "c", 0))
+        .toDF("src", "dst", "etype"))
+    val got2 = GraphOps.landmarkBetweenness(sg, nLandmarks = 3, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got2.isEmpty, s"shortcut must remove all through-paths: $got2")
+    // parallel shortest paths multiply: a->{b,c}->d->e gives d sigma 2
+    val pg = KinGraph(
+      Seq("a", "b", "c", "d", "e").toDF("key"),
+      Seq(("a", "b", 0), ("a", "c", 0), ("b", "d", 0), ("c", "d", 0),
+          ("d", "e", 0)).toDF("src", "dst", "etype"))
+    val got3 = GraphOps.landmarkBetweenness(pg, nLandmarks = 5, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    // (a,e): sigma(a->d)=2 through d, sigma(d->e)=1 -> d carries 2; plus
+    // (a,d) contributes b:1, c:1; (b,e)/(c,e) each put 1 on d
+    assert(got3("d") == 2L + 1L + 1L, s"got $got3")
+    assert(got3("b") == 1L + 1L && got3("c") == 1L + 1L, s"got $got3")
+    // symmetric fast path: on an undirected edge set, reusing the forward
+    // BFS as the backward one changes nothing
+    val udE = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .flatMap { case (s, t) => Seq((s, t, 0), (t, s, 0)) }
+      .toDF("src", "dst", "etype")
+    val udG = KinGraph.fromEdges(udE)
+    val sym = GraphOps.landmarkBetweenness(udG, 4, 3, symmetric = true)
+      .as[(String, Long)].collect().toMap
+    val gen = GraphOps.landmarkBetweenness(udG, 4, 3, symmetric = false)
+      .as[(String, Long)].collect().toMap
+    assert(sym == gen, s"symmetric fast path must not change results: $sym vs $gen")
+  }
+
   test("gx_labelprop/gx_wsssp bounded iterations HAVE stabilized at gate scale") {
     // if a fixture change made the drivers' bounds under-iterate, the
     // oracle would still agree (it replays the same bound) but the answer

@@ -187,11 +187,16 @@ object EventStreams {
       .select(graft.functions.TextFunctions.hash32(col("shingle")))
       .distinct().as[Long].collect().sorted
     val bc = sp.sparkContext.broadcast(benchHashes)
+    // a null text has no shingles and nothing in common with the
+    // benchmark — such docs SURVIVE, same verdict as the anti-join form
+    // (whose null condition simply never matches). The explicit isNull
+    // branch matters: shingles(null) is [null], whose null HASH would
+    // null the UDF verdict and silently drop the row
     val clean = udf { hs: Seq[Long] =>
-      hs != null && !hs.exists(h =>
+      hs == null || !hs.exists(h =>
         java.util.Arrays.binarySearch(bc.value, h) >= 0)
     }
-    docsStream.filter(clean(
+    docsStream.filter(col(textCol).isNull || clean(
       transform(graft.operators.Dedup.shingles(col(textCol)),
         s => graft.functions.TextFunctions.hash32(s))))
   }

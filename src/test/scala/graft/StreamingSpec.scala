@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
     assert(clean.nonEmpty && clean.size < corpus.count())
   }
 
+  test("null-text docs survive BOTH decontamination forms identically") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldoc").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(2L, null))),
+      schema).write.mode("overwrite").parquet(dir)
+    val benchmark = Seq((100L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val st = spark.readStream.schema(schema).parquet(dir)
+    val viaBroadcast = EventStreams.runToMemory(
+      EventStreams.decontaminatedDocs(st, benchmark, "doc_id", "text"),
+      "t_null_bc", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    val viaJoin = EventStreams.runToMemory(
+      EventStreams.decontaminatedDocsJoin(st, benchmark, "doc_id", "text"),
+      "t_null_join", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    // doc 1 shares the "beta gamma delta" shingle -> dropped; doc 2 has
+    // no shingles -> nothing in common with the benchmark -> survives
+    assert(viaBroadcast == Set(2L), s"broadcast form: $viaBroadcast")
+    assert(viaJoin == viaBroadcast, "both forms must agree on null text")
+  }
+
   test("streaming near-dup suppression keeps one doc per simhash signature") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

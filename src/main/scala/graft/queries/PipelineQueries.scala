@@ -320,6 +320,28 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // vocabulary coverage curve: fraction of corpus tokens covered by the
+    // top-K vocabulary at several K (the tokenizer-sizing diagnostic).
+    // Rank is over the VOCABULARY (bounded however large the corpus);
+    // ties break on the token string, cumulative sums are integer-exact
+    "d_vocab_curve" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+      val counts = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))
+      val ranked = counts.withColumn("rk", row_number().over(w))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val sizes = s.range(1).select(explode(
+        array(lit(100), lit(500), lit(1000), lit(5000))).as("vocab_size"))
+      ranked.join(broadcast(sizes), col("rk") <= col("vocab_size"))
+        .crossJoin(broadcast(tot))
+        .groupBy("vocab_size", "total")
+        .agg(sum(col("n")).as("covered"))
+        .select(col("vocab_size"), col("covered"),
+          expr("(1000 * covered) div total").as("covered_milli"))
+        .orderBy("vocab_size")}),
+
     // Gopher duplicate-n-gram coverage: per-doc fraction of token
     // positions inside within-doc duplicated 3-grams, integer milli-units
     // (27/500 fixture docs carry natural duplication — non-vacuous)
@@ -799,6 +821,23 @@ object PipelineQueries {
       "source <> 'src19'", "source = 'src19'"),
 
     "d_dupfrac" -> Dedup.dupShingleCoverageSql(docsT, "doc_id", "text"),
+
+    "d_vocab_curve" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), counts AS (
+         |  SELECT token, count(*) AS n FROM tok GROUP BY token
+         |), ranked AS (
+         |  SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token) AS rk
+         |  FROM counts
+         |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+         |SELECT s.vocab_size, CAST(sum(r.n) AS BIGINT) AS covered,
+         |  CAST((1000 * sum(r.n)) // total AS BIGINT) AS covered_milli
+         |FROM (SELECT CAST(unnest([100, 500, 1000, 5000]) AS INT) AS vocab_size) s
+         |JOIN ranked r ON r.rk <= s.vocab_size CROSS JOIN tot
+         |GROUP BY s.vocab_size, tot.total
+         |ORDER BY vocab_size""".stripMargin,
 
     "d_substring" -> Dedup.substringContaminationSql(docsT, "doc_id",
       """CASE WHEN source = 'src19' OR doc_id % 7 = 0

@@ -86,8 +86,13 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     // the detail also lands in the repo cwd so the driver's round-end
     // commit captures the full per-query map (the stdout tail holds only
-    // the headline; cross-round per-query forensics need this file)
-    for (p <- Seq(outPath, "BENCH_DETAIL_last.json").distinct)
+    // the headline; cross-round per-query forensics need this file).
+    // Only when cwd IS the repo (build.sbt marker) — writing it anywhere
+    // else would leave a stale copy to be committed as if fresh
+    val repoDetail =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+        Seq("BENCH_DETAIL_last.json") else Seq.empty
+    for (p <- (outPath +: repoDetail).distinct)
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>

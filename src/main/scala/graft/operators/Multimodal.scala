@@ -98,12 +98,15 @@ object Multimodal {
     var data: Option[(Int, Int)] = None // (offset, size)
     while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
       val id = tag(off)
-      val sz = leU32(off + 4).toInt
-      if (sz < 0 || off + 8 + sz > bytes.length) return None
-      if (id == "fmt " && sz >= 16)
+      // bounds math stays in Long: a declared size near 2^31 would wrap
+      // an Int sum negative, pass the check, and crash the sample loop
+      val sz = leU32(off + 4)
+      if (off + 8 + sz > bytes.length) return None
+      val szI = sz.toInt
+      if (id == "fmt " && szI >= 16)
         fmtOk = leU16(off + 8) == 1 && leU16(off + 8 + 14) == 16
-      else if (id == "data") data = Some((off + 8, sz))
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      else if (id == "data") data = Some((off + 8, szI))
+      off += 8 + szI + (szI & 1) // chunks are word-aligned
     }
     data.filter(_ => fmtOk).map { case (dOff, dSz) =>
       val n = dSz / 2
@@ -144,30 +147,39 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows: Iterator[Row] =>
         javax.imageio.ImageIO.setUseCache(false) // no executor-disk staging
+        // constant magics hoisted out of the per-row loop
+        def magic(hex: String): Array[Byte] =
+          hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val (png, bmp, riff, wave) =
+          (magic("89504E47"), magic("424D"), magic("52494646"), magic("57415645"))
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
           val bytes = r.getAs[Array[Byte]]("content")
-          def hasMagic(hex: String, off: Int): Boolean = {
-            val m = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          def hasMagic(m: Array[Byte], off: Int): Boolean =
             bytes.length >= off + m.length &&
               m.indices.forall(i => bytes(off + i) == m(i))
-          }
-          val isImage = hasMagic("89504E47", 0) || hasMagic("424D", 0)
-          val isWav = hasMagic("52494646", 0) && hasMagic("57415645", 8)
-          if (isImage) decodeImage(bytes).fold(none.copy(media_id = id)) { s =>
-            DecodedMedia(id,
-              if (bytes(0) == 0x42) "image/bmp" else "image/png",
-              Some(s.width), Some(s.height), Some(s.nPixels),
-              Some(s.sumR), Some(s.sumG), Some(s.sumB),
-              Some(s.sumB.toDouble / s.nPixels),
-              None, None, None, None, None)
-          } else if (isWav) decodeWav(bytes).fold(none.copy(media_id = id)) { s =>
-            DecodedMedia(id, "audio/wav", None, None, None, None, None, None,
-              None, Some(s.nSamples), Some(s.sumSamples),
-              Some(s.minSample), Some(s.maxSample),
-              Some(if (s.nSamples == 0) 0.0
-                   else s.sumSamples.toDouble / s.nSamples))
-          } else none.copy(media_id = id)
+          val isImage = hasMagic(png, 0) || hasMagic(bmp, 0)
+          val isWav = hasMagic(riff, 0) && hasMagic(wave, 8)
+          // a malformed payload decodes to 'unknown', it never crashes
+          // the task (decodeImage catches internally; guard WAV too)
+          val decoded: Option[DecodedMedia] =
+            try {
+              if (isImage) decodeImage(bytes).map { s =>
+                DecodedMedia(id,
+                  if (bytes(0) == 0x42) "image/bmp" else "image/png",
+                  Some(s.width), Some(s.height), Some(s.nPixels),
+                  Some(s.sumR), Some(s.sumG), Some(s.sumB),
+                  Some(s.sumB.toDouble / s.nPixels),
+                  None, None, None, None, None)
+              } else if (isWav) decodeWav(bytes).map { s =>
+                DecodedMedia(id, "audio/wav", None, None, None, None, None,
+                  None, None, Some(s.nSamples), Some(s.sumSamples),
+                  Some(s.minSample), Some(s.maxSample),
+                  Some(if (s.nSamples == 0) 0.0
+                       else s.sumSamples.toDouble / s.nSamples))
+              } else None
+            } catch { case _: Exception => None }
+          decoded.getOrElse(none.copy(media_id = id))
         }
       }
   }

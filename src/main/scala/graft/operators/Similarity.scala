@@ -36,16 +36,21 @@ object Similarity {
     * `corpus` both carry (id, vec: array<double>); self-matches excluded.
     * Queries are broadcast (the small side by construction); norms are
     * precomputed once per row on each side. */
-  /** Spread the corpus before a per-row-quadratic stage: a small corpus
-    * arrives as one file = one partition and the whole O(n·q) compare
-    * would run in a single task. The repartition is UNCONDITIONAL — a
-    * conditional `df.rdd.getNumPartitions` probe forces an RDD conversion
-    * (full physical planning) at plan-construction time on every call,
-    * which costs more than the round-robin exchange it tries to avoid;
-    * against the O(n·q) broadcast-NLJ stage that follows, one narrow
-    * pass over the corpus is noise at any scale. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Spread an under-partitioned corpus before a per-row-quadratic stage:
+    * a small corpus arrives as one file = one partition and the whole
+    * O(n·q) compare would run in a single task. The probe is
+    * `df.inputFiles` (a file listing on the analyzed plan — no RDD
+    * conversion, no physical planning, unlike `df.rdd.getNumPartitions`):
+    * only a file-backed corpus with fewer files than cores gets the
+    * round-robin exchange. An already-wide input (more files than cores)
+    * and non-file sources (tiny literal test frames) pass through
+    * untouched — an unconditional repartition would COLLAPSE a 1000-split
+    * corpus to the local core count. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = try df.inputFiles.length catch { case _: Exception => 0 }
+    if (nFiles > 0 && nFiles < par) df.repartition(par) else df
+  }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qvec"),

@@ -355,6 +355,7 @@ class GraphOpsSpec extends SparkSpec {
     // and l5 != l6 is asserted too so this can't silently weaken into a
     // fixpoint claim that a 2-cycle would also satisfy
     val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).exists, s"gate-scale fixture $dir not present")
     val ug = KinGraph.fromEdges(graft.queries.GxQueries.unionEdges(spark, dir))
     def lpa(i: Int) = GraphOps.labelPropagationSync(ug, iters = i)
       .as[(String, String)].collect().toMap

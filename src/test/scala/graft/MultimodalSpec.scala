@@ -52,6 +52,11 @@ class MultimodalSpec extends SparkSpec {
     val bodyF = fmtF ++ "data".getBytes ++ le32(data.length) ++ data
     val wavF = "RIFF".getBytes ++ le32(4 + bodyF.length) ++ "WAVE".getBytes ++ bodyF
     assert(Multimodal.decodeWav(wavF).isEmpty)
+    // a chunk declaring a ~2^31 size must reject, not overflow Int bounds
+    // math into an ArrayIndexOutOfBounds crash
+    val bodyO = fmt ++ "data".getBytes ++ le32(0x7fffffff) ++ data
+    val wavO = "RIFF".getBytes ++ le32(4 + bodyO.length) ++ "WAVE".getBytes ++ bodyO
+    assert(Multimodal.decodeWav(wavO).isEmpty, "overflowing size must reject")
   }
 
   test("decodeMedia routes by magic, is partition-invariant, survives junk") {

@@ -566,7 +566,11 @@ object GraphOps {
     * Scale shape: loop state is the reached (landmark, node, dist) set —
     * at most nLandmarks·n rows, usually far sparser; the edge set is
     * cached dst-partitioned once so each round's frontier expansion
-    * reuses its shuffle; the frontier broadcasts under the node limit. */
+    * reuses its shuffle; the frontier broadcasts under the node limit.
+    * The state is referenced twice per round (carry + expand) like
+    * weightedSsspBounded; ReusedExchange shares the subplan in the
+    * un-checkpointed rounds (verified in the executed plan — the
+    * d_bigram_lm escape hatch), so checkpointEvery stays 2. */
   def landmarkCloseness(g: KinGraph, nLandmarks: Int = 4, rounds: Int = 4,
                         checkpointEvery: Int = 2,
                         broadcastNodeLimit: Long = 5000000L): DataFrame = {

@@ -668,14 +668,39 @@ object GraphOps {
     * scale estimate.
     *
     * Scale shape: one sparse BFS per landmark per direction (states are
-    * reached-set-sized; the frontier broadcasts; per-landmark loops are
-    * independent — a cluster runs them as parallel jobs), then one join
-    * of the two state tables on node. σ products fit i64 comfortably at
+    * reached-set-sized; the frontier broadcasts only under
+    * `broadcastNodeLimit`, like [[landmarkCloseness]] — above it the
+    * expansion is a shuffle join), then one join of the two state tables
+    * on node. The loop is PURE message passing: no per-round visited
+    * anti-join. Level synchrony makes that sound — for any node v, every
+    * in-neighbor contributing a message to v's round-dist(v) candidate
+    * row must itself sit at distance dist(v)−1 (a closer one would give v
+    * a shorter path, a farther one cannot be in that round's frontier
+    * with a smaller-d row), so by induction the min-d candidate row per
+    * (landmark, node) carries exactly σ; one arg-min-d aggregation at the
+    * end replaces `rounds` anti-joins. σ products fit i64 comfortably at
     * bounded depth on hub-capped degrees — on graphs with 10⁵⁺ fan-out
-    * hubs, cap rounds (σ grows as Π degree per level). */
+    * hubs, cap rounds (σ grows as Π degree per level); `sigmaLimit`
+    * guards the final σ table at runtime (σ·σ products summed over
+    * nLandmarks² pairs must stay under 2⁶³). */
+  /** One level-synchronous expansion: messages from the frontier's sigma
+    * along `edges`, summed per (tag, dst) at distance `k`. The frontier
+    * broadcasts only when `small` — package-visible so PlanSpec can pin
+    * that the large-graph path plans a shuffle join. */
+  private[graft] def expandFrontier(edges: DataFrame, frontier: DataFrame,
+                                    tag: String, small: Boolean,
+                                    k: Int): DataFrame = {
+    val fr = frontier.select(col(tag), col("node").as("src"), col("sigma"))
+    edges.join(if (small) broadcast(fr) else fr, "src")
+      .groupBy(col(tag), col("dst").as("node"))
+      .agg(sum(col("sigma")).as("sigma"))
+      .select(col(tag), col("node"), lit(k.toLong).as("d"), col("sigma"))
+  }
+
   def landmarkBetweenness(g: KinGraph, nLandmarks: Int = 3, rounds: Int = 3,
                           symmetric: Boolean = false,
-                          broadcastNodeLimit: Long = 5000000L): DataFrame = {
+                          broadcastNodeLimit: Long = 5000000L,
+                          sigmaLimit: Long = 1000000000L): DataFrame = {
     require(nLandmarks >= 2, "nLandmarks >= 2")
     require(rounds >= 1, "rounds >= 1")
     val sp = g.nodes.sparkSession
@@ -696,29 +721,38 @@ object GraphOps {
       .select("key").collect().map(_.getString(0))
     // ONE landmark-tagged level-synchronous BFS per direction (landmarks
     // never interact, so the tagged loop is exactly the per-landmark loop
-    // with 1/nLandmarks the job count): a node enters the visited set at
-    // its FINAL distance with sigma = Σ of its frontier predecessors'
-    // sigma (all of them, by level synchrony)
+    // with 1/nLandmarks the job count). No visited anti-join: each round
+    // expands ALL of the previous round's candidates (interior re-reaches
+    // included — their rows carry inflated d and are discarded by the
+    // closing arg-min-d aggregation, which by level synchrony holds the
+    // exact first-reach sigma; see the scale-shape note above).
     def bfs(edges: DataFrame, tag: String): DataFrame = {
-      var visited = lms.zipWithIndex
+      var frontier = lms.zipWithIndex
         .map { case (l, i) => (i, l, 0L, 1L) }.toSeq
         .toDF(tag, "node", "d", "sigma")
-      var frontier = visited
+      var all = frontier
       for (k <- 1 to rounds) {
-        val cand = edges
-          .join(broadcast(frontier.select(col(tag), col("node").as("src"),
-            col("sigma"))), "src")
-          .groupBy(col(tag), col("dst").as("node"))
-          .agg(sum(col("sigma")).as("sigma"))
-        val vKeys = visited.select(tag, "node")
-        frontier = cand
-          .join(if (small) broadcast(vKeys) else vKeys,
-            Seq(tag, "node"), "left_anti")
-          .select(col(tag), col("node"), lit(k.toLong).as("d"), col("sigma"))
+        frontier = expandFrontier(edges, frontier, tag, small, k)
           .localCheckpoint(true) // reused by the union AND the next round
-        visited = visited.unionByName(frontier)
+        all = all.unionByName(frontier)
       }
-      visited
+      val fin = all.groupBy(col(tag), col("node"))
+        .agg(max(struct((-col("d")).as("nd"), col("sigma"))).as("m"))
+        .select(col(tag), col("node"), (-col("m.nd")).as("d"),
+          col("m.sigma").as("sigma"))
+      // overflow guard: a wrapped sigma would hash-match nothing with a
+      // confusing signature — fail loudly instead. One tiny agg over the
+      // in-memory checkpoints (re-derivation of `fin` downstream is the
+      // same cheap re-agg).
+      val bounds = fin.agg(max(col("sigma")).as("mx"), min(col("sigma")).as("mn"))
+        .head()
+      if (!bounds.isNullAt(0) &&
+          (bounds.getLong(0) > sigmaLimit || bounds.getLong(1) < 1L))
+        throw new IllegalStateException(
+          s"landmarkBetweenness sigma out of [1, $sigmaLimit] " +
+            s"(max=${bounds.getLong(0)}, min=${bounds.getLong(1)}): " +
+            "path counts are overflowing i64 — reduce `rounds` or cap hub degrees")
+      fin
     }
     // on a symmetric (undirected) edge set the backward BFS IS the
     // forward one — callers passing an undirected graph set `symmetric`

@@ -342,6 +342,19 @@ class GraphOpsSpec extends SparkSpec {
     val gen = GraphOps.landmarkBetweenness(udG, 4, 3, symmetric = false)
       .as[(String, Long)].collect().toMap
     assert(sym == gen, s"symmetric fast path must not change results: $sym vs $gen")
+    // large-graph path: broadcastNodeLimit = 0 forces the shuffle-join
+    // expansion; results are identical (the guard changes the plan only)
+    val noBc = GraphOps.landmarkBetweenness(pg, nLandmarks = 5, rounds = 3,
+        broadcastNodeLimit = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(noBc == got3, s"shuffle-path results diverged: $noBc vs $got3")
+    // sigma guard: the diamond pushes sigma(a->d) to 2 — a limit of 1
+    // must fail loudly instead of risking a silent i64 wrap at depth
+    val ex = intercept[IllegalStateException] {
+      GraphOps.landmarkBetweenness(dg, nLandmarks = 4, rounds = 3,
+        sigmaLimit = 1L)
+    }
+    assert(ex.getMessage.contains("sigma"), ex.getMessage)
   }
 
   test("gx_labelprop/gx_wsssp bounded iterations HAVE stabilized at gate scale") {

@@ -234,6 +234,25 @@ class PlanSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("betweenness expansion broadcasts the frontier only under the node limit") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val frontier = Seq((0, "a", 0L, 1L)).toDF("i", "node", "d", "sigma")
+    // isolate the explicit hint from the size-based auto broadcast (the
+    // test frames are tiny; at scale the frontier's stats are unknown)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = planString(
+        graft.ops.GraphOps.expandFrontier(edges, frontier, "i", small = false, 1))
+      assert(!big.contains("BroadcastExchange"),
+        s"over the node limit the frontier join must shuffle:\n${big.take(900)}")
+      val sm = planString(
+        graft.ops.GraphOps.expandFrontier(edges, frontier, "i", small = true, 1))
+      assert(sm.contains("BroadcastExchange"),
+        s"under the node limit the frontier must broadcast:\n${sm.take(900)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -736,14 +736,17 @@ object GraphOps {
           .localCheckpoint(true) // reused by the union AND the next round
         all = all.unionByName(frontier)
       }
+      // the arg-min-d state is referenced by the overflow guard AND the
+      // downstream pair join — checkpoint it so the closing aggregation
+      // runs once, not once per consumer
       val fin = all.groupBy(col(tag), col("node"))
         .agg(max(struct((-col("d")).as("nd"), col("sigma"))).as("m"))
         .select(col(tag), col("node"), (-col("m.nd")).as("d"),
           col("m.sigma").as("sigma"))
+        .localCheckpoint(true)
       // overflow guard: a wrapped sigma would hash-match nothing with a
       // confusing signature — fail loudly instead. One tiny agg over the
-      // in-memory checkpoints (re-derivation of `fin` downstream is the
-      // same cheap re-agg).
+      // in-memory checkpoint.
       val bounds = fin.agg(max(col("sigma")).as("mx"), min(col("sigma")).as("mn"))
         .head()
       if (!bounds.isNullAt(0) &&

@@ -360,17 +360,46 @@ object Similarity {
   def semanticSurvivors(corpus: DataFrame, threshold: Double = 0.8,
                         nlist: Int = 16,
                         cacheKey: Option[String] = None): DataFrame = {
-    // ids round-trip through the dup graph's string keys and back via
-    // cast(long) — same contract as Dedup.nearDupSurvivors
+    requireIntegralId(corpus)
+    val index = ivfBuild(corpus, nlist, cacheKey)
+    survivorsFromAssignment(corpus, index.assigned, threshold)
+  }
+
+  /** SemDeDup on the TRAINLESS sampled-centroid quantizer
+    * ([[ivfSampledCells]]/[[ivfSampledAssign]]) instead of KMeans: same
+    * cluster-then-dedup shape and the same within-cell-only candidate
+    * bound, but every step — hash-sampled cells, rounded-cosine argmax
+    * assignment, within-cell pairs, connected components, min-id
+    * survivors — is deterministic and SQL-replayable, so the whole
+    * pipeline is hash-checkable end-to-end (e_semdedup), not just
+    * spec-pinned like the KMeans variant. */
+  def semanticSurvivorsSampled(corpus: DataFrame, threshold: Double = 0.8,
+                               nlist: Int = 16): DataFrame = {
+    requireIntegralId(corpus)
+    val assigned = ivfSampledAssign(corpus, ivfSampledCells(corpus, nlist))
+    survivorsFromAssignment(corpus, assigned, threshold)
+  }
+
+  /** ids round-trip through the dup graph's string keys and back via
+    * cast(long) — same contract as Dedup.nearDupSurvivors. */
+  private def requireIntegralId(corpus: DataFrame): Unit =
     corpus.schema("id").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
         s"semanticSurvivors needs an integral id column; got $other")
     }
-    val index = ivfBuild(corpus, nlist, cacheKey)
-    val a = index.assigned.select(col("cell"), col("vec_id").as("a"), col("cvec").as("va"))
-    val b = index.assigned.select(col("cell"), col("vec_id").as("b"), col("cvec").as("vb"))
+
+  /** Shared SemDeDup tail: within-cell near-dup pairs over an
+    * (vec_id, cvec, cell) assignment, dup components, min-id survivors.
+    * The candidate pairs localCheckpoint once — the dup graph's node
+    * derivation and GraphX conversion would otherwise re-run the
+    * per-cell-quadratic join (same reuse pattern as
+    * Dedup.nearDupSurvivors). */
+  private def survivorsFromAssignment(corpus: DataFrame, assigned: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("a"), col("cvec").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b"), col("cvec").as("vb"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("a") < col("b"))
       .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)

@@ -603,14 +603,16 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
-    // SemDeDup cluster-then-dedup end-to-end: IVF cells -> within-cell
-    // near-dup pairs -> CC -> min-id survivors (rows-only: the KMeans
-    // quantizer is not SQL-replayable; PipelineSpec pins the semantics on
-    // constructed clusters)
+    // SemDeDup cluster-then-dedup end-to-end on the TRAINLESS sampled-
+    // centroid quantizer: hash-sampled cells -> rounded-cosine argmax
+    // assignment -> within-cell near-dup pairs -> CC -> min-id survivors.
+    // Every step is deterministic and SQL-replayable, so the pipeline is
+    // hash-checked end-to-end (the KMeans variant, semanticSurvivors,
+    // stays spec-pinned in PipelineSpec — its quantizer is not
+    // replayable)
     "e_semdedup" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
-      Similarity.semanticSurvivors(corpus, threshold = 0.45,
-          cacheKey = Some(s"emb|$dir"))
+      Similarity.semanticSurvivorsSampled(corpus, threshold = 0.45)
         .select(col("id")).orderBy("id")}),
 
     // int8 scalar quantization of the embedding corpus (the compression
@@ -1259,6 +1261,45 @@ object PipelineQueries {
         |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
         |FROM ne JOIN nv USING (query_id) LEFT JOIN nh USING (query_id)
         |ORDER BY ne.query_id""".stripMargin,
+
+    // full trainless-SemDeDup replay: hash-sampled cells + rounded-cosine
+    // argmax assignment (same CTEs as e_ann_ivf_recall), within-cell
+    // pairs at threshold, recursive min-label propagation = connected
+    // components (same CC replay as d_dedup_pipeline), min-id survivors
+    "e_semdedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+        |    vec AS centroid
+        |  FROM (
+        |    SELECT id, vec,
+        |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+        |    FROM c ORDER BY hc, id LIMIT 16)
+        |), asg AS (
+        |  SELECT id, cell, vec FROM (
+        |    SELECT c.id, cells.cell, c.vec, row_number() OVER (PARTITION BY c.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c, cells) WHERE rn = 1
+        |), pr AS (
+        |  SELECT a.id AS s, b.id AS t
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.45
+        |), ud AS (
+        |  SELECT s, t FROM pr UNION SELECT t, s FROM pr
+        |), dn AS (
+        |  SELECT DISTINCT s AS key FROM ud
+        |), rch AS (
+        |  WITH RECURSIVE reach(key, label) AS (
+        |    SELECT key, key FROM dn
+        |    UNION
+        |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+        |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+        |)
+        |SELECT vec_id AS id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT key FROM rch WHERE keep <> key)
+        |ORDER BY id""".stripMargin,
 
     // ground truth is the planted-payload arithmetic, NOT a re-decode:
     // the hash match proves the real pixel/PCM decoders invert the build

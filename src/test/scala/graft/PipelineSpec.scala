@@ -381,6 +381,13 @@ class PipelineSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(out == Set(1L, 10L, 20L),
       s"each tight cluster keeps its min id, the isolate survives: $out")
+    // the trainless sampled-cell variant implements the same semantics
+    // (clusters are orthogonal, so any centroid sample separates them)
+    val sampled = Similarity.semanticSurvivorsSampled(corpus,
+        threshold = 0.99, nlist = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(sampled == Set(1L, 10L, 20L),
+      s"sampled-cell variant must keep the same survivors: $sampled")
   }
 
   test("approx_count_distinct is within its error bound of exact") {

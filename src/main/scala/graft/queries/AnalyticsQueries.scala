@@ -214,6 +214,23 @@ object AnalyticsQueries {
           col("m.total_micro").as("total_micro"))
         .orderBy("user_id")}),
 
+    // the SAME running totals on the transformWithState state-v2 API
+    // (explicit ValueState handle, RocksDB provider — the only one tws
+    // supports): same update-mode drain and max(struct) collapse, same
+    // oracle — a hash match proves the v2 path end-to-end, not just
+    // StreamingSpec's batch parity
+    "s_stream_totals_tws" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.runningUserTotalsTws(
+        graft.streaming.EventStreams.readEvents(s, dir)).toDF()
+      graft.streaming.EventStreams.runToMemoryRocksDB(st, "s_stream_totals_tws_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("total_micro"))).as("m"))
+        .select(col("user_id"), col("m.n").as("n_events"),
+          col("m.total_micro").as("total_micro"))
+        .orderBy("user_id")}),
+
     // LEFT OUTER stream-stream join in the gate: null-padded unmatched
     // purchases emit only below the final query watermark
     // (min(max click, max purchase) - 2h); the oracle replays matches as
@@ -796,6 +813,12 @@ object AnalyticsQueries {
     // final mapGroupsWithState state = plain per-user aggregate; the
     // micro-unit sum floors each term before summing (engine-exact)
     "s_stream_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT) AS total_micro
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the transformWithState path computes the identical final state
+    "s_stream_totals_tws" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(1000000.0 * value) AS BIGINT)) AS BIGINT) AS total_micro
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -91,6 +91,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed graph tables join on the bucket key without any Exchange") {
+    val g = KinGraph(
+      Seq("a", "b", "c", "d").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("c", "d", 0)).toDF("src", "dst", "etype"))
+    spark.sql("DROP TABLE IF EXISTS planj_bucketed_nodes")
+    spark.sql("DROP TABLE IF EXISTS planj_bucketed_edges")
+    GraphIO.saveBucketed(g, "planj_bucketed", buckets = 4)
+    val bg = GraphIO.openBucketed(spark, "planj_bucketed")
+    // forbid broadcast so the co-location claim is what's tested (a
+    // BroadcastExchange would also hide a lost bucketed distribution)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bg.edges.join(bg.nodes, bg.edges("src") === bg.nodes("key"))
+      val plan = finalPlanString(joined)
+      assert(!plan.contains("Exchange"),
+        s"nodes (bucketed by key) and edges (bucketed by src, same bucket " +
+          s"count) must join shuffle-free:\n${plan.take(1200)}")
+      assert(plan.contains("Bucketed: true"),
+        s"join must read the bucketed layout:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sketch probes broadcast the sketch side (never shuffle the stream)") {
     import graft.operators.Sketches
     val items = Tables.documents(spark, sf)

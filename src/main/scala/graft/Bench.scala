@@ -87,10 +87,13 @@ object Bench {
     // the detail also lands in the repo cwd so the driver's round-end
     // commit captures the full per-query map (the stdout tail holds only
     // the headline; cross-round per-query forensics need this file).
-    // Only when cwd IS the repo (build.sbt marker) — writing it anywhere
-    // else would leave a stale copy to be committed as if fresh
+    // Only when cwd IS the repo (build.sbt marker) AND this is a full
+    // unfiltered run — a SPARK_GRAFT_BENCH_ONLY profiling run would
+    // otherwise overwrite the artifact with a partial 2-query map that the
+    // next hourly commit sweeps up looking like a full-round detail file
     val repoDetail =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+      if (only.isEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_DETAIL_last.json") else Seq.empty
     for (p <- (outPath +: repoDetail).distinct)
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -345,7 +345,8 @@ object Dedup {
     * CC (iterations bounded by dup-cluster diameter, which is tiny), and
     * survivor selection is one aggregation + semi-join. */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
-                       minEstSim: Double = 0.5): DataFrame = {
+                       minEstSim: Double = 0.5,
+                       candidates: Option[DataFrame] = None): DataFrame = {
     // doc ids round-trip through the duplicate graph's string keys and back
     // via cast(long); a non-integral idCol would cast to null and the final
     // anti-join would silently match nothing (no dedup at all) — fail fast
@@ -361,8 +362,11 @@ object Dedup {
     import sp.implicits._
     // materialize the candidate pairs once: the duplicate graph's node
     // derivation, size check and GraphX conversion would otherwise each
-    // re-run the LSH candidate join (3x the dominant cost of the pipeline)
-    val pairs = minhashCandidates(docs, idCol, textCol)
+    // re-run the LSH candidate join (3x the dominant cost of the pipeline).
+    // `candidates` lets callers running several consumers of the same
+    // corpus's (a, b, est_sim) table (the driver's d_minhash_* family)
+    // pass a shared precomputed one.
+    val pairs = candidates.getOrElse(minhashCandidates(docs, idCol, textCol))
       .filter(col("est_sim") >= minEstSim)
       .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
       .localCheckpoint(true)

@@ -23,6 +23,18 @@ object PipelineQueries {
     embs(s, dir).select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("vec"))
 
+  /** Session-scoped shared minhash intermediates: d_minhash_lsh,
+    * d_minhash_est and d_dedup_pipeline all consume the same shingle
+    * explode and LSH candidate table over the full documents corpus —
+    * route both through `Tables.cached` (like the gx union graph) so the
+    * build runs once per session, not once per query. */
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("minhash_shingles", s, dir)(
+      Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
+  private def sharedMinhashCands(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("minhash_cands", s, dir)(
+      Dedup.minhashCandidatesFrom(sharedShingles(s, dir)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---------------------------------------------------
     "d_token_count" -> ((s, dir) =>
@@ -72,8 +84,7 @@ object PipelineQueries {
         .orderBy("fp")),
 
     "d_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
-        .orderBy("a", "b")),
+      sharedMinhashCands(s, dir).orderBy("a", "b")),
 
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
@@ -126,7 +137,8 @@ object PipelineQueries {
     // clustering (GraphX CC grouping); oracle replays min-id survivor
     // selection over the (oracle-exact) minhash candidate set in SQL
     "d_dedup_pipeline" -> ((s, dir) =>
-      Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5)
+      Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5,
+          candidates = Some(sharedMinhashCands(s, dir)))
         .select(col("doc_id")).orderBy("doc_id")),
 
     // the flagship composite: quality filter -> language filter -> near-dup
@@ -485,12 +497,10 @@ object PipelineQueries {
     // signature-agreement estimate and the exact shingle Jaccard — the
     // view used to tune bands/rows before trusting est_sim at full scale
     "d_minhash_est" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // one cached shingle explode feeds BOTH the LSH candidates and the
-      // exact-Jaccard verify side
-      val sh = graft.CacheScope.cached(Dedup.shingleRows(d, "doc_id", "text"))
-      val cand = Dedup.minhashCandidatesFrom(sh)
-      val exact = Dedup.ngramJaccardPairsFrom(sh, 0.0)
+      // the session-shared shingle explode feeds BOTH the (shared) LSH
+      // candidates and the exact-Jaccard verify side
+      val cand = sharedMinhashCands(s, dir)
+      val exact = Dedup.ngramJaccardPairsFrom(sharedShingles(s, dir), 0.0)
       cand.join(exact, Seq("a", "b"), "left")
         .select(col("a"), col("b"), col("est_sim"),
           coalesce(col("inter"), lit(0L)).as("inter"),

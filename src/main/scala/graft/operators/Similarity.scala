@@ -38,18 +38,30 @@ object Similarity {
     * precomputed once per row on each side. */
   /** Spread an under-partitioned corpus before a per-row-quadratic stage:
     * a small corpus arrives as one file = one partition and the whole
-    * O(n·q) compare would run in a single task. The probe is
+    * O(n·q) compare would run in a single task. The cheap probe is
     * `df.inputFiles` (a file listing on the analyzed plan — no RDD
     * conversion, no physical planning, unlike `df.rdd.getNumPartitions`):
-    * only a file-backed corpus with fewer files than cores gets the
-    * round-robin exchange. An already-wide input (more files than cores)
-    * and non-file sources (tiny literal test frames) pass through
-    * untouched — an unconditional repartition would COLLAPSE a 1000-split
-    * corpus to the local core count. */
+    * a file-backed corpus with fewer files than cores gets the
+    * round-robin exchange. Many files does NOT imply many partitions
+    * (a coalesced or post-aggregation plan still lists its source files),
+    * so the skip path confirms against the physical partition count —
+    * planning cost is trivial next to the quadratic stage it protects.
+    * Non-file sources (tiny literal test frames) pass through untouched —
+    * an unconditional repartition would COLLAPSE a 1000-split corpus to
+    * the local core count. */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = try df.inputFiles.length catch { case _: Exception => 0 }
-    if (nFiles > 0 && nFiles < par) df.repartition(par) else df
+    val nFiles = try df.inputFiles.length catch {
+      case e: Exception =>
+        System.err.println(s"[graft] spread: inputFiles probe failed (${e.getMessage}); " +
+          "treating corpus as non-file-backed")
+        0
+    }
+    if (nFiles > 0 && nFiles < par) df.repartition(par)
+    else if (nFiles >= par) {
+      val nParts = try df.rdd.getNumPartitions catch { case _: Exception => par }
+      if (nParts < par) df.repartition(par) else df
+    } else df
   }
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

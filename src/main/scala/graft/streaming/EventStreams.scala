@@ -241,11 +241,21 @@ object EventStreams {
     * by the 8-byte signature; on a source with event time, swap
     * `dropDuplicates` for `dropDuplicatesWithinWatermark` to bound it —
     * the documents fixture carries none, so this form's state grows with
-    * the distinct-signature count (honest trade, documented). */
-  def nearDupFreeDocs(docsStream: DataFrame, textCol: String): DataFrame =
-    graft.operators.Dedup.withSimhash(docsStream, textCol, "__sig")
+    * the distinct-signature count (honest trade, documented).
+    *
+    * Null text bypasses the dedup untouched (same verdict as
+    * [[decontaminatedDocs]]'s isNull branch): the per-row signature of a
+    * null text degenerates to 0, so without the bypass every null-text
+    * doc after the first would be silently dropped as a "near-dup" of an
+    * unrelated signature-0 doc — while the batch explode+groupBy form
+    * drops no null rows at all. */
+  def nearDupFreeDocs(docsStream: DataFrame, textCol: String): DataFrame = {
+    val sig = graft.operators.Dedup.withSimhash(docsStream, textCol, "__sig")
+    sig.filter(col(textCol).isNotNull)
       .dropDuplicates("__sig")
+      .unionByName(sig.filter(col(textCol).isNull))
       .drop("__sig")
+  }
 
   // ---------------------------------------------------- custom state
   case class UserEvent(user_id: Long, value: Double)

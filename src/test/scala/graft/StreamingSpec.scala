@@ -166,6 +166,30 @@ class StreamingSpec extends SparkSpec {
     assert(keptSigs.toSet == allSigs, "every signature keeps a representative")
   }
 
+  test("streaming near-dup suppression passes null-text docs through untouched") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullsig").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(2L, "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(3L, null),
+        org.apache.spark.sql.Row(4L, null)), 1),
+      schema).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(schema).parquet(dir)
+    val kept = EventStreams.runToMemory(
+      EventStreams.nearDupFreeDocs(st, "text"),
+      "t_neardup_null",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"doc_id").as[Long].collect().toSet
+    // the duplicate pair keeps one survivor; BOTH null-text docs survive
+    // (without the bypass they'd collide on the degenerate signature 0)
+    assert(kept.intersect(Set(1L, 2L)).size == 1, s"dup pair: $kept")
+    assert(Set(3L, 4L).subsetOf(kept), s"null docs must pass through: $kept")
+  }
+
   test("stream-static ANTI-join decontamination matches the broadcast form") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

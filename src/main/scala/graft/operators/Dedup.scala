@@ -142,6 +142,66 @@ object Dedup {
         round(agree.cast("double") / NumHashes, 6).as("est_sim"))
   }
 
+  /** Candidate pairs ACROSS two precomputed signature tables (left id as
+    * `a`, right id as `b`): bucket join of the two band sets + the
+    * signature-agreement estimate. `requireLess` picks the self-dedup
+    * convention (a < b) vs the cross-set form (a != b, where the sides are
+    * disjoint by contract). This is the primitive incremental dedup is
+    * built from — the indexed side's bands never self-join. */
+  private def candidatesAcrossSigs(sigsA: DataFrame, sigsB: DataFrame,
+                                   requireLess: Boolean): DataFrame = {
+    val a = lshBands(sigsA).select(col("band"), col("band_val"), col("doc_id").as("a"))
+    val b = lshBands(sigsB).select(col("band"), col("band_val"), col("doc_id").as("b"))
+    val cond = if (requireLess) col("a") < col("b") else col("a") =!= col("b")
+    val pairs = a.join(b, Seq("band", "band_val")).filter(cond)
+      .select("a", "b").distinct()
+    val sigA = sigsA.toDF(sigsA.columns.map(c => if (c == "doc_id") "a" else s"${c}_a"): _*)
+    val sigB = sigsB.toDF(sigsB.columns.map(c => if (c == "doc_id") "b" else s"${c}_b"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"mh_${i}_a") === col(s"mh_${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / NumHashes, 6).as("est_sim"))
+  }
+
+  /** INCREMENTAL near-dup dedup: dedup a DELTA batch against an already-
+    * indexed corpus — the daily-crawl shape, where the indexed side's
+    * signatures are precomputed once and never self-join again. A delta
+    * doc is dropped when it LSH-matches any indexed doc (est_sim >=
+    * minEstSim); the remainder is then deduped among itself (candidate
+    * pairs -> components -> min-id survivors). Returns the surviving
+    * rows of `delta`. Ids must be integral and disjoint across the two
+    * inputs (same id contract as [[nearDupSurvivors]]).
+    *
+    * Scale shape: the index×delta candidate join is banded exactly like
+    * the self form — each side shuffles on (band, band_val) once, the
+    * index side O(index) and the delta side O(delta); no index×index work
+    * anywhere. At 100 TB the index bands/signatures live as a bucketed
+    * table keyed by band_val and each day's delta broadcast-probes or
+    * co-shuffles against it. */
+  def incrementalSurvivors(indexed: DataFrame, delta: DataFrame,
+                           idCol: String, textCol: String,
+                           minEstSim: Double = 0.5): DataFrame = {
+    delta.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"incrementalSurvivors needs an integral id column; '$idCol' is $other")
+    }
+    val iSigs = graft.CacheScope.cached(minhashSignatures(indexed, idCol, textCol))
+    val dSigs = graft.CacheScope.cached(minhashSignatures(delta, idCol, textCol))
+    val crossHit = candidatesAcrossSigs(iSigs, dSigs, requireLess = false)
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("b").as("__hit")).distinct()
+    val remainder = delta.join(crossHit, delta(idCol) === col("__hit"), "left_anti")
+    val rSigs = dSigs.join(remainder.select(col(idCol).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val internal = candidatesAcrossSigs(rSigs, rSigs, requireLess = true)
+      .filter(col("est_sim") >= minEstSim)
+    ccMinIdSurvivors(remainder, idCol, internal)
+  }
+
   /** DuckDB twin of [[minhashCandidates]] (same constants, same md5-derived
     * hash family), generated so the oracle replays the computation. */
   def minhashCandidatesSql(table: String, idCol: String, textCol: String): String = {
@@ -368,6 +428,17 @@ object Dedup {
     // pass a shared precomputed one.
     val pairs = candidates.getOrElse(minhashCandidates(docs, idCol, textCol))
       .filter(col("est_sim") >= minEstSim)
+    ccMinIdSurvivors(docs, idCol, pairs)
+  }
+
+  /** Shared dup-component survivor tail: (a, b) duplicate pairs → GraphX
+    * connected components → keep each component's min id; returns the
+    * surviving rows of `docs`. The pairs localCheckpoint once — the dup
+    * graph's node derivation and GraphX conversion would otherwise each
+    * re-run the candidate join that produced them. */
+  private[graft] def ccMinIdSurvivors(docs: DataFrame, idCol: String,
+                                      dupPairs: DataFrame): DataFrame = {
+    val pairs = dupPairs
       .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
       .localCheckpoint(true)
     val dupGraph = graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))

@@ -141,6 +141,20 @@ object PipelineQueries {
           candidates = Some(sharedMinhashCands(s, dir)))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // INCREMENTAL dedup (the daily-crawl shape): docs at/above the
+    // data-adaptive id cutoff (top fifth) are the delta batch, the rest
+    // the already-indexed corpus. A delta doc drops on any cross LSH
+    // match (index bands never self-join); the remainder dedups among
+    // itself. Cutoff = (4·max)/5 integer div — driver probe here, scalar
+    // subquery in the oracle (the gx_kcore pattern)
+    "d_dedup_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cutoff = d.agg(expr("(4 * max(doc_id)) div 5")).head.getLong(0)
+      Dedup.incrementalSurvivors(
+          d.filter(col("doc_id") < cutoff), d.filter(col("doc_id") >= cutoff),
+          "doc_id", "text", 0.5)
+        .select(col("doc_id")).orderBy("doc_id")}),
+
     // the flagship composite: quality filter -> language filter -> near-dup
     // dedup (LSH + CC survivors) -> deterministic split assignment. Every
     // stage is exactly SQL-replayable, so the END-TO-END pipeline is
@@ -989,6 +1003,39 @@ object PipelineQueries {
          |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
          |)
          |SELECT doc_id FROM $docsT
+         |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
+         |ORDER BY doc_id""".stripMargin,
+
+    // incremental-dedup replay: the union candidate table restricted to
+    // pairs touching the delta (a < cut <= b for cross hits, a >= cut for
+    // delta-internal pairs) equals the operator's two banded joins — the
+    // per-doc signatures are identical whether computed per side or over
+    // the union
+    "d_dedup_incr" ->
+      s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),
+         |cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), xhit AS (
+         |  SELECT DISTINCT b AS key FROM cand, cut
+         |  WHERE a < c AND b >= c AND est_sim >= 0.5
+         |), rem AS (
+         |  SELECT doc_id FROM $docsT, cut WHERE doc_id >= c
+         |    AND doc_id NOT IN (SELECT key FROM xhit)
+         |), internal AS (
+         |  SELECT a, b FROM cand, cut WHERE a >= c AND est_sim >= 0.5
+         |    AND a IN (SELECT doc_id FROM rem) AND b IN (SELECT doc_id FROM rem)
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM internal UNION SELECT b, a FROM internal
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+         |)
+         |SELECT doc_id FROM rem
          |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
          |ORDER BY doc_id""".stripMargin,
 

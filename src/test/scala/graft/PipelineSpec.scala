@@ -259,6 +259,31 @@ class PipelineSpec extends SparkSpec {
     assert(out == all -- expectedVictims)
   }
 
+  test("incremental dedup drops index matches, then dedups the remainder") {
+    val indexed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      // exact dup of an indexed doc -> dropped by the cross pass
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "completely different content about vectorized execution engines"),
+      // internal dup of 101 -> min id 101 survives
+      (102L, "completely different content about vectorized execution engines"),
+      (103L, "a third unrelated document mentioning graph analytics at scale"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalSurvivors(indexed, delta, "doc_id", "text", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(101L, 103L), s"got $out")
+    // the index side is never deduped against itself: an index-only dup
+    // pair must not affect the delta's survivors
+    val indexed2 = indexed.union(
+      Seq((2L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val out2 = Dedup.incrementalSurvivors(indexed2, delta, "doc_id", "text", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out2 == out, s"index self-dups must be irrelevant: $out2")
+  }
+
   test("nearDupSurvivors fails fast on non-integral id columns") {
     // string ids would silently cast to null downstream (no dedup at all)
     val bad = Seq(("a", "one two three"), ("b", "four five six"))

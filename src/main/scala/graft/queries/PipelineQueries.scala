@@ -292,6 +292,39 @@ object PipelineQueries {
         .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
 
+    // BM25 retrieval (k1=1.2, b=0.75): the doc-length-normalized upgrade
+    // of d_search's tf-idf. Every per-term score floors to integer micros
+    // BEFORE summing (order-free); inside the term, everything except the
+    // idf ln (the d_search-proven micro-rounding) is IEEE basic ops over
+    // identical inputs written identically in both engines — dl/avgdl,
+    // the b-mix, the k1 saturation are each one exact-rounded op
+    "d_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "query", "vector")
+      val d = docs(s, dir)
+      val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+      val st = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
+        count(lit(1)).cast("double").as("n"))
+      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+      val idf = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        .crossJoin(broadcast(st.select(col("n"))))
+        .select(col("token"),
+          round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * 1e6).cast("long").as("idf_micro"))
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st.select((col("sum_dl") / col("n")).as("avgdl"))))
+        .withColumn("term_micro",
+          floor(col("idf_micro") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("term_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
+
     // per-doc out-of-vocabulary rate against the corpus top-1000 vocab
     // (rank cut is the total order n desc, token — deterministic): the
     // tokenizer-health / domain-shift signal of a training pipeline.
@@ -1125,6 +1158,36 @@ object PipelineQueries {
          |SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS score_micro
          |FROM tf JOIN idf USING (token)
          |GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "d_bm25" ->
+      s"""WITH dlt AS (
+         |  SELECT doc_id, ${tokenCountSql("text")} AS dl FROM $docsT
+         |), st AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |    CAST(count(*) AS DOUBLE) AS n FROM dlt
+         |), tok AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), qt AS (
+         |  SELECT doc_id, token FROM tok
+         |  WHERE token IN ('spark', 'query', 'vector')
+         |), idf AS (
+         |  SELECT token,
+         |    CAST(round(ln((st.n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
+         |      AS idf_micro
+         |  FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |        FROM qt GROUP BY token), st
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+         |), terms AS (
+         |  SELECT tf.doc_id,
+         |    CAST(floor(idf_micro * (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n)))) AS BIGINT)
+         |      AS term_micro
+         |  FROM tf JOIN idf USING (token) JOIN dlt ON dlt.doc_id = tf.doc_id, st
+         |)
+         |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+         |FROM terms GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     "d_oov" ->
       s"""WITH tok AS (

@@ -339,6 +339,88 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  // ------------------------------------------- product quantization
+  /** Trainless product quantization (Jégou et al. 2011 shape, sampled
+    * codebooks): split every vector into [[PqSubspaces]] subvectors,
+    * quantize each against a per-subspace codebook of [[PqCodebookSize]]
+    * entries, store M small codes per vector. Search is ADC (asymmetric
+    * distance computation): the query computes one M×K inner-product
+    * table, and each corpus vector scores as M integer table lookups —
+    * the memory-bandwidth path of every production ANN index (the corpus
+    * is M ints per vector, not dim doubles). Codebooks are the
+    * hash-sampled corpus subvectors (same trainless move as
+    * [[ivfSampledCells]]), and every score is floor(1e6·dot) BEFORE any
+    * aggregation (integer compares, order-free sums) — the entire
+    * encode + search pipeline replays exactly in SQL (e_pq_recall). */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+
+  /** Per-subspace slices of `df`'s vec: (idAs, m, sv). */
+  private def subVectors(df: DataFrame, idAs: String, dim: Int,
+                         m: Int): DataFrame = {
+    val sub = dim / m
+    val subs = (0 until m).map(mm => struct(lit(mm).as("m"),
+      slice(col("vec"), mm * sub + 1, sub).as("sv")))
+    df.select(col("id").as(idAs), explode(array(subs: _*)).as("s"))
+      .select(col(idAs), col("s.m").as("m"), col("s.sv").as("sv"))
+  }
+
+  /** Trainless PQ codebooks: the K corpus vectors with the smallest
+    * salted hash, sliced per subspace. (m, j, cb) — M·K rows, broadcast
+    * everywhere it is used. */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int = PqSubspaces,
+                  k: Int = PqCodebookSize): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val hc = graft.functions.TextFunctions
+      .hash60(concat(col("id").cast("string"), lit("pqc")))
+    val sample = corpus.select(col("id"), col("vec"), hc.as("hc"))
+      .orderBy(col("hc"), col("id")).limit(k)
+    val w = Window.orderBy(col("hc"), col("id"))
+    subVectors(sample.withColumn("j", (row_number().over(w) - 1).cast("int"))
+        .select(col("j").as("id"), col("vec")), "j", dim, m)
+      .select(col("m"), col("j"), col("sv").as("cb"))
+  }
+
+  /** PQ encoding: per (vector, subspace) the argmax-inner-product
+    * codebook entry — floor-micro INTEGER compare with min-j tie-break,
+    * so the argmax is engine-exact. (vec_id, m, code). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, dim: Int,
+               m: Int = PqSubspaces): DataFrame = {
+    val scored = subVectors(corpus, "vec_id", dim, m)
+      .join(broadcast(codebooks), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        floor(lit(1000000.0) * dot(col("sv"), col("cb"))).cast("long").as("micro"))
+    scored.groupBy("vec_id", "m")
+      .agg(max(struct(col("micro"), (-col("j")).as("nj"))).as("mx"))
+      .select(col("vec_id"), col("m"), (-col("mx.nj")).cast("int").as("code"))
+  }
+
+  /** ADC top-k: per query one M×K floor-micro inner-product table
+    * (broadcast), the corpus codes join it on (m, code), and the per-pair
+    * score is the integer sum of the M lookups. The codes table is the
+    * only corpus-sized input — this is full-scan PQ (compose with the IVF
+    * cells to probe a corpus fraction; kept separate so each index is
+    * hash-checked on its own). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, kNN: Int,
+             m: Int = PqSubspaces, k: Int = PqCodebookSize): DataFrame = {
+    val dim = inferDim(corpus)
+    val cbs = pqCodebooks(corpus, dim, m, k)
+    val codes = pqEncode(corpus, cbs, dim, m)
+    val qt = subVectors(queries, "query_id", dim, m)
+      .join(broadcast(cbs), Seq("m"))
+      .select(col("query_id"), col("m"), col("j").as("code"),
+        floor(lit(1000000.0) * dot(col("sv"), col("cb"))).cast("long").as("t_micro"))
+    val scored = codes.join(broadcast(qt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("t_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("query_id", "vec_id", "score_micro", "rank")
+  }
+
   // ------------------------------------------- Matryoshka truncation
   /** Matryoshka-style truncated search (Kusupati et al. 2022): rank with
     * only the FIRST `dims` components of every vector — the

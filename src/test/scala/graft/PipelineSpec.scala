@@ -392,6 +392,27 @@ class PipelineSpec extends SparkSpec {
     assert(half.filter($"query_id" === $"vec_id").isEmpty)
   }
 
+  test("product quantization: ADC recall holds and codes are partition-invariant") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+    val pq = Similarity.pqTopK(corpus, queries, 10).select("query_id", "vec_id")
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id")
+    assert(pq.count() == 50, "10 neighbors per query")
+    val hits = pq.join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+    // 8x16 sampled codebooks on the (near-random) fixture: 13/50 at this
+    // SF — assert a floor, not the point value, so SF changes don't trip
+    assert(hits >= 8, s"ADC recall collapsed: $hits/50")
+    val dim = Similarity.inferDim(corpus)
+    val cbs = Similarity.pqCodebooks(corpus, dim)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, cbs, dim).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codes(corpus) == codes(corpus.repartition(7)),
+      "codes must not depend on partitioning")
+  }
+
   test("semantic dedup keeps one representative per tight embedding cluster") {
     def jitter(base: Array[Double], eps: Double) = base.map(_ + eps).toSeq
     val cl1 = Array(10.0, 0.0, 0.0, 0.0)

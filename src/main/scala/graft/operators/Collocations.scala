@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions.{tokens, tokensSql}
+
+/** BPE-style merge-rule learning over word tokens (collocation / phrase
+  * discovery — the vocabulary-construction loop of a tokenizer pipeline,
+  * run at the word level where a training corpus discovers its "new york"
+  * -> "new york"-as-one-token merges). Each round:
+  *
+  *   1. count adjacent token pairs corpus-wide (one map-side-combinable
+  *      aggregation);
+  *   2. pick the most frequent pair (count desc, then lexicographic —
+  *      a deterministic total order);
+  *   3. re-tokenize every document, replacing non-overlapping occurrences
+  *      of the pair GREEDILY left-to-right (the classic BPE application
+  *      rule: in `x x x` the merge `(x, x)` applies once, consuming the
+  *      first two tokens).
+  *
+  * The greedy non-overlap subset is relational: candidate positions with
+  * consecutive indices form runs (`grp = i - running_cand_count` is
+  * constant within a run and distinct across runs, since `i` outpaces the
+  * running count between runs), and within a run exactly the even offsets
+  * are taken. Everything is integer/string arithmetic — no floats
+  * anywhere — so the full training loop replays exactly in SQL
+  * ([[mergeRoundsSql]], the d_bpe oracle).
+  *
+  * Scale shape: one doc_id shuffle up front; every window in every round
+  * reuses that partitioning (partition-local sorts only), the pair count
+  * is the only other exchange per round, and the per-round driver
+  * traffic is ONE row (the argmax pair — the documented tiny-probe
+  * pattern). State is checkpointed once per round (referenced by the
+  * stats pass, the transform, and the next round). */
+object Collocations {
+
+  /** Learn `rounds` merge rules. Output: one row per round —
+    * (round, pair, pair_n = corpus count when chosen, n_applied =
+    * non-overlapping merges actually applied). */
+  def mergeRounds(docs: DataFrame, idCol: String, textCol: String,
+                  rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    var state = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("i", "t")))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      state = state.localCheckpoint(true)
+      val withNext = state.withColumn("nxt", lead("t", 1).over(w))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("t").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val cand = col("nxt").isNotNull && col("t") === lit(a) && col("nxt") === lit(b)
+        val marked = withNext
+          .withColumn("cand", cand)
+          .withColumn("rnc", sum(when(col("cand"), 1L).otherwise(0L)).over(w))
+          .withColumn("grp", col("i") - col("rnc"))
+        val taken = marked
+          .withColumn("take", col("cand") &&
+            pmod(col("rnc") - min(when(col("cand"), col("rnc")))
+              .over(Window.partitionBy("doc_id", "grp")), lit(2L)) === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("take"), 1).over(w), lit(false)))
+          .localCheckpoint(true)
+        val nApplied = taken.filter(col("take")).count()
+        state = taken.filter(!col("consumed"))
+          .select(col("doc_id"), col("i").as("oi"),
+            when(col("take"), concat(col("t"), lit(" "), col("nxt")))
+              .otherwise(col("t")).as("t"))
+          .withColumn("i",
+            row_number().over(Window.partitionBy("doc_id").orderBy("oi")) - 1)
+          .select("doc_id", "i", "t")
+        learned += ((r, s"$a $b", n, nApplied))
+        r += 1
+      }
+    }
+    sp.createDataFrame(learned.toSeq)
+      .toDF("round", "pair", "pair_n", "n_applied")
+  }
+
+  /** DuckDB twin of [[mergeRounds]]: the full unrolled training loop as
+    * CTEs over `table`(idCol, textCol) — the same windows, the same run
+    * parity, the same argmax order. */
+  def mergeRoundsSql(table: String, idCol: String, textCol: String,
+                     rounds: Int = 3): String = {
+    val s0 =
+      s"""s0 AS (
+         |  SELECT doc_id, s['i'] AS i, s['t'] AS t FROM (
+         |    SELECT $idCol AS doc_id, unnest(list_transform(
+         |      generate_series(1, len(tk)), j -> {'i': j - 1, 't': tk[j]})) AS s
+         |    FROM (SELECT $idCol, ${tokensSql(textCol)} AS tk FROM $table))
+         |)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""m$r AS (
+         |  SELECT t AS a, nxt AS b, count(*) AS n FROM (
+         |    SELECT t, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+         |    FROM s$p)
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, a, b LIMIT 1
+         |), x$r AS (
+         |  SELECT doc_id, i, t, nxt,
+         |    coalesce(nxt IS NOT NULL AND t = a AND nxt = b, FALSE) AS cand
+         |  FROM (
+         |    SELECT s.doc_id, s.i, s.t,
+         |      lead(s.t) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS nxt
+         |    FROM s$p s), m$r
+         |), y$r AS (
+         |  SELECT *, i - rnc AS grp FROM (
+         |    SELECT doc_id, i, t, nxt, cand,
+         |      sum(CASE WHEN cand THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY i) AS rnc
+         |    FROM x$r)
+         |), z$r AS (
+         |  SELECT doc_id, i, t, nxt,
+         |    coalesce(cand AND (rnc - min(CASE WHEN cand THEN rnc END)
+         |        OVER (PARTITION BY doc_id, grp)) % 2 = 0, FALSE) AS take
+         |  FROM y$r
+         |), w$r AS (
+         |  SELECT doc_id, i, t, nxt, take,
+         |    coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+         |      AS consumed
+         |  FROM z$r
+         |), s$r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
+         |    CASE WHEN take THEN t || ' ' || nxt ELSE t END AS t
+         |  FROM w$r WHERE NOT consumed
+         |), a$r AS (
+         |  SELECT count(*) AS n_applied FROM z$r WHERE take
+         |)""".stripMargin
+    }
+    val finalRows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round, a || ' ' || b AS pair,
+         |  CAST(n AS BIGINT) AS pair_n,
+         |  (SELECT CAST(n_applied AS BIGINT) FROM a$r) AS n_applied
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (s0 +: perRound).mkString(",\n") + "\n" + finalRows + "\nORDER BY round"
+  }
+}

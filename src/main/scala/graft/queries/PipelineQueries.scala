@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Chunking, Dedup, Multimodal, Sampling, Similarity, Sketches}
+import graft.operators.{Chunking, Collocations, Dedup, Multimodal, Sampling, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -291,6 +291,15 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
+
+    // BPE-style merge-rule learning at the word level (collocation
+    // discovery): 3 rounds of corpus-wide pair counts -> deterministic
+    // argmax merge -> greedy non-overlapping re-tokenization. Integer and
+    // string ops only; the oracle replays the ENTIRE training loop
+    // (windows, run parity, argmax order) unrolled in SQL
+    "d_bpe" -> ((s, dir) =>
+      Collocations.mergeRounds(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("round")),
 
     // BM25 retrieval (k1=1.2, b=0.75): the doc-length-normalized upgrade
     // of d_search's tf-idf. Every per-term score floors to integer micros
@@ -1178,6 +1187,9 @@ object PipelineQueries {
          |SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS score_micro
          |FROM tf JOIN idf USING (token)
          |GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    // full BPE-training replay: the unrolled 3-round loop
+    "d_bpe" -> Collocations.mergeRoundsSql(docsT, "doc_id", "text", 3),
 
     "d_bm25" ->
       s"""WITH dlt AS (

@@ -392,6 +392,23 @@ class PipelineSpec extends SparkSpec {
     assert(half.filter($"query_id" === $"vec_id").isEmpty)
   }
 
+  test("BPE merge rounds apply greedily without overlap, argmax is total-ordered") {
+    import graft.operators.Collocations
+    val d = Seq(
+      (1L, "x x x x x"),         // (x,x) count 4; greedy applies only 2
+      (2L, "new york new york"), // (new,york) 2
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Collocations.mergeRounds(d, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // round 1: (x, x) wins at n=4, but "x x x x x" holds one candidate run
+    // of 4 and the non-overlap rule takes the even offsets -> 2 merges
+    assert(out(0) == ((1, "x x", 4L, 2L)), s"got ${out(0)}")
+    // round 2: doc 1 is now [x x, x x, x] (all pairs distinct), so
+    // (new, york) wins at n=2 and both occurrences merge
+    assert(out(1) == ((2, "new york", 2L, 2L)), s"got ${out(1)}")
+  }
+
   test("product quantization: ADC recall holds and codes are partition-invariant") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -421,6 +421,46 @@ object Similarity {
       .select("query_id", "vec_id", "score_micro", "rank")
   }
 
+  /** IVF+PQ — the production ANN index shape (FAISS IVFPQ): the trainless
+    * IVF cells bound WHICH vectors a query scores (nprobe cells), and the
+    * PQ codes bound HOW MUCH is read per scored vector (M ints). Both
+    * component indexes are the hash-checked trainless forms, so the
+    * composition replays end-to-end in SQL (e_ivfpq_recall). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kNN: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = PqSubspaces, k: Int = PqCodebookSize): DataFrame = {
+    val dim = inferDim(corpus)
+    val cells = ivfSampledCells(corpus, nlist)
+    val assigned = ivfSampledAssign(corpus, cells)
+    val cbs = pqCodebooks(corpus, dim, m, k)
+    val codes = pqEncode(corpus, cbs, dim, m)
+    val qScored = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .crossJoin(broadcast(cells))
+      .withColumn("sim", round(cosine(col("qvec"), col("centroid")), 4))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val probes = qScored.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val qt = subVectors(queries.select(col("id"), col("vec")), "query_id", dim, m)
+      .join(broadcast(cbs), Seq("m"))
+      .select(col("query_id"), col("m"), col("j").as("code"),
+        floor(lit(1000000.0) * dot(col("sv"), col("cb"))).cast("long").as("t_micro"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qt), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("t_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("query_id", "vec_id", "score_micro", "rank")
+  }
+
   // ------------------------------------------- Matryoshka truncation
   /** Matryoshka-style truncated search (Kusupati et al. 2022): rank with
     * only the FIRST `dims` components of every vector — the

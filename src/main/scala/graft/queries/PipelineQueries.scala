@@ -671,6 +671,26 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // IVF+PQ composed recall under ORACLE (the FAISS-IVFPQ production
+    // shape): trainless cells bound WHICH vectors are scored, PQ codes
+    // bound the BYTES per scored vector — both components already
+    // hash-checked alone, here composed and replayed end-to-end
+    "e_ivfpq_recall" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.ivfPqTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val np = approx.groupBy("query_id").agg(count(lit(1)).as("n_ivfpq"))
+      val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(np, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_ivfpq"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
+
     // Matryoshka truncated search quality: top-k with only the first 8
     // components vs full-dim top-k — slice + exact rank, fully replayable
     "e_mrl_recall" -> ((s, dir) => {
@@ -1475,6 +1495,94 @@ object PipelineQueries {
          |  FROM pq p JOIN exact e ON e.query_id = p.query_id AND e.vec_id = p.vec_id
          |  GROUP BY 1)
          |SELECT ne.query_id, ne.n_exact, np.n_pq,
+         |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM ne JOIN np USING (query_id) LEFT JOIN nh USING (query_id)
+         |ORDER BY ne.query_id""".stripMargin
+    },
+
+    // IVF+PQ replay: the e_ann_ivf_recall cell/probe CTEs bound the
+    // candidates, the e_pq_recall codebook/encode/table CTEs score them
+    "e_ivfpq_recall" -> {
+      val m = Similarity.PqSubspaces
+      val k = Similarity.PqCodebookSize
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT len(vec) // $m AS sub FROM c LIMIT 1
+         |), cells AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+         |    vec AS centroid
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT 16)
+         |), asg AS (
+         |  SELECT id, cell FROM (
+         |    SELECT c.id, cells.cell, row_number() OVER (PARTITION BY c.id
+         |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+         |    FROM c, cells) WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.id AS query_id, cells.cell, row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(list_cosine_similarity(q.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+         |    FROM c q, cells WHERE q.id < 5) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.id AS vec_id
+         |  FROM asg a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.id <> p.query_id
+         |), samp AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS j, vec
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'pqc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT $k)
+         |), cb AS (
+         |  SELECT mm.range AS m, j,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS cbv
+         |  FROM samp, range($m) mm, dims
+         |), sv AS (
+         |  SELECT id, mm.range AS m,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS svv
+         |  FROM c, range($m) mm, dims
+         |), enc AS (
+         |  SELECT id, m, j AS code FROM (
+         |    SELECT sv.id, sv.m, cb.j,
+         |      row_number() OVER (PARTITION BY sv.id, sv.m
+         |        ORDER BY CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) DESC, cb.j) AS rn
+         |    FROM sv JOIN cb ON sv.m = cb.m) WHERE rn = 1
+         |), qt AS (
+         |  SELECT sv.id AS query_id, sv.m, cb.j AS code,
+         |    CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) AS t_micro
+         |  FROM sv JOIN cb ON sv.m = cb.m WHERE sv.id < 5
+         |), pqs AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(SUM(t_micro) AS BIGINT) AS score
+         |  FROM cand JOIN enc ON enc.id = cand.vec_id
+         |  JOIN qt ON qt.query_id = cand.query_id
+         |    AND qt.m = enc.m AND qt.code = enc.code
+         |  GROUP BY 1, 2
+         |), pq AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id) AS rnk
+         |    FROM pqs)
+         |  WHERE rnk <= 10
+         |), exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.id AS query_id, c.id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+         |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+         |  WHERE rnk <= 10
+         |), ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+         |np AS (SELECT query_id, count(*) AS n_ivfpq FROM pq GROUP BY 1),
+         |nh AS (
+         |  SELECT p.query_id, count(*) AS n_hits
+         |  FROM pq p JOIN exact e ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+         |  GROUP BY 1)
+         |SELECT ne.query_id, ne.n_exact, np.n_ivfpq,
          |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
          |FROM ne JOIN np USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY ne.query_id""".stripMargin

@@ -428,6 +428,16 @@ class PipelineSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(codes(corpus) == codes(corpus.repartition(7)),
       "codes must not depend on partitioning")
+    // the IVF+PQ composition: candidates come only from probed cells, so
+    // results stay k-per-query, self-free, and within the IVF candidate set
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, 10)
+    assert(ivfpq.count() == 50, "10 neighbors per query")
+    assert(ivfpq.filter($"query_id" === $"vec_id").isEmpty)
+    val ivfCand = Similarity.ivfSampledTopK(corpus, queries, Int.MaxValue)
+      .select("query_id", "vec_id")
+    assert(ivfpq.select("query_id", "vec_id")
+      .join(ivfCand, Seq("query_id", "vec_id"), "left_anti").isEmpty,
+      "IVF+PQ must only rescore vectors the IVF probe admitted")
   }
 
   test("semantic dedup keeps one representative per tight embedding cluster") {

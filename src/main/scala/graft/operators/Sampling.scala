@@ -3,6 +3,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions.{hash60, hash60Sql}
 
 /** Deterministic sampling for training-data pipelines.
@@ -151,6 +152,71 @@ object Sampling {
        |WHERE $h < floor(1000000.0 *
        |  sqrt(CAST(min_n AS DOUBLE) / CAST(n_g AS DOUBLE)))""".stripMargin
   }
+
+  /** Token-BUDGET mixture planning: split an integer token budget across
+    * groups proportionally to sqrt(group tokens) — the T = 2 flattening
+    * again, now as an ALLOCATION TABLE (the planning step before a
+    * training run: "we will train on B tokens; how many from each
+    * source?") rather than a row filter. Largest-remainder rounding makes
+    * the allocations sum to exactly B: base_g = (B·w_g) div W and the
+    * B − Σ base leftover goes +1 apiece to the largest (B·w_g) mod W
+    * remainders (ties by group asc). w_g = floor(1e3·sqrt(tokens_g)) is
+    * one correctly-rounded IEEE sqrt + exact floor; every other step is
+    * integer — the whole plan is engine-exact ([[tokenBudgetSql]]).
+    *
+    * `budget` defaults to half the corpus tokens (callers pass absolute
+    * budgets in production). B·w_g must fit i64 — fine through ~10¹²
+    * tokens with milli-weights; past that, express B in mega-token units
+    * (the allocation is a GROUP-sized table either way).
+    *
+    * Scale: one column-pruned token-count aggregation; everything after
+    * runs on the group-sized table (broadcast 1-row total frames, a
+    * group-count window). */
+  def tokenBudget(perDoc: DataFrame, grpCol: Column, tokCol: Column): DataFrame = {
+    val g = perDoc.groupBy(grpCol.as("grp")).agg(sum(tokCol).as("tokens"))
+      .withColumn("w_milli",
+        floor(lit(1000.0) * sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = g.agg(sum(col("w_milli")).as("W"),
+      expr("sum(tokens) div 2").as("B"))
+    val j = g.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(B * w_milli) div W"))
+      .withColumn("rem", expr("(B * w_milli) % W"))
+    val lf = j.agg((max(col("B")) - sum(col("base"))).as("leftover"))
+    val wr = Window.orderBy(col("rem").desc, col("grp"))
+    j.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(lf))
+      .select(col("grp"), col("tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
+  /** DuckDB twin of [[tokenBudget]] over `table` with a per-row token
+    * expression. */
+  def tokenBudgetSql(table: String, grpCol: String, tokExpr: String): String =
+    s"""WITH t AS (
+       |  SELECT $grpCol AS grp, CAST(sum($tokExpr) AS BIGINT) AS tokens
+       |  FROM $table GROUP BY 1
+       |), w AS (
+       |  SELECT grp, tokens,
+       |    CAST(floor(1000.0 * sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_milli
+       |  FROM t
+       |), tot AS (
+       |  SELECT CAST(sum(w_milli) AS BIGINT) AS W,
+       |    CAST(sum(tokens) AS BIGINT) // 2 AS B FROM w
+       |), j AS (
+       |  SELECT grp, tokens, w_milli, B,
+       |    (B * w_milli) // W AS base, (B * w_milli) % W AS rem
+       |  FROM w, tot
+       |), lf AS (
+       |  SELECT max(B) - sum(base) AS leftover FROM j
+       |), r AS (
+       |  SELECT grp, tokens, base, rem,
+       |    row_number() OVER (ORDER BY rem DESC, grp) AS rk FROM j
+       |)
+       |SELECT grp, tokens,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_tokens
+       |FROM r, lf""".stripMargin
 
   /** Deterministic oversampling: replicate every group's rows up toward
     * the LARGEST group's count (the mixture-balancing dual of

@@ -292,6 +292,16 @@ object PipelineQueries {
         .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
 
+    // token-budget mixture planning: allocate half the corpus tokens
+    // across sources by sqrt-weight with largest-remainder rounding —
+    // the "how many tokens from each source" table before a training
+    // run, every cell integer-exact
+    "d_budget" -> ((s, dir) =>
+      Sampling.tokenBudget(
+          docs(s, dir).select(col("source"), tokenCount(col("text")).as("nt")),
+          col("source"), col("nt"))
+        .orderBy("grp")),
+
     // BPE-style merge-rule learning at the word level (collocation
     // discovery): 3 rounds of corpus-wide pair counts -> deterministic
     // argmax merge -> greedy non-overlapping re-tokenization. Integer and
@@ -1210,6 +1220,10 @@ object PipelineQueries {
 
     // full BPE-training replay: the unrolled 3-round loop
     "d_bpe" -> Collocations.mergeRoundsSql(docsT, "doc_id", "text", 3),
+
+    "d_budget" ->
+      s"""${Sampling.tokenBudgetSql(docsT, "source", tokenCountSql("text"))}
+         |ORDER BY grp""".stripMargin,
 
     "d_bm25" ->
       s"""WITH dlt AS (

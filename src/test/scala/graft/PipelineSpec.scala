@@ -392,6 +392,27 @@ class PipelineSpec extends SparkSpec {
     assert(half.filter($"query_id" === $"vec_id").isEmpty)
   }
 
+  test("token budget sums exactly to B and flattens toward small groups") {
+    import graft.operators.Sampling
+    // lang is the skewed grouping (sources are near-uniform)
+    val out = Sampling.tokenBudget(
+        docs.select($"lang", TextFunctions.tokenCount($"text").as("nt")),
+        $"lang", $"nt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalTokens = out.map(_._2).sum
+    val b = totalTokens / 2
+    assert(out.map(_._3).sum == b,
+      s"largest-remainder rounding must hit the budget exactly: ${out.toSeq}")
+    // sqrt flattening: small groups get MORE than their token share,
+    // large groups less
+    val smallest = out.minBy(_._2)
+    val largest = out.maxBy(_._2)
+    assert(smallest._3.toDouble / b > smallest._2.toDouble / totalTokens,
+      s"smallest group not upweighted: $smallest of $totalTokens")
+    assert(largest._3.toDouble / b < largest._2.toDouble / totalTokens,
+      s"largest group not downweighted: $largest of $totalTokens")
+  }
+
   test("BPE merge rounds apply greedily without overlap, argmax is total-ordered") {
     import graft.operators.Collocations
     val d = Seq(

@@ -276,6 +276,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PQ ADC search broadcasts codebooks and query tables, never a product") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val out = operators.Similarity.pqTopK(corpus, corpus.filter($"id" < 5), 10)
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebooks and query tables must broadcast into the codes scan:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC is equi-joins only:\n${plan.take(900)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC is equi-joins only:\n${plan.take(900)}")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -39,7 +39,14 @@ object Collocations {
     * (round, pair, pair_n = corpus count when chosen, n_applied =
     * non-overlapping merges actually applied). */
   def mergeRounds(docs: DataFrame, idCol: String, textCol: String,
-                  rounds: Int = 3): DataFrame = {
+                  rounds: Int = 3): DataFrame =
+    mergeRoundsWithState(docs, idCol, textCol, rounds)._1
+
+  /** [[mergeRounds]] plus the final re-tokenized corpus state
+    * (doc_id, i, t) — the APPLY side of the tokenizer: what the corpus
+    * looks like after the learned merges. */
+  def mergeRoundsWithState(docs: DataFrame, idCol: String, textCol: String,
+                           rounds: Int = 3): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds >= 1")
     val sp = docs.sparkSession
     import sp.implicits._
@@ -84,8 +91,8 @@ object Collocations {
         r += 1
       }
     }
-    sp.createDataFrame(learned.toSeq)
-      .toDF("round", "pair", "pair_n", "n_applied")
+    (sp.createDataFrame(learned.toSeq)
+      .toDF("round", "pair", "pair_n", "n_applied"), state)
   }
 
   /** DuckDB twin of [[mergeRounds]]: the full unrolled training loop as
@@ -93,6 +100,30 @@ object Collocations {
     * parity, the same argmax order. */
   def mergeRoundsSql(table: String, idCol: String, textCol: String,
                      rounds: Int = 3): String = {
+    val finalRows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round, a || ' ' || b AS pair,
+         |  CAST(n AS BIGINT) AS pair_n,
+         |  (SELECT CAST(n_applied AS BIGINT) FROM a$r) AS n_applied
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + cteBody(table, idCol, textCol, rounds) + "\n" + finalRows +
+      "\nORDER BY round"
+  }
+
+  /** DuckDB twin of the APPLY side: per-doc token counts before and after
+    * the learned merges (final state CTE s`rounds`). */
+  def applyCountsSql(table: String, idCol: String, textCol: String,
+                     rounds: Int = 3): String =
+    "WITH " + cteBody(table, idCol, textCol, rounds) +
+      s"""
+         |SELECT b.doc_id, b.n AS n_before, a.n AS n_after
+         |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s0 GROUP BY 1) b
+         |JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s$rounds GROUP BY 1) a
+         |  ON a.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+
+  private def cteBody(table: String, idCol: String, textCol: String,
+                      rounds: Int): String = {
     val s0 =
       s"""s0 AS (
          |  SELECT doc_id, s['i'] AS i, s['t'] AS t FROM (
@@ -140,12 +171,6 @@ object Collocations {
          |  SELECT count(*) AS n_applied FROM z$r WHERE take
          |)""".stripMargin
     }
-    val finalRows = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS INT) AS round, a || ' ' || b AS pair,
-         |  CAST(n AS BIGINT) AS pair_n,
-         |  (SELECT CAST(n_applied AS BIGINT) FROM a$r) AS n_applied
-         |FROM m$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    "WITH " + (s0 +: perRound).mkString(",\n") + "\n" + finalRows + "\nORDER BY round"
+    (s0 +: perRound).mkString(",\n")
   }
 }

@@ -311,6 +311,17 @@ object PipelineQueries {
       Collocations.mergeRounds(docs(s, dir), "doc_id", "text", 3)
         .orderBy("round")),
 
+    // the APPLY side of the learned tokenizer: per-doc token counts
+    // before/after the 3 merges — hash-pins the re-tokenized corpus
+    // state itself, not just the merge table
+    "d_bpe_apply" -> ((s, dir) => {
+      val (_, state) = Collocations.mergeRoundsWithState(
+        docs(s, dir), "doc_id", "text", 3)
+      val before = docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_before"))
+      val after = state.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
+      before.join(after, "doc_id").orderBy("doc_id")}),
+
     // BM25 retrieval (k1=1.2, b=0.75): the doc-length-normalized upgrade
     // of d_search's tf-idf. Every per-term score floors to integer micros
     // BEFORE summing (order-free); inside the term, everything except the
@@ -1224,6 +1235,8 @@ object PipelineQueries {
     "d_budget" ->
       s"""${Sampling.tokenBudgetSql(docsT, "source", tokenCountSql("text"))}
          |ORDER BY grp""".stripMargin,
+
+    "d_bpe_apply" -> Collocations.applyCountsSql(docsT, "doc_id", "text", 3),
 
     "d_bm25" ->
       s"""WITH dlt AS (

@@ -182,15 +182,23 @@ object Dedup {
     * co-shuffles against it. */
   def incrementalSurvivors(indexed: DataFrame, delta: DataFrame,
                            idCol: String, textCol: String,
-                           minEstSim: Double = 0.5): DataFrame = {
+                           minEstSim: Double = 0.5,
+                           indexedSigs: Option[DataFrame] = None,
+                           deltaSigs: Option[DataFrame] = None): DataFrame = {
     delta.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
       case other => throw new IllegalArgumentException(
         s"incrementalSurvivors needs an integral id column; '$idCol' is $other")
     }
-    val iSigs = graft.CacheScope.cached(minhashSignatures(indexed, idCol, textCol))
-    val dSigs = graft.CacheScope.cached(minhashSignatures(delta, idCol, textCol))
+    // per-doc signatures are side-independent, so callers holding a cached
+    // union-corpus signature/shingle table pass each side's slice instead
+    // of re-exploding (at scale the indexed side's sigs ARE the persisted
+    // index — recomputing them per delta would defeat the point)
+    val iSigs = graft.CacheScope.cached(
+      indexedSigs.getOrElse(minhashSignatures(indexed, idCol, textCol)))
+    val dSigs = graft.CacheScope.cached(
+      deltaSigs.getOrElse(minhashSignatures(delta, idCol, textCol)))
     val crossHit = candidatesAcrossSigs(iSigs, dSigs, requireLess = false)
       .filter(col("est_sim") >= minEstSim)
       .select(col("b").as("__hit")).distinct()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
@@ -161,9 +161,15 @@ object PipelineQueries {
     "d_dedup_incr" -> ((s, dir) => {
       val d = docs(s, dir)
       val cutoff = d.agg(expr("(4 * max(doc_id)) div 5")).head.getLong(0)
+      // per-doc signatures are side-independent: slice the session-shared
+      // cached shingle explode per side instead of re-exploding twice
+      def sideSigs(cond: Column) = Dedup.minhashSignaturesFrom(
+        sharedShingles(s, dir).filter(cond))
       Dedup.incrementalSurvivors(
           d.filter(col("doc_id") < cutoff), d.filter(col("doc_id") >= cutoff),
-          "doc_id", "text", 0.5)
+          "doc_id", "text", 0.5,
+          indexedSigs = Some(sideSigs(col("doc_id") < cutoff)),
+          deltaSigs = Some(sideSigs(col("doc_id") >= cutoff)))
         .select(col("doc_id")).orderBy("doc_id")}),
 
     // the flagship composite: quality filter -> language filter -> near-dup

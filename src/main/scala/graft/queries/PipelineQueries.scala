@@ -152,6 +152,20 @@ object PipelineQueries {
           candidates = Some(sharedMinhashCands(s, dir)))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // cross-SOURCE duplication matrix (the governance view over the
+    // near-dup candidate table): which source pairs share near-dup docs,
+    // and how many — pairs ordered so src_a <= src_b groups both
+    // directions together
+    "d_dup_sources" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val cand = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+        .join(d.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(d.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      cand.select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")}),
+
     // INCREMENTAL dedup (the daily-crawl shape): docs at/above the
     // data-adaptive id cutoff (top fifth) are the delta batch, the rest
     // the already-indexed corpus. A delta doc drops on any cross LSH
@@ -1122,6 +1136,20 @@ object PipelineQueries {
          |SELECT doc_id FROM $docsT
          |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
          |ORDER BY doc_id""".stripMargin,
+
+    "d_dup_sources" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), j AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM cand
+         |  JOIN $docsT da ON da.doc_id = cand.a
+         |  JOIN $docsT db ON db.doc_id = cand.b
+         |  WHERE est_sim >= 0.5
+         |)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // incremental-dedup replay: the union candidate table restricted to
     // pairs touching the delta (a < cut <= b for cross hits, a >= cut for

@@ -140,12 +140,16 @@ object Collocations {
          |  WHERE nxt IS NOT NULL GROUP BY 1, 2
          |  ORDER BY n DESC, a, b LIMIT 1
          |), x$r AS (
+         |  -- LEFT JOIN, not a cross join: when merges exhaust early m$r is
+         |  -- EMPTY, and a cross join would empty every downstream state CTE
+         |  -- while the Spark loop keeps the last state; with the left join
+         |  -- cand is all-false and s$r passes the state through unchanged
          |  SELECT doc_id, i, t, nxt,
          |    coalesce(nxt IS NOT NULL AND t = a AND nxt = b, FALSE) AS cand
          |  FROM (
          |    SELECT s.doc_id, s.i, s.t,
          |      lead(s.t) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS nxt
-         |    FROM s$p s), m$r
+         |    FROM s$p s) LEFT JOIN m$r ON TRUE
          |), y$r AS (
          |  SELECT *, i - rnc AS grp FROM (
          |    SELECT doc_id, i, t, nxt, cand,

@@ -318,9 +318,11 @@ object Similarity {
     * of the probed cells only — same shape as [[ivfSearch]], every step
     * SQL-replayable. */
   def ivfSampledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cells = ivfSampledCells(corpus, nlist)
-    val assigned = ivfSampledAssign(corpus, cells)
+                     nlist: Int = 16, nprobe: Int = 4,
+                     prebuiltCells: Option[DataFrame] = None,
+                     prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
+    val cells = prebuiltCells.getOrElse(ivfSampledCells(corpus, nlist))
+    val assigned = prebuiltAssigned.getOrElse(ivfSampledAssign(corpus, cells))
     val qScored = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
       .crossJoin(broadcast(cells))
       .withColumn("sim", round(cosine(col("qvec"), col("centroid")), 4))
@@ -402,10 +404,12 @@ object Similarity {
     * cells to probe a corpus fraction; kept separate so each index is
     * hash-checked on its own). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, kNN: Int,
-             m: Int = PqSubspaces, k: Int = PqCodebookSize): DataFrame = {
+             m: Int = PqSubspaces, k: Int = PqCodebookSize,
+             prebuiltCodebooks: Option[DataFrame] = None,
+             prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val dim = inferDim(corpus)
-    val cbs = pqCodebooks(corpus, dim, m, k)
-    val codes = pqEncode(corpus, cbs, dim, m)
+    val cbs = prebuiltCodebooks.getOrElse(pqCodebooks(corpus, dim, m, k))
+    val codes = prebuiltCodes.getOrElse(pqEncode(corpus, cbs, dim, m))
     val qt = subVectors(queries, "query_id", dim, m)
       .join(broadcast(cbs), Seq("m"))
       .select(col("query_id"), col("m"), col("j").as("code"),
@@ -428,12 +432,16 @@ object Similarity {
     * composition replays end-to-end in SQL (e_ivfpq_recall). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kNN: Int,
                 nlist: Int = 16, nprobe: Int = 4,
-                m: Int = PqSubspaces, k: Int = PqCodebookSize): DataFrame = {
+                m: Int = PqSubspaces, k: Int = PqCodebookSize,
+                prebuiltCells: Option[DataFrame] = None,
+                prebuiltAssigned: Option[DataFrame] = None,
+                prebuiltCodebooks: Option[DataFrame] = None,
+                prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val dim = inferDim(corpus)
-    val cells = ivfSampledCells(corpus, nlist)
-    val assigned = ivfSampledAssign(corpus, cells)
-    val cbs = pqCodebooks(corpus, dim, m, k)
-    val codes = pqEncode(corpus, cbs, dim, m)
+    val cells = prebuiltCells.getOrElse(ivfSampledCells(corpus, nlist))
+    val assigned = prebuiltAssigned.getOrElse(ivfSampledAssign(corpus, cells))
+    val cbs = prebuiltCodebooks.getOrElse(pqCodebooks(corpus, dim, m, k))
+    val codes = prebuiltCodes.getOrElse(pqEncode(corpus, cbs, dim, m))
     val qScored = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
       .crossJoin(broadcast(cells))
       .withColumn("sim", round(cosine(col("qvec"), col("centroid")), 4))
@@ -508,9 +516,11 @@ object Similarity {
     * pipeline is hash-checkable end-to-end (e_semdedup), not just
     * spec-pinned like the KMeans variant. */
   def semanticSurvivorsSampled(corpus: DataFrame, threshold: Double = 0.8,
-                               nlist: Int = 16): DataFrame = {
+                               nlist: Int = 16,
+                               prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
     requireIntegralId(corpus)
-    val assigned = ivfSampledAssign(corpus, ivfSampledCells(corpus, nlist))
+    val assigned = prebuiltAssigned.getOrElse(
+      ivfSampledAssign(corpus, ivfSampledCells(corpus, nlist)))
     survivorsFromAssignment(corpus, assigned, threshold)
   }
 

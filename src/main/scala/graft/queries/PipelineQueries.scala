@@ -30,9 +30,37 @@ object PipelineQueries {
     * checkpointed; the merge table is a local literal frame. */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def bpeShared(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bpeCache.computeIfAbsent(s"$dir|${System.identityHashCode(s)}",
+  private def bpeShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sid = System.identityHashCode(s)
+    // entries pin checkpoint blocks of THEIR session — drop entries from
+    // replaced sessions so a long-lived JVM (sbt test suites) does not
+    // accumulate dead sessions' block-manager state
+    bpeCache.keySet.removeIf(k => !k.endsWith(s"|$sid"))
+    bpeCache.computeIfAbsent(s"$dir|$sid",
       _ => Collocations.mergeRoundsWithState(docs(s, dir), "doc_id", "text", 3))
+  }
+
+  /** Session-shared trainless ANN index parts: the IVF cells/assignment
+    * and PQ codebooks/codes are each consumed by 2-3 queries
+    * (e_ann_ivf_recall, e_semdedup, e_pq_recall, e_ivfpq_recall) — the
+    * corpus-sized encode/assign work builds once per session, like the
+    * minhash family above. */
+  private def sharedIvfCells(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("ivf_cells", s, dir)(
+      Similarity.ivfSampledCells(embDouble(s, dir)))
+  private def sharedIvfAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("ivf_assign", s, dir)(
+      Similarity.ivfSampledAssign(embDouble(s, dir), sharedIvfCells(s, dir)))
+  private def sharedPqCodebooks(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("pq_codebooks", s, dir) {
+      val c = embDouble(s, dir)
+      Similarity.pqCodebooks(c, Similarity.inferDim(c))
+    }
+  private def sharedPqCodes(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("pq_codes", s, dir) {
+      val c = embDouble(s, dir)
+      Similarity.pqEncode(c, sharedPqCodebooks(s, dir), Similarity.inferDim(c))
+    }
 
   /** Session-scoped shared minhash intermediates: d_minhash_lsh,
     * d_minhash_est and d_dedup_pipeline all consume the same shingle
@@ -689,7 +717,9 @@ object PipelineQueries {
       val queriesDf = corpus.filter(col("id") < 5)
       val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
         .select(col("query_id"), col("vec_id"))
-      val approx = Similarity.ivfSampledTopK(corpus, queriesDf, 10)
+      val approx = Similarity.ivfSampledTopK(corpus, queriesDf, 10,
+          prebuiltCells = Some(sharedIvfCells(s, dir)),
+          prebuiltAssigned = Some(sharedIvfAssign(s, dir)))
         .select(col("query_id"), col("vec_id"))
       val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       val nv = approx.groupBy("query_id").agg(count(lit(1)).as("n_ivf"))
@@ -709,7 +739,9 @@ object PipelineQueries {
       val queriesDf = corpus.filter(col("id") < 5)
       val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
         .select(col("query_id"), col("vec_id"))
-      val approx = Similarity.pqTopK(corpus, queriesDf, 10)
+      val approx = Similarity.pqTopK(corpus, queriesDf, 10,
+          prebuiltCodebooks = Some(sharedPqCodebooks(s, dir)),
+          prebuiltCodes = Some(sharedPqCodes(s, dir)))
         .select(col("query_id"), col("vec_id"))
       val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       val np = approx.groupBy("query_id").agg(count(lit(1)).as("n_pq"))
@@ -729,7 +761,11 @@ object PipelineQueries {
       val queriesDf = corpus.filter(col("id") < 5)
       val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
         .select(col("query_id"), col("vec_id"))
-      val approx = Similarity.ivfPqTopK(corpus, queriesDf, 10)
+      val approx = Similarity.ivfPqTopK(corpus, queriesDf, 10,
+          prebuiltCells = Some(sharedIvfCells(s, dir)),
+          prebuiltAssigned = Some(sharedIvfAssign(s, dir)),
+          prebuiltCodebooks = Some(sharedPqCodebooks(s, dir)),
+          prebuiltCodes = Some(sharedPqCodes(s, dir)))
         .select(col("query_id"), col("vec_id"))
       val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       val np = approx.groupBy("query_id").agg(count(lit(1)).as("n_ivfpq"))
@@ -767,7 +803,8 @@ object PipelineQueries {
     // replayable)
     "e_semdedup" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
-      Similarity.semanticSurvivorsSampled(corpus, threshold = 0.45)
+      Similarity.semanticSurvivorsSampled(corpus, threshold = 0.45,
+          prebuiltAssigned = Some(sharedIvfAssign(s, dir)))
         .select(col("id")).orderBy("id")}),
 
     // int8 scalar quantization of the embedding corpus (the compression
@@ -1301,8 +1338,9 @@ object PipelineQueries {
          |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
          |), terms AS (
          |  SELECT tf.doc_id,
-         |    CAST(floor(idf_micro * (tf * 2.2) /
-         |      (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n)))) AS BIGINT)
+         |    CAST(floor(idf_micro * (tf * CAST(2.2 AS DOUBLE)) /
+         |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+         |        CAST(0.75 AS DOUBLE) * dl / (sum_dl / n)))) AS BIGINT)
          |      AS term_micro
          |  FROM tf JOIN idf USING (token) JOIN dlt ON dlt.doc_id = tf.doc_id, st
          |)

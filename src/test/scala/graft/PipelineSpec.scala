@@ -428,6 +428,16 @@ class PipelineSpec extends SparkSpec {
     // round 2: doc 1 is now [x x, x x, x] (all pairs distinct), so
     // (new, york) wins at n=2 and both occurrences merge
     assert(out(1) == ((2, "new york", 2L, 2L)), s"got ${out(1)}")
+    // exhaustion: when no pairs remain before `rounds` runs out, the loop
+    // stops, emits only the learned rounds, and KEEPS the last state (the
+    // SQL twin's LEFT JOIN passthrough mirrors this)
+    val tiny = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val (learned, state) = Collocations.mergeRoundsWithState(
+      tiny, "doc_id", "text", 3)
+    assert(learned.count() == 1, "only round 1 has a pair to merge")
+    val toks = state.groupBy("doc_id").count().orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(toks == Seq((1L, 1L), (2L, 1L)), s"state after exhaustion: $toks")
   }
 
   test("product quantization: ADC recall holds and codes are partition-invariant") {

@@ -122,6 +122,25 @@ object Collocations {
          |  ON a.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin
 
+  /** DuckDB twin of the per-group compression view: token counts
+    * before/after the learned merges aggregated by `grpCol` (e.g. lang),
+    * with the integer milli-ratio — the "how much does this tokenizer
+    * compress each language" diagnostic. */
+  def compressionByGroupSql(table: String, idCol: String, textCol: String,
+                            grpCol: String, rounds: Int = 3): String =
+    "WITH " + cteBody(table, idCol, textCol, rounds) +
+      s"""
+         |SELECT d.$grpCol,
+         |  CAST(sum(b.n) AS BIGINT) AS n_before,
+         |  CAST(sum(a.n) AS BIGINT) AS n_after,
+         |  CAST((1000 * sum(a.n)) // sum(b.n) AS BIGINT) AS ratio_milli
+         |FROM $table d
+         |JOIN (SELECT doc_id, count(*) AS n FROM s0 GROUP BY 1) b
+         |  ON b.doc_id = d.$idCol
+         |JOIN (SELECT doc_id, count(*) AS n FROM s$rounds GROUP BY 1) a
+         |  ON a.doc_id = d.$idCol
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def cteBody(table: String, idCol: String, textCol: String,
                       rounds: Int): String = {
     val s0 =

@@ -335,4 +335,82 @@ object Sampling {
     s"(CASE WHEN $h < $valBound THEN 'validation' " +
       s"WHEN $h < $testBound THEN 'test' ELSE 'train' END)"
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under the TARGET
+    * domain's feature distribution than under the raw corpus's. Features
+    * are unigrams + word bigrams hashed into `buckets` buckets; both
+    * distributions get Laplace +1 smoothing over the bucket space, so
+    * `w[b] = ln((cnt_t[b]+1)/(tot_t+B)) − ln((cnt_r[b]+1)/(tot_r+B))` and
+    * a document's weight is `Σ_b tf[b]·w[b]`. Each ln is rounded to
+    * integer micro-nats BEFORE the per-document sum (the d_surprisal
+    * discipline), so the score is an order-free i64 sum and the whole
+    * pipeline replays exactly in SQL ([[dsirWeightsSql]]).
+    *
+    * Output: (doc_id, n_feats, dsir_micro). High scores = "looks like the
+    * target domain"; the caller samples/cuts on the score (d_dsir pairs it
+    * with a data-adaptive percentile cut).
+    *
+    * Scale shape: one feature explode + two map-side-combinable
+    * aggregations; the per-bucket weight table is `buckets` rows —
+    * broadcast by construction — and the only corpus-sized shuffle is the
+    * (doc, bucket) tf aggregation. i64 headroom: |w_micro| < 2·ln(tot)·1e6
+    * < 6·10⁷ for any real corpus, so tf·w stays far below 2⁶³. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 128): DataFrame = {
+    import graft.functions.TextFunctions.{bigrams, hash32, tokens}
+    require(buckets > 0, "buckets > 0")
+    val feats = docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+        explode(concat(tokens(col(textCol)), bigrams(col(textCol)))).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(hash32(col("f")), lit(buckets.toLong)).as("b"))
+    val tf = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val per = feats.groupBy("b").agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+    val tots = per.agg(sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val w = per.crossJoin(broadcast(tots)).select(col("b"),
+      ((lmicro(col("cnt_t") + lit(1)) - lmicro(col("tot_t") + lit(buckets))) -
+        (lmicro(col("cnt_r") + lit(1)) - lmicro(col("tot_r") + lit(buckets))))
+        .as("w_micro"))
+    tf.join(broadcast(w), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_feats"),
+        sum(col("tf") * col("w_micro")).as("dsir_micro"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]]; `targetSql` is the boolean target-
+    * domain predicate over `table`'s columns. */
+  def dsirWeightsSql(table: String, idCol: String, textCol: String,
+                     targetSql: String, buckets: Int = 128): String = {
+    import graft.functions.TextFunctions.{bigramsSql, hash32Sql, tokensSql}
+    s"""WITH f AS (
+       |  SELECT doc_id, is_t, ${hash32Sql("f")} % $buckets AS b
+       |  FROM (
+       |    SELECT $idCol AS doc_id, $targetSql AS is_t,
+       |      unnest(${tokensSql(textCol)} || ${bigramsSql(textCol)}) AS f
+       |    FROM $table)
+       |), tf AS (
+       |  SELECT doc_id, b, count(*) AS tf FROM f GROUP BY 1, 2
+       |), per AS (
+       |  SELECT b, count(*) AS cnt_r,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+       |  FROM f GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM per
+       |), w AS (
+       |  SELECT b,
+       |    (CAST(round(ln(cnt_t + 1) * 1000000.0) AS BIGINT)
+       |     - CAST(round(ln(tot_t + $buckets) * 1000000.0) AS BIGINT))
+       |    - (CAST(round(ln(cnt_r + 1) * 1000000.0) AS BIGINT)
+       |       - CAST(round(ln(tot_r + $buckets) * 1000000.0) AS BIGINT)) AS w_micro
+       |  FROM per, tot
+       |)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feats,
+       |  CAST(sum(tf.tf * w.w_micro) AS BIGINT) AS dsir_micro
+       |FROM tf JOIN w ON tf.b = w.b
+       |GROUP BY 1""".stripMargin
+  }
 }

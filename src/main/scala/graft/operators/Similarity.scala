@@ -469,6 +469,43 @@ object Similarity {
       .select("query_id", "vec_id", "score_micro", "rank")
   }
 
+  /** Two-stage retrieval — PQ-ADC shortlist, exact rerank (the FAISS
+    * "refine" shape every production ANN deployment runs): the compressed
+    * index proposes `shortlist` candidates per query touching only M ints
+    * per corpus vector, then ONLY those candidates are rescored with the
+    * full vectors and the top `kNN` survive. The rerank cosine floors to
+    * integer micros built from the exact op tree (dot, two sqrt-norms,
+    * one division — each correctly-rounded IEEE, mirrored op-for-op in
+    * the oracle), so the whole two-stage pipeline replays in SQL
+    * (e_rerank).
+    *
+    * Scale shape: stage 1 is [[pqTopK]] (codes-only scan); stage 2 reads
+    * full vectors for shortlist·|queries| rows ONLY — the shortlist join
+    * is corpus-keyed so the big vector table never broadcasts, and the
+    * query vectors (tiny by construction) do. */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, kNN: Int,
+                   shortlist: Int,
+                   m: Int = PqSubspaces, k: Int = PqCodebookSize,
+                   prebuiltCodebooks: Option[DataFrame] = None,
+                   prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= kNN, "shortlist >= kNN")
+    val short = pqTopK(corpus, queries, shortlist, m, k,
+        prebuiltCodebooks, prebuiltCodes)
+      .select(col("query_id"), col("vec_id"))
+    val rer = short
+      .join(corpus.select(col("id").as("vec_id"), col("vec").as("cv")), "vec_id")
+      .join(broadcast(queries.select(col("id").as("query_id"),
+        col("vec").as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        floor(lit(1000000.0) * (dot(col("qv"), col("cv")) /
+          (norm(col("qv")) * norm(col("cv"))))).cast("long").as("cos_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("query_id", "vec_id", "cos_micro", "rank")
+  }
+
   // ------------------------------------------- Matryoshka truncation
   /** Matryoshka-style truncated search (Kusupati et al. 2022): rank with
     * only the FIRST `dims` components of every vector — the

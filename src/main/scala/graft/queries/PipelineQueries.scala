@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Chunking, Collocations, Dedup, Multimodal, Sampling, Similarity, Sketches}
+import graft.operators.{Chunking, Classify, Collocations, Dedup, Multimodal, Sampling, Similarity, Sketches}
 import graft.sources.Tables
 
 /** Training-data pipeline surface: text analysis, deduplication and
@@ -141,6 +141,15 @@ object PipelineQueries {
           langId(col("text")).as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")),
+
+    // trainable multinomial Naive Bayes language classifier (the fasttext
+    // analog of d_langid's fixed n-gram heuristic): class-token counts +
+    // Laplace smoothing learned from the corpus itself, argmax scored per
+    // doc — train AND score replay exactly in SQL (micro-nat lns, label
+    // tie-break)
+    "d_nb_classifier" -> ((s, dir) =>
+      Classify.naiveBayes(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
 
     // per-source corpus profile (exact integer stats)
     "d_source_stats" -> ((s, dir) =>
@@ -361,6 +370,21 @@ object PipelineQueries {
           col("source"), col("nt"))
         .orderBy("grp")),
 
+    // DSIR importance weighting (hashed unigram+bigram features, target =
+    // English docs): per-doc micro-nat log-ratio score between the target
+    // and raw feature distributions, plus the top-quartile keep flag a
+    // selection pass would act on — every ln pre-rounded to integer
+    // micro-nats, the cut a data-adaptive percentile both engines
+    // interpolate identically
+    "d_dsir" -> ((s, dir) => {
+      val w = Sampling.dsirWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+      val cut = w.agg(expr("percentile(dsir_micro, 0.75)").as("p75"))
+      w.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
+          (col("dsir_micro") >= col("p75")).as("keep"))
+        .orderBy("doc_id")}),
+
     // BPE-style merge-rule learning at the word level (collocation
     // discovery): 3 rounds of corpus-wide pair counts -> deterministic
     // argmax merge -> greedy non-overlapping re-tokenization. Integer and
@@ -377,6 +401,21 @@ object PipelineQueries {
         size(tokens(col("text"))).cast("long").as("n_before"))
       val after = state.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
       before.join(after, "doc_id").orderBy("doc_id")}),
+
+    // per-language compression of the learned merges (the tokenizer-
+    // fertility diagnostic: which languages does this vocab serve?):
+    // token counts before/after the 3 merges aggregated by lang, integer
+    // milli-ratio — rides the session-shared BPE state
+    "d_bpe_compression" -> ((s, dir) => {
+      val after = bpeShared(s, dir)._2
+        .groupBy("doc_id").agg(count(lit(1)).as("na"))
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("nb"))
+        .join(after, "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("nb")).as("n_before"), sum(col("na")).as("n_after"))
+        .withColumn("ratio_milli", expr("(1000 * n_after) div n_before"))
+        .orderBy("lang")}),
 
     // BM25 retrieval (k1=1.2, b=0.75): the doc-length-normalized upgrade
     // of d_search's tf-idf. Every per-term score floors to integer micros
@@ -776,6 +815,20 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // two-stage retrieval (the FAISS "refine" production shape): PQ-ADC
+    // proposes a 20-deep shortlist reading M ints per corpus vector, the
+    // full vectors rescore ONLY the shortlist, top-5 survive. The rerank
+    // cosine floors to micros off the exact op tree (dot, two sqrts, one
+    // division — each correctly-rounded IEEE, mirrored op-for-op in the
+    // oracle), so both stages hash-check end-to-end
+    "e_rerank" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      Similarity.pqRerankTopK(corpus, queriesDf, 5, shortlist = 20,
+          prebuiltCodebooks = Some(sharedPqCodebooks(s, dir)),
+          prebuiltCodes = Some(sharedPqCodes(s, dir)))
+        .orderBy("query_id", "rank")}),
+
     // Matryoshka truncated search quality: top-k with only the first 8
     // components vs full-dim top-k — slice + exact rank, fully replayable
     "e_mrl_recall" -> ((s, dir) => {
@@ -1107,6 +1160,10 @@ object PipelineQueries {
          |count(*) AS n FROM $docsT
          |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
 
+    "d_nb_classifier" ->
+      s"""${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
+         |ORDER BY doc_id""".stripMargin,
+
     "d_source_stats" ->
       s"""SELECT source, count(*) AS n_docs,
          |CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
@@ -1315,7 +1372,19 @@ object PipelineQueries {
       s"""${Sampling.tokenBudgetSql(docsT, "source", tokenCountSql("text"))}
          |ORDER BY grp""".stripMargin,
 
+    "d_dsir" ->
+      s"""WITH d AS (
+         |${Sampling.dsirWeightsSql(docsT, "doc_id", "text", "lang = 'en'")}
+         |), cut AS (
+         |  SELECT quantile_cont(dsir_micro, 0.75) AS p75 FROM d
+         |)
+         |SELECT doc_id, n_feats, dsir_micro, dsir_micro >= p75 AS keep
+         |FROM d, cut ORDER BY doc_id""".stripMargin,
+
     "d_bpe_apply" -> Collocations.applyCountsSql(docsT, "doc_id", "text", 3),
+
+    "d_bpe_compression" ->
+      Collocations.compressionByGroupSql(docsT, "doc_id", "text", "lang", 3),
 
     "d_bm25" ->
       s"""WITH dlt AS (
@@ -1605,6 +1674,71 @@ object PipelineQueries {
          |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
          |FROM ne JOIN np USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY ne.query_id""".stripMargin
+    },
+
+    // two-stage replay: the e_pq_recall codebook/encode/score CTEs produce
+    // the 20-deep shortlist, then the exact cosine — written as the same
+    // op tree Spark runs (list_dot_product / (sqrt · sqrt)) — reranks it
+    "e_rerank" -> {
+      val m = Similarity.PqSubspaces
+      val k = Similarity.PqCodebookSize
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT len(vec) // $m AS sub FROM c LIMIT 1
+         |), samp AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS j, vec
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'pqc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT $k)
+         |), cb AS (
+         |  SELECT mm.range AS m, j,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS cbv
+         |  FROM samp, range($m) mm, dims
+         |), sv AS (
+         |  SELECT id, mm.range AS m,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS svv
+         |  FROM c, range($m) mm, dims
+         |), enc AS (
+         |  SELECT id, m, j AS code FROM (
+         |    SELECT sv.id, sv.m, cb.j,
+         |      row_number() OVER (PARTITION BY sv.id, sv.m
+         |        ORDER BY CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) DESC, cb.j) AS rn
+         |    FROM sv JOIN cb ON sv.m = cb.m) WHERE rn = 1
+         |), qt AS (
+         |  SELECT sv.id AS query_id, sv.m, cb.j AS code,
+         |    CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) AS t_micro
+         |  FROM sv JOIN cb ON sv.m = cb.m WHERE sv.id < 5
+         |), pqs AS (
+         |  SELECT qt.query_id, enc.id AS vec_id,
+         |    CAST(SUM(t_micro) AS BIGINT) AS score
+         |  FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.code
+         |  WHERE enc.id <> qt.query_id
+         |  GROUP BY 1, 2
+         |), short AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id) AS rnk
+         |    FROM pqs)
+         |  WHERE rnk <= 20
+         |), rer AS (
+         |  SELECT s.query_id, s.vec_id,
+         |    CAST(floor(1000000 * (list_dot_product(qv.vec, cv.vec) /
+         |      (sqrt(list_dot_product(qv.vec, qv.vec)) * sqrt(list_dot_product(cv.vec, cv.vec)))))
+         |      AS BIGINT) AS cos_micro
+         |  FROM short s
+         |  JOIN c qv ON qv.id = s.query_id
+         |  JOIN c cv ON cv.id = s.vec_id
+         |)
+         |SELECT query_id, vec_id, cos_micro, rank FROM (
+         |  SELECT query_id, vec_id, cos_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, vec_id) AS INT) AS rank
+         |  FROM rer)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
     // IVF+PQ replay: the e_ann_ivf_recall cell/probe CTEs bound the

@@ -755,4 +755,84 @@ class PipelineSpec extends SparkSpec {
       docs.select($"doc_id", $"lang"), $"doc_id", $"lang", maxCopies = 1000000L)
     assert(loose.count() == tight.count())
   }
+
+  test("DSIR weights separate the target domain from the rest") {
+    import graft.operators.Sampling
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", $"lang" === "en")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    // the target class must score higher ON AVERAGE than every other class
+    // (its features are literally the target distribution)
+    val means = w.groupBy("lang")
+      .agg((sum($"dsir_micro") / sum($"n_feats")).as("m"))
+      .as[(String, Double)].collect().toMap
+    val others = means.filterNot(_._1 == "en").values
+    assert(others.forall(_ < means("en")),
+      s"en mean ${means("en")} must dominate $means")
+    // deterministic and partition-independent
+    val again = Sampling.dsirWeights(docs.repartition(7), "doc_id", "text",
+      $"lang" === "en").as[(Long, Long, Long)].collect().toSet
+    val first = Sampling.dsirWeights(docs, "doc_id", "text", $"lang" === "en")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == first)
+  }
+
+  test("Naive Bayes classifier recovers the fixture languages in-sample") {
+    import graft.operators.Classify
+    val out = Classify.naiveBayes(docs, "doc_id", "text", "lang").cache()
+    assert(out.count() == docs.count(), "one prediction per doc")
+    val n = out.count()
+    val acc = out.filter($"true_lang" === $"pred_lang").count().toDouble / n
+    // the fixture langs share their ENTIRE vocabulary (zero lang-exclusive
+    // tokens) and differ only distributionally, so in-sample NB cannot be
+    // near-perfect; the honest bar is beating the majority-class prior
+    // (predict-en-always), which a broken likelihood would collapse to
+    val majority = docs.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0).toDouble / n
+    assert(acc > majority, s"in-sample accuracy $acc must beat prior $majority")
+    // scores are unnormalized log-posteriors: strictly negative
+    assert(out.filter($"score_micro" >= 0).isEmpty)
+    // deterministic and partition-independent
+    val again = Classify.naiveBayes(docs.repartition(7), "doc_id", "text", "lang")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(again == out.as[(Long, String, String, Long)].collect().toSet)
+  }
+
+  test("PQ rerank rescoring is exact on the shortlist and beats raw ADC order") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rerank = Similarity.pqRerankTopK(corpus, queries, 5, shortlist = 20)
+    val got = rerank.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    assert(rerank.groupBy("query_id").count().filter($"count" =!= 5).isEmpty)
+    // the reranked top-5 must be a subset of the 20-deep ADC shortlist
+    val short20 = Similarity.pqTopK(corpus, queries, 20)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(short20))
+    // refinement cannot LOSE exact-top-5 hits the shortlist already found:
+    // recall(rerank∩exact) == recall(shortlist∩exact) at k=5 per query
+    val shortHits = exact.count(short20.contains)
+    val rerankHits = exact.count(got.contains)
+    assert(rerankHits == shortHits,
+      s"rerank must keep every exact hit the shortlist surfaced: $rerankHits vs $shortHits")
+  }
+
+  test("BPE per-group compression ratios are consistent with the state") {
+    import graft.operators.Collocations
+    val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)
+    val after = state.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val joined = docs.select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("long").as("nb"))
+      .join(after, "doc_id")
+      .groupBy("lang")
+      .agg(sum($"nb").as("n_before"), sum($"na").as("n_after"))
+      .as[(String, Long, Long)].collect()
+    assert(joined.length == 5)
+    joined.foreach { case (lang, before, a) =>
+      assert(a <= before, s"$lang: merges cannot grow the token count")
+      assert(a > 0, s"$lang: state lost docs")
+    }
+  }
 }

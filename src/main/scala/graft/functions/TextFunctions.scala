@@ -173,6 +173,44 @@ object TextFunctions {
        |  CAST(surprisal_micro // n_tokens AS BIGINT) AS mean_micro
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Within-document token entropy — the repetitiveness/diversity quality
+    * signal that needs NO corpus statistics (unlike [[surprisalStats]],
+    * which scores docs against the corpus LM): per doc,
+    * `n·H = Σ_t tf·(ln n − ln tf)` in micro-nats, plus the distinct-type
+    * count (type-token ratio numerator). Low entropy = repetitive/
+    * boilerplate; high = diverse. Same exact-replay form — every ln is
+    * rounded to integer micro-nats BEFORE the order-free i64 sum
+    * ([[tokenEntropySql]]).
+    *
+    * Scale shape: one (doc, token) map-side-combinable aggregation; no
+    * join against anything corpus-sized (the per-doc total rides the same
+    * groupBy). */
+  def tokenEntropyStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val per = tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("tf") * lmicro(col("tf"))).as("tl"))
+    per.select(col("doc_id"), col("n_tokens"), col("n_types"),
+      (col("n_tokens") * lmicro(col("n_tokens")) - col("tl")).as("ent_micro"))
+  }
+
+  def tokenEntropySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH tok AS (
+       |  SELECT $idCol AS doc_id, unnest(${tokensSql(textCol)}) AS token FROM $table
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(tf) * CAST(round(ln(sum(tf)) * 1000000.0) AS BIGINT)
+       |    - sum(tf * CAST(round(ln(tf) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS ent_micro
+       |FROM tf GROUP BY doc_id""".stripMargin
+
   /** Bigram conditional surprisal — the next-word form of
     * [[surprisalStats]]: per doc, `Σ tf(p,c) · (ln cnt(p·) − ln cnt(p,c))`
     * ≈ −Σ ln P(cur|prev) under the corpus bigram LM (cnt(p·) = bigram

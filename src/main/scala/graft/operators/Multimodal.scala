@@ -184,6 +184,60 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[resizeImageStats]]: the downsampled raster's
+    * dimensions and exact per-channel integer sums. */
+  case class ResizedImage(media_id: Long, out_w: Int, out_h: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL nearest-neighbor downsample of decodable images: keep every
+    * `stride`-th pixel in both axes (the cheap thumbnail/preprocess resize
+    * a vision-data pipeline runs before feature extraction) and report the
+    * output dimensions plus exact per-channel integer sums of the KEPT
+    * pixels. Undecodable payloads are dropped, not crashed (triage
+    * happens in [[decodeMedia]]).
+    *
+    * Correctness contract: the sums are order-free integers over a
+    * deterministic pixel subset, so a construction-inverting oracle can
+    * compute them directly from the planted raster (m_resize) — a hash
+    * match proves resize(decode(build(x))) samples exactly the pixels the
+    * spec names. Scale shape: same partition-batched decode as
+    * [[decodeMedia]] — one pass, no driver traffic, repartition upstream
+    * for decode parallelism. */
+  def resizeImageStats(media: DataFrame, stride: Int): Dataset[ResizedImage] = {
+    require(stride >= 1, "stride >= 1")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val ow = (img.getWidth + stride - 1) / stride
+              val oh = (img.getHeight + stride - 1) / stride
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) {
+                  val rgb = img.getRGB(x * stride, y * stride)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Some(ResizedImage(id, ow, oh, sr, sg, sb))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   // ------------------------------------------------ real header probing
   private def u8(c: org.apache.spark.sql.Column, off: Int) =
     conv(hex(substring(c, off, 1)), 16, 10).cast("long")

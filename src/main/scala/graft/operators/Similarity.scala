@@ -506,6 +506,33 @@ object Similarity {
       .select("query_id", "vec_id", "cos_micro", "rank")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic upgrade of
+    * the n-gram sweep (Dedup.contaminationReport): score every corpus
+    * vector by its MAX cosine against the benchmark set and flag those at
+    * or above `threshold`. Catches paraphrased contamination that shares
+    * no shingle with the benchmark. Cosines floor to integer micros off
+    * the exact op tree (the e_rerank discipline) and the threshold
+    * compares in integer micros, so the sweep replays exactly in SQL.
+    *
+    * Scale shape: benchmark sets are small by construction — one
+    * broadcast, one corpus scan, a map-side-combinable max; the corpus
+    * never shuffles. (For mega-benchmarks, pre-bucket with the LSH index
+    * and sweep per bucket.) */
+  def embContamination(corpus: DataFrame, bench: DataFrame,
+                       threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col("id").as("bid"), col("vec").as("bv"),
+      norm(col("vec")).as("bn")))
+    corpus.select(col("id"), col("vec"), norm(col("vec")).as("cn"))
+      .crossJoin(b)
+      .select(col("id"),
+        floor(lit(1000000.0) * (dot(col("vec"), col("bv")) /
+          (col("cn") * col("bn")))).cast("long").as("cm"))
+      .groupBy("id")
+      .agg(max(col("cm")).as("max_cos_micro"))
+      .withColumn("contaminated",
+        col("max_cos_micro") >= lit((threshold * 1e6).toLong))
+  }
+
   // ------------------------------------------- Matryoshka truncation
   /** Matryoshka-style truncated search (Kusupati et al. 2022): rank with
     * only the FIRST `dims` components of every vector — the
@@ -596,6 +623,36 @@ object Similarity {
       .filter(col("__vid") =!= col("__keep"))
       .select(col("__vid"))
     corpus.join(victims, corpus("id") === victims("__vid"), "left_anti")
+  }
+
+  /** kNN-graph clustering — the cluster-based curation primitive (group
+    * semantically-similar documents, then inspect/sample/prune per
+    * cluster): each vector contributes edges to its k nearest neighbors,
+    * edges are symmetrized, and connected components become clusters
+    * labeled by their min id (with the component size attached — the
+    * "how big is this semantic clump" diagnostic).
+    *
+    * The default edge builder is the EXACT brute-force top-k (replayable
+    * in SQL — e_knn_cluster); at scale pass `prebuiltNeighbors` from the
+    * ANN index ([[pqTopK]]/[[ivfPqTopK]] output: query_id, vec_id) so the
+    * edge build reads codes, not raw vectors — the CC then runs on the
+    * k·n-sized edge list either way, never on pairs. */
+  def knnComponents(corpus: DataFrame, k: Int = 3,
+                    prebuiltNeighbors: Option[DataFrame] = None): DataFrame = {
+    requireIntegralId(corpus)
+    val nn = prebuiltNeighbors.getOrElse(bruteForceTopK(corpus, corpus, k))
+      .select(col("query_id").as("a"), col("vec_id").as("b"))
+    val edges = nn
+      .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
+      .localCheckpoint(true)
+    val g = graft.KinGraph.fromEdges(edges.withColumn("etype", lit(0)))
+    val comps = graft.gx.GraphXBridge.connectedComponents(
+      graft.gx.GraphXBridge.toGraphX(g))
+    val wc = Window.partitionBy(col("component"))
+    comps.select(col("key").cast("long").as("id"), col("component"))
+      .withColumn("cluster", min(col("id")).over(wc))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .select("id", "cluster", "cluster_size")
   }
 
   /** Per-dimension int8 scalar quantization — the embedding-compression

@@ -67,6 +67,34 @@ object PipelineQueries {
     * explode and LSH candidate table over the full documents corpus —
     * route both through `Tables.cached` (like the gx union graph) so the
     * build runs once per session, not once per query. */
+  /** Little-endian hex of the low `nBytes` of a long column (the shared
+    * binary-payload building block of the m_* construction oracles). */
+  private def leHexC(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+
+  /** The planted 24-bit BMP payload (hex) shared by m_features and
+    * m_resize: width fixed at 4, height = doc_id%8+1, bottom-up raster of
+    * BGR triplets with blue = (doc_id + pixel_index) % 256 and constant
+    * green/red = (doc_id·7)%256 / (doc_id·13)%256 — every decoded stat is
+    * a closed-form function of doc_id the oracle computes directly. */
+  private def plantedBmpHex(d: Column): Column = {
+    val hgt = pmod(d, lit(8L)) + 1          // 1..8 rows, width fixed at 4
+    val g0 = pmod(d * 7, lit(256L))          // constant green (channel order)
+    val r0 = pmod(d * 13, lit(256L))         // constant red
+    val pixels = array_join(                 // BGR triplets, blue = (d+p)%256
+      transform(sequence(lit(0L), hgt * 4 - 1),
+        p => concat(lpad(hex(pmod(d + p, lit(256L))), 2, "0"),
+          lpad(hex(g0), 2, "0"), lpad(hex(r0), 2, "0"))), "")
+    concat(
+      lit("424D"), leHexC(lit(54L) + hgt * 12, 4),      // file size
+      lit("00000000"), lit("36000000"),                 // reserved, offset 54
+      lit("28000000"), lit("04000000"), leHexC(hgt, 4), // DIB, w=4, h
+      lit("0100"), lit("1800"), lit("00000000"),        // planes, 24bpp, BI_RGB
+      leHexC(hgt * 12, 4), lit("00000000"), lit("00000000"),
+      lit("00000000"), lit("00000000"), pixels)
+  }
+
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
       Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
@@ -107,6 +135,13 @@ object PipelineQueries {
       docs(s, dir).select(
         col("doc_id"),
         langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // within-doc token entropy (needs NO corpus stats, unlike d_surprisal):
+    // n·H in micro-nats + distinct-type count — the repetitive-boilerplate
+    // detector; every ln pre-rounded to integer micro-nats
+    "d_token_entropy" -> ((s, dir) =>
+      TextFunctions.tokenEntropyStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
     // repetition quality signal (duplicate word-2-gram fraction) as exact
@@ -705,6 +740,17 @@ object PipelineQueries {
       Similarity.cosineNearDupExact(embDouble(s, dir), 0.45)
         .orderBy("a", "b")),
 
+    // embedding-space benchmark decontamination (the semantic upgrade of
+    // d_decontaminate's shingle sweep): vec_id < 10 is the held-out
+    // benchmark, every other vector scores its max cosine against it in
+    // floor-micros — same 0.45 threshold as e_near_dup so flags are
+    // non-vacuous at every SF
+    "e_decontaminate" -> ((s, dir) => {
+      val all = embDouble(s, dir)
+      Similarity.embContamination(
+          all.filter(col("id") >= 10), all.filter(col("id") < 10), 0.45)
+        .orderBy("id")}),
+
     // LSH-bucketed ANN (scale path; no SQL oracle — recall checked in
     // ScalaTest against the brute-force baseline)
     "e_ann_lsh" -> ((s, dir) => {
@@ -860,6 +906,16 @@ object PipelineQueries {
           prebuiltAssigned = Some(sharedIvfAssign(s, dir)))
         .select(col("id")).orderBy("id")}),
 
+    // kNN-graph clustering over the deterministic 10% subsample (id%10=0;
+    // the exact n² edge build stays tractable at every SF — at scale the
+    // edges come from the ANN index via prebuiltNeighbors): top-3 edges,
+    // symmetrized, components via GraphX, min-id cluster labels + sizes,
+    // CC replayed with WITH RECURSIVE like d_dedup_pipeline
+    "e_knn_cluster" -> ((s, dir) =>
+      Similarity.knnComponents(
+          embDouble(s, dir).filter(col("id") % 10 === 0), 3)
+        .orderBy("id")),
+
     // int8 scalar quantization of the embedding corpus (the compression
     // pass before ANN storage) — integer codes, exact md5 fingerprint
     "e_quantize" -> ((s, dir) =>
@@ -923,24 +979,9 @@ object PipelineQueries {
     // proves decode(build(x)) == x for every payload
     "m_features" -> ((s, dir) => {
       import org.apache.spark.sql.Column
-      def leHex(c: Column, nBytes: Int): Column =
-        concat((0 until nBytes).map(i =>
-          lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+      def leHex(c: Column, nBytes: Int): Column = leHexC(c, nBytes)
       val d = col("doc_id")
-      val hgt = pmod(d, lit(8L)) + 1          // 1..8 rows, width fixed at 4
-      val g0 = pmod(d * 7, lit(256L))          // constant green (channel order)
-      val r0 = pmod(d * 13, lit(256L))         // constant red
-      val pixels = array_join(                 // BGR triplets, blue = (d+p)%256
-        transform(sequence(lit(0L), hgt * 4 - 1),
-          p => concat(lpad(hex(pmod(d + p, lit(256L))), 2, "0"),
-            lpad(hex(g0), 2, "0"), lpad(hex(r0), 2, "0"))), "")
-      val bmp = concat(
-        lit("424D"), leHex(lit(54L) + hgt * 12, 4),      // file size
-        lit("00000000"), lit("36000000"),                 // reserved, offset 54
-        lit("28000000"), lit("04000000"), leHex(hgt, 4),  // DIB, w=4, h
-        lit("0100"), lit("1800"), lit("00000000"),        // planes, 24bpp, BI_RGB
-        leHex(hgt * 12, 4), lit("00000000"), lit("00000000"),
-        lit("00000000"), lit("00000000"), pixels)
+      val bmp = plantedBmpHex(d)
       val n = pmod(d, lit(16L)) + 2            // 2..17 PCM samples
       val samples = array_join(                // unsigned LE16 of planted value
         transform(sequence(lit(0L), n - 1),
@@ -954,6 +995,18 @@ object PipelineQueries {
         d.as("media_id"),
         unhex(when(pmod(d, lit(2)) === 0, bmp).otherwise(wav)).as("content"))
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")}),
+
+    // REAL nearest-neighbor resize under oracle: the m_features BMPs
+    // (even doc_ids) downsample at stride 2 — imageio decodes actual
+    // pixels, the operator keeps every 2nd row/col, and the oracle
+    // computes the kept pixels' channel sums in closed form from the
+    // construction (image row y = raster row h-1-y) — a hash match proves
+    // the resize samples exactly the specified pixel subset
+    "m_resize" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 0)
+        .select(d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
+      Multimodal.resizeImageStats(media, 2).toDF().orderBy("media_id")}),
 
     // multimodal frame sampling under oracle: payloads are md5-derived
     // bytes of deterministic length (16 * (doc_id%5 + 1)); sampleFrames
@@ -1120,6 +1173,10 @@ object PipelineQueries {
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
+
+    "d_token_entropy" ->
+      s"""${TextFunctions.tokenEntropySql(docsT, "doc_id", "text")}
+         |ORDER BY doc_id""".stripMargin,
 
     "d_ccnet_buckets" ->
       s"""WITH sp AS (
@@ -1870,6 +1927,24 @@ object PipelineQueries {
 
     // ground truth is the planted-payload arithmetic, NOT a re-decode:
     // the hash match proves the real pixel/PCM decoders invert the build
+    // stride-2 pixel subset of the planted BMP raster in closed form:
+    // image row y is raster row h-1-y, kept pixels are x∈{0,2}, y even
+    "m_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, doc_id % 8 + 1 AS h,
+        |    (doc_id % 8 + 2) // 2 AS oh,
+        |    (doc_id * 7) % 256 AS g0, (doc_id * 13) % 256 AS r0
+        |  FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT media_id, CAST(2 AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(r0 * 2 * oh AS BIGINT) AS sum_r,
+        |  CAST(g0 * 2 * oh AS BIGINT) AS sum_g,
+        |  CAST(list_aggregate(list_transform(generate_series(0, oh - 1),
+        |    j -> (media_id + (h - 1 - 2*j) * 4) % 256
+        |       + (media_id + (h - 1 - 2*j) * 4 + 2) % 256), 'sum') AS BIGINT)
+        |    AS sum_b
+        |FROM base ORDER BY media_id""".stripMargin,
+
     "m_features" ->
       """WITH base AS (
         |  SELECT doc_id, doc_id % 8 + 1 AS hgt, doc_id % 16 + 2 AS n
@@ -1923,6 +1998,52 @@ object PipelineQueries {
         |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
         |FROM c a JOIN c b ON a.id < b.id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.45
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // exact top-3 edges over the 10% subsample, symmetric closure, then
+    // the d_dedup_pipeline WITH RECURSIVE min-label reachability
+    "e_knn_cluster" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), nn AS (
+        |  SELECT query_id AS a, vec_id AS b FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON c.id <> q.id)
+        |  WHERE rnk <= 3
+        |), ud AS (
+        |  SELECT a AS s, b AS t FROM nn UNION SELECT b, a FROM nn
+        |), dn AS (
+        |  SELECT DISTINCT s AS key FROM ud
+        |), rch AS (
+        |  WITH RECURSIVE reach(key, label) AS (
+        |    SELECT key, key FROM dn
+        |    UNION
+        |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+        |  ) SELECT key, min(label) AS cluster FROM reach GROUP BY key
+        |), sz AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM rch GROUP BY 1
+        |)
+        |SELECT r.key AS id, r.cluster, s.cluster_size
+        |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // max-cosine-vs-benchmark sweep, the cosine written as the same op
+    // tree Spark runs (dot / (sqrt·sqrt)) so floor-micros agree exactly
+    "e_decontaminate" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT cv.id,
+        |    CAST(floor(1000000 * (list_dot_product(cv.vec, bv.vec) /
+        |      (sqrt(list_dot_product(cv.vec, cv.vec)) * sqrt(list_dot_product(bv.vec, bv.vec)))))
+        |      AS BIGINT) AS cm
+        |  FROM c cv JOIN c bv ON cv.id >= 10 AND bv.id < 10
+        |)
+        |SELECT id, max(cm) AS max_cos_micro, max(cm) >= 450000 AS contaminated
+        |FROM s GROUP BY 1 ORDER BY id""".stripMargin
   )
 }

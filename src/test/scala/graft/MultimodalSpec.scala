@@ -111,6 +111,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).getString(1) == "unknown" && out(4L).isNullAt(2))
   }
 
+  test("resizeImageStats keeps exactly the strided pixel subset") {
+    // 5x4 raster: pixel (x,y) = RGB(10x+y, 100+x, 200+y); stride 2 keeps
+    // x∈{0,2,4}, y∈{0,2}
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5; y <- 0 until 4)
+      img.setRGB(x, y, ((10 * x + y) << 16) | ((100 + x) << 8) | (200 + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((7L, bos.toByteArray), (8L, "junk".getBytes))
+      .toDF("media_id", "content")
+    val out = Multimodal.resizeImageStats(df, 2).collect()
+    assert(out.length == 1, "undecodable rows drop, not crash")
+    val r = out.head
+    val kept = for (x <- Seq(0, 2, 4); y <- Seq(0, 2)) yield (x, y)
+    assert(r.out_w == 3 && r.out_h == 2)
+    assert(r.sum_r == kept.map { case (x, y) => 10 * x + y }.sum)
+    assert(r.sum_g == kept.map { case (x, _) => 100 + x }.sum)
+    assert(r.sum_b == kept.map { case (_, y) => 200 + y }.sum)
+    // stride 1 degenerates to the full-raster stats decodeImage reports
+    val full = Multimodal.decodeImage(bos.toByteArray).get
+    val s1 = Multimodal.resizeImageStats(df, 1).head()
+    assert((s1.out_w, s1.out_h) == (full.width, full.height))
+    assert((s1.sum_r, s1.sum_g, s1.sum_b) == ((full.sumR, full.sumG, full.sumB)))
+  }
+
   test("truncate and frame-sample keep schema and bounds") {
     val t = Multimodal.truncateContent(media, 16)
     assert(t.select(max(length($"content"))).head.getInt(0) <= 16)

@@ -819,6 +819,53 @@ class PipelineSpec extends SparkSpec {
       s"rerank must keep every exact hit the shortlist surfaced: $rerankHits vs $shortHits")
   }
 
+  test("token entropy: constant docs score zero, uniform docs score n·ln n") {
+    val d = Seq(
+      (1L, "x x x x"),      // constant: H = 0
+      (2L, "a b c d"),      // uniform over 4 types: n·H = 4·ln 4
+      (3L, "a a a b")       // skewed: between the two
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.tokenEntropyStats(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 4L, 1L, 0L)), s"constant doc: ${out(0)}")
+    val ln4micro = math.round(math.log(4) * 1e6)
+    assert(out(1) == ((2L, 4L, 4L, 4L * ln4micro)), s"uniform doc: ${out(1)}")
+    assert(out(2)._4 > 0 && out(2)._4 < out(1)._4,
+      s"skewed doc must land strictly between: ${out(2)}")
+  }
+
+  test("embedding decontamination flags exact benchmark copies at cos 1") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val bench = corpus.filter($"id" < 10)
+    // plant an exact copy of benchmark vector 0 into the corpus side
+    val planted = corpus.filter($"id" >= 10)
+      .union(bench.filter($"id" === 0).select(lit(999999L).as("id"), $"vec"))
+    val out = Similarity.embContamination(planted, bench, 0.45).cache()
+    val hit = out.filter($"id" === 999999L)
+      .as[(Long, Long, Boolean)].head()
+    assert(hit._2 == 1000000L && hit._3, s"exact copy must flag at cos 1: $hit")
+    // cosine bound: nothing exceeds 1.0 in micros
+    assert(out.filter($"max_cos_micro" > 1000000L).isEmpty)
+    assert(out.count() == planted.count(), "one row per corpus vector")
+  }
+
+  test("kNN components separate well-separated clumps and label by min id") {
+    // two orthogonal clumps: ids 0-2 near e1, ids 10-12 near e2
+    def v(x: Double, y: Double, eps: Double) = Array(x + eps, y, 0.0, 0.0)
+    val rows = Seq(
+      0L -> v(1, 0, 0.00), 1L -> v(1, 0, 0.01), 2L -> v(1, 0, 0.02),
+      10L -> v(0, 1, 0.00), 11L -> v(0, 1, 0.01), 12L -> v(0, 1, 0.02))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.knnComponents(df, 2).orderBy("id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(out.filter(_._1 < 10).forall(r => r._2 == 0L && r._3 == 3L),
+      s"first clump labels: ${out.toSeq}")
+    assert(out.filter(_._1 >= 10).forall(r => r._2 == 10L && r._3 == 3L),
+      s"second clump labels: ${out.toSeq}")
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

@@ -122,6 +122,68 @@ object Collocations {
          |  ON a.doc_id = b.doc_id
          |ORDER BY b.doc_id""".stripMargin
 
+  /** PMI collocation ranking — the statistical phrase-discovery
+    * complement of the BPE frequency argmax (frequency finds "of the";
+    * PMI finds "new york"): score every bigram with count ≥ `minCount` by
+    * `ln P(ab) − ln P(a) − ln P(b)` and keep the top `k` under the total
+    * order (pmi desc, bigram asc). Each of the six lns rounds to integer
+    * micro-nats SEPARATELY before the additive combination (no integer
+    * products that could overflow on count·count), so the score is
+    * engine-exact ([[pmiTopSql]]).
+    *
+    * Scale shape: two map-side-combinable counts (bigram, unigram) + two
+    * vocabulary-keyed joins; the data-sized frames never join each other.
+    * The min-count floor is the standard PMI variance guard — rare pairs
+    * otherwise dominate with noise PMIs. */
+  def pmiTop(docs: DataFrame, textCol: String, minCount: Long = 5,
+             k: Int = 50): DataFrame = {
+    import graft.functions.TextFunctions.{bigrams, tokens}
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val cbg = docs.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+    val ct = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val totT = ct.agg(sum(col("cnt")).as("n_tok"))
+    val totB = cbg.agg(sum(col("n_ab")).as("n_bg"))
+    cbg.filter(col("n_ab") >= minCount)
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .withColumn("b", substring_index(col("bg"), " ", -1))
+      .join(ct.select(col("t").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(ct.select(col("t").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totB))
+      .select(col("bg"), col("n_ab"),
+        ((lmicro(col("n_ab")) - lmicro(col("n_bg")))
+          - (lmicro(col("cnt_a")) - lmicro(col("n_tok")))
+          - (lmicro(col("cnt_b")) - lmicro(col("n_tok")))).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bg")).limit(k)
+  }
+
+  /** DuckDB twin of [[pmiTop]]. */
+  def pmiTopSql(table: String, textCol: String, minCount: Long = 5,
+                k: Int = 50): String = {
+    import graft.functions.TextFunctions.{bigramsSql, tokensSql}
+    val lm = (x: String) => s"CAST(round(ln($x) * 1000000.0) AS BIGINT)"
+    s"""WITH bgr AS (
+       |  SELECT unnest(${bigramsSql(textCol)}) AS bg FROM $table
+       |), cbg AS (
+       |  SELECT bg, count(*) AS n_ab FROM bgr GROUP BY 1
+       |), tok AS (
+       |  SELECT unnest(${tokensSql(textCol)}) AS t FROM $table
+       |), ct AS (
+       |  SELECT t, count(*) AS cnt FROM tok GROUP BY 1
+       |), tt AS (SELECT sum(cnt) AS n_tok FROM ct),
+       |tb AS (SELECT sum(n_ab) AS n_bg FROM cbg)
+       |SELECT bg, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST((${lm("n_ab")} - ${lm("n_bg")})
+       |    - (${lm("ca.cnt")} - ${lm("n_tok")})
+       |    - (${lm("cb.cnt")} - ${lm("n_tok")}) AS BIGINT) AS pmi_micro
+       |FROM cbg
+       |JOIN ct ca ON ca.t = split_part(bg, ' ', 1)
+       |JOIN ct cb ON cb.t = split_part(bg, ' ', 2), tt, tb
+       |WHERE n_ab >= $minCount
+       |ORDER BY pmi_micro DESC, bg LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of the per-group compression view: token counts
     * before/after the learned merges aggregated by `grpCol` (e.g. lang),
     * with the integer milli-ratio — the "how much does this tokenizer

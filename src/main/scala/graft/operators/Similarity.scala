@@ -755,6 +755,34 @@ object Similarity {
        |  CAST((1000 * CAST(sum(q) AS BIGINT)) // count(*) AS BIGINT) AS mean_milli
        |FROM q GROUP BY grp, i""".stripMargin
 
+  /** Integer-exact within-cluster outlier score — the embedding-pruning
+    * pass that drops mislabeled/degenerate vectors before training:
+    * quantize to int8 codes (the [[quantizeInt8]] affine+floor map),
+    * build per-group integer milli-centroids ([[int8GroupCentroids]]'
+    * construction), and score every vector by the L1 distance between its
+    * codes (in milli-units) and its own group's centroid — all integers,
+    * so the score is order-free and the whole pass replays in SQL
+    * (e_outlier pairs it with a data-adaptive p95 cut).
+    *
+    * `corpus`: (id, grp, vec). Scale shape: one posexplode, a broadcast
+    * dims-row stats join, one (grp, dim) aggregation (group-count-bounded
+    * output, broadcast back), one per-vector aggregation — no pairwise
+    * work anywhere. */
+  def int8OutlierScores(corpus: DataFrame): DataFrame = {
+    val el = corpus.select(col("id"), col("grp"),
+      posexplode(col("vec")).as(Seq("i", "v")))
+    val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = el.join(broadcast(stats), "i")
+      .select(col("id"), col("grp"), col("i"),
+        qCode(col("v"), col("mn"), col("mx")).as("q"))
+    val cent = q.groupBy(col("grp"), col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .select(col("grp"), col("i"), expr("(1000 * sum_q) div n").as("mean_milli"))
+    q.join(broadcast(cent), Seq("grp", "i"))
+      .groupBy("id", "grp")
+      .agg(sum(abs(lit(1000) * col("q") - col("mean_milli"))).as("l1_milli"))
+  }
+
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */

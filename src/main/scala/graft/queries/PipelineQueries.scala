@@ -437,6 +437,13 @@ object PipelineQueries {
       val after = state.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
       before.join(after, "doc_id").orderBy("doc_id")}),
 
+    // PMI collocation ranking (the statistical phrase finder next to
+    // d_bpe's frequency argmax): min-count-5 bigrams scored by
+    // ln P(ab) − ln P(a) − ln P(b), each ln separately micro-rounded,
+    // top-50 under a total order
+    "d_pmi" -> ((s, dir) =>
+      Collocations.pmiTop(docs(s, dir), "text")),
+
     // per-language compression of the learned merges (the tokenizer-
     // fertility diagnostic: which languages does this vocab serve?):
     // token counts before/after the 3 merges aggregated by lang, integer
@@ -921,6 +928,20 @@ object PipelineQueries {
     "e_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
 
+    // within-label embedding outlier scoring: int8 codes vs the label's
+    // integer milli-centroid, L1 in milli-units (order-free integers),
+    // flagged at the data-adaptive p95 — the mislabeled-vector pruning
+    // pass before training
+    "e_outlier" -> ((s, dir) => {
+      val c = embs(s, dir).select(col("vec_id").as("id"),
+        col("label").as("grp"), col("embedding").cast("array<double>").as("vec"))
+      val sc = Similarity.int8OutlierScores(c)
+      val cut = sc.agg(expr("percentile(l1_milli, 0.95)").as("p95"))
+      sc.crossJoin(broadcast(cut))
+        .select(col("id"), col("grp"), col("l1_milli"),
+          (col("l1_milli") >= col("p95")).as("outlier"))
+        .orderBy("id")}),
+
     // per-label integer centroid of the int8-quantized embeddings (the
     // cluster-profile step of semantic dedup): exact code sums + integer
     // milli-mean, every cell hash-checked
@@ -1007,6 +1028,23 @@ object PipelineQueries {
       val media = docs(s, dir).filter(pmod(d, lit(2)) === 0)
         .select(d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
       Multimodal.resizeImageStats(media, 2).toDF().orderBy("media_id")}),
+
+    // STREAMING multimodal ingest decode: the m_resize pipeline with the
+    // docs table arriving as a parquet micro-batch stream — the planted
+    // BMPs build as a stateless projection, the imageio resize runs as the
+    // same stateless mapPartitions batch decode, and the memory sink
+    // drains in append mode (no state, no watermark — the media-ingest
+    // deployment shape). Oracle = the m_resize closed form
+    "s_stream_decode" -> ((s, dir) => {
+      val d = col("doc_id")
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(pmod(d, lit(2)) === 0)
+        .select(d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
+      val st = Multimodal.resizeImageStats(stream, 2).toDF()
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_decode_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("media_id")}),
 
     // multimodal frame sampling under oracle: payloads are md5-derived
     // bytes of deterministic length (16 * (doc_id%5 + 1)); sampleFrames
@@ -1150,6 +1188,56 @@ object PipelineQueries {
     "e_centroid" ->
       (Similarity.int8GroupCentroidsSql("embeddings", "label") +
         "\nORDER BY grp, dim"),
+
+    // streaming decode drains append-mode micro-batches of the same
+    // stateless resize — the oracle is the identical m_resize closed form
+    "s_stream_decode" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, doc_id % 8 + 1 AS h,
+        |    (doc_id % 8 + 2) // 2 AS oh,
+        |    (doc_id * 7) % 256 AS g0, (doc_id * 13) % 256 AS r0
+        |  FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT media_id, CAST(2 AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(r0 * 2 * oh AS BIGINT) AS sum_r,
+        |  CAST(g0 * 2 * oh AS BIGINT) AS sum_g,
+        |  CAST(list_aggregate(list_transform(generate_series(0, oh - 1),
+        |    j -> (media_id + (h - 1 - 2*j) * 4) % 256
+        |       + (media_id + (h - 1 - 2*j) * 4 + 2) % 256), 'sum') AS BIGINT)
+        |    AS sum_b
+        |FROM base ORDER BY media_id""".stripMargin,
+
+    // the e_centroid quantize/centroid CTEs, then per-vector integer L1
+    // against the own-label milli-centroid and the quantile_cont p95 cut
+    "e_outlier" ->
+      """WITH el AS (
+        |  SELECT id, grp, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+        |    SELECT vec_id AS id, label AS grp, unnest(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+        |    FROM embeddings)
+        |), stats AS (
+        |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+        |), q AS (
+        |  SELECT id, grp, i,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+        |    END AS q
+        |  FROM el JOIN stats USING (i)
+        |), cent AS (
+        |  SELECT grp, i,
+        |    (1000 * CAST(sum(q) AS BIGINT)) // count(*) AS mean_milli
+        |  FROM q GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT q.id, q.grp,
+        |    CAST(sum(abs(1000 * q.q - c.mean_milli)) AS BIGINT) AS l1_milli
+        |  FROM q JOIN cent c ON c.grp = q.grp AND c.i = q.i
+        |  GROUP BY 1, 2
+        |), cut AS (
+        |  SELECT quantile_cont(l1_milli, 0.95) AS p95 FROM sc
+        |)
+        |SELECT id, grp, l1_milli, l1_milli >= p95 AS outlier
+        |FROM sc, cut ORDER BY id""".stripMargin,
 
     // ground truth is the planted-header arithmetic, NOT a reimplementation
     // of the parser — the hash match proves parse(build(x)) == x
@@ -1442,6 +1530,8 @@ object PipelineQueries {
 
     "d_bpe_compression" ->
       Collocations.compressionByGroupSql(docsT, "doc_id", "text", "lang", 3),
+
+    "d_pmi" -> Collocations.pmiTopSql(docsT, "text"),
 
     "d_bm25" ->
       s"""WITH dlt AS (

@@ -866,6 +866,45 @@ class PipelineSpec extends SparkSpec {
       s"second clump labels: ${out.toSeq}")
   }
 
+  test("PMI ranks bound pairs above frequent-but-independent pairs") {
+    import graft.operators.Collocations
+    // "new york" always co-occurs (bound); "of" and "the" are everywhere
+    // but in all combinations (independent)
+    val d = (1 to 6).map(i =>
+      (i.toLong, s"new york of the x$i of x$i the of y$i the"))
+      .toDF("doc_id", "text")
+    val out = Collocations.pmiTop(d, "text", minCount = 5, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(out.head._1 == "new york", s"top PMI pair: ${out.toSeq}")
+    val pmis = out.map(r => r._1 -> r._3).toMap
+    // the independent pair scores below the bound pair when present
+    pmis.get("of the").foreach(p => assert(p < pmis("new york")))
+    // output respects the (pmi desc, bg asc) total order
+    assert(out.sortBy(r => (-r._3, r._1)).toSeq == out.toSeq)
+  }
+
+  test("int8 outlier score isolates a planted far vector within its label") {
+    // label 0: 20 vectors near (1,0,...), one planted at the opposite
+    // corner; label 1: a tight clump (no outlier)
+    val dim = 8
+    def v(base: Double, j: Int): Array[Double] =
+      Array.tabulate(dim)(k => if (k == 0) base else 0.001 * ((j + k) % 5))
+    val rows =
+      (0 until 20).map(j => (j.toLong, 0, v(1.0, j))) ++
+        Seq((99L, 0, Array.tabulate(dim)(k => if (k == 0) -1.0 else 0.9))) ++
+        (100 until 110).map(j => (j.toLong, 1, v(0.5, j)))
+    val df = rows.toDF("id", "grp", "vec")
+    val out = Similarity.int8OutlierScores(df).cache()
+    val g0 = out.filter($"grp" === 0).orderBy($"l1_milli".desc)
+      .as[(Long, Int, Long)].collect()
+    assert(g0.head._1 == 99L, s"planted outlier must top its label: ${g0.head}")
+    assert(g0.head._3 > 2 * g0(1)._3, "outlier separation must be decisive")
+    // deterministic and partition-independent
+    val again = Similarity.int8OutlierScores(df.repartition(5))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again == out.as[(Long, Int, Long)].collect().toSet)
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

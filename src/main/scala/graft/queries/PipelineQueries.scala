@@ -928,6 +928,13 @@ object PipelineQueries {
     "e_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
 
+    // top principal component of the centered int8-quantized corpus via
+    // 4 integer power-iteration rounds: exact Gram matrix, order-free
+    // integer matvecs, IEEE-exact floor-micro renormalization — the
+    // spectral diagnostic, fully hash-checked
+    "e_pca" -> ((s, dir) =>
+      Similarity.pcaTopComponent(embDouble(s, dir)).orderBy("dim")),
+
     // within-label embedding outlier scoring: int8 codes vs the label's
     // integer milli-centroid, L1 in milli-units (order-free integers),
     // flagged at the data-adaptive p95 — the mislabeled-vector pruning
@@ -1207,7 +1214,54 @@ object PipelineQueries {
         |    AS sum_b
         |FROM base ORDER BY media_id""".stripMargin,
 
-    // the e_centroid quantize/centroid CTEs, then per-vector integer L1
+    // the e_outlier quantize CTEs, integer centering, exact Gram, and the
+    // 4 power rounds unrolled — matvecs are integer sums, renormalization
+    // is the same cast/divide/multiply/floor tree Spark runs
+    "e_pca" -> {
+      val rounds = (1 to 4).map { r =>
+        val p = r - 1
+        s"""w$r AS (
+           |  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+           |  FROM gram g JOIN v$p v ON g.j = v.dim GROUP BY 1
+           |), m$r AS (
+           |  SELECT max(abs(w)) AS m FROM w$r
+           |), v$r AS (
+           |  SELECT i AS dim,
+           |    CAST(floor(1000000.0 * (CAST(w AS DOUBLE) / CAST(m AS DOUBLE)))
+           |      AS BIGINT) AS v
+           |  FROM w$r, m$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH el AS (
+         |  SELECT id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+         |    SELECT vec_id AS id, unnest(list_transform(
+         |      generate_series(1, len(embedding)),
+         |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+         |    FROM embeddings)
+         |), stats AS (
+         |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+         |), q AS (
+         |  SELECT id, i,
+         |    CASE WHEN mx = mn THEN 0
+         |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+         |    END AS q
+         |  FROM el JOIN stats USING (i)
+         |), ctr AS (
+         |  SELECT i, CAST(sum(q) AS BIGINT) // count(*) AS c FROM q GROUP BY 1
+         |), z AS (
+         |  SELECT q.id, q.i, q.q - ctr.c AS z FROM q JOIN ctr USING (i)
+         |), gram AS (
+         |  SELECT a.i, b.i AS j, CAST(sum(a.z * b.z) AS BIGINT) AS g
+         |  FROM z a JOIN z b ON a.id = b.id GROUP BY 1, 2
+         |), v0 AS (
+         |  SELECT DISTINCT j AS dim, CAST(1000000 AS BIGINT) AS v FROM gram
+         |),
+         |$rounds
+         |SELECT CAST(dim AS INT) AS dim, v AS v_micro
+         |FROM v4 ORDER BY dim""".stripMargin
+    },
+
+    // the e_outlier quantize CTEs, then per-vector integer L1
     // against the own-label milli-centroid and the quantile_cont p95 cut
     "e_outlier" ->
       """WITH el AS (

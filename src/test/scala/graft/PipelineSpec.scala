@@ -905,6 +905,38 @@ class PipelineSpec extends SparkSpec {
     assert(again == out.as[(Long, Int, Long)].collect().toSet)
   }
 
+  test("quantized power iteration recovers a planted dominant direction") {
+    val dim = 16
+    // the quantization range-normalizes every dimension, so the op finds
+    // the dominant CORRELATION direction: plant dims 0,1 perfectly
+    // correlated (both = t·u + tiny noise) and make the off-axis noise
+    // hash-scrambled per (j,k) — a shift-structured pattern would itself
+    // create correlated dimension pairs
+    val rows = (0 until 200).map { j =>
+      val t = (j % 21) - 10
+      val v = Array.tabulate(dim) { k =>
+        // modulus 251 > dim·slope-collisions: distinct per-dim slopes mod
+        // 251 keep the noise dims pairwise near-uncorrelated (a small
+        // modulus aliases k and k+m onto the SAME slope — shifted copies)
+        val noise = 0.0008 * (((j * 2654435761L + k * 40503L + j * k * 97L) % 251) - 125)
+        if (k <= 1) t * 0.7 + noise else noise
+      }
+      (j.toLong, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val v = Similarity.pcaTopComponent(df).orderBy("dim")
+      .as[(Int, Long)].collect().map(_._2.toDouble)
+    assert(v.length == dim)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val alignment = math.abs(v(0) + v(1)) / (norm * math.sqrt(2))
+    assert(alignment >= 0.9, s"top PC must align with the planted axis: " +
+      s"alignment $alignment, v ${v.toSeq}")
+    // deterministic and partition-independent
+    val again = Similarity.pcaTopComponent(df.repartition(7)).orderBy("dim")
+      .as[(Int, Long)].collect().map(_._2.toDouble)
+    assert(again.toSeq == v.toSeq)
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

@@ -66,6 +66,24 @@ object TextFunctions {
     s"len(list_filter($toksExpr, t -> list_contains($list, t)))"
   }
 
+  /** Word 3-grams as "w1 w2 w3" strings ([] when fewer than 3 tokens).
+    * Guarded transform — Spark's `sequence(1, n)` RUNS BACKWARD when
+    * n < 1, so short docs must take the explicit empty branch (DuckDB's
+    * generate_series is empty there and needs no guard). */
+  def trigrams(c: Column): Column = {
+    val tk = tokens(c)
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+  def trigramsSql(c: String): String = {
+    val tk = tokensSql(c)
+    s"list_transform(generate_series(1, len($tk) - 2), " +
+      s"i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])"
+  }
+
   /** Punctuation character count. */
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[.,!?;:'\"()\\-]", ""))
@@ -278,6 +296,131 @@ object TextFunctions {
        |  CAST(coalesce(a.surprisal_micro // a.n_bigrams, 0) AS BIGINT) AS mean_micro
        |FROM $table d LEFT JOIN agg a ON d.$idCol = a.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** round(ln(0.4)·1e6) as a HARDCODED literal: the stupid-backoff
+    * penalty must not be computed by each engine's libm at runtime — ln
+    * is the one op family where they can differ by 1 ulp, and a constant
+    * sitting on the ½ rounding boundary would flip the integer. */
+  val StupidBackoffMicro = -916291L
+
+  /** Held-out trigram LM scoring with STUPID BACKOFF (Brants et al. 2007
+    * — the count-based LM that scales to web corpora because it needs no
+    * discounting statistics): train counts on `train`, score every doc in
+    * `test` as `Σ_tg tf·s(tg)` where s backs off trigram → bigram →
+    * unigram → OOV, each level `ln(count/context-count)` plus one backoff
+    * penalty per level skipped. Every ln rounds to integer micro-nats
+    * before the order-free i64 sum ([[backoffScoresSql]]); chain
+    * invariants make the CASE well-defined (an observed trigram implies
+    * its context was observed, an observed bigram implies its first word
+    * starts a bigram).
+    *
+    * Scale shape: five map-side-combinable count aggregations over the
+    * train corpus (trigram/context/bigram/context/unigram — each
+    * vocabulary-sized output), then trigram-TYPE-keyed left joins and one
+    * (doc, trigram) tf aggregation on the test side; no data-row joins
+    * anywhere. */
+  def backoffScores(train: DataFrame, test: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val c3 = train.select(explode(trigrams(col(textCol))).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+    val ctx2 = c3.groupBy(substring_index(col("tg"), " ", 2).as("w12"))
+      .agg(sum(col("c3")).as("c2ctx"))
+    val c2 = train.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val ctx1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w2"))
+      .agg(sum(col("c2")).as("c1ctx"))
+    val c1 = train.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).as("tot"))
+    val tf = test.select(col(idCol).as("doc_id"),
+        explode(trigrams(col(textCol))).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("tf"))
+    val types = tf.select(col("tg")).distinct()
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .withColumn("w23", substring_index(col("tg"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      .join(c3, Seq("tg"), "left")
+      .join(ctx2, Seq("w12"), "left")
+      .join(c2.withColumnRenamed("bg", "w23"), Seq("w23"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(c1.withColumnRenamed("t", "w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+    val b = lit(StupidBackoffMicro)
+    val s = when(col("c3").isNotNull, lmicro(col("c3")) - lmicro(col("c2ctx")))
+      .when(col("c2").isNotNull, b + lmicro(col("c2")) - lmicro(col("c1ctx")))
+      .when(col("c1").isNotNull, b + b + lmicro(col("c1")) - lmicro(col("tot")))
+      .otherwise(b + b - lmicro(col("tot"))) // OOV: pseudo-count 1, ln 1 = 0
+    val scored = tf.join(types.select(col("tg"), s.as("s")), "tg")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("s")).as("backoff_micro"))
+    test.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("backoff_micro"), lit(0L)).as("backoff_micro"))
+  }
+
+  /** DuckDB twin of [[backoffScores]]: `trainPred`/`testPred` are row
+    * predicates over `table` (may reference the `cut` CTE's column `c`,
+    * which callers prepend). */
+  def backoffScoresSql(table: String, idCol: String, textCol: String,
+                       trainPred: String, testPred: String,
+                       testExtraSql: String = ""): String = {
+    val b = StupidBackoffMicro
+    def lm(x: String) = s"CAST(round(ln($x) * 1000000.0) AS BIGINT)"
+    s"""tr AS (
+       |  SELECT $idCol AS doc_id, $textCol AS text FROM $table, cut WHERE $trainPred
+       |), te AS (
+       |  SELECT $idCol AS doc_id, $textCol AS text FROM $table, cut WHERE $testPred
+       |  $testExtraSql
+       |), c3 AS (
+       |  SELECT tg, count(*) AS c3 FROM (
+       |    SELECT unnest(${trigramsSql("text")}) AS tg FROM tr) GROUP BY 1
+       |), ctx2 AS (
+       |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS w12,
+       |    sum(c3) AS c2ctx
+       |  FROM c3 GROUP BY 1
+       |), c2 AS (
+       |  SELECT bg, count(*) AS c2 FROM (
+       |    SELECT unnest(${bigramsSql("text")}) AS bg FROM tr) GROUP BY 1
+       |), ctx1 AS (
+       |  SELECT split_part(bg, ' ', 1) AS w2, sum(c2) AS c1ctx FROM c2 GROUP BY 1
+       |), c1 AS (
+       |  SELECT t, count(*) AS c1 FROM (
+       |    SELECT unnest(${tokensSql("text")}) AS t FROM tr) GROUP BY 1
+       |), tot AS (SELECT sum(c1) AS tot FROM c1),
+       |tf AS (
+       |  SELECT doc_id, tg, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(${trigramsSql("text")}) AS tg FROM te)
+       |  GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT ty.tg,
+       |    CASE WHEN c3.c3 IS NOT NULL THEN ${lm("c3.c3")} - ${lm("ctx2.c2ctx")}
+       |         WHEN c2.c2 IS NOT NULL THEN $b + ${lm("c2.c2")} - ${lm("ctx1.c1ctx")}
+       |         WHEN c1.c1 IS NOT NULL THEN ${2 * b} + ${lm("c1.c1")} - ${lm("tot.tot")}
+       |         ELSE ${2 * b} - ${lm("tot.tot")} END AS s
+       |  FROM (SELECT DISTINCT tg FROM tf) ty
+       |  LEFT JOIN c3 ON c3.tg = ty.tg
+       |  LEFT JOIN ctx2 ON ctx2.w12 =
+       |    split_part(ty.tg, ' ', 1) || ' ' || split_part(ty.tg, ' ', 2)
+       |  LEFT JOIN c2 ON c2.bg =
+       |    split_part(ty.tg, ' ', 2) || ' ' || split_part(ty.tg, ' ', 3)
+       |  LEFT JOIN ctx1 ON ctx1.w2 = split_part(ty.tg, ' ', 2)
+       |  LEFT JOIN c1 ON c1.t = split_part(ty.tg, ' ', 3)
+       |  CROSS JOIN tot
+       |), agg AS (
+       |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(tf.tf * sc.s) AS BIGINT) AS backoff_micro
+       |  FROM tf JOIN sc ON sc.tg = tf.tg GROUP BY 1
+       |)
+       |SELECT te.doc_id,
+       |  CAST(coalesce(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(coalesce(agg.backoff_micro, 0) AS BIGINT) AS backoff_micro
+       |FROM te LEFT JOIN agg ON agg.doc_id = te.doc_id
+       |ORDER BY te.doc_id""".stripMargin
+  }
 
   // ----------------------------------------------------------- pii scrub
   /** Redaction patterns shared by both engines. Kept to the regex subset

@@ -437,6 +437,27 @@ object PipelineQueries {
       val after = state.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
       before.join(after, "doc_id").orderBy("doc_id")}),
 
+    // held-out trigram LM with STUPID BACKOFF (the web-scale count LM):
+    // train on the first 4/5 of doc_ids (adaptive cutoff — the
+    // d_dedup_incr discipline), score the held-out tail with trigram →
+    // bigram → unigram → OOV backoff, hardcoded ln(0.4) micro penalty so
+    // neither engine's libm picks the constant. The fixture vocab is
+    // CLOSED (every token appears in train), so one planted unseen-token
+    // doc keeps the OOV branch non-vacuous at every SF (branch census at
+    // sf0.001: 2685 trigram / 1990 bigram / 2 unigram / 1 planted OOV)
+    "d_backoff_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = d.agg(expr("(4 * max(doc_id)) div 5").as("c"))
+      val withCut = d.crossJoin(broadcast(cut))
+      val planted = cut.select(lit(999999999999L).as("doc_id"),
+        lit("zzunseen zzunseen zzunseen").as("text"))
+      TextFunctions.backoffScores(
+          withCut.filter(col("doc_id") < col("c")),
+          withCut.filter(col("doc_id") >= col("c"))
+            .select(col("doc_id"), col("text")).union(planted),
+          "doc_id", "text")
+        .orderBy("doc_id")}),
+
     // PMI collocation ranking (the statistical phrase finder next to
     // d_bpe's frequency argmax): min-count-5 bigrams scored by
     // ln P(ab) − ln P(a) − ln P(b), each ln separately micro-rounded,
@@ -1586,6 +1607,13 @@ object PipelineQueries {
       Collocations.compressionByGroupSql(docsT, "doc_id", "text", "lang", 3),
 
     "d_pmi" -> Collocations.pmiTopSql(docsT, "text"),
+
+    "d_backoff_lm" ->
+      s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),
+         |${TextFunctions.backoffScoresSql(docsT, "doc_id", "text",
+             "doc_id < c", "doc_id >= c",
+             "UNION ALL SELECT 999999999999 AS doc_id, " +
+               "'zzunseen zzunseen zzunseen' AS text")}""".stripMargin,
 
     "d_bm25" ->
       s"""WITH dlt AS (

@@ -937,6 +937,26 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == v.toSeq)
   }
 
+  test("stupid backoff walks trigram→bigram→unigram→OOV with exact scores") {
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c"), // trigram seen: ln(2/2) = 0
+      (11L, "x b c"), // bigram backoff: B + ln(2/2)
+      (12L, "x y c"), // unigram backoff: 2B + ln(2) - ln(6)
+      (13L, "x y z"), // OOV: 2B - ln(6)
+      (14L, "a b")    // no trigram: (0, 0)
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.backoffScores(train, test, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val B = TextFunctions.StupidBackoffMicro
+    val ln2 = 693147L; val ln6 = 1791759L
+    assert(out(0) == ((10L, 1L, 0L)), s"seen trigram: ${out(0)}")
+    assert(out(1) == ((11L, 1L, B)), s"bigram backoff: ${out(1)}")
+    assert(out(2) == ((12L, 1L, 2 * B + ln2 - ln6)), s"unigram: ${out(2)}")
+    assert(out(3) == ((13L, 1L, 2 * B - ln6)), s"OOV: ${out(3)}")
+    assert(out(4) == ((14L, 0L, 0L)), s"short doc: ${out(4)}")
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

@@ -83,10 +83,11 @@ object Multimodal {
   case class AudioStats(nSamples: Long, sumSamples: Long,
                         minSample: Int, maxSample: Int)
 
-  /** Decode a RIFF/WAVE payload holding 16-bit integer PCM (format tag 1),
-    * walking the chunk list (not assuming the canonical 44-byte layout).
-    * None on anything malformed or non-PCM-16. JDK-only byte arithmetic. */
-  def decodeWav(bytes: Array[Byte]): Option[AudioStats] = {
+  /** The RIFF/WAVE chunk walk shared by [[decodeWav]] and
+    * [[decimateWavStats]]: locate the PCM-16 data chunk (format tag 1,
+    * 16-bit), not assuming the canonical 44-byte layout. Returns
+    * (dataOffset, sampleCount); None on anything malformed/non-PCM-16. */
+  private def pcm16DataRange(bytes: Array[Byte]): Option[(Int, Int)] = {
     def leU32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
@@ -108,18 +109,27 @@ object Multimodal {
       else if (id == "data") data = Some((off + 8, szI))
       off += 8 + szI + (szI & 1) // chunks are word-aligned
     }
-    data.filter(_ => fmtOk).map { case (dOff, dSz) =>
-      val n = dSz / 2
+    data.filter(_ => fmtOk).map { case (dOff, dSz) => (dOff, dSz / 2) }
+  }
+
+  /** The i-th signed 16-bit LE PCM sample at data offset `dOff`. */
+  @inline private def pcm16Sample(bytes: Array[Byte], dOff: Int, i: Int): Int =
+    ((bytes(dOff + 2 * i + 1) << 8) | (bytes(dOff + 2 * i) & 0xff)).toShort.toInt
+
+  /** Decode a RIFF/WAVE payload holding 16-bit integer PCM (format tag 1),
+    * walking the chunk list (not assuming the canonical 44-byte layout).
+    * None on anything malformed or non-PCM-16. JDK-only byte arithmetic. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioStats] =
+    pcm16DataRange(bytes).map { case (dOff, n) =>
       var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
       var i = 0
       while (i < n) {
-        val s = ((bytes(dOff + 2 * i + 1) << 8) | (bytes(dOff + 2 * i) & 0xff)).toShort.toInt
+        val s = pcm16Sample(bytes, dOff, i)
         sum += s; if (s < mn) mn = s; if (s > mx) mx = s
         i += 1
       }
       AudioStats(n, sum, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
     }
-  }
 
   /** One decoded row per media row: images carry raster stats, audio
     * carries sample stats, everything else decodes to kind "unknown" with
@@ -232,6 +242,46 @@ object Multimodal {
                 y += 1
               }
               Some(ResizedImage(id, ow, oh, sr, sg, sb))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Output row of [[decimateWavStats]]: kept-sample count and exact
+    * integer stats of the stride-decimated PCM stream. */
+  case class DecimatedAudio(media_id: Long, n_kept: Long, sum_kept: Long,
+                            min_kept: Int, max_kept: Int)
+
+  /** REAL stride decimation of PCM-16 WAV payloads — the audio twin of
+    * [[resizeImageStats]] (the cheap downsample an audio-data pipeline
+    * runs before feature extraction): keep every `stride`-th sample and
+    * report exact integer stats of the KEPT samples. Sums/mins/maxes are
+    * order-free integers over a deterministic index subset, so a
+    * construction-inverting oracle computes them straight from the
+    * planted samples (m_resample). Undecodable/non-PCM payloads drop.
+    * Same partition-batched shape as [[decodeMedia]]. */
+  def decimateWavStats(media: DataFrame, stride: Int): Dataset[DecimatedAudio] = {
+    require(stride >= 1, "stride >= 1")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          try {
+            pcm16DataRange(bytes).map { case (dOff, n) =>
+              var (cnt, sum, mn, mx) = (0L, 0L, Int.MaxValue, Int.MinValue)
+              var i = 0
+              while (i < n) {
+                val s = pcm16Sample(bytes, dOff, i)
+                cnt += 1; sum += s
+                if (s < mn) mn = s; if (s > mx) mx = s
+                i += stride
+              }
+              DecimatedAudio(id, cnt, sum,
+                if (cnt == 0) 0 else mn, if (cnt == 0) 0 else mx)
             }
           } catch { case _: Exception => None }
         }

@@ -435,6 +435,26 @@ object AnalyticsQueries {
             lit(0.06) * col("exact_parts").cast("double")).as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // approx-percentile sketch under an error-bound gate (the
+    // q_approx_distinct discipline: the estimate itself is
+    // engine-specific, so the hashed output is the exact row count plus a
+    // VERDICT — the rank of the approx median must sit within 4x the
+    // sketch's 1% rank-error guarantee; a broken sketch flips the boolean
+    // and the gate catches it)
+    "q_approx_pct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val ap = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("approx_percentile(value, 0.5, 100)").as("ap"))
+      val rk = e.join(ap.select(col("event_type"), col("ap")), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("value") <= col("ap"), 1L).otherwise(0L)).as("n_le"))
+      ap.join(rk, "event_type")
+        .select(col("event_type"), col("n_rows"),
+          (abs(col("n_le").cast("double") - lit(0.5) * col("n_rows")) <=
+            lit(0.04) * col("n_rows").cast("double")).as("within_bound"))
+        .orderBy("event_type")}),
+
     // distinct aggregation
     "q_distinct_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -809,6 +829,12 @@ object AnalyticsQueries {
         |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_pct" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // final mapGroupsWithState state = plain per-user aggregate; the
     // micro-unit sum floors each term before summing (engine-exact)

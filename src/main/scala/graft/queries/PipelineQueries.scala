@@ -95,6 +95,22 @@ object PipelineQueries {
       lit("00000000"), lit("00000000"), pixels)
   }
 
+  /** The planted PCM-16 WAV payload (hex) shared by m_features and
+    * m_resample: doc_id%16+2 signed LE16 samples with
+    * sample[k] = signed((doc_id·31 + k·997) % 65536) — canonical 44-byte
+    * layout, every decoded stat a closed-form function of doc_id. */
+  private def plantedWavHex(d: Column): Column = {
+    val n = pmod(d, lit(16L)) + 2
+    val samples = array_join(
+      transform(sequence(lit(0L), n - 1),
+        k => leHexC(pmod(d * 31 + k * 997, lit(65536L)), 2)), "")
+    concat(
+      lit("52494646"), leHexC(lit(36L) + n * 2, 4), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      leHexC(lit(8000L), 4), leHexC(lit(16000L), 4), lit("0200"), lit("1000"),
+      lit("64617461"), leHexC(n * 2, 4), samples)
+  }
+
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
       Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
@@ -1027,19 +1043,9 @@ object PipelineQueries {
     // walk; the oracle computes the planted stats directly — a hash match
     // proves decode(build(x)) == x for every payload
     "m_features" -> ((s, dir) => {
-      import org.apache.spark.sql.Column
-      def leHex(c: Column, nBytes: Int): Column = leHexC(c, nBytes)
       val d = col("doc_id")
       val bmp = plantedBmpHex(d)
-      val n = pmod(d, lit(16L)) + 2            // 2..17 PCM samples
-      val samples = array_join(                // unsigned LE16 of planted value
-        transform(sequence(lit(0L), n - 1),
-          k => leHex(pmod(d * 31 + k * 997, lit(65536L)), 2)), "")
-      val wav = concat(
-        lit("52494646"), leHex(lit(36L) + n * 2, 4), lit("57415645"),
-        lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
-        leHex(lit(8000L), 4), leHex(lit(16000L), 4), lit("0200"), lit("1000"),
-        lit("64617461"), leHex(n * 2, 4), samples)
+      val wav = plantedWavHex(d)
       val media = docs(s, dir).select(
         d.as("media_id"),
         unhex(when(pmod(d, lit(2)) === 0, bmp).otherwise(wav)).as("content"))
@@ -1056,6 +1062,16 @@ object PipelineQueries {
       val media = docs(s, dir).filter(pmod(d, lit(2)) === 0)
         .select(d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
       Multimodal.resizeImageStats(media, 2).toDF().orderBy("media_id")}),
+
+    // REAL stride decimation under oracle: the m_features WAVs (odd
+    // doc_ids) keep every 3rd PCM sample — the RIFF walk reads actual
+    // bytes, the oracle computes the kept samples' stats in closed form
+    // from the planted construction
+    "m_resample" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
+      Multimodal.decimateWavStats(media, 3).toDF().orderBy("media_id")}),
 
     // STREAMING multimodal ingest decode: the m_resize pipeline with the
     // docs table arriving as a parquet micro-batch stream — the planted
@@ -2099,6 +2115,25 @@ object PipelineQueries {
 
     // ground truth is the planted-payload arithmetic, NOT a re-decode:
     // the hash match proves the real pixel/PCM decoders invert the build
+    // stride-3 sample subset of the planted PCM stream in closed form
+    "m_resample" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, doc_id % 16 + 2 AS n
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), smp AS (
+        |  SELECT media_id,
+        |    list_transform(generate_series(0, n - 1, 3),
+        |      k -> CASE WHEN (media_id * 31 + k * 997) % 65536 < 32768
+        |                THEN (media_id * 31 + k * 997) % 65536
+        |                ELSE (media_id * 31 + k * 997) % 65536 - 65536 END) AS s
+        |  FROM base
+        |)
+        |SELECT media_id, CAST(len(s) AS BIGINT) AS n_kept,
+        |  CAST(list_aggregate(s, 'sum') AS BIGINT) AS sum_kept,
+        |  CAST(list_aggregate(s, 'min') AS INT) AS min_kept,
+        |  CAST(list_aggregate(s, 'max') AS INT) AS max_kept
+        |FROM smp ORDER BY media_id""".stripMargin,
+
     // stride-2 pixel subset of the planted BMP raster in closed form:
     // image row y is raster row h-1-y, kept pixels are x∈{0,2}, y even
     "m_resize" ->

@@ -137,6 +137,30 @@ class MultimodalSpec extends SparkSpec {
     assert((s1.sum_r, s1.sum_g, s1.sum_b) == ((full.sumR, full.sumG, full.sumB)))
   }
 
+  test("decimateWavStats keeps exactly the strided sample subset") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(100, -200, 32767, -32768, 0, 7, -9)
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = fmt ++ "data".getBytes ++ le32(data.length) ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val df = Seq((5L, wav), (6L, "junk".getBytes)).toDF("media_id", "content")
+    val out = Multimodal.decimateWavStats(df, 3).collect()
+    assert(out.length == 1, "undecodable rows drop, not crash")
+    val kept = Seq(samples(0), samples(3), samples(6)) // indices 0, 3, 6
+    val r = out.head
+    assert(r.n_kept == 3 && r.sum_kept == kept.map(_.toLong).sum)
+    assert(r.min_kept == kept.min && r.max_kept == kept.max)
+    // stride 1 degenerates to decodeWav's full stats
+    val full = Multimodal.decodeWav(wav).get
+    val s1 = Multimodal.decimateWavStats(df, 1).head()
+    assert((s1.n_kept, s1.sum_kept, s1.min_kept, s1.max_kept) ==
+      ((full.nSamples, full.sumSamples, full.minSample, full.maxSample)))
+  }
+
   test("truncate and frame-sample keep schema and bounds") {
     val t = Multimodal.truncateContent(media, 16)
     assert(t.select(max(length($"content"))).head.getInt(0) <= 16)

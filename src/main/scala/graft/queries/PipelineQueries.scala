@@ -111,6 +111,12 @@ object PipelineQueries {
       lit("64617461"), leHexC(n * 2, 4), samples)
   }
 
+  /** Session-shared Naive Bayes scoring — d_nb_classifier and d_nb_eval
+    * both read the full train+score pass; build it once. */
+  private def sharedNb(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("nb_scored", s, dir)(
+      Classify.naiveBayes(docs(s, dir), "doc_id", "text", "lang"))
+
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
       Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
@@ -198,9 +204,29 @@ object PipelineQueries {
     // Laplace smoothing learned from the corpus itself, argmax scored per
     // doc — train AND score replay exactly in SQL (micro-nat lns, label
     // tie-break)
-    "d_nb_classifier" -> ((s, dir) =>
-      Classify.naiveBayes(docs(s, dir), "doc_id", "text", "lang")
-        .orderBy("doc_id")),
+    "d_nb_classifier" -> ((s, dir) => sharedNb(s, dir).orderBy("doc_id")),
+
+    // per-class evaluation of the NB classifier in exact integers: tp/fp/
+    // fn counts + integer milli precision/recall (the classifier report
+    // card a pipeline gates deployment on); rides the session-shared
+    // scoring pass
+    "d_nb_eval" -> ((s, dir) => {
+      val sc = sharedNb(s, dir)
+      val classes = sc.select(col("true_lang").as("lang")).distinct()
+      classes.join(sc, classes("lang") === sc("true_lang") ||
+          classes("lang") === sc("pred_lang"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("true_lang") === col("lang") &&
+            col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred_lang") === col("lang") &&
+            col("true_lang") =!= col("lang"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("true_lang") === col("lang") &&
+            col("pred_lang") =!= col("lang"), 1L).otherwise(0L)).as("fn"))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"),
+          expr("(1000 * tp) div greatest(tp + fp, 1)").as("precision_milli"),
+          expr("(1000 * tp) div greatest(tp + fn, 1)").as("recall_milli"))
+        .orderBy("lang")}),
 
     // per-source corpus profile (exact integer stats)
     "d_source_stats" -> ((s, dir) =>
@@ -881,6 +907,29 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // recall CURVE for the PQ index: recall@{1,5,10} vs exact in one
+    // query (the index-tuning view — one cutoff hides rank degradation);
+    // a hit at k needs BOTH ranks ≤ k, zero rows padded per (query, k)
+    "e_recall_curve" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"), col("rank").as("er"))
+      val approx = Similarity.pqTopK(corpus, queriesDf, 10,
+          prebuiltCodebooks = Some(sharedPqCodebooks(s, dir)),
+          prebuiltCodes = Some(sharedPqCodes(s, dir)))
+        .select(col("query_id"), col("vec_id"), col("rank").as("ar"))
+      val ks = explode(array(lit(1), lit(5), lit(10))).as("k")
+      val cnt = approx.join(exact, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("er"), col("ar"), ks)
+        .filter(col("ar") <= col("k") && col("er") <= col("k"))
+        .groupBy("query_id", "k").agg(count(lit(1)).as("n"))
+      queriesDf.select(col("id").as("query_id")).select(col("query_id"), ks)
+        .join(cnt, Seq("query_id", "k"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("n"), lit(0L)).as("n_hits"))
+        .orderBy("query_id", "k")}),
+
     // IVF+PQ composed recall under ORACLE (the FAISS-IVFPQ production
     // shape): trainless cells bound WHICH vectors are scored, PQ codes
     // bound the BYTES per scored vector — both components already
@@ -1399,6 +1448,29 @@ object PipelineQueries {
     "d_nb_classifier" ->
       s"""${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
          |ORDER BY doc_id""".stripMargin,
+
+    "d_nb_eval" ->
+      s"""WITH nb AS (
+         |${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
+         |), cls AS (
+         |  SELECT DISTINCT true_lang AS lang FROM nb
+         |), j AS (
+         |  SELECT cls.lang, nb.true_lang, nb.pred_lang
+         |  FROM cls JOIN nb ON cls.lang = nb.true_lang OR cls.lang = nb.pred_lang
+         |), agg AS (
+         |  SELECT lang,
+         |    CAST(sum(CASE WHEN true_lang = lang AND pred_lang = lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred_lang = lang AND true_lang <> lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN true_lang = lang AND pred_lang <> lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM j GROUP BY 1
+         |)
+         |SELECT lang, tp, fp, fn,
+         |  CAST((1000 * tp) // greatest(tp + fp, 1) AS BIGINT) AS precision_milli,
+         |  CAST((1000 * tp) // greatest(tp + fn, 1) AS BIGINT) AS recall_milli
+         |FROM agg ORDER BY lang""".stripMargin,
 
     "d_source_stats" ->
       s"""SELECT source, count(*) AS n_docs,
@@ -1919,6 +1991,77 @@ object PipelineQueries {
          |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
          |FROM ne JOIN np USING (query_id) LEFT JOIN nh USING (query_id)
          |ORDER BY ne.query_id""".stripMargin
+    },
+
+    // the e_pq_recall replay keeping BOTH rank columns, counted at three
+    // cutoffs with zero-padded (query, k) cells
+    "e_recall_curve" -> {
+      val m = Similarity.PqSubspaces
+      val k = Similarity.PqCodebookSize
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT len(vec) // $m AS sub FROM c LIMIT 1
+         |), samp AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS j, vec
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'pqc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT $k)
+         |), cb AS (
+         |  SELECT mm.range AS m, j,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS cbv
+         |  FROM samp, range($m) mm, dims
+         |), sv AS (
+         |  SELECT id, mm.range AS m,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS svv
+         |  FROM c, range($m) mm, dims
+         |), enc AS (
+         |  SELECT id, m, j AS code FROM (
+         |    SELECT sv.id, sv.m, cb.j,
+         |      row_number() OVER (PARTITION BY sv.id, sv.m
+         |        ORDER BY CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) DESC, cb.j) AS rn
+         |    FROM sv JOIN cb ON sv.m = cb.m) WHERE rn = 1
+         |), qt AS (
+         |  SELECT sv.id AS query_id, sv.m, cb.j AS code,
+         |    CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) AS t_micro
+         |  FROM sv JOIN cb ON sv.m = cb.m WHERE sv.id < 5
+         |), pqs AS (
+         |  SELECT qt.query_id, enc.id AS vec_id,
+         |    CAST(SUM(t_micro) AS BIGINT) AS score
+         |  FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.code
+         |  WHERE enc.id <> qt.query_id
+         |  GROUP BY 1, 2
+         |), pqk AS (
+         |  SELECT query_id, vec_id, rnk AS ar FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id) AS rnk
+         |    FROM pqs)
+         |  WHERE rnk <= 10
+         |), ex AS (
+         |  SELECT query_id, vec_id, rnk AS er FROM (
+         |    SELECT q.id AS query_id, c.id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+         |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+         |  WHERE rnk <= 10
+         |), hits AS (
+         |  SELECT e.query_id, e.er, p.ar
+         |  FROM ex e JOIN pqk p ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+         |), ks AS (
+         |  SELECT unnest([1, 5, 10]) AS k
+         |), cnt AS (
+         |  SELECT query_id, k, CAST(count(*) AS BIGINT) AS n
+         |  FROM hits JOIN ks ON hits.ar <= ks.k AND hits.er <= ks.k
+         |  GROUP BY 1, 2
+         |)
+         |SELECT b.query_id, CAST(b.k AS INT) AS k,
+         |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_hits
+         |FROM (SELECT id AS query_id, k FROM c, ks WHERE id < 5) b
+         |LEFT JOIN cnt ON cnt.query_id = b.query_id AND cnt.k = b.k
+         |ORDER BY b.query_id, b.k""".stripMargin
     },
 
     // two-stage replay: the e_pq_recall codebook/encode/score CTEs produce

@@ -289,6 +289,47 @@ class PlanSpec extends SparkSpec {
       s"ADC is equi-joins only:\n${plan.take(900)}")
   }
 
+  test("embedding decontamination broadcasts the bench side, scans corpus once") {
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val out = operators.Similarity.embContamination(
+      all.filter($"id" >= 10), all.filter($"id" < 10), 0.45)
+    val plan = finalPlanString(out)
+    // the corpus-vs-bench compare is a broadcast product (bench tiny by
+    // construction); the corpus side must NOT sit under any Exchange
+    // before the compare — only the final per-id max aggregation shuffles
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n${plan.take(900)}")
+    val beforeAgg = plan.substring(plan.indexOf("Join"))
+    assert(!beforeAgg.contains("CartesianProduct"),
+      s"non-broadcast product would shuffle the corpus:\n${plan.take(900)}")
+  }
+
+  test("DSIR scoring broadcasts the bucket-weight table into the tf frame") {
+    val out = operators.Sampling.dsirWeights(
+      Tables.documents(spark, sf), "doc_id", "text", $"lang" === "en")
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 128-row weight table must broadcast:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      s"no data-sized join anywhere in DSIR:\n${plan.take(900)}")
+  }
+
+  test("PQ rerank stage 2 broadcasts queries, joins corpus vectors by key") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val out = operators.Similarity.pqRerankTopK(
+      corpus, corpus.filter($"id" < 5), 5, shortlist = 20)
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query vectors must broadcast into the shortlist join:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rerank is equi-joins only:\n${plan.take(900)}")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -402,6 +402,45 @@ object Dedup {
        |ORDER BY doc_id, fp""".stripMargin
   }
 
+  /** MOSS-style overlap detection on the winnowed fingerprints: document
+    * pairs sharing ≥ `minShared` selected fingerprints, with the shared
+    * count (the plagiarism/boilerplate-overlap report the winnowing
+    * index exists to serve). Fingerprints appearing in more than `maxDf`
+    * docs are dropped BEFORE the pair join — the standard MOSS move: a
+    * boilerplate fingerprint shared by 10⁶ docs would otherwise explode
+    * the join quadratically, and it carries no overlap signal anyway.
+    * With the cap, the join is bucketed by fingerprint and each bucket is
+    * ≤ maxDf² pairs — never all-pairs ([[winnowMatchPairsSql]]). */
+  def winnowMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minShared: Long = 3, maxDf: Long = 64): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= maxDf).select("fp")
+    val kept = fp.join(rare, "fp")
+    kept.select(col("doc_id").as("a"), col("fp"))
+      .join(kept.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowMatchPairs]]. */
+  def winnowMatchPairsSql(table: String, idCol: String, textCol: String,
+                          minShared: Long = 3, maxDf: Long = 64): String =
+    s"""WITH w AS (
+       |  SELECT * FROM (${winnowFingerprintsSql(table, idCol, textCol)})
+       |), rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS dfc FROM w GROUP BY 1)
+       |  WHERE dfc <= $maxDf
+       |), kept AS (
+       |  SELECT doc_id, fp FROM w JOIN rare USING (fp)
+       |)
+       |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minShared
+       |ORDER BY a, b""".stripMargin
+
   // ------------------------------------------------- end-to-end pipeline
   /** Full near-dup dedup pipeline: MinHash-LSH candidates filtered by
     * signature similarity become edges of a duplicate graph; connected

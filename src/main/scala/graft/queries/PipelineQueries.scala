@@ -609,6 +609,13 @@ object PipelineQueries {
         d.filter(col("source") === "src19"),
         "doc_id", "text").orderBy("doc_id")}),
 
+    // MOSS-style overlap report on the winnow index: pairs sharing ≥ 3
+    // selected fingerprints, hot fingerprints (df > 64) dropped before
+    // the pair join so no bucket exceeds maxDf² pairs
+    "d_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowMatchPairs(docs(s, dir), "doc_id", "text")
+        .orderBy("a", "b")),
+
     // vocabulary coverage curve: fraction of corpus tokens covered by the
     // top-K vocabulary at several K (the tokenizer-sizing diagnostic).
     // Rank is over the VOCABULARY (bounded however large the corpus);
@@ -1216,6 +1223,8 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_winnow_pairs" -> Dedup.winnowMatchPairsSql(docsT, "doc_id", "text"),
 
     "d_quality_flags" -> {
       val ntok = tokenCountSql("text")

@@ -957,6 +957,51 @@ class PipelineSpec extends SparkSpec {
     assert(out(4) == ((14L, 0L, 0L)), s"short doc: ${out(4)}")
   }
 
+  test("winnow matching finds planted overlap and the hot-fp cap holds") {
+    // docs 1/2 share a long verbatim passage; 3 is unrelated; 4..40 all
+    // contain the same boilerplate sentence (a hot fingerprint source)
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val boiler = "all rights reserved contact us at example dot com"
+    val d = (Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"beta $passage gamma"),
+      (3L, "completely unrelated text about graphs and joins here")) ++
+      (4 to 40).map(i => (i.toLong, s"doc $i unique words w$i x$i y$i $boiler")))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowMatchPairs(d, "doc_id", "text",
+        minShared = 3, maxDf = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L),
+      s"planted passage pair missing: ${out.toSeq}")
+    // boilerplate fingerprints sit in 37 docs > maxDf=10: they must not
+    // generate the ~37² pair explosion
+    val boilerPairs = out.count(p => p._1 >= 4L)
+    assert(boilerPairs == 0,
+      s"hot fingerprints must be capped out: ${out.toSeq}")
+  }
+
+  test("PQ index artifacts survive a parquet round-trip") {
+    import java.nio.file.Files
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val queries = corpus.filter($"id" < 5)
+    val dim = Similarity.inferDim(corpus)
+    val cbs = Similarity.pqCodebooks(corpus, dim)
+    val codes = Similarity.pqEncode(corpus, cbs, dim)
+    val dir = Files.createTempDirectory("graft_pq").toString
+    cbs.write.parquet(s"$dir/codebooks")
+    codes.write.parquet(s"$dir/codes")
+    val direct = Similarity.pqTopK(corpus, queries, 10,
+      prebuiltCodebooks = Some(cbs), prebuiltCodes = Some(codes))
+      .collect().map(_.toSeq).toSet
+    val reloaded = Similarity.pqTopK(corpus, queries, 10,
+      prebuiltCodebooks = Some(spark.read.parquet(s"$dir/codebooks")),
+      prebuiltCodes = Some(spark.read.parquet(s"$dir/codes")))
+      .collect().map(_.toSeq).toSet
+    assert(reloaded == direct,
+      "search over persisted index artifacts must equal the in-session index")
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

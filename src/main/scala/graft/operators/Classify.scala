@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{tokens, tokensSql}
 
@@ -26,7 +27,16 @@ object Classify {
     * score_micro is the winning class's unnormalized log-posterior in
     * micro-nats (negative; higher = more confident). */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String): DataFrame = {
+                 labelCol: String): DataFrame =
+    naiveBayesFromScored(docs, naiveBayesScored(docs, idCol, textCol, labelCol),
+      idCol, labelCol)
+
+  /** The full per-(doc, class) log-posterior frame (doc_id, lbl, score) —
+    * the argmax over it is [[naiveBayes]]'s prediction, and a single
+    * class's column sliced out of it is a RANKING signal ([[rocAuc]]
+    * grades it). Exposed so both consumers share one train+score pass. */
+  def naiveBayesScored(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String): DataFrame = {
     def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
     val tok = docs.select(col(idCol).as("doc_id"), col(labelCol).as("lbl"),
       explode(tokens(col(textCol))).as("token"))
@@ -49,11 +59,17 @@ object Classify {
           lmicro(col("tot") + col("v"))).as("likel_micro"))
     val prior = pri.crossJoin(broadcast(priN))
       .select(col("lbl"), (lmicro(col("nd")) - lmicro(col("nn"))).as("prior_micro"))
-    val scored = tf.join(grid, "token")
+    tf.join(grid, "token")
       .groupBy("doc_id", "lbl")
       .agg(sum(col("tf") * col("likel_micro")).as("s"))
       .join(broadcast(prior), "lbl")
       .select(col("doc_id"), col("lbl"), (col("s") + col("prior_micro")).as("score"))
+  }
+
+  /** The argmax/attach tail of [[naiveBayes]] over a prebuilt
+    * [[naiveBayesScored]] frame. */
+  def naiveBayesFromScored(docs: DataFrame, scored: DataFrame,
+                           idCol: String, labelCol: String): DataFrame = {
     // argmax with label tie-break: max(struct) compares score first, then
     // label — the same (max score, then max label) order the SQL twin takes
     val pred = scored.groupBy("doc_id")
@@ -64,10 +80,61 @@ object Classify {
       .join(pred, "doc_id")
   }
 
-  /** DuckDB twin of [[naiveBayes]] over `table`(idCol, textCol, labelCol). */
-  def naiveBayesSql(table: String, idCol: String, textCol: String,
-                    labelCol: String): String =
-    s"""WITH tok AS (
+  /** Exact ROC-AUC of an integer ranking signal against a boolean label —
+    * the Mann-Whitney U statistic with midrank tie handling, the number a
+    * pipeline reads before trusting a quality/domain classifier's scores
+    * as a filtering signal. Everything is integer until ONE final integer
+    * division: per distinct score s with t rows (p positive), the doubled
+    * midrank is 2·c_lt + t + 1 (c_lt = rows strictly below s), and
+    * `auc_micro = (1e6·(Σ_pos 2mr − n_pos·(n_pos+1))) div (2·n_pos·n_neg)`
+    * — engine-exact, no float anywhere. i64 headroom: Σ_pos 2mr ≤ 2n²,
+    * so exact through n ≈ 6·10⁷ scored rows (shard the rank pass above).
+    *
+    * Scale shape: the ranking runs on the (score → t, p) aggregate via a
+    * DISTRIBUTED prefix sum — range-repartition by score, per-partition
+    * subtotals (one tiny frame), broadcast offsets, partition-local
+    * cumulative window — never a single-partition global window. The
+    * result is independent of where the range boundaries land (prefix
+    * sums recombine exactly), so the output stays deterministic.
+    *
+    * `df` must carry `scoreCol` (integral) and `posCol` (boolean).
+    * Returns one row: (n_pos, n_neg, auc_micro). */
+  def rocAuc(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val grp = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col(posCol), 1L).otherwise(0L)).as("p"))
+    val nParts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 1)
+    // pinned: the pid column is a physical artifact — both consumers
+    // (offsets, midranks) must see the SAME materialized assignment
+    val ranged = graft.CacheScope.cached(
+      grp.repartitionByRange(nParts, col("s"))
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id()))
+    // per-partition totals are one row per partition — the offset frame is
+    // tiny by construction, so ITS cumulative window may run unpartitioned
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(sum(col("t")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mr = ranged.join(broadcast(offsets), "pid")
+      .withColumn("c_lt",
+        col("off") + coalesce(sum(col("t")).over(wIn), lit(0L)))
+      .select(col("t"), col("p"),
+        (col("p") * (lit(2L) * col("c_lt") + col("t") + lit(1L))).as("pos2mr"))
+    mr.agg(sum(col("p")).as("n_pos"), sum(col("t") - col("p")).as("n_neg"),
+        sum(col("pos2mr")).as("s2mr"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(1000000 * (s2mr - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+          .as("auc_micro"))
+  }
+
+  /** DuckDB twin of [[naiveBayesScored]]: CTE fragments (tok..scored, no
+    * WITH prefix) over `table`(idCol, textCol, labelCol); the per-(doc,
+    * class) log-posteriors land in `scored`(doc_id, lbl, score). */
+  def naiveBayesScoredCte(table: String, idCol: String, textCol: String,
+                          labelCol: String): String =
+    s"""tok AS (
        |  SELECT $idCol AS doc_id, $labelCol AS lbl,
        |    unnest(${tokensSql(textCol)}) AS token
        |  FROM $table
@@ -105,7 +172,12 @@ object Classify {
        |    FROM tf JOIN grid ON tf.token = grid.token
        |    GROUP BY 1, 2) s
        |  JOIN prior ON prior.lbl = s.lbl
-       |), best AS (
+       |)""".stripMargin
+
+  /** DuckDB twin of [[naiveBayes]] over `table`(idCol, textCol, labelCol). */
+  def naiveBayesSql(table: String, idCol: String, textCol: String,
+                    labelCol: String): String =
+    s"""WITH ${naiveBayesScoredCte(table, idCol, textCol, labelCol)}, best AS (
        |  SELECT doc_id, max(score) AS ms FROM scored GROUP BY 1
        |), pred AS (
        |  SELECT s.doc_id, max(s.lbl) AS pred_lbl, max(s.score) AS score_micro

@@ -765,6 +765,59 @@ object Dedup {
       .select("a", "b", "inter", "union_size")
   }
 
+  /** Asymmetric shingle CONTAINMENT for document pairs sharing any
+    * shingle: `c(a⊂b) = |A∩B| / |A|` in integer milli — the signal that
+    * catches quote-inclusion and sub-document copies Jaccard structurally
+    * misses (a short doc fully embedded in a long one has Jaccard
+    * ≈ |A|/|B| → 0 but containment exactly 1000). Pairs survive when
+    * EITHER direction reaches `minMilli`; both directions are reported.
+    * All integer (milli = (1000·inter) div n), engine-exact.
+    *
+    * Scale shape: same shingle-hash join as [[ngramJaccardPairsFrom]]
+    * (longs, not strings, through the shuffle; candidate volume bounded
+    * by shared-shingle pairs, no all-pairs product); at 100 TB feed it
+    * the LSH candidate pairs instead of the raw shingle join. */
+  def containmentPairsFrom(sh: DataFrame, minMilli: Int): DataFrame = {
+    val ds = graft.CacheScope.cached(
+      sh.select(col("doc_id"), hash32(col("shingle")).as("shingle")).distinct())
+    val counts = ds.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter = ds.select(col("shingle"), col("doc_id").as("a"))
+      .join(ds.select(col("shingle"), col("doc_id").as("b")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("a", "na"), "a")
+      .join(counts.toDF("b", "nb"), "b")
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        expr("(1000 * inter) div na").as("cont_a_milli"),
+        expr("(1000 * inter) div nb").as("cont_b_milli"))
+      .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= minMilli)
+  }
+
+  /** DuckDB twin of [[containmentPairsFrom]] over
+    * `table`(idCol, textCol). */
+  def containmentPairsSql(table: String, idCol: String, textCol: String,
+                          minMilli: Int): String =
+    s"""WITH sh AS (
+       |  SELECT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS s
+       |  FROM $table
+       |), ds AS (
+       |  SELECT DISTINCT doc_id, ${hash32Sql("s")} AS shingle FROM sh
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id
+       |), inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+       |  FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |)
+       |SELECT a, b, i AS inter,
+       |  CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+       |  CAST((1000 * i) // ca.n AS BIGINT) AS cont_a_milli,
+       |  CAST((1000 * i) // cb.n AS BIGINT) AS cont_b_milli
+       |FROM inter JOIN cnt ca ON a = ca.doc_id JOIN cnt cb ON b = cb.doc_id
+       |WHERE greatest((1000 * i) // ca.n, (1000 * i) // cb.n) >= $minMilli
+       |ORDER BY a, b""".stripMargin
+
   def ngramJaccardPairsSql(table: String, idCol: String, textCol: String,
                            threshold: Double): String =
     s"""WITH sh AS (

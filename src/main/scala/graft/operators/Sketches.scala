@@ -172,4 +172,80 @@ object Sketches {
        |LEFT JOIN bfp b ON p.fp = b.fp
        |ORDER BY p.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------- hyperloglog
+  /** Deterministic HyperLogLog (Flajolet et al. 2007): the cardinality
+    * sketch behind every engine's approx_count_distinct, rebuilt on the
+    * md5-derived hash family so BOTH the register table and the estimate
+    * replay exactly in SQL — unlike the built-in HLL (q_approx_distinct),
+    * whose raw estimate stays engine-specific. 64 registers: the low 6
+    * hash bits pick the register, rho = leading-zero rank of the
+    * remaining 54 bits (computed as 55 − bitlength, pure integer via the
+    * binary-string length — no libm log2 at a power-of-two boundary).
+    * The harmonic denominator is kept as Σ 2^(55−rho) — an EXACT BIGINT
+    * (≤ 64·2^55 < 2^62) — and the single float step (alpha·m²·2^55 / S)
+    * is one multiply-divide chain over exact inputs, IEEE-identical in
+    * both engines.
+    *
+    * Scale shape: one map-side-combinable max per register — the sketch
+    * of a petabyte stream is 64 rows; merging shards is a further max. */
+  val HllM = 64
+  /** alpha_64 = 0.709, the standard bias constant for m = 64. */
+  val HllAlpha = 0.709
+
+  /** (register, rho_max) — all 64 registers, 0 where the register never
+    * saw an item. */
+  def hllRegisters(items: DataFrame, itemCol: String): DataFrame = {
+    val sp = items.sparkSession
+    val pre = items.select(hash60(col(itemCol)).as("h"))
+      .select(pmod(col("h"), lit(64L)).cast("int").as("register"),
+        expr("h div 64").as("v"))
+    val regs = pre
+      .select(col("register"),
+        when(col("v") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("v")))).as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("rho_max"))
+    sp.range(HllM.toLong).select(col("id").cast("int").as("register"))
+      .join(regs, Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("rho_max"), lit(0)).cast("int").as("rho_max"))
+  }
+
+  /** One-row estimate off a [[hllRegisters]] table: the exact integer
+    * denominator, the raw HLL estimate (floored to BIGINT), plus
+    * diagnostics when `exact` is supplied by the caller. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - rho_max as int))"))
+        .as("s_pow"))
+      .select(col("s_pow"),
+        floor(lit(HllAlpha) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_pow").cast("double")).cast("long").as("est"))
+
+  /** DuckDB twin of [[hllRegisters]] over item CTE `items`(item). */
+  def hllRegistersSql(items: String): String =
+    s"""hpre AS (
+       |  SELECT CAST(h % 64 AS INT) AS register, h // 64 AS v FROM (
+       |    SELECT ${hash60Sql("item")} AS h FROM $items)
+       |), hregs AS (
+       |  SELECT register,
+       |    max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS rho_max
+       |  FROM hpre GROUP BY register
+       |), hfull AS (
+       |  SELECT CAST(g.r AS INT) AS register,
+       |    CAST(coalesce(hregs.rho_max, 0) AS INT) AS rho_max
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS r) g
+       |  LEFT JOIN hregs ON hregs.register = g.r
+       |)""".stripMargin
+
+  /** DuckDB twin of [[hllEstimate]] over the `hfull` fragment: CTE
+    * `hest`(s_pow, est) — the float step mirrors the Spark op tree. */
+  def hllEstimateSql: String =
+    s"""hest AS (
+       |  SELECT s_pow,
+       |    CAST(floor(CAST($HllAlpha AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |        * CAST(36028797018963968.0 AS DOUBLE)
+       |      / CAST(s_pow AS DOUBLE)) AS BIGINT) AS est
+       |  FROM (SELECT CAST(sum(1::BIGINT << (55 - rho_max)) AS BIGINT) AS s_pow
+       |        FROM hfull)
+       |)""".stripMargin
 }

@@ -554,6 +554,80 @@ object GraphOps {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** Jaccard link-prediction scores over the HUB-CAPPED undirected
+    * neighbor graph: middles (shared neighbors) above the
+    * `hubCapPercentile` degree are removed from the graph FIRST, then
+    * `jac(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|` is exact on the filtered
+    * graph — common counts, degrees and the union size all come from the
+    * same capped adjacency, so the statistic is self-consistent (not a
+    * mixed estimate). The ratio is kept as `(1000·common) div
+    * (deg(a)+deg(b)−common)` — one integer division, engine-exact.
+    * Returns the top `k` pairs by (jac_milli desc, common desc, a, b) —
+    * a total order, so the cut is deterministic.
+    *
+    * Scale: identical candidate-volume story to [[adamicAdar]] — the pair
+    * join costs Σ deg(w)² over SURVIVING middles only, and the cap is
+    * data-adaptive (a percentile, not a constant that goes vacuous across
+    * SFs). Degrees join back on the node key (node-sized, shuffle join);
+    * the top-k is a TakeOrdered, never a global sort. */
+  def jaccardPairs(g: KinGraph, k: Int,
+                   hubCapPercentile: Double = 0.9): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(hubCapPercentile > 0.0 && hubCapPercentile <= 1.0,
+      "0 < hubCapPercentile <= 1")
+    val ud = undirectedEdges(g, Some(col("src")))
+    val deg = ud.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val cap = deg.agg(expr(s"percentile(deg, $hubCapPercentile)").as("cap"))
+    // the capped graph: every edge whose NEIGHBOR side (the potential
+    // middle w) survives the cap — one broadcast 1-row frame, no collect
+    val keep = CacheScope.cached(
+      ud.join(deg.crossJoin(broadcast(cap))
+          .filter(col("deg") <= col("cap")).select(col("w")),
+        ud("src") === col("w"))
+        .select(col("w"), col("dst").as("x")))
+    val degc = keep.groupBy(col("x")).agg(count(lit(1)).as("dc"))
+    val pairs = keep.select(col("w"), col("x").as("a"))
+      .join(keep.select(col("w"), col("x").as("b")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(degc.select(col("x").as("a"), col("dc").as("da")), "a")
+      .join(degc.select(col("x").as("b"), col("dc").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(1000 * common) div (da + db - common)").as("jac_milli"))
+      .orderBy(col("jac_milli").desc, col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[jaccardPairs]]: CTE fragments (jud, jdeg, jcap,
+    * jkeep, jdegc, jpair) over an edge CTE `edges`(src, dst); select the
+    * top-k from `jpair` with
+    * `ORDER BY jac_milli DESC, common DESC, a, b LIMIT k`. */
+  def jaccardPairsSql(edges: String, hubCapPercentile: Double = 0.9): String =
+    s"""jud AS (
+       |  SELECT src, dst FROM $edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM $edges WHERE src <> dst
+       |), jdeg AS (
+       |  SELECT src AS w, count(*) AS deg FROM jud GROUP BY src
+       |), jcap AS (
+       |  SELECT quantile_cont(deg, $hubCapPercentile) AS cap FROM jdeg
+       |), jkeep AS (
+       |  SELECT u.src AS w, u.dst AS x FROM jud u
+       |  JOIN jdeg d ON d.w = u.src, jcap WHERE d.deg <= jcap.cap
+       |), jdegc AS (
+       |  SELECT x, count(*) AS dc FROM jkeep GROUP BY x
+       |), jpair AS (
+       |  SELECT p.a, p.b, p.common,
+       |    CAST((1000 * p.common) // (da.dc + db.dc - p.common) AS BIGINT)
+       |      AS jac_milli
+       |  FROM (
+       |    SELECT ka.x AS a, kb.x AS b, CAST(count(*) AS BIGINT) AS common
+       |    FROM jkeep ka JOIN jkeep kb ON ka.w = kb.w AND ka.x < kb.x
+       |    GROUP BY 1, 2) p
+       |  JOIN jdegc da ON da.x = p.a
+       |  JOIN jdegc db ON db.x = p.b
+       |)""".stripMargin
+
   /** Landmark harmonic closeness: multi-source bounded BFS from the
     * `nLandmarks` nodes with the smallest salted key hash (a deterministic
     * uniform sample — exact all-pairs closeness is O(n·m) and no 100 TB

@@ -33,6 +33,13 @@ object GxQueries {
     GraphXBridge.toGraphXCached(unionGraph(s, dir),
       s"union|$dir|${System.identityHashCode(s)}")
 
+  /** Session-shared LPA labels (5 sync iterations) — gx_labelprop emits
+    * them directly and gx_modularity grades their community quality; the
+    * 5-round iterative pass builds once per session. */
+  private def sharedLpa(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("lpa5", s, dir)(
+      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5))
+
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =
     """WITH ue AS (
@@ -84,9 +91,62 @@ object GxQueries {
     // period-2 limit cycle this graph's bipartite S-C structure settles
     // into under synchronous updates (sync LPA oscillates rather than
     // fixing on bipartite-ish graphs — GraphOpsSpec pins l5 == l7)
-    "gx_labelprop" -> ((s, dir) =>
-      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5)
-        .orderBy("key")),
+    "gx_labelprop" -> ((s, dir) => sharedLpa(s, dir).orderBy("key")),
+
+    // modularity of the LPA communities — the "are these communities
+    // real" grade every community detection needs: per community the
+    // node count, internal-edge count e_in and degree sum d_c over the
+    // undirected distinct-pair graph, plus the EXACT integer modularity
+    // numerator q_num = 4m·e_in − d_c² (Q = Σ q_num / 4m²; headroom:
+    // d_c ≤ 2m keeps q_num inside i64 through m < 1.5e9 — beyond that,
+    // shard the Σ). The single float step (q_total_micro) is one
+    // multiply-divide chain over exact integers — IEEE-exact in both
+    // engines, the gx_assort discipline
+    "gx_modularity" -> ((s, dir) => {
+      val labels = sharedLpa(s, dir)
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val und = e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val mm = und.agg(count(lit(1)).as("m_edges"))
+      val udg = und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("deg"))
+      val com = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      val ein = und
+        .join(labels.select(col("key").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("key").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_in"))
+      val dc = labels.join(udg, "key")
+        .groupBy("label").agg(sum(col("deg")).as("deg_sum"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      com.join(ein, Seq("label"), "left").join(dc, Seq("label"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+          col("m_edges"),
+          (lit(4L) * col("m_edges") * coalesce(col("e_in"), lit(0L)) -
+            coalesce(col("deg_sum"), lit(0L)) *
+            coalesce(col("deg_sum"), lit(0L))).as("q_num"))
+        .withColumn("q_total_micro",
+          floor(lit(1000000.0) * sum(col("q_num")).over(w).cast("double") /
+            (lit(4.0) * col("m_edges").cast("double") *
+              col("m_edges").cast("double"))).cast("long"))
+        .orderBy("label")}),
+
+    // Jaccard link prediction on the hub-capped undirected graph: top-100
+    // pairs by (1000·|N∩|) div |N∪| — common counts, degrees and union
+    // size all from the SAME capped adjacency (middles above the p90
+    // degree removed first, the gx_adamic scale guard applied to the
+    // graph itself, so the statistic is self-consistent)
+    "gx_jaccard" -> ((s, dir) =>
+      GraphOps.jaccardPairs(unionGraph(s, dir), 100, hubCapPercentile = 0.9)),
 
     // bounded k-core peel on the supplier-part graph with DATA-ADAPTIVE
     // k = min undirected degree + 2 (a fixed k is vacuous across scale
@@ -258,6 +318,52 @@ object GxQueries {
     "gx_labelprop" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}
          |SELECT key, label FROM l5 ORDER BY key""".stripMargin,
+
+    // modularity numerators from the same l5 labels: und distinct pairs,
+    // symmetric degrees, per-community e_in/deg_sum, q_num = 4m·e_in−d²;
+    // the one float step mirrors the Spark op tree exactly (gx_assort
+    // discipline: *,/ on exact integers are correctly rounded IEEE)
+    "gx_modularity" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
+         |mund AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), mmm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mund
+         |), mudg AS (
+         |  SELECT key, count(*) AS deg FROM (
+         |    SELECT u AS key FROM mund UNION ALL SELECT v FROM mund)
+         |  GROUP BY key
+         |), mcom AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM l5 GROUP BY label
+         |), mein AS (
+         |  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM mund JOIN l5 la ON la.key = mund.u
+         |  JOIN l5 lb ON lb.key = mund.v
+         |  WHERE la.label = lb.label GROUP BY la.label
+         |), mdc AS (
+         |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS deg_sum
+         |  FROM l5 l JOIN mudg d ON d.key = l.key GROUP BY l.label
+         |), mrows AS (
+         |  SELECT mcom.label, mcom.n_nodes,
+         |    coalesce(mein.e_in, 0) AS e_in,
+         |    coalesce(mdc.deg_sum, 0) AS deg_sum,
+         |    mmm.m_edges,
+         |    4 * mmm.m_edges * coalesce(mein.e_in, 0)
+         |      - coalesce(mdc.deg_sum, 0) * coalesce(mdc.deg_sum, 0) AS q_num
+         |  FROM mcom LEFT JOIN mein ON mein.label = mcom.label
+         |  LEFT JOIN mdc ON mdc.label = mcom.label, mmm
+         |)
+         |SELECT label, n_nodes, e_in, deg_sum, m_edges, CAST(q_num AS BIGINT) AS q_num,
+         |  CAST(floor(1000000.0 * CAST(CAST(SUM(q_num) OVER () AS BIGINT) AS DOUBLE)
+         |    / ((4.0 * CAST(m_edges AS DOUBLE)) * CAST(m_edges AS DOUBLE)))
+         |    AS BIGINT) AS q_total_micro
+         |FROM mrows ORDER BY label""".stripMargin,
+
+    "gx_jaccard" ->
+      s"""$cte, ${GraphOps.jaccardPairsSql("ue", hubCapPercentile = 0.9)}
+         |SELECT a, b, common, jac_milli FROM jpair
+         |ORDER BY jac_milli DESC, common DESC, a, b LIMIT 100""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

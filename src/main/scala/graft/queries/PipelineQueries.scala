@@ -111,11 +111,16 @@ object PipelineQueries {
       lit("64617461"), leHexC(n * 2, 4), samples)
   }
 
-  /** Session-shared Naive Bayes scoring — d_nb_classifier and d_nb_eval
-    * both read the full train+score pass; build it once. */
+  /** Session-shared Naive Bayes scoring — d_nb_classifier, d_nb_eval and
+    * d_auc all read the one train+score pass; build the per-(doc, class)
+    * log-posterior frame once and hang the argmax off it. */
+  private def sharedNbScored(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("nb_scored_all", s, dir)(
+      Classify.naiveBayesScored(docs(s, dir), "doc_id", "text", "lang"))
   private def sharedNb(s: SparkSession, dir: String): DataFrame =
     Tables.cached("nb_scored", s, dir)(
-      Classify.naiveBayes(docs(s, dir), "doc_id", "text", "lang"))
+      Classify.naiveBayesFromScored(docs(s, dir), sharedNbScored(s, dir),
+        "doc_id", "lang"))
 
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
@@ -123,6 +128,54 @@ object PipelineQueries {
   private def sharedMinhashCands(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_cands", s, dir)(
       Dedup.minhashCandidatesFrom(sharedShingles(s, dir)))
+
+  /** The fixed 3-term retrieval rankings (top-50 by micro score) —
+    * d_search / d_bm25 emit them directly and d_rrf fuses them. */
+  private def tfidfTop50(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "vector")
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val nFrame = docs(s, dir).agg(count(lit(1)).as("n"))
+    val idf = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nFrame))
+      .select(col("token"),
+        round(log(col("n") / col("df")) * 1e6).cast("long").as("idf_micro"))
+    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+  }
+
+  private def bm25Top50(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "vector")
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+    val st = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
+      count(lit(1)).cast("double").as("n"))
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+    val idf = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(st.select(col("n"))))
+      .select(col("token"),
+        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * 1e6).cast("long").as("idf_micro"))
+    tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st.select((col("sum_dl") / col("n")).as("avgdl"))))
+      .withColumn("term_micro",
+        floor(col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---------------------------------------------------
@@ -420,22 +473,7 @@ object PipelineQueries {
     // The term filter pushes into the scan; idf is a term-count-sized
     // broadcast; one per-doc aggregation — the search-scoring shape at
     // any corpus size
-    "d_search" -> ((s, dir) => {
-      val terms = Seq("spark", "query", "vector")
-      val tok = docs(s, dir).select(col("doc_id"),
-        explode(tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms: _*))
-      val nFrame = docs(s, dir).agg(count(lit(1)).as("n"))
-      val idf = tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nFrame))
-        .select(col("token"),
-          round(log(col("n") / col("df")) * 1e6).cast("long").as("idf_micro"))
-      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .join(broadcast(idf), "token")
-        .groupBy("doc_id")
-        .agg(sum(col("tf") * col("idf_micro")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
+    "d_search" -> ((s, dir) => tfidfTop50(s, dir)),
 
     // token-budget mixture planning: allocate half the corpus tokens
     // across sources by sqrt-weight with largest-remainder rounding —
@@ -528,32 +566,31 @@ object PipelineQueries {
     // idf ln (the d_search-proven micro-rounding) is IEEE basic ops over
     // identical inputs written identically in both engines — dl/avgdl,
     // the b-mix, the k1 saturation are each one exact-rounded op
-    "d_bm25" -> ((s, dir) => {
-      val terms = Seq("spark", "query", "vector")
-      val d = docs(s, dir)
-      val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
-      val st = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
-        count(lit(1)).cast("double").as("n"))
-      val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token").isin(terms: _*))
-      val idf = tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
-        .crossJoin(broadcast(st.select(col("n"))))
-        .select(col("token"),
-          round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * 1e6).cast("long").as("idf_micro"))
-      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .join(broadcast(idf), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(st.select((col("sum_dl") / col("n")).as("avgdl"))))
-        .withColumn("term_micro",
-          floor(col("idf_micro") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-            .cast("long"))
+    "d_bm25" -> ((s, dir) => bm25Top50(s, dir)),
+
+    // reciprocal-rank fusion of the TF-IDF and BM25 rankings — the hybrid
+    // retrieval combiner (Cormack et al. 2009): per list each doc
+    // contributes floor-micro 1e6 div (60 + rank), summed across lists;
+    // integer terms before summing, order-free, engine-exact. The rank
+    // windows run on the two 50-row top-k frames — broadcast-sized by
+    // construction, never the corpus
+    "d_rrf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      def ranked(df: DataFrame) = df
+        .withColumn("rk", row_number().over(w)).select(col("doc_id"), col("rk"))
+      ranked(tfidfTop50(s, dir)).unionByName(ranked(bm25Top50(s, dir)))
         .groupBy("doc_id")
-        .agg(sum(col("term_micro")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id")).limit(50)}),
+        .agg(count(lit(1)).as("n_lists"),
+          sum(expr("1000000 div (60 + rk)")).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)}),
+
+    // asymmetric shingle containment at ≥ 0.5 either direction — the
+    // sub-document/quote-inclusion dedup signal Jaccard structurally
+    // misses; rides the session-shared shingle explode
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairsFrom(sharedShingles(s, dir), 500)
+        .orderBy("a", "b")),
 
     // per-doc out-of-vocabulary rate against the corpus top-1000 vocab
     // (rank cut is the total order n desc, token — deterministic): the
@@ -776,6 +813,41 @@ object PipelineQueries {
         .select(col("doc_id"), col("maybe"),
           coalesce(col("exact"), lit(false)).as("exact"))
         .orderBy("doc_id")}),
+
+    // deterministic HyperLogLog register table over the corpus token
+    // stream: md5-hash family, 64 registers, rho from pure-integer
+    // bit-length — the cardinality sketch itself, hash-checked cell by
+    // cell (the built-in HLL's registers are engine-private;
+    // q_approx_distinct can only gate an error bound)
+    "d_hll" -> ((s, dir) =>
+      Sketches.hllRegisters(
+        docs(s, dir).select(explode(tokens(col("text"))).as("token")), "token")
+        .orderBy("register")),
+
+    // ... and the estimate read off those registers: exact BIGINT
+    // harmonic denominator, IEEE-exact raw estimate, plus the exact
+    // distinct-token count and integer milli error — sketch AND its
+    // accuracy, both hash-green
+    "d_hll_est" -> ((s, dir) => {
+      val tok = graft.CacheScope.cached(
+        docs(s, dir).select(explode(tokens(col("text"))).as("token")))
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(tok, "token"))
+      val exact = tok.agg(countDistinct(col("token")).as("exact_distinct"))
+      est.crossJoin(exact)
+        .select(col("s_pow"), col("est"), col("exact_distinct"),
+          expr("(1000 * abs(est - exact_distinct)) div exact_distinct")
+            .as("err_milli"))}),
+
+    // exact ROC-AUC of the NB classifier's 'en' log-posterior as a
+    // ranking signal for "is this English" — Mann-Whitney with midrank
+    // ties, everything integer until one final division; rides the
+    // session-shared scoring pass
+    "d_auc" -> ((s, dir) => {
+      val en = sharedNbScored(s, dir).filter(col("lbl") === "en")
+        .select(col("doc_id"), col("score"))
+      val lab = docs(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"))
+      Classify.rocAuc(en.join(lab, "doc_id"), "score", "pos")}),
 
     // MinHash estimator quality: LSH candidate pairs with BOTH the
     // signature-agreement estimate and the exact shingle Jaccard — the
@@ -1173,6 +1245,59 @@ object PipelineQueries {
 
   private val docsT = "documents"
 
+  /** The two retrieval oracles, factored so d_rrf can nest them verbatim
+    * as subqueries (DuckDB allows a full WITH inside a derived table). */
+  private lazy val searchOracleSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+       |), qt AS (
+       |  SELECT doc_id, token FROM tok
+       |  WHERE token IN ('spark', 'query', 'vector')
+       |), nn AS (SELECT count(*) AS n FROM $docsT),
+       |idf AS (
+       |  SELECT token,
+       |    CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+       |      AS idf_micro
+       |  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM qt
+       |        GROUP BY token), nn
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS score_micro
+       |FROM tf JOIN idf USING (token)
+       |GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
+
+  private lazy val bm25OracleSql =
+    s"""WITH dlt AS (
+       |  SELECT doc_id, ${tokenCountSql("text")} AS dl FROM $docsT
+       |), st AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+       |    CAST(count(*) AS DOUBLE) AS n FROM dlt
+       |), tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
+       |), qt AS (
+       |  SELECT doc_id, token FROM tok
+       |  WHERE token IN ('spark', 'query', 'vector')
+       |), idf AS (
+       |  SELECT token,
+       |    CAST(round(ln((st.n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
+       |      AS idf_micro
+       |  FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM qt GROUP BY token), st
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+       |), terms AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(idf_micro * (tf * CAST(2.2 AS DOUBLE)) /
+       |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |        CAST(0.75 AS DOUBLE) * dl / (sum_dl / n)))) AS BIGINT)
+       |      AS term_micro
+       |  FROM tf JOIN idf USING (token) JOIN dlt ON dlt.doc_id = tf.doc_id, st
+       |)
+       |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+       |FROM terms GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
       s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
@@ -1440,6 +1565,52 @@ object PipelineQueries {
       (0 to 9).map("src" + _).mkString("source IN ('", "', '", "')"),
       (0 to 9).map("src" + _).mkString("source NOT IN ('", "', '", "')")),
 
+    "d_hll" ->
+      s"""WITH hitems AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
+         |), ${Sketches.hllRegistersSql("hitems")}
+         |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin,
+
+    "d_hll_est" ->
+      s"""WITH hitems AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
+         |), ${Sketches.hllRegistersSql("hitems")},
+         |${Sketches.hllEstimateSql}
+         |SELECT hest.s_pow, hest.est, ex.exact_distinct,
+         |  CAST((1000 * abs(hest.est - ex.exact_distinct)) // ex.exact_distinct
+         |    AS BIGINT) AS err_milli
+         |FROM hest, (SELECT CAST(count(DISTINCT item) AS BIGINT)
+         |            AS exact_distinct FROM hitems) ex""".stripMargin,
+
+    // exact midrank ROC-AUC of the NB 'en' log-posterior: the scored CTE
+    // is the same train+score replay as d_nb_classifier; the rank pass is
+    // one cumulative window over the (score -> t, p) aggregate and the
+    // only division is the final integer one
+    "d_auc" ->
+      s"""WITH ${Classify.naiveBayesScoredCte(docsT, "doc_id", "text", "lang")},
+         |aen AS (
+         |  SELECT s.doc_id, s.score FROM scored s WHERE s.lbl = 'en'
+         |), aj AS (
+         |  SELECT aen.score AS s, (d.lang = 'en') AS pos
+         |  FROM aen JOIN $docsT d ON d.doc_id = aen.doc_id
+         |), agrp AS (
+         |  SELECT s, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM aj GROUP BY s
+         |), acum AS (
+         |  SELECT t, p, coalesce(CAST(SUM(t) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |    AS c_lt
+         |  FROM agrp
+         |)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(t - p) AS BIGINT) AS n_neg,
+         |  CAST((1000000 * (CAST(sum(p * (2 * c_lt + t + 1)) AS BIGINT)
+         |      - CAST(sum(p) AS BIGINT) * (CAST(sum(p) AS BIGINT) + 1)))
+         |    // (2 * CAST(sum(p) AS BIGINT) * CAST(sum(t - p) AS BIGINT))
+         |    AS BIGINT) AS auc_micro
+         |FROM acum""".stripMargin,
+
     "d_minhash_est" ->
       s"""WITH cand AS (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")}),
          |ex AS (${Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.0)})
@@ -1662,25 +1833,27 @@ object PipelineQueries {
          |  CAST(min(n) AS INT) AS min_tokens, CAST(max(n) AS INT) AS max_tokens
          |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
-    "d_search" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
-         |), qt AS (
-         |  SELECT doc_id, token FROM tok
-         |  WHERE token IN ('spark', 'query', 'vector')
-         |), nn AS (SELECT count(*) AS n FROM $docsT),
-         |idf AS (
-         |  SELECT token,
-         |    CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
-         |      AS idf_micro
-         |  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM qt
-         |        GROUP BY token), nn
-         |), tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+    "d_search" -> searchOracleSql,
+
+    // RRF fusion of the two retrieval oracles (each nested verbatim as a
+    // subquery CTE): rank per list, 1e6 // (60 + rank) terms, integer sum
+    "d_rrf" ->
+      s"""WITH r1 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+         |  FROM ($searchOracleSql)
+         |), r2 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+         |  FROM ($bm25OracleSql)
+         |), u AS (
+         |  SELECT doc_id, rk FROM r1 UNION ALL SELECT doc_id, rk FROM r2
          |)
-         |SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS score_micro
-         |FROM tf JOIN idf USING (token)
-         |GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_micro
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "d_containment" ->
+      Dedup.containmentPairsSql(docsT, "doc_id", "text", 500),
 
     // full BPE-training replay: the unrolled 3-round loop
     "d_bpe" -> Collocations.mergeRoundsSql(docsT, "doc_id", "text", 3),
@@ -1712,36 +1885,7 @@ object PipelineQueries {
              "UNION ALL SELECT 999999999999 AS doc_id, " +
                "'zzunseen zzunseen zzunseen' AS text")}""".stripMargin,
 
-    "d_bm25" ->
-      s"""WITH dlt AS (
-         |  SELECT doc_id, ${tokenCountSql("text")} AS dl FROM $docsT
-         |), st AS (
-         |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
-         |    CAST(count(*) AS DOUBLE) AS n FROM dlt
-         |), tok AS (
-         |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $docsT
-         |), qt AS (
-         |  SELECT doc_id, token FROM tok
-         |  WHERE token IN ('spark', 'query', 'vector')
-         |), idf AS (
-         |  SELECT token,
-         |    CAST(round(ln((st.n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
-         |      AS idf_micro
-         |  FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |        FROM qt GROUP BY token), st
-         |), tf AS (
-         |  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
-         |), terms AS (
-         |  SELECT tf.doc_id,
-         |    CAST(floor(idf_micro * (tf * CAST(2.2 AS DOUBLE)) /
-         |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-         |        CAST(0.75 AS DOUBLE) * dl / (sum_dl / n)))) AS BIGINT)
-         |      AS term_micro
-         |  FROM tf JOIN idf USING (token) JOIN dlt ON dlt.doc_id = tf.doc_id, st
-         |)
-         |SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
-         |FROM terms GROUP BY doc_id
-         |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "d_bm25" -> bm25OracleSql,
 
     "d_oov" ->
       s"""WITH tok AS (

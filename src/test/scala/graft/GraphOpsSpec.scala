@@ -230,6 +230,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped.toSeq == Seq(("hub", "w", 2 * t, 2L), ("x0", "x1", t, 1L)))
   }
 
+  test("jaccardPairs: exact milli ratios on the square; hub cap filters the graph itself") {
+    // square u-a-v-b: (u,v) and (a,b) each share both their deg-2
+    // neighbors — |N∩| = |N∪| = 2 ⇒ jac exactly 1000; tie breaks on a
+    val sq = KinGraph(
+      Seq("u", "a", "v", "b").toDF("key"),
+      Seq(("u", "a", 0), ("a", "v", 0), ("v", "b", 0), ("b", "u", 0))
+        .toDF("src", "dst", "etype"))
+    val got = GraphOps.jaccardPairs(sq, 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L, 1000L), ("u", "v", 2L, 1000L)))
+    // star + w: p90 degree cap (2) removes the deg-10 hub from the capped
+    // graph — (x0,x1) then share ONLY w with capped degree 1 each ⇒ 1000;
+    // (hub,w) pair via middles x0,x1 with capped degrees 10 and 2 ⇒
+    // 2000 div (10+2-2) = 200
+    val star = KinGraph.fromEdges(
+      ((0 until 10).map(i => ("hub", s"x$i", 0)) ++
+        Seq(("x0", "w", 0), ("x1", "w", 0))).toDF("src", "dst", "etype"))
+    val capped = GraphOps.jaccardPairs(star, 100, hubCapPercentile = 0.9)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(capped == Seq(("x0", "x1", 1L, 1000L), ("hub", "w", 2L, 200L)))
+  }
+
   test("weightedSsspBounded relaxes multi-hop shortcuts; bound limits reach") {
     //  s -1-> a -1-> b ;  s -5-> b ;  b -1-> c   (cheapest s→b is 2 via a)
     val edges = Seq(("s", "a", 1L), ("a", "b", 1L), ("s", "b", 5L), ("b", "c", 1L))

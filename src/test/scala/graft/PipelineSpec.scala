@@ -1002,6 +1002,75 @@ class PipelineSpec extends SparkSpec {
       "search over persisted index artifacts must equal the in-session index")
   }
 
+  test("containment catches a planted sub-document that Jaccard misses") {
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")          // 38 shingles
+    val sub = (10 until 16).map(i => s"w$i").mkString(" ")         // 4 shingles, all in big
+    val planted = Seq((1L, big), (2L, sub)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairsFrom(
+        Dedup.shingleRows(planted, "doc_id", "text"), 500)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(pairs.length == 1)
+    val (a, b, inter, na, nb, ca, cb) = pairs.head
+    assert((a, b) == (1L, 2L))
+    assert(inter == 4L && nb == 4L && cb == 1000L,
+      "the sub-document is fully contained")
+    assert(ca == (1000 * inter) / na)
+    // Jaccard would have rejected this pair at the same 0.5 bar
+    assert(inter * 1000 < (na + nb - inter) * 500)
+    // below-threshold pairs are dropped in BOTH directions
+    val far = Seq((1L, big), (2L, "w10 w11 w12 zz qq rr ss tt uu vv ww xx"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairsFrom(
+      Dedup.shingleRows(far, "doc_id", "text"), 500).count() == 0)
+  }
+
+  test("rocAuc: closed forms — separation 1e6/0, all-tied 500000, midrank hand check") {
+    import graft.operators.Classify
+    def auc(rows: Seq[(Long, Boolean)]): Long =
+      Classify.rocAuc(rows.toDF("score", "pos"), "score", "pos")
+        .select("auc_micro").as[Long].head()
+    // perfect separation (every positive above every negative) and reverse
+    assert(auc(Seq((10L, true), (11L, true), (1L, false), (2L, false))) == 1000000L)
+    assert(auc(Seq((1L, true), (2L, true), (10L, false), (11L, false))) == 0L)
+    // all scores identical: midrank ties give exactly chance level
+    assert(auc(Seq((5L, true), (5L, true), (5L, false), (5L, false))) == 500000L)
+    // hand check: pos {3, 1}, neg {2, 1} — pairs won 2, tied 0.5 of 4
+    assert(auc(Seq((3L, true), (1L, true), (2L, false), (1L, false))) == 625000L)
+  }
+
+  test("rocAuc is invariant to input partitioning (distributed prefix sum)") {
+    import graft.operators.Classify
+    val rows = (0 until 997).map(i => ((i * 37 % 101).toLong, i % 3 == 0))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Classify.rocAuc(df, "score", "pos")
+        .select("n_pos", "n_neg", "auc_micro").as[(Long, Long, Long)]
+        .collect().map(t => t._3).toSeq
+    val base = run(rows.toDF("score", "pos"))
+    assert(base == run(rows.toDF("score", "pos").repartition(13)))
+    assert(base == run(rows.toDF("score", "pos").coalesce(1)))
+  }
+
+  test("HLL registers: full table, mergeable via max, estimate within rate bound") {
+    val a = (0 until 600).map(i => s"tok_a_$i").toDF("item")
+    val b = (0 until 600).map(i => s"tok_b_$i").toDF("item")
+    val ra = Sketches.hllRegisters(a, "item")
+    assert(ra.count() == 64, "all registers present (zeros included)")
+    // duplicates cannot move a max-of-rho register
+    val dup = Sketches.hllRegisters(a.union(a).union(a), "item")
+    assert(ra.collect().map(_.toSeq).toSet == dup.collect().map(_.toSeq).toSet)
+    // sketch merge = register-wise max (the property that makes HLL
+    // shardable at 100 TB: union the corpora or max the sketches)
+    val merged = Sketches.hllRegisters(a.union(b), "item")
+      .withColumnRenamed("rho_max", "m").join(ra.withColumnRenamed("rho_max", "x"), "register")
+      .join(Sketches.hllRegisters(b, "item").withColumnRenamed("rho_max", "y"), "register")
+    assert(merged.filter($"m" =!= greatest($"x", $"y")).count() == 0)
+    // raw estimate within ~4 standard errors (1.04/sqrt(64) ≈ 13%)
+    val est = Sketches.hllEstimate(merged.select($"register", $"m".as("rho_max")))
+      .select("est").as[Long].head()
+    assert(math.abs(est - 1200.0) / 1200.0 < 0.52,
+      s"estimate $est too far from the 1200 true distinct")
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

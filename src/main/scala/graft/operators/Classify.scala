@@ -87,8 +87,12 @@ object Classify {
     * division: per distinct score s with t rows (p positive), the doubled
     * midrank is 2·c_lt + t + 1 (c_lt = rows strictly below s), and
     * `auc_micro = (1e6·(Σ_pos 2mr − n_pos·(n_pos+1))) div (2·n_pos·n_neg)`
-    * — engine-exact, no float anywhere. i64 headroom: Σ_pos 2mr ≤ 2n²,
-    * so exact through n ≈ 6·10⁷ scored rows (shard the rank pass above).
+    * — engine-exact, no float anywhere. i64 headroom: the 1e6 scale
+    * multiplies the U numerator (≤ 2·n_pos·n_neg ≤ n²/2), so exact
+    * through n ≈ 4·10⁶ scored rows (shard the rank pass above, or drop
+    * the 1e6 scale until after the division, to go further). Single-class
+    * input (n_pos·n_neg = 0) yields NULL auc_micro in both engines via
+    * the nullif guard — AUC is undefined with only one class.
     *
     * Scale shape: the ranking runs on the (score → t, p) aggregate via a
     * DISTRIBUTED prefix sum — range-repartition by score, per-partition
@@ -125,7 +129,7 @@ object Classify {
     mr.agg(sum(col("p")).as("n_pos"), sum(col("t") - col("p")).as("n_neg"),
         sum(col("pos2mr")).as("s2mr"))
       .select(col("n_pos"), col("n_neg"),
-        expr("(1000000 * (s2mr - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+        expr("(1000000 * (s2mr - n_pos * (n_pos + 1))) div nullif(2 * n_pos * n_neg, 0)")
           .as("auc_micro"))
   }
 

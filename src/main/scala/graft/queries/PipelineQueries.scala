@@ -130,8 +130,12 @@ object PipelineQueries {
       Dedup.minhashCandidatesFrom(sharedShingles(s, dir)))
 
   /** The fixed 3-term retrieval rankings (top-50 by micro score) —
-    * d_search / d_bm25 emit them directly and d_rrf fuses them. */
-  private def tfidfTop50(s: SparkSession, dir: String): DataFrame = {
+    * d_search / d_bm25 emit them directly and d_rrf fuses them; cached so
+    * the three queries share one token-explode + rank pass per session. */
+  private def tfidfTop50(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("tfidf_top50", s, dir)(tfidfTop50Build(s, dir))
+
+  private def tfidfTop50Build(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "query", "vector")
     val tok = docs(s, dir).select(col("doc_id"),
       explode(tokens(col("text"))).as("token"))
@@ -149,7 +153,10 @@ object PipelineQueries {
       .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
   }
 
-  private def bm25Top50(s: SparkSession, dir: String): DataFrame = {
+  private def bm25Top50(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("bm25_top50", s, dir)(bm25Top50Build(s, dir))
+
+  private def bm25Top50Build(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "query", "vector")
     val d = docs(s, dir)
     val dl = d.select(col("doc_id"), tokenCount(col("text")).as("dl"))
@@ -1607,7 +1614,7 @@ object PipelineQueries {
          |  CAST(sum(t - p) AS BIGINT) AS n_neg,
          |  CAST((1000000 * (CAST(sum(p * (2 * c_lt + t + 1)) AS BIGINT)
          |      - CAST(sum(p) AS BIGINT) * (CAST(sum(p) AS BIGINT) + 1)))
-         |    // (2 * CAST(sum(p) AS BIGINT) * CAST(sum(t - p) AS BIGINT))
+         |    // nullif(2 * CAST(sum(p) AS BIGINT) * CAST(sum(t - p) AS BIGINT), 0)
          |    AS BIGINT) AS auc_micro
          |FROM acum""".stripMargin,
 

@@ -21,13 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds — exactly what
-    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast does, so oracles agree. */
+  /** events.parquet has shipped in two layouts across fixture
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read as long via the legacy flag and truncated to
+    * micros (exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast) — and plain
+    * TIMESTAMP(MICROS), which surfaces as TIMESTAMP_NTZ. Adapt to the
+    * file's actual type so both layouts yield the same session-TZ
+    * TIMESTAMP column (sessions run UTC, so NTZ → LTZ is value-exact
+    * and matches DuckDB's naive TIMESTAMP). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -16,20 +16,40 @@ import org.apache.spark.sql.types._
   * parquet source streaming gives per-file micro-batches. */
 object EventStreams {
 
-  /** Schema of events.parquet with ts already converted from nanos. */
+  /** Schema of events.parquet; `ts` is patched at read time to the
+    * file's actual physical type (see [[readEvents]]). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a testdata dir (parquet micro-batches). */
+  /** Streaming source over a testdata dir (parquet micro-batches).
+    *
+    * events.ts has shipped as TIMESTAMP(NANOS) (readable only as long via
+    * the legacy flag, then truncated to micros) and as TIMESTAMP(MICROS)
+    * (surfaces as TIMESTAMP_NTZ). The streaming source needs a
+    * user-supplied schema, so peek at the batch footer for the actual
+    * type — a fixed LongType schema over a micros file would silently
+    * read raw micros and truncate them 1000×. Sessions run UTC, so the
+    * NTZ → LTZ cast is value-exact, and both layouts surface the same
+    * micros TIMESTAMP column. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") StructField("ts", tsType) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark —

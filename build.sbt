@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 28g default: the bench session holds 180+ queries' shared derived
+  // caches plus iterative ops' localCheckpoint blocks in one JVM; an 8g
+  // heap put the storage pool into eviction/GC churn at sf0.1 (the box
+  // has 128 GiB — max heap is lazily committed, so small runs pay nothing)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -66,18 +66,13 @@ object TextFunctions {
     s"len(list_filter($toksExpr, t -> list_contains($list, t)))"
   }
 
-  /** Word 3-grams as "w1 w2 w3" strings ([] when fewer than 3 tokens).
-    * Guarded transform — Spark's `sequence(1, n)` RUNS BACKWARD when
-    * n < 1, so short docs must take the explicit empty branch (DuckDB's
-    * generate_series is empty there and needs no guard). */
-  def trigrams(c: Column): Column = {
-    val tk = tokens(c)
-    when(size(tk) >= 3,
-      transform(sequence(lit(1), size(tk) - 2),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word 3-grams as "w1 w2 w3" strings ([] when fewer than 3 tokens) —
+    * fused native loop ([[WordNgrams]]); the token split is evaluated
+    * once per row, not once per element_at as the composed
+    * transform/sequence form did (which also needed an explicit empty
+    * branch because Spark's `sequence(1, n)` runs backward for n < 1). */
+  def trigrams(c: Column): Column =
+    NgramExpressions.ngramsNative(tokens(c), 3)
   def trigramsSql(c: String): String = {
     val tk = tokensSql(c)
     s"list_transform(generate_series(1, len($tk) - 2), " +

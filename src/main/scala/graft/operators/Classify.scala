@@ -38,18 +38,24 @@ object Classify {
   def naiveBayesScored(docs: DataFrame, idCol: String, textCol: String,
                        labelCol: String): DataFrame = {
     def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
-    val tok = docs.select(col(idCol).as("doc_id"), col(labelCol).as("lbl"),
-      explode(tokens(col(textCol))).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val cnt = tok.groupBy("lbl", "token").agg(count(lit(1)).as("n"))
+    // ONE corpus explode feeds everything: the per-doc tf frame carries
+    // the doc's label (doc → label is functional, so the extra key does
+    // not change the groups), and the class-token counts, vocabulary and
+    // grid token set all derive from it — the composed form re-exploded
+    // the corpus four times (tf / cnt / voc / grid-distinct)
+    val tf = graft.CacheScope.cached(
+      docs.select(col(idCol).as("doc_id"), col(labelCol).as("lbl"),
+          explode(tokens(col(textCol))).as("token"))
+        .groupBy("doc_id", "lbl", "token").agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy("lbl", "token").agg(sum(col("tf")).as("n"))
     val tot = cnt.groupBy("lbl").agg(sum(col("n")).as("tot"))
-    val voc = tok.agg(countDistinct(col("token")).as("v"))
+    val voc = cnt.agg(countDistinct(col("token")).as("v"))
     val pri = docs.groupBy(col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("nd"))
     val priN = pri.agg(sum(col("nd")).as("nn"))
     // vocabulary × classes likelihood grid; unseen (class, token) cells
     // surface via the left join and take the +1-smoothed floor
-    val grid = tok.select(col("token")).distinct()
+    val grid = cnt.select(col("token")).distinct()
       .crossJoin(broadcast(pri.select(col("lbl"))))
       .join(cnt, Seq("lbl", "token"), "left")
       .join(broadcast(tot), "lbl")
@@ -59,7 +65,7 @@ object Classify {
           lmicro(col("tot") + col("v"))).as("likel_micro"))
     val prior = pri.crossJoin(broadcast(priN))
       .select(col("lbl"), (lmicro(col("nd")) - lmicro(col("nn"))).as("prior_micro"))
-    tf.join(grid, "token")
+    tf.select("doc_id", "token", "tf").join(grid, "token")
       .groupBy("doc_id", "lbl")
       .agg(sum(col("tf") * col("likel_micro")).as("s"))
       .join(broadcast(prior), "lbl")

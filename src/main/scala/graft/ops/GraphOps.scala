@@ -647,20 +647,37 @@ object GraphOps {
     * d_bigram_lm escape hatch), so checkpointEvery stays 2. */
   def landmarkCloseness(g: KinGraph, nLandmarks: Int = 4, rounds: Int = 4,
                         checkpointEvery: Int = 2,
-                        broadcastNodeLimit: Long = 5000000L): DataFrame = {
+                        broadcastNodeLimit: Long = 5000000L): DataFrame =
+    closenessFromState(landmarkBfsState(g, nLandmarks, rounds,
+      checkpointEvery, broadcastNodeLimit)._2)
+
+  /** The deterministic landmark sample: the `nLandmarks` keys with the
+    * smallest salted hash. The keys ride to the driver — nLandmarks is a
+    * handful by construction (a documented tiny collect, like the other
+    * threshold probes). */
+  def landmarkKeys(g: KinGraph, nLandmarks: Int): Array[String] =
+    g.nodes.select(col("key"))
+      .withColumn("h", graft.functions.TextFunctions.hash60(
+        concat(col("key"), lit("lm"))))
+      .orderBy(col("h"), col("key")).limit(nLandmarks)
+      .select("key").collect().map(_.getString(0))
+
+  /** The bounded multi-source BFS state both landmark centralities read:
+    * one row per reached node with a distance column `d<i>` per landmark
+    * (null = unreached within `rounds`). Returned with the landmark keys
+    * so callers can label per-landmark outputs; shared via a session
+    * cache by the query layer (gx_closeness and gx_diameter read the
+    * same frame). */
+  def landmarkBfsState(g: KinGraph, nLandmarks: Int = 4, rounds: Int = 4,
+                       checkpointEvery: Int = 2,
+                       broadcastNodeLimit: Long = 5000000L)
+      : (Array[String], DataFrame) = {
     require(nLandmarks >= 1, "nLandmarks >= 1")
     require(rounds >= 1, "rounds >= 1")
     val sp = g.nodes.sparkSession
     val ud = undirectedEdges(g, Some(col("dst")))
     val small = g.nodes.count() <= broadcastNodeLimit
-    // the landmark keys themselves ride to the driver — nLandmarks is a
-    // handful by construction (a documented tiny collect, like the other
-    // threshold probes)
-    val lm: Array[String] = g.nodes.select(col("key"))
-      .withColumn("h", graft.functions.TextFunctions.hash60(
-        concat(col("key"), lit("lm"))))
-      .orderBy(col("h"), col("key")).limit(nLandmarks)
-      .select("key").collect().map(_.getString(0))
+    val lm = landmarkKeys(g, nLandmarks)
     val L = lm.length
     val dCols = (0 until L).map(i => s"d$i")
     // state: ONE row per reached node with a distance column per landmark
@@ -694,6 +711,12 @@ object GraphOps {
         st.unionByName(msgs).groupBy(col("node")))
       if (i % checkpointEvery == 0 && i < rounds) st = st.localCheckpoint(true)
     }
+    (lm, st)
+  }
+
+  /** Per-node harmonic closeness from a [[landmarkBfsState]] frame. */
+  def closenessFromState(st: DataFrame): DataFrame = {
+    val dCols = st.columns.filter(_.startsWith("d"))
     val nReached = dCols.map(c =>
       when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     val harmonic = dCols.map(c =>
@@ -701,6 +724,31 @@ object GraphOps {
         .otherwise(0L)).reduce(_ + _)
     st.select(col("node").as("key"), nReached.as("n_reached"),
       harmonic.as("harmonic_micro"))
+  }
+
+  /** Per-landmark bounded eccentricity from a [[landmarkBfsState]] frame:
+    * for each landmark, the nodes reached within the BFS bound and the
+    * max distance among them (= eccentricity whenever the BFS bound
+    * exceeds the true eccentricity; a LOWER bound otherwise), plus the
+    * shared pseudo-diameter lower bound max-over-landmarks — the standard
+    * double-sweep-style diameter estimate a 100 TB graph actually
+    * computes (exact diameter is all-pairs). All integers: counts and
+    * max-of-BFS-distances, order-free, exact in [[landmarkBfsSql]]'s
+    * `c<rounds>` replay. */
+  def eccentricityFromState(lm: Array[String], st: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLm = lm.indices.map { i =>
+      st.agg(count(col(s"d$i")).as("n_reached"),
+          max(col(s"d$i")).as("ecc_bounded"))
+        .select(lit(lm(i)).as("landmark"), col("n_reached"),
+          col("ecc_bounded"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // the unpartitioned window runs over nLandmarks rows — a handful by
+    // construction, never the graph
+    perLm.withColumn("diameter_lb", max(col("ecc_bounded")).over(w))
+      .orderBy("landmark")
   }
 
   /** DuckDB twin of [[landmarkCloseness]]: CTE fragments (udc, lmc,

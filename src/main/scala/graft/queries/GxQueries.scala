@@ -40,6 +40,18 @@ object GxQueries {
     Tables.cached("lpa5", s, dir)(
       GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5))
 
+  /** Session-shared landmark-BFS state (4 landmarks × 4 rounds) — the one
+    * iterative pass gx_closeness and gx_diameter both read. The landmark
+    * keys are a deterministic hash sample recomputed per call (a tiny
+    * driver probe); only the BFS state frame is cached. */
+  private def sharedLmBfs(s: SparkSession, dir: String)
+      : (Array[String], org.apache.spark.sql.DataFrame) = {
+    val g = unionGraph(s, dir)
+    val lm = GraphOps.landmarkKeys(g, 4)
+    (lm, Tables.cached("lm_bfs_4x4", s, dir)(
+      GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4)._2))
+  }
+
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =
     """WITH ue AS (
@@ -178,10 +190,20 @@ object GxQueries {
     // landmark harmonic closeness: bounded multi-source BFS from 4
     // hash-sampled landmarks; per-node reach count + Σ floor(1e6/d) in
     // integer micro-units (the scale form of closeness centrality —
-    // exact all-pairs is O(n·m)); exact unrolled-CTE oracle
+    // exact all-pairs is O(n·m)); exact unrolled-CTE oracle. Rides the
+    // session-shared BFS state (one 4-round iterative pass feeds both
+    // gx_closeness and gx_diameter).
     "gx_closeness" -> ((s, dir) =>
-      GraphOps.landmarkCloseness(unionGraph(s, dir), nLandmarks = 4, rounds = 4)
-        .orderBy("key")),
+      GraphOps.closenessFromState(sharedLmBfs(s, dir)._2).orderBy("key")),
+
+    // landmark eccentricity / pseudo-diameter lower bound from the SAME
+    // shared BFS state: per landmark the bounded-BFS reach count and max
+    // distance, plus max-over-landmarks as the diameter lower bound (the
+    // double-sweep-style estimate — exact diameter is all-pairs and no
+    // 100 TB graph computes it)
+    "gx_diameter" -> ((s, dir) => {
+      val (lm, st) = sharedLmBfs(s, dir)
+      GraphOps.eccentricityFromState(lm, st)}),
 
     // bounded weighted SSSP from S1 over hash-weighted union edges
     // (integer weights 1..100 derived from the shared md5 hash family, so
@@ -388,6 +410,16 @@ object GxQueries {
          |  CAST(sum(CASE WHEN d > 0 THEN CAST(floor(1000000.0 / d) AS BIGINT)
          |           ELSE 0 END) AS BIGINT) AS harmonic_micro
          |FROM c4 GROUP BY node ORDER BY key""".stripMargin,
+
+    // per-landmark rollup of the same c4 reached set: count + max d per
+    // landmark, window-max over the (nLandmarks-row) aggregate for the
+    // shared diameter lower bound
+    "gx_diameter" ->
+      s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)}
+         |SELECT landmark, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(max(d) AS BIGINT) AS ecc_bounded,
+         |  CAST(max(CAST(max(d) AS BIGINT)) OVER () AS BIGINT) AS diameter_lb
+         |FROM c4 GROUP BY landmark ORDER BY landmark""".stripMargin,
 
     "gx_wsssp" -> {
       val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"

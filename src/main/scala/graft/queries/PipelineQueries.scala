@@ -971,6 +971,25 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // IVF cell-balance report: per-cell vector counts over the shared
+    // sampled-centroid assignment plus an integer milli load factor
+    // (1000·n·nlist div total; 1000 = perfectly balanced). Cell skew is
+    // THE operational hazard of an IVF index at scale — a hot cell turns
+    // every probe touching it into a scan — and trainless sampling makes
+    // it worse than KMeans, so the index build needs this diagnostic
+    // before anyone trusts nprobe latencies. Rides the session-shared
+    // assignment; empty cells surface via the left join.
+    "e_ivf_balance" -> ((s, dir) => {
+      val counts = sharedIvfAssign(s, dir)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      val total = sharedIvfAssign(s, dir).agg(count(lit(1)).as("n_total"))
+      sharedIvfCells(s, dir).select(col("cell"))
+        .join(counts, Seq("cell"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vecs"),
+          expr("(1000 * coalesce(n, 0) * 16) div n_total").as("load_milli"))
+        .orderBy("cell")}),
+
     // Product-quantization ADC recall under ORACLE: trainless sampled
     // codebooks -> floor-micro argmax encoding -> M×K query tables ->
     // integer ADC scores, vs the exact top-k — every step SQL-replayable
@@ -2037,6 +2056,30 @@ object PipelineQueries {
     // full sampled-centroid IVF replay: hash-sampled centroids, rounded-
     // cosine argmax assignment with min-cell tie-break, nprobe=4 probes,
     // rounded rerank — then recall vs brute-force, all integer outputs
+    "e_ivf_balance" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+        |    vec AS centroid
+        |  FROM (
+        |    SELECT id, vec,
+        |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+        |    FROM c ORDER BY hc, id LIMIT 16)
+        |), assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT c.id, cells.cell, row_number() OVER (PARTITION BY c.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c, cells) WHERE rn = 1
+        |), cnt AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY 1
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assign)
+        |SELECT cells.cell, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_vecs,
+        |  CAST((1000 * coalesce(cnt.n, 0) * 16) // tot.n_total AS BIGINT) AS load_milli
+        |FROM cells LEFT JOIN cnt ON cnt.cell = cells.cell, tot
+        |ORDER BY cells.cell""".stripMargin,
+
     "e_ann_ivf_recall" ->
       """WITH c AS (
         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -19,6 +19,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 5.0)
   }
 
+  test("WordNgrams matches the composed transform form and the bigram native") {
+    import graft.functions.NgramExpressions
+    val docs = Seq(
+      "", "one", "one two", "one two three", "a b c d e",
+      "  leading   and trailing  ", "x y z x y z").toDF("text")
+    val tk = TextFunctions.tokens($"text")
+    // composed reference form for k = 3 (the shape trigrams() had before
+    // the fused loop): explicit empty branch + element_at chain
+    val composed = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(
+      TextFunctions.trigrams($"text").as("fused"), composed.as("ref"),
+      NgramExpressions.ngramsNative(tk, 2).as("k2"),
+      NgramExpressions.bigramsNative(tk).as("bg")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+    }
+  }
+
   test("MinHash Aggregator equals the column-min signature computation") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf).limit(50)

@@ -323,6 +323,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1("a") == 2L && r1("b") == 3L)
   }
 
+  test("landmark eccentricity: bounded ecc per landmark + diameter lower bound") {
+    // path a-b-c with every node a landmark: ecc(a)=ecc(c)=2, ecc(b)=1,
+    // so the pseudo-diameter lower bound hits the true diameter 2
+    val pg = KinGraph(
+      Seq("a", "b", "c").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0)).toDF("src", "dst", "etype"))
+    val (lm, st) = GraphOps.landmarkBfsState(pg, nLandmarks = 3, rounds = 4)
+    val got = GraphOps.eccentricityFromState(lm, st)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 2L, 2L)))
+    assert(got("b") == ((3L, 1L, 2L)))
+    assert(got("c") == ((3L, 2L, 2L)))
+    // bounded rounds clip honestly: 1 round reaches only direct
+    // neighbors, so every ecc (and the lb) reports 1
+    val (lm1, st1) = GraphOps.landmarkBfsState(pg, nLandmarks = 3, rounds = 1)
+    val r1 = GraphOps.eccentricityFromState(lm1, st1)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(r1("a") == ((2L, 1L, 1L)) && r1("b") == ((3L, 1L, 1L)))
+    // closeness from the SAME state frame matches the one-shot API
+    val viaState = GraphOps.closenessFromState(st)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = GraphOps.landmarkCloseness(pg, nLandmarks = 3, rounds = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaState == direct)
+  }
+
   test("landmark betweenness counts exact shortest paths through nodes") {
     // diamond a->{b,c}->d: with all 4 nodes as landmarks, pair (a,d) has
     // D=2 with one shortest path through each of b and c

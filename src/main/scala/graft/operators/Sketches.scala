@@ -221,20 +221,32 @@ object Sketches {
         floor(lit(HllAlpha) * lit(4096.0) * lit(36028797018963968.0) /
           col("s_pow").cast("double")).cast("long").as("est"))
 
-  /** DuckDB twin of [[hllRegisters]] over item CTE `items`(item). */
-  def hllRegistersSql(items: String): String =
-    s"""hpre AS (
+  /** Register-wise merge of two [[hllRegisters]] tables — THE operation
+    * that makes the sketch worth carrying at scale: every shard keeps 64
+    * rows and union-distinct-cardinality is a per-register max, never a
+    * re-scan. Exact identity: merge(regs(A), regs(B)) == regs(A ∪ B),
+    * because max is associative over the per-item rho values. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("register"), col("rho_max").as("ra"))
+      .join(b.select(col("register"), col("rho_max").as("rb")), "register")
+      .select(col("register"), greatest(col("ra"), col("rb")).as("rho_max"))
+
+  /** DuckDB twin of [[hllRegisters]] over item CTE `items`(item);
+    * `p` prefixes the fragment names so several register tables can
+    * coexist in one oracle (the merge query builds three). */
+  def hllRegistersSql(items: String, p: String = "h"): String =
+    s"""${p}pre AS (
        |  SELECT CAST(h % 64 AS INT) AS register, h // 64 AS v FROM (
        |    SELECT ${hash60Sql("item")} AS h FROM $items)
-       |), hregs AS (
+       |), ${p}regs AS (
        |  SELECT register,
        |    max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS rho_max
-       |  FROM hpre GROUP BY register
-       |), hfull AS (
+       |  FROM ${p}pre GROUP BY register
+       |), ${p}full AS (
        |  SELECT CAST(g.r AS INT) AS register,
-       |    CAST(coalesce(hregs.rho_max, 0) AS INT) AS rho_max
+       |    CAST(coalesce(${p}regs.rho_max, 0) AS INT) AS rho_max
        |  FROM (SELECT unnest(generate_series(0, 63)) AS r) g
-       |  LEFT JOIN hregs ON hregs.register = g.r
+       |  LEFT JOIN ${p}regs ON ${p}regs.register = g.r
        |)""".stripMargin
 
   /** DuckDB twin of [[hllEstimate]] over the `hfull` fragment: CTE

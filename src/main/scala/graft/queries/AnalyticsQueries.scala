@@ -541,6 +541,19 @@ object AnalyticsQueries {
         .select(col("key").as("user_id"), col("grid_ts"), col("value"))
         .orderBy("user_id", "grid_ts")}),
 
+    // Z-order layout locality report: Morton-interleave (user_id,
+    // epoch-hour), slice the key space into 32 value-range "files" (one
+    // broadcast scalar, no global sort) and report each bucket's row
+    // count + BOTH dimensions' min/max spans — the parquet min/max
+    // pruning guarantee a single-column sort can't give both columns.
+    // The write-side op is repartitionByRange(zValue) +
+    // sortWithinPartitions; this query hash-pins the layout quality
+    "s_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(1L << 21)).as("u"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      graft.operators.Layout.zOrderBuckets(ev, col("u"), col("hr"), 32)}),
+
     // sessionization: 30-min-gap sessions per user via lag + running sum
     "s_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -981,6 +994,14 @@ object AnalyticsQueries {
         |)
         |SELECT user_id, ts AS grid_ts, value FROM w WHERE is_grid = 1
         |ORDER BY user_id, grid_ts""".stripMargin,
+
+    "s_zorder" ->
+      s"""WITH zev AS (
+         |  SELECT user_id % ${1L << 21} AS u,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+         |  FROM events
+         |), ${graft.operators.Layout.zOrderBucketsSql("zev", "u", "hr", 32)}
+         |ORDER BY bucket""".stripMargin,
 
     "s_events_sessions" ->
       """WITH g AS (

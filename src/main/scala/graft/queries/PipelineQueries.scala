@@ -831,6 +831,26 @@ object PipelineQueries {
         docs(s, dir).select(explode(tokens(col("text"))).as("token")), "token")
         .orderBy("register")),
 
+    // shard-merge identity: registers built on the even-id and odd-id doc
+    // shards merge (per-register max) into EXACTLY the full-corpus
+    // registers — the property that lets a 100 TB pipeline keep one
+    // 64-row sketch per shard/day and combine them without re-scanning.
+    // The output carries all four register columns so the hash pins the
+    // identity itself, not just the merged result
+    "d_hll_merge" -> ((s, dir) => {
+      def toks(cond: Column) = docs(s, dir).filter(cond)
+        .select(explode(tokens(col("text"))).as("token"))
+      val even = Sketches.hllRegisters(toks(col("doc_id") % 2 === 0), "token")
+      val odd = Sketches.hllRegisters(toks(col("doc_id") % 2 =!= 0), "token")
+      val full = Sketches.hllRegisters(toks(lit(true)), "token")
+      Sketches.hllMerge(even, odd).withColumnRenamed("rho_max", "rho_merged")
+        .join(even.withColumnRenamed("rho_max", "rho_even"), "register")
+        .join(odd.withColumnRenamed("rho_max", "rho_odd"), "register")
+        .join(full.withColumnRenamed("rho_max", "rho_full"), "register")
+        .select(col("register"), col("rho_even"), col("rho_odd"),
+          col("rho_merged"), col("rho_full"))
+        .orderBy("register")}),
+
     // ... and the estimate read off those registers: exact BIGINT
     // harmonic denominator, IEEE-exact raw estimate, plus the exact
     // distinct-token count and integer milli error — sketch AND its
@@ -1596,6 +1616,23 @@ object PipelineQueries {
          |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
          |), ${Sketches.hllRegistersSql("hitems")}
          |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin,
+
+    "d_hll_merge" ->
+      s"""WITH he_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT WHERE doc_id % 2 = 0
+         |), ho_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT WHERE doc_id % 2 <> 0
+         |), ha_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
+         |), ${Sketches.hllRegistersSql("he_items", "he")},
+         |${Sketches.hllRegistersSql("ho_items", "ho")},
+         |${Sketches.hllRegistersSql("ha_items", "ha")}
+         |SELECT he.register, he.rho_max AS rho_even, ho.rho_max AS rho_odd,
+         |  greatest(he.rho_max, ho.rho_max) AS rho_merged,
+         |  ha.rho_max AS rho_full
+         |FROM hefull he JOIN hofull ho ON ho.register = he.register
+         |JOIN hafull ha ON ha.register = he.register
+         |ORDER BY he.register""".stripMargin,
 
     "d_hll_est" ->
       s"""WITH hitems AS (

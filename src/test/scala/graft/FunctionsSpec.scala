@@ -42,6 +42,27 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("zValue interleaves bits; buckets keep both spans narrow") {
+    import graft.operators.Layout
+    // z(3=0b11, 1=0b01): x bits at even positions (1,4), y bit 0 at
+    // position 1 -> 0b0111 = 7; top-bit check at i = 20
+    val r = Seq((3L, 1L), (0L, 0L), (1L << 20, 1L << 20))
+      .toDF("x", "y")
+      .select(Layout.zValue($"x", $"y").as("z")).as[Long].collect()
+    assert(r(0) == 7L)
+    assert(r(1) == 0L)
+    assert(r(2) == ((1L << 40) | (1L << 41)))
+    // locality: on a 64x64 grid, 16 z-range buckets each span at most a
+    // quarter of each dimension (a row-major sort would give full-width
+    // y spans in every bucket)
+    val grid = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("x", "y")
+    val spans = Layout.zOrderBuckets(grid, $"x", $"y", 16)
+      .select($"x_span", $"y_span").as[(Long, Long)].collect()
+    assert(spans.length == 16)
+    spans.foreach { case (xs, ys) => assert(xs <= 16 && ys <= 16) }
+  }
+
   test("MinHash Aggregator equals the column-min signature computation") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf).limit(50)

@@ -52,6 +52,31 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Cell-wise merge of two [[cmsBuild]] sketches — counts are additive,
+    * so merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly (multiset
+    * union). Like [[hllMerge]], this is the property that makes the
+    * sketch carryable: shards/days keep ≤ depth·width rows each and
+    * combine by one tiny aggregation, never a re-scan. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("r", "bucket", "cnt").unionByName(b.select("r", "bucket", "cnt"))
+      .groupBy("r", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** DuckDB twin of [[cmsBuild]] over item CTE `items`(item); `p`
+    * prefixes the fragment names (`${p}sk` holds the cells) so several
+    * sketches can coexist in one oracle. */
+  def cmsBuildSql(items: String, p: String): String = {
+    val buildRows = (0 until CmsDepth).map(r =>
+      s"SELECT $r AS r, ${cmsBucketSql("h", r)} AS bucket FROM ${p}h")
+      .mkString("\n    UNION ALL ")
+    s"""${p}h AS (
+       |  SELECT ${hash32Sql("item")} AS h FROM $items
+       |), ${p}sk AS (
+       |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    $buildRows
+       |  ) GROUP BY r, bucket
+       |)""".stripMargin
+  }
+
   /** Point estimates for (distinct) probe items: min over the depth rows of
     * the probed cells — the classic CMS upper-bound estimate (est >= true,
     * overestimation bounded by collisions). The sketch side is tiny and

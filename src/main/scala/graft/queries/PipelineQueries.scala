@@ -831,6 +831,32 @@ object PipelineQueries {
         docs(s, dir).select(explode(tokens(col("text"))).as("token")), "token")
         .orderBy("register")),
 
+    // CMS shard-merge identity: cell counts are additive, so sketches of
+    // the even-id and odd-id shards merge (cell-wise sum) into EXACTLY
+    // the full-corpus sketch. The output carries the shard cells, the
+    // cmsMerge result and the full-build cells so the hash pins the
+    // identity itself
+    "d_cms_merge" -> ((s, dir) => {
+      def toks(cond: Column) = docs(s, dir).filter(cond)
+        .select(explode(tokens(col("text"))).as("token"))
+      val even = Sketches.cmsBuild(toks(col("doc_id") % 2 === 0), "token")
+      val odd = Sketches.cmsBuild(toks(col("doc_id") % 2 =!= 0), "token")
+      val full = Sketches.cmsBuild(toks(lit(true)), "token")
+      full.withColumnRenamed("cnt", "cnt_full")
+        .join(even.withColumnRenamed("cnt", "cnt_even"),
+          Seq("r", "bucket"), "left")
+        .join(odd.withColumnRenamed("cnt", "cnt_odd"),
+          Seq("r", "bucket"), "left")
+        .join(Sketches.cmsMerge(even, odd)
+            .withColumnRenamed("cnt", "cnt_merged"),
+          Seq("r", "bucket"), "left")
+        .select(col("r"), col("bucket"),
+          coalesce(col("cnt_even"), lit(0L)).as("cnt_even"),
+          coalesce(col("cnt_odd"), lit(0L)).as("cnt_odd"),
+          coalesce(col("cnt_merged"), lit(0L)).as("cnt_merged"),
+          col("cnt_full"))
+        .orderBy("r", "bucket")}),
+
     // shard-merge identity: registers built on the even-id and odd-id doc
     // shards merge (per-register max) into EXACTLY the full-corpus
     // registers — the property that lets a 100 TB pipeline keep one
@@ -1616,6 +1642,26 @@ object PipelineQueries {
          |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
          |), ${Sketches.hllRegistersSql("hitems")}
          |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin,
+
+    "d_cms_merge" ->
+      s"""WITH ce_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT WHERE doc_id % 2 = 0
+         |), co_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT WHERE doc_id % 2 <> 0
+         |), ca_items AS (
+         |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
+         |), ${Sketches.cmsBuildSql("ce_items", "ce")},
+         |${Sketches.cmsBuildSql("co_items", "co")},
+         |${Sketches.cmsBuildSql("ca_items", "ca")}
+         |SELECT f.r, f.bucket,
+         |  CAST(coalesce(e.cnt, 0) AS BIGINT) AS cnt_even,
+         |  CAST(coalesce(o.cnt, 0) AS BIGINT) AS cnt_odd,
+         |  CAST(coalesce(e.cnt, 0) + coalesce(o.cnt, 0) AS BIGINT) AS cnt_merged,
+         |  f.cnt AS cnt_full
+         |FROM cask f
+         |LEFT JOIN cesk e ON e.r = f.r AND e.bucket = f.bucket
+         |LEFT JOIN cosk o ON o.r = f.r AND o.bucket = f.bucket
+         |ORDER BY f.r, f.bucket""".stripMargin,
 
     "d_hll_merge" ->
       s"""WITH he_items AS (

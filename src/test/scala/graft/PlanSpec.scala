@@ -330,6 +330,21 @@ class PlanSpec extends SparkSpec {
       s"rerank is equi-joins only:\n${plan.take(900)}")
   }
 
+  test("z-order buckets: broadcast scalars only, no window, no wide sort") {
+    val ev = Tables.events(spark, sf).select(
+      pmod($"user_id", lit(1L << 21)).as("u"),
+      expr("unix_micros(ts) div 3600000000").as("hr"))
+    val df = operators.Layout.zOrderBuckets(ev, $"u", $"hr", 32)
+    val plan = finalPlanString(df)
+    // the min/zmax scalars ride as broadcast 1-row frames; the bucket
+    // slice must NOT plan a single-partition window (the ntile shape) —
+    // value-range bucketing keeps the layout computable without a global
+    // sort of the data (the final 32-row orderBy is the only sort)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scalar frames not broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(600)}")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

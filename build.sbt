@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 28g default: the bench session holds 180+ queries' shared derived
-  // caches plus iterative ops' localCheckpoint blocks in one JVM; an 8g
-  // heap put the storage pool into eviction/GC churn at sf0.1 (the box
-  // has 128 GiB — max heap is lazily committed, so small runs pay nothing)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // 12g default — measured, not guessed: on the 4-query gx probe at
+  // sf0.1/32 cpus, 8g = 40.0s, 12g = 41.2s, 28g = 53.4s (a large G1
+  // heap is ~33% SLOWER on this workload — bigger regions, longer
+  // pauses — so "more memory" is not free). 12g keeps headroom over 8g
+  // for the 180+-query bench session's shared caches + checkpoint
+  // blocks without the big-heap penalty.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -160,6 +160,104 @@ object Sketches {
       .agg((sum(coalesce(col("__set"), lit(0))) === BloomHashes).as("maybe"))
   }
 
+  /** Bit-set union of two [[bloomBits]] filters — Bloom's shard-merge law,
+    * completing the trilogy with [[cmsMerge]] (cell sum) and [[hllMerge]]
+    * (register max): the set bits of a filter are the union of per-item
+    * probe positions, so merge(bits(A), bits(B)) == bits(A ∪ B) exactly
+    * (bitwise OR in the position-set representation). Each shard carries
+    * ≤ BloomBits rows; shards/days OR together with one tiny distinct,
+    * never a re-scan, and the merged filter keeps the no-false-negative
+    * guarantee over the union. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).distinct()
+
+  /** DuckDB twin of [[bloomBits]] over item CTE `items`(item): emits
+    * fragments `${p}h` and `${p}bits`(pos) so several filters can coexist
+    * in one oracle (the merge query builds three). */
+  def bloomBitsSql(items: String, p: String): String = {
+    val posRows = (0 until BloomHashes).map(i =>
+      s"SELECT ${bloomPosSql("h", i)} AS pos FROM ${p}h").mkString("\n    UNION ALL ")
+    s"""${p}h AS (
+       |  SELECT ${hash32Sql("item")} AS h FROM (SELECT DISTINCT item FROM $items)
+       |), ${p}bits AS (
+       |  SELECT DISTINCT pos FROM (
+       |    $posRows
+       |  )
+       |)""".stripMargin
+  }
+
+  // ------------------------------------------- sampled quantile sketch
+  /** Hash-sampled quantile sketch: deterministic quantile estimation with
+    * an EXACT accuracy gate. The "sketch" is the hash-sampled subset
+    * itself (a pure per-row predicate on the md5-derived key hash), so
+    * per-shard samples union into the global sample with zero
+    * coordination — the fourth shard-merge law next to [[cmsMerge]]
+    * (sum), [[hllMerge]] (max) and [[bloomMerge]] (or), with set union.
+    * The estimate is the exact interpolated quantile OF the sample
+    * (Spark `percentile` == DuckDB `quantile_cont` on identical doubles);
+    * the gate is the exact rank of each estimate in the FULL data,
+    * `rank_milli = (1000·|{v ≤ est}|) div n` — integer counts and one
+    * IEEE-exact int-vs-double comparison per row, so estimate AND error
+    * are both hash-checkable (the q_approx_pct built-in can only gate a
+    * bound; this sketch is engine-exact like d_hll vs q_approx_distinct).
+    *
+    * Scale shape: one narrow filtered aggregation on the sample, then ONE
+    * full scan against the ≤|qs|-row broadcast estimate frame with a
+    * map-side-combinable conditional count — no shuffle wider than |qs|
+    * rows anywhere. `df` must carry `keyCol` (sampling identity) and an
+    * integral `valCol`. */
+  def sampledQuantiles(df: DataFrame, keyCol: Column, valCol: Column,
+                       rate: Double, qMilli: Seq[Int],
+                       salt: String = "pct"): DataFrame = {
+    val v = df.select(keyCol.as("k"), valCol.as("v"))
+    val sample = graft.operators.Sampling.hashSample(v, col("k"), rate, salt)
+    // foldable literal division: each fraction is ONE double division of
+    // exact integers in BOTH engines (never a decimal literal)
+    val fracList = qMilli.map(q => s"CAST($q AS DOUBLE) / 1000").mkString(", ")
+    val perQ = sample
+      .agg(expr(s"percentile(v, array($fracList))").as("ests"),
+        count(lit(1)).as("n_sample"))
+      .select(col("n_sample"), posexplode(col("ests")).as(Seq("i", "est")))
+      .withColumn("q_milli",
+        element_at(array(qMilli.map(q => lit(q.toLong)): _*), col("i") + 1))
+      .select(col("q_milli"), col("est"), col("n_sample"))
+    v.crossJoin(broadcast(perQ))
+      .groupBy("q_milli", "est", "n_sample")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(col("q_milli"), col("est"), col("n_sample"), col("n"),
+        col("cnt_le"),
+        abs(expr("(1000 * cnt_le) div n") - col("q_milli"))
+          .as("rank_err_milli"))
+      .orderBy("q_milli")
+  }
+
+  /** DuckDB twin of [[sampledQuantiles]] over value CTE `vals`(k, v). */
+  def sampledQuantilesSql(vals: String, rate: Double, qMilli: Seq[Int],
+                          salt: String = "pct"): String = {
+    val bound = (rate * 1000000L).toLong
+    val qsSel = qMilli.map(q =>
+      s"""SELECT CAST($q AS BIGINT) AS q_milli,
+         |      quantile_cont(v, CAST($q AS DOUBLE) / 1000) AS est,
+         |      CAST(count(*) AS BIGINT) AS n_sample FROM qsmp""".stripMargin)
+      .mkString("\n    UNION ALL ")
+    s"""qsmp AS (
+       |  SELECT v FROM $vals
+       |  WHERE ${hash60Sql(s"CAST(k AS VARCHAR) || '$salt'")} % 1000000 < $bound
+       |), qest AS (
+       |    $qsSel
+       |), qgate AS (
+       |  SELECT q.q_milli, q.est, q.n_sample,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN t.v <= q.est THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le
+       |  FROM $vals t, qest q
+       |  GROUP BY q.q_milli, q.est, q.n_sample
+       |)
+       |SELECT q_milli, est, n_sample, n, cnt_le,
+       |  abs((1000 * cnt_le) // n - q_milli) AS rank_err_milli
+       |FROM qgate ORDER BY q_milli""".stripMargin
+  }
+
   /** DuckDB twin: contamination check of `probeFilter` rows against a
     * filter built from `buildFilter` rows (same table), by fingerprint.
     * Output per probe doc: (doc_id, maybe, exact). */

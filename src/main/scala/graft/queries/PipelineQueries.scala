@@ -877,6 +877,44 @@ object PipelineQueries {
           col("rho_merged"), col("rho_full"))
         .orderBy("register")}),
 
+    // Bloom shard-merge identity, the third sketch-merge law after CMS
+    // (cell sum) and HLL (register max): set bits are position-set
+    // unions, so filters of the even-id and odd-id doc shards OR together
+    // into EXACTLY the full-corpus filter. Output = every set position
+    // across the three builds with per-shard/merged/full membership, so
+    // the hash pins the identity bit by bit — any asymmetry between
+    // merged and full would surface as a flag mismatch
+    "d_bloom_merge" -> ((s, dir) => {
+      def fps(cond: Column) = docs(s, dir).filter(cond)
+        .select(fingerprint(col("text")).as("fp"))
+      val even = Sketches.bloomBits(fps(col("doc_id") % 2 === 0), "fp")
+      val odd = Sketches.bloomBits(fps(col("doc_id") % 2 =!= 0), "fp")
+      val full = Sketches.bloomBits(fps(lit(true)), "fp")
+      def flagged(df: DataFrame, name: String) = df.withColumn(name, lit(true))
+      even.union(odd).union(full).distinct()
+        .join(flagged(even, "in_even"), Seq("pos"), "left")
+        .join(flagged(odd, "in_odd"), Seq("pos"), "left")
+        .join(flagged(Sketches.bloomMerge(even, odd), "in_merged"),
+          Seq("pos"), "left")
+        .join(flagged(full, "in_full"), Seq("pos"), "left")
+        .select(col("pos"),
+          coalesce(col("in_even"), lit(false)).as("in_even"),
+          coalesce(col("in_odd"), lit(false)).as("in_odd"),
+          coalesce(col("in_merged"), lit(false)).as("in_merged"),
+          coalesce(col("in_full"), lit(false)).as("in_full"))
+        .orderBy("pos")}),
+
+    // hash-sampled quantile sketch over the per-doc token counts:
+    // deterministic sample-quantile estimates (Spark percentile ==
+    // DuckDB quantile_cont) PLUS the exact full-data rank of each
+    // estimate — estimate AND error hash-green, the engine-exact
+    // counterpart of q_approx_pct's bound-only gate. The sample is a
+    // pure hash predicate, so shard samples union with no coordination
+    "d_sampled_pct" -> ((s, dir) =>
+      Sketches.sampledQuantiles(
+        docs(s, dir).select(col("doc_id"), tokenCount(col("text")).as("n_tok")),
+        col("doc_id"), col("n_tok"), 0.125, Seq(250, 500, 750, 900))),
+
     // ... and the estimate read off those registers: exact BIGINT
     // harmonic denominator, IEEE-exact raw estimate, plus the exact
     // distinct-token count and integer milli error — sketch AND its
@@ -1679,6 +1717,37 @@ object PipelineQueries {
          |FROM hefull he JOIN hofull ho ON ho.register = he.register
          |JOIN hafull ha ON ha.register = he.register
          |ORDER BY he.register""".stripMargin,
+
+    "d_sampled_pct" ->
+      s"""WITH pvals AS (
+         |  SELECT doc_id AS k, ${tokenCountSql("text")} AS v FROM $docsT
+         |), ${Sketches.sampledQuantilesSql("pvals", 0.125, Seq(250, 500, 750, 900))}""".stripMargin,
+
+    "d_bloom_merge" ->
+      s"""WITH be_items AS (
+         |  SELECT ${fingerprintSql("text")} AS item FROM $docsT WHERE doc_id % 2 = 0
+         |), bo_items AS (
+         |  SELECT ${fingerprintSql("text")} AS item FROM $docsT WHERE doc_id % 2 <> 0
+         |), ba_items AS (
+         |  SELECT ${fingerprintSql("text")} AS item FROM $docsT
+         |), ${Sketches.bloomBitsSql("be_items", "be")},
+         |${Sketches.bloomBitsSql("bo_items", "bo")},
+         |${Sketches.bloomBitsSql("ba_items", "ba")},
+         |buni AS (
+         |  SELECT DISTINCT pos FROM (
+         |    SELECT pos FROM bebits UNION ALL SELECT pos FROM bobits
+         |    UNION ALL SELECT pos FROM babits)
+         |)
+         |SELECT u.pos,
+         |  (e.pos IS NOT NULL) AS in_even,
+         |  (o.pos IS NOT NULL) AS in_odd,
+         |  (e.pos IS NOT NULL OR o.pos IS NOT NULL) AS in_merged,
+         |  (a.pos IS NOT NULL) AS in_full
+         |FROM buni u
+         |LEFT JOIN bebits e ON e.pos = u.pos
+         |LEFT JOIN bobits o ON o.pos = u.pos
+         |LEFT JOIN babits a ON a.pos = u.pos
+         |ORDER BY u.pos""".stripMargin,
 
     "d_hll_est" ->
       s"""WITH hitems AS (

@@ -232,6 +232,43 @@ class PipelineSpec extends SparkSpec {
     bits.unpersist()
   }
 
+  test("bloom shard merge ORs into exactly the full filter; union keeps no false negatives") {
+    val a = (0 until 200).map(i => s"left_$i").toDF("v")
+    val b = (0 until 200).map(i => s"right_$i").toDF("v")
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBits(a, "v"), Sketches.bloomBits(b, "v")).cache()
+    val full = Sketches.bloomBits(a.union(b), "v")
+    // merge(bits(A), bits(B)) == bits(A ∪ B) exactly, both directions
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+      "merged bit set must equal the full-build bit set")
+    // the merged filter still answers for members of BOTH shards
+    val out = Sketches.bloomMayContain(merged, a.union(b), "v")
+      .as[(String, Boolean)].collect()
+    assert(out.length == 400 && out.forall(_._2),
+      "no false negatives over the union after merge")
+    merged.unpersist()
+  }
+
+  test("sampled quantile sketch: full-rate path is exact; sampled path gates rank error") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+    // rate 1.0 = the sample IS the data: estimates are the exact
+    // interpolated quantiles and every rank error is 0 or the div floor
+    val exact = Sketches.sampledQuantiles(df, $"k", $"v", 1.0,
+      Seq(250, 500, 750)).orderBy("q_milli")
+      .as[(Long, Double, Long, Long, Long, Long)].collect()
+    assert(exact.map(_._1).toSeq == Seq(250L, 500L, 750L))
+    // percentile of 1..1000 at q: 1 + q*(999)
+    assert(exact(0)._2 == 1.0 + 0.25 * 999)
+    assert(exact(1)._2 == 1.0 + 0.5 * 999)
+    assert(exact.forall(_._3 == 1000L), "full-rate n_sample = n")
+    assert(exact.forall(_._6 <= 1L), "full-rate rank error bounded by floor slack")
+    // an eighth-rate sample still lands within a loose rank band
+    val s = Sketches.sampledQuantiles(df, $"k", $"v", 0.125, Seq(500))
+      .as[(Long, Double, Long, Long, Long, Long)].head()
+    assert(s._3 > 0 && s._3 < 1000, "sample must be a strict subset")
+    assert(s._6 <= 150, s"eighth-rate median rank error too large: ${s._6}")
+  }
+
   test("minhash est_sim correlates with exact jaccard on dup pairs") {
     val est = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter($"est_sim" >= 0.5)

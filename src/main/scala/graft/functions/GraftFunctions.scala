@@ -16,6 +16,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_l2norm", exprs => L2Norm(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     spark.udf.register("graft_minhash", org.apache.spark.sql.functions.udaf(MinHashAggregator))
   }
 }

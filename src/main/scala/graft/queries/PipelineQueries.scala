@@ -904,6 +904,31 @@ object PipelineQueries {
           coalesce(col("in_full"), lit(false)).as("in_full"))
         .orderBy("pos")}),
 
+    // Unicode-normalization-aware dedup: the same grapheme arrives as
+    // precomposed U+00E9, decomposed e+U+0301, or plain ASCII 'e'; a
+    // byte-exact dedup sees three distinct strings where NFC folds the
+    // first two. Variants are PLANTED from doc_id arithmetic (the corpus
+    // is ASCII, where NFC is the identity) so the oracle inverts the
+    // construction: DuckDB nfc_normalize replays the same Unicode
+    // canonical composition the native graft_nfc expression applies.
+    // Spark chr() is byte-masked (chr(769) % 256 ≠ U+0301), so the Spark
+    // side plants the codepoints as string literals instead
+    "d_nfc_dedup" -> ((s, dir) => {
+      val accent = when(col("doc_id") % 3 === 0, lit("\u00e9"))
+        .when(col("doc_id") % 3 === 1, lit("e\u0301"))
+        .otherwise(lit("e"))
+      val raw = concat(lit("caf"), accent, lit("_"),
+        expr("doc_id div 3").cast("string"))
+      docs(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("norm",
+          graft.functions.NfcNormalize.nfcNormalize(col("raw")))
+        .groupBy("norm")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("n_raw"),
+          min(col("doc_id")).as("survivor_id"))
+        .orderBy("norm")}),
+
     // hash-sampled quantile sketch over the per-doc token counts:
     // deterministic sample-quantile estimates (Spark percentile ==
     // DuckDB quantile_cont) PLUS the exact full-data rank of each
@@ -1717,6 +1742,21 @@ object PipelineQueries {
          |FROM hefull he JOIN hofull ho ON ho.register = he.register
          |JOIN hafull ha ON ha.register = he.register
          |ORDER BY he.register""".stripMargin,
+
+    "d_nfc_dedup" ->
+      s"""WITH nv AS (
+         |  SELECT doc_id,
+         |    'caf' || CASE WHEN doc_id % 3 = 0 THEN chr(233)
+         |                  WHEN doc_id % 3 = 1 THEN 'e' || chr(769)
+         |                  ELSE 'e' END
+         |          || '_' || CAST(doc_id // 3 AS VARCHAR) AS raw
+         |  FROM $docsT
+         |)
+         |SELECT nfc_normalize(raw) AS norm,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+         |  CAST(min(doc_id) AS BIGINT) AS survivor_id
+         |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
 
     "d_sampled_pct" ->
       s"""WITH pvals AS (

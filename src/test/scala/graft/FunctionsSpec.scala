@@ -19,6 +19,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 5.0)
   }
 
+  test("NfcNormalize folds decomposed sequences, is the identity on ASCII, and registers in SQL") {
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      "caf\u00e9",       // precomposed U+00E9
+      "cafe\u0301",      // decomposed e + combining acute U+0301
+      "plain ascii",     // NFC identity (fast path)
+      "A\u0308\u0332x",  // A + diaeresis + low line: only the diaeresis composes
+      "").toDF("s")
+    val out = df.select(NfcNormalize.nfcNormalize($"s").as("n"))
+      .as[String].collect()
+    assert(out(0) == out(1), "precomposed and decomposed must normalize equally")
+    assert(out(0) == "caf\u00e9")
+    assert(out(2) == "plain ascii" && out(4) == "")
+    assert(out(3) == "\u00c4\u0332x", "base+diaeresis composes; U+0332 has no composition")
+    // null propagates; SQL registration exposes the same expression
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc(CAST(NULL AS STRING)), graft_nfc('cafe' || '\u0301')").head
+    assert(r.isNullAt(0) && r.getString(1) == "caf\u00e9")
+    // the eval (non-codegen) path agrees with the codegen path
+    assert(NfcNormalize.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString("cafe\u0301"))
+      .toString == "caf\u00e9")
+  }
+
   test("WordNgrams matches the composed transform form and the bigram native") {
     import graft.functions.NgramExpressions
     val docs = Seq(

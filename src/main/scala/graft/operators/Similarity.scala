@@ -874,6 +874,186 @@ object Similarity {
     v.select(col("dim"), col("v").as("v_micro"))
   }
 
+  // --------------------------------------------- graph-navigation ANN
+  /** The floor-micro cosine shared by the graph-ANN family: one IEEE
+    * division and one floor off the exact op tree (the e_rerank
+    * discipline), so every score is an engine-exact BIGINT and
+    * (cos_micro DESC, vec_id) is a total order both engines agree on. */
+  private def cosMicroCol(qv: Column, qn: Column, cv: Column, cn: Column): Column =
+    floor(lit(1000000.0) * (dot(qv, cv) / (qn * cn))).cast("long")
+
+  /** Exact top-k by the floor-micro cosine total order — the tie-exact
+    * recall baseline for [[beamSearchTopK]] ([[bruteForceTopK]]'s round-4
+    * cosines can tie; micro units + id tiebreak cannot). */
+  def exactTopKMicro(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv"), norm(col("vec")).as("qn")))
+    val scored = spread(corpus.select(col("id").as("vec_id"), col("vec"),
+        norm(col("vec")).as("cn")))
+      .crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cos_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_micro", "rank")
+  }
+
+  /** Graph-navigation ANN: greedy beam search over a degree-bounded kNN
+    * graph — the NSW/HNSW family's base layer, the fourth index family
+    * next to LSH, IVF and PQ. The navigable graph IS the index: search
+    * starts at a deterministic entry vector (minimum corpus id) and for
+    * `rounds` iterations expands the current beam's graph neighbors,
+    * scoring only NEW candidates by exact floor-micro cosine to the query
+    * and keeping the `ef` best as the next beam. Every step is the
+    * (cos_micro DESC, vec_id) total order, so graph, walk and result all
+    * replay in SQL ([[Similarity.beamSearchRecallSql]]) and the recall
+    * report is hash-checkable end to end.
+    *
+    * Scale shape: the O(n²) graph build here is the declared
+    * testdata-exact form; at scale the edges come from any ANN index
+    * (`prebuiltEdges` — the knnComponents discipline) and the build
+    * amortizes over every query ever run. The search itself never scans
+    * the corpus: per round, the beam (|queries|·ef rows) joins the
+    * degree-bounded edge table, only candidates NOT already scored fetch
+    * their vectors by key, and the running state stays
+    * ≤ |queries|·(1 + rounds·ef·graphK) rows — the whole loop is
+    * broadcast-sized however large the corpus. */
+  def beamSearchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     graphK: Int = 8, ef: Int = 12, rounds: Int = 4,
+                     prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+    val cor = corpus.select(col("id").as("vec_id"), col("vec"),
+      norm(col("vec")).as("cn"))
+    val edges = graft.CacheScope.cached(prebuiltEdges.getOrElse {
+      val b = broadcast(cor.select(col("vec_id").as("dst"),
+        col("vec").as("bv"), col("cn").as("bn")))
+      val pairs = spread(cor)
+        .select(col("vec_id").as("src"), col("vec").as("av"), col("cn").as("an"))
+        .crossJoin(b).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          cosMicroCol(col("av"), col("an"), col("bv"), col("bn")).as("cosm"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("dst"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= graphK)
+        .select("src", "dst")
+    })
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv"), norm(col("vec")).as("qn")))
+    // score only the handed-in (query, candidate) pairs: a keyed fetch of
+    // the candidate vectors, never a corpus scan
+    def score(cands: DataFrame): DataFrame =
+      cands.join(cor, "vec_id").join(q, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cosm"))
+    val entryId = cor.agg(min(col("vec_id"))).head().getLong(0)
+    // loop state (the scored candidate set) is tiny but referenced twice
+    // per round (beam + anti-join) — cache each round, lineage stays short
+    var cand = graft.CacheScope.cached(
+      score(queries.select(col("id").as("query_id"))
+        .withColumn("vec_id", lit(entryId))))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val beam = cand.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= ef).select("query_id", "vec_id")
+      val expand = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+      val fresh = expand.join(cand, Seq("query_id", "vec_id"), "left_anti")
+      cand = graft.CacheScope.cached(cand.unionByName(score(fresh)))
+    }
+    // the query vector itself may sit in the candidate set (it seeds
+    // navigation when the entry IS a query); exclude it from the result
+    cand.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosm").as("cos_micro"),
+        col("rank"))
+  }
+
+  /** DuckDB twin of the whole graph-beam recall report: kNN graph, entry,
+    * every expansion round unrolled as CTEs, final top-k vs the exact
+    * floor-micro top-k. `corpusFilter`/`queryFilter` are predicates on
+    * the embeddings ids. */
+  def beamSearchRecallSql(corpusFilter: String, queryFilter: String, k: Int,
+                          graphK: Int = 8, ef: Int = 12,
+                          rounds: Int = 4): String = {
+    val cosm = (a: String, b: String) =>
+      s"CAST(floor(1000000 * (list_dot_product($a.vec, $b.vec) / " +
+        s"($a.nrm * $b.nrm))) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"bc${r - 1}"
+      s"""bb$r AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosm DESC, vec_id) AS rn FROM $prev)
+         |  WHERE rn <= $ef
+         |), bx$r AS (
+         |  SELECT DISTINCT b.query_id, e.dst AS vec_id
+         |  FROM bb$r b JOIN bed e ON e.src = b.vec_id
+         |), bn$r AS (
+         |  SELECT x.query_id, x.vec_id FROM bx$r x
+         |  LEFT JOIN $prev p ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+         |  WHERE p.vec_id IS NULL
+         |), bc$r AS (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT n.query_id, n.vec_id, ${cosm("qv", "cv")} AS cosm
+         |  FROM bn$r n
+         |  JOIN bnn cv ON cv.id = n.vec_id
+         |  JOIN bnn qv ON qv.id = n.query_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH bemb AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE $corpusFilter
+       |), bnn AS (
+       |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM bemb
+       |), bp AS (
+       |  SELECT a.id AS src, b.id AS dst, ${cosm("a", "b")} AS cosm
+       |  FROM bnn a JOIN bnn b ON a.id <> b.id
+       |), bed AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosm DESC, dst) AS rn FROM bp)
+       |  WHERE rn <= $graphK
+       |), bq AS (
+       |  SELECT id AS query_id FROM bemb WHERE $queryFilter
+       |), bc0 AS (
+       |  SELECT q.query_id, e.eid AS vec_id, ${cosm("qv", "cv")} AS cosm
+       |  FROM bq q
+       |  CROSS JOIN (SELECT min(id) AS eid FROM bemb) e
+       |  JOIN bnn cv ON cv.id = e.eid
+       |  JOIN bnn qv ON qv.id = q.query_id
+       |), $roundCtes, btop AS (
+       |  SELECT query_id, vec_id, cosm FROM (
+       |    SELECT query_id, vec_id, cosm, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosm DESC, vec_id) AS rn
+       |    FROM bc$rounds WHERE vec_id <> query_id)
+       |  WHERE rn <= $k
+       |), bex AS (
+       |  SELECT src AS query_id, dst AS vec_id FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosm DESC, dst) AS rn
+       |    FROM bp WHERE src IN (SELECT query_id FROM bq))
+       |  WHERE rn <= $k
+       |), bne AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM bex GROUP BY 1
+       |), bnb AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_beam,
+       |    max(cosm) AS best_micro
+       |  FROM btop GROUP BY 1
+       |), bnh AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM btop t JOIN bex e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT ne.query_id, ne.n_exact, nb.n_beam,
+       |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, nb.best_micro
+       |FROM bne ne
+       |JOIN bnb nb ON nb.query_id = ne.query_id
+       |LEFT JOIN bnh nh ON nh.query_id = ne.query_id
+       |ORDER BY ne.query_id""".stripMargin
+  }
+
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */

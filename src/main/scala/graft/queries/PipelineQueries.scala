@@ -1049,6 +1049,29 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // GRAPH-navigation ANN (the NSW/HNSW base layer, fourth index family
+    // after LSH/IVF/PQ): greedy beam search over the exact kNN graph of
+    // the id%5 subsample, every walk step the (floor-micro cos, id) total
+    // order — graph, rounds and final top-k all replayed in the oracle,
+    // recall vs the tie-exact micro top-k hash-green per query
+    "e_ann_beam" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(
+        embDouble(s, dir).filter(col("id") % 5 === 0))
+      val queriesDf = corpus.filter(col("id") < 50)
+      val beamT = Similarity.beamSearchTopK(corpus, queriesDf, 10)
+      val exact = Similarity.exactTopKMicro(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nb = beamT.groupBy("query_id").agg(count(lit(1)).as("n_beam"),
+        max(col("cos_micro")).as("best_micro"))
+      val nh = beamT.select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nb, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_beam"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
+        .orderBy("query_id")}),
+
     // IVF-bucketed ANN (KMeans coarse quantizer; rows-only — recall
     // checked in ScalaTest against the brute-force baseline)
     "e_ann_ivf" -> ((s, dir) => {
@@ -2159,6 +2182,11 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full graph-beam replay: exact kNN graph, deterministic entry, every
+    // expansion round an unrolled CTE, recall vs the micro-exact top-k
+    "e_ann_beam" ->
+      Similarity.beamSearchRecallSql("vec_id % 5 = 0", "id < 50", 10),
 
     // full LSH replay: md5-derived hyperplanes, sign-bit signatures,
     // 1-bit multi-probe, rounded-cosine rerank — then recall vs the

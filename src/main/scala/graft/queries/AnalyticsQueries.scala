@@ -244,6 +244,18 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("purchase_ts"),
           col("click_ts").asc_nulls_first)}),
 
+    // FULL outer in the gate: both sides' watermark-gated null padding,
+    // each side's emission cutoff replayed in the oracle (purchases below
+    // W, clicks below W − 1h — the condition-derived state watermarks)
+    "s_stream_join_full" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.purchaseAfterClickFull(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_join_full_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy(col("user_id"), col("purchase_ts").asc_nulls_first,
+          col("click_ts").asc_nulls_first)}),
+
     "s_stream_join" -> ((s, dir) => {
       val st = graft.streaming.EventStreams.purchaseAfterClick(
         graft.streaming.EventStreams.readEvents(s, dir))
@@ -893,6 +905,42 @@ object AnalyticsQueries {
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, purchase_ts, click_ts NULLS FIRST""".stripMargin,
+
+    "s_stream_join_full" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT (least((SELECT epoch_us(max(ts)) FROM c),
+        |                (SELECT epoch_us(max(ts)) FROM p)) // 1000
+        |          - 7200000) * 1000 AS w_us
+        |), matched AS (
+        |  SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+        |    p.value AS purchase_value
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+        |), punmatched AS (
+        |  SELECT p.user_id, p.ts AS purchase_ts,
+        |    CAST(NULL AS TIMESTAMP) AS click_ts, p.value AS purchase_value
+        |  FROM p CROSS JOIN wm
+        |  WHERE epoch_us(p.ts) < wm.w_us AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000)
+        |), cunmatched AS (
+        |  SELECT c.user_id, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+        |    c.ts AS click_ts, CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM c CROSS JOIN wm
+        |  WHERE epoch_us(c.ts) < wm.w_us - 3600000000 AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000)
+        |)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM punmatched
+        |UNION ALL SELECT * FROM cunmatched
+        |ORDER BY user_id, purchase_ts NULLS FIRST, click_ts NULLS FIRST""".stripMargin,
 
     "s_stream_join" ->
       """SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,

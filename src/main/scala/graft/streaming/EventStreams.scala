@@ -128,6 +128,32 @@ object EventStreams {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** FULL OUTER form of [[purchaseAfterClick]]: BOTH unmatched sides
+    * null-emit once the query watermark proves no future partner can
+    * arrive. The cutoffs differ per side, each derived from the join
+    * condition: an unmatched purchase emits when purchase_ts < W (future
+    * clicks all arrive ≥ W and a match needs click_ts ≤ purchase_ts); an
+    * unmatched click emits when click_ts < W − 1h (a future purchase at
+    * ts ≥ W can still reach clicks back to W − 1h). Both cutoffs are
+    * deterministic after a bounded drain (W = min-side max event time − 2h
+    * delay, ms-floored) and the oracle twin replays them row for row. */
+  def purchaseAfterClickFull(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup — the streaming face of the batch pipeline's
     * exact-dedup operator: drop events whose content fingerprint was seen
     * before, with state bounded by the watermark

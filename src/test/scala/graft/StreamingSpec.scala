@@ -264,6 +264,53 @@ class StreamingSpec extends SparkSpec {
     assert(gotNull.nonEmpty, "fixture must produce clickless purchases")
   }
 
+  test("full outer stream-stream join: both sides null-pad at their own cutoff") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.purchaseAfterClickFull(stream), "t_ssjoin_full",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val matched = streamed.filter($"click_ts".isNotNull && $"purchase_ts".isNotNull)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+    val inner = EventStreams.runToMemory(
+      EventStreams.purchaseAfterClick(stream), "t_ssjoin_inner3",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Double)].collect().toSet
+    assert(matched == inner, "full outer's matched rows == inner join")
+    val clicks = batch.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val purchases = batch.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"value")
+    val wUs = {
+      val mc = clicks.agg(max($"cts")).head.getTimestamp(0).getTime // ms
+      val mp = purchases.agg(max($"purchase_ts")).head.getTimestamp(0).getTime
+      (math.min(mc, mp) - 7200000L) * 1000L
+    }
+    // purchase-side nulls: same cutoff as the left outer (ts < W)
+    val expPNull = purchases
+      .join(clicks, $"user_id" === $"cu" && $"cts" <= $"purchase_ts" &&
+        $"cts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"), "left_anti")
+      .filter(unix_micros($"purchase_ts") < wUs)
+      .select($"user_id", $"purchase_ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    val gotPNull = streamed.filter($"click_ts".isNull)
+      .select($"user_id", $"purchase_ts", $"purchase_value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSet
+    assert(gotPNull == expPNull)
+    // click-side nulls: the condition-derived cutoff is one join-bound
+    // EARLIER (a purchase at W can still reach clicks back to W - 1h)
+    val expCNull = clicks
+      .join(purchases, $"user_id" === $"cu" && $"cts" <= $"purchase_ts" &&
+        $"cts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR"), "left_anti")
+      .filter(unix_micros($"cts") < wUs - 3600000000L)
+      .select($"cu", $"cts")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    val gotCNull = streamed.filter($"purchase_ts".isNull)
+      .select($"user_id", $"click_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(gotCNull == expCNull)
+    assert(gotPNull.nonEmpty && gotCNull.nonEmpty,
+      "fixture must exercise both null-padding sides")
+  }
+
   test("transformWithState totals equal the mapGroupsWithState totals") {
     val tws = EventStreams.runToMemoryRocksDB(
       EventStreams.runningUserTotalsTws(stream).toDF(), "t_totals_tws")

@@ -60,6 +60,30 @@ object Sampling {
     df.filter(h < bound)
   }
 
+  /** Weight-proportional deterministic sampling (the Bernoulli form of
+    * importance sampling): each row keeps with probability
+    * min(w, cap)/cap, decided by the SAME salted-hash membership as
+    * [[hashSample]] — reproducible, append-stable,
+    * partition-independent, and pure-integer replayable: keep iff
+    * `h % cap < min(w, cap)`. Weights are integral (token counts, a
+    * milli-unit quality score); rows at or above `cap` keep with
+    * certainty. One narrow filter — no shuffle and no global
+    * normalization pass (the cap stands in for the Σw a true
+    * weighted-without-replacement draw would need). */
+  def weightedHashSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                         cap: Long, salt: String = "ws"): DataFrame = {
+    require(cap > 0, "cap > 0")
+    df.filter(
+      pmod(hash60(concat(keyCol.cast("string"), lit(salt))), lit(cap)) <
+        least(weightCol.cast("long"), lit(cap)))
+  }
+
+  def weightedHashSampleSql(table: String, keyCol: String, weightExpr: String,
+                            cap: Long, salt: String = "ws"): String =
+    s"""SELECT * FROM $table
+       |WHERE ${hash60Sql(s"CAST($keyCol AS VARCHAR) || '$salt'")} % $cap <
+       |  least(CAST($weightExpr AS BIGINT), $cap)""".stripMargin
+
   def stratifiedSampleSql(table: String, stratumCol: String, keyCol: String,
                           rates: Seq[(String, Double)], defaultRate: Double,
                           salt: String = "strat"): String = {

@@ -874,6 +874,46 @@ object Similarity {
     v.select(col("dim"), col("v").as("v_micro"))
   }
 
+  // ------------------------------------- random-projection (JL) search
+  /** Deterministic Johnson-Lindenstrauss projection planes: `outDims`
+    * dense rows over `dim` components, each from the same md5→int31→unit
+    * map as the LSH hyperplanes (seed family 'jl') — reproducible in any
+    * engine with md5, no RNG state. */
+  def jlPlanes(dim: Int, outDims: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until outDims).map { d =>
+      (0 until dim).map { j =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl_${d}_$j".getBytes("UTF-8"))
+        val v = java.nio.ByteBuffer.wrap(hex).getInt & 0x7fffffff
+        (v.toDouble / Int.MaxValue.toDouble) - 0.5
+      }
+    }
+
+  /** Project (id, vec) to `outDims` dimensions: component d is ONE
+    * left-to-right dot against plane d, so the projected vector — and
+    * any floor-micro search over it — replays exactly in SQL. The third
+    * dimensionality-reduction shape next to Matryoshka (prefix: needs
+    * MRL-trained embeddings) and PCA (learned): JL needs no training and
+    * works on any embedding, with lemma-bounded distance distortion.
+    * Scale shape: the plane matrix is outDims×dim literals baked into
+    * the plan — nothing to train, broadcast or join; projection is one
+    * map-only pass. Project once, store the short vectors, search those
+    * (outDims/dim of the bytes and flops per comparison). */
+  def jlProject(df: DataFrame, dim: Int, outDims: Int): DataFrame = {
+    val planes = jlPlanes(dim, outDims)
+    df.select(col("id"),
+      array((0 until outDims).map(d =>
+        dot(col("vec"), array(planes(d).map(lit): _*))): _*).as("vec"))
+  }
+
+  /** Top-k by floor-micro cosine in the JL-projected space. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             outDims: Int): DataFrame = {
+    val dim = inferDim(queries)
+    exactTopKMicro(jlProject(corpus, dim, outDims),
+      jlProject(queries, dim, outDims), k)
+  }
+
   // --------------------------------------------- graph-navigation ANN
   /** The floor-micro cosine shared by the graph-ANN family: one IEEE
     * division and one floor off the exact op tree (the e_rerank
@@ -882,20 +922,27 @@ object Similarity {
   private def cosMicroCol(qv: Column, qn: Column, cv: Column, cn: Column): Column =
     floor(lit(1000000.0) * (dot(qv, cv) / (qn * cn))).cast("long")
 
-  /** Exact top-k by the floor-micro cosine total order — the tie-exact
-    * recall baseline for [[beamSearchTopK]] ([[bruteForceTopK]]'s round-4
-    * cosines can tie; micro units + id tiebreak cannot). */
-  def exactTopKMicro(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Every (query, corpus) floor-micro cosine, self-matches excluded —
+    * the scored frame [[exactTopKMicro]] cuts; exposed for
+    * distortion-style comparisons between embedding spaces. */
+  def scoredMicro(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").as("qv"), norm(col("vec")).as("qn")))
-    val scored = spread(corpus.select(col("id").as("vec_id"), col("vec"),
+    spread(corpus.select(col("id").as("vec_id"), col("vec"),
         norm(col("vec")).as("cn")))
       .crossJoin(q).filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cos_micro"))
+  }
+
+  /** Exact top-k by the floor-micro cosine total order — the tie-exact
+    * recall baseline for [[beamSearchTopK]] ([[bruteForceTopK]]'s round-4
+    * cosines can tie; micro units + id tiebreak cannot). */
+  def exactTopKMicro(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scoredMicro(corpus, queries)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_micro", "rank")
   }
 

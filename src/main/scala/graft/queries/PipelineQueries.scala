@@ -311,6 +311,26 @@ object PipelineQueries {
       Sampling.hashSample(docs(s, dir), col("doc_id"), 0.2)
         .select("doc_id").orderBy("doc_id")),
 
+    // weight-proportional deterministic sampling: keep probability
+    // min(tokens, 500)/500 per doc, hash-decided — the Bernoulli
+    // importance sample a token-budgeted pipeline draws when long docs
+    // should be kept preferentially. Per-source doc and token masses
+    // before/after show the length tilt; integers end to end
+    "d_wsample" -> ((s, dir) => {
+      val d = graft.CacheScope.cached(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("w")))
+      val kept = Sampling.weightedHashSample(d, col("doc_id"), col("w"), 500L)
+      val tot = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_total"))
+      val kep = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("w")).as("w_kept"))
+      tot.join(kep, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("w_kept"), lit(0L)).as("w_kept"))
+        .orderBy("source")}),
+
     // deterministic train/val/test split counts
     "d_split" -> ((s, dir) =>
       docs(s, dir)
@@ -1047,6 +1067,46 @@ object PipelineQueries {
       ne.join(nl, "query_id").join(nh, Seq("query_id"), "left")
         .select(col("query_id"), col("n_exact"), col("n_lsh"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
+
+    // Johnson-Lindenstrauss random-projection distortion profile: 64 → 16
+    // dims via md5-derived dense planes (trainless, any embedding — vs
+    // Matryoshka's trained prefix and PCA's learned axis). The JL lemma
+    // guarantees bounded DISTANCE distortion, not rank preservation, so
+    // the report is per-query mean/max |Δcos_micro| over the whole
+    // corpus (integer, order-free sums) plus recall@10 as the secondary
+    // signal (honest and low here: random isotropic fixtures have no
+    // neighbor gap for any distance-preserving sketch to keep) —
+    // projection, both scorings and every stat replayed in the oracle
+    "e_jl_distortion" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val dim = Similarity.inferDim(queriesDf)
+      val f = graft.CacheScope.cached(
+        Similarity.scoredMicro(corpus, queriesDf))
+      val p = graft.CacheScope.cached(Similarity.scoredMicro(
+        Similarity.jlProject(corpus, dim, 16),
+        Similarity.jlProject(queriesDf, dim, 16)))
+      def top10(df: DataFrame) = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_micro").desc, col("vec_id"))
+        df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10).select("query_id", "vec_id")
+      }
+      val dist = f.join(p.withColumnRenamed("cos_micro", "cos_proj"),
+          Seq("query_id", "vec_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(abs(col("cos_micro") - col("cos_proj"))).as("sum_dist"),
+          max(abs(col("cos_micro") - col("cos_proj"))).as("max_dist_micro"))
+        .select(col("query_id"), col("n_cand"),
+          expr("sum_dist div n_cand").as("mean_dist_micro"),
+          col("max_dist_micro"))
+      val nh = top10(p).join(top10(f), Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      dist.join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_cand"), col("mean_dist_micro"),
+          col("max_dist_micro"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
     // GRAPH-navigation ANN (the NSW/HNSW base layer, fourth index family
@@ -1907,6 +1967,27 @@ object PipelineQueries {
     "d_sample" -> (Sampling.hashSampleSql("(SELECT doc_id FROM documents)", "doc_id", 0.2)
       .replace("SELECT *", "SELECT doc_id") + " ORDER BY doc_id"),
 
+    "d_wsample" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, source, CAST(${tokenCountSql("text")} AS BIGINT) AS w
+         |  FROM $docsT
+         |), wk AS (
+         |  ${Sampling.weightedHashSampleSql("wd", "doc_id", "w", 500L)}
+         |), wt AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS w_total
+         |  FROM wd GROUP BY 1
+         |), wkk AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(w) AS BIGINT) AS w_kept
+         |  FROM wk GROUP BY 1
+         |)
+         |SELECT wt.source, wt.n_docs, wt.w_total,
+         |  CAST(coalesce(wkk.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(wkk.w_kept, 0) AS BIGINT) AS w_kept
+         |FROM wt LEFT JOIN wkk ON wkk.source = wt.source
+         |ORDER BY wt.source""".stripMargin,
+
     "d_split" ->
       s"""SELECT ${Sampling.splitColumnSql("doc_id", 0.1, 0.1)} AS split,
          |count(*) AS n FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
@@ -2182,6 +2263,65 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // JL replay: md5-derived planes, per-dimension list_dot_product
+    // projection, floor-micro scorings in both spaces, integer stats
+    "e_jl_distortion" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), jdims AS (
+        |  SELECT len(vec) AS dim FROM c LIMIT 1
+        |), jplanes AS (
+        |  SELECT d, list(comp ORDER BY j) AS plane FROM (
+        |    SELECT d.range AS d, jj.j AS j,
+        |      ((CAST('0x' || substring(md5('jl_' || d.range || '_' || jj.j), 1, 8) AS BIGINT)
+        |        & 2147483647) / CAST(2147483647 AS DOUBLE)) - CAST(0.5 AS DOUBLE) AS comp
+        |    FROM range(16) d,
+        |      (SELECT unnest(generate_series(0, dim - 1)) AS j FROM jdims) jj)
+        |  GROUP BY d
+        |), jp AS (
+        |  SELECT c.id, list(list_dot_product(c.vec, p.plane) ORDER BY p.d) AS vec
+        |  FROM c, jplanes p GROUP BY c.id
+        |), jn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM jp
+        |), fn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM c
+        |), fsc AS (
+        |  SELECT q.id AS query_id, v.id AS vec_id,
+        |    CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |      (q.nrm * v.nrm))) AS BIGINT) AS cos_micro
+        |  FROM fn q JOIN fn v ON q.id < 5 AND v.id <> q.id
+        |), psc AS (
+        |  SELECT q.id AS query_id, v.id AS vec_id,
+        |    CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |      (q.nrm * v.nrm))) AS BIGINT) AS cos_proj
+        |  FROM jn q JOIN jn v ON q.id < 5 AND v.id <> q.id
+        |), jdist AS (
+        |  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |    CAST(sum(abs(f.cos_micro - p.cos_proj)) AS BIGINT) // count(*) AS mean_dist_micro,
+        |    CAST(max(abs(f.cos_micro - p.cos_proj)) AS BIGINT) AS max_dist_micro
+        |  FROM fsc f JOIN psc p ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+        |  GROUP BY 1
+        |), ftop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_micro DESC, vec_id) AS rn FROM fsc)
+        |  WHERE rn <= 10
+        |), jtop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_proj DESC, vec_id) AS rn FROM psc)
+        |  WHERE rn <= 10
+        |), jnh AS (
+        |  SELECT j.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM jtop j JOIN ftop f ON f.query_id = j.query_id AND f.vec_id = j.vec_id
+        |  GROUP BY 1)
+        |SELECT d.query_id, d.n_cand,
+        |  CAST(d.mean_dist_micro AS BIGINT) AS mean_dist_micro, d.max_dist_micro,
+        |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM jdist d LEFT JOIN jnh nh ON nh.query_id = d.query_id
+        |ORDER BY d.query_id""".stripMargin,
 
     // full graph-beam replay: exact kNN graph, deterministic entry, every
     // expansion round an unrolled CTE, recall vs the micro-exact top-k

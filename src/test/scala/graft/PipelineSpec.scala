@@ -416,6 +416,56 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"graph-beam recall@10 = $recall")
   }
 
+  test("weighted hash sampling keeps saturated rows always and light rows in proportion") {
+    import graft.operators.Sampling
+    val rows = (0L until 2000L).map(i => (i, if (i < 1000) 100L else 500L))
+      .toDF("k", "w")
+    val kept = Sampling.weightedHashSample(rows, $"k", $"w", 500L)
+      .as[(Long, Long)].collect()
+    val keptSet = kept.map(_._1).toSet
+    assert((1000L until 2000L).forall(keptSet.contains),
+      "rows at or above the cap must always be kept")
+    val light = kept.count(_._2 == 100L)
+    // keep probability 100/500 = 0.2 over 1000 light rows; generous band
+    assert(light > 120 && light < 280, s"light-row keep count $light outside band")
+    // membership is a pure row predicate: partitioning cannot change it
+    val repart = Sampling.weightedHashSample(rows.repartition(13), $"k", $"w", 500L)
+      .select($"k").as[Long].collect().toSet
+    assert(repart == keptSet)
+  }
+
+  test("JL projection distortion is bounded and shrinks as dims grow") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 10)
+    // projected vectors have exactly outDims components
+    val pdim = Similarity.jlProject(corpus, 64, 16)
+      .select(size($"vec")).as[Int].head()
+    assert(pdim == 16)
+    // mean |Δcos| over all (query, corpus) pairs, per outDims — the JL
+    // lemma's concentration: more dims, less distortion
+    def meanDist(outDims: Int): Double = {
+      val f = Similarity.scoredMicro(corpus, queries)
+      val p = Similarity.scoredMicro(
+        Similarity.jlProject(corpus, 64, outDims),
+        Similarity.jlProject(queries, 64, outDims))
+        .withColumnRenamed("cos_micro", "cos_proj")
+      f.join(p, Seq("query_id", "vec_id"))
+        .agg(avg(abs($"cos_micro" - $"cos_proj"))).as[Double].head()
+    }
+    val d16 = meanDist(16)
+    val d48 = meanDist(48)
+    assert(d16 < 400000, s"16-dim mean distortion $d16 out of band")
+    assert(d48 < d16, s"distortion must shrink with dims: 48d $d48 vs 16d $d16")
+    // determinism: a second projection is bit-identical
+    val p1 = Similarity.jlProject(corpus, 64, 16).orderBy("id")
+      .as[(Long, Seq[Double])].collect()
+    val p2 = Similarity.jlProject(corpus, 64, 16).orderBy("id")
+      .as[(Long, Seq[Double])].collect()
+    assert(p1.sameElements(p2))
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -971,7 +971,12 @@ object Similarity {
                      prebuiltEdges: Option[DataFrame] = None): DataFrame = {
     val cor = corpus.select(col("id").as("vec_id"), col("vec"),
       norm(col("vec")).as("cn"))
-    val edges = graft.CacheScope.cached(prebuiltEdges.getOrElse {
+    // checkpointed, not merely cached: edges feed EVERY round, and the
+    // per-round state below re-derives from itself — without truncation
+    // the DAG deepens each round and Catalyst re-analysis (driver CPU)
+    // dominates the tiny physical work (same discipline as the GraphOps
+    // iterative algorithms)
+    val edges = prebuiltEdges.getOrElse {
       val b = broadcast(cor.select(col("vec_id").as("dst"),
         col("vec").as("bv"), col("cn").as("bn")))
       val pairs = spread(cor)
@@ -982,7 +987,7 @@ object Similarity {
       val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("dst"))
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= graphK)
         .select("src", "dst")
-    })
+    }.localCheckpoint(true)
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").as("qv"), norm(col("vec")).as("qn")))
     // score only the handed-in (query, candidate) pairs: a keyed fetch of
@@ -992,11 +997,8 @@ object Similarity {
         .select(col("query_id"), col("vec_id"),
           cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cosm"))
     val entryId = cor.agg(min(col("vec_id"))).head().getLong(0)
-    // loop state (the scored candidate set) is tiny but referenced twice
-    // per round (beam + anti-join) — cache each round, lineage stays short
-    var cand = graft.CacheScope.cached(
-      score(queries.select(col("id").as("query_id"))
-        .withColumn("vec_id", lit(entryId))))
+    var cand = score(queries.select(col("id").as("query_id"))
+      .withColumn("vec_id", lit(entryId))).localCheckpoint(true)
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cosm").desc, col("vec_id"))
     for (_ <- 1 to rounds) {
@@ -1005,7 +1007,7 @@ object Similarity {
       val expand = beam.join(edges, beam("vec_id") === edges("src"))
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
       val fresh = expand.join(cand, Seq("query_id", "vec_id"), "left_anti")
-      cand = graft.CacheScope.cached(cand.unionByName(score(fresh)))
+      cand = cand.unionByName(score(fresh)).localCheckpoint(true)
     }
     // the query vector itself may sit in the candidate set (it seeds
     // navigation when the entry IS a query); exclude it from the result

@@ -1118,8 +1118,19 @@ object PipelineQueries {
       val corpus = graft.CacheScope.cached(
         embDouble(s, dir).filter(col("id") % 5 === 0))
       val queriesDf = corpus.filter(col("id") < 50)
-      val beamT = Similarity.beamSearchTopK(corpus, queriesDf, 10)
-      val exact = Similarity.exactTopKMicro(corpus, queriesDf, 10)
+      // ONE pairwise floor-micro pass feeds both the kNN-graph edges and
+      // the exact recall baseline (the operator's internal build would
+      // score the same pairs a second time)
+      val pairs = graft.CacheScope.cached(Similarity.scoredMicro(corpus, corpus))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      val edges = pairs.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= 8)
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      val beamT = Similarity.beamSearchTopK(corpus, queriesDf, 10,
+        prebuiltEdges = Some(edges))
+      val exact = pairs.filter(col("query_id") < 50)
+        .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id"))
       val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       val nb = beamT.groupBy("query_id").agg(count(lit(1)).as("n_beam"),

@@ -473,6 +473,40 @@ object TextFunctions {
     pick
   }
 
+  /** Zipf rank-frequency OLS fit over the top-`topK` vocabulary ranks of a
+    * (token, cnt) frame: one row (n, slope_micro, r_micro) with
+    * x = ln(rank), y = ln(cnt) each micro-rounded BEFORE the order-free
+    * integer sums (the surprisal discipline) and the two float steps
+    * using only correctly-rounded IEEE ops off exact i64 sufficient
+    * stats (the gx_assort discipline) — both outputs engine-exact.
+    * Natural text reads slope ≈ −1; near-uniform (boilerplate or
+    * template-degenerate) corpora read near 0, which is the signal this
+    * stat exists to expose. i64 headroom: |x|,|y| ≤ ln(topK·maxCnt)·1e6,
+    * so Σx² stays exact through topK ≈ 10⁴ at web-corpus counts. */
+  def zipfFit(tokenCounts: DataFrame, topK: Int = 200): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val xy = tokenCounts.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topK)
+      .select(lmicro(col("r")).as("x"), lmicro(col("cnt")).as("y"))
+    val st = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    st.select(col("n"),
+      floor(lit(1000000.0) *
+        (d("n") * d("sxy") - d("sx") * d("sy")) /
+        (d("n") * d("sxx") - d("sx") * d("sx")))
+        .cast("long").as("slope_micro"),
+      floor(lit(1000000.0) *
+        (d("n") * d("sxy") - d("sx") * d("sy")) /
+        sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+             (d("n") * d("syy") - d("sy") * d("sy"))))
+        .cast("long").as("r_micro"))
+  }
+
   def langIdSql(c: String): String = {
     val toks = tokensSql(c)
     def scoreSql(prof: Seq[String]): String = {

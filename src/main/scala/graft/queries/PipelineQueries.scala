@@ -300,6 +300,20 @@ object PipelineQueries {
 
     // corpus vocabulary: top-100 tokens by frequency (the 100 TB wordcount
     // shape — map-side-combinable count + distributed TakeOrdered top-k)
+    // Zipf rank-frequency fit: log-log OLS slope and Pearson r over the
+    // top-200 vocabulary ranks — the corpus-statistics check that catches
+    // degenerate or boilerplate corpora (natural text slopes ≈ −1; this
+    // synthetic fixture's 31-token near-uniform vocabulary reads ≈ −0.18,
+    // exactly the degeneracy the stat exists to expose). x = ln(rank),
+    // y = ln(count), each micro-rounded BEFORE the order-free i64 sums
+    // (the surprisal discipline); the two float steps use only
+    // correctly-rounded ops off exact sufficient stats (gx_assort
+    // discipline), so slope AND fit quality are hash-green
+    "d_zipf" -> ((s, dir) =>
+      TextFunctions.zipfFit(
+        docs(s, dir).select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt")))),
+
     "d_vocab" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
@@ -1969,6 +1983,42 @@ object PipelineQueries {
          |CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS total_tokens,
          |min(n_chars) AS min_chars, max(n_chars) AS max_chars
          |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_zipf" ->
+      s"""WITH ztok AS (
+         |  SELECT unnest(${tokensSql("text")}) AS token FROM $docsT
+         |), zcnt AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ztok GROUP BY 1
+         |), zr AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM zcnt
+         |), zxy AS (
+         |  SELECT CAST(round(ln(r) * 1000000.0) AS BIGINT) AS x,
+         |         CAST(round(ln(cnt) * 1000000.0) AS BIGINT) AS y
+         |  FROM zr WHERE r <= 200
+         |), zst AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM zxy
+         |)
+         |SELECT n,
+         |  CAST(floor(1000000.0 *
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |    AS BIGINT) AS slope_micro,
+         |  CAST(floor(1000000.0 *
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         |    AS BIGINT) AS r_micro
+         |FROM zst""".stripMargin,
 
     "d_vocab" ->
       s"""SELECT token, count(*) AS n FROM (

@@ -416,6 +416,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"graph-beam recall@10 = $recall")
   }
 
+  test("zipf fit reads -1 on a planted 1/rank vocabulary and near 0 on a flat one") {
+    val zipf = (1 to 100).map(r => (f"t$r%03d", math.max(1000L / r, 1L)))
+      .toDF("token", "cnt")
+    val z = TextFunctions.zipfFit(zipf).as[(Long, Long, Long)].head()
+    assert(z._1 == 100L)
+    assert(z._2 > -1150000L && z._2 < -900000L,
+      s"planted 1/rank corpus must fit slope ~ -1, got ${z._2}")
+    assert(z._3 < -980000L, s"fit must be near-perfectly correlated, got ${z._3}")
+    val flat = (1 to 100).map(r => (f"u$r%03d", 500L + (r % 3)))
+      .toDF("token", "cnt")
+    val f = TextFunctions.zipfFit(flat).as[(Long, Long, Long)].head()
+    assert(math.abs(f._2) < 20000L,
+      s"near-uniform corpus must read near-zero slope, got ${f._2}")
+  }
+
   test("weighted hash sampling keeps saturated rows always and light rows in proportion") {
     import graft.operators.Sampling
     val rows = (0L until 2000L).map(i => (i, if (i < 1000) 100L else 500L))

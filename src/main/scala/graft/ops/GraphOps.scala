@@ -1082,4 +1082,66 @@ object GraphOps {
     salted.groupBy(col("src").as("key"))
       .agg(sort_array(flatten(collect_list(col("partial")))).as("neighbors"))
   }
+
+  /** Functional-graph labeling by POINTER DOUBLING — the O(log n)
+    * list-ranking technique that labels linked structures (successor
+    * chains, parent pointers, ρ-shaped hash orbits) without n sequential
+    * rounds. Input is a total successor function (node, succ), i.e. a
+    * functional graph: every weakly-connected component is a ρ — one
+    * cycle plus trees hanging off it. Round k materializes, per node,
+    * `jump = f^(2^k)(node)` and `mn = min id of f^j(node), j ∈ [1, 2^k]`
+    * via ONE self-join (jump_{k+1}(v) = jump_k(jump_k(v)), min composes
+    * with least). After rounds ≥ log₂(n), `jump` lands on the component's
+    * cycle for every node, and the cycle's canonical label is
+    * `mn(jump(v))` — the min id ON the cycle (tail ids can't pollute it:
+    * the min is taken from a cycle node, whose forward orbit IS the
+    * cycle). Output: (node, cycle_rep, basin_size).
+    *
+    * Scale shape: rounds = 16 covers n ≤ 65536 per component-path; at
+    * 100 TB the table is shuffled once on `node` and each round is one
+    * equi-join reusing that partitioning — 16 joins total where naive
+    * traversal needs cycle-length rounds. State is one row per node;
+    * each round checkpoints (the GraphOps iterative discipline). */
+  def pointerDoublingLabels(succ: DataFrame, rounds: Int = 16): DataFrame = {
+    var t = succ.select(col("node"), col("succ").as("jump"),
+      col("succ").as("mn")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val o = t.select(col("node").as("n2"), col("jump").as("j2"),
+        col("mn").as("m2"))
+      t = t.join(o, t("jump") === o("n2"))
+        .select(t("node"), col("j2").as("jump"),
+          least(col("mn"), col("m2")).as("mn"))
+        .localCheckpoint(true)
+    }
+    val atRoot = t.select(col("node").as("r"), col("mn").as("cycle_rep"))
+    val lbl = t.join(atRoot, t("jump") === atRoot("r"))
+      .select(col("node"), col("cycle_rep"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("cycle_rep"))
+    lbl.withColumn("basin_size", count(lit(1)).over(wB))
+  }
+
+  /** DuckDB twin of [[pointerDoublingLabels]] over successor CTE
+    * `fs`(node, succ): every doubling round an unrolled CTE. Each round
+    * references its predecessor TWICE, so the CTEs must be MATERIALIZED —
+    * DuckDB's default inlining would expand the chain exponentially
+    * (2^rounds scans of the base table). */
+  def pointerDoublingSql(rounds: Int = 16): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = s"pd${k - 1}"
+      s"""pd$k AS MATERIALIZED (
+         |  SELECT a.node, b.jump AS jump, least(a.mn, b.mn) AS mn
+         |  FROM $prev a JOIN $prev b ON b.node = a.jump
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""pd0 AS MATERIALIZED (
+       |  SELECT node, succ AS jump, succ AS mn FROM fs
+       |), $roundCtes, pdl AS (
+       |  SELECT a.node, r.mn AS cycle_rep
+       |  FROM pd$rounds a JOIN pd$rounds r ON r.node = a.jump
+       |)
+       |SELECT node, cycle_rep,
+       |  CAST(count(*) OVER (PARTITION BY cycle_rep) AS BIGINT) AS basin_size
+       |FROM pdl""".stripMargin
+  }
 }
+

@@ -294,6 +294,19 @@ object GxQueries {
           .cast("long"))
     }),
 
+    // functional-graph labeling by POINTER DOUBLING (the O(log n)
+    // list-ranking pattern a 100 TB engine uses on successor chains):
+    // planted successor f(i) = (i² + 1) mod n over the doc ids — a
+    // Pollard-rho-style map with tails and multiple cycles — labeled in
+    // 16 doubling rounds; every node's cycle representative and basin
+    // size hash-checked against the fully unrolled SQL replay
+    "gx_funcgraph" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count()
+      val succ = d.select(col("doc_id").as("node"),
+        expr(s"(doc_id * doc_id + 1) % $n").as("succ"))
+      GraphOps.pointerDoublingLabels(succ).orderBy("node")}),
+
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>
       GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
@@ -543,6 +556,14 @@ object GxQueries {
          |          - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))))
          |  AS BIGINT) AS assort_micro
          |FROM st""".stripMargin,
+
+    "gx_funcgraph" ->
+      s"""WITH fs AS (
+         |  SELECT doc_id AS node,
+         |    (doc_id * doc_id + 1) % (SELECT count(*) FROM documents) AS succ
+         |  FROM documents
+         |), ${GraphOps.pointerDoublingSql()}
+         |ORDER BY node""".stripMargin,
 
     "gx_degrees" ->
       s"""$cte, od AS (SELECT src, count(*) AS d FROM ue GROUP BY src),

@@ -457,4 +457,23 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pointer doubling labels rho-shaped functional graphs with cycle minima") {
+    val succ = Seq(
+      0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 1L,  // 3-cycle {0,1,2} + tail 3
+      4L -> 5L, 5L -> 4L, 6L -> 4L,            // 2-cycle {4,5} + tail 6
+      7L -> 7L, 8L -> 7L, 9L -> 8L,            // self-loop 7 + 2-deep chain
+      10L -> 11L, 11L -> 12L, 12L -> 11L       // tail id BELOW its cycle {11,12}
+    ).toDF("node", "succ")
+    val out = GraphOps.pointerDoublingLabels(succ, rounds = 5)
+      .select("node", "cycle_rep", "basin_size")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exp = Map(
+      0L -> ((0L, 4L)), 1L -> ((0L, 4L)), 2L -> ((0L, 4L)), 3L -> ((0L, 4L)),
+      4L -> ((4L, 3L)), 5L -> ((4L, 3L)), 6L -> ((4L, 3L)),
+      7L -> ((7L, 3L)), 8L -> ((7L, 3L)), 9L -> ((7L, 3L)),
+      // the label is the min ON THE CYCLE: tail node 10 cannot pollute it
+      10L -> ((11L, 3L)), 11L -> ((11L, 3L)), 12L -> ((11L, 3L)))
+    assert(out == exp, s"got $out")
+  }
 }

@@ -357,4 +357,48 @@ class PlanSpec extends SparkSpec {
       l.contains("graft_l2norm") && l.trim.startsWith("*")),
       s"l2norm not codegen'd:\n${plan.take(800)}")
   }
+
+  test("JL projection is map-only; weighted sampling is one pushed filter") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val proj = graft.operators.Similarity.jlProject(corpus, 64, 16)
+    val pp = finalPlanString(proj)
+    assert(!pp.contains("Exchange"),
+      s"JL projection must not shuffle — planes are plan literals:\n${pp.take(800)}")
+    val ws = graft.operators.Sampling.weightedHashSample(
+      Tables.documents(spark, sf).select($"doc_id",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long").as("w")),
+      $"doc_id", $"w", 500L)
+    val wp = finalPlanString(ws)
+    assert(!wp.contains("Exchange"),
+      s"weighted sampling is a narrow filter:\n${wp.take(800)}")
+    assert(wp.contains("Filter"), wp.take(400))
+  }
+
+  test("NFC normalization runs inside a codegen span") {
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.NfcNormalize.nfcNormalize($"text").as("n"))
+    val plan = finalPlanString(df)
+    assert(plan.contains("graft_nfc"), plan.take(600))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_nfc") && l.trim.startsWith("*")),
+      s"graft_nfc not codegen'd:\n${plan.take(800)}")
+  }
+
+  test("micro scoring broadcasts the query side and never sort-merges the corpus") {
+    // scoredMicro is the shared scoring shape of exactTopKMicro, the beam
+    // search rounds and the JL distortion report (the beam loop's own
+    // final plan is checkpoint-truncated, so the shape is pinned here)
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .filter($"id" % 5 === 0)
+    val queries = corpus.filter($"id" < 50)
+    val plan = finalPlanString(
+      graft.operators.Similarity.scoredMicro(corpus, queries))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"queries must broadcast into the corpus scan:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for scoring:\n${plan.take(800)}")
+  }
 }

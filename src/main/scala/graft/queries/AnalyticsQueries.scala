@@ -244,6 +244,23 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("purchase_ts"),
           col("click_ts").asc_nulls_first)}),
 
+    // streaming near-dup suppression in the gate: per-row simhash
+    // projection + streaming dedup on the document stream. WHICH doc
+    // survives per signature depends on arrival order, so the gate pins
+    // the deterministic part — the surviving signature set with exactly
+    // one survivor each — against the batch distinct-signature oracle
+    "s_stream_neardup" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.nearDupFreeDocs(
+        graft.streaming.EventStreams.readDocuments(s, dir), "text")
+      val drained = graft.streaming.EventStreams.runToMemory(st,
+        "s_stream_neardup_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+      graft.operators.Dedup.withSimhash(
+          drained.filter(col("text").isNotNull), "text", "sig")
+        .groupBy("sig").agg(count(lit(1)).as("n"))
+        .orderBy("sig")}),
+
     // FULL outer in the gate: both sides' watermark-gated null padding,
     // each side's emission cutoff replayed in the oracle (purchases below
     // W, clicks below W − 1h — the condition-derived state watermarks)
@@ -905,6 +922,13 @@ object AnalyticsQueries {
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, purchase_ts, click_ts NULLS FIRST""".stripMargin,
+
+    "s_stream_neardup" ->
+      s"""SELECT sig, CAST(1 AS BIGINT) AS n FROM (
+         |  SELECT DISTINCT simhash AS sig FROM (
+         |    ${graft.operators.Dedup.simhashSignaturesSql("documents", "doc_id", "text")}
+         |  )
+         |) ORDER BY sig""".stripMargin,
 
     "s_stream_join_full" ->
       """WITH c AS (

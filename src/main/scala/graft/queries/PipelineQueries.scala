@@ -199,6 +199,57 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // snapshot reconciliation — the CDC-style audit an incremental ingest
+    // runs between two corpus versions: planted old (drops every 7th doc)
+    // vs new (drops every 5th, edits every 11th), full-outer fingerprint
+    // compare → all four of added/removed/changed/same non-vacuous.
+    // Per-status counts plus exact id bounds pin the diff without
+    // emitting the whole join
+    "d_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp_old"))
+      val nw = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          fingerprint(when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_old").isNull, "added")
+            .when(col("fp_new").isNull, "removed")
+            .when(col("fp_old") =!= col("fp_new"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("status")}),
+
+    // small-file compaction planning — the lakehouse-maintenance pass
+    // (OPTIMIZE/rewrite): treat each (source, doc_id%16) shard as a file
+    // with its byte mass, sort by size descending, and assign bins by
+    // running-total division (sorted next-fit: bin = cumsum-before div
+    // target) — deterministic, ONE window pass, and the whole plan
+    // replays in SQL. The target is DATA-ADAPTIVE (total div 8 + 1, the
+    // gx_kcore discipline — a constant would collapse to one bin at small
+    // SF and explode at large). Output per bin: file count, byte total,
+    // largest file — what an engine checks before rewriting a layout
+    "d_compaction" -> ((s, dir) => {
+      val files = docs(s, dir)
+        .groupBy(col("source"), (col("doc_id") % 16).as("shard"))
+        .agg(sum(length(col("text"))).cast("long").as("bytes"))
+      val w = Window.orderBy(col("bytes").desc, col("source"), col("shard"))
+      val tot = files.agg((sum(col("bytes")).cast("long")).as("total"))
+      files
+        .withColumn("cum_before",
+          coalesce(sum(col("bytes")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("cum_before div (total div 8 + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes_total"),
+          max(col("bytes")).as("max_file"))
+        .orderBy("bin")}),
+
     "d_quality" -> ((s, dir) => {
       val toks = tokens(col("text"))
       docs(s, dir).select(
@@ -1865,6 +1916,47 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_snapshot_diff" ->
+      s"""WITH sold AS (
+         |  SELECT doc_id, ${fingerprintSql("text")} AS fp_old FROM $docsT
+         |  WHERE doc_id % 7 <> 0
+         |), snew AS (
+         |  SELECT doc_id,
+         |    ${fingerprintSql("(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)")} AS fp_new
+         |  FROM $docsT WHERE doc_id % 5 <> 0
+         |), sj AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.fp_old IS NULL THEN 'added'
+         |         WHEN n.fp_new IS NULL THEN 'removed'
+         |         WHEN o.fp_old <> n.fp_new THEN 'changed'
+         |         ELSE 'same' END AS status
+         |  FROM sold o FULL JOIN snew n ON n.doc_id = o.doc_id
+         |)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(doc_id) AS BIGINT) AS min_id,
+         |  CAST(max(doc_id) AS BIGINT) AS max_id
+         |FROM sj GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "d_compaction" ->
+      s"""WITH cf AS (
+         |  SELECT source, doc_id % 16 AS shard,
+         |    CAST(sum(length(text)) AS BIGINT) AS bytes
+         |  FROM $docsT GROUP BY 1, 2
+         |), ctot AS (
+         |  SELECT CAST(sum(bytes) AS BIGINT) AS total FROM cf
+         |), cw AS (
+         |  SELECT bytes,
+         |    CAST(coalesce(sum(bytes) OVER (ORDER BY bytes DESC, source, shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM cf
+         |)
+         |SELECT cum_before // (SELECT total // 8 + 1 FROM ctot) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+         |  CAST(max(bytes) AS BIGINT) AS max_file
+         |FROM cw GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "d_sampled_pct" ->
       s"""WITH pvals AS (

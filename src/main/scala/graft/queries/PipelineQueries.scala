@@ -199,6 +199,45 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // distribution-matched resampling — downsample a candidate pool so
+    // its token-length histogram matches a reference set's (the ablation
+    // prep step: compare corpora at equal length profiles). The reference
+    // is PLANTED length-biased (every 3rd doc at or above the corpus
+    // median token count, the engine-exact percentile cut) so the
+    // per-bucket keep rates are genuinely non-uniform. rate_milli =
+    // min(1000, (1000·n_ref) div n_cand) per power-of-2 bucket; keep is
+    // the usual salted-hash predicate — deterministic, append-stable,
+    // integer end to end
+    "d_distmatch" -> ((s, dir) => {
+      val base = graft.CacheScope.cached(
+        docs(s, dir).select(col("doc_id"), tokenCount(col("text")).as("n"))
+          .withColumn("bucket", when(col("n") === 0, lit(-1))
+            .otherwise(floor(log2(col("n"))).cast("int"))))
+      val cut = base.agg(expr("percentile(n, 0.5)").as("cut"))
+      val withCut = base.crossJoin(broadcast(cut))
+      val isRef = col("doc_id") % 3 === 0 && col("n") >= col("cut")
+      val ref = withCut.filter(isRef)
+      val cand = withCut.filter(!isRef)
+      val rates = ref.groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+        .join(cand.groupBy("bucket").agg(count(lit(1)).as("n_cand")),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+        .withColumn("rate_milli",
+          when(col("n_cand") === 0, lit(0L))
+            .otherwise(least(lit(1000L),
+              expr("(1000 * n_ref) div n_cand"))))
+      val kept = cand.join(broadcast(rates), "bucket")
+        .filter(pmod(graft.functions.TextFunctions.hash60(
+          concat(col("doc_id").cast("string"), lit("dm"))), lit(1000L)) <
+          col("rate_milli"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_ref"), col("n_cand"), col("rate_milli"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("bucket")}),
+
     // snapshot reconciliation — the CDC-style audit an incremental ingest
     // runs between two corpus versions: planted old (drops every 7th doc)
     // vs new (drops every 5th, edits every 11th), full-outer fingerprint
@@ -1916,6 +1955,38 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_distmatch" ->
+      s"""WITH mb AS (
+         |  SELECT doc_id, ${tokenCountSql("text")} AS n FROM $docsT
+         |), mc AS (
+         |  SELECT quantile_cont(n, 0.5) AS cut FROM mb
+         |), mbk AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n = 0 THEN -1 ELSE CAST(floor(log2(n)) AS INT) END AS bucket,
+         |    (doc_id % 3 = 0 AND n >= (SELECT cut FROM mc)) AS is_ref
+         |  FROM mb
+         |), mrates AS (
+         |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+         |    CAST(coalesce(r.n_ref, 0) AS BIGINT) AS n_ref,
+         |    CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_cand,
+         |    CASE WHEN coalesce(c.n_cand, 0) = 0 THEN 0
+         |         ELSE least(1000, (1000 * coalesce(r.n_ref, 0)) // c.n_cand)
+         |    END AS rate_milli
+         |  FROM (SELECT bucket, count(*) AS n_ref FROM mbk WHERE is_ref GROUP BY 1) r
+         |  FULL JOIN (SELECT bucket, count(*) AS n_cand FROM mbk WHERE NOT is_ref GROUP BY 1) c
+         |    ON c.bucket = r.bucket
+         |), mkept AS (
+         |  SELECT k.bucket, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM mbk k JOIN mrates t ON t.bucket = k.bucket
+         |  WHERE NOT k.is_ref
+         |    AND ${graft.functions.TextFunctions.hash60Sql("CAST(doc_id AS VARCHAR) || 'dm'")} % 1000 < t.rate_milli
+         |  GROUP BY 1
+         |)
+         |SELECT r.bucket, r.n_ref, r.n_cand, CAST(r.rate_milli AS BIGINT) AS rate_milli,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM mrates r LEFT JOIN mkept k ON k.bucket = r.bucket
+         |ORDER BY r.bucket""".stripMargin,
 
     "d_snapshot_diff" ->
       s"""WITH sold AS (

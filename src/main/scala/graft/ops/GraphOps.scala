@@ -1083,6 +1083,81 @@ object GraphOps {
       .agg(sort_array(flatten(collect_list(col("partial")))).as("neighbors"))
   }
 
+  /** k-truss peel (bounded rounds): iteratively drop undirected edges
+    * supported by fewer than k−2 triangles in the CURRENT edge set — the
+    * edge-level analog of k-core, and the standard community-backbone
+    * extractor (an edge survives only while enough of its triangles do,
+    * so weak ties fall away in cascades the per-round recount captures).
+    * Canonical least/greatest edges; triangle enumeration is the same
+    * x<y<z two-join shape the gx_triangles oracle uses; support is the
+    * per-edge count over the triangle's three edge roles. Bounded
+    * `rounds` with honest truncation (the gx_closeness discipline);
+    * output = surviving edges with their support in the FINAL edge set.
+    *
+    * Scale shape: per round ONE triangle enumeration (two u/v-keyed
+    * equi-joins, the same cost profile as a triangle count) plus a
+    * map-side-combinable support aggregation; the edge set shrinks
+    * monotonically and each round checkpoints, so plans stay flat and
+    * later rounds run on the pruned set. */
+  def kTruss(g: KinGraph, k: Int, rounds: Int): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val a = e.select(col("u").as("x"), col("v").as("y"))
+      val b = e.select(col("u").as("y2"), col("v").as("z"))
+      val c = e.select(col("u").as("x3"), col("v").as("z3"))
+      val tri = a.join(b, col("y") === col("y2"))
+        .join(c, col("x") === col("x3") && col("z") === col("z3"))
+        .select("x", "y", "z")
+      tri.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(tri.select(col("y").as("u"), col("z").as("v")))
+        .unionByName(tri.select(col("x").as("u"), col("z").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("supp"))
+    }
+    var e = g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("u", "v"), "left")
+        .filter(coalesce(col("supp"), lit(0L)) >= k - 2)
+        .select("u", "v").localCheckpoint(true)
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("supp"), lit(0L)).as("supp"))
+  }
+
+  /** DuckDB twin of [[kTruss]] over directed edge CTE `$edges`(src, dst):
+    * every peel round unrolled (MATERIALIZED — each round's edge set is
+    * referenced three times by the next triangle join). */
+  def kTrussSql(edges: String, k: Int, rounds: Int): String = {
+    def suppCte(e: String, p: String): String =
+      s"""${p}tri AS (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM $e a JOIN $e b ON b.u = a.v
+         |  JOIN $e c ON c.u = a.u AND c.v = b.v
+         |), ${p}supp AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS supp FROM (
+         |    SELECT x AS u, y AS v FROM ${p}tri
+         |    UNION ALL SELECT y, z FROM ${p}tri
+         |    UNION ALL SELECT x, z FROM ${p}tri)
+         |  GROUP BY u, v
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${suppCte(s"kt${r - 1}", s"r$r")}, kt$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM kt${r - 1} e
+         |  LEFT JOIN r${r}supp s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.supp, 0) >= ${k - 2}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""kt0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM $edges WHERE src <> dst
+       |), $roundCtes, ${suppCte(s"kt$rounds", "fin")}
+       |SELECT e.u, e.v, CAST(coalesce(s.supp, 0) AS BIGINT) AS supp
+       |FROM kt$rounds e
+       |LEFT JOIN finsupp s ON s.u = e.u AND s.v = e.v
+       |ORDER BY e.u, e.v""".stripMargin
+  }
+
   /** Functional-graph labeling by POINTER DOUBLING — the O(log n)
     * list-ranking technique that labels linked structures (successor
     * chains, parent pointers, ρ-shaped hash orbits) without n sequential

@@ -294,6 +294,15 @@ object GxQueries {
           .cast("long"))
     }),
 
+    // k-truss peel on the union graph (k=3, 2 bounded rounds): the
+    // edge-level analog of gx_kcore — same-nation S-C-N triangles
+    // survive, cross-nation trade edges cascade out as their triangle
+    // support vanishes round by round; every surviving edge and its
+    // final support hash-checked against the fully unrolled replay
+    "gx_ktruss" -> ((s, dir) =>
+      GraphOps.kTruss(unionGraph(s, dir), k = 3, rounds = 2)
+        .orderBy("u", "v")),
+
     // functional-graph labeling by POINTER DOUBLING (the O(log n)
     // list-ranking pattern a 100 TB engine uses on successor chains):
     // planted successor f(i) = (i² + 1) mod n over the doc ids — a
@@ -556,6 +565,9 @@ object GxQueries {
          |          - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))))
          |  AS BIGINT) AS assort_micro
          |FROM st""".stripMargin,
+
+    "gx_ktruss" ->
+      s"""$cte, ${GraphOps.kTrussSql("ue", 3, 2)}""",
 
     "gx_funcgraph" ->
       s"""WITH fs AS (

@@ -476,4 +476,32 @@ class GraphOpsSpec extends SparkSpec {
       10L -> ((11L, 3L)), 11L -> ((11L, 3L)), 12L -> ((11L, 3L)))
     assert(out == exp, s"got $out")
   }
+
+  test("k-truss keeps the clique, drops pendant triangles, and cascades to empty") {
+    def kg(edges: Seq[(String, String)]) = KinGraph(
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("key"),
+      edges.map(e => (e._1, e._2, 0)).toDF("src", "dst", "etype"))
+    // 4-clique {a,b,c,d} + pendant triangle {d,e,f}
+    val g1 = kg(Seq("a"->"b","a"->"c","a"->"d","b"->"c","b"->"d","c"->"d",
+      "d"->"e","d"->"f","e"->"f"))
+    val t4 = GraphOps.kTruss(g1, k = 4, rounds = 3)
+      .as[(String, String, Long)].collect().toSet
+    // the clique survives with support 2 per edge; the pendant triangle
+    // (support 1 each) is peeled in round 1
+    val clique = Set(("a","b",2L),("a","c",2L),("a","d",2L),
+      ("b","c",2L),("b","d",2L),("c","d",2L))
+    assert(t4 == clique, s"got $t4")
+    // triangle chain {a,b,c} + {b,c,d}: edge (b,c) has support 2, the
+    // rest 1 — k=4 drops the rest in round 1, which strands (b,c) with
+    // support 0 in round 2: the cascade empties the graph
+    val g2 = kg(Seq("a"->"b","a"->"c","b"->"c","b"->"d","c"->"d"))
+    assert(GraphOps.kTruss(g2, k = 4, rounds = 2).isEmpty,
+      "cascade must empty the chain at k=4")
+    // at k=3 the chain is already a 3-truss: every edge in >= 1 triangle
+    val t3 = GraphOps.kTruss(g2, k = 3, rounds = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(t3.map(e => (e._1, e._2)) ==
+      Set(("a","b"),("a","c"),("b","c"),("b","d"),("c","d")))
+    assert(t3.find(e => e._1 == "b" && e._2 == "c").get._3 == 2L)
+  }
 }

@@ -150,6 +150,39 @@ object TemporalJoins {
       .select(col("key"), col("__ts").as("grid_ts"), col("__f").as("value"))
   }
 
+  /** NEAREST as-of join with tolerance — pandas merge_asof
+    * direction='nearest' semantics: each left row matches the right row
+    * minimizing |Δts| within `toleranceUs`, the backward candidate
+    * winning ties. Composed from the backward and forward single-shuffle
+    * passes (each one union+window — still no range join anywhere), then
+    * ONE row-local arbitration on the two candidates; `payload` must
+    * carry `rightTs` so the arbitration can read both gaps. `leftId`
+    * must uniquely key left rows (it stitches the two passes together).
+    * Out-of-tolerance and missing candidates null out the matched
+    * columns rather than dropping the left row. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+                      leftId: String, leftTs: String, rightTs: String,
+                      payload: Seq[String], toleranceUs: Long,
+                      prefix: String = "matched_"): DataFrame = {
+    require(payload.contains(rightTs),
+      "payload must include rightTs (arbitration reads both gaps)")
+    val b = asofJoinBackward(left, right, on, leftTs, rightTs, payload, "__b_")
+    val f = asofJoinForward(left, right, on, leftTs, rightTs, payload, "__f_")
+      .select((Seq(leftId) ++ payload.map(p => s"__f_$p")).map(col): _*)
+    val j = b.join(f, Seq(leftId))
+    val bgap = unix_micros(col(leftTs)) - unix_micros(col(s"__b_$rightTs"))
+    val fgap = unix_micros(col(s"__f_$rightTs")) - unix_micros(col(leftTs))
+    val useB = col(s"__b_$rightTs").isNotNull &&
+      (col(s"__f_$rightTs").isNull || bgap <= fgap)
+    val within = when(useB, bgap <= toleranceUs).otherwise(fgap <= toleranceUs)
+    val out = payload.foldLeft(j) { (df, p) =>
+      df.withColumn(prefix + p,
+        when(within && useB, col(s"__b_$p"))
+          .when(within && !useB, col(s"__f_$p")))
+    }
+    out.drop(payload.map(p => s"__b_$p") ++ payload.map(p => s"__f_$p"): _*)
+  }
+
   /** Point-in-interval join: every (point, interval) pair with
     * `start <= ts <= end` (inclusive bounds). No equality key relates the
     * two sides, so a naive join is a cartesian product with a residual

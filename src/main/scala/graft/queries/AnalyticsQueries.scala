@@ -529,6 +529,26 @@ object AnalyticsQueries {
           (unix_micros(col("ts")) - unix_micros(col("m_ts"))).as("gap_us"))
         .orderBy("purchase_id")}),
 
+    // NEAREST as-of join with ±30 min tolerance: each click matched to
+    // the user's closest purchase in either direction (backward wins
+    // ties), out-of-tolerance matches nulled — pandas merge_asof
+    // direction='nearest'. Two single-shuffle passes + one row-local
+    // arbitration; the oracle replays both window constructions and the
+    // same arbitration CASE
+    "s_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      TemporalJoins.asofJoinNearest(clicks, purchases, Seq("user_id"),
+          "click_id", "ts", "ts", Seq("purchase_id", "ts"),
+          toleranceUs = 1800000000L, prefix = "m_")
+        .select(col("click_id"), col("user_id"),
+          col("m_purchase_id").as("purchase_id"),
+          (unix_micros(col("m_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("click_id")}),
+
     // forward as-of join: each click matched to the user's next purchase
     // at-or-after it (ts-descending running-window plan, TemporalJoins)
     "s_asof_fwd" -> ((s, dir) => {
@@ -1028,6 +1048,56 @@ object AnalyticsQueries {
         |SELECT click_id, user_id, purchase_id,
         |  epoch_us(m_ts) - epoch_us(ts) AS gap_us
         |FROM w WHERE is_left = 1 ORDER BY click_id""".stripMargin,
+
+    // nearest replay: the backward and forward window constructions
+    // verbatim (same tie rules: greatest payload struct backward, least
+    // forward), then the identical arbitration CASE with tolerance
+    "s_asof_nearest" ->
+      """WITH bu AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(NULL AS BIGINT) AS click_id, 0 AS is_left,
+        |         event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 1, NULL, NULL
+        |  FROM events WHERE event_type = 'click'
+        |), bw AS (
+        |  SELECT click_id, user_id, ts, is_left,
+        |    last_value(p_id IGNORE NULLS) OVER win AS b_id,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS b_ts
+        |  FROM bu
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_left, p_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), fw AS (
+        |  SELECT click_id, user_id, ts, is_left,
+        |    last_value(p_id IGNORE NULLS) OVER win AS f_id,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS f_ts
+        |  FROM bu
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, is_left, p_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), nb AS (SELECT click_id, user_id, ts, b_id, b_ts FROM bw WHERE is_left = 1),
+        |nf AS (SELECT click_id, f_id, f_ts FROM fw WHERE is_left = 1),
+        |nj AS (
+        |  SELECT b.click_id, b.user_id,
+        |    epoch_us(b.ts) - epoch_us(b.b_ts) AS bgap,
+        |    epoch_us(f.f_ts) - epoch_us(b.ts) AS fgap,
+        |    b.b_id, f.f_id,
+        |    (b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+        |       OR epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)))
+        |      AS use_b
+        |  FROM nb b JOIN nf f ON f.click_id = b.click_id
+        |), na AS (
+        |  SELECT click_id, user_id, use_b, b_id, f_id, bgap, fgap,
+        |    CASE WHEN use_b THEN bgap <= 1800000000
+        |         ELSE fgap <= 1800000000 END AS within
+        |  FROM nj
+        |)
+        |SELECT click_id, user_id,
+        |  CASE WHEN within AND use_b THEN b_id
+        |       WHEN within AND NOT use_b THEN f_id END AS purchase_id,
+        |  CASE WHEN within AND use_b THEN -bgap
+        |       WHEN within AND NOT use_b THEN fgap END AS gap_us
+        |FROM na ORDER BY click_id""".stripMargin,
 
     "s_range_join" ->
       """SELECT e.event_id AS error_id, count(*) AS n_views,

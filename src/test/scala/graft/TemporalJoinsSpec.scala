@@ -208,4 +208,31 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(fast == naive)
     assert(fast.nonEmpty && fast.count(_._1 == 3L) == 1) // degenerate interval
   }
+
+  test("asofJoinNearest picks the closer side, backward on ties, nulls past tolerance") {
+    // left = clicks; candidates exist on both sides with varied gaps
+    val out = TemporalJoins.asofJoinNearest(clicks, purchases, Seq("user_id"),
+        "click_id", "ts", "ts", Seq("purchase_id", "ts"),
+        toleranceUs = 3600000000L) // 1 hour
+      .select($"click_id", $"matched_purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // click 100 @10:00: backward none, forward 900 @10:04 (4 min) -> 900
+    assert(out(100L).contains(900L))
+    // click 101 @10:05: purchase 901 AT the same ts -> backward gap 0 wins
+    assert(out(101L).contains(901L))
+    // click 102 @10:30: backward 901 @10:05 (25 min) vs forward 902 @11:00
+    // (30 min) -> backward nearer
+    assert(out(102L).contains(901L))
+    // click 200 @09:00: only candidate 903 @08:00, 1 h back — INSIDE the
+    // 1 h tolerance (<=) -> matched
+    assert(out(200L).contains(903L))
+    // tightening tolerance below each gap nulls every match
+    val tight = TemporalJoins.asofJoinNearest(clicks, purchases, Seq("user_id"),
+        "click_id", "ts", "ts", Seq("purchase_id", "ts"),
+        toleranceUs = 60000000L) // 1 minute
+      .select($"click_id", $"matched_purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(tight(100L).isEmpty && tight(102L).isEmpty && tight(200L).isEmpty)
+    assert(tight(101L).contains(901L), "zero-gap tie must survive any tolerance")
+  }
 }

@@ -288,6 +288,71 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------- video frame walk
+  /** Aggregate stats of the frames SAMPLED from a GVID container. */
+  case class VideoStats(nFrames: Int, nSampled: Int, pxTotal: Long,
+                        sumR: Long, sumG: Long, sumB: Long)
+
+  /** Walk a GVID container — magic "GVID", u16-LE frame count, then per
+    * frame a u32-LE length prefix and an imageio-decodable still — and
+    * REALLY decode every `stride`-th frame (the frame-sampling pass a
+    * video-data pipeline runs: container parse is cheap and sequential,
+    * pixel decode is the cost, so only sampled frames pay it). Per-channel
+    * integer sums over the sampled frames are order-free, so a
+    * construction-inverting oracle computes them straight from planted
+    * frames (m_video). None on any malformed structure — a truncated
+    * frame table or an undecodable sampled frame rejects the container
+    * rather than returning partial stats. */
+  def decodeVideo(bytes: Array[Byte], stride: Int): Option[VideoStats] = {
+    require(stride >= 1, "stride >= 1")
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'V' ||
+      bytes(2) != 'I' || bytes(3) != 'D') return None
+    val nf = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    var off = 6
+    var j = 0
+    var ns = 0
+    var px = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    while (j < nf) {
+      if (off + 4 > bytes.length) return None
+      val len = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      if (len < 0 || off + 4 + len > bytes.length) return None
+      if (j % stride == 0) {
+        decodeImage(java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)) match {
+          case Some(st) =>
+            ns += 1; px += st.nPixels
+            sr += st.sumR; sg += st.sumG; sb += st.sumB
+          case None => return None
+        }
+      }
+      off += 4 + len
+      j += 1
+    }
+    Some(VideoStats(nf, ns, px, sr, sg, sb))
+  }
+
+  /** Output row of [[videoFrameStats]]. */
+  case class VideoFrames(media_id: Long, n_frames: Int, n_sampled: Int,
+                         px_total: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** [[decodeVideo]] over a (media_id, content) frame — same
+    * partition-batched mapPartitions shape as [[resizeImageStats]];
+    * malformed containers drop. */
+  def videoFrameStats(media: DataFrame, stride: Int): Dataset[VideoFrames] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          decodeVideo(r.getAs[Array[Byte]]("content"), stride).map(v =>
+            VideoFrames(id, v.nFrames, v.nSampled, v.pxTotal,
+              v.sumR, v.sumG, v.sumB))
+        }
+      }
+  }
+
   // ------------------------------------------------ real header probing
   private def u8(c: org.apache.spark.sql.Column, off: Int) =
     conv(hex(substring(c, off, 1)), 16, 10).cast("long")

@@ -1512,6 +1512,27 @@ object PipelineQueries {
         unhex(when(pmod(d, lit(2)) === 0, bmp).otherwise(wav)).as("content"))
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")}),
 
+    // REAL video container walk under oracle: a planted GVID container
+    // per doc (magic + u16 frame count + length-prefixed BMP frames,
+    // frame j = the m_features BMP of doc_id+j), frame-SAMPLED at stride
+    // 2 — the container parse is cheap, only sampled frames pay the
+    // imageio pixel decode. Per-channel sums over sampled frames are
+    // order-free integers; the oracle computes the planted stats
+    // directly, so the hash proves walk∘decode∘build = id
+    "m_video" -> ((s, dir) => {
+      val d = col("doc_id")
+      val nf = pmod(d, lit(4L)) + 2
+      val frames = array_join(
+        transform(sequence(lit(0L), nf - 1),
+          j => concat(
+            leHexC(lit(54L) + (pmod(d + j, lit(8L)) + 1) * 12, 4),
+            plantedBmpHex(d + j))), "")
+      val media = docs(s, dir).select(
+        d.as("media_id"),
+        unhex(concat(lit("47564944"), leHexC(nf, 2), frames)).as("content"))
+      Multimodal.videoFrameStats(media, stride = 2).toDF()
+        .orderBy("media_id")}),
+
     // REAL nearest-neighbor resize under oracle: the m_features BMPs
     // (even doc_ids) downsample at stride 2 — imageio decodes actual
     // pixels, the operator keeps every 2nd row/col, and the oracle
@@ -3111,6 +3132,31 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'max') AS INT) END AS max_sample,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'sum') AS DOUBLE) / n END AS mean_sample
         |FROM calc ORDER BY media_id""".stripMargin,
+
+    "m_video" ->
+      """WITH vb AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+        |), vs AS (
+        |  SELECT doc_id, nf,
+        |    list_filter(generate_series(0, nf - 1), j -> j % 2 = 0) AS sj
+        |  FROM vb
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(len(sj) AS INT) AS n_sampled,
+        |  CAST(list_aggregate(list_transform(sj,
+        |    j -> 4 * ((doc_id + j) % 8 + 1)), 'sum') AS BIGINT) AS px_total,
+        |  CAST(list_aggregate(list_transform(sj,
+        |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 13 % 256)), 'sum')
+        |    AS BIGINT) AS sum_r,
+        |  CAST(list_aggregate(list_transform(sj,
+        |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 7 % 256)), 'sum')
+        |    AS BIGINT) AS sum_g,
+        |  CAST(list_aggregate(list_transform(sj,
+        |    j -> list_aggregate(list_transform(
+        |      generate_series(0, 4 * ((doc_id + j) % 8 + 1) - 1),
+        |      p -> (doc_id + j + p) % 256), 'sum')), 'sum') AS BIGINT) AS sum_b
+        |FROM vs ORDER BY media_id""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (

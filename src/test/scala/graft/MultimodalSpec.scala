@@ -169,4 +169,44 @@ class MultimodalSpec extends SparkSpec {
     val row = f.select($"meta.n_bytes", size($"frames")).head
     assert(row.getInt(1) == (row.getLong(0).toInt + 9) / 10)
   }
+
+  test("decodeVideo walks a GVID container and decodes only sampled frames") {
+    def pngFrame(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 2; y <- 0 until 2)
+        img.setRGB(x, y, ((seed + x) << 16) | ((seed + y) << 8) | seed)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write('G'); bos.write('V'); bos.write('I'); bos.write('D')
+      bos.write(frames.length & 0xff); bos.write((frames.length >> 8) & 0xff)
+      frames.foreach { f =>
+        bos.write(f.length & 0xff); bos.write((f.length >> 8) & 0xff)
+        bos.write((f.length >> 16) & 0xff); bos.write((f.length >> 24) & 0xff)
+        bos.write(f)
+      }
+      bos.toByteArray
+    }
+    val fr = Seq(pngFrame(10), pngFrame(50), pngFrame(90))
+    val direct = fr.map(f => Multimodal.decodeImage(f).get)
+    // stride 2 samples frames 0 and 2 only
+    val v2 = Multimodal.decodeVideo(container(fr), 2).get
+    assert(v2.nFrames == 3 && v2.nSampled == 2)
+    assert(v2.pxTotal == direct(0).nPixels + direct(2).nPixels)
+    assert(v2.sumR == direct(0).sumR + direct(2).sumR)
+    assert(v2.sumG == direct(0).sumG + direct(2).sumG)
+    assert(v2.sumB == direct(0).sumB + direct(2).sumB)
+    // stride 1 decodes every frame
+    val v1 = Multimodal.decodeVideo(container(fr), 1).get
+    assert(v1.nSampled == 3 && v1.sumR == direct.map(_.sumR).sum)
+    // malformed containers reject: bad magic, truncated frame table
+    val bad = container(fr); bad(0) = 'X'
+    assert(Multimodal.decodeVideo(bad, 2).isEmpty)
+    val trunc = container(fr).dropRight(10)
+    assert(Multimodal.decodeVideo(trunc, 2).isEmpty)
+  }
 }

@@ -874,6 +874,36 @@ object Similarity {
     v.select(col("dim"), col("v").as("v_micro"))
   }
 
+  // --------------------------------------------- SQ8 (int8-code) search
+  /** SQ8 search — the scalar-quantizer search mode: the stored corpus is
+    * the per-dimension int8 codes of [[quantizeInt8]] (1 byte/dim, 8×
+    * smaller than the floats) plus the dims-row stats table; search
+    * DEQUANTIZES on the fly (v̂ = mn + q·(mx−mn)/255 — raw code dots
+    * would be dominated by the affine offsets) and ranks by the
+    * floor-micro cosine of the reconstructions. Every step is
+    * engine-exact: the codes are integers, the dequantization is three
+    * correctly-rounded IEEE ops on them, and the ranking is the usual
+    * (cos_micro DESC, id) total order — so the whole search is
+    * hash-exact, and quality is measured, not assumed (the driver query
+    * pairs it with recall vs the float-exact ranker).
+    * Scale shape: stats broadcast; one explode + keyed reassembly per
+    * side; search reads codes only — the float corpus never loads. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+    val stats = el.groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def dequantOf(df: DataFrame): DataFrame =
+      df.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+        .join(broadcast(stats), "i")
+        .withColumn("q", qCode(col("v"), col("mn"), col("mx")))
+        .withColumn("dq", col("mn") +
+          (col("q").cast("double") * (col("mx") - col("mn"))) / lit(255.0))
+        .groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("dq")))),
+          x => x.getField("dq")).as("vec"))
+    exactTopKMicro(dequantOf(corpus), dequantOf(queries), k)
+  }
+
   // ------------------------------------- random-projection (JL) search
   /** Deterministic Johnson-Lindenstrauss projection planes: `outDims`
     * dense rows over `dim` components, each from the same md5→int31→unit

@@ -1173,6 +1173,27 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // SQ8 search: top-10 over the DEQUANTIZED int8 reconstructions (the
+    // scalar-quantizer search mode — 1 byte/dim corpus + dims-row stats,
+    // floats rebuilt on the fly, ranking hash-exact end to end), graded
+    // by recall vs the float-exact micro ranker per query
+    "e_sq_recall" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(embDouble(s, dir))
+      val queriesDf = corpus.filter(col("id") < 5)
+      val sq = Similarity.sqTopK(corpus, queriesDf, 10)
+      val exact = Similarity.exactTopKMicro(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val ns = sq.groupBy("query_id").agg(count(lit(1)).as("n_sq"),
+        max(col("cos_micro")).as("best_micro"))
+      val nh = sq.select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(ns, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_sq"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
+        .orderBy("query_id")}),
+
     // Johnson-Lindenstrauss random-projection distortion profile: 64 → 16
     // dims via md5-derived dense planes (trainless, any embedding — vs
     // Matryoshka's trained prefix and PCA's learned axis). The JL lemma
@@ -2508,6 +2529,67 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8 replay: the quantizeInt8 affine-code CTEs, integer-dot ranking
+    // on the code lists, recall vs the float-exact micro ranker
+    "e_sq_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id AS id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+        |    SELECT vec_id, unnest(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+        |    FROM embeddings)
+        |), qstats AS (
+        |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+        |), qc AS (
+        |  SELECT id, i,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+        |    END AS q
+        |  FROM el JOIN qstats USING (i)
+        |), qdq AS (
+        |  SELECT qc.id, qc.i,
+        |    s.mn + (CAST(qc.q AS DOUBLE) * (s.mx - s.mn)) / 255.0 AS dq
+        |  FROM qc JOIN qstats s USING (i)
+        |), cq AS (
+        |  SELECT id, list(dq ORDER BY i) AS qv FROM qdq GROUP BY id
+        |), cqn AS (
+        |  SELECT id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM cq
+        |), sqtop AS (
+        |  SELECT query_id, vec_id, score FROM (
+        |    SELECT a.id AS query_id, b.id AS vec_id,
+        |      CAST(floor(1000000 * (list_dot_product(a.qv, b.qv) /
+        |        (a.nrm * b.nrm))) AS BIGINT) AS score,
+        |      row_number() OVER (PARTITION BY a.id ORDER BY
+        |        CAST(floor(1000000 * (list_dot_product(a.qv, b.qv) /
+        |          (a.nrm * b.nrm))) AS BIGINT) DESC, b.id) AS rn
+        |    FROM cqn a JOIN cqn b ON a.id < 5 AND b.id <> a.id)
+        |  WHERE rn <= 10
+        |), c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), fn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM c
+        |), ftop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, v.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id ORDER BY
+        |        CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |          (q.nrm * v.nrm))) AS BIGINT) DESC, v.id) AS rn
+        |    FROM fn q JOIN fn v ON q.id < 5 AND v.id <> q.id)
+        |  WHERE rn <= 10
+        |), sne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ftop GROUP BY 1),
+        |sns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_sq,
+        |          max(score) AS best_micro FROM sqtop GROUP BY 1),
+        |snh AS (
+        |  SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM sqtop s JOIN ftop f ON f.query_id = s.query_id AND f.vec_id = s.vec_id
+        |  GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact, ns.n_sq,
+        |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, ns.best_micro
+        |FROM sne ne JOIN sns ns ON ns.query_id = ne.query_id
+        |LEFT JOIN snh nh ON nh.query_id = ne.query_id
+        |ORDER BY ne.query_id""".stripMargin,
 
     // JL replay: md5-derived planes, per-dimension list_dot_product
     // projection, floor-micro scorings in both spaces, integer stats

@@ -481,6 +481,24 @@ class PipelineSpec extends SparkSpec {
     assert(p1.sameElements(p2))
   }
 
+  test("SQ8 dequantized search recovers the float ranking almost exactly") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 10)
+    val exact = Similarity.exactTopKMicro(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sq.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall (8-bit error is tiny at 64 dims)")
+    // codes+stats fully determine the result: a repartitioned corpus
+    // produces the identical ranking
+    val sq2 = Similarity.sqTopK(corpus.repartition(7), queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(sq2 == sq)
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -199,6 +199,44 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // the one-row corpus report card — the dataset summary a data team
+    // publishes with a release: volume (docs/tokens/vocab), exact-dup
+    // rate, length profile (milli-mean + engine-exact median), source
+    // diversity as integer micro-nat entropy (each ln micro-rounded
+    // before the order-free sum, the surprisal discipline), and the
+    // ASCII fraction (chars == bytes ⟺ pure ASCII — the NFC fast-path
+    // denominator). Every cell integer- or IEEE-exact, so the whole
+    // card hash-matches
+    "d_corpus_card" -> ((s, dir) => {
+      val base = graft.CacheScope.cached(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+          tokenCount(col("text")).as("n_tok"),
+          fingerprint(col("text")).as("fp"),
+          (length(col("text")) === octet_length(col("text"))).as("is_ascii")))
+      def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+      val srcEnt = base.groupBy("source").agg(count(lit(1)).as("ns"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("nd"))))
+        .agg(sum(col("ns") * (lmicro(col("nd")) - lmicro(col("ns"))))
+          .as("ent_num"), first(col("nd")).as("nd2"))
+        .select(expr("ent_num div nd2").as("src_entropy_micro"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          sum(when(col("is_ascii"), 1L).otherwise(0L)).as("n_ascii"),
+          expr("percentile(n_tok, CAST(5 AS DOUBLE) / 10)").as("median_tokens"))
+        .crossJoin(broadcast(
+          base.select(explode(tokens(col("text"))).as("t"))
+            .agg(countDistinct(col("t")).as("vocab"))))
+        .crossJoin(broadcast(srcEnt))
+        .select(col("n_docs"), col("n_tokens"), col("vocab"),
+          expr("(1000 * (n_docs - n_distinct_fp)) div n_docs")
+            .as("dup_rate_milli"),
+          expr("(1000 * n_tokens) div n_docs").as("mean_tokens_milli"),
+          col("median_tokens"),
+          expr("(1000 * n_ascii) div n_docs").as("ascii_milli"),
+          col("src_entropy_micro"))}),
+
     // distribution-matched resampling — downsample a candidate pool so
     // its token-length histogram matches a reference set's (the ablation
     // prep step: compare corpora at equal length profiles). The reference
@@ -1997,6 +2035,38 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_corpus_card" ->
+      s"""WITH cb AS (
+         |  SELECT doc_id, source, text, ${tokenCountSql("text")} AS n_tok,
+         |    ${fingerprintSql("text")} AS fp,
+         |    (length(text) = strlen(text)) AS is_ascii
+         |  FROM $docsT
+         |), cent AS (
+         |  SELECT CAST(sum(ns * (CAST(round(ln(nd) * 1000000.0) AS BIGINT)
+         |           - CAST(round(ln(ns) * 1000000.0) AS BIGINT))) AS BIGINT)
+         |         // any_value(nd) AS src_entropy_micro
+         |  FROM (SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM cb) AS nd
+         |        FROM cb GROUP BY source)
+         |), cvoc AS (
+         |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM (
+         |    SELECT unnest(${tokensSql("text")}) AS t FROM $docsT)
+         |), cagg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+         |    CAST(sum(CASE WHEN is_ascii THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+         |    quantile_cont(n_tok, CAST(5 AS DOUBLE) / 10) AS median_tokens
+         |  FROM cb
+         |)
+         |SELECT a.n_docs, a.n_tokens, v.vocab,
+         |  (1000 * (a.n_docs - a.n_distinct_fp)) // a.n_docs AS dup_rate_milli,
+         |  (1000 * a.n_tokens) // a.n_docs AS mean_tokens_milli,
+         |  a.median_tokens,
+         |  (1000 * a.n_ascii) // a.n_docs AS ascii_milli,
+         |  e.src_entropy_micro
+         |FROM cagg a, cvoc v, cent e""".stripMargin,
 
     "d_distmatch" ->
       s"""WITH mb AS (

@@ -244,6 +244,19 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("purchase_ts"),
           col("click_ts").asc_nulls_first)}),
 
+    // UNWINDOWED global aggregation in COMPLETE mode — the one streaming
+    // output mode not otherwise in the gate: the running corpus card
+    // (docs + token volume) re-emits per micro-batch and the final
+    // memory-sink table is the full-corpus aggregate, batch == stream
+    "s_stream_card" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.readDocuments(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")))
+            .as("n_tokens"))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_card_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        shufflePartitions = Some(8))}),
+
     // streaming near-dup suppression in the gate: per-row simhash
     // projection + streaming dedup on the document stream. WHICH doc
     // survives per signature depends on arrival order, so the gate pins
@@ -942,6 +955,11 @@ object AnalyticsQueries {
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, purchase_ts, click_ts NULLS FIRST""".stripMargin,
+
+    "s_stream_card" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${graft.functions.TextFunctions.tokenCountSql("text")}) AS BIGINT) AS n_tokens
+         |FROM documents""".stripMargin,
 
     "s_stream_neardup" ->
       s"""SELECT sig, CAST(1 AS BIGINT) AS n FROM (

@@ -199,6 +199,29 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // the export sinks DRIVER-GATED end to end: write the corpus through
+    // BOTH production layouts (range-ordered gzip JSONL shards and the
+    // Hive-partitioned parquet tree), read each back, and emit the
+    // per-source profile of both round-trips side by side — the oracle
+    // is the direct profile, so a hash match proves read(write(x)) == x
+    // row-for-row through each sink (the sinks were previously spec-only)
+    "d_export_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_export_rt").toString
+      graft.sources.Export.jsonlShards(d, "doc_id", s"$tmp/jsonl", 100)
+      graft.sources.Export.partitionedParquet(d, "source", "doc_id",
+        s"$tmp/parq", 100)
+      def profile(df: DataFrame, nCol: String, tokCol: String) =
+        df.groupBy("source").agg(count(lit(1)).as(nCol),
+          sum(tokenCount(col("text"))).as(tokCol))
+      val viaJsonl = profile(
+        graft.sources.Export.readJsonl(s, s"$tmp/jsonl"), "n_jsonl", "tok_jsonl")
+      val viaParq = profile(
+        graft.sources.Export.readPartitionedParquet(s, s"$tmp/parq"),
+        "n_parq", "tok_parq")
+      viaJsonl.join(viaParq, "source").orderBy("source")}),
+
     // the one-row corpus report card — the dataset summary a data team
     // publishes with a release: volume (docs/tokens/vocab), exact-dup
     // rate, length profile (milli-mean + engine-exact median), source
@@ -2035,6 +2058,14 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_export_roundtrip" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_jsonl,
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_jsonl,
+         |  CAST(count(*) AS BIGINT) AS n_parq,
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_parq
+         |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
 
     "d_corpus_card" ->
       s"""WITH cb AS (

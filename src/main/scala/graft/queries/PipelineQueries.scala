@@ -199,6 +199,44 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // retrieval RANKING METRICS over the shared TF-IDF run — MRR and
+    // nDCG@10 with graded relevance = the doc's exact 'vector' term
+    // count (deliberately MISALIGNED with the summed 3-term tf-idf score
+    // so the ranking is not trivially ideal — counting distinct query
+    // terms graded every top-10 doc 3/3 and pinned nDCG at a vacuous
+    // 1.0). Each per-rank discount term rounds to
+    // integer micros BEFORE the order-free sums (the surprisal
+    // discipline applied to log2); MRR and the final nDCG are integer
+    // divisions — the whole eval is hash-green, which is what lets a
+    // pipeline regression-test its retrieval stack, not eyeball it
+    "d_ndcg" -> ((s, dir) => {
+      val terms = Seq("spark", "query", "vector")
+      val wR = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      val top10 = tfidfTop50(s, dir)
+        .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 10)
+      val rel = docs(s, dir).select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t === terms.last))
+          .cast("long").as("rel"))
+      val graded = graft.CacheScope.cached(top10.join(rel, "doc_id")
+        .select(col("rank"), col("rel"),
+          round(lit(1e6) * col("rel") / log2(col("rank") + 1), 0)
+            .cast("long").as("dterm")))
+      // the ideal ordering re-discounts the SAME 10 grades sorted desc
+      val wI = Window.orderBy(col("rel").desc, col("rank"))
+      val ideal = graded.withColumn("irank", row_number().over(wI))
+        .select(round(lit(1e6) * col("rel") / log2(col("irank") + 1), 0)
+          .cast("long").as("iterm"))
+      graded.agg(count(lit(1)).as("n_eval"), sum(col("dterm")).as("dcg_micro"))
+        .crossJoin(broadcast(
+          ideal.agg(sum(col("iterm")).as("idcg_micro"))))
+        .crossJoin(broadcast(graded.filter(col("rel") > 0)
+          .agg(min(col("rank")).as("frr"))))
+        .select(col("n_eval"),
+          expr("CAST(1000000 AS BIGINT) div CAST(frr AS BIGINT)")
+            .as("mrr_micro"),
+          col("dcg_micro"), col("idcg_micro"),
+          expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_milli"))}),
+
     // the export sinks DRIVER-GATED end to end: write the corpus through
     // BOTH production layouts (range-ordered gzip JSONL shards and the
     // Hive-partitioned parquet tree), read each back, and emit the
@@ -2058,6 +2096,34 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_ndcg" ->
+      s"""WITH n10 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+         |    AS rank
+         |  FROM ($searchOracleSql)
+         |  QUALIFY rank <= 10
+         |), nrel AS (
+         |  SELECT doc_id, CAST(len(list_filter(
+         |    ${tokensSql("text")}, t -> t = 'vector')) AS BIGINT) AS rel
+         |  FROM $docsT
+         |), ng AS (
+         |  SELECT s.rank, r.rel,
+         |    CAST(round(1000000 * r.rel / log2(s.rank + 1)) AS BIGINT) AS dterm
+         |  FROM n10 s JOIN nrel r USING (doc_id)
+         |), ni AS (
+         |  SELECT CAST(round(1000000 * rel / log2(irank + 1)) AS BIGINT) AS iterm
+         |  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, rank) AS irank
+         |        FROM ng)
+         |)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ng) AS n_eval,
+         |  CAST(1000000 AS BIGINT)
+         |    // (SELECT CAST(min(rank) AS BIGINT) FROM ng WHERE rel > 0)
+         |    AS mrr_micro,
+         |  (SELECT CAST(sum(dterm) AS BIGINT) FROM ng) AS dcg_micro,
+         |  (SELECT CAST(sum(iterm) AS BIGINT) FROM ni) AS idcg_micro,
+         |  (1000 * (SELECT CAST(sum(dterm) AS BIGINT) FROM ng))
+         |    // (SELECT CAST(sum(iterm) AS BIGINT) FROM ni) AS ndcg_milli""".stripMargin,
 
     "d_export_roundtrip" ->
       s"""SELECT source,

@@ -199,6 +199,40 @@ object PipelineQueries {
         fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Spearman rank correlation between two per-doc quality signals —
+    // length (token count) vs corpus-LM mean surprisal — the
+    // signal-agreement diagnostic a pipeline reads before treating one
+    // filter as a proxy for another. (Rank agreement between the TF-IDF
+    // and BM25 TOP-50s is unusable here: on 3 common query terms BM25's
+    // (n−df+.5)/(df+.5) idf goes NEGATIVE, anti-correlating the two
+    // scorers so hard their top-50 sets are DISJOINT on this corpus —
+    // the empty intersection is itself a finding, and the full-corpus
+    // signal pair is the non-vacuous form.) Ranks are exact integers
+    // over each signal's (value desc, doc_id) total order, the
+    // sufficient stats exact i64 sums, and the one float step is the
+    // gx_assort Pearson tree — no libm in the correlation itself
+    "d_spearman" -> ((s, dir) => {
+      val sur = TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
+      val a = sur.select(col("doc_id"), col("n_tokens").as("sa"))
+      val b = sur.select(col("doc_id"), col("mean_micro").as("sb"))
+      val wa = Window.orderBy(col("sa").desc, col("doc_id"))
+      val wb = Window.orderBy(col("sb").desc, col("doc_id"))
+      val st = a.join(b, "doc_id")
+        .withColumn("ra", row_number().over(wa).cast("long"))
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
+          sum(col("ra") * col("rb")).as("sxy"),
+          sum(col("ra") * col("ra")).as("sxx"),
+          sum(col("rb") * col("rb")).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      st.select(col("n"),
+        floor(lit(1000000.0) *
+          (d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+               (d("n") * d("syy") - d("sy") * d("sy"))))
+          .cast("long").as("rho_micro"))}),
+
     // retrieval RANKING METRICS over the shared TF-IDF run — MRR and
     // nDCG@10 with graded relevance = the doc's exact 'vector' term
     // count (deliberately MISALIGNED with the summed 3-term tf-idf score
@@ -2096,6 +2130,36 @@ object PipelineQueries {
          |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS survivor_id
          |FROM nv GROUP BY 1 ORDER BY norm""".stripMargin,
+
+    "d_spearman" ->
+      s"""WITH spb AS (
+         |  SELECT doc_id, n_tokens, mean_micro
+         |  FROM (${TextFunctions.surprisalStatsSql(docsT, "doc_id", "text")})
+         |), sp1 AS (
+         |  SELECT doc_id, n_tokens AS sa FROM spb
+         |), sp2 AS (
+         |  SELECT doc_id, mean_micro AS sb FROM spb
+         |), spr AS (
+         |  SELECT row_number() OVER (ORDER BY sa DESC, doc_id) AS ra,
+         |         row_number() OVER (ORDER BY sb DESC, doc_id) AS rb
+         |  FROM sp1 JOIN sp2 USING (doc_id)
+         |), sps AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+         |    CAST(sum(ra * rb) AS BIGINT) AS sxy,
+         |    CAST(sum(ra * ra) AS BIGINT) AS sxx,
+         |    CAST(sum(rb * rb) AS BIGINT) AS syy
+         |  FROM spr
+         |)
+         |SELECT n, CAST(floor(1000000.0 *
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         |  AS BIGINT) AS rho_micro
+         |FROM sps""".stripMargin,
 
     "d_ndcg" ->
       s"""WITH n10 AS (

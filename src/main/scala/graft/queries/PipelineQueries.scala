@@ -168,7 +168,12 @@ object PipelineQueries {
       .groupBy("token").agg(count(lit(1)).cast("double").as("df"))
       .crossJoin(broadcast(st.select(col("n"))))
       .select(col("token"),
-        round(log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        // Lucene's +1 form: plain (n-df+.5)/(df+.5) goes NEGATIVE for
+        // terms in over half the corpus and INVERTS the ranking (this
+        // fixture's 3 query terms are that common — the original form
+        // ranked the term-poorest docs top and made the tf-idf/bm25
+        // top-50s disjoint); ln(1+x) keeps idf positive always
+        round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * 1e6).cast("long").as("idf_micro"))
     tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .join(broadcast(idf), "token")
@@ -1788,7 +1793,7 @@ object PipelineQueries {
        |  WHERE token IN ('spark', 'query', 'vector')
        |), idf AS (
        |  SELECT token,
-       |    CAST(round(ln((st.n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
+       |    CAST(round(ln(1.0 + (st.n - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
        |      AS idf_micro
        |  FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
        |        FROM qt GROUP BY token), st

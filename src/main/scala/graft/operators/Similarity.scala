@@ -1133,6 +1133,62 @@ object Similarity {
        |ORDER BY ne.query_id""".stripMargin
   }
 
+  // ------------------------------------------- binary (1-bit) quantization
+  /** Binary quantization — the 1-bit end of the quantization family next
+    * to SQ8 ([[quantizeInt8]]) and PQ: bit_i = 1 iff v_i strictly exceeds
+    * the per-dimension midrange (mn_i+mx_i)/2, bits packed little-endian
+    * into 32-bit words (dim/32 BIGINT rows per vector — 64× smaller than
+    * the float corpus at 64 dims). The midrange threshold is min/max
+    * arithmetic only (order-free + one exact IEEE add/divide), so the
+    * codes are engine-exact and the whole index is hash-checkable —
+    * unlike a mean threshold, whose float sum is order-dependent.
+    *
+    * Scale shape: one posexplode + a broadcast dims-row threshold join +
+    * one per-(id, word) aggregation — map-side combinable, no pairwise
+    * work. Returns (id, w, word). */
+  def bqEncodeWith(df: DataFrame, thresholds: DataFrame): DataFrame =
+    df.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+      .join(broadcast(thresholds), "i")
+      .select(col("id"), expr("CAST(i div 32 AS INT)").as("w"),
+        when(col("v") > col("thr"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("id"), col("w"))
+      .agg(sum(col("bit")).as("word"))
+
+  /** Per-dimension midrange thresholds of `corpus` — the trainless "model"
+    * of the binary quantizer (a dims-row frame, broadcast-sized). */
+  def bqThresholds(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("vec")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(((min(col("v")) + max(col("v"))) / 2).as("thr"))
+
+  /** Hamming-distance top-k over the binary codes: corpus and queries both
+    * encode against the CORPUS thresholds, candidates rank by
+    * XOR-popcount Hamming distance with (hamming ASC, vec_id) as the
+    * total order — integers end to end, so the whole search replays in
+    * SQL (e_bq_recall). Scale shape: the searched "corpus" is the packed
+    * word table (dim/32 longs per vector); the query codes broadcast via
+    * the word-index join, and the only corpus-sized stage is the
+    * (query, vec) popcount aggregation — map-side combinable. At 100 TB
+    * this is the first-stage filter in front of [[sqTopK]]/PQ rerank. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val thr = bqThresholds(corpus)
+    val c = bqEncodeWith(corpus, thr)
+      .select(col("id").as("vec_id"), col("w"), col("word"))
+    val q = broadcast(bqEncodeWith(queries, thr)
+      .select(col("id").as("query_id"), col("w"), col("word").as("qword")))
+    c.join(q, "w")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(expr("bit_count(word ^ qword)")).cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "hamming", "rank")
+  }
+
   /** Exact all-pairs near-dup (testdata-scale oracle-checkable form).
     * Norms are precomputed per vector — same arithmetic as [[cosine]]
     * (sqrt of the same ordered sum), 3x fewer flops per pair. */

@@ -1332,6 +1332,29 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
         .orderBy("query_id")}),
 
+    // 1-bit binary quantization search (the RaBitQ-family baseline): per-
+    // dimension midrange-threshold sign bits packed into 32-bit words
+    // (64× smaller than the float corpus), candidates ranked by
+    // XOR-popcount Hamming distance — codes, distances and ranking are
+    // integers end to end and replay fully in SQL; graded by recall vs
+    // the float-exact micro ranker per query
+    "e_bq_recall" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(embDouble(s, dir))
+      val queriesDf = corpus.filter(col("id") < 5)
+      val bq = Similarity.bqTopK(corpus, queriesDf, 10)
+      val exact = Similarity.exactTopKMicro(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nb = bq.groupBy("query_id").agg(count(lit(1)).as("n_bq"),
+        min(col("hamming")).as("best_ham"))
+      val nh = bq.select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nb, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_bq"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_ham"))
+        .orderBy("query_id")}),
+
     // Johnson-Lindenstrauss random-projection distortion profile: 64 → 16
     // dims via md5-derived dense planes (trainless, any embedding — vs
     // Matryoshka's trained prefix and PCA's learned axis). The JL lemma
@@ -2825,6 +2848,62 @@ object PipelineQueries {
         |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, ns.best_micro
         |FROM sne ne JOIN sns ns ON ns.query_id = ne.query_id
         |LEFT JOIN snh nh ON nh.query_id = ne.query_id
+        |ORDER BY ne.query_id""".stripMargin,
+
+    // binary-quantization replay: midrange thresholds, little-endian
+    // 32-bit word packing, XOR-popcount Hamming ranking, recall vs the
+    // float-exact micro top-10 — integers end to end
+    "e_bq_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id AS id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+        |    SELECT vec_id, unnest(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+        |    FROM embeddings)
+        |), thr AS (
+        |  SELECT i, (min(v) + max(v)) / 2 AS thr FROM el GROUP BY i
+        |), words AS (
+        |  SELECT id, CAST(i // 32 AS INT) AS w,
+        |    CAST(sum(CASE WHEN v > thr
+        |      THEN (CAST(1 AS BIGINT) << CAST(i % 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS word
+        |  FROM el JOIN thr USING (i) GROUP BY id, i // 32
+        |), qw AS (
+        |  SELECT id AS query_id, w, word AS qword FROM words WHERE id < 5
+        |), ham AS (
+        |  SELECT q.query_id, c.id AS vec_id,
+        |    CAST(sum(bit_count(xor(c.word, q.qword))) AS BIGINT) AS hamming
+        |  FROM words c JOIN qw q USING (w) WHERE c.id <> q.query_id
+        |  GROUP BY 1, 2
+        |), bqtop AS (
+        |  SELECT query_id, vec_id, hamming FROM (
+        |    SELECT query_id, vec_id, hamming, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM ham)
+        |  WHERE rn <= 10
+        |), c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), fn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM c
+        |), ftop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, v.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id ORDER BY
+        |        CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |          (q.nrm * v.nrm))) AS BIGINT) DESC, v.id) AS rn
+        |    FROM fn q JOIN fn v ON q.id < 5 AND v.id <> q.id)
+        |  WHERE rn <= 10
+        |), bne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ftop GROUP BY 1),
+        |bnb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_bq,
+        |          min(hamming) AS best_ham FROM bqtop GROUP BY 1),
+        |bnh AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM bqtop t JOIN ftop f ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        |  GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact, nb.n_bq,
+        |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, nb.best_ham
+        |FROM bne ne JOIN bnb nb ON nb.query_id = ne.query_id
+        |LEFT JOIN bnh nh ON nh.query_id = ne.query_id
         |ORDER BY ne.query_id""".stripMargin,
 
     // JL replay: md5-derived planes, per-dimension list_dot_product

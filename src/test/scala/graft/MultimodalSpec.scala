@@ -82,6 +82,47 @@ class MultimodalSpec extends SparkSpec {
       "partitioning must not change decode output")
   }
 
+  test("imageHashes: same raster hashes equal across PNG/BMP encodings") {
+    // known 4x2 blue raster; red/green constant so only blue drives bits
+    val blue = Array(Array(10, 250, 30, 30), Array(200, 5, 5, 90))
+    def img() = {
+      val i = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4)
+        i.setRGB(x, y, (7 << 16) | (9 << 8) | blue(y)(x))
+      i
+    }
+    def enc(fmt: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img(), fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, enc("png")), (2L, enc("bmp")))
+      .toDF("media_id", "content")
+    val out = Multimodal.imageHashes(media).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    // independent replay of the bit formulas over the known raster
+    val n = 8
+    val sum = blue.flatten.sum
+    var (a, d) = (0L, 0L)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      if (blue(y)(x) * n > sum) a |= 1L << (y * 4 + x)
+      if (x < 3 && blue(y)(x + 1) > blue(y)(x)) d |= 1L << (y * 3 + x)
+    }
+    assert(out(0).ahash == a && out(0).dhash == d)
+    // content-level dedup across containers: different bytes (md5 dedup
+    // misses it), identical perceptual hashes
+    assert(!java.util.Arrays.equals(enc("png"), enc("bmp")))
+    assert(out(0).ahash == out(1).ahash && out(0).dhash == out(1).dhash)
+    // rasters wider than 64 bits drop (triage), not truncate
+    val big = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val media2 = Seq((3L, bos.toByteArray)).toDF("media_id", "content")
+    assert(Multimodal.imageHashes(media2).count() == 0)
+  }
+
   test("probeMeta decodes real PNG/BMP/WAV headers (no codec library)") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // PNG: signature + IHDR length + "IHDR" + width=400 + height=200 (BE)

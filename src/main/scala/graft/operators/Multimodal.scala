@@ -288,6 +288,56 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[pcmWindowFeatures]]: exact integer features of one
+    * fixed-length analysis window. */
+  case class PcmWindowFeatures(media_id: Long, win_idx: Int, n_win: Long,
+                               sum_abs: Long, n_zc: Long)
+
+  /** REAL windowed audio feature extraction from PCM-16 WAV payloads —
+    * the frame-level energy/zero-crossing pass an audio pipeline runs
+    * before VAD / silence trimming / quality filtering: samples split
+    * into consecutive windows of `win`, each window reporting its sample
+    * count, Σ|s| (the L1 energy) and the zero-crossing count (sign flips
+    * between ADJACENT samples within the window; s ≥ 0 counts as
+    * positive so the flip predicate is a pure integer comparison).
+    * Everything is integer arithmetic on decoded samples, so a
+    * construction-inverting oracle recomputes every window in closed
+    * form (m_audio). Malformed/non-PCM payloads drop (triage happens in
+    * [[decodeMedia]]); same partition-batched shape as the other
+    * decoders — one output row per window, no shuffle, no driver. */
+  def pcmWindowFeatures(media: DataFrame, win: Int): Dataset[PcmWindowFeatures] = {
+    require(win >= 2, "win >= 2 (a 1-sample window has no crossings)")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          try {
+            pcm16DataRange(bytes).toSeq.flatMap { case (dOff, n) =>
+              (0 until (n + win - 1) / win).map { wi =>
+                val lo = wi * win
+                val hi = math.min(lo + win, n)
+                var (sumAbs, zc) = (0L, 0L)
+                var k = lo
+                while (k < hi) {
+                  val s = pcm16Sample(bytes, dOff, k)
+                  sumAbs += math.abs(s)
+                  if (k > lo) {
+                    val prev = pcm16Sample(bytes, dOff, k - 1)
+                    if ((prev >= 0) != (s >= 0)) zc += 1
+                  }
+                  k += 1
+                }
+                PcmWindowFeatures(id, wi, hi - lo, sumAbs, zc)
+              }
+            }
+          } catch { case _: Exception => Seq.empty }
+        }
+      }
+  }
+
   // ------------------------------------------------- video frame walk
   /** Aggregate stats of the frames SAMPLED from a GVID container. */
   case class VideoStats(nFrames: Int, nSampled: Int, pxTotal: Long,

@@ -1737,6 +1737,20 @@ object PipelineQueries {
         .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
       Multimodal.decimateWavStats(media, 3).toDF().orderBy("media_id")}),
 
+    // REAL windowed audio features under oracle: the planted WAVs (odd
+    // doc_ids) split into 4-sample analysis windows, each reporting its
+    // L1 energy (Σ|s|) and zero-crossing count — the VAD/silence-trim
+    // front-end of an audio pipeline. All integers on decoded samples;
+    // the oracle recomputes every window in closed form from the planted
+    // sample formula, so a hash match proves the RIFF walk + windowing
+    // reads exactly the planted PCM stream
+    "m_audio" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
+      Multimodal.pcmWindowFeatures(media, 4).toDF()
+        .orderBy("media_id", "win_idx")}),
+
     // REAL perceptual image hashing under oracle: aHash (mean-threshold
     // bits, written as the integer cross-multiplication B·n > ΣB) and
     // dHash (horizontal-gradient bits) over the decoded blue channel of
@@ -3546,6 +3560,33 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'max') AS INT) END AS max_sample,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(list_aggregate(smp, 'sum') AS DOUBLE) / n END AS mean_sample
         |FROM calc ORDER BY media_id""".stripMargin,
+
+    // windowed-audio replay: per (doc, window) the planted samples
+    // s_k = signed((31d + 997k) % 65536) re-derived directly; Σ|s| and
+    // the window-local sign-flip count are order-free integers
+    "m_audio" ->
+      """WITH base AS (
+        |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
+        |  WHERE doc_id % 2 = 1
+        |), w AS (
+        |  SELECT d, n, unnest(generate_series(0, (n - 1) // 4)) AS wi FROM base
+        |), f AS (
+        |  SELECT d, wi,
+        |    list_transform(generate_series(wi * 4, least(wi * 4 + 3, n - 1)),
+        |      k -> CASE WHEN (d * 31 + k * 997) % 65536 < 32768
+        |                THEN (d * 31 + k * 997) % 65536
+        |                ELSE (d * 31 + k * 997) % 65536 - 65536 END) AS smp
+        |  FROM w
+        |)
+        |SELECT d AS media_id, CAST(wi AS INT) AS win_idx,
+        |  CAST(len(smp) AS BIGINT) AS n_win,
+        |  CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum')
+        |    AS BIGINT) AS sum_abs,
+        |  CAST(coalesce(list_aggregate(
+        |    list_transform(generate_series(1, len(smp) - 1),
+        |      j -> CASE WHEN (smp[j] >= 0) <> (smp[j + 1] >= 0)
+        |           THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS n_zc
+        |FROM f ORDER BY media_id, win_idx""".stripMargin,
 
     // perceptual-hash replay: aHash/dHash bit vectors recomputed in
     // closed form from the planted raster (blue(y,x) = (d + raster-row·4

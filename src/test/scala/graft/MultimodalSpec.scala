@@ -82,6 +82,28 @@ class MultimodalSpec extends SparkSpec {
       "partitioning must not change decode output")
   }
 
+  test("pcmWindowFeatures windows exactly, counts sign flips, keeps tails") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 9 samples → windows [4,4,1]; crossings only count inside a window
+    val samples = Seq(5, -3, -2, 7, /*|*/ -1, 0, -4, 6, /*|*/ -9)
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = fmt ++ "data".getBytes ++ le32(data.length) ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val out = Multimodal.pcmWindowFeatures(
+      Seq((7L, wav)).toDF("media_id", "content"), 4)
+      .collect().sortBy(_.win_idx)
+    // window 0: |5|+|−3|+|−2|+|7|=17, flips 5→−3, −2→7 (0 is positive)
+    // window 1: |−1|+|0|+|−4|+|6|=11, flips −1→0, 0→−4, −4→6
+    // window 2: the 1-sample tail — no pairs, no crossings
+    assert(out.map(w => (w.win_idx, w.n_win, w.sum_abs, w.n_zc)).toSeq ==
+      Seq((0, 4L, 17L, 2L), (1, 4L, 11L, 3L), (2, 1L, 9L, 0L)))
+    // the boundary pair 6→−9 crosses zero but spans windows: never counted
+  }
+
   test("imageHashes: same raster hashes equal across PNG/BMP encodings") {
     // known 4x2 blue raster; red/green constant so only blue drives bits
     val blue = Array(Array(10, 250, 30, 30), Array(200, 5, 5, 90))

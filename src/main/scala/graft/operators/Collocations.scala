@@ -258,4 +258,105 @@ object Collocations {
     }
     (s0 +: perRound).mkString(",\n")
   }
+
+  /** TextRank keyword extraction — PageRank over the token co-occurrence
+    * graph (the graph-centrality complement of PMI's pair statistics and
+    * TF-IDF's query-relative ranking: TextRank finds the corpus's
+    * structurally central vocabulary with no query and no training):
+    *  1. vocabulary = top `vocabN` tokens by (count DESC, token) — the
+    *     data-adaptive cut that keeps the graph bounded at any SF;
+    *  2. edges = ADJACENT token pairs (window lead, one shuffle) where
+    *     both ends are in-vocabulary, undirected with adjacency counts
+    *     as weights;
+    *  3. `rounds` of weighted PageRank in integer micro-units:
+    *     sc' = 150000 + (850000 · Σ_u (w_uv·sc_u div wdeg_u)) div 1e6 —
+    *     every term divides to an integer BEFORE the order-free sum
+    *     (the gx_pagerank_fp fixed-point discipline), so every iterate
+    *     is engine-exact and the ranking replays in SQL ([[textRankSql]]).
+    *
+    * Scale shape: the corpus-sized work is one token explode + one
+    * window lead (one doc_id shuffle, reused by both); everything after
+    * runs on vocabN-bounded frames (≤ vocabN² edges), broadcast-joined.
+    * i64 headroom: sc ≤ 1e6·(1+vocabN) and w·sc products stay below
+    * 2^63 through vocabN ~ 10⁶. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               vocabN: Int = 100, rounds: Int = 3, k: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("p", "t")))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabN).select("t")
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val adj = toks.withColumn("t2", lead(col("t"), 1).over(wl))
+      .filter(col("t2").isNotNull && col("t") =!= col("t2"))
+      .join(broadcast(vocab), "t")
+      .join(broadcast(vocab.select(col("t").as("t2"))), "t2")
+    val und = adj.select(least(col("t"), col("t2")).as("u"),
+        greatest(col("t"), col("t2")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val wdeg = edges.groupBy("src").agg(sum(col("w")).as("wd"))
+    val ew = broadcast(edges.join(wdeg, "src")).cache()
+    var sc = vocab.withColumn("sc", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val contrib = ew.join(broadcast(sc.select(col("t").as("src"), col("sc"))), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("(w * sc) div wd")).as("contrib"))
+      sc = vocab.join(broadcast(contrib.select(col("dst").as("t"), col("contrib"))),
+          Seq("t"), "left")
+        .select(col("t"),
+          (lit(150000L) + expr("(850000 * coalesce(contrib, 0)) div 1000000"))
+            .as("sc"))
+    }
+    sc.select(col("t").as("token"), col("sc").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("token")).limit(k)
+  }
+
+  /** DuckDB twin of [[textRank]]: vocabulary cut, window-lead adjacency
+    * and every PageRank round unrolled as CTEs. */
+  def textRankSql(table: String, idCol: String, textCol: String,
+                  vocabN: Int = 100, rounds: Int = 3, k: Int = 20): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""tc$r AS (
+         |  SELECT e.dst AS t, sum((e.w * s.sc) // d.wd) AS contrib
+         |  FROM tre e JOIN ts$p s ON s.t = e.src JOIN trd d ON d.src = e.src
+         |  GROUP BY 1
+         |), ts$r AS (
+         |  SELECT v.t,
+         |    CAST(150000 + (850000 * coalesce(c.contrib, 0)) // 1000000
+         |      AS BIGINT) AS sc
+         |  FROM trv v LEFT JOIN tc$r c ON c.t = v.t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trt AS (
+       |  SELECT doc_id, s['p'] AS p, s['t'] AS t FROM (
+       |    SELECT $idCol AS doc_id, unnest(list_transform(
+       |      generate_series(1, len(tk)), j -> {'p': j - 1, 't': tk[j]})) AS s
+       |    FROM (SELECT $idCol, ${tokensSql(textCol)} AS tk FROM $table))
+       |), trv AS (
+       |  SELECT t FROM (SELECT t, count(*) AS c FROM trt GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT $vocabN
+       |), tra AS (
+       |  SELECT t, t2 FROM (
+       |    SELECT t, lead(t) OVER (PARTITION BY doc_id ORDER BY p) AS t2
+       |    FROM trt)
+       |  WHERE t2 IS NOT NULL AND t <> t2
+       |    AND t IN (SELECT t FROM trv) AND t2 IN (SELECT t FROM trv)
+       |), tru AS (
+       |  SELECT least(t, t2) AS u, greatest(t, t2) AS v,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM tra GROUP BY 1, 2
+       |), tre AS (
+       |  SELECT u AS src, v AS dst, w FROM tru
+       |  UNION ALL SELECT v, u, w FROM tru
+       |), trd AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wd FROM tre GROUP BY 1
+       |), ts0 AS (
+       |  SELECT t, CAST(1000000 AS BIGINT) AS sc FROM trv
+       |),
+       |$roundCtes
+       |SELECT t AS token, sc AS score_micro FROM ts$rounds
+       |ORDER BY score_micro DESC, token LIMIT $k""".stripMargin
+  }
 }

@@ -811,6 +811,13 @@ object PipelineQueries {
     // d_bpe's frequency argmax): min-count-5 bigrams scored by
     // ln P(ab) − ln P(a) − ln P(b), each ln separately micro-rounded,
     // top-50 under a total order
+    // TextRank keyword extraction: PageRank over the token adjacency
+    // graph restricted to the top-100 vocabulary — integer micro-unit
+    // fixed-point rounds (each edge term divides BEFORE the order-free
+    // sum), so graph, iterations and ranking all replay in SQL
+    "d_textrank" -> ((s, dir) =>
+      Collocations.textRank(docs(s, dir), "doc_id", "text")),
+
     "d_pmi" -> ((s, dir) =>
       Collocations.pmiTop(docs(s, dir), "text")),
 
@@ -2755,6 +2762,8 @@ object PipelineQueries {
       Collocations.compressionByGroupSql(docsT, "doc_id", "text", "lang", 3),
 
     "d_pmi" -> Collocations.pmiTopSql(docsT, "text"),
+
+    "d_textrank" -> Collocations.textRankSql(docsT, "doc_id", "text"),
 
     "d_backoff_lm" ->
       s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),

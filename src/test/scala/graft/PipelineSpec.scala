@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, Sketches}
+import graft.operators.{Collocations, Dedup, Similarity, Sketches}
 import graft.functions.TextFunctions
 import graft.sources.Tables
 
@@ -497,6 +497,24 @@ class PipelineSpec extends SparkSpec {
     val sq2 = Similarity.sqTopK(corpus.repartition(7), queries, 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(sq2 == sq)
+  }
+
+  test("textRank centers the hub token and floors isolated tokens") {
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "b c"), (5L, "z"))
+      .toDF("id", "txt")
+    val out = Collocations.textRank(corpus, "id", "txt",
+      vocabN = 10, rounds = 3, k = 10)
+      .as[(String, Long)].collect()
+    // 'a' touches b, c, d — the structural hub must outrank every spoke
+    assert(out.head._1 == "a", s"hub should rank first, got ${out.toSeq}")
+    // 'z' only ever appears alone: no in-edges, so its score is exactly
+    // the damping floor after every round
+    assert(out.find(_._1 == "z").get._2 == 150000L)
+    // deterministic under repartition (integer fixed-point everywhere)
+    val out2 = Collocations.textRank(corpus.repartition(4), "id", "txt",
+      vocabN = 10, rounds = 3, k = 10).as[(String, Long)].collect()
+    assert(out.toSeq == out2.toSeq)
   }
 
   test("binary quantization: exact duplicate ranks first at Hamming 0") {

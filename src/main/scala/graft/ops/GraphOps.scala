@@ -991,6 +991,112 @@ object GraphOps {
       its).mkString(",\n")
   }
 
+  /** Luby's maximal-independent-set rounds with DETERMINISTIC priorities,
+    * so the randomized algorithm is exactly SQL-replayable (the
+    * [[lubyMisSql]] twin unrolls the rounds): p(v) derives from md5
+    * ("mis_" seed family, 15 hex chars → positive i60 — the repo's
+    * engine-portable hash idiom), and per round over the ACTIVE subgraph
+    *
+    *  - v joins the MIS iff p(v) is STRICTLY below every active
+    *    neighbor's priority (isolated active nodes join);
+    *  - active neighbors of new MIS members are removed;
+    *  - ties (p equal) add neither endpoint — both stay active, which
+    *    keeps the update deterministic in any engine.
+    *
+    * Strict-< makes each round's MIS independent by construction (two
+    * adjacent winners would each need the smaller priority). A bounded
+    * round count keeps the plan finite; nodes still undecided after
+    * `rounds` report status 'active' (round 0) rather than being forced,
+    * so the output is honest at every SF. Returns (key, status, round)
+    * with status ∈ mis|removed|active.
+    *
+    * Scale (the labelPropagationSync pattern): the edge set is cached
+    * hash-partitioned ON dst — the per-round min-priority aggregation
+    * reuses that partitioning; the node-sized active/MIS/removed frames
+    * broadcast under `broadcastNodeLimit` and fall back to shuffle joins
+    * beyond it. Expected O(log n) rounds to empty the active set. */
+  def lubyMis(g: KinGraph, rounds: Int,
+              checkpointEvery: Int = 1,
+              broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val ud = undirectedEdges(g, Some(col("dst")))
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val small = nodes.count() <= broadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val prio = conv(substring(md5(concat(lit("mis_"), col("key"))), 1, 15),
+      16, 10).cast("long")
+    var active = nodes.select(col("key"), prio.as("p"))
+    var result = nodes
+      .select(col("key"), lit("").as("status"), lit(0).as("round"))
+      .filter(lit(false))
+    for (r <- 1 to rounds) {
+      val ae = ud
+        .join(bc(active.select(col("key").as("src"), col("p").as("psrc"))), "src")
+        .join(bc(active.select(col("key").as("dst"))), "dst")
+      val minNb = ae.groupBy(col("dst").as("key")).agg(min(col("psrc")).as("pmin"))
+      // checkpointed: each round's winners feed the result AND the removal
+      val mis = active.join(bc(minNb), Seq("key"), "left")
+        .filter(col("pmin").isNull || col("p") < col("pmin"))
+        .select("key").localCheckpoint(true)
+      val removed = ae.join(bc(mis.withColumnRenamed("key", "src")), "src")
+        .select(col("dst").as("key")).distinct().localCheckpoint(true)
+      result = result
+        .unionByName(mis.select(col("key"), lit("mis").as("status"),
+          lit(r).as("round")))
+        .unionByName(removed.select(col("key"), lit("removed").as("status"),
+          lit(r).as("round")))
+      active = active.join(bc(mis), Seq("key"), "left_anti")
+        .join(bc(removed), Seq("key"), "left_anti")
+      if (r % checkpointEvery == 0 && r < rounds)
+        active = active.localCheckpoint(true)
+    }
+    result.unionByName(
+      active.select(col("key"), lit("active").as("status"), lit(0).as("round")))
+  }
+
+  /** DuckDB twin of [[lubyMis]]: CTE fragments (mud, ma0..maN with
+    * per-round mi/mx winner/removed sets) plus the assembled result CTE
+    * `mres`(key, status, round). */
+  def lubyMisSql(edges: String, nodes: String, rounds: Int): String = {
+    val its = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""me$k AS MATERIALIZED (
+         |  SELECT e.src, e.dst, s.p AS psrc FROM mud e
+         |  JOIN ma$p s ON s.key = e.src JOIN ma$p d ON d.key = e.dst
+         |), mm$k AS (
+         |  SELECT dst AS key, min(psrc) AS pmin FROM me$k GROUP BY dst
+         |), mi$k AS MATERIALIZED (
+         |  SELECT a.key FROM ma$p a LEFT JOIN mm$k m ON m.key = a.key
+         |  WHERE m.pmin IS NULL OR a.p < m.pmin
+         |), mx$k AS (
+         |  SELECT DISTINCT e.dst AS key FROM me$k e JOIN mi$k i ON i.key = e.src
+         |), ma$k AS MATERIALIZED (
+         |  SELECT a.key, a.p FROM ma$p a
+         |  LEFT JOIN mi$k i ON i.key = a.key
+         |  LEFT JOIN mx$k x ON x.key = a.key
+         |  WHERE i.key IS NULL AND x.key IS NULL
+         |)""".stripMargin
+    }
+    val unions = (1 to rounds).map { k =>
+      s"""  SELECT key, 'mis' AS status, CAST($k AS INT) AS round FROM mi$k
+         |  UNION ALL
+         |  SELECT key, 'removed', CAST($k AS INT) FROM mx$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    (s"""mud AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM $edges UNION ALL
+        |    SELECT dst AS src, src AS dst FROM $edges)
+        |  WHERE src <> dst)""".stripMargin +:
+      (s"ma0 AS MATERIALIZED (SELECT key, CAST('0x' || substring(md5('mis_' || key), 1, 15) " +
+        s"AS BIGINT) AS p FROM $nodes)") +:
+      its :+
+      s"""mres AS (
+         |$unions
+         |  UNION ALL
+         |  SELECT key, 'active', CAST(0 AS INT) FROM ma$rounds
+         |)""".stripMargin).mkString(",\n")
+  }
+
   /** Bounded k-core peel: `rounds` synchronous iterations of "drop every
     * node whose UNDIRECTED degree among surviving nodes is < k". With
     * enough rounds this converges to the exact k-core; a bounded round

@@ -165,6 +165,15 @@ object GxQueries {
     // factors: degrees grow with SF, so one constant either peels nothing
     // or empties the graph). Iterative, exact unrolled-CTE oracle with the
     // same adaptive k; convergence on small graphs pinned in ScalaTest
+    // Luby maximal independent set — the classic symmetry-breaking
+    // primitive (scheduling/coloring seed): deterministic md5 priorities
+    // make the randomized rounds hash-checkable against an unrolled-CTE
+    // oracle; strict-< winners are independent by construction, and
+    // still-undecided nodes report honestly as 'active'
+    "gx_mis" -> ((s, dir) =>
+      GraphOps.lubyMis(unionGraph(s, dir), rounds = 5)
+        .orderBy("key")),
+
     "gx_kcore" -> ((s, dir) =>
       GraphOps.kCoreAdaptive(
         KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
@@ -408,6 +417,10 @@ object GxQueries {
       s"""$cte, ${GraphOps.jaccardPairsSql("ue", hubCapPercentile = 0.9)}
          |SELECT a, b, common, jac_milli FROM jpair
          |ORDER BY jac_milli DESC, common DESC, a, b LIMIT 100""".stripMargin,
+
+    "gx_mis" ->
+      s"""$cte, ${GraphOps.lubyMisSql("ue", "un", 5)}
+         |SELECT key, status, round FROM mres ORDER BY key""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

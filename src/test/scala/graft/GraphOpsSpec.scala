@@ -477,6 +477,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("lubyMis: winners independent, removals justified, maximal at fixpoint") {
+    // path a-b-c-d plus chord a-c: undirected view has edges
+    // {a-b, b-c, c-d, a-c}; any MIS is independent and maximal
+    val out = GraphOps.lubyMis(g, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 4, "every node reports exactly one status")
+    val mis = out.filter(_._2 == "mis").map(_._1).toSet
+    val und = Set(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+    // independence: no undirected edge inside the MIS
+    assert(!und.exists { case (u, v) => mis(u) && mis(v) })
+    // 4 rounds empty the active set on 4 nodes; with none left, every
+    // removed node must have a MIS neighbor (maximality)
+    assert(!out.exists(_._2 == "active"))
+    val removed = out.filter(_._2 == "removed").map(_._1).toSet
+    assert(removed.forall(v =>
+      und.exists { case (x, y) => (x == v && mis(y)) || (y == v && mis(x)) }))
+    // deterministic: same priorities, same result, any partitioning
+    val out2 = GraphOps.lubyMis(g, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // an isolated node joins the MIS in round 1 (no neighbors to beat)
+    val gi = KinGraph(Seq("a", "b", "z").toDF("key"),
+      Seq(("a", "b", 0)).toDF("src", "dst", "etype"))
+    val zi = GraphOps.lubyMis(gi, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .find(_._1 == "z").get
+    assert(zi._2 == "mis" && zi._3 == 1)
+  }
+
   test("k-truss keeps the clique, drops pendant triangles, and cascades to empty") {
     def kg(edges: Seq[(String, String)]) = KinGraph(
       edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("key"),

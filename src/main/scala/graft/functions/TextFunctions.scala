@@ -130,6 +130,66 @@ object TextFunctions {
         coalesce(col("n_distinct"), lit(0)).as("n_distinct"))
   }
 
+  /** Flesch readability profile — the classic surface-level difficulty
+    * signal a quality-filtering pipeline runs next to the Gopher-style
+    * counts: per doc the word count (whitespace tokens), sentence count
+    * (runs of [.!?]) and the vowel-group syllable proxy (runs of
+    * [aeiouy] in the lowercased text — the standard dictionary-free
+    * approximation), then Flesch reading-ease and Flesch-Kincaid grade
+    * in floor-micro units. The counts are exact integers with identical
+    * regex-split semantics in both engines; each score is the fixed tree
+    * `c0 ± c1·(w/s) ± c2·(syl/w)` — two IEEE divisions and a
+    * left-associated combination of double literals, correctly rounded
+    * identically in both engines on identical integer inputs
+    * ([[readabilityStatsSql]]). Zero-count guards: s and w floor at 1
+    * inside the ratios (identically in the twin), so punct-free or empty
+    * docs score rather than NULL out.
+    *
+    * Scale shape: map-only — three regex splits per row, no shuffle, no
+    * joins; the whole profile rides the corpus scan. */
+  def readabilityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokenCount(c).cast("long").as("n_words"),
+      (size(split(c, "[.!?]+")) - 1).cast("long").as("n_sentences"),
+      (size(split(lower(c), "[aeiouy]+")) - 1).cast("long").as("n_syllables"))
+    val ws = base("n_words").cast("double") /
+      greatest(base("n_sentences"), lit(1L)).cast("double")
+    val sw = base("n_syllables").cast("double") /
+      greatest(base("n_words"), lit(1L)).cast("double")
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      floor(lit(1e6) * (lit(206.835) - lit(1.015) * ws - lit(84.6) * sw))
+        .as("ease_micro"),
+      floor(lit(1e6) * (lit(0.39) * ws + lit(11.8) * sw - lit(15.59)))
+        .as("fk_grade_micro"))
+  }
+
+  /** DuckDB twin of [[readabilityStats]]. */
+  def readabilityStatsSql(table: String, idCol: String, textCol: String): String = {
+    // parenthesized: the caller multiplies these by a constant, and
+    // `c * nw / s` associates as `(c*nw)/s` — a DIFFERENT double than
+    // Spark's `c * (nw/s)` on non-dyadic ratios
+    val ws = "(CAST(nw AS DOUBLE) / CAST(greatest(ns, 1) AS DOUBLE))"
+    val sw = "(CAST(sy AS DOUBLE) / CAST(greatest(nw, 1) AS DOUBLE))"
+    s"""WITH rb AS (
+       |  SELECT $idCol AS doc_id,
+       |    CAST(${tokenCountSql(textCol)} AS BIGINT) AS nw,
+       |    CAST(len(regexp_split_to_array($textCol, '[.!?]+')) - 1 AS BIGINT) AS ns,
+       |    CAST(len(regexp_split_to_array(lower($textCol), '[aeiouy]+')) - 1
+       |      AS BIGINT) AS sy
+       |  FROM $table
+       |)
+       |SELECT doc_id, nw AS n_words, ns AS n_sentences, sy AS n_syllables,
+       |  CAST(floor(1000000.0 * (CAST(206.835 AS DOUBLE)
+       |    - CAST(1.015 AS DOUBLE) * $ws
+       |    - CAST(84.6 AS DOUBLE) * $sw)) AS BIGINT) AS ease_micro,
+       |  CAST(floor(1000000.0 * (CAST(0.39 AS DOUBLE) * $ws
+       |    + CAST(11.8 AS DOUBLE) * $sw
+       |    - CAST(15.59 AS DOUBLE))) AS BIGINT) AS fk_grade_micro
+       |FROM rb ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------- surprisal
   /** Corpus-relative unigram surprisal (the CCNet-style "how unusual is
     * this document against its own corpus" quality signal, with the

@@ -1012,6 +1012,13 @@ object PipelineQueries {
     // corpus-relative unigram surprisal (CCNet-style quality signal) in
     // exact integer micro-nats — order-free sums, so the iterative-free
     // two-pass LM score is hash-checked, not rows-only
+    // Flesch reading-ease + FK grade from exact word/sentence/vowel-group
+    // counts — two IEEE divisions per doc in a fixed literal tree, so the
+    // floor-micro scores replay exactly; map-only, rides the corpus scan
+    "d_readability" -> ((s, dir) =>
+      TextFunctions.readabilityStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "d_surprisal" -> ((s, dir) =>
       TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2107,6 +2114,9 @@ object PipelineQueries {
          |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_readability" ->
+      TextFunctions.readabilityStatsSql(docsT, "doc_id", "text"),
 
     "d_surprisal" -> TextFunctions.surprisalStatsSql(docsT, "doc_id", "text"),
 

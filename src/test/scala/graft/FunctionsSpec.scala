@@ -10,6 +10,35 @@ import graft.sources.Tables
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readabilityStats: exact counts, floor-micro Flesch scores, guards") {
+    val docs = Seq(
+      (1L, "Hello world. Go now!"),
+      (2L, "no sentence punct here"), // 0 sentences -> s floors at 1
+      (3L, "")).toDF("id", "txt")     // empty -> 0 words, w floors at 1
+    val out = TextFunctions.readabilityStats(docs, "id", "txt")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    // doc 1: 4 words, 2 sentence runs, vowel groups e|o, o, o, o = 5
+    assert(out(0)._2 == 4 && out(0)._3 == 2 && out(0)._4 == 5)
+    // replay the exact double tree the operator promises
+    def ease(w: Long, s: Long, sy: Long): Long = {
+      val ws = w.toDouble / math.max(s, 1L).toDouble
+      val sw = sy.toDouble / math.max(w, 1L).toDouble
+      math.floor(1e6 * (206.835 - 1.015 * ws - 84.6 * sw)).toLong
+    }
+    def fk(w: Long, s: Long, sy: Long): Long = {
+      val ws = w.toDouble / math.max(s, 1L).toDouble
+      val sw = sy.toDouble / math.max(w, 1L).toDouble
+      math.floor(1e6 * (0.39 * ws + 11.8 * sw - 15.59)).toLong
+    }
+    out.foreach { r =>
+      assert(r._5 == ease(r._2, r._3, r._4) && r._6 == fk(r._2, r._3, r._4))
+    }
+    // the guards: empty doc scores (no NULL/NaN), 0-sentence doc treats
+    // the whole text as one sentence
+    assert(out(2)._2 == 0 && out(2)._5 == ease(0, 0, 0))
+    assert(out(1)._3 == 0)
+  }
+
   test("registered SQL functions compute dot / norm") {
     GraftFunctions.register(spark)
     val r = spark.sql(

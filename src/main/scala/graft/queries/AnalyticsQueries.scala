@@ -434,6 +434,21 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // explicit grouping sets (the third grouping form next to rollup and
+    // cube): per-flag totals, per-status totals and the grand total in one
+    // pass, disambiguated by grouping_id — one shuffle, Expand feeds all
+    // three groupings map-side
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // pivot: return flags to columns
     "q_pivot" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -747,6 +762,14 @@ object AnalyticsQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

@@ -1799,6 +1799,23 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("media_id")}),
 
+    // STREAMING audio-ingest decode: the m_audio pipeline with the docs
+    // table arriving as a parquet micro-batch stream — planted WAVs build
+    // as a stateless projection, the RIFF walk + windowing run as the
+    // same stateless mapPartitions batch decode, memory sink drains in
+    // append mode (no state, no watermark). Oracle = the m_audio closed
+    // form
+    "s_stream_audio" -> ((s, dir) => {
+      val d = col("doc_id")
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
+      val st = Multimodal.pcmWindowFeatures(stream, 4).toDF()
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_audio_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("media_id", "win_idx")}),
+
     // multimodal frame sampling under oracle: payloads are md5-derived
     // bytes of deterministic length (16 * (doc_id%5 + 1)); sampleFrames
     // takes every 7th byte, and the oracle re-derives those exact bytes by
@@ -1825,6 +1842,33 @@ object PipelineQueries {
   )
 
   private val docsT = "documents"
+
+  /** m_audio closed-form replay, shared verbatim by the batch (m_audio)
+    * and streaming (s_stream_audio) paths — both decode the identical
+    * planted WAVs through the same operator object. */
+  private val mAudioSql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
+      |  WHERE doc_id % 2 = 1
+      |), w AS (
+      |  SELECT d, n, unnest(generate_series(0, (n - 1) // 4)) AS wi FROM base
+      |), f AS (
+      |  SELECT d, wi,
+      |    list_transform(generate_series(wi * 4, least(wi * 4 + 3, n - 1)),
+      |      k -> CASE WHEN (d * 31 + k * 997) % 65536 < 32768
+      |                THEN (d * 31 + k * 997) % 65536
+      |                ELSE (d * 31 + k * 997) % 65536 - 65536 END) AS smp
+      |  FROM w
+      |)
+      |SELECT d AS media_id, CAST(wi AS INT) AS win_idx,
+      |  CAST(len(smp) AS BIGINT) AS n_win,
+      |  CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum')
+      |    AS BIGINT) AS sum_abs,
+      |  CAST(coalesce(list_aggregate(
+      |    list_transform(generate_series(1, len(smp) - 1),
+      |      j -> CASE WHEN (smp[j] >= 0) <> (smp[j + 1] >= 0)
+      |           THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS n_zc
+      |FROM f ORDER BY media_id, win_idx""".stripMargin
 
   /** The two retrieval oracles, factored so d_rrf can nest them verbatim
     * as subqueries (DuckDB allows a full WITH inside a derived table). */
@@ -3583,29 +3627,10 @@ object PipelineQueries {
     // windowed-audio replay: per (doc, window) the planted samples
     // s_k = signed((31d + 997k) % 65536) re-derived directly; Σ|s| and
     // the window-local sign-flip count are order-free integers
-    "m_audio" ->
-      """WITH base AS (
-        |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
-        |  WHERE doc_id % 2 = 1
-        |), w AS (
-        |  SELECT d, n, unnest(generate_series(0, (n - 1) // 4)) AS wi FROM base
-        |), f AS (
-        |  SELECT d, wi,
-        |    list_transform(generate_series(wi * 4, least(wi * 4 + 3, n - 1)),
-        |      k -> CASE WHEN (d * 31 + k * 997) % 65536 < 32768
-        |                THEN (d * 31 + k * 997) % 65536
-        |                ELSE (d * 31 + k * 997) % 65536 - 65536 END) AS smp
-        |  FROM w
-        |)
-        |SELECT d AS media_id, CAST(wi AS INT) AS win_idx,
-        |  CAST(len(smp) AS BIGINT) AS n_win,
-        |  CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum')
-        |    AS BIGINT) AS sum_abs,
-        |  CAST(coalesce(list_aggregate(
-        |    list_transform(generate_series(1, len(smp) - 1),
-        |      j -> CASE WHEN (smp[j] >= 0) <> (smp[j + 1] >= 0)
-        |           THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS n_zc
-        |FROM f ORDER BY media_id, win_idx""".stripMargin,
+    "m_audio" -> mAudioSql,
+
+    // the streaming path decodes the identical planted WAVs statelessly
+    "s_stream_audio" -> mAudioSql,
 
     // perceptual-hash replay: aHash/dHash bit vectors recomputed in
     // closed form from the planted raster (blue(y,x) = (d + raster-row·4

@@ -122,6 +122,14 @@ object PipelineQueries {
       Classify.naiveBayesFromScored(docs(s, dir), sharedNbScored(s, dir),
         "doc_id", "lang"))
 
+  /** Session-shared kNN-graph clusters over the 10% embedding subsample —
+    * e_knn_cluster emits them and d_cluster_topics labels them; the n²
+    * edge build + GraphX CC run once per session. */
+  private def sharedKnnClusters(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("knn_clusters", s, dir)(
+      Similarity.knnComponents(
+        embDouble(s, dir).filter(col("id") % 10 === 0), 3))
+
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
       Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
@@ -1613,9 +1621,31 @@ object PipelineQueries {
     // symmetrized, components via GraphX, min-id cluster labels + sizes,
     // CC replayed with WITH RECURSIVE like d_dedup_pipeline
     "e_knn_cluster" -> ((s, dir) =>
-      Similarity.knnComponents(
-          embDouble(s, dir).filter(col("id") % 10 === 0), 3)
-        .orderBy("id")),
+      sharedKnnClusters(s, dir).orderBy("id")),
+
+    // cluster topic labels — the "what is IN each cluster" readout every
+    // clustering pass needs: members' texts (embedding id = doc id) token-
+    // exploded, stopwords dropped, top-3 tokens per cluster by
+    // (count DESC, token). Shares the session-cached cluster build with
+    // e_knn_cluster; the oracle replays clustering AND labeling
+    "d_cluster_topics" -> ((s, dir) => {
+      val cl = sharedKnnClusters(s, dir)
+      val sw = array(TextFunctions.Stopwords.map(lit): _*)
+      val counts = docs(s, dir)
+        .join(cl.select(col("id").as("doc_id"), col("cluster"),
+          col("cluster_size")), "doc_id")
+        .select(col("cluster"), col("cluster_size"),
+          explode(tokens(col("text"))).as("token"))
+        .filter(!array_contains(sw, col("token")))
+        .groupBy("cluster", "cluster_size", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cnt").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("cluster_size"), col("token"),
+          col("cnt"), col("rank"))
+        .orderBy("cluster", "rank")}),
 
     // int8 scalar quantization of the embedding corpus (the compression
     // pass before ANN storage) — integer codes, exact md5 fingerprint
@@ -1842,6 +1872,36 @@ object PipelineQueries {
   )
 
   private val docsT = "documents"
+
+  /** kNN-clustering CTEs (10% subsample, top-3 cosine edges, symmetrized,
+    * recursive CC to min-id labels + sizes) — shared by the e_knn_cluster
+    * and d_cluster_topics oracles, mirroring the session-shared Spark
+    * build. */
+  private val knnClusterCte: String =
+    """WITH c AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |), nn AS (
+      |  SELECT query_id AS a, vec_id AS b FROM (
+      |    SELECT q.id AS query_id, c.id AS vec_id,
+      |      row_number() OVER (PARTITION BY q.id
+      |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+      |    FROM c q JOIN c ON c.id <> q.id)
+      |  WHERE rnk <= 3
+      |), ud AS (
+      |  SELECT a AS s, b AS t FROM nn UNION SELECT b, a FROM nn
+      |), dn AS (
+      |  SELECT DISTINCT s AS key FROM ud
+      |), rch AS (
+      |  WITH RECURSIVE reach(key, label) AS (
+      |    SELECT key, key FROM dn
+      |    UNION
+      |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+      |  ) SELECT key, min(label) AS cluster FROM reach GROUP BY key
+      |), sz AS (
+      |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM rch GROUP BY 1
+      |)""".stripMargin
 
   /** m_audio closed-form replay, shared verbatim by the batch (m_audio)
     * and streaming (s_stream_audio) paths — both decode the identical
@@ -3715,32 +3775,35 @@ object PipelineQueries {
     // exact top-3 edges over the 10% subsample, symmetric closure, then
     // the d_dedup_pipeline WITH RECURSIVE min-label reachability
     "e_knn_cluster" ->
-      """WITH c AS (
-        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |  FROM embeddings WHERE vec_id % 10 = 0
-        |), nn AS (
-        |  SELECT query_id AS a, vec_id AS b FROM (
-        |    SELECT q.id AS query_id, c.id AS vec_id,
-        |      row_number() OVER (PARTITION BY q.id
-        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
-        |    FROM c q JOIN c ON c.id <> q.id)
-        |  WHERE rnk <= 3
-        |), ud AS (
-        |  SELECT a AS s, b AS t FROM nn UNION SELECT b, a FROM nn
-        |), dn AS (
-        |  SELECT DISTINCT s AS key FROM ud
-        |), rch AS (
-        |  WITH RECURSIVE reach(key, label) AS (
-        |    SELECT key, key FROM dn
-        |    UNION
-        |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
-        |  ) SELECT key, min(label) AS cluster FROM reach GROUP BY key
-        |), sz AS (
-        |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
-        |  FROM rch GROUP BY 1
-        |)
-        |SELECT r.key AS id, r.cluster, s.cluster_size
-        |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+      s"""$knnClusterCte
+         |SELECT r.key AS id, r.cluster, s.cluster_size
+         |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // cluster-labeling replay: the shared clustering CTEs + member token
+    // explode, stopword filter, per-cluster (count DESC, token) top-3
+    "d_cluster_topics" -> {
+      val swList = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""$knnClusterCte,
+         |mem AS (
+         |  SELECT r.key AS doc_id, r.cluster, s.cluster_size
+         |  FROM rch r JOIN sz s USING (cluster)
+         |), ctt AS (
+         |  SELECT m.cluster, m.cluster_size, t.token,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS token
+         |    FROM documents) t
+         |  JOIN mem m ON m.doc_id = t.doc_id
+         |  WHERE NOT list_contains($swList, t.token)
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT cluster, cluster_size, token, cnt, CAST(rn AS INT) AS rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY cnt DESC, token) AS rn FROM ctt)
+         |WHERE rn <= 3 ORDER BY cluster, rank""".stripMargin
+    },
 
     // max-cosine-vs-benchmark sweep, the cosine written as the same op
     // tree Spark runs (dot / (sqrt·sqrt)) so floor-micros agree exactly

@@ -74,6 +74,115 @@ object Layout {
       .orderBy("bucket")
   }
 
+  /** File-skipping effectiveness report — the number a layout decision is
+    * actually judged by at 100 TB: for the SAME rectangular predicate
+    * (the data-adaptive quarter-to-half band on both rebased dimensions,
+    * span div 4 .. span div 2 — integer arithmetic, so non-vacuous at
+    * every SF), how many range-partitioned "files" must be read under
+    *  - a Z-order layout (buckets of the Morton key), vs
+    *  - a single-column sort (buckets of x alone — the layout that
+    *    prunes x perfectly and y not at all).
+    * A bucket is scanned iff its [min,max] envelope on BOTH dimensions
+    * intersects the predicate box — exactly the parquet row-group
+    * min/max-stats decision. One row per layout: bucket count, scanned
+    * bucket count, total/read/matching row counts — all integers, fully
+    * SQL-replayable ([[pruningReportSql]]). rows_match is layout-
+    * independent by construction (the spec asserts it).
+    *
+    * Scale shape: two broadcast scalar frames (global min/max, zmax) +
+    * one pass to bucket-stats (map-side combinable) + a bucket-count-
+    * sized report aggregation — the data is scanned twice (once per
+    * layout), never shuffled beyond the bucket aggregation. */
+  def pruningReport(df: DataFrame, x: Column, y: Column,
+                    nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val raw = df.select(x.cast("long").as("x0"), y.cast("long").as("y0"))
+    val stats = raw.agg(min(col("x0")).as("mx"), max(col("x0")).as("xm"),
+      min(col("y0")).as("my"), max(col("y0")).as("ym"))
+    val keyed = raw.crossJoin(broadcast(stats))
+      .select((col("x0") - col("mx")).as("xv"), (col("y0") - col("my")).as("yv"),
+        (col("xm") - col("mx")).as("xr"), (col("ym") - col("my")).as("yr"))
+      .withColumn("z", zValue(col("xv"), col("yv")))
+    val zmax = keyed.agg(max(col("z")).as("zmax"))
+    val both = keyed.crossJoin(broadcast(zmax))
+      .select(col("xv"), col("yv"),
+        expr(s"($nBuckets * z) div (zmax + 1)").as("b_z"),
+        expr(s"($nBuckets * xv) div (xr + 1)").as("b_x"),
+        expr("xr div 4").as("xlo"), expr("xr div 2").as("xhi"),
+        expr("yr div 4").as("ylo"), expr("yr div 2").as("yhi"))
+    def layout(tag: String, bucket: Column): DataFrame = {
+      val hit = col("xv") >= col("xlo") && col("xv") <= col("xhi") &&
+        col("yv") >= col("ylo") && col("yv") <= col("yhi")
+      val bs = both.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xv")).as("min_x"), max(col("xv")).as("max_x"),
+          min(col("yv")).as("min_y"), max(col("yv")).as("max_y"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_match"),
+          // the predicate scalars ride along (constant per bucket)
+          min(col("xlo")).as("xlo"), min(col("xhi")).as("xhi"),
+          min(col("ylo")).as("ylo"), min(col("yhi")).as("yhi"))
+      val scanned = col("min_x") <= col("xhi") && col("max_x") >= col("xlo") &&
+        col("min_y") <= col("yhi") && col("max_y") >= col("ylo")
+      bs.agg(count(lit(1)).as("n_buckets"),
+          sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(scanned, col("n_rows")).otherwise(0L)).as("rows_read"),
+          sum(col("n_match")).as("rows_match"))
+        .select(lit(tag).as("layout"), col("n_buckets"), col("n_scanned"),
+          col("rows_total"), col("rows_read"), col("rows_match"))
+    }
+    layout("xsort", col("b_x")).unionByName(layout("zorder", col("b_z")))
+      .orderBy("layout")
+  }
+
+  /** DuckDB twin of [[pruningReport]] over `table` — CTE-fragment style
+    * (no leading WITH) so callers can prepend their own source CTEs, like
+    * [[zOrderBucketsSql]]. */
+  def pruningReportSql(table: String, xExpr: String, yExpr: String,
+                       nBuckets: Int = 32): String =
+    s"""pr0 AS (
+       |  SELECT CAST($xExpr AS BIGINT) AS x0, CAST($yExpr AS BIGINT) AS y0
+       |  FROM $table
+       |), prs AS (
+       |  SELECT min(x0) AS mx, max(x0) AS xm, min(y0) AS my, max(y0) AS ym
+       |  FROM pr0
+       |), prk AS (
+       |  SELECT x0 - mx AS xv, y0 - my AS yv, xm - mx AS xr, ym - my AS yr
+       |  FROM pr0, prs
+       |), prz AS (
+       |  SELECT xv, yv, xr, yr, ${zValueSql("xv", "yv")} AS z FROM prk
+       |), przm AS (SELECT max(z) AS zmax FROM prz),
+       |prb AS (
+       |  SELECT xv, yv,
+       |    ($nBuckets * z) // (zmax + 1) AS b_z,
+       |    ($nBuckets * xv) // (xr + 1) AS b_x,
+       |    xr // 4 AS xlo, xr // 2 AS xhi, yr // 4 AS ylo, yr // 2 AS yhi
+       |  FROM prz, przm
+       |), prl AS (
+       |  SELECT 'xsort' AS layout, b_x AS bucket, xv, yv, xlo, xhi, ylo, yhi
+       |  FROM prb
+       |  UNION ALL
+       |  SELECT 'zorder', b_z, xv, yv, xlo, xhi, ylo, yhi FROM prb
+       |), prbs AS (
+       |  SELECT layout, bucket, count(*) AS n_rows,
+       |    min(xv) AS min_x, max(xv) AS max_x,
+       |    min(yv) AS min_y, max(yv) AS max_y,
+       |    sum(CASE WHEN xv >= xlo AND xv <= xhi AND yv >= ylo AND yv <= yhi
+       |        THEN 1 ELSE 0 END) AS n_match,
+       |    min(xlo) AS xlo, min(xhi) AS xhi, min(ylo) AS ylo, min(yhi) AS yhi
+       |  FROM prl GROUP BY layout, bucket
+       |)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(CASE WHEN min_x <= xhi AND max_x >= xlo
+       |      AND min_y <= yhi AND max_y >= ylo THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_scanned,
+       |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN min_x <= xhi AND max_x >= xlo
+       |      AND min_y <= yhi AND max_y >= ylo THEN n_rows ELSE 0 END) AS BIGINT)
+       |    AS rows_read,
+       |  CAST(sum(n_match) AS BIGINT) AS rows_match
+       |FROM prbs GROUP BY layout ORDER BY layout""".stripMargin
+
   /** DuckDB twin of [[zOrderBuckets]] over `table`; `xExpr`/`yExpr` must
     * already be bounded non-negative BIGINTs. */
   def zOrderBucketsSql(table: String, xExpr: String, yExpr: String,

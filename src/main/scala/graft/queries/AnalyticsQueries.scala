@@ -631,6 +631,16 @@ object AnalyticsQueries {
         expr("unix_micros(ts) div 3600000000").as("hr"))
       graft.operators.Layout.zOrderBuckets(ev, col("u"), col("hr"), 32)}),
 
+    // file-skipping effectiveness: for the same (user, hour) box
+    // predicate, how many range-partitioned "files" a Z-order layout
+    // reads vs a single-column sort — the min/max-stats pruning decision
+    // parquet row groups actually make, as one integer report per layout
+    "s_zorder_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(1L << 21)).as("u"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      graft.operators.Layout.pruningReport(ev, col("u"), col("hr"), 32)}),
+
     // sessionization: 30-min-gap sessions per user via lag + running sum
     "s_events_sessions" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1185,6 +1195,13 @@ object AnalyticsQueries {
          |  FROM events
          |), ${graft.operators.Layout.zOrderBucketsSql("zev", "u", "hr", 32)}
          |ORDER BY bucket""".stripMargin,
+
+    "s_zorder_prune" ->
+      s"""WITH zev AS (
+         |  SELECT user_id % ${1L << 21} AS u,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+         |  FROM events
+         |), ${graft.operators.Layout.pruningReportSql("zev", "u", "hr", 32)}""".stripMargin,
 
     "s_events_sessions" ->
       """WITH g AS (

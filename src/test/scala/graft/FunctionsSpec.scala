@@ -117,6 +117,27 @@ class FunctionsSpec extends SparkSpec {
     spans.foreach { case (xs, ys) => assert(xs <= 16 && ys <= 16) }
   }
 
+  test("pruningReport: zorder scans fewer buckets than xsort for a box") {
+    import graft.operators.Layout
+    // dense 64x64 grid: the quarter-to-half box covers 1/16 of the area;
+    // an x-sorted layout prunes x only (every surviving bucket spans all
+    // of y), zorder prunes both dimensions
+    val grid = (0L until 64L).flatMap(a => (0L until 64L).map(b => (a, b)))
+      .toDF("x", "y")
+    val rep = Layout.pruningReport(grid, $"x", $"y", 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val xs = rep.find(_._1 == "xsort").get
+    val zo = rep.find(_._1 == "zorder").get
+    // both layouts see the same data and the same predicate
+    assert(xs._4 == 64 * 64 && zo._4 == 64 * 64)
+    assert(xs._6 == zo._6 && xs._6 == 17L * 17L) // box [16,32]^2 inclusive
+    // pruning: every scanned bucket is counted, and the z-layout reads
+    // no more rows than the x-sort (it prunes on y too)
+    assert(zo._5 <= xs._5, s"zorder must read <= xsort rows: $zo vs $xs")
+    assert(zo._5 < zo._4 && xs._5 < xs._4, "both layouts must prune something")
+  }
+
   test("MinHash Aggregator equals the column-min signature computation") {
     GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf).limit(50)

@@ -1829,6 +1829,24 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("media_id")}),
 
+    // STREAMING heavy-hitter vocabulary: the built-in keyed streaming
+    // aggregation (no window, no custom state) in UPDATE mode — token
+    // counts re-emit as they grow; the drain keeps each token's max
+    // (counts strictly increase), giving the final corpus-wide counts
+    // whatever the micro-batch split. State is vocabulary-bounded — the
+    // same bound as the batch groupBy; production swaps in windowed or
+    // CMS state when the key space is open-ended. Oracle = the batch
+    // top-30 token count
+    "s_stream_hh" -> ((s, dir) => {
+      val cnt = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      graft.streaming.EventStreams.runToMemory(cnt, "s_stream_hh_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .groupBy("token").agg(max(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(30)}),
+
     // STREAMING audio-ingest decode: the m_audio pipeline with the docs
     // table arriving as a parquet micro-batch stream — planted WAVs build
     // as a stateless projection, the RIFF walk + windowing run as the
@@ -3691,6 +3709,15 @@ object PipelineQueries {
 
     // the streaming path decodes the identical planted WAVs statelessly
     "s_stream_audio" -> mAudioSql,
+
+    // streaming update-mode counts collapse to the batch corpus counts
+    "s_stream_hh" ->
+      s"""SELECT token, cnt FROM (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(${TextFunctions.tokensSql("text")}) AS token
+         |    FROM documents)
+         |  GROUP BY token)
+         |ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
 
     // perceptual-hash replay: aHash/dHash bit vectors recomputed in
     // closed form from the planted raster (blue(y,x) = (d + raster-row·4

@@ -55,6 +55,48 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
+    // TPC-H Q7-shaped bilateral trade volume: the 6-table join (lineitem
+    // ⋈ orders ⋈ customer with three broadcast dims) grouped by
+    // (supplier nation, customer nation, ship year) — no fixed nation
+    // pair (a literal pair can be supplier-less at small SF), so the
+    // full matrix is non-vacuous at every scale
+    "q7_trade" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val n1 = n.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("sk"))
+        .join(broadcast(n2), c("c_nationkey") === col("ck"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")}),
+
+    // TPC-H Q10-shaped returned-item ranking: customers by revenue lost
+    // to returns — fact ⋈ fact shuffle join + broadcast customer/nation,
+    // deterministic top-20 under (rounded revenue DESC, custkey)
+    "q10_returns" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)}),
+
     // window functions: top-3 parts per supplier by shipped quantity
     "q_window_topk" -> ((s, dir) => {
       val per = Tables.lineitem(s, dir)
@@ -686,6 +728,30 @@ object AnalyticsQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q7_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_window_topk" ->
       """SELECT l_suppkey, l_partkey, qty, rk FROM (

@@ -1038,8 +1038,13 @@ object GraphOps {
       val mis = active.join(bc(minNb), Seq("key"), "left")
         .filter(col("pmin").isNull || col("p") < col("pmin"))
         .select("key").localCheckpoint(true)
-      val removed = ae.join(bc(mis.withColumnRenamed("key", "src")), "src")
-        .select(col("dst").as("key")).distinct().localCheckpoint(true)
+      // referenced twice (result + anti-join): under the broadcast regime
+      // both references re-evaluate two broadcast joins over CACHED
+      // inputs — cheaper than a blocking localCheckpoint job per round;
+      // at scale (shuffle joins) the materialization wins
+      val removedRaw = ae.join(bc(mis.withColumnRenamed("key", "src")), "src")
+        .select(col("dst").as("key")).distinct()
+      val removed = if (small) removedRaw else removedRaw.localCheckpoint(true)
       result = result
         .unionByName(mis.select(col("key"), lit("mis").as("status"),
           lit(r).as("round")))

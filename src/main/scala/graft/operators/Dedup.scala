@@ -142,6 +142,124 @@ object Dedup {
         round(agree.cast("double") / NumHashes, 6).as("est_sim"))
   }
 
+  /** LSH tuning S-curve — "is (bands × rows) right for my threshold?"
+    * answered by MEASUREMENT, not the textbook formula alone: over the
+    * deterministic doc sample (doc_id % sampleMod == 0), every pair
+    * sharing ≥1 shingle gets its EXACT jaccard (integer ∩/∪ counts) and
+    * is bucketed by decile; per decile the report compares the MEASURED
+    * candidate rate (did the banded LSH emit the pair?) against the
+    * textbook expectation P = 1 − (1 − s^r)^b. The expectation is
+    * engine-exact: s is one IEEE division and both powers (r=4, b=8)
+    * expand to repeated squarings — fixed multiply trees, no pow() —
+    * floored to micro units. Pairs sharing no shingle (s = 0, expected
+    * 0) are excluded by construction.
+    *
+    * Scale shape: the sample is the knob — the shingle self-join and the
+    * sample-local LSH rebuild both run on sampleMod-th of the corpus,
+    * and the shingle join only materializes pairs that actually
+    * intersect. Output is 10 rows. */
+  def lshTuningCurve(sh: DataFrame, sampleMod: Long = 20): DataFrame = {
+    require(RowsPerBand == 4 && Bands == 8,
+      "expectation tree is unrolled for r=4, b=8")
+    val samp = graft.CacheScope.cached(
+      sh.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+    val ds = graft.CacheScope.cached(
+      samp.select(col("doc_id"), col("shingle")).distinct())
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ds.select(col("doc_id").as("a"), col("shingle"))
+      .join(ds.select(col("doc_id").as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val cands = minhashCandidatesFrom(samp)
+      .select(col("a"), col("b"), lit(1L).as("is_cand"))
+    val s = col("inter").cast("double") / col("uni").cast("double")
+    val s2 = s * s; val s4 = s2 * s2
+    val q = lit(1.0) - s4
+    val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .join(cands, Seq("a", "b"), "left")
+      .withColumn("decile",
+        least(expr("(10 * inter) div uni"), lit(9L)).cast("int"))
+      .withColumn("exp_micro",
+        floor(lit(1e6) * (lit(1.0) - q8)).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+        sum(col("exp_micro")).as("sum_exp"))
+      .select(col("decile"), col("n_pairs"), col("n_cand"),
+        expr("(1000 * n_cand) div n_pairs").as("cand_rate_milli"),
+        expr("sum_exp div n_pairs").as("exp_mean_micro"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB twin of [[lshTuningCurve]]: sampled shingles, exact pair
+    * jaccard, the full signature/band/candidate replay on the sample,
+    * and the identical squaring tree for the expectation. */
+  def lshTuningCurveSql(table: String, idCol: String, textCol: String,
+                        sampleMod: Long = 20): String = {
+    // the identical squaring tree Spark builds: s2 is the aliased s·s,
+    // s4 = s2·s2, q = 1 − s4, q8 by two more squarings
+    val qSql = "(CAST(1.0 AS DOUBLE) - (s2 * s2))"
+    val q2Sql = s"($qSql * $qSql)"
+    val q4Sql = s"($q2Sql * $q2Sql)"
+    val q8Sql = s"($q4Sql * $q4Sql)"
+    val mh = (0 until NumHashes).map(i =>
+      s"min((${CoeffA(i)} * h + ${CoeffB(i)}) % $MinhashP) AS mh_$i").mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"CAST(mh_${b * RowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_val FROM tsig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tsh0 AS (
+       |  SELECT $idCol AS doc_id, unnest(${shinglesSql(textCol)}) AS shingle
+       |  FROM $table WHERE $idCol % $sampleMod = 0
+       |), tds AS (
+       |  SELECT DISTINCT doc_id, shingle FROM tsh0
+       |), tsz AS (
+       |  SELECT doc_id, count(*) AS n FROM tds GROUP BY 1
+       |), tint AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM tds x JOIN tds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), tsig AS (
+       |  SELECT doc_id,
+       |    $mh
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h
+       |        FROM tsh0)
+       |  GROUP BY doc_id
+       |), tband AS (
+       |  $bandRows
+       |), tcand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM tband x JOIN tband y
+       |    ON x.band = y.band AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id
+       |), tpair AS (
+       |  SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni,
+       |    CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS is_cand
+       |  FROM tint i
+       |  JOIN tsz sa ON sa.doc_id = i.a
+       |  JOIN tsz sb ON sb.doc_id = i.b
+       |  LEFT JOIN tcand c ON c.a = i.a AND c.b = i.b
+       |), trow AS (
+       |  SELECT CAST(least((10 * inter) // uni, 9) AS INT) AS decile,
+       |    is_cand,
+       |    CAST(floor(1000000.0 * (CAST(1.0 AS DOUBLE) - $q8Sql)) AS BIGINT)
+       |      AS exp_micro
+       |  FROM (SELECT *, (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) *
+       |          (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS s2
+       |        FROM tpair)
+       |)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(is_cand) AS BIGINT) AS n_cand,
+       |  CAST((1000 * sum(is_cand)) // count(*) AS BIGINT) AS cand_rate_milli,
+       |  CAST(sum(exp_micro) // count(*) AS BIGINT) AS exp_mean_micro
+       |FROM trow GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   /** Candidate pairs ACROSS two precomputed signature tables (left id as
     * `a`, right id as `b`): bucket join of the two band sets + the
     * signature-agreement estimate. `requireLess` picks the self-dedup

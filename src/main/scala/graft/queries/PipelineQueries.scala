@@ -1252,6 +1252,13 @@ object PipelineQueries {
     // MinHash estimator quality: LSH candidate pairs with BOTH the
     // signature-agreement estimate and the exact shingle Jaccard — the
     // view used to tune bands/rows before trusting est_sim at full scale
+    // LSH S-curve validation — measured candidate rate vs the textbook
+    // P = 1-(1-s^r)^b per exact-jaccard decile over the deterministic
+    // 5% pair sample: the "is (8 bands × 4 rows) right for my
+    // threshold" tuning readout, measured rather than assumed
+    "d_lsh_tune" -> ((s, dir) =>
+      Dedup.lshTuningCurve(sharedShingles(s, dir))),
+
     "d_minhash_est" -> ((s, dir) => {
       // the session-shared shingle explode feeds BOTH the (shared) LSH
       // candidates and the exact-Jaccard verify side
@@ -2570,6 +2577,8 @@ object PipelineQueries {
          |    // nullif(2 * CAST(sum(p) AS BIGINT) * CAST(sum(t - p) AS BIGINT), 0)
          |    AS BIGINT) AS auc_micro
          |FROM acum""".stripMargin,
+
+    "d_lsh_tune" -> Dedup.lshTuningCurveSql(docsT, "doc_id", "text"),
 
     "d_minhash_est" ->
       s"""WITH cand AS (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")}),

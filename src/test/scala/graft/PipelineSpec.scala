@@ -499,6 +499,24 @@ class PipelineSpec extends SparkSpec {
     assert(sq2 == sq)
   }
 
+  test("lshTuningCurve: exact dups are always candidates, disjoint never") {
+    // ids multiples of 20 so the sampleMod=20 filter keeps everything:
+    // 20/40 are exact duplicates (jaccard 1), 60 shares nothing
+    val docs = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (40L, "alpha beta gamma delta epsilon zeta"),
+      (60L, "one two three four five six seven")).toDF("doc_id", "txt")
+    val sh = Dedup.shingleRows(docs, "doc_id", "txt")
+    val out = Dedup.lshTuningCurve(sh)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // only the dup pair shares shingles -> exactly one row, decile 9
+    assert(out.length == 1 && out.head._1 == 9)
+    val (_, nPairs, nCand, rate, expMicro) = out.head
+    assert(nPairs == 1 && nCand == 1 && rate == 1000)
+    // 1-(1-1^4)^8 = 1 exactly -> floor-micro 1000000
+    assert(expMicro == 1000000L)
+  }
+
   test("textRank centers the hub token and floors isolated tokens") {
     val corpus = Seq(
       (1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "b c"), (5L, "z"))

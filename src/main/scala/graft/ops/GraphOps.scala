@@ -1289,6 +1289,17 @@ object GraphOps {
     * traversal needs cycle-length rounds. State is one row per node;
     * each round checkpoints (the GraphOps iterative discipline). */
   def pointerDoublingLabels(succ: DataFrame, rounds: Int = 16): DataFrame = {
+    val t = doublingState(succ, rounds)
+    val atRoot = t.select(col("node").as("r"), col("mn").as("cycle_rep"))
+    val lbl = t.join(atRoot, t("jump") === atRoot("r"))
+      .select(col("node"), col("cycle_rep"))
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("cycle_rep"))
+    lbl.withColumn("basin_size", count(lit(1)).over(wB))
+  }
+
+  /** The shared doubling loop: final state (node, jump = f^(2^rounds),
+    * mn = min over the nodes 1..2^rounds steps ahead). */
+  private def doublingState(succ: DataFrame, rounds: Int): DataFrame = {
     var t = succ.select(col("node"), col("succ").as("jump"),
       col("succ").as("mn")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -1299,12 +1310,63 @@ object GraphOps {
           least(col("mn"), col("m2")).as("mn"))
         .localCheckpoint(true)
     }
+    t
+  }
+
+  /** Strongly connected components of a FUNCTIONAL graph (out-degree 1),
+    * derived from the pointer-doubling state rather than an iterative
+    * SCC decomposition: in a functional graph every SCC is either one of
+    * the terminal cycles or a tail singleton, and after the doubling
+    * rounds the image of `jump` is EXACTLY the union of cycles (jump
+    * restricted to a cycle is a rotation — a bijection — while every
+    * tail node maps strictly inside its cycle). So
+    *   scc(v) = cycle_rep(v)  if v ∈ image(jump)   (v is on a cycle)
+    *          = v             otherwise            (tail singleton).
+    * The oracle derives the SAME labels from the textbook definition —
+    * mutual reachability via a recursive CTE ([[functionalSccSql]]) — so
+    * a hash match cross-validates two independent formalizations.
+    *
+    * Scale shape: the doubling loop (log-depth keyed self-joins) plus
+    * one distinct over the node-sized final state; labels ≤ 2^rounds
+    * deep, same contract as [[pointerDoublingLabels]]. */
+  def functionalScc(succ: DataFrame, rounds: Int = 16): DataFrame = {
+    val t = doublingState(succ, rounds)
     val atRoot = t.select(col("node").as("r"), col("mn").as("cycle_rep"))
+    val onCycle = t.select(col("jump").as("node")).distinct()
+      .withColumn("on_cycle", lit(1))
     val lbl = t.join(atRoot, t("jump") === atRoot("r"))
       .select(col("node"), col("cycle_rep"))
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("cycle_rep"))
-    lbl.withColumn("basin_size", count(lit(1)).over(wB))
+      .join(onCycle, Seq("node"), "left")
+      .select(col("node"),
+        when(col("on_cycle") === 1, col("cycle_rep")).otherwise(col("node"))
+          .as("scc"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("scc"))
+    lbl.withColumn("scc_size", count(lit(1)).over(wS))
   }
+
+  /** DuckDB twin of [[functionalScc]] — the DEFINITIONAL form over
+    * successor CTE `fs`(node, succ): recursive forward reachability,
+    * mutual pairs, min mutual partner as the SCC label, tails default to
+    * themselves. Deliberately NOT the doubling construction. */
+  def functionalSccSql(): String =
+    s"""frch AS (
+       |  WITH RECURSIVE r(s, t) AS (
+       |    SELECT node, succ FROM fs
+       |    UNION
+       |    SELECT r.s, fs.succ FROM r JOIN fs ON fs.node = r.t
+       |  ) SELECT s, t FROM r
+       |), fmut AS (
+       |  SELECT r1.s AS v, r1.t AS u
+       |  FROM frch r1 JOIN frch r2 ON r2.s = r1.t AND r2.t = r1.s
+       |), fscc AS (
+       |  SELECT v, min(u) AS scc FROM fmut GROUP BY v
+       |), flbl AS (
+       |  SELECT n.node, coalesce(s.scc, n.node) AS scc
+       |  FROM fs n LEFT JOIN fscc s ON s.v = n.node
+       |)
+       |SELECT node, scc,
+       |  CAST(count(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size
+       |FROM flbl""".stripMargin
 
   /** DuckDB twin of [[pointerDoublingLabels]] over successor CTE
     * `fs`(node, succ): every doubling round an unrolled CTE. Each round

@@ -325,6 +325,18 @@ object GxQueries {
         expr(s"(doc_id * doc_id + 1) % $n").as("succ"))
       GraphOps.pointerDoublingLabels(succ).orderBy("node")}),
 
+    // strongly connected components of the same planted functional graph:
+    // Spark derives SCCs from the pointer-doubling state (cycles = image
+    // of the 2^16-step jump; tails are singletons), while the oracle uses
+    // the DEFINITION (recursive mutual reachability) — a hash match
+    // cross-validates two independent formalizations of SCC
+    "gx_scc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val n = d.count()
+      val succ = d.select(col("doc_id").as("node"),
+        expr(s"(doc_id * doc_id + 1) % $n").as("succ"))
+      GraphOps.functionalScc(succ).orderBy("node")}),
+
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>
       GraphOps.kHopNeighbors(unionGraph(s, dir), "S1", 2).orderBy("key")),
@@ -588,6 +600,14 @@ object GxQueries {
          |    (doc_id * doc_id + 1) % (SELECT count(*) FROM documents) AS succ
          |  FROM documents
          |), ${GraphOps.pointerDoublingSql()}
+         |ORDER BY node""".stripMargin,
+
+    "gx_scc" ->
+      s"""WITH fs AS (
+         |  SELECT doc_id AS node,
+         |    (doc_id * doc_id + 1) % (SELECT count(*) FROM documents) AS succ
+         |  FROM documents
+         |), ${GraphOps.functionalSccSql()}
          |ORDER BY node""".stripMargin,
 
     "gx_degrees" ->

@@ -477,6 +477,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("functionalScc: cycles are SCCs with min label, tails are singletons") {
+    // rho: 9 -> 1 -> 2 -> 5 -> 7 -> 2 (cycle {2,5,7}), plus fixpoint 4 -> 4
+    val succ = Seq((9L, 1L), (1L, 2L), (2L, 5L), (5L, 7L), (7L, 2L), (4L, 4L))
+      .toDF("node", "succ")
+    val out = GraphOps.functionalScc(succ)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L),          // tail singleton
+      (2L, 2L, 3L), (5L, 2L, 3L), (7L, 2L, 3L), // the cycle, min label 2
+      (4L, 4L, 1L),          // self-loop: a 1-cycle IS an SCC of size 1
+      (9L, 9L, 1L)).sortBy(_._1))
+  }
+
   test("lubyMis: winners independent, removals justified, maximal at fixpoint") {
     // path a-b-c-d plus chord a-c: undirected view has edges
     // {a-b, b-c, c-d, a-c}; any MIS is independent and maximal

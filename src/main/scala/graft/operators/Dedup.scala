@@ -142,6 +142,62 @@ object Dedup {
         round(agree.cast("double") / NumHashes, 6).as("est_sim"))
   }
 
+  /** Edit-distance-1 fuzzy matching via deletion neighborhoods (the
+    * FastSS banding): each name emits itself plus its single-character
+    * deletions; two names at edit distance ≤ 1 MUST share a variant
+    * (equal / substitution → same-position deletions agree; indel → one
+    * IS the other's deletion), so the variant equi-join is a complete
+    * candidate generator and the exact `levenshtein ≤ 1` filter runs on
+    * candidates only — never on the name cross product. Some shared
+    * variants are distance-2 (transpositions); the filter drops them.
+    * Output: top-`k` names by (edit-1 neighbor count DESC, name) — the
+    * entity-ambiguity readout of a record-linkage pass.
+    *
+    * Scale shape: (len+1) variant rows per distinct name, one equi-join
+    * on the variant key (bucketed by construction, like the LSH band
+    * join), exact verification on candidates, one count aggregation. */
+  def editOneNeighborCounts(df: DataFrame, nameCol: Column,
+                            k: Int = 50): DataFrame = {
+    val names = df.select(nameCol.as("t")).distinct()
+      .filter(length(col("t")).between(2, 30))
+    val vars = graft.CacheScope.cached(names.select(col("t"),
+      explode(expr("array_union(array(t), transform(sequence(1, length(t)), " +
+        "i -> concat(substr(t, 1, i - 1), substr(t, i + 1, length(t) - i))))"))
+        .as("v")))
+    val pairs = vars.select(col("v"), col("t").as("a"))
+      .join(vars.select(col("v"), col("t").as("b")), "v")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .filter(expr("levenshtein(a, b) <= 1"))
+    pairs.select(explode(array(col("a"), col("b"))).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("n_neighbors"))
+      .orderBy(col("n_neighbors").desc, col("name")).limit(k)
+  }
+
+  /** DuckDB twin of [[editOneNeighborCounts]] over `table`.`nameExpr`. */
+  def editOneNeighborCountsSql(table: String, nameExpr: String,
+                               k: Int = 50): String =
+    s"""WITH fz AS (
+       |  SELECT DISTINCT $nameExpr AS t FROM $table
+       |  WHERE length($nameExpr) BETWEEN 2 AND 30
+       |), fzv AS (
+       |  SELECT t, unnest(list_distinct(list_prepend(t,
+       |    list_transform(generate_series(1, length(t)),
+       |      i -> substr(t, 1, i - 1) || substr(t, i + 1, length(t) - i)))))
+       |    AS v
+       |  FROM fz
+       |), fzp AS (
+       |  SELECT DISTINCT a.t AS a, b.t AS b
+       |  FROM fzv a JOIN fzv b ON a.v = b.v AND a.t < b.t
+       |), fzk AS (
+       |  SELECT a, b FROM fzp WHERE levenshtein(a, b) <= 1
+       |), fzn AS (
+       |  SELECT name, CAST(count(*) AS BIGINT) AS n_neighbors FROM (
+       |    SELECT a AS name FROM fzk UNION ALL SELECT b FROM fzk)
+       |  GROUP BY name
+       |)
+       |SELECT name, n_neighbors FROM fzn
+       |ORDER BY n_neighbors DESC, name LIMIT $k""".stripMargin
+
   /** LSH tuning S-curve — "is (bands × rows) right for my threshold?"
     * answered by MEASUREMENT, not the textbook formula alone: over the
     * deterministic doc sample (doc_id % sampleMod == 0), every pair

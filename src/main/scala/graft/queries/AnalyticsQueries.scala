@@ -55,6 +55,14 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
+    // fuzzy entity matching (record linkage): edit-distance-1 customer-
+    // name neighborhoods via the FastSS deletion-variant equi-join —
+    // complete candidate generation with NO name cross product, exact
+    // levenshtein verification on candidates only
+    "q_fuzzy_match" -> ((s, dir) =>
+      graft.operators.Dedup.editOneNeighborCounts(
+        Tables.customer(s, dir), col("c_name"))),
+
     // TPC-H Q7-shaped bilateral trade volume: the 6-table join (lineitem
     // ⋈ orders ⋈ customer with three broadcast dims) grouped by
     // (supplier nation, customer nation, ship year) — no fixed nation
@@ -728,6 +736,9 @@ object AnalyticsQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_fuzzy_match" ->
+      graft.operators.Dedup.editOneNeighborCountsSql("customer", "c_name"),
 
     "q7_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

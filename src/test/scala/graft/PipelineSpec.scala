@@ -499,6 +499,18 @@ class PipelineSpec extends SparkSpec {
     assert(sq2 == sq)
   }
 
+  test("editOneNeighborCounts: substitutions and indels match, ed-2 never") {
+    val df = Seq("abc", "abd", "abcd", "xyz", "acbd").toDF("n")
+    // abc~abd (sub), abc~abcd (ins), abd~abcd (ins), abd~acbd (ins) —
+    // abcd~acbd is a TRANSPOSITION (ed 2) that still shares deletion
+    // variants ("abd", "acd"), so it reaches the candidate set and must
+    // be dropped by the exact levenshtein verify
+    val out = Dedup.editOneNeighborCounts(df, $"n")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("abc" -> 2L, "abd" -> 3L, "abcd" -> 2L, "acbd" -> 1L))
+    assert(!out.contains("xyz"))
+  }
+
   test("lshTuningCurve: exact dups are always candidates, disjoint never") {
     // ids multiples of 20 so the sampleMod=20 filter keeps everything:
     // 20/40 are exact duplicates (jaccard 1), 60 shares nothing

@@ -55,6 +55,21 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
+    // distribution window functions: percent_rank/cume_dist (exact
+    // single-division rationals in floor-micro units — the ordering is
+    // unique so ranks are deterministic) + first/nth_value over the
+    // default running frame
+    "q_window_dist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 50)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+        floor(lit(1e6) * percent_rank().over(w)).cast("long").as("pr_micro"),
+        floor(lit(1e6) * cume_dist().over(w)).cast("long").as("cd_micro"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")}),
+
     // fuzzy entity matching (record linkage): edit-distance-1 customer-
     // name neighborhoods via the FastSS deletion-variant equi-join —
     // complete candidate generation with NO name cross product, exact
@@ -739,6 +754,16 @@ object AnalyticsQueries {
 
     "q_fuzzy_match" ->
       graft.operators.Dedup.editOneNeighborCountsSql("customer", "c_name"),
+
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(1000000.0 * percent_rank() OVER w) AS BIGINT) AS pr_micro,
+        |  CAST(floor(1000000.0 * cume_dist() OVER w) AS BIGINT) AS cd_micro,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q7_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -307,6 +307,32 @@ object PipelineQueries {
         "n_parq", "tok_parq")
       viaJsonl.join(viaParq, "source").orderBy("source")}),
 
+    // CSV round-trip through the RFC-4180 sink: write → schema-supplied
+    // read → per-source profile with an ORDER-FREE exact content
+    // checksum (Σ hash32(doc_id:text)) — equality with the direct-from-
+    // parquet oracle proves the quote/escape/null conventions round-trip
+    // every byte, not just the row counts
+    "d_export_csv" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_export_csv").toString
+      graft.sources.Export.csvShards(d, "doc_id", s"$tmp/csv", 100)
+      val back = graft.sources.Export.readCsv(s, s"$tmp/csv",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      back.groupBy("source").agg(
+        count(lit(1)).as("n_csv"),
+        sum(tokenCount(col("text"))).as("tok_csv"),
+        sum(TextFunctions.hash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+          .as("content_sum"))
+        .orderBy("source")}),
+
     // the one-row corpus report card — the dataset summary a data team
     // publishes with a release: volume (docs/tokens/vocab), exact-dup
     // rate, length profile (milli-mean + engine-exact median), source
@@ -2400,6 +2426,15 @@ object PipelineQueries {
          |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_jsonl,
          |  CAST(count(*) AS BIGINT) AS n_parq,
          |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_parq
+         |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_export_csv" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_csv,
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_csv,
+         |  CAST(sum(${TextFunctions.hash32Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || text")}) AS BIGINT)
+         |    AS content_sum
          |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
 
     "d_corpus_card" ->

@@ -35,6 +35,42 @@ object Export {
   def readJsonl(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir)
 
+  /** RFC-4180 CSV shards — the lowest-common-denominator interchange
+    * sink: quote-doubling escape (not backslash — Spark's default escape
+    * breaks RFC readers), header row, explicit null sentinel so empty
+    * string and NULL stay distinct. Same range-sharding contract as
+    * [[jsonlShards]]. Caveat a loader must know: CSV is schemaless, so
+    * the reader supplies the schema ([[readCsv]]); embedded newlines
+    * require multiLine=true on read (set here) which makes gzip shards
+    * the parallelism unit, same as JSONL. */
+  def csvShards(df: DataFrame, orderCol: String, outDir: String,
+                maxRowsPerShard: Long, compression: String = "gzip"): Int = {
+    require(maxRowsPerShard > 0, "maxRowsPerShard > 0")
+    val n = df.count()
+    val shards = math.max(1, math.ceil(n.toDouble / maxRowsPerShard).toInt)
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N")
+      .csv(outDir)
+    shards
+  }
+
+  /** Read a CSV shard directory back with the caller's schema (CSV
+    * carries none) and the same quoting/null conventions the writer
+    * used. */
+  def readCsv(spark: SparkSession, dir: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("nullValue", "\\N")
+      .option("multiLine", "true")
+      .csv(dir)
+
   /** Hive-partitioned parquet export — the columnar training-shard layout:
     * one directory per `partitionCol` value (e.g. lang=en/), each holding
     * ~`maxRowsPerShard`-row files. Readers then PRUNE partitions from the

@@ -499,6 +499,28 @@ class PipelineSpec extends SparkSpec {
     assert(sq2 == sq)
   }
 
+  test("CSV round-trip preserves quotes, commas, newlines and null-vs-empty") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("txt", StringType)))
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "she said \"hi\""),
+      (4L, "line one\nline two"),
+      (5L, ""),                        // empty string, NOT null
+      (6L, null.asInstanceOf[String])) // null, NOT empty
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2))), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    graft.sources.Export.csvShards(df, "id", tmp, 10, compression = "none")
+    val back = graft.sources.Export.readCsv(spark, tmp, schema)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(back == rows.sortBy(_._1).toSeq)
+  }
+
   test("editOneNeighborCounts: substitutions and indels match, ed-2 never") {
     val df = Seq("abc", "abd", "abcd", "xyz", "acbd").toDF("n")
     // abc~abd (sub), abc~abcd (ins), abd~abcd (ins), abd~acbd (ins) —

@@ -174,6 +174,14 @@ object GxQueries {
       GraphOps.lubyMis(unionGraph(s, dir), rounds = 5)
         .orderBy("key")),
 
+    // Jones-Plassmann greedy coloring — the scheduling/conflict-free
+    // assignment primitive: deterministic priorities, per-round mex color
+    // choice (χ ≤ Δ+1 by construction), unrolled-CTE replay; nodes still
+    // uncolored after 6 rounds report NULL honestly
+    "gx_coloring" -> ((s, dir) =>
+      GraphOps.jpColoring(unionGraph(s, dir), rounds = 6)
+        .orderBy("key")),
+
     "gx_kcore" -> ((s, dir) =>
       GraphOps.kCoreAdaptive(
         KinGraph.fromEdges(Tables.cached("part", s, dir)(Tables.partEdges(s, dir))),
@@ -433,6 +441,10 @@ object GxQueries {
     "gx_mis" ->
       s"""$cte, ${GraphOps.lubyMisSql("ue", "un", 5)}
          |SELECT key, status, round FROM mres ORDER BY key""".stripMargin,
+
+    "gx_coloring" ->
+      s"""$cte, ${GraphOps.jpColoringSql("ue", "un", 6)}
+         |SELECT key, color, round FROM kfin ORDER BY key""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

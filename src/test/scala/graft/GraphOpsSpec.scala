@@ -477,6 +477,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("jpColoring: proper, within the greedy bound, hubs color early") {
+    // star center x with leaves l1..l4, plus edge l1-l2: x-l1-l2 is a
+    // triangle, so chi = 3 and a proper coloring needs l1, l2 and x
+    // pairwise distinct while l3/l4 only avoid x's color
+    val gs = KinGraph(
+      Seq("x", "l1", "l2", "l3", "l4").toDF("key"),
+      Seq(("x", "l1", 0), ("x", "l2", 0), ("x", "l3", 0), ("x", "l4", 0),
+        ("l1", "l2", 0)).toDF("src", "dst", "etype"))
+    val out = GraphOps.jpColoring(gs, rounds = 4).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    val color = out.map(r => r._1 -> r._2).toMap
+    // fully colored at this size, and the coloring is PROPER
+    assert(out.forall(_._2 >= 0), s"all colored: $out")
+    val und = Seq(("x", "l1"), ("x", "l2"), ("x", "l3"), ("x", "l4"), ("l1", "l2"))
+    und.foreach { case (u, v) => assert(color(u) != color(v), s"$u-$v clash") }
+    // greedy bound: colors stay within 0..Delta (= deg(x) = 4)
+    assert(out.map(_._2).max <= 4)
+    // largest-degree-first: the hub is a round-1 local maximum and takes 0
+    assert(out.find(_._1 == "x").get == (("x", 0, 1)))
+    // deterministic
+    val out2 = GraphOps.jpColoring(gs, rounds = 4).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(out.sortBy(_._1) == out2.sortBy(_._1))
+  }
+
   test("functionalScc: cycles are SCCs with min label, tails are singletons") {
     // rho: 9 -> 1 -> 2 -> 5 -> 7 -> 2 (cycle {2,5,7}), plus fixpoint 4 -> 4
     val succ = Seq((9L, 1L), (1L, 2L), (2L, 5L), (5L, 7L), (7L, 2L), (4L, 4L))

@@ -1102,6 +1102,134 @@ object GraphOps {
          |)""".stripMargin).mkString(",\n")
   }
 
+  /** Greedy maximal matching with DETERMINISTIC edge priorities — MIS on
+    * the line graph, run directly on edges (the assignment/pairing
+    * primitive: one-to-one task pairing, graph coarsening's heavy-edge
+    * step): per round an active edge joins the matching iff its priority
+    * is the STRICT minimum among active edges at BOTH endpoints (two
+    * adjacent edges can't both win — they share an endpoint where only
+    * one can be minimal), then all edges touching newly matched nodes
+    * deactivate. Priorities hash the canonical endpoint pair ("mat_"
+    * seed), so the rounds replay in SQL ([[greedyMatchingSql]]). Output:
+    * one row per canonical undirected edge — status 'matched' with its
+    * round, or 'open' (still active after `rounds`; ties block, honest),
+    * or 'blocked' (an endpoint matched elsewhere).
+    *
+    * Scale (the lubyMis pattern): per round two map-side-combinable
+    * min-priority aggregations (one per endpoint) + broadcast semi-joins
+    * under the node limit; the active edge set only shrinks. Expected
+    * O(log m) rounds. */
+  def greedyMatching(g: KinGraph, rounds: Int,
+                     broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val canon = CacheScope.cached(
+      e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .withColumn("p",
+          conv(substring(md5(concat(lit("mat_"), col("u"), lit("|"), col("v"))),
+            1, 15), 16, 10).cast("long")))
+    val small = canon.count() <= broadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var active = canon
+    var result = canon.select(col("u"), col("v"), lit("").as("status"),
+      lit(0).as("round")).filter(lit(false))
+    for (r <- 1 to rounds) {
+      val byEnd = active.select(explode(array(col("u"), col("v"))).as("n"), col("p"))
+      val minAt = byEnd.groupBy("n").agg(min(col("p")).as("pmin"))
+      val won = active
+        .join(bc(minAt.select(col("n").as("u"), col("pmin").as("pu"))), "u")
+        .join(bc(minAt.select(col("n").as("v"), col("pmin").as("pv"))), "v")
+        .filter(col("p") === col("pu") && col("p") === col("pv"))
+        // a priority TIE at an endpoint lets two adjacent edges both
+        // "equal the min" — require strict uniqueness by excluding any
+        // edge whose priority appears twice at an endpoint
+        .join(bc(byEnd.groupBy("n", "p").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("p")).distinct()
+          .withColumnRenamed("p", "pdup")
+          ), col("p") === col("pdup"), "left_anti")
+        .select("u", "v").localCheckpoint(true)
+      val matchedNodes = won.select(explode(array(col("u"), col("v"))).as("n"))
+        .distinct().localCheckpoint(true)
+      val blocked = active.join(won, Seq("u", "v"), "left_anti")
+        .join(bc(matchedNodes.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
+        .select("u", "v")
+        .unionByName(active.join(won, Seq("u", "v"), "left_anti")
+          .join(bc(matchedNodes.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
+          .select("u", "v"))
+        .distinct().localCheckpoint(true)
+      result = result
+        .unionByName(won.select(col("u"), col("v"), lit("matched").as("status"),
+          lit(r).as("round")))
+        .unionByName(blocked.select(col("u"), col("v"), lit("blocked").as("status"),
+          lit(r).as("round")))
+      active = active.join(bc(won), Seq("u", "v"), "left_anti")
+        .join(bc(blocked), Seq("u", "v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    result.unionByName(
+      active.select(col("u"), col("v"), lit("open").as("status"),
+        lit(0).as("round")))
+  }
+
+  /** DuckDB twin of [[greedyMatching]]: canonical edge CTE with hashed
+    * priorities, every round unrolled (MATERIALIZED), result in
+    * `gres`(u, v, status, round). */
+  def greedyMatchingSql(edges: String, rounds: Int): String = {
+    val its = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""gn$k AS (
+         |  SELECT n, min(p) AS pmin FROM (
+         |    SELECT u AS n, p FROM ga$p UNION ALL SELECT v, p FROM ga$p)
+         |  GROUP BY n
+         |), gd$k AS (
+         |  SELECT DISTINCT p AS pdup FROM (
+         |    SELECT n, p FROM (
+         |      SELECT u AS n, p FROM ga$p UNION ALL SELECT v, p FROM ga$p))
+         |  GROUP BY n, p HAVING count(*) > 1
+         |), gw$k AS MATERIALIZED (
+         |  SELECT a.u, a.v FROM ga$p a
+         |  JOIN gn$k nu ON nu.n = a.u AND nu.pmin = a.p
+         |  JOIN gn$k nv ON nv.n = a.v AND nv.pmin = a.p
+         |  LEFT JOIN gd$k d ON d.pdup = a.p
+         |  WHERE d.pdup IS NULL
+         |), gm$k AS MATERIALIZED (
+         |  SELECT DISTINCT n FROM (
+         |    SELECT u AS n FROM gw$k UNION ALL SELECT v FROM gw$k)
+         |), gb$k AS MATERIALIZED (
+         |  SELECT DISTINCT a.u, a.v FROM ga$p a
+         |  LEFT JOIN gw$k w ON w.u = a.u AND w.v = a.v
+         |  WHERE w.u IS NULL
+         |    AND (a.u IN (SELECT n FROM gm$k) OR a.v IN (SELECT n FROM gm$k))
+         |), ga$k AS MATERIALIZED (
+         |  SELECT a.u, a.v, a.p FROM ga$p a
+         |  LEFT JOIN gw$k w ON w.u = a.u AND w.v = a.v
+         |  LEFT JOIN gb$k b ON b.u = a.u AND b.v = a.v
+         |  WHERE w.u IS NULL AND b.u IS NULL
+         |)""".stripMargin
+    }
+    val unions = (1 to rounds).map { k =>
+      s"""  SELECT u, v, 'matched' AS status, CAST($k AS INT) AS round FROM gw$k
+         |  UNION ALL
+         |  SELECT u, v, 'blocked', CAST($k AS INT) FROM gb$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    (s"""ga0 AS MATERIALIZED (
+        |  SELECT u, v,
+        |    CAST('0x' || substring(md5('mat_' || u || '|' || v), 1, 15)
+        |      AS BIGINT) AS p
+        |  FROM (
+        |    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |    FROM $edges WHERE src <> dst))""".stripMargin +:
+      its :+
+      s"""gres AS (
+         |$unions
+         |  UNION ALL
+         |  SELECT u, v, 'open', CAST(0 AS INT) FROM ga$rounds
+         |)""".stripMargin).mkString(",\n")
+  }
+
   /** Jones-Plassmann greedy coloring with DETERMINISTIC priorities — the
     * second classic symmetry-breaking primitive next to [[lubyMis]]
     * (register allocation / conflict-free scheduling): per round, an

@@ -174,6 +174,13 @@ object GxQueries {
       GraphOps.lubyMis(unionGraph(s, dir), rounds = 5)
         .orderBy("key")),
 
+    // greedy maximal matching — MIS on the line graph, run on edges:
+    // per round the strict-min-priority edge at both endpoints matches,
+    // neighbors block; per-edge status+round fully replayed
+    "gx_matching" -> ((s, dir) =>
+      GraphOps.greedyMatching(unionGraph(s, dir), rounds = 4)
+        .orderBy("u", "v")),
+
     // Jones-Plassmann greedy coloring — the scheduling/conflict-free
     // assignment primitive: deterministic priorities, per-round mex color
     // choice (χ ≤ Δ+1 by construction), unrolled-CTE replay; nodes still
@@ -445,6 +452,10 @@ object GxQueries {
     "gx_coloring" ->
       s"""$cte, ${GraphOps.jpColoringSql("ue", "un", 6)}
          |SELECT key, color, round FROM kfin ORDER BY key""".stripMargin,
+
+    "gx_matching" ->
+      s"""$cte, ${GraphOps.greedyMatchingSql("ue", 4)}
+         |SELECT u, v, status, round FROM gres ORDER BY u, v""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

@@ -477,6 +477,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("greedyMatching: matched edges disjoint, blocked justified, maximal") {
+    // path a-b-c-d-e plus chord a-c
+    val gm = KinGraph(
+      Seq("a", "b", "c", "d", "e").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("c", "d", 0), ("d", "e", 0),
+        ("a", "c", 0)).toDF("src", "dst", "etype"))
+    val out = GraphOps.greedyMatching(gm, rounds = 4).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    assert(out.size == 5)
+    val matched = out.filter(_._2 == "matched").keySet
+    // a matching: no node appears in two matched edges
+    val ends = matched.toSeq.flatMap { case (u, v) => Seq(u, v) }
+    assert(ends.distinct.size == ends.size, s"not a matching: $matched")
+    // converged: nothing open, and every blocked edge touches a matched node
+    assert(!out.values.exists(_ == "open"))
+    val matchedNodes = ends.toSet
+    out.filter(_._2 == "blocked").keys.foreach { case (u, v) =>
+      assert(matchedNodes(u) || matchedNodes(v), s"($u,$v) blocked unjustly")
+    }
+    // MAXIMAL: no edge has both endpoints unmatched
+    out.keys.foreach { case (u, v) =>
+      assert(matchedNodes(u) || matchedNodes(v))
+    }
+    // on this 5-node graph a maximal matching has 2 edges
+    assert(matched.size == 2)
+  }
+
   test("jpColoring: proper, within the greedy bound, hubs color early") {
     // star center x with leaves l1..l4, plus edge l1-l2: x-l1-l2 is a
     // triangle, so chi = 3 and a proper coloring needs l1, l2 and x

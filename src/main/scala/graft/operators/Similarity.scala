@@ -965,6 +965,32 @@ object Similarity {
         cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cos_micro"))
   }
 
+  /** Maximum-inner-product search (MIPS) — the ranking retrieval with
+    * learned embeddings actually uses (dot, NOT cosine: a trained
+    * two-tower scorer encodes popularity/confidence in the norm, which
+    * cosine normalizes away). Exact top-k under the (dot_micro DESC,
+    * vec_id) total order; dot is the same left-to-right sum as [[dot]],
+    * floored to micro units, so the whole ranking replays in SQL.
+    * Self-matches excluded. Scale shape: identical to
+    * [[bruteForceTopK]] — queries broadcast, corpus partition-local,
+    * k rows per query per partition survive. The classic
+    * norm-augmentation reduction (append √(M²−|x|²) to corpus vectors,
+    * 0 to queries → MIPS becomes cosine search, so any cosine ANN index
+    * serves MIPS) is spec-pinned as order-equivalent (PipelineSpec). */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_micro").desc, col("vec_id"))
+    spread(corpus.select(col("id").as("vec_id"), col("vec")))
+      .crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        floor(lit(1000000.0) * dot(col("qv"), col("vec"))).cast("long")
+          .as("dot_micro"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "dot_micro", "rank")
+  }
+
   /** Exact top-k by the floor-micro cosine total order — the tie-exact
     * recall baseline for [[beamSearchTopK]] ([[bruteForceTopK]]'s round-4
     * cosines can tie; micro units + id tiebreak cannot). */

@@ -1387,6 +1387,14 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
         .orderBy("query_id")}),
 
+    // maximum-inner-product search — the dot-product ranking learned
+    // retrieval actually uses (norms carry signal cosine normalizes
+    // away); floor-micro dots, total-order top-10, full SQL replay
+    "e_mips" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      Similarity.mipsTopK(corpus, corpus.filter(col("id") < 5), 10)
+        .orderBy("query_id", "rank")}),
+
     // 1-bit binary quantization search (the RaBitQ-family baseline): per-
     // dimension midrange-threshold sign bits packed into 32-bit words
     // (64× smaller than the float corpus), candidates ranked by
@@ -3065,6 +3073,23 @@ object PipelineQueries {
         |FROM sne ne JOIN sns ns ON ns.query_id = ne.query_id
         |LEFT JOIN snh nh ON nh.query_id = ne.query_id
         |ORDER BY ne.query_id""".stripMargin,
+
+    // MIPS replay: the same left-to-right list dot, floor-micro, ranked
+    // under (dot DESC, id)
+    "e_mips" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |)
+        |SELECT query_id, vec_id, dot_micro, CAST(rn AS INT) AS rank FROM (
+        |  SELECT q.id AS query_id, v.id AS vec_id,
+        |    CAST(floor(1000000.0 * list_dot_product(q.vec, v.vec)) AS BIGINT)
+        |      AS dot_micro,
+        |    row_number() OVER (PARTITION BY q.id ORDER BY
+        |      CAST(floor(1000000.0 * list_dot_product(q.vec, v.vec)) AS BIGINT)
+        |        DESC, v.id) AS rn
+        |  FROM c q JOIN c v ON q.id < 5 AND v.id <> q.id)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // binary-quantization replay: midrange thresholds, little-endian
     // 32-bit word packing, XOR-popcount Hamming ranking, recall vs the

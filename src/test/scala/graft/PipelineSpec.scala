@@ -499,6 +499,34 @@ class PipelineSpec extends SparkSpec {
     assert(sq2 == sq)
   }
 
+  test("MIPS: norm-augmentation reduces dot ranking to cosine ranking") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .cache()
+    val queries = corpus.filter($"id" < 5)
+    val mips = Similarity.mipsTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Shrivastava-Li: append sqrt(M^2 - |x|^2) to corpus vectors and 0 to
+    // queries -> cos(q', x') = dot(q, x) / (|q|·M), strictly monotone in
+    // the dot, so any cosine index answers MIPS
+    val m2 = corpus
+      .select(aggregate($"vec", lit(0.0), (a, x) => a + x * x).as("n2"))
+      .agg(max($"n2")).as[Double].head()
+    val aug = corpus.select($"id",
+      concat($"vec", array(sqrt(lit(m2) -
+        aggregate($"vec", lit(0.0), (a, x) => a + x * x)))).as("vec"))
+    val qaug = queries.select($"id", concat($"vec", array(lit(0.0))).as("vec"))
+    val viaCos = Similarity.exactTopKMicro(aug, qaug, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(mips.keySet == viaCos.keySet)
+    mips.keySet.foreach { q =>
+      val overlap = (mips(q) & viaCos(q)).size
+      assert(overlap >= 9, s"query $q: reduction diverged, overlap $overlap/10")
+    }
+  }
+
   test("CSV round-trip preserves quotes, commas, newlines and null-vs-empty") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),

@@ -696,6 +696,31 @@ object AnalyticsQueries {
         expr("unix_micros(ts) div 3600000000").as("hr"))
       graft.operators.Layout.zOrderBuckets(ev, col("u"), col("hr"), 32)}),
 
+    // per-user activity trend: least-squares slope of events-per-day in
+    // EXACT integer sufficient stats (num = n·Σxy − Σx·Σy, den = n·Σx² −
+    // (Σx)², both i64-exact) with the slope itself one IEEE division in
+    // floor-micro units — the trend/anomaly readout next to s_user_zscore,
+    // engine-exact end to end; single-day users yield NULL (den 0)
+    "s_trend" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val minDay = byDay.agg(min(col("day")).as("d0"))
+      val st = byDay.crossJoin(broadcast(minDay))
+        .select(col("user_id"), (col("day") - col("d0")).as("x"), col("n"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("sx"), sum(col("n")).as("sn"),
+          sum(col("x") * col("n")).as("sxn"),
+          sum(col("x") * col("x")).as("sxx"))
+      st.select(col("user_id"), col("n_days"),
+          (col("n_days") * col("sxn") - col("sx") * col("sn")).as("num"),
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("slope_micro", when(col("den") =!= 0,
+          floor(lit(1e6) * (col("num").cast("double") / col("den").cast("double")))
+            .cast("long")))
+        .orderBy("user_id")}),
+
     // file-skipping effectiveness: for the same (user, hour) box
     // predicate, how many range-partitioned "files" a Z-order layout
     // reads vs a single-column sort — the min/max-stats pruning decision
@@ -1297,6 +1322,29 @@ object AnalyticsQueries {
          |  FROM events
          |), ${graft.operators.Layout.zOrderBucketsSql("zev", "u", "hr", 32)}
          |ORDER BY bucket""".stripMargin,
+
+    "s_trend" ->
+      """WITH tbd AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), tmn AS (SELECT min(day) AS d0 FROM tbd),
+        |tst AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(day - d0) AS BIGINT) AS sx,
+        |    CAST(sum(n) AS BIGINT) AS sn,
+        |    CAST(sum((day - d0) * n) AS BIGINT) AS sxn,
+        |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx
+        |  FROM tbd, tmn GROUP BY user_id
+        |)
+        |SELECT user_id, n_days,
+        |  CAST(n_days * sxn - sx * sn AS BIGINT) AS num,
+        |  CAST(n_days * sxx - sx * sx AS BIGINT) AS den,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    CAST(floor(1000000.0 * (CAST(n_days * sxn - sx * sn AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+        |  END AS slope_micro
+        |FROM tst ORDER BY user_id""".stripMargin,
 
     "s_zorder_prune" ->
       s"""WITH zev AS (

@@ -1278,6 +1278,35 @@ object PipelineQueries {
     // MinHash estimator quality: LSH candidate pairs with BOTH the
     // signature-agreement estimate and the exact shingle Jaccard — the
     // view used to tune bands/rows before trusting est_sim at full scale
+    // split-leakage audit — the generalization-hygiene check a training
+    // pipeline runs after splitting: what fraction of each eval split's
+    // distinct shingles already appears in train (and how many eval docs
+    // are FULLY covered — the memorization-risk set). Shares the session
+    // shingle cache; split assignment, overlap and ratios all integer
+    "d_split_leakage" -> ((s, dir) => {
+      val sp = docs(s, dir).select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), 0.1, 0.1).as("split"))
+      val sh = sharedShingles(s, dir).select("doc_id", "shingle").distinct()
+        .join(sp, "doc_id")
+      val trainSh = sh.filter(col("split") === "train")
+        .select("shingle").distinct()
+      val evalSh = graft.CacheScope.cached(sh.filter(col("split") =!= "train"))
+      val seen = evalSh.join(trainSh, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+      evalSh.groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_sh"))
+        .join(seen, Seq("doc_id"), "left")
+        .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_seen")).as("n_seen"),
+          sum(when(col("n_seen") === col("n_sh"), 1L).otherwise(0L))
+            .as("n_fully_leaked"))
+        .withColumn("leak_milli", expr("(1000 * n_seen) div n_shingles"))
+        .select("split", "n_docs", "n_shingles", "n_seen", "leak_milli",
+          "n_fully_leaked")
+        .orderBy("split")}),
+
     // LSH S-curve validation — measured candidate rate vs the textbook
     // P = 1-(1-s^r)^b per exact-jaccard decile over the deterministic
     // 5% pair sample: the "is (8 bands × 4 rows) right for my
@@ -2622,6 +2651,36 @@ object PipelineQueries {
          |FROM acum""".stripMargin,
 
     "d_lsh_tune" -> Dedup.lshTuningCurveSql(docsT, "doc_id", "text"),
+
+    "d_split_leakage" ->
+      s"""WITH lsp AS (
+         |  SELECT doc_id, ${Sampling.splitColumnSql("doc_id", 0.1, 0.1)} AS split
+         |  FROM $docsT
+         |), lsh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(${Dedup.shinglesSql("text")}) AS shingle
+         |    FROM $docsT)
+         |), lj AS (
+         |  SELECT h.doc_id, h.shingle, p.split FROM lsh h JOIN lsp p USING (doc_id)
+         |), ltr AS (
+         |  SELECT DISTINCT shingle FROM lj WHERE split = 'train'
+         |), lev AS (
+         |  SELECT doc_id, shingle, split FROM lj WHERE split <> 'train'
+         |), lse AS (
+         |  SELECT doc_id, count(*) AS n_seen FROM lev
+         |  WHERE shingle IN (SELECT shingle FROM ltr) GROUP BY 1
+         |), lpp AS (
+         |  SELECT d.doc_id, d.split, d.n_sh, coalesce(s.n_seen, 0) AS n_seen
+         |  FROM (SELECT doc_id, split, count(*) AS n_sh FROM lev GROUP BY 1, 2) d
+         |  LEFT JOIN lse s ON s.doc_id = d.doc_id
+         |)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(n_seen) AS BIGINT) AS n_seen,
+         |  CAST((1000 * sum(n_seen)) // sum(n_sh) AS BIGINT) AS leak_milli,
+         |  CAST(sum(CASE WHEN n_seen = n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fully_leaked
+         |FROM lpp GROUP BY split ORDER BY split""".stripMargin,
 
     "d_minhash_est" ->
       s"""WITH cand AS (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")}),

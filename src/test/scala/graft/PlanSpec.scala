@@ -345,6 +345,69 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n${plan.take(600)}")
   }
 
+  test("BQ search: query codes broadcast, popcount agg partial, no product") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val plan = finalPlanString(
+      Similarity.bqTopK(corpus, corpus.filter($"id" < 5), 10))
+    assert(plan.contains("BroadcastHashJoin"), "query codes must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs product")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      "hamming aggregation must map-side combine")
+  }
+
+  test("MIPS broadcasts queries against the partition-local corpus scan") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val plan = finalPlanString(
+      Similarity.mipsTopK(corpus, corpus.filter($"id" < 5), 10))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the declared-exact scan must broadcast the query side")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the scan")
+  }
+
+  test("textRank: vocab joins broadcast; adjacency window is doc-partitioned") {
+    import graft.operators.Collocations
+    val docs = Tables.documents(spark, sf).limit(200)
+    val plan = finalPlanString(
+      Collocations.textRank(docs, "doc_id", "text", vocabN = 50, rounds = 2, k = 10))
+    assert(plan.contains("BroadcastHashJoin"), "vocab/state joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pruning report: broadcast scalar frames only, no window, no wide sort") {
+    import graft.operators.Layout
+    val ev = Tables.events(spark, sf).select(
+      pmod($"user_id", lit(1L << 21)).as("u"),
+      expr("unix_micros(ts) div 3600000000").as("hr"))
+    val plan = finalPlanString(Layout.pruningReport(ev, $"u", $"hr", 16))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "global min/max and zmax must arrive as broadcast scalars")
+    assert(!plan.contains("Window"), "no single-partition window anywhere")
+  }
+
+  test("fuzzy matching joins variants by key, verifies AFTER the candidate cut") {
+    import graft.operators.Dedup
+    val plan = finalPlanString(
+      Dedup.editOneNeighborCounts(Tables.customer(spark, sf), $"c_name", 20))
+    assert(!plan.contains("CartesianProduct"),
+      "deletion-neighborhood join must never cross names")
+    // levenshtein must sit above the distinct pair cut, not inside a join
+    // of raw name rows: the filter appears once, after HashAggregate
+    assert(plan.contains("levenshtein"), "exact verify present")
+  }
+
+  test("Q7 broadcasts all three dims and shuffles only the fact-fact join") {
+    val plan = finalPlanString(SparkEntry.queries("q7_trade")(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 4, s"supplier+customer+2×nation should broadcast, saw $nBroadcast")
+    val nShuffleJoin = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(nShuffleJoin <= 1, s"only lineitem⋈orders may shuffle, saw $nShuffleJoin")
+  }
+
   test("native vector expressions appear in codegen'd projections") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

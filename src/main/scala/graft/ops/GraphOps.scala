@@ -1035,16 +1035,17 @@ object GraphOps {
         .join(bc(active.select(col("key").as("dst"))), "dst")
       val minNb = ae.groupBy(col("dst").as("key")).agg(min(col("psrc")).as("pmin"))
       // checkpointed: each round's winners feed the result AND the removal
-      val mis = active.join(bc(minNb), Seq("key"), "left")
+      val mis = statsReset(active.join(bc(minNb), Seq("key"), "left")
         .filter(col("pmin").isNull || col("p") < col("pmin"))
-        .select("key").localCheckpoint(true)
+        .select("key").localCheckpoint(true))
       // referenced twice (result + anti-join): under the broadcast regime
       // both references re-evaluate two broadcast joins over CACHED
       // inputs — cheaper than a blocking localCheckpoint job per round;
       // at scale (shuffle joins) the materialization wins
       val removedRaw = ae.join(bc(mis.withColumnRenamed("key", "src")), "src")
         .select(col("dst").as("key")).distinct()
-      val removed = if (small) removedRaw else removedRaw.localCheckpoint(true)
+      val removed =
+        if (small) removedRaw else statsReset(removedRaw.localCheckpoint(true))
       result = result
         .unionByName(mis.select(col("key"), lit("mis").as("status"),
           lit(r).as("round")))
@@ -1053,7 +1054,7 @@ object GraphOps {
       active = active.join(bc(mis), Seq("key"), "left_anti")
         .join(bc(removed), Seq("key"), "left_anti")
       if (r % checkpointEvery == 0 && r < rounds)
-        active = active.localCheckpoint(true)
+        active = statsReset(active.localCheckpoint(true))
     }
     result.unionByName(
       active.select(col("key"), lit("active").as("status"), lit(0).as("round")))
@@ -1099,6 +1100,134 @@ object GraphOps {
          |$unions
          |  UNION ALL
          |  SELECT key, 'active', CAST(0 AS INT) FROM ma$rounds
+         |)""".stripMargin).mkString(",\n")
+  }
+
+  /** Boruvka minimum spanning forest with DETERMINISTIC hash weights —
+    * the classic O(log n)-round distributed MSF (clustering backbone /
+    * cheapest-connectivity skeleton): per round every component picks
+    * its minimum-weight outgoing edge under the (w, u, v) total order,
+    * picked edges join the forest, and touching components merge. With
+    * distinct weights each round's partner graph is a pseudoforest
+    * whose cycles are 2-cycles (following min-edges strictly decreases
+    * the weight until a mutual pair), and the merged component label is
+    * the min label in the merged tree — computed by the SAME pointer-
+    * doubling subroutine the functional-graph ops use (correct for ANY
+    * cycle length, so even a freak weight tie merges safely). Weights
+    * hash the canonical pair ("msf_" seed) unless supplied via
+    * `weightsFrom`(u, v, w). Returns the forest edges (u, v, w, round).
+    *
+    * Scale shape: per round one edge relabel join + one map-side-
+    * combinable struct-min per component + a component-sized doubling
+    * loop (log-depth keyed self-joins on frames that HALVE per round).
+    * The doubling depth (2^16 jumps) bounds partner-chain length — the
+    * same documented contract as [[pointerDoublingLabels]]. */
+  def boruvkaForest(g: KinGraph, rounds: Int = 4,
+                    weightsFrom: Option[DataFrame] = None,
+                    broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val e0 = g.edges.select(col("src"), col("dst"))
+    val und = CacheScope.cached(weightsFrom.getOrElse {
+      e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .withColumn("w",
+          conv(substring(md5(concat(lit("msf_"), col("u"), lit("|"), col("v"))),
+            1, 15), 16, 10).cast("long"))
+    })
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val small = nodes.count() <= broadcastNodeLimit
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var labels = nodes.select(col("key"), col("key").as("comp"))
+    var forest = und.select(col("u"), col("v"), col("w"), lit(0).as("round"))
+      .filter(lit(false))
+    for (r <- 1 to rounds) {
+      val cross = und
+        .join(bc(labels.select(col("key").as("u"), col("comp").as("cu"))), "u")
+        .join(bc(labels.select(col("key").as("v"), col("comp").as("cv"))), "v")
+        .filter(col("cu") =!= col("cv"))
+      val pick = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+      val picks = cross
+        .select(col("cu").as("c"), pick.as("m"))
+        .unionByName(cross.select(col("cv").as("c"), pick.as("m")))
+        .groupBy("c").agg(min(col("m")).as("m"))
+        .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
+          col("m.v").as("v"), col("m.cu").as("ecu"), col("m.cv").as("ecv"))
+        .localCheckpoint(true)
+        .transform(statsReset)
+      forest = forest.unionByName(
+        picks.select(col("u"), col("v"), col("w")).distinct()
+          .withColumn("round", lit(r)))
+      // partner pointers: each picking component points across its edge;
+      // components with no outgoing edge (their piece is finished) self-loop
+      val pg = labels.select(col("comp")).distinct()
+        .join(picks.select(col("c").as("comp"),
+          when(col("c") === col("ecu"), col("ecv")).otherwise(col("ecu"))
+            .as("succ0")), Seq("comp"), "left")
+        .select(col("comp").as("node"), coalesce(col("succ0"), col("comp")).as("succ"))
+      val relabel = pointerDoublingLabels(pg)
+        .select(col("node").as("comp"), col("cycle_rep"))
+      labels = statsReset(labels.join(bc(relabel), "comp")
+        .select(col("key"), col("cycle_rep").as("comp"))
+        .localCheckpoint(true))
+    }
+    forest
+  }
+
+  /** DuckDB twin of [[boruvkaForest]] over edge CTE `edges`(src, dst) —
+    * canonical hash-weighted edges, every Boruvka round unrolled with an
+    * embedded [[doublingCtes]] block per merge; forest in
+    * `bfor`(u, v, w, round). */
+  def boruvkaForestSql(edges: String, nodes: String, rounds: Int = 4,
+                       doubling: Int = 16): String = {
+    val its = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""be$k AS (
+         |  SELECT e.u, e.v, e.w, la.comp AS cu, lb.comp AS cv
+         |  FROM bwe e JOIN bl$p la ON la.key = e.u JOIN bl$p lb ON lb.key = e.v
+         |  WHERE la.comp <> lb.comp
+         |), bq$k AS MATERIALIZED (
+         |  SELECT c, m['w'] AS w, m['u'] AS u, m['v'] AS v,
+         |    m['cu'] AS ecu, m['cv'] AS ecv
+         |  FROM (
+         |    SELECT c, min(m) AS m FROM (
+         |      SELECT cu AS c,
+         |        struct_pack(w := w, u := u, v := v, cu := cu, cv := cv) AS m
+         |      FROM be$k
+         |      UNION ALL
+         |      SELECT cv,
+         |        struct_pack(w := w, u := u, v := v, cu := cu, cv := cv)
+         |      FROM be$k)
+         |    GROUP BY c)
+         |), bf$k AS (
+         |  SELECT DISTINCT u, v, w FROM bq$k
+         |), bpg$k AS MATERIALIZED (
+         |  SELECT d.comp AS node,
+         |    coalesce(CASE WHEN q.c = q.ecu THEN q.ecv ELSE q.ecu END, d.comp)
+         |      AS succ
+         |  FROM (SELECT DISTINCT comp FROM bl$p) d
+         |  LEFT JOIN bq$k q ON q.c = d.comp
+         |), ${doublingCtes(s"bd${k}_", s"bpg$k", doubling)},
+         |bl$k AS MATERIALIZED (
+         |  SELECT l.key, n.cycle_rep AS comp
+         |  FROM bl$p l JOIN bd${k}_lab n ON n.node = l.comp
+         |)""".stripMargin
+    }
+    val unions = (1 to rounds)
+      .map(k => s"  SELECT u, v, w, CAST($k AS INT) AS round FROM bf$k")
+      .mkString("\n  UNION ALL\n")
+    (s"""bwe AS MATERIALIZED (
+        |  SELECT u, v,
+        |    CAST('0x' || substring(md5('msf_' || u || '|' || v), 1, 15)
+        |      AS BIGINT) AS w
+        |  FROM (
+        |    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |    FROM $edges WHERE src <> dst))""".stripMargin +:
+      s"bl0 AS MATERIALIZED (SELECT key, key AS comp FROM $nodes)" +:
+      its :+
+      s"""bfor AS (
+         |$unions
          |)""".stripMargin).mkString(",\n")
   }
 
@@ -1151,8 +1280,10 @@ object GraphOps {
           .withColumnRenamed("p", "pdup")
           ), col("p") === col("pdup"), "left_anti")
         .select("u", "v").localCheckpoint(true)
-      val matchedNodes = won.select(explode(array(col("u"), col("v"))).as("n"))
-        .distinct().localCheckpoint(true)
+        .transform(statsReset)
+      val matchedNodes = statsReset(
+        won.select(explode(array(col("u"), col("v"))).as("n"))
+          .distinct().localCheckpoint(true))
       val blocked = active.join(won, Seq("u", "v"), "left_anti")
         .join(bc(matchedNodes.withColumnRenamed("n", "u")), Seq("u"), "left_semi")
         .select("u", "v")
@@ -1160,14 +1291,15 @@ object GraphOps {
           .join(bc(matchedNodes.withColumnRenamed("n", "v")), Seq("v"), "left_semi")
           .select("u", "v"))
         .distinct().localCheckpoint(true)
+        .transform(statsReset)
       result = result
         .unionByName(won.select(col("u"), col("v"), lit("matched").as("status"),
           lit(r).as("round")))
         .unionByName(blocked.select(col("u"), col("v"), lit("blocked").as("status"),
           lit(r).as("round")))
-      active = active.join(bc(won), Seq("u", "v"), "left_anti")
+      active = statsReset(active.join(bc(won), Seq("u", "v"), "left_anti")
         .join(bc(blocked), Seq("u", "v"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(true))
     }
     result.unionByName(
       active.select(col("u"), col("v"), lit("open").as("status"),
@@ -1276,9 +1408,9 @@ object GraphOps {
         .join(bc(unc.select(col("key").as("src"), col("p").as("psrc"))), "src")
         .join(bc(unc.select(col("key").as("dst"))), "dst")
         .groupBy(col("dst").as("key")).agg(max(col("psrc")).as("pmax"))
-      val ready = unc.join(bc(pmax), Seq("key"), "left")
+      val ready = statsReset(unc.join(bc(pmax), Seq("key"), "left")
         .filter(col("pmax").isNull || col("p") > col("pmax"))
-        .select("key").localCheckpoint(true)
+        .select("key").localCheckpoint(true))
       val used = ud.join(bc(ready.withColumnRenamed("key", "dst")), "dst")
         .join(bc(colors.select(col("key").as("src"), col("color"))), "src")
         .select(col("dst").as("key"), col("color")).distinct()
@@ -1287,10 +1419,11 @@ object GraphOps {
           explode(sequence(lit(0), coalesce(col("deg"), lit(0)))).as("c"))
         .join(used.withColumnRenamed("color", "c"), Seq("key", "c"), "left_anti")
         .groupBy("key").agg(min(col("c")).as("color"))
-      colors = colors
+      colors = statsReset(colors
         .unionByName(mex.withColumn("round", lit(r)))
-        .localCheckpoint(true)
-      unc = unc.join(bc(ready), Seq("key"), "left_anti").localCheckpoint(true)
+        .localCheckpoint(true))
+      unc = statsReset(
+        unc.join(bc(ready), Seq("key"), "left_anti").localCheckpoint(true))
     }
     nodes.join(colors, Seq("key"), "left")
       .select(col("key"), col("color"), col("round"))
@@ -1543,18 +1676,31 @@ object GraphOps {
     lbl.withColumn("basin_size", count(lit(1)).over(wB))
   }
 
+  /** Drop a checkpointed frame's inherited size estimate by re-wrapping
+    * its (already materialized) RDD in a fresh LogicalRDD. localCheckpoint
+    * PRESERVES the origin plan's sizeInBytes, and a self-joining loop
+    * SQUARES that BigInt every iteration — one doubling chain reaches
+    * ~10⁶-bit integers (tolerable), but a loop that checkpoints a
+    * doubling RESULT and doubles again grows double-exponentially and
+    * the stats visitor's BigInt products take minutes of driver CPU
+    * (measured: boruvkaForest hung planning round 2 on a 4-node graph).
+    * The reset costs nothing at runtime: the RDD is the checkpointed one;
+    * only the statistics become the flat default again. */
+  private def statsReset(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** The shared doubling loop: final state (node, jump = f^(2^rounds),
     * mn = min over the nodes 1..2^rounds steps ahead). */
   private def doublingState(succ: DataFrame, rounds: Int): DataFrame = {
-    var t = succ.select(col("node"), col("succ").as("jump"),
-      col("succ").as("mn")).localCheckpoint(true)
+    var t = statsReset(succ.select(col("node"), col("succ").as("jump"),
+      col("succ").as("mn")).localCheckpoint(true))
     for (_ <- 1 to rounds) {
       val o = t.select(col("node").as("n2"), col("jump").as("j2"),
         col("mn").as("m2"))
-      t = t.join(o, t("jump") === o("n2"))
+      t = statsReset(t.join(o, t("jump") === o("n2"))
         .select(t("node"), col("j2").as("jump"),
           least(col("mn"), col("m2")).as("mn"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
     }
     t
   }
@@ -1614,28 +1760,34 @@ object GraphOps {
        |  CAST(count(*) OVER (PARTITION BY scc) AS BIGINT) AS scc_size
        |FROM flbl""".stripMargin
 
-  /** DuckDB twin of [[pointerDoublingLabels]] over successor CTE
-    * `fs`(node, succ): every doubling round an unrolled CTE. Each round
-    * references its predecessor TWICE, so the CTEs must be MATERIALIZED —
-    * DuckDB's default inlining would expand the chain exponentially
-    * (2^rounds scans of the base table). */
-  def pointerDoublingSql(rounds: Int = 16): String = {
+  /** Reusable doubling CTE fragments over successor CTE `src`(node,
+    * succ), names prefixed so several instances can coexist in one WITH
+    * (the Boruvka twin embeds one per merge round). Final labels land in
+    * `<prefix>lab`(node, cycle_rep). Every round references its
+    * predecessor TWICE, so the CTEs must be MATERIALIZED — DuckDB's
+    * default inlining would expand the chain exponentially. */
+  def doublingCtes(prefix: String, src: String, rounds: Int = 16): String = {
     val roundCtes = (1 to rounds).map { k =>
-      val prev = s"pd${k - 1}"
-      s"""pd$k AS MATERIALIZED (
+      val prev = s"$prefix${k - 1}"
+      s"""$prefix$k AS MATERIALIZED (
          |  SELECT a.node, b.jump AS jump, least(a.mn, b.mn) AS mn
          |  FROM $prev a JOIN $prev b ON b.node = a.jump
          |)""".stripMargin
     }.mkString(", ")
-    s"""pd0 AS MATERIALIZED (
-       |  SELECT node, succ AS jump, succ AS mn FROM fs
-       |), $roundCtes, pdl AS (
+    s"""${prefix}0 AS MATERIALIZED (
+       |  SELECT node, succ AS jump, succ AS mn FROM $src
+       |), $roundCtes, ${prefix}lab AS (
        |  SELECT a.node, r.mn AS cycle_rep
-       |  FROM pd$rounds a JOIN pd$rounds r ON r.node = a.jump
-       |)
+       |  FROM $prefix$rounds a JOIN $prefix$rounds r ON r.node = a.jump
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[pointerDoublingLabels]] over successor CTE
+    * `fs`(node, succ) — [[doublingCtes]] plus the basin rollup. */
+  def pointerDoublingSql(rounds: Int = 16): String =
+    s"""${doublingCtes("pd", "fs", rounds)}
        |SELECT node, cycle_rep,
        |  CAST(count(*) OVER (PARTITION BY cycle_rep) AS BIGINT) AS basin_size
-       |FROM pdl""".stripMargin
-  }
+       |FROM pdlab""".stripMargin
 }
 

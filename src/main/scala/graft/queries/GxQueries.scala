@@ -174,6 +174,15 @@ object GxQueries {
       GraphOps.lubyMis(unionGraph(s, dir), rounds = 5)
         .orderBy("key")),
 
+    // Boruvka minimum spanning forest — per round each component picks
+    // its min-weight outgoing edge (hash weights, total order) and the
+    // touched components merge via the pointer-doubling subroutine;
+    // forest edges + pick rounds fully replayed (an embedded doubling
+    // unroll per merge round in the oracle)
+    "gx_msf" -> ((s, dir) =>
+      GraphOps.boruvkaForest(unionGraph(s, dir), rounds = 4)
+        .orderBy("u", "v")),
+
     // greedy maximal matching — MIS on the line graph, run on edges:
     // per round the strict-min-priority edge at both endpoints matches,
     // neighbors block; per-edge status+round fully replayed
@@ -456,6 +465,10 @@ object GxQueries {
     "gx_matching" ->
       s"""$cte, ${GraphOps.greedyMatchingSql("ue", 4)}
          |SELECT u, v, status, round FROM gres ORDER BY u, v""".stripMargin,
+
+    "gx_msf" ->
+      s"""$cte, ${GraphOps.boruvkaForestSql("ue", "un", 4)}
+         |SELECT u, v, w, round FROM bfor ORDER BY u, v""".stripMargin,
 
     "gx_kcore" -> {
       val kExpr =

@@ -477,6 +477,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("boruvkaForest: hand-weighted graph yields the exact MST") {
+    // square a-b-c-d-a with diagonal a-c; weights force MST {ab, bc, cd}
+    val gb = KinGraph(
+      Seq("a", "b", "c", "d").toDF("key"),
+      Seq(("a", "b", 0), ("b", "c", 0), ("c", "d", 0), ("d", "a", 0),
+        ("a", "c", 0)).toDF("src", "dst", "etype"))
+    val w = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 3L),
+      ("a", "d", 9L), ("a", "c", 8L)).toDF("u", "v", "w")
+    val forest = GraphOps.boruvkaForest(gb, rounds = 3, weightsFrom = Some(w))
+      .select("u", "v", "w").as[(String, String, Long)].collect().toSet
+    assert(forest == Set(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 3L)),
+      s"got $forest")
+  }
+
   test("greedyMatching: matched edges disjoint, blocked justified, maximal") {
     // path a-b-c-d-e plus chord a-c
     val gm = KinGraph(

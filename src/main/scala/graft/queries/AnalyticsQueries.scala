@@ -55,6 +55,36 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
+    // correlated EXISTS / NOT EXISTS through the SQL text path — the
+    // predicate-subquery rewrite (semi + anti join) Catalyst must plan;
+    // customers with a big order but no urgent one
+    "q_exists" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q_exists_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q_exists_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM q_exists_customer c
+        WHERE EXISTS (SELECT 1 FROM q_exists_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM q_exists_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")}),
+
+    // correlated LATERAL subquery with per-row ORDER BY/LIMIT — each
+    // customer's two largest orders via the lateral join operator (the
+    // dependent-join form of top-k-per-key, vs q_window_topk's window)
+    "q_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("q_lat_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q_lat_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM q_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM q_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_orderkey""")}),
+
     // distribution window functions: percent_rank/cume_dist (exact
     // single-division rationals in floor-micro units — the ordering is
     // unique so ranks are deterministic) + first/nth_value over the
@@ -779,6 +809,24 @@ object AnalyticsQueries {
 
     "q_fuzzy_match" ->
       graft.operators.Dedup.editOneNeighborCountsSql("customer", "c_name"),
+
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey,

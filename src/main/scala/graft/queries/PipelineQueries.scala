@@ -1447,6 +1447,39 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_ham"))
         .orderBy("query_id")}),
 
+    // the two-stage deployment of the 1-bit index: Hamming shortlist of
+    // 50 (reading only the packed words) → exact floor-micro cosine
+    // rerank of the shortlist (reading 50 float vectors per query, not
+    // the corpus) — recall@10 vs the full exact ranker measures what the
+    // 64× compression actually costs end-to-end
+    "e_bq_rerank" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(embDouble(s, dir))
+      val queriesDf = corpus.filter(col("id") < 5)
+      val short = Similarity.bqTopK(corpus, queriesDf, 50)
+        .select(col("query_id"), col("vec_id"))
+      val reranked = short
+        .join(corpus.select(col("id").as("vec_id"), col("vec").as("cv")),
+          "vec_id")
+        .join(broadcast(queriesDf.select(col("id").as("query_id"),
+          col("vec").as("qv"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          floor(lit(1000000.0) * (Similarity.dot(col("qv"), col("cv")) /
+            (Similarity.norm(col("qv")) * Similarity.norm(col("cv")))))
+            .cast("long").as("cos_micro"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      val top = reranked.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10).select("query_id", "vec_id")
+      val exact = Similarity.exactTopKMicro(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nh = top.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
+
     // Johnson-Lindenstrauss random-projection distortion profile: 64 → 16
     // dims via md5-derived dense planes (trainless, any embedding — vs
     // Matryoshka's trained prefix and PCA's learned axis). The JL lemma
@@ -3204,6 +3237,67 @@ object PipelineQueries {
         |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, nb.best_ham
         |FROM bne ne JOIN bnb nb ON nb.query_id = ne.query_id
         |LEFT JOIN bnh nh ON nh.query_id = ne.query_id
+        |ORDER BY ne.query_id""".stripMargin,
+
+    // two-stage BQ replay: the Hamming shortlist CTEs at k=50, exact
+    // cosine rerank on the shortlist, recall vs the full exact top-10
+    "e_bq_rerank" ->
+      """WITH el AS (
+        |  SELECT vec_id AS id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+        |    SELECT vec_id, unnest(list_transform(
+        |      generate_series(1, len(embedding)),
+        |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+        |    FROM embeddings)
+        |), thr AS (
+        |  SELECT i, (min(v) + max(v)) / 2 AS thr FROM el GROUP BY i
+        |), words AS (
+        |  SELECT id, CAST(i // 32 AS INT) AS w,
+        |    CAST(sum(CASE WHEN v > thr
+        |      THEN (CAST(1 AS BIGINT) << CAST(i % 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS word
+        |  FROM el JOIN thr USING (i) GROUP BY id, i // 32
+        |), qw AS (
+        |  SELECT id AS query_id, w, word AS qword FROM words WHERE id < 5
+        |), ham AS (
+        |  SELECT q.query_id, c.id AS vec_id,
+        |    CAST(sum(bit_count(xor(c.word, q.qword))) AS BIGINT) AS hamming
+        |  FROM words c JOIN qw q USING (w) WHERE c.id <> q.query_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM ham)
+        |  WHERE rn <= 50
+        |), c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), fn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM c
+        |), rr AS (
+        |  SELECT s.query_id, s.vec_id FROM (
+        |    SELECT s.query_id, s.vec_id,
+        |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |        CAST(floor(1000000.0 * (list_dot_product(q.vec, v.vec) /
+        |          (q.nrm * v.nrm))) AS BIGINT) DESC, s.vec_id) AS rn
+        |    FROM short s
+        |    JOIN fn q ON q.id = s.query_id JOIN fn v ON v.id = s.vec_id) s
+        |  WHERE rn <= 10
+        |), ftop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, v.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id ORDER BY
+        |        CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |          (q.nrm * v.nrm))) AS BIGINT) DESC, v.id) AS rn
+        |    FROM fn q JOIN fn v ON q.id < 5 AND v.id <> q.id)
+        |  WHERE rn <= 10
+        |), bne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ftop GROUP BY 1),
+        |bnh AS (
+        |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM rr r JOIN ftop f ON f.query_id = r.query_id AND f.vec_id = r.vec_id
+        |  GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact,
+        |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM bne ne LEFT JOIN bnh nh ON nh.query_id = ne.query_id
         |ORDER BY ne.query_id""".stripMargin,
 
     // JL replay: md5-derived planes, per-dimension list_dot_product

@@ -55,6 +55,33 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
+    // MERGE INTO semantics without a table format: upsert a source batch
+    // (updates for key%3=0, inserts above the key space for key%7=0)
+    // into the customer dimension via ONE full-outer coalesce — matched
+    // rows take source values, unmatched keep target, source-only rows
+    // insert. The audit row carries exact counts plus an order-free
+    // Σhash32(key:cents) checksum over the merged state, so the hash
+    // proves row-level content, not just cardinalities
+    "q_merge" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val source = c.filter(pmod(col("k"), lit(3)) === 0)
+        .select(col("k"), (col("bal") + 100).as("bal"))
+        .unionByName(c.filter(pmod(col("k"), lit(7)) === 0)
+          .select((col("k") + 100000).as("k"), col("bal")))
+      c.select(col("k"), col("bal").as("tbal"))
+        .join(source.select(col("k"), col("bal").as("sbal")), Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("sbal"), col("tbal")).as("bal"),
+          (col("sbal").isNotNull && col("tbal").isNotNull).as("updated"),
+          col("tbal").isNull.as("inserted"))
+        .agg(count(lit(1)).as("n_result"),
+          sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("inserted"), 1L).otherwise(0L)).as("n_inserted"),
+          sum(graft.functions.TextFunctions.hash32(
+            concat(col("k").cast("string"), lit(":"),
+              floor(col("bal") * 100).cast("long").cast("string"))))
+            .as("checksum"))}),
+
     // correlated EXISTS / NOT EXISTS through the SQL text path — the
     // predicate-subquery rewrite (semi + anti join) Catalyst must plan;
     // customers with a big order but no urgent one
@@ -809,6 +836,28 @@ object AnalyticsQueries {
 
     "q_fuzzy_match" ->
       graft.operators.Dedup.editOneNeighborCountsSql("customer", "c_name"),
+
+    "q_merge" ->
+      s"""WITH mt AS (
+         |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+         |), ms AS (
+         |  SELECT k, bal + 100 AS bal FROM mt WHERE k % 3 = 0
+         |  UNION ALL
+         |  SELECT k + 100000, bal FROM mt WHERE k % 7 = 0
+         |), mm AS (
+         |  SELECT coalesce(t.k, s.k) AS k,
+         |    coalesce(s.bal, t.bal) AS bal,
+         |    (s.k IS NOT NULL AND t.k IS NOT NULL) AS updated,
+         |    t.k IS NULL AS inserted
+         |  FROM mt t FULL OUTER JOIN ms s ON s.k = t.k
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_result,
+         |  CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         |  CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         |  CAST(sum(${graft.functions.TextFunctions.hash32Sql(
+              "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")})
+         |    AS BIGINT) AS checksum
+         |FROM mm""".stripMargin,
 
     "q_exists" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -1278,6 +1278,45 @@ object PipelineQueries {
     // MinHash estimator quality: LSH candidate pairs with BOTH the
     // signature-agreement estimate and the exact shingle Jaccard — the
     // view used to tune bands/rows before trusting est_sim at full scale
+    // pairwise source-vocabulary Jensen-Shannon divergence — the corpus
+    // mixing diagnostic ("which sources are interchangeable, which add
+    // diversity"): JS(P,Q) over unigram distributions in the micro-nat
+    // discipline. Shared tokens contribute c_a·(ln2 + ln c_a + ln N_b −
+    // ln(c_a·N_b + c_b·N_a)) with every ln micro-rounded BEFORE the
+    // order-free i64 sum; tokens private to one side contribute exactly
+    // c·ln2 (the q=0 limit), folded in as (N − shared_mass)·ln2. The
+    // final js_micro is two IEEE divisions and one add over exact
+    // integers — engine-exact end to end
+    "d_source_divergence" -> ((s, dir) => {
+      val cnt = graft.CacheScope.cached(
+        docs(s, dir).select(col("source"), explode(tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c")))
+      val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+      val l2 = 693147L // round(ln(2)·1e6)
+      def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+      val a = cnt.select(col("source").as("sa"), col("t"), col("c").as("ca"))
+      val b = cnt.select(col("source").as("sb"), col("t"), col("c").as("cb"))
+      val shared = a.join(b, "t").filter(col("sa") < col("sb"))
+        .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))), "sa")
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+        .withColumn("denom", lmicro(col("ca") * col("nb") + col("cb") * col("na")))
+        .groupBy("sa", "sb", "na", "nb")
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("ca")).as("ma"), sum(col("cb")).as("mb"),
+          sum(col("ca") * (lit(l2) + lmicro(col("ca")) + lmicro(col("nb"))
+            - col("denom"))).as("ta"),
+          sum(col("cb") * (lit(l2) + lmicro(col("cb")) + lmicro(col("na"))
+            - col("denom"))).as("tb"))
+      shared
+        .withColumn("sa_total", col("ta") + (col("na") - col("ma")) * lit(l2))
+        .withColumn("sb_total", col("tb") + (col("nb") - col("mb")) * lit(l2))
+        .select(col("sa"), col("sb"), col("n_shared"),
+          col("sa_total"), col("sb_total"),
+          floor(col("sa_total").cast("double") / (lit(2.0) * col("na").cast("double"))
+            + col("sb_total").cast("double") / (lit(2.0) * col("nb").cast("double")))
+            .cast("long").as("js_micro"))
+        .orderBy("sa", "sb")}),
+
     // split-leakage audit — the generalization-hygiene check a training
     // pipeline runs after splitting: what fraction of each eval split's
     // distinct shingles already appears in train (and how many eval docs
@@ -2684,6 +2723,47 @@ object PipelineQueries {
          |FROM acum""".stripMargin,
 
     "d_lsh_tune" -> Dedup.lshTuningCurveSql(docsT, "doc_id", "text"),
+
+    "d_source_divergence" ->
+      s"""WITH jc AS (
+         |  SELECT source, t, count(*) AS c FROM (
+         |    SELECT source, unnest(${TextFunctions.tokensSql("text")}) AS t
+         |    FROM $docsT)
+         |  GROUP BY 1, 2
+         |), jt AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM jc GROUP BY 1
+         |), js AS (
+         |  SELECT a.source AS sa, b.source AS sb, ta.n AS na, tb.n AS nb,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(a.c) AS BIGINT) AS ma, CAST(sum(b.c) AS BIGINT) AS mb,
+         |    CAST(sum(a.c * (693147
+         |      + CAST(round(ln(a.c) * 1000000.0) AS BIGINT)
+         |      + CAST(round(ln(tb.n) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(a.c * tb.n + b.c * ta.n) * 1000000.0) AS BIGINT)))
+         |      AS BIGINT) AS ta_sum,
+         |    CAST(sum(b.c * (693147
+         |      + CAST(round(ln(b.c) * 1000000.0) AS BIGINT)
+         |      + CAST(round(ln(ta.n) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(a.c * tb.n + b.c * ta.n) * 1000000.0) AS BIGINT)))
+         |      AS BIGINT) AS tb_sum
+         |  FROM jc a JOIN jc b ON b.t = a.t AND a.source < b.source
+         |  JOIN jt ta ON ta.source = a.source
+         |  JOIN jt tb ON tb.source = b.source
+         |  GROUP BY 1, 2, 3, 4
+         |), jr AS (
+         |  SELECT sa, sb, n_shared,
+         |    ta_sum + (na - ma) * 693147 AS sa_total,
+         |    tb_sum + (nb - mb) * 693147 AS sb_total,
+         |    na, nb
+         |  FROM js
+         |)
+         |SELECT sa, sb, n_shared,
+         |  CAST(sa_total AS BIGINT) AS sa_total,
+         |  CAST(sb_total AS BIGINT) AS sb_total,
+         |  CAST(floor(CAST(sa_total AS DOUBLE) / (2.0 * CAST(na AS DOUBLE))
+         |    + CAST(sb_total AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)))
+         |    AS BIGINT) AS js_micro
+         |FROM jr ORDER BY sa, sb""".stripMargin,
 
     "d_split_leakage" ->
       s"""WITH lsp AS (

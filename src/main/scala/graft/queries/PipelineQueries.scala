@@ -1971,6 +1971,36 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("media_id")}),
 
+    // STREAMING CDC upsert: a seeded parquet target (even doc_ids,
+    // original payload) receives the doc stream's change feed (every
+    // 3rd id, payload rewritten) through the foreachBatch MERGE sink
+    // with atomic directory swap. The audit row over the FINAL target
+    // state — counts + order-free content checksum — matches the closed
+    // form whatever the micro-batch split, because per-key changes are
+    // unique in the feed and merges commute across batches
+    "s_stream_cdc" -> ((s, dir) => {
+      val tmpRoot = java.nio.file.Files
+        .createTempDirectory("graft_cdc").toString
+      val target = s"$tmpRoot/target"
+      val d = col("doc_id")
+      docs(s, dir).filter(pmod(d, lit(2)) === 0)
+        .select(d.as("k"), col("text").as("payload"))
+        .write.parquet(target)
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("k"),
+          concat(lit("v2:"), col("text")).as("payload"))
+      graft.streaming.EventStreams.cdcMergeRun(stream, target, "k",
+        "payload", s"$tmpRoot/ck")
+      s.read.parquet(target).agg(
+        count(lit(1)).as("n_result"),
+        sum(when(pmod(col("k"), lit(2)) === 0 && pmod(col("k"), lit(3)) === 0,
+          1L).otherwise(0L)).as("n_updated"),
+        sum(when(pmod(col("k"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(TextFunctions.hash32(concat(col("k").cast("string"), lit(":"),
+          col("payload")))).as("checksum"))}),
+
     // STREAMING heavy-hitter vocabulary: the built-in keyed streaming
     // aggregation (no window, no custom state) in UPDATE mode — token
     // counts re-emit as they grow; the drain keeps each token's max
@@ -4011,6 +4041,23 @@ object PipelineQueries {
 
     // the streaming path decodes the identical planted WAVs statelessly
     "s_stream_audio" -> mAudioSql,
+
+    // CDC replay: the final merged state in closed form — seed ∪ feed
+    // keys, feed payload wins on matched keys
+    "s_stream_cdc" ->
+      s"""WITH cfin AS (
+         |  SELECT doc_id AS k,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'v2:' || text ELSE text END AS payload
+         |  FROM $docsT WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_result,
+         |  CAST(sum(CASE WHEN k % 2 = 0 AND k % 3 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_updated,
+         |  CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_inserted,
+         |  CAST(sum(${TextFunctions.hash32Sql(
+              "CAST(k AS VARCHAR) || ':' || payload")}) AS BIGINT) AS checksum
+         |FROM cfin""".stripMargin,
 
     // streaming update-mode counts collapse to the batch corpus counts
     "s_stream_hh" ->

@@ -177,6 +177,21 @@ object AnalyticsQueries {
             .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)}),
 
+    // unpivot/melt (the inverse of q_pivot, via the Spark 4 Dataset API):
+    // three measure columns become (measure, value) rows, then one
+    // grouped rollup per measure — wide-to-long reshaping without
+    // hand-written unions
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .orderBy("l_returnflag", "measure")),
+
     // window functions: top-3 parts per supplier by shipped quantity
     "q_window_topk" -> ((s, dir) => {
       val per = Tables.lineitem(s, dir)
@@ -910,6 +925,16 @@ object AnalyticsQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, measure, count(*) AS n,
+        |  round(sum(value), 4) AS total
+        |FROM (
+        |  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount
+        |           FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME measure VALUE value)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_topk" ->
       """SELECT l_suppkey, l_partkey, qty, rk FROM (

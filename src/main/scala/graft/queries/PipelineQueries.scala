@@ -333,6 +333,35 @@ object PipelineQueries {
           .as("content_sum"))
         .orderBy("source")}),
 
+    // dynamic partition overwrite — the lakehouse partial-rewrite
+    // semantics: a second write with partitionOverwriteMode=dynamic
+    // replaces ONLY the partitions it touches (src0/src1 re-exported
+    // keeping every other doc of EACH source — the cut is on
+    // (doc_id div 20) parity because source = doc_id % 20 correlates
+    // plain id parity with the partition itself) and must leave every
+    // other partition's bytes alone. The audit row's order-free content
+    // checksum over the final table proves both halves — the touched
+    // partitions changed exactly as specified, the untouched ones not
+    // at all (static mode would have DELETED them)
+    "d_export_dynamic" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dyn").toString + "/t"
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      d.write.partitionBy("source").parquet(tmp)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key, "STATIC")
+      s.conf.set(key, "dynamic")
+      try d.filter(col("source").isin("src0", "src1") &&
+          pmod(expr("doc_id div 20"), lit(2)) === 0)
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      finally s.conf.set(key, prev)
+      s.read.parquet(tmp).agg(
+        count(lit(1)).as("n_result"),
+        sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L))
+          .as("n_in_rewritten"),
+        sum(TextFunctions.hash32(concat(col("doc_id").cast("string"),
+          lit(":"), col("source")))).as("checksum"))}),
+
     // the one-row corpus report card — the dataset summary a data team
     // publishes with a release: volume (docs/tokens/vocab), exact-dup
     // rate, length profile (milli-mean + engine-exact median), source
@@ -2566,6 +2595,19 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_parq,
          |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_parq
          |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_export_dynamic" ->
+      s"""WITH dfin AS (
+         |  SELECT doc_id, source FROM $docsT
+         |  WHERE NOT (source IN ('src0', 'src1') AND (doc_id // 20) % 2 = 1)
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_result,
+         |  CAST(sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_in_rewritten,
+         |  CAST(sum(${TextFunctions.hash32Sql(
+              "CAST(doc_id AS VARCHAR) || ':' || source")}) AS BIGINT)
+         |    AS checksum
+         |FROM dfin""".stripMargin,
 
     "d_export_csv" ->
       s"""SELECT source,

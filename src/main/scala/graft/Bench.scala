@@ -43,6 +43,28 @@ object Bench {
       System.err.println(s"BENCH WARN warmup: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    // Session-shared cache builds, timed as their own `cache:<name>`
+    // entries BEFORE the query loop (dependency order, not sorted). The
+    // per-query numbers below then measure query plans, not whichever
+    // shared build a query's alphabetical position first-touched — the
+    // attribution drift that polluted d_auc/gx_assort/d_dedup_incr/d_tfidf
+    // across rounds 7-9. Skipped under SPARK_GRAFT_BENCH_ONLY unless
+    // explicitly named (isolated profiling deliberately measures a query
+    // WITH its cache build).
+    val cacheResults: Seq[(String, Option[Double])] =
+      SparkEntry.cacheBuilds
+        .filter { case (name, _) => only.forall(_.contains(s"cache:$name")) }
+        .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val timing =
+          try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL cache:$name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+          }
+          finally CacheScope.releaseAll()
+        s"cache:$name" -> timing
+      }
     val queryResults: Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -71,7 +93,7 @@ object Bench {
           }
         name -> timing
       }
-    val results = queryResults ++ workloadResults
+    val results = cacheResults ++ queryResults ++ workloadResults
     def qsJson(rs: Seq[(String, Option[Double])], digits: Int): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(d => s"%.${digits}f".format(d))
@@ -106,17 +128,17 @@ object Bench {
     // success-line overhead). Full fidelity lives in the file above and in
     // the committed BENCH_LOCAL_*.json artifacts.
     val headline = Set(
-      "q1_agg", "q3_top", "q5_region", "q_window_funcs", "q_percentiles",
-      "g_counts", "g_two_hop", "g_graph_stats",
+      "q1_agg", "q3_top", "q5_region",
+      "g_counts", "g_graph_stats",
       "gx_adamic", "gx_pagerank_fp", "gx_cc", "gx_triangles", "gx_kcore",
-      "gx_labelprop", "gx_wsssp", "gx_sssp", "gx_hits", "gx_ppr", "gx_walks",
-      "gx_closeness", "gx_betweenness",
-      "d_dedup_exact", "d_minhash_lsh", "d_dedup_pipeline", "d_tfidf",
-      "d_decontaminate",
-      "e_ann_topk", "e_ann_lsh", "e_near_dup", "m_probe", "m_features",
-      "s_asof_join", "s_range_join", "s_stream_tumbling", "s_stream_join",
-      "w_bulk_edge_upsert", "w_bulk_edge_removal", "w_stream_tumbling")
-    val headlineResults = results.filter { case (k, _) => headline.contains(k) }
+      "gx_labelprop", "gx_hits", "gx_closeness", "gx_betweenness", "gx_msf",
+      "d_dedup_exact", "d_minhash_lsh", "d_dedup_pipeline", "d_dedup_incr",
+      "d_pipeline_e2e", "d_textrank", "d_tfidf", "d_auc", "d_decontaminate",
+      "e_ann_topk", "e_ann_lsh", "e_ann_beam", "e_near_dup", "m_features",
+      "s_range_join", "s_stream_tumbling", "s_stream_join",
+      "w_bulk_edge_upsert", "w_bulk_edge_removal")
+    val headlineResults = results.filter { case (k, _) =>
+      headline.contains(k) || k.startsWith("cache:") }
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
     println(line)

@@ -52,6 +52,34 @@ object GxQueries {
       GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4)._2))
   }
 
+  /** Forces the session-shared GraphX graph cache (vertex + edge RDDs) and
+    * returns its sizes as a 1-row frame — exists so Bench can time the
+    * GraphX conversion/cache build as its own `cache:` entry instead of
+    * letting it land on whichever gx_* query runs first. */
+  private[graft] def materializeUnionGx(s: SparkSession, dir: String): DataFrame = {
+    val g = unionGx(s, dir)
+    val n = g.vertices.count()
+    val m = g.edges.count()
+    s.createDataFrame(Seq((n, m))).toDF("n_nodes", "n_edges")
+  }
+
+  /** Session-shared derived caches in dependency order, each as a named
+    * build Bench times separately (`cache:<name>`). Without this the build
+    * cost lands on the alphabetically-first consumer query and silently
+    * re-attributes whenever the query set changes — three rounds of bench
+    * forensics (gx_assort, d_auc, d_dedup_incr) traced to exactly that. */
+  private[graft] val sharedCacheBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "trade" -> ((s: SparkSession, d: String) =>
+      Tables.cached("trade", s, d)(Tables.tradeEdges(s, d))),
+    "gx_union" -> ((s: SparkSession, d: String) =>
+      Tables.cached("gx_union", s, d)(unionEdges(s, d))),
+    "part" -> ((s: SparkSession, d: String) =>
+      Tables.cached("part", s, d)(Tables.partEdges(s, d))),
+    "gx_graphx" -> ((s: SparkSession, d: String) => materializeUnionGx(s, d)),
+    "lpa5" -> ((s: SparkSession, d: String) => sharedLpa(s, d)),
+    "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2)
+  )
+
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =
     """WITH ue AS (

@@ -138,7 +138,9 @@ object Similarity {
 
   /** Approximate top-k: candidates share any table bucket with the query
     * (multi-probe: the exact bucket plus every 1-bit flip), reranked by
-    * exact cosine. */
+    * exact floor-micro cosine — one IEEE division and one floor off the
+    * exact dot/norm tree, so (cos_micro DESC, vec_id) is a total order
+    * both engines agree on and the whole retrieval replays in SQL. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val dim = inferDim(queries)
     val corpusB = lshBucketed(corpus.select(col("id"), col("vec")), dim)
@@ -158,15 +160,18 @@ object Similarity {
       .join(broadcast(probes.select("table", "bucket", "query_id")), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-    val cv = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn"))
+    val cv = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
     val cand = candIds.join(broadcast(qv), "query_id").join(cv, "vec_id")
-      .withColumn("cos", round(cosine(col("qvec"), col("cvec")), 4))
+      .withColumn("cos_micro",
+        cosMicroCol(col("qvec"), col("qn"), col("cvec"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+      .select("query_id", "vec_id", "cos_micro", "rank")
   }
 
   /** Near-duplicate vector pairs: cosine >= threshold, candidates from

@@ -1268,17 +1268,22 @@ object GraphOps {
     for (r <- 1 to rounds) {
       val byEnd = active.select(explode(array(col("u"), col("v"))).as("n"), col("p"))
       val minAt = byEnd.groupBy("n").agg(min(col("p")).as("pmin"))
+      val dupAt = byEnd.groupBy("n", "p").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("n"), col("p"))
       val won = active
         .join(bc(minAt.select(col("n").as("u"), col("pmin").as("pu"))), "u")
         .join(bc(minAt.select(col("n").as("v"), col("pmin").as("pv"))), "v")
         .filter(col("p") === col("pu") && col("p") === col("pv"))
         // a priority TIE at an endpoint lets two adjacent edges both
-        // "equal the min" — require strict uniqueness by excluding any
-        // edge whose priority appears twice at an endpoint
-        .join(bc(byEnd.groupBy("n", "p").agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).select(col("p")).distinct()
-          .withColumnRenamed("p", "pdup")
-          ), col("p") === col("pdup"), "left_anti")
+        // "equal the min" — require strict uniqueness by excluding an
+        // edge iff ITS OWN endpoint sees its priority twice. Scoped to
+        // (endpoint, priority) pairs: a same-priority collision elsewhere
+        // in the graph must not disqualify an unrelated edge (the old
+        // global-p exclusion did exactly that)
+        .join(bc(dupAt.select(col("n").as("u"), col("p"))),
+          Seq("u", "p"), "left_anti")
+        .join(bc(dupAt.select(col("n").as("v"), col("p"))),
+          Seq("v", "p"), "left_anti")
         .select("u", "v").localCheckpoint(true)
         .transform(statsReset)
       val matchedNodes = statsReset(
@@ -1317,16 +1322,16 @@ object GraphOps {
          |    SELECT u AS n, p FROM ga$p UNION ALL SELECT v, p FROM ga$p)
          |  GROUP BY n
          |), gd$k AS (
-         |  SELECT DISTINCT p AS pdup FROM (
-         |    SELECT n, p FROM (
-         |      SELECT u AS n, p FROM ga$p UNION ALL SELECT v, p FROM ga$p))
+         |  SELECT n, p FROM (
+         |    SELECT u AS n, p FROM ga$p UNION ALL SELECT v, p FROM ga$p)
          |  GROUP BY n, p HAVING count(*) > 1
          |), gw$k AS MATERIALIZED (
          |  SELECT a.u, a.v FROM ga$p a
          |  JOIN gn$k nu ON nu.n = a.u AND nu.pmin = a.p
          |  JOIN gn$k nv ON nv.n = a.v AND nv.pmin = a.p
-         |  LEFT JOIN gd$k d ON d.pdup = a.p
-         |  WHERE d.pdup IS NULL
+         |  LEFT JOIN gd$k du ON du.n = a.u AND du.p = a.p
+         |  LEFT JOIN gd$k dv ON dv.n = a.v AND dv.p = a.p
+         |  WHERE du.n IS NULL AND dv.n IS NULL
          |), gm$k AS MATERIALIZED (
          |  SELECT DISTINCT n FROM (
          |    SELECT u AS n FROM gw$k UNION ALL SELECT v FROM gw$k)

@@ -61,14 +61,20 @@ object AnalyticsQueries {
     // rows take source values, unmatched keep target, source-only rows
     // insert. The audit row carries exact counts plus an order-free
     // Σhash32(key:cents) checksum over the merged state, so the hash
-    // proves row-level content, not just cardinalities
+    // proves row-level content, not just cardinalities. The insert
+    // offset is DATA-ADAPTIVE (max key via a broadcast 1-row frame /
+    // scalar subquery — the gx_kcore discipline): a fixed literal would
+    // collide with real keys once the fixture outgrows it (sf ≥ ~0.7 for
+    // +100000), silently turning inserts into updates
     "q_merge" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val mx = c.agg(max(col("k")).as("mx"))
       val source = c.filter(pmod(col("k"), lit(3)) === 0)
         .select(col("k"), (col("bal") + 100).as("bal"))
         .unionByName(c.filter(pmod(col("k"), lit(7)) === 0)
-          .select((col("k") + 100000).as("k"), col("bal")))
+          .crossJoin(broadcast(mx))
+          .select((col("k") + col("mx")).as("k"), col("bal")))
       c.select(col("k"), col("bal").as("tbal"))
         .join(source.select(col("k"), col("bal").as("sbal")), Seq("k"), "full_outer")
         .select(col("k"), coalesce(col("sbal"), col("tbal")).as("bal"),
@@ -467,6 +473,50 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // event path mining: the per-user TRANSITION MATRIX (which event type
+    // follows which — the Markov view funnels are a special case of).
+    // One lead window over (user_id; ts, event_id — a total order, ids
+    // are unique) shares a single user_id shuffle; the transition counts
+    // and milli-probabilities run on the TYPE×TYPE-bounded frame. At
+    // scale this is one corpus shuffle + a 25-row aggregate
+    "s_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bi = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      bi.withColumn("from_total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(1000 * n) div from_total").as("p_milli"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Q18-shaped large-volume orders: per-order quantity rollup, a
+    // DATA-ADAPTIVE p99 volume cut (Spark percentile == DuckDB
+    // quantile_cont exactly; a fixed literal would go vacuous or
+    // all-pass as SF moves), then the customer join on the survivors
+    // only. sum_qty is a sum of integer-valued doubles — order-free
+    // exact — cast to BIGINT for the gate
+    "q18_bigorders" -> ((s, dir) => {
+      val sums = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      val cut = sums.agg(expr("percentile(sum_qty, 0.99D)").as("cut"))
+      val big = sums.crossJoin(broadcast(cut))
+        .filter(col("sum_qty") > col("cut"))
+        .select(col("l_orderkey"), col("sum_qty"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    }),
+
     // cohort retention: users grouped by first-active day, distinct-user
     // counts per (cohort_day, day_offset) cell — the classic retention
     // triangle. Dates derive from UTC-session timestamp truncation and
@@ -858,7 +908,7 @@ object AnalyticsQueries {
          |), ms AS (
          |  SELECT k, bal + 100 AS bal FROM mt WHERE k % 3 = 0
          |  UNION ALL
-         |  SELECT k + 100000, bal FROM mt WHERE k % 7 = 0
+         |  SELECT k + (SELECT max(k) FROM mt), bal FROM mt WHERE k % 7 = 0
          |), mm AS (
          |  SELECT coalesce(t.k, s.k) AS k,
          |    coalesce(s.bal, t.bal) AS bal,
@@ -1126,6 +1176,33 @@ object AnalyticsQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "s_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events
+        |), bi AS (
+        |  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
+        |FROM bi ORDER BY from_type, to_type""".stripMargin,
+
+    "q18_bigorders" ->
+      """WITH sums AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |), cut AS (SELECT quantile_cont(sum_qty, 0.99) AS cut FROM sums),
+        |big AS (
+        |  SELECT l_orderkey, sum_qty FROM sums, cut WHERE sum_qty > cut.cut
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     // identical oracle for the drained streaming form — window(ts, '1 hour')
     // .start over micros-truncated nanos == date_trunc('hour', ts)

@@ -125,6 +125,36 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // rank-agreement gate for the FLOAT GraphX PageRank: its scores are
+    // legitimately engine-specific (float damping, 10 iters), but the
+    // ordering — the thing a user actually consumes — is pinned here
+    // against the hash-green integer fixed-point ranking. Each top-50
+    // position carries the fp key/score plus gx_agree = 1 iff the GraphX
+    // ranking puts the SAME node at that position; the oracle replays the
+    // fp twin alone and asserts agreement everywhere, so any future drift
+    // in the GraphX path's ordering turns this row red. Top-50 via
+    // orderBy+limit (TakeOrderedAndProject) BEFORE the position window, so
+    // the global window runs on 50 rows, never the node set.
+    "gx_pagerank_rank" -> ((s, dir) => {
+      val n = 50
+      val fp = GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
+        .orderBy(col("r").desc, col("key")).limit(n)
+        .select(col("key"), col("r").as("rank_fp"))
+      val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 10)
+        .orderBy(col("rank").desc, col("key")).limit(n)
+        .select(col("key").as("key_gx"), col("rank").as("score_gx"))
+      val wfp = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rank_fp").desc, col("key"))
+      val wgx = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_gx").desc, col("key_gx"))
+      fp.withColumn("pos", row_number().over(wfp))
+        .join(gxr.withColumn("pos", row_number().over(wgx)), Seq("pos"), "left")
+        .select(col("pos"), col("key"), col("rank_fp"),
+          when(col("key_gx") === col("key"), lit(1)).otherwise(lit(0))
+            .as("gx_agree"))
+        .orderBy("pos")
+    }),
+
     // synchronous label propagation (community detection) — deterministic
     // tie-breaking makes the ITERATIVE algorithm hash-checkable against an
     // unrolled-CTE oracle, like gx_pagerank_fp. iters = 5 reaches the
@@ -431,6 +461,16 @@ object GxQueries {
     "gx_pagerank_fp" ->
       s"""$cte, ${GraphOps.fixedPointPageRankSql("ue", "un", 5)}
          |SELECT key, r AS rank_fp FROM r5 ORDER BY key""".stripMargin,
+
+    // the fp replay ranks itself; gx_agree = 1 everywhere IS the gate —
+    // the Spark side computes it from the live GraphX ranking
+    "gx_pagerank_rank" ->
+      s"""$cte, ${GraphOps.fixedPointPageRankSql("ue", "un", 5)},
+         |top AS (
+         |  SELECT key, r, CAST(row_number() OVER (ORDER BY r DESC, key) AS INT) AS pos
+         |  FROM r5)
+         |SELECT pos, key, r AS rank_fp, 1 AS gx_agree
+         |FROM top WHERE pos <= 50 ORDER BY pos""".stripMargin,
 
     "gx_labelprop" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}

@@ -18,6 +18,27 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Per-(query, dataset) scratch dir for the export/CDC gates: the SAME
+    * path on every invocation, wiped before reuse and removed at JVM
+    * exit. Fresh createTempDirectory calls here accumulated one corpus
+    * copy per invocation in /tmp (Bench touches each query twice via its
+    * warmup-era flows; repeated Verify/Bench sessions never cleaned up) —
+    * with a fixed recycled path each query holds at most one live copy. */
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(name: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_scratch_${name}_${Integer.toHexString(dir.hashCode)}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    if (scratchHooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    p.toString
+  }
+
   /** Embeddings with vectors widened to double (exact, order-preserving). */
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).select(col("vec_id").as("id"),
@@ -309,8 +330,7 @@ object PipelineQueries {
     // row-for-row through each sink (the sinks were previously spec-only)
     "d_export_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_export_rt").toString
+      val tmp = scratchDir("export_rt", dir)
       graft.sources.Export.jsonlShards(d, "doc_id", s"$tmp/jsonl", 100)
       graft.sources.Export.partitionedParquet(d, "source", "doc_id",
         s"$tmp/parq", 100)
@@ -331,8 +351,7 @@ object PipelineQueries {
     // every byte, not just the row counts
     "d_export_csv" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_export_csv").toString
+      val tmp = scratchDir("export_csv", dir)
       graft.sources.Export.csvShards(d, "doc_id", s"$tmp/csv", 100)
       val back = graft.sources.Export.readCsv(s, s"$tmp/csv",
         org.apache.spark.sql.types.StructType(Seq(
@@ -361,8 +380,7 @@ object PipelineQueries {
     // partitions changed exactly as specified, the untouched ones not
     // at all (static mode would have DELETED them)
     "d_export_dynamic" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_dyn").toString + "/t"
+      val tmp = scratchDir("dyn", dir) + "/t"
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       d.write.partitionBy("source").parquet(tmp)
       val key = "spark.sql.sources.partitionOverwriteMode"
@@ -667,6 +685,48 @@ object PipelineQueries {
       Dedup.nearDupSurvivors(docs(s, dir), "doc_id", "text", 0.5,
           candidates = Some(sharedMinhashCands(s, dir)))
         .select(col("doc_id")).orderBy("doc_id")),
+
+    // near-dup CLUSTER SIZE histogram (the other governance view over
+    // the same candidate table): how big do duplicate families get —
+    // a fat tail here means template/boilerplate content the pipeline
+    // should kill upstream. Components via GraphX CC on the candidate
+    // graph only (nodes = docs appearing in ≥1 pair; singletons are not
+    // clusters); labels are engine-specific but group away — only the
+    // size distribution is emitted, which the recursive-CTE replay pins
+    "d_dup_cluster_hist" -> ((s, dir) => {
+      val pairs = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+        .select(col("a").cast("string").as("src"),
+          col("b").cast("string").as("dst"))
+        .localCheckpoint(true)
+      val comps = graft.gx.GraphXBridge.connectedComponents(
+        graft.gx.GraphXBridge.toGraphX(
+          graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))))
+      comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")}),
+
+    // hard-negative mining for contrastive training: per query the
+    // top-10 nearest CROSS-LABEL vectors (same-label hits are positives,
+    // the near-misses with a different label are the negatives a
+    // two-tower trainer needs). Exact floor-micro cosine over the
+    // label-filtered corpus — brute force is the declared-exact baseline
+    // shape; at scale the shortlist comes from any ANN index and the
+    // label filter rides the candidate join
+    "e_hard_negatives" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val lbl = embs(s, dir).select(col("vec_id"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      Similarity.scoredMicro(corpus, queriesDf)
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), "query_id")
+        .join(lbl.select(col("vec_id"), col("label").as("neg_label")), "vec_id")
+        .filter(col("q_label") =!= col("neg_label"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id", "neg_label", "cos_micro", "rank")
+        .orderBy("query_id", "rank")}),
 
     // cross-SOURCE duplication matrix (the governance view over the
     // near-dup candidate table): which source pairs share near-dup docs,
@@ -1447,8 +1507,10 @@ object PipelineQueries {
           all.filter(col("id") >= 10), all.filter(col("id") < 10), 0.45)
         .orderBy("id")}),
 
-    // LSH-bucketed ANN (scale path; no SQL oracle — recall checked in
-    // ScalaTest against the brute-force baseline)
+    // LSH-bucketed ANN (scale path): md5-derived hyperplanes, sign-bit
+    // signatures, 1-bit multi-probe candidates, floor-micro cosine rerank
+    // — every stage deterministic, so the FULL retrieval (ids, scores,
+    // ranks) hash-checks against the DuckDB replay below
     "e_ann_lsh" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
       val queriesDf = corpus.filter(col("id") < 5)
@@ -2017,6 +2079,26 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("media_id")}),
 
+    // STREAMING decontamination at ingest: the stream-static LEFT ANTI
+    // join form (no driver collect — the benchmark side re-plans per
+    // micro-batch as a broadcast NLJ, stateless, append mode; the
+    // scale-correct variant of the two in EventStreams). Benchmark =
+    // src19, same as d_decontaminate; the gate pins the surviving doc
+    // set, which is micro-batch-split-invariant because the filter is
+    // per-row
+    "s_stream_decontam" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(col("source") =!= "src19")
+      val bench = docs(s, dir).filter(col("source") === "src19")
+      val surviving = graft.streaming.EventStreams
+        .decontaminatedDocsJoin(stream, bench, "doc_id", "text")
+        .select(col("doc_id"))
+      graft.streaming.EventStreams.runToMemory(surviving,
+        "s_stream_decontam_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("doc_id")}),
+
     // STREAMING CDC upsert: a seeded parquet target (even doc_ids,
     // original payload) receives the doc stream's change feed (every
     // 3rd id, payload rewritten) through the foreachBatch MERGE sink
@@ -2025,8 +2107,7 @@ object PipelineQueries {
     // form whatever the micro-batch split, because per-key changes are
     // unique in the feed and merges commute across batches
     "s_stream_cdc" -> ((s, dir) => {
-      val tmpRoot = java.nio.file.Files
-        .createTempDirectory("graft_cdc").toString
+      val tmpRoot = scratchDir("cdc", dir)
       val target = s"$tmpRoot/target"
       val d = col("doc_id")
       docs(s, dir).filter(pmod(d, lit(2)) === 0)
@@ -2219,6 +2300,37 @@ object PipelineQueries {
        |FROM terms GROUP BY doc_id
        |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  /** The LSH index replay (md5-derived hyperplanes, sign-bit signatures,
+    * 1-bit multi-probe, distinct candidates) shared by the e_ann_lsh full
+    * retrieval and the e_ann_recall grade — one CTE prefix, two gates. */
+  private val lshReplayCtes: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings
+       |), dims AS (
+       |  SELECT len(vec) AS dim FROM c LIMIT 1
+       |), planes AS (
+       |  SELECT t, b, list(comp ORDER BY j) AS plane FROM (
+       |    SELECT t.range AS t, b.range AS b, jj.j AS j,
+       |      ((CAST('0x' || substring(md5('plane_' || t.range || '_' || b.range || '_' || jj.j), 1, 8) AS BIGINT) & 2147483647) / 2147483647.0) - 0.5 AS comp
+       |    FROM range(${Similarity.LshTables}) t, range(${Similarity.LshBitsPerTable}) b,
+       |      (SELECT unnest(generate_series(0, dim - 1)) AS j FROM dims) jj)
+       |  GROUP BY t, b
+       |), sig AS (
+       |  SELECT c.id, p.t AS tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(c.vec, p.plane) >= 0 THEN (1 << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM c, planes p GROUP BY c.id, p.t
+       |), probes AS (
+       |  SELECT id AS query_id, tbl, bucket FROM sig WHERE id < 5
+       |  UNION ALL
+       |  SELECT id, tbl, xor(bucket, CAST(1 << CAST(f.range AS INT) AS BIGINT))
+       |  FROM sig, range(${Similarity.LshBitsPerTable}) f WHERE id < 5
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, s.id AS vec_id
+       |  FROM sig s JOIN probes p ON s.tbl = p.tbl AND s.bucket = p.bucket
+       |  WHERE s.id <> p.query_id
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
       s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
@@ -2305,6 +2417,15 @@ object PipelineQueries {
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
       "source <> 'src19'", "source = 'src19'"),
+
+    // the surviving set of the streaming anti-join decontamination ==
+    // the batch report's uncontaminated docs (the filter is per-row, so
+    // the micro-batch split cannot change the verdict)
+    "s_stream_decontam" ->
+      s"""SELECT doc_id FROM (
+         |${Dedup.contaminationReportSql(docsT, "doc_id", "text",
+              "source <> 'src19'", "source = 'src19'")}
+         |) WHERE NOT contaminated ORDER BY doc_id""".stripMargin,
 
     "d_dupfrac" -> Dedup.dupShingleCoverageSql(docsT, "doc_id", "text"),
 
@@ -3030,6 +3151,53 @@ object PipelineQueries {
     // replay of nearDupSurvivors: minhash candidates (est_sim >= 0.5) form
     // an undirected dup graph; recursive min-label propagation = connected
     // components; victims = nodes that are not their component's min id
+    // same recursive-CTE component replay as d_dedup_pipeline, rolled up
+    // to the size histogram (min-label per node -> component sizes)
+    "d_dup_cluster_hist" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM cand WHERE est_sim >= 0.5
+         |  UNION SELECT b, a FROM cand WHERE est_sim >= 0.5
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+         |), szs AS (
+         |  SELECT keep, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM rch GROUP BY keep
+         |)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // exact cross-label ranking replay: same floor-micro cosine tree,
+    // corpus filtered to label <> query label before ranking
+    "e_hard_negatives" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+        |    label
+        |  FROM embeddings
+        |), fn AS (
+        |  SELECT id, vec, label, sqrt(list_dot_product(vec, vec)) AS nrm FROM c
+        |), sc AS (
+        |  SELECT q.id AS query_id, v.id AS vec_id, v.label AS neg_label,
+        |    CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+        |      (q.nrm * v.nrm))) AS BIGINT) AS cos_micro
+        |  FROM fn q JOIN fn v
+        |    ON q.id < 5 AND v.id <> q.id AND v.label <> q.label
+        |)
+        |SELECT query_id, vec_id, neg_label, cos_micro, CAST(rn AS INT) AS rank
+        |FROM (
+        |  SELECT query_id, vec_id, neg_label, cos_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_micro DESC, vec_id) AS rn FROM sc)
+        |WHERE rn <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     "d_dedup_pipeline" ->
       s"""WITH cand AS (
          |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
@@ -3533,40 +3701,35 @@ object PipelineQueries {
     "e_ann_beam" ->
       Similarity.beamSearchRecallSql("vec_id % 5 = 0", "id < 50", 10),
 
-    // full LSH replay: md5-derived hyperplanes, sign-bit signatures,
-    // 1-bit multi-probe, rounded-cosine rerank — then recall vs the
-    // brute-force exact top-k, all integer outputs
+    // full LSH retrieval replay, hash-green end to end: planes,
+    // signatures, multi-probe, floor-micro cosine rerank — the SAME CTE
+    // prefix e_ann_recall grades recall over
+    "e_ann_lsh" ->
+      s"""$lshReplayCtes, scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(floor(1000000 * (list_dot_product(qv.vec, cv.vec) /
+         |      (sqrt(list_dot_product(qv.vec, qv.vec)) *
+         |       sqrt(list_dot_product(cv.vec, cv.vec))))) AS BIGINT) AS cos_micro
+         |  FROM cand JOIN c qv ON qv.id = cand.query_id
+         |            JOIN c cv ON cv.id = cand.vec_id
+         |)
+         |SELECT query_id, vec_id, cos_micro, CAST(rnk AS INT) AS rank FROM (
+         |  SELECT query_id, vec_id, cos_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, vec_id) AS rnk FROM scored)
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full LSH replay (shared CTE prefix) + floor-micro rerank — then
+    // recall vs the brute-force exact top-k, all integer outputs
     "e_ann_recall" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-         |  FROM embeddings
-         |), dims AS (
-         |  SELECT len(vec) AS dim FROM c LIMIT 1
-         |), planes AS (
-         |  SELECT t, b, list(comp ORDER BY j) AS plane FROM (
-         |    SELECT t.range AS t, b.range AS b, jj.j AS j,
-         |      ((CAST('0x' || substring(md5('plane_' || t.range || '_' || b.range || '_' || jj.j), 1, 8) AS BIGINT) & 2147483647) / 2147483647.0) - 0.5 AS comp
-         |    FROM range(${Similarity.LshTables}) t, range(${Similarity.LshBitsPerTable}) b,
-         |      (SELECT unnest(generate_series(0, dim - 1)) AS j FROM dims) jj)
-         |  GROUP BY t, b
-         |), sig AS (
-         |  SELECT c.id, p.t AS tbl,
-         |    CAST(sum(CASE WHEN list_dot_product(c.vec, p.plane) >= 0 THEN (1 << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM c, planes p GROUP BY c.id, p.t
-         |), probes AS (
-         |  SELECT id AS query_id, tbl, bucket FROM sig WHERE id < 5
-         |  UNION ALL
-         |  SELECT id, tbl, xor(bucket, CAST(1 << CAST(f.range AS INT) AS BIGINT))
-         |  FROM sig, range(${Similarity.LshBitsPerTable}) f WHERE id < 5
-         |), cand AS (
-         |  SELECT DISTINCT p.query_id, s.id AS vec_id
-         |  FROM sig s JOIN probes p ON s.tbl = p.tbl AND s.bucket = p.bucket
-         |  WHERE s.id <> p.query_id
-         |), lsh AS (
+      s"""$lshReplayCtes, lsh AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT cand.query_id, cand.vec_id,
          |      row_number() OVER (PARTITION BY cand.query_id
-         |        ORDER BY round(list_cosine_similarity(qv.vec, cv.vec), 4) DESC, cand.vec_id) AS rnk
+         |        ORDER BY floor(1000000 * (list_dot_product(qv.vec, cv.vec) /
+         |          (sqrt(list_dot_product(qv.vec, qv.vec)) *
+         |           sqrt(list_dot_product(cv.vec, cv.vec))))) DESC, cand.vec_id) AS rnk
          |    FROM cand JOIN c qv ON qv.id = cand.query_id JOIN c cv ON cv.id = cand.vec_id)
          |  WHERE rnk <= 10
          |), exact AS (

@@ -424,6 +424,35 @@ object EventStreams {
     * shuffle-free on the target side (GraphIO.saveBucketed is that
     * layout), or uses a table format whose MERGE does file-level
     * skipping. The swap discipline is identical either way. */
+  /** Recursive delete that CHECKS every unlink: a silently-failed delete
+    * of `_old` would make the next swap's rename throw
+    * FileAlreadyExistsException one batch later, far from the cause. */
+  private def rmStrict(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmStrict))
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"cdc swap: could not delete $f")
+  }
+
+  /** Repair the swap directories after a crash, making [[cdcMergeRun]]'s
+    * "old version recoverable" claim operational rather than manual:
+    * - `_old` present AND target present → a finished swap's stale
+    *   leftover (crash after rename 2, before the delete): remove it.
+    * - `_old` present, target ABSENT → crash BETWEEN the two renames:
+    *   `_old` IS the current version — rename it back.
+    * - a stale `_tmp` is always removed (half-written batch output).
+    * Idempotent; called before every merge so a crashed run never needs
+    * hand cleanup. */
+  private[graft] def recoverSwap(targetDir: String): Unit = {
+    val tgt = java.nio.file.Paths.get(targetDir)
+    val old = java.nio.file.Paths.get(targetDir + "_old")
+    val tmp = java.nio.file.Paths.get(targetDir + "_tmp")
+    if (java.nio.file.Files.exists(old)) {
+      if (java.nio.file.Files.exists(tgt)) rmStrict(old.toFile)
+      else java.nio.file.Files.move(old, tgt)
+    }
+    if (java.nio.file.Files.exists(tmp)) rmStrict(tmp.toFile)
+  }
+
   def cdcMergeRun(source: DataFrame, targetDir: String, keyCol: String,
                   payloadCol: String, checkpointDir: String): Unit = {
     val sp = source.sparkSession
@@ -431,6 +460,10 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // heal any prior crash's leftovers BEFORE reading the target, so
+        // the between-renames window (target missing, _old = current)
+        // restores rather than failing the read
+        recoverSwap(targetDir)
         val b = batch
           .groupBy(col(keyCol))
           .agg(max(col(payloadCol)).as(payloadCol)) // last-writer-wins pick
@@ -444,17 +477,14 @@ object EventStreams {
         merged.write.mode("overwrite").parquet(tmp)
         // swap = two atomic renames: old steps aside, new steps in, old
         // is deleted last. A crash between the renames leaves the
-        // previous version intact at _old (recoverable), never a torn
-        // directory — the plain-filesystem version of a table format's
-        // snapshot commit.
+        // previous version intact at _old, which the next merge's
+        // recoverSwap renames back — never a torn directory. The
+        // plain-filesystem version of a table format's snapshot commit.
         val tgtPath = java.nio.file.Paths.get(targetDir)
         val oldPath = java.nio.file.Paths.get(targetDir + "_old")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
         java.nio.file.Files.move(tgtPath, oldPath)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), tgtPath)
-        rm(oldPath.toFile)
+        rmStrict(oldPath.toFile)
         ()
       }
       .start()

@@ -616,4 +616,21 @@ class GraphOpsSpec extends SparkSpec {
       Set(("a","b"),("a","c"),("b","c"),("b","d"),("c","d")))
     assert(t3.find(e => e._1 == "b" && e._2 == "c").get._3 == 2L)
   }
+
+  test("k-truss on a planted hub: star wedges peel clean (skew shape)") {
+    // a 300-spoke hub is the wedge-join skew case — the hub key alone
+    // contributes 300²/2 wedge rows in round 1's triangle enumeration
+    // (AQE skew-join splits that bucket at scale; this pins the SEMANTIC
+    // outcome on the shape). No spoke pair is connected, so every star
+    // edge has support 0 and peels in round 1, while the disjoint
+    // 4-clique rides through untouched with support 2 per edge.
+    val star = (1 to 300).map(i => "hub" -> s"s$i")
+    val clique = Seq("a"->"b","a"->"c","a"->"d","b"->"c","b"->"d","c"->"d")
+    val g = KinGraph.fromEdges(
+      (star ++ clique).map(e => (e._1, e._2, 0)).toDF("src", "dst", "etype"))
+    val t = GraphOps.kTruss(g, k = 3, rounds = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(t == Set(("a","b",2L),("a","c",2L),("a","d",2L),
+      ("b","c",2L),("b","d",2L),("c","d",2L)), s"got ${t.size} edges")
+  }
 }

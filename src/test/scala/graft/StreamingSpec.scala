@@ -346,4 +346,48 @@ class StreamingSpec extends SparkSpec {
       .map { case (u, n, t) => u -> (n, t) }.toMap
     assert(finalTotals == batched)
   }
+
+  test("cdc swap recovers a crash BETWEEN the two renames (old version kept)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cdc_spec").toString
+    val target = s"$root/t"
+    Seq((1L, "v1:1"), (2L, "v1:2")).toDF("k", "payload").write.parquet(target)
+    // simulate the crash window: rename 1 done (target stepped aside to
+    // _old), rename 2 never ran, a torn _tmp is still on disk
+    Files.move(Paths.get(target), Paths.get(target + "_old"))
+    Files.createDirectories(Paths.get(target + "_tmp"))
+    Files.writeString(Paths.get(target + "_tmp/part-torn"), "torn")
+    assert(!new java.io.File(target).exists())
+    // next merge must restore _old as the current version, then merge
+    val srcDir = s"$root/src"
+    Seq((2L, "v2:2"), (3L, "v2:3")).toDF("k", "payload").write.parquet(srcDir)
+    val src = spark.readStream.schema("k LONG, payload STRING").parquet(srcDir)
+    EventStreams.cdcMergeRun(src, target, "k", "payload", s"$root/ck")
+    val out = spark.read.parquet(target)
+      .as[(Long, String)].collect().toMap
+    // k=1 only ever existed in the pre-crash version: its survival IS the
+    // "old version recoverable" claim
+    assert(out == Map(1L -> "v1:1", 2L -> "v2:2", 3L -> "v2:3"))
+    assert(!new java.io.File(target + "_old").exists())
+    assert(!new java.io.File(target + "_tmp").exists())
+  }
+
+  test("cdc swap clears a stale _old from a crash AFTER rename 2") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cdc_spec2").toString
+    val target = s"$root/t"
+    Seq((1L, "v2:1")).toDF("k", "payload").write.parquet(target)
+    // stale leftover of a swap that crashed before the final delete —
+    // without recovery the next swap's Files.move(target, _old) throws
+    // FileAlreadyExistsException
+    Files.createDirectories(Paths.get(target + "_old"))
+    Files.writeString(Paths.get(target + "_old/part-stale"), "stale")
+    val srcDir = s"$root/src"
+    Seq((2L, "v3:2")).toDF("k", "payload").write.parquet(srcDir)
+    val src = spark.readStream.schema("k LONG, payload STRING").parquet(srcDir)
+    EventStreams.cdcMergeRun(src, target, "k", "payload", s"$root/ck")
+    val out = spark.read.parquet(target).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "v2:1", 2L -> "v3:2"))
+    assert(!new java.io.File(target + "_old").exists())
+  }
 }

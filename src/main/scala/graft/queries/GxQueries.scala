@@ -296,6 +296,40 @@ object GxQueries {
       val (lm, st) = sharedLmBfs(s, dir)
       GraphOps.eccentricityFromState(lm, st)}),
 
+    // bipartiteness probe from the SAME shared landmark-BFS state (third
+    // consumer after closeness/diameter — one iterative pass, three
+    // gates): a BFS edge whose endpoints sit at equal-parity distances
+    // closes an ODD cycle, so per landmark the count of such conflict
+    // edges among reached nodes is a bipartiteness certificate within
+    // the BFS radius (honest truncation, the gx_closeness discipline).
+    // The union graph's S-C-N triangles make conflicts non-vacuous
+    "gx_bipartite" -> ((s, dir) => {
+      val (lm, st) = sharedLmBfs(s, dir)
+      val dCols = st.columns.filter(_.startsWith("d")).toSeq
+      val und = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val stU = st.toDF(("u" +: dCols.map("u_" + _)): _*)
+      val stV = st.toDF(("v" +: dCols.map("v_" + _)): _*)
+      val j = und.join(stU, Seq("u"), "left").join(stV, Seq("v"), "left")
+      val confAggs = dCols.map(c =>
+        sum(when(col(s"u_$c").isNotNull && col(s"v_$c").isNotNull &&
+          pmod(col(s"u_$c") + col(s"v_$c"), lit(2L)) === 0, 1L)
+          .otherwise(0L)).as(s"c_$c"))
+      val confRow = j.agg(confAggs.head, confAggs.tail: _*)
+      val reachAggs = dCols.map(c => count(col(c)).as(s"r_$c"))
+      val reachRow = st.agg(reachAggs.head, reachAggs.tail: _*)
+      lm.indices.map { i =>
+        confRow.crossJoin(reachRow).select(
+          lit(lm(i)).as("landmark"),
+          col(s"r_d$i").as("n_reached"),
+          col(s"c_d$i").as("n_conflicts"),
+          (col(s"c_d$i") === 0L).as("bipartite_in_radius"))
+      }.reduce(_ unionByName _).orderBy("landmark")
+    }),
+
     // bounded weighted SSSP from S1 over hash-weighted union edges
     // (integer weights 1..100 derived from the shared md5 hash family, so
     // the Bellman-Ford relaxations replay exactly in the unrolled oracle)
@@ -571,6 +605,30 @@ object GxQueries {
          |  CAST(max(d) AS BIGINT) AS ecc_bounded,
          |  CAST(max(CAST(max(d) AS BIGINT)) OVER () AS BIGINT) AS diameter_lb
          |FROM c4 GROUP BY landmark ORDER BY landmark""".stripMargin,
+
+    // conflict edges from the same c4 reached set: equal-parity distance
+    // pairs across the distinct canonical undirected edges
+    "gx_bipartite" ->
+      s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)},
+         |bund AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), bconf AS (
+         |  SELECT cu.landmark, CAST(count(*) AS BIGINT) AS n_conflicts
+         |  FROM bund
+         |  JOIN c4 cu ON cu.node = bund.u
+         |  JOIN c4 cv ON cv.node = bund.v AND cv.landmark = cu.landmark
+         |  WHERE (cu.d + cv.d) % 2 = 0
+         |  GROUP BY cu.landmark
+         |), brch AS (
+         |  SELECT landmark, CAST(count(*) AS BIGINT) AS n_reached
+         |  FROM c4 GROUP BY landmark
+         |)
+         |SELECT r.landmark, r.n_reached,
+         |  CAST(coalesce(c.n_conflicts, 0) AS BIGINT) AS n_conflicts,
+         |  coalesce(c.n_conflicts, 0) = 0 AS bipartite_in_radius
+         |FROM brch r LEFT JOIN bconf c ON c.landmark = r.landmark
+         |ORDER BY r.landmark""".stripMargin,
 
     "gx_wsssp" -> {
       val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"

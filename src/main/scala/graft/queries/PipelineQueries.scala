@@ -614,6 +614,41 @@ object PipelineQueries {
           expr("(1000 * tp) div greatest(tp + fn, 1)").as("recall_milli"))
         .orderBy("lang")}),
 
+    // classifier CALIBRATION curve over the same shared NB scoring (the
+    // reliability diagram's integer-exact core): per doc the DECISION
+    // MARGIN (best minus runner-up log-posterior, micro-nats — the
+    // confidence proxy an unnormalized NB actually has), bucketed by
+    // data-adaptive margin quartiles (percentile == quantile_cont), with
+    // per-bucket accuracy in milli. A well-calibrated filter must show
+    // accuracy rising with margin; flat buckets mean the scores are not
+    // a confidence signal and threshold-filtering on them is noise
+    "d_calibration" -> ((s, dir) => {
+      val sc = sharedNbScored(s, dir)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lbl").desc)
+      val ranked = sc.withColumn("rn", row_number().over(w))
+      val best = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("lbl").as("pred"), col("score").as("s1"))
+      val second = ranked.filter(col("rn") === 2)
+        .select(col("doc_id"), col("score").as("s2"))
+      val m = best.join(second, "doc_id")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .select((col("s1") - col("s2")).as("margin"),
+          (col("pred") === col("lang")).as("correct"))
+      val cuts = m.agg(
+        expr("percentile(margin, 0.25D)").as("c1"),
+        expr("percentile(margin, 0.5D)").as("c2"),
+        expr("percentile(margin, 0.75D)").as("c3"))
+      m.crossJoin(broadcast(cuts))
+        .withColumn("bucket", when(col("margin") <= col("c1"), 1)
+          .when(col("margin") <= col("c2"), 2)
+          .when(col("margin") <= col("c3"), 3).otherwise(4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc_milli", expr("(1000 * n_correct) div n"))
+        .orderBy("bucket")}),
+
     // per-source corpus profile (exact integer stats)
     "d_source_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("source"))
@@ -875,6 +910,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           min("n").as("min_tokens"), max("n").as("max_tokens"))
         .orderBy("bucket")),
+
+    // robust length-outlier gate: median + MAD (median absolute
+    // deviation) of the token-count distribution, both engine-exact
+    // interpolated quantiles, and the count of docs beyond the classic
+    // 3×MAD fence — the outlier rule that, unlike mean±kσ, one degenerate
+    // mega-doc cannot drag. Milli units keep every comparison on
+    // integers; 3.0·mad is one IEEE multiply of an exact quantile
+    "d_len_mad" -> ((s, dir) => {
+      val tl = docs(s, dir).select(tokenCount(col("text")).cast("long").as("n_tokens"))
+      val med = tl.agg(expr("percentile(n_tokens, 0.5D)").as("med"))
+      val dev = tl.crossJoin(broadcast(med))
+        .select(col("med"),
+          abs(col("n_tokens") * 1000 - floor(col("med") * 1000)).as("absdev_milli"))
+      val mad = dev.agg(expr("percentile(absdev_milli, 0.5D)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .agg(count(lit(1)).as("n_docs"),
+          floor(min(col("med")) * 1000).as("med_milli"),
+          floor(min(col("mad"))).as("mad_milli"),
+          sum(when(col("absdev_milli") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))}),
 
     // TF-IDF retrieval: rank the corpus against a fixed term query by
     // Σ tf·idf_micro (idf rounded to integer micro-nats per TERM before
@@ -1932,6 +1987,25 @@ object PipelineQueries {
             col("embedding").cast("array<double>").as("vec")))
         .orderBy("grp", "dim")),
 
+    // embedding-space data-quality report card: per label the count and
+    // the floor-micro norm envelope (min/mean/max) — the drift/zero-vector
+    // guard a vector pipeline reads before trusting an index build (a
+    // collapsed encoder shows up as a label whose norms pancake). One
+    // scan, label-sized output; norm = sqrt∘dot is IEEE-exact
+    "e_vec_stats" -> ((s, dir) => {
+      val v = embDouble(s, dir)
+      val lbl = embs(s, dir).select(col("vec_id").as("id"), col("label"))
+      v.join(lbl, "id")
+        .select(col("label"),
+          floor(lit(1000000.0) * Similarity.norm(col("vec")))
+            .cast("long").as("norm_micro"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min("norm_micro").as("min_norm_micro"),
+          max("norm_micro").as("max_norm_micro"),
+          expr("sum(norm_micro) div count(1)").as("mean_norm_micro"))
+        .orderBy("label")}),
+
     // multimodal header probe under oracle: payloads are REAL PNG/BMP/WAV
     // headers assembled arithmetically from doc_id (hex-built, unhex'd to
     // binary); probeMeta must PARSE the bytes back out, and the oracle
@@ -2457,6 +2531,24 @@ object PipelineQueries {
     "e_centroid" ->
       (Similarity.int8GroupCentroidsSql("embeddings", "label") +
         "\nORDER BY grp, dim"),
+
+    // per-label floor-micro norm envelope off the exact sqrt∘dot tree
+    "e_vec_stats" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+        |    label
+        |  FROM embeddings
+        |), nm AS (
+        |  SELECT label,
+        |    CAST(floor(1000000 * sqrt(list_dot_product(vec, vec))) AS BIGINT)
+        |      AS norm_micro
+        |  FROM c
+        |)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(norm_micro) AS min_norm_micro,
+        |  max(norm_micro) AS max_norm_micro,
+        |  CAST(sum(norm_micro) // count(*) AS BIGINT) AS mean_norm_micro
+        |FROM nm GROUP BY label ORDER BY label""".stripMargin,
 
     // streaming decode drains append-mode micro-batches of the same
     // stateless resize — the oracle is the identical m_resize closed form
@@ -3023,6 +3115,38 @@ object PipelineQueries {
       s"""${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
          |ORDER BY doc_id""".stripMargin,
 
+    // full NB replay -> per-doc margin (rn1 - rn2 under the argmax tie
+    // order) -> quartile buckets -> per-bucket accuracy
+    "d_calibration" ->
+      s"""WITH ${Classify.naiveBayesScoredCte(docsT, "doc_id", "text", "lang")},
+         |cranked AS (
+         |  SELECT doc_id, lbl, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, lbl DESC) AS rn
+         |  FROM scored
+         |), cbest AS (
+         |  SELECT doc_id, lbl AS pred, score AS s1 FROM cranked WHERE rn = 1
+         |), csecond AS (
+         |  SELECT doc_id, score AS s2 FROM cranked WHERE rn = 2
+         |), cm AS (
+         |  SELECT b.s1 - s.s2 AS margin, (b.pred = d.lang) AS correct
+         |  FROM cbest b JOIN csecond s ON s.doc_id = b.doc_id
+         |  JOIN $docsT d ON d.doc_id = b.doc_id
+         |), ccuts AS (
+         |  SELECT quantile_cont(margin, 0.25) AS c1,
+         |    quantile_cont(margin, 0.5) AS c2,
+         |    quantile_cont(margin, 0.75) AS c3 FROM cm
+         |), cbk AS (
+         |  SELECT CASE WHEN margin <= c1 THEN 1 WHEN margin <= c2 THEN 2
+         |              WHEN margin <= c3 THEN 3 ELSE 4 END AS bucket, correct
+         |  FROM cm, ccuts
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST((1000 * sum(CASE WHEN correct THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS acc_milli
+         |FROM cbk GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "d_nb_eval" ->
       s"""WITH nb AS (
          |${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
@@ -3320,6 +3444,27 @@ object PipelineQueries {
     "d_chunk" ->
       s"""${Chunking.tokenChunksSql(docsT, "doc_id", "text", 32, 24)}
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // median/MAD robust fence: exact interpolated quantiles both engines,
+    // all comparisons on milli integers, 3.0*mad one IEEE multiply
+    "d_len_mad" ->
+      s"""WITH tl AS (
+         |  SELECT CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens FROM $docsT
+         |), lmed AS (
+         |  SELECT quantile_cont(n_tokens, 0.5) AS med FROM tl
+         |), ldev AS (
+         |  SELECT med,
+         |    abs(1000 * n_tokens - CAST(floor(med * 1000) AS BIGINT)) AS absdev_milli
+         |  FROM tl, lmed
+         |), lmad AS (
+         |  SELECT quantile_cont(absdev_milli, 0.5) AS mad FROM ldev
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(floor(min(ldev.med) * 1000) AS BIGINT) AS med_milli,
+         |  CAST(floor(min(lmad.mad)) AS BIGINT) AS mad_milli,
+         |  CAST(sum(CASE WHEN absdev_milli > 3.0 * lmad.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM ldev, lmad""".stripMargin,
 
     "d_len_hist" ->
       s"""WITH t AS (

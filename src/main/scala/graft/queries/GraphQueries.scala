@@ -110,6 +110,19 @@ object GraphQueries {
     // §2 #16 — in_degree
     "g_in_degrees" -> ((s, dir) => g(s, dir).inDegrees.orderBy("key")),
 
+    // hub-skew-safe neighbor collection DRIVER-GATED (was spec-only):
+    // the two-stage salted collect for the reference's
+    // one_node_many_neighbors hub shape, checked content-exact on the
+    // top-20 hubs — degree plus an order-free-safe hash of the SORTED
+    // adjacency list, so a salt-stage bug that drops or duplicates a
+    // neighbor flips the hash
+    "g_salted_hubs" -> ((s, dir) =>
+      graft.ops.GraphOps.saltedNeighborLists(g(s, dir), salts = 16)
+        .select(col("key"), size(col("neighbors")).as("degree"),
+          graft.functions.TextFunctions.hash32(
+            array_join(col("neighbors"), ",")).as("list_hash"))
+        .orderBy(col("degree").desc, col("key")).limit(20)),
+
     // §2 #15/#16 point form
     "g_degree_point" -> ((s, dir) => {
       val gr = g(s, dir)
@@ -266,6 +279,14 @@ object GraphQueries {
     "g_in_degrees" ->
       s"""$cte SELECT dst AS key, count(*) AS in_degree FROM e
          |GROUP BY dst ORDER BY key""".stripMargin,
+
+    "g_salted_hubs" ->
+      s"""$cte SELECT key, degree, ${graft.functions.TextFunctions.hash32Sql("lst")} AS list_hash
+         |FROM (
+         |  SELECT src AS key, CAST(count(*) AS INT) AS degree,
+         |    string_agg(dst, ',' ORDER BY dst) AS lst
+         |  FROM e GROUP BY src)
+         |ORDER BY degree DESC, key LIMIT 20""".stripMargin,
 
     "g_degree_point" ->
       s"""$cte SELECT (SELECT count(*) FROM e WHERE src = 'S1') AS s1_out,

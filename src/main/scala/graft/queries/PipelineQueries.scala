@@ -323,17 +323,18 @@ object PipelineQueries {
           expr("(1000 * dcg_micro) div idcg_micro").as("ndcg_milli"))}),
 
     // the export sinks DRIVER-GATED end to end: write the corpus through
-    // BOTH production layouts (range-ordered gzip JSONL shards and the
-    // Hive-partitioned parquet tree), read each back, and emit the
-    // per-source profile of both round-trips side by side — the oracle
-    // is the direct profile, so a hash match proves read(write(x)) == x
-    // row-for-row through each sink (the sinks were previously spec-only)
+    // THREE production layouts (range-ordered gzip JSONL shards, the
+    // Hive-partitioned parquet tree, and range-ordered ORC shards), read
+    // each back, and emit the per-source profile of the round-trips side
+    // by side — the oracle is the direct profile, so a hash match proves
+    // read(write(x)) == x row-for-row through each sink
     "d_export_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       val tmp = scratchDir("export_rt", dir)
       graft.sources.Export.jsonlShards(d, "doc_id", s"$tmp/jsonl", 100)
       graft.sources.Export.partitionedParquet(d, "source", "doc_id",
         s"$tmp/parq", 100)
+      graft.sources.Export.orcShards(d, "doc_id", s"$tmp/orc", 100)
       def profile(df: DataFrame, nCol: String, tokCol: String) =
         df.groupBy("source").agg(count(lit(1)).as(nCol),
           sum(tokenCount(col("text"))).as(tokCol))
@@ -342,7 +343,10 @@ object PipelineQueries {
       val viaParq = profile(
         graft.sources.Export.readPartitionedParquet(s, s"$tmp/parq"),
         "n_parq", "tok_parq")
-      viaJsonl.join(viaParq, "source").orderBy("source")}),
+      val viaOrc = profile(
+        graft.sources.Export.readOrc(s, s"$tmp/orc"), "n_orc", "tok_orc")
+      viaJsonl.join(viaParq, "source").join(viaOrc, "source")
+        .orderBy("source")}),
 
     // CSV round-trip through the RFC-4180 sink: write → schema-supplied
     // read → per-source profile with an ORDER-FREE exact content
@@ -748,16 +752,24 @@ object PipelineQueries {
     // shape; at scale the shortlist comes from any ANN index and the
     // label filter rides the candidate join
     "e_hard_negatives" -> ((s, dir) => {
-      val corpus = embDouble(s, dir)
-      val queriesDf = corpus.filter(col("id") < 5)
-      val lbl = embs(s, dir).select(col("vec_id"), col("label"))
+      // labels ride the SAME scan as the vectors (no post-scoring label
+      // join), and the cross-label filter runs BEFORE any distance math —
+      // same-label pairs never pay the dot product
+      val withLbl = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"), col("label"))
+      val q = broadcast(withLbl.filter(col("id") < 5)
+        .select(col("id").as("query_id"), col("vec").as("qv"),
+          Similarity.norm(col("vec")).as("qn"), col("label").as("q_label")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_micro").desc, col("vec_id"))
-      Similarity.scoredMicro(corpus, queriesDf)
-        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
-          col("label").as("q_label"))), "query_id")
-        .join(lbl.select(col("vec_id"), col("label").as("neg_label")), "vec_id")
-        .filter(col("q_label") =!= col("neg_label"))
+      withLbl.select(col("id").as("vec_id"), col("vec"),
+          Similarity.norm(col("vec")).as("cn"), col("label").as("neg_label"))
+        .crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("neg_label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id"), col("neg_label"),
+          floor(lit(1000000.0) * (Similarity.dot(col("qv"), col("vec")) /
+            (col("qn") * col("cn")))).cast("long").as("cos_micro"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select("query_id", "vec_id", "neg_label", "cos_micro", "rank")
@@ -2823,7 +2835,9 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_jsonl,
          |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_jsonl,
          |  CAST(count(*) AS BIGINT) AS n_parq,
-         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_parq
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_parq,
+         |  CAST(count(*) AS BIGINT) AS n_orc,
+         |  CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS tok_orc
          |FROM $docsT GROUP BY source ORDER BY source""".stripMargin,
 
     "d_export_dynamic" ->

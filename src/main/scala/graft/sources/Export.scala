@@ -59,6 +59,28 @@ object Export {
     shards
   }
 
+  /** ORC shards — the other columnar interchange format (the Hive/Trino
+    * ecosystem's parquet sibling): same range-sharding contract as
+    * [[jsonlShards]]. ORC carries its own schema plus per-stride min/max
+    * stats, so readers prune like parquet; zlib is the format's
+    * interoperable default codec. */
+  def orcShards(df: DataFrame, orderCol: String, outDir: String,
+                maxRowsPerShard: Long, compression: String = "zlib"): Int = {
+    require(maxRowsPerShard > 0, "maxRowsPerShard > 0")
+    val n = df.count()
+    val shards = math.max(1, math.ceil(n.toDouble / maxRowsPerShard).toInt)
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("compression", compression)
+      .orc(outDir)
+    shards
+  }
+
+  /** Read an ORC shard directory back (schema from the files). */
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.orc(dir)
+
   /** Read a CSV shard directory back with the caller's schema (CSV
     * carries none) and the same quoting/null conventions the writer
     * used. */

@@ -88,6 +88,48 @@ object AnalyticsQueries {
               floor(col("bal") * 100).cast("long").cast("string"))))
             .as("checksum"))}),
 
+    // data-contract integrity audit — the constraint checks a warehouse
+    // runs before trusting a load: referential orphans (lineitem →
+    // orders), duplicate primary keys, and a domain rule (discount ∈
+    // [0,1]). Audited over a view with PLANTED violations (5 orphan
+    // lineitems with discount 2.0, one duplicated order key) so every
+    // branch is provably non-vacuous — the clean fixture alone would
+    // gate all-zeros, which can't tell a working audit from a no-op
+    "q_integrity" -> ((s, dir) => {
+      val planted = s.range(5).select(
+        (col("id") * -1 - 1).as("l_orderkey"), lit(2.0).as("l_discount"))
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_discount")
+        .unionByName(planted)
+      val o = Tables.orders(s, dir)
+      val okeys = o.select(col("o_orderkey"))
+        .unionByName(s.range(1).select(lit(-7L).as("o_orderkey")))
+        .unionByName(s.range(1).select(lit(-7L).as("o_orderkey")))
+      val orphans = li.join(okeys, li("l_orderkey") === okeys("o_orderkey"),
+        "left_anti")
+      val dups = okeys.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      orphans.agg(count(lit(1)).as("n_orphan_lineitems"))
+        .crossJoin(dups.agg(count(lit(1)).as("n_dup_orderkeys")))
+        .crossJoin(li.agg(
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("n_bad_discount")))}),
+
+    // grouped exact quantiles: the p25/p50/p75 account-balance envelope
+    // per market segment. Balances go through the half-up cents cast
+    // (floor(x·100 + 0.5) — IEEE-exact, unlike round's half-even split)
+    // so the interpolated quantiles run on integers, where Spark
+    // percentile == DuckDB quantile_cont exactly
+    "q_group_quantiles" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + 0.5).as("cents"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.25D)").as("p25_cents"),
+          expr("percentile(cents, 0.5D)").as("p50_cents"),
+          expr("percentile(cents, 0.75D)").as("p75_cents"))
+        .orderBy("c_mktsegment")),
+
     // correlated EXISTS / NOT EXISTS through the SQL text path — the
     // predicate-subquery rewrite (semi + anti join) Catalyst must plan;
     // customers with a big order but no urgent one
@@ -923,6 +965,37 @@ object AnalyticsQueries {
               "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")})
          |    AS BIGINT) AS checksum
          |FROM mm""".stripMargin,
+
+    "q_integrity" ->
+      """WITH planted AS (
+        |  SELECT -(i.range + 1) AS l_orderkey, 2.0 AS l_discount
+        |  FROM range(5) i
+        |), li AS (
+        |  SELECT l_orderkey, l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_discount FROM planted
+        |), okeys AS (
+        |  SELECT o_orderkey FROM orders
+        |  UNION ALL SELECT -7 UNION ALL SELECT -7
+        |)
+        |SELECT
+        |  CAST((SELECT count(*) FROM li
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM okeys))
+        |    AS BIGINT) AS n_orphan_lineitems,
+        |  CAST((SELECT count(*) FROM (
+        |        SELECT o_orderkey FROM okeys GROUP BY 1 HAVING count(*) > 1))
+        |    AS BIGINT) AS n_dup_orderkeys,
+        |  CAST((SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |                        THEN 1 ELSE 0 END) FROM li)
+        |    AS BIGINT) AS n_bad_discount""".stripMargin,
+
+    "q_group_quantiles" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(cents, 0.25) AS p25_cents,
+        |  quantile_cont(cents, 0.5) AS p50_cents,
+        |  quantile_cont(cents, 0.75) AS p75_cents
+        |FROM (SELECT c_mktsegment, floor(c_acctbal * 100 + 0.5) AS cents
+        |      FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_exists" ->
       """SELECT c_custkey, c_name FROM customer c

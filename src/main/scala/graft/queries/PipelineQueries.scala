@@ -653,6 +653,35 @@ object PipelineQueries {
         .withColumn("acc_milli", expr("(1000 * n_correct) div n"))
         .orderBy("bucket")}),
 
+    // chi-square independence test of lang × source (is the language mix
+    // uniform across sources, or does some source skew? — the stratified
+    // mixture diagnostic). Observed counts are exact integers; each
+    // cell's expected value e = (row·col)/n is ONE IEEE division of an
+    // exact i64 product, the (o−e)²/e term is a fixed IEEE tree, and
+    // every term is floor-micro'd BEFORE the order-free sum (the
+    // d_surprisal discipline). Zero cells contribute their full e — the
+    // grid cross-join is (L×S)-sized, never corpus-sized
+    "d_chi2" -> ((s, dir) => {
+      val ct = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rt = ct.groupBy("lang").agg(sum(col("o")).as("r"))
+      val st = ct.groupBy("source").agg(sum(col("o")).as("c"))
+      val nn = ct.agg(sum(col("o")).as("n"))
+      val grid = rt.crossJoin(st).crossJoin(broadcast(nn))
+        .join(ct, Seq("lang", "source"), "left")
+        .withColumn("od", coalesce(col("o"), lit(0L)).cast("double"))
+        .withColumn("e", (col("r") * col("c")).cast("double") / col("n"))
+        .withColumn("term_micro",
+          floor(lit(1000000.0) * (col("od") - col("e")) * (col("od") - col("e"))
+            / col("e")).cast("long"))
+      grid.agg(max(col("n")).as("n"),
+          countDistinct(col("lang")).as("n_lang"),
+          countDistinct(col("source")).as("n_source"),
+          sum(col("term_micro")).as("chi2_micro"))
+        .select(col("n"), col("n_lang"), col("n_source"),
+          ((col("n_lang") - 1) * (col("n_source") - 1)).as("dof"),
+          col("chi2_micro"))}),
+
     // per-source corpus profile (exact integer stats)
     "d_source_stats" -> ((s, dir) =>
       docs(s, dir).groupBy(col("source"))
@@ -3128,6 +3157,30 @@ object PipelineQueries {
     "d_nb_classifier" ->
       s"""${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
          |ORDER BY doc_id""".stripMargin,
+
+    // exact contingency counts; e and the (o-e)^2/e term are the same
+    // left-associated IEEE tree as the Spark column expression
+    "d_chi2" ->
+      s"""WITH ct AS (
+         |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+         |  FROM $docsT GROUP BY 1, 2
+         |), crt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM ct GROUP BY 1),
+         |cst AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM ct GROUP BY 1),
+         |cnn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+         |cgrid AS (
+         |  SELECT CAST(coalesce(ct.o, 0) AS DOUBLE) AS od,
+         |    CAST(crt.r * cst.c AS DOUBLE) / cnn.n AS e
+         |  FROM crt CROSS JOIN cst CROSS JOIN cnn
+         |  LEFT JOIN ct ON ct.lang = crt.lang AND ct.source = cst.source
+         |)
+         |SELECT (SELECT n FROM cnn) AS n,
+         |  CAST((SELECT count(*) FROM crt) AS BIGINT) AS n_lang,
+         |  CAST((SELECT count(*) FROM cst) AS BIGINT) AS n_source,
+         |  CAST(((SELECT count(*) FROM crt) - 1) *
+         |       ((SELECT count(*) FROM cst) - 1) AS BIGINT) AS dof,
+         |  CAST(sum(CAST(floor(1000000.0 * (od - e) * (od - e) / e) AS BIGINT))
+         |    AS BIGINT) AS chi2_micro
+         |FROM cgrid""".stripMargin,
 
     // full NB replay -> per-doc margin (rn1 - rn2 under the argmax tie
     // order) -> quartile buckets -> per-bucket accuracy

@@ -464,4 +464,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"the corpus must never shuffle for scoring:\n${plan.take(800)}")
   }
+
+  test("hard-negative mining broadcasts queries+labels and cuts k before the final shuffle") {
+    val plan = finalPlanString(
+      graft.queries.PipelineQueries.queries("e_hard_negatives")(spark, sf))
+    // the query side (with labels) rides a broadcast into the one corpus
+    // scan; no corpus-sized join shuffle anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"label attach must not shuffle the scored frame:\n${plan.take(800)}")
+    // rank<=10 pushes into WindowGroupLimit so only k rows per (query,
+    // partition) survive to the exchange
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("event transition matrix shuffles the corpus exactly once (user window)") {
+    val whole = finalPlanString(
+      graft.queries.AnalyticsQueries.queries("s_paths")(spark, sf))
+    // AdaptiveSparkPlan.toString prints final AND initial plan — count in
+    // the final section only
+    val plan = whole.split("== Initial Plan ==")(0)
+    // exchanges: user_id window, the TYPE^2 group pair (partial+final
+    // collapse to one), the from_type window and the final sort all
+    // operate AFTER the single corpus-sized user_id hash exchange; the
+    // corpus itself is scanned once
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"events must be scanned once:\n${plan.take(800)}")
+    val hashUserExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(hashUserExchanges == 1,
+      s"exactly one user_id exchange expected:\n${plan.take(1200)}")
+  }
 }

@@ -330,6 +330,19 @@ object GxQueries {
       }.reduce(_ unionByName _).orderBy("landmark")
     }),
 
+    // hop-distance histogram per landmark — the FOURTH consumer of the
+    // one shared landmark-BFS pass (closeness, diameter, bipartiteness,
+    // now the distance distribution — the effective-diameter/small-world
+    // diagnostic). Rollup is (landmarks × rounds)-sized
+    "gx_hopdist" -> ((s, dir) => {
+      val (lm, st) = sharedLmBfs(s, dir)
+      lm.indices.map { i =>
+        st.filter(col(s"d$i").isNotNull)
+          .groupBy(col(s"d$i").as("d")).agg(count(lit(1)).as("n_nodes"))
+          .select(lit(lm(i)).as("landmark"), col("d"), col("n_nodes"))
+      }.reduce(_ unionByName _).orderBy("landmark", "d")
+    }),
+
     // bounded weighted SSSP from S1 over hash-weighted union edges
     // (integer weights 1..100 derived from the shared md5 hash family, so
     // the Bellman-Ford relaxations replay exactly in the unrolled oracle)
@@ -629,6 +642,12 @@ object GxQueries {
          |  coalesce(c.n_conflicts, 0) = 0 AS bipartite_in_radius
          |FROM brch r LEFT JOIN bconf c ON c.landmark = r.landmark
          |ORDER BY r.landmark""".stripMargin,
+
+    "gx_hopdist" ->
+      s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)}
+         |SELECT landmark, CAST(d AS BIGINT) AS d,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM c4 GROUP BY landmark, d ORDER BY landmark, d""".stripMargin,
 
     "gx_wsssp" -> {
       val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"

@@ -754,6 +754,31 @@ object PipelineQueries {
           candidates = Some(sharedMinhashCands(s, dir)))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // QUALITY-KEEPING dedup survivor policy: within each near-dup
+    // cluster keep the LONGEST document (n_chars, doc_id asc tie-break)
+    // instead of the min id — the policy a production pipeline actually
+    // wants (min-id keeps whichever copy crawled first; quality-keeping
+    // keeps the least-truncated one). Same candidate graph + CC as
+    // d_dedup_pipeline; only the per-cluster argmax differs, so the two
+    // gates together pin that the survivor policy is pluggable
+    "d_dedup_best" -> ((s, dir) => {
+      val pairs = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+        .select(col("a").cast("string").as("src"),
+          col("b").cast("string").as("dst"))
+        .localCheckpoint(true)
+      val comps = graft.gx.GraphXBridge.connectedComponents(
+        graft.gx.GraphXBridge.toGraphX(
+          graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))))
+        .select(col("key").cast("long").as("doc_id"), col("component"))
+      val mem = comps.join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val victims = mem.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      docs(s, dir).join(victims, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")}),
+
     // near-dup CLUSTER SIZE histogram (the other governance view over
     // the same candidate table): how big do duplicate families get —
     // a fat tail here means template/boilerplate content the pipeline
@@ -3342,6 +3367,35 @@ object PipelineQueries {
     // replay of nearDupSurvivors: minhash candidates (est_sim >= 0.5) form
     // an undirected dup graph; recursive min-label propagation = connected
     // components; victims = nodes that are not their component's min id
+    // same CC replay, but the survivor is the per-component argmax under
+    // (n_chars DESC, doc_id): victims = every other member
+    "d_dedup_best" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM cand WHERE est_sim >= 0.5
+         |  UNION SELECT b, a FROM cand WHERE est_sim >= 0.5
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS comp FROM reach GROUP BY key
+         |), mem AS (
+         |  SELECT r.key AS doc_id, r.comp, d.n_chars
+         |  FROM rch r JOIN $docsT d ON d.doc_id = r.key
+         |), victims AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY comp
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM mem)
+         |  WHERE rn > 1
+         |)
+         |SELECT doc_id FROM $docsT
+         |WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+         |ORDER BY doc_id""".stripMargin,
+
     // same recursive-CTE component replay as d_dedup_pipeline, rolled up
     // to the size histogram (min-label per node -> component sizes)
     "d_dup_cluster_hist" ->

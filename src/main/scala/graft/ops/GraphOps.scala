@@ -143,6 +143,68 @@ object GraphOps {
       its).mkString(",\n")
   }
 
+  /** WEIGHTED fixed-point PageRank over integer edge weights — the
+    * strength-aware ranking (trade volume, co-occurrence counts, …):
+    * transition mass is weight-proportional, per-edge contribution
+    * `(r·w) div W_u` with W_u = Σ out-weights, damping as in
+    * [[fixedPointPageRank]]. The div moves inside the edge join (weights
+    * differ per edge, so there is no shared per-node quotient), which
+    * keeps every step exact i64 and the rounds replayable
+    * ([[weightedFixedPointPageRankSql]]). Same iteration shape and
+    * broadcast/shuffle regimes as the unweighted form; headroom:
+    * max_r · max_w must stay inside i64 — with scale 1e9 and w ≤ 100
+    * that holds through ~10⁷-node total mass concentrating on one hub,
+    * far beyond these fixtures (shard the scale down past that). */
+  def weightedFixedPointPageRank(edges: DataFrame, nodes: DataFrame,
+                                 iters: Int,
+                                 scale: Long = 1000000000L,
+                                 checkpointEvery: Int = 4,
+                                 broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val nodesW = CacheScope.cached(
+      nodes.select(col("key")).join(
+        edges.groupBy(col("src").as("key")).agg(sum(col("w")).as("wout")),
+        Seq("key"), "left"))
+    val small = nodesW.count() <= broadcastNodeLimit
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
+    val base = (15L * scale) / 100L
+    var r = nodesW.withColumn("r", lit(scale))
+    for (i <- 1 to iters) {
+      val st = r.filter(col("wout").isNotNull)
+        .select(col("key"), col("r"), col("wout"))
+      val inc = e.join(if (small) broadcast(st) else st, e("src") === st("key"))
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy(col("dst").as("key")).agg(sum(col("c")).as("inc"))
+      r = nodesW.join(if (small) broadcast(inc) else inc, Seq("key"), "left")
+        .select(col("key"), col("wout"),
+          (lit(base) + expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+    }
+    r.select(col("key"), col("r"))
+  }
+
+  /** DuckDB twin of [[weightedFixedPointPageRank]]: CTE fragments
+    * (wo, wr0..wrN) over `edges`(src, dst, w) and `nodes`(key); final
+    * ranks in `wr<iters>`. */
+  def weightedFixedPointPageRankSql(edges: String, nodes: String, iters: Int,
+                                    scale: Long = 1000000000L): String = {
+    val base = (15L * scale) / 100L
+    val its = (1 to iters).map { k =>
+      s"""wr$k AS (
+         |  SELECT n.key, CAST($base + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+         |  FROM $nodes n LEFT JOIN (
+         |    SELECT e.dst AS key, CAST(SUM((r.r * e.w) // wo.wout) AS BIGINT) AS inc
+         |    FROM $edges e JOIN wr${k - 1} r ON e.src = r.key
+         |    JOIN wo ON e.src = wo.key
+         |    GROUP BY e.dst) s ON n.key = s.key)""".stripMargin
+    }
+    (s"wo AS (SELECT src AS key, CAST(sum(w) AS BIGINT) AS wout FROM $edges GROUP BY src)" +:
+      s"wr0 AS (SELECT key, CAST($scale AS BIGINT) AS r FROM $nodes)" +:
+      its).mkString(",\n")
+  }
+
   /** Synchronous label propagation (community detection) with DETERMINISTIC
     * semantics, so the iterative algorithm is exactly SQL-replayable (the
     * [[labelPropagationSql]] twin unrolls the iterations):

@@ -343,6 +343,22 @@ object GxQueries {
       }.reduce(_ unionByName _).orderBy("landmark", "d")
     }),
 
+    // WEIGHTED fixed-point PageRank over the same hash-weighted edges as
+    // gx_wsssp (integer weights 1..100): transition mass proportional to
+    // edge weight, every step exact i64, the whole iteration unrolled in
+    // the oracle — the strength-aware ranking next to gx_pagerank_fp's
+    // uniform one
+    "gx_pagerank_wfp" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      val we = g.edges.select(col("src"), col("dst"))
+        .withColumn("w",
+          pmod(graft.functions.TextFunctions.hash60(
+            concat(col("src"), lit("|"), col("dst"))), lit(100L)) + 1L)
+      GraphOps.weightedFixedPointPageRank(we, g.nodes.select(col("key")),
+          iters = 4)
+        .select(col("key"), col("r").as("rank_wfp"))
+        .orderBy("key")}),
+
     // bounded weighted SSSP from S1 over hash-weighted union edges
     // (integer weights 1..100 derived from the shared md5 hash family, so
     // the Bellman-Ford relaxations replay exactly in the unrolled oracle)
@@ -655,6 +671,14 @@ object GxQueries {
          |  SELECT src, dst, CAST($w AS BIGINT) AS w FROM ue
          |), ${GraphOps.weightedSsspSql("we", "un", "S1", 4)}
          |SELECT key, d FROM d4 WHERE d IS NOT NULL ORDER BY key""".stripMargin
+    },
+
+    "gx_pagerank_wfp" -> {
+      val w = s"${graft.functions.TextFunctions.hash60Sql("src || '|' || dst")} % 100 + 1"
+      s"""$cte, we AS (
+         |  SELECT src, dst, CAST($w AS BIGINT) AS w FROM ue
+         |), ${GraphOps.weightedFixedPointPageRankSql("we", "un", 4)}
+         |SELECT key, r AS rank_wfp FROM wr4 ORDER BY key""".stripMargin
     },
 
     "gx_hits" ->

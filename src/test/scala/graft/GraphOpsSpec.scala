@@ -292,6 +292,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(kg, k = 3, rounds = 3).count() == 0)
   }
 
+  test("weightedFixedPointPageRank distributes mass weight-proportionally (exact hand check)") {
+    // a sends 1:3 to b:c, b and c return everything to a (w irrelevant
+    // on a single out-edge). One iteration from r0 = 1e9 has a closed
+    // form: inc(b) = (1e9*1) div 4, inc(c) = (1e9*3) div 4, inc(a) = 2e9;
+    // r1 = 15e7 + (85*inc) div 100.
+    val edges = Seq(("a", "b", 1L), ("a", "c", 3L),
+      ("b", "a", 2L), ("c", "a", 2L)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("key")
+    val r1 = GraphOps.weightedFixedPointPageRank(edges, nodes, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map(
+      "a" -> (150000000L + 85L * 2000000000L / 100L),
+      "b" -> (150000000L + 85L * 250000000L / 100L),
+      "c" -> (150000000L + 85L * 750000000L / 100L)))
+    // c's incoming mass is exactly 3x b's — the weight proportionality
+    assert((r1("c") - 150000000L) == 3L * (r1("b") - 150000000L))
+  }
+
   test("fixedPointPageRank conserves order with GraphX static PageRank") {
     val edges = Seq(("a", "b", 0), ("b", "c", 0), ("c", "a", 0),
       ("d", "a", 0), ("e", "a", 0), ("a", "c", 0)).toDF("src", "dst", "etype")

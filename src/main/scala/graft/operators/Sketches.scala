@@ -344,6 +344,39 @@ object Sketches {
         floor(lit(HllAlpha) * lit(4096.0) * lit(36028797018963968.0) /
           col("s_pow").cast("double")).cast("long").as("est"))
 
+  /** Per-group [[hllRegisters]]: one 64-register sketch per value of
+    * `groupCol` — the GROUP BY form that makes the sketch a first-class
+    * aggregation (per-source/per-day distinct counts in one pass, each
+    * group's sketch independently mergeable across shards). Absent
+    * registers are NOT materialized per group (a dense groups×64 frame
+    * would be a cross join); [[hllEstimateBy]] folds them in
+    * arithmetically instead. */
+  def hllRegistersBy(items: DataFrame, groupCol: String,
+                     itemCol: String): DataFrame =
+    items.select(col(groupCol).as("grp"), hash60(col(itemCol)).as("h"))
+      .select(col("grp"), pmod(col("h"), lit(64L)).cast("int").as("register"),
+        expr("h div 64").as("v"))
+      .select(col("grp"), col("register"),
+        when(col("v") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("v")))).as("rho"))
+      .groupBy("grp", "register").agg(max(col("rho")).as("rho_max"))
+
+  /** Per-group estimate off a [[hllRegistersBy]] table. Absent registers
+    * enter as rho 0 — the term 2^55 each — via the (64 − present) count,
+    * which is arithmetically identical to the dense single-sketch
+    * [[hllEstimate]] (PipelineSpec pins the equality per group). */
+  def hllEstimateBy(regs: DataFrame): DataFrame =
+    regs.groupBy("grp")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), cast(55 - rho_max as int))"))
+          .as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .select(col("grp"),
+        (col("s_present") + (lit(64L) - col("n_regs")) * lit(1L << 55))
+          .as("s_pow"))
+      .select(col("grp"), col("s_pow"),
+        floor(lit(HllAlpha) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_pow").cast("double")).cast("long").as("est"))
+
   /** Register-wise merge of two [[hllRegisters]] tables — THE operation
     * that makes the sketch worth carrying at scale: every shard keeps 64
     * rows and union-distinct-cardinality is a per-register max, never a

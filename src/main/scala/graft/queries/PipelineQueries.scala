@@ -1368,6 +1368,23 @@ object PipelineQueries {
         docs(s, dir).select(explode(tokens(col("text"))).as("token")), "token")
         .orderBy("register")),
 
+    // GROUPED deterministic HLL: one 64-register sketch PER SOURCE from
+    // a single token pass (sketch-as-aggregation — per-source/per-day
+    // distincts without a per-group rescan; each group's sketch stays
+    // shard-mergeable by the d_hll_merge max law). Gate carries the
+    // estimate, the exact distinct count and the milli error per source
+    "d_hll_by_source" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+        explode(tokens(col("text"))).as("token"))
+      val est = Sketches.hllEstimateBy(
+        Sketches.hllRegistersBy(tok, "source", "token"))
+      val exact = tok.groupBy(col("source").as("grp"))
+        .agg(countDistinct(col("token")).as("exact"))
+      est.join(exact, "grp")
+        .select(col("grp").as("source"), col("exact"), col("est"),
+          expr("(1000 * abs(est - exact)) div exact").as("err_milli"))
+        .orderBy("source")}),
+
     // CMS shard-merge identity: cell counts are additive, so sketches of
     // the even-id and odd-id shards merge (cell-wise sum) into EXACTLY
     // the full-corpus sketch. The output carries the shard cells, the
@@ -2773,6 +2790,39 @@ object PipelineQueries {
          |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
          |), ${Sketches.hllRegistersSql("hitems")}
          |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin,
+
+    // grouped registers + the absent-registers-as-2^55 estimate fold,
+    // the same float tree as hllEstimateSql, per source
+    "d_hll_by_source" ->
+      s"""WITH gtok AS (
+         |  SELECT source, unnest(${tokensSql("text")}) AS item FROM $docsT
+         |), gpre AS (
+         |  SELECT source, CAST(h % 64 AS INT) AS register, h // 64 AS v FROM (
+         |    SELECT source, ${graft.functions.TextFunctions.hash60Sql("item")} AS h
+         |    FROM gtok)
+         |), gregs AS (
+         |  SELECT source, register,
+         |    max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS rho_max
+         |  FROM gpre GROUP BY source, register
+         |), gsp AS (
+         |  SELECT source,
+         |    CAST(sum(1::BIGINT << (55 - rho_max))
+         |      + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_pow
+         |  FROM gregs GROUP BY source
+         |), gest AS (
+         |  SELECT source,
+         |    CAST(floor(CAST(${Sketches.HllAlpha} AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |        * CAST(36028797018963968.0 AS DOUBLE)
+         |      / CAST(s_pow AS DOUBLE)) AS BIGINT) AS est
+         |  FROM gsp
+         |), gex AS (
+         |  SELECT source, CAST(count(DISTINCT item) AS BIGINT) AS exact
+         |  FROM gtok GROUP BY source
+         |)
+         |SELECT gex.source, gex.exact, gest.est,
+         |  CAST((1000 * abs(gest.est - gex.exact)) // gex.exact AS BIGINT) AS err_milli
+         |FROM gex JOIN gest ON gest.source = gex.source
+         |ORDER BY gex.source""".stripMargin,
 
     "d_cms_merge" ->
       s"""WITH ce_items AS (

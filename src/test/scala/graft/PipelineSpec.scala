@@ -1350,6 +1350,22 @@ class PipelineSpec extends SparkSpec {
       s"estimate $est too far from the 1200 true distinct")
   }
 
+  test("grouped HLL equals the dense single-sketch estimate per group") {
+    val tok = docs.select($"source",
+      explode(TextFunctions.tokens($"text")).as("token"))
+    val grouped = Sketches.hllEstimateBy(
+        Sketches.hllRegistersBy(tok, "source", "token"))
+      .select($"grp", $"est").as[(String, Long)].collect().toMap
+    // the grouped arithmetic (absent registers folded in as 2^55 terms)
+    // must equal the dense 64-row sketch built for that group alone
+    for (src <- Seq("src0", "src7", "src19")) {
+      val dense = Sketches.hllEstimate(Sketches.hllRegisters(
+          tok.filter($"source" === src).select($"token".as("item")), "item"))
+        .select("est").as[Long].head()
+      assert(grouped(src) == dense, s"$src: ${grouped(src)} != $dense")
+    }
+  }
+
   test("BPE per-group compression ratios are consistent with the state") {
     import graft.operators.Collocations
     val (_, state) = Collocations.mergeRoundsWithState(docs, "doc_id", "text", 3)

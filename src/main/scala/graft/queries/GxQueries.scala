@@ -330,6 +330,34 @@ object GxQueries {
       }.reduce(_ unionByName _).orderBy("landmark")
     }),
 
+    // global clustering coefficient (transitivity): 3·triangles /
+    // wedges over the canonical undirected view — the one-row "how
+    // clustered is this graph" companion to the per-node gx_clustering.
+    // Triangle count is the same x<y<z two-join as the gx_triangles
+    // oracle; wedges = Σ d(d−1)/2 over undirected degrees; the ratio is
+    // one integer division in milli
+    "gx_transitivity" -> ((s, dir) => {
+      val e = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select(col("src"), col("dst"))
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+        .localCheckpoint(true)
+      val a = und.select(col("u").as("x"), col("v").as("y"))
+      val b = und.select(col("u").as("y2"), col("v").as("z"))
+      val c = und.select(col("u").as("x3"), col("v").as("z3"))
+      val tri = a.join(b, col("y") === col("y2"))
+        .join(c, col("x") === col("x3") && col("z") === col("z3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("(3000 * n_triangles) div n_wedges").as("transitivity_milli"))
+    }),
+
     // hop-distance histogram per landmark — the FOURTH consumer of the
     // one shared landmark-BFS pass (closeness, diameter, bipartiteness,
     // now the distance distribution — the effective-diameter/small-world
@@ -658,6 +686,24 @@ object GxQueries {
          |  coalesce(c.n_conflicts, 0) = 0 AS bipartite_in_radius
          |FROM brch r LEFT JOIN bconf c ON c.landmark = r.landmark
          |ORDER BY r.landmark""".stripMargin,
+
+    "gx_transitivity" ->
+      s"""$cte, tund AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), ttri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM tund a JOIN tund b ON b.u = a.v
+         |  JOIN tund c ON c.u = a.u AND c.v = b.v
+         |), twdg AS (
+         |  SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM (
+         |    SELECT n, count(*) AS d FROM (
+         |      SELECT u AS n FROM tund UNION ALL SELECT v FROM tund)
+         |    GROUP BY n)
+         |)
+         |SELECT n_triangles, n_wedges,
+         |  CAST((3000 * n_triangles) // n_wedges AS BIGINT) AS transitivity_milli
+         |FROM ttri, twdg""".stripMargin,
 
     "gx_hopdist" ->
       s"""$cte, ${GraphOps.landmarkClosenessSql("ue", "un", 4, 4)}

@@ -1680,6 +1680,32 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // IVF nprobe tuning curve — the IVF counterpart of d_lsh_tune's
+    // S-curve: recall@10 per query at nprobe ∈ {1,2,4,8} over the SAME
+    // shared trainless index (cells+assignment built once). The curve is
+    // what sizes nprobe before paying for a production index: recall
+    // must rise monotonically with probes, and where it plateaus is the
+    // operating point
+    "e_ivf_probe_sweep" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val queriesDf = corpus.filter(col("id") < 5)
+      val cells = sharedIvfCells(s, dir)
+      val assigned = sharedIvfAssign(s, dir)
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = Similarity.ivfSampledTopK(corpus, queriesDf, 10,
+            nprobe = np, prebuiltCells = Some(cells),
+            prebuiltAssigned = Some(assigned))
+          .select(col("query_id"), col("vec_id"))
+        val nv = approx.groupBy("query_id").agg(count(lit(1)).as("n_ivf"))
+        val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        nv.join(nh, Seq("query_id"), "left")
+          .select(lit(np).as("nprobe"), col("query_id"), col("n_ivf"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      }.reduce(_ unionByName _).orderBy("nprobe", "query_id")}),
+
     // SQ8 search: top-10 over the DEQUANTIZED int8 reconstructions (the
     // scalar-quantizer search mode — 1 byte/dim corpus + dims-row stats,
     // floats rebuilt on the fly, ranking hash-exact end to end), graded
@@ -4173,6 +4199,60 @@ object PipelineQueries {
         |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits
         |FROM ne JOIN nv USING (query_id) LEFT JOIN nh USING (query_id)
         |ORDER BY ne.query_id""".stripMargin,
+
+    // same cells/assign replay, probe ranking kept to rn <= 8 and the
+    // four nprobe settings unnested against it
+    "e_ivf_probe_sweep" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+        |    vec AS centroid
+        |  FROM (
+        |    SELECT id, vec,
+        |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+        |    FROM c ORDER BY hc, id LIMIT 16)
+        |), assign AS (
+        |  SELECT id, cell FROM (
+        |    SELECT c.id, cells.cell, row_number() OVER (PARTITION BY c.id
+        |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c, cells) WHERE rn = 1
+        |), pr AS (
+        |  SELECT query_id, cell, rn FROM (
+        |    SELECT q.id AS query_id, cells.cell, row_number() OVER (PARTITION BY q.id
+        |      ORDER BY round(list_cosine_similarity(q.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+        |    FROM c q, cells WHERE q.id < 5) WHERE rn <= 8
+        |), nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INT) AS nprobe),
+        |cand AS (
+        |  SELECT DISTINCT nps.nprobe, p.query_id, a.id AS vec_id
+        |  FROM nps, pr p, assign a
+        |  WHERE p.rn <= nps.nprobe AND a.cell = p.cell AND a.id <> p.query_id
+        |), ivf AS (
+        |  SELECT nprobe, query_id, vec_id FROM (
+        |    SELECT cand.nprobe, cand.query_id, cand.vec_id,
+        |      row_number() OVER (PARTITION BY cand.nprobe, cand.query_id
+        |        ORDER BY round(list_cosine_similarity(qv.vec, cv.vec), 4) DESC, cand.vec_id) AS rnk
+        |    FROM cand JOIN c qv ON qv.id = cand.query_id JOIN c cv ON cv.id = cand.vec_id)
+        |  WHERE rnk <= 10
+        |), exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+        |  WHERE rnk <= 10
+        |), nv AS (
+        |  SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_ivf
+        |  FROM ivf GROUP BY 1, 2
+        |), nh AS (
+        |  SELECT i.nprobe, i.query_id, count(*) AS n_hits
+        |  FROM ivf i JOIN exact e ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT nv.nprobe, nv.query_id, nv.n_ivf,
+        |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM nv LEFT JOIN nh ON nh.nprobe = nv.nprobe AND nh.query_id = nv.query_id
+        |ORDER BY nv.nprobe, nv.query_id""".stripMargin,
 
     // full PQ-ADC replay: hash-sampled codebooks, floor-micro argmax
     // codes, M×K query tables, integer ADC sums — then recall vs exact

@@ -330,6 +330,48 @@ object GxQueries {
       }.reduce(_ unionByName _).orderBy("landmark")
     }),
 
+    // rich-club connectivity: do the hubs talk to each other? At three
+    // DATA-ADAPTIVE degree cuts (p50/p75/p90 — percentile==quantile_cont
+    // exactly), the fraction of possible hub-hub edges that exist, in
+    // milli. φ rising toward the top percentiles = an elite core; the
+    // cut frame is 3 broadcast rows, edges carry their endpoint degrees
+    // once
+    "gx_rich_club" -> ((s, dir) => {
+      val e = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select(col("src"), col("dst"))
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("u").as("n"))
+        .unionByName(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val cuts = deg.agg(expr("percentile(d, 0.5D)").as("c50"),
+        expr("percentile(d, 0.75D)").as("c75"),
+        expr("percentile(d, 0.9D)").as("c90"))
+      val cutRows = cuts.select(explode(array(
+        struct(lit(500L).as("pct_milli"), col("c50").as("cut")),
+        struct(lit(750L).as("pct_milli"), col("c75").as("cut")),
+        struct(lit(900L).as("pct_milli"), col("c90").as("cut")))).as("t"))
+        .select("t.*")
+      val nR = deg.crossJoin(broadcast(cutRows))
+        .filter(col("d") > col("cut"))
+        .groupBy("pct_milli").agg(count(lit(1)).as("n_rich"))
+      val undD = und
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      val ein = undD.crossJoin(broadcast(cutRows))
+        .filter(col("du") > col("cut") && col("dv") > col("cut"))
+        .groupBy("pct_milli").agg(count(lit(1)).as("n_edges_within"))
+      nR.join(ein, Seq("pct_milli"), "left")
+        .select(col("pct_milli"), col("n_rich"),
+          coalesce(col("n_edges_within"), lit(0L)).as("n_edges_within"),
+          expr("""(1000 * coalesce(n_edges_within, CAST(0 AS BIGINT)))
+                  div nullif((n_rich * (n_rich - 1)) div 2, 0)""")
+            .as("phi_milli"))
+        .orderBy("pct_milli")
+    }),
+
     // global clustering coefficient (transitivity): 3·triangles /
     // wedges over the canonical undirected view — the one-row "how
     // clustered is this graph" companion to the per-node gx_clustering.
@@ -686,6 +728,36 @@ object GxQueries {
          |  coalesce(c.n_conflicts, 0) = 0 AS bipartite_in_radius
          |FROM brch r LEFT JOIN bconf c ON c.landmark = r.landmark
          |ORDER BY r.landmark""".stripMargin,
+
+    "gx_rich_club" ->
+      s"""$cte, rund AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), rdeg AS (
+         |  SELECT n, count(*) AS d FROM (
+         |    SELECT u AS n FROM rund UNION ALL SELECT v FROM rund)
+         |  GROUP BY n
+         |), rcuts AS (
+         |  SELECT CAST(500 AS BIGINT) AS pct_milli, quantile_cont(d, 0.5) AS cut FROM rdeg
+         |  UNION ALL
+         |  SELECT 750, quantile_cont(d, 0.75) FROM rdeg
+         |  UNION ALL
+         |  SELECT 900, quantile_cont(d, 0.9) FROM rdeg
+         |), rrich AS (
+         |  SELECT c.pct_milli, CAST(count(*) AS BIGINT) AS n_rich
+         |  FROM rdeg d, rcuts c WHERE d.d > c.cut GROUP BY 1
+         |), rein AS (
+         |  SELECT c.pct_milli, CAST(count(*) AS BIGINT) AS n_edges_within
+         |  FROM rund e
+         |  JOIN rdeg du ON du.n = e.u JOIN rdeg dv ON dv.n = e.v, rcuts c
+         |  WHERE du.d > c.cut AND dv.d > c.cut GROUP BY 1
+         |)
+         |SELECT r.pct_milli, r.n_rich,
+         |  CAST(coalesce(e.n_edges_within, 0) AS BIGINT) AS n_edges_within,
+         |  CAST((1000 * coalesce(e.n_edges_within, 0))
+         |    // nullif((r.n_rich * (r.n_rich - 1)) // 2, 0) AS BIGINT) AS phi_milli
+         |FROM rrich r LEFT JOIN rein e ON e.pct_milli = r.pct_milli
+         |ORDER BY r.pct_milli""".stripMargin,
 
     "gx_transitivity" ->
       s"""$cte, tund AS (

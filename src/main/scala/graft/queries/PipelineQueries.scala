@@ -1706,6 +1706,28 @@ object PipelineQueries {
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }.reduce(_ unionByName _).orderBy("nprobe", "query_id")}),
 
+    // cluster purity vs ground-truth labels — the external-validation
+    // grade of the kNN clustering (THIRD consumer of the shared cluster
+    // build): per cluster the member count, majority embedding label
+    // (count DESC, label tie-break) and milli purity. Low purity means
+    // the ANN edges cross label boundaries and the clustering is not
+    // capturing the label structure
+    "e_cluster_purity" -> ((s, dir) => {
+      val m = sharedKnnClusters(s, dir).select(col("id"), col("cluster"))
+        .join(embs(s, dir).select(col("vec_id").as("id"), col("label")), "id")
+      val pc = m.groupBy("cluster", "label").agg(count(lit(1)).as("n_lbl"))
+      val pt = m.groupBy("cluster").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_lbl").desc, col("label"))
+      val maj = pc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("label").as("maj_label"),
+          col("n_lbl").as("maj_n"))
+      pt.join(maj, "cluster")
+        .select(col("cluster"), col("n"), col("maj_label"), col("maj_n"),
+          expr("(1000 * maj_n) div n").as("purity_milli"))
+        .orderBy("cluster")}),
+
     // SQ8 search: top-10 over the DEQUANTIZED int8 reconstructions (the
     // scalar-quantizer search mode — 1 byte/dim corpus + dims-row stats,
     // floats rebuilt on the fly, ranking hash-exact end to end), graded
@@ -4772,6 +4794,28 @@ object PipelineQueries {
       s"""$knnClusterCte
          |SELECT r.key AS id, r.cluster, s.cluster_size
          |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // purity replay: the shared clustering CTEs + label join + majority
+    // pick under the same (count DESC, label) order
+    "e_cluster_purity" ->
+      s"""$knnClusterCte,
+         |pm AS (
+         |  SELECT CAST(r.key AS BIGINT) AS id, r.cluster, e.label
+         |  FROM rch r JOIN embeddings e ON e.vec_id = CAST(r.key AS BIGINT)
+         |), pc AS (
+         |  SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_lbl
+         |  FROM pm GROUP BY 1, 2
+         |), pt AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM pm GROUP BY 1
+         |), pmaj AS (
+         |  SELECT cluster, label AS maj_label, n_lbl AS maj_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_lbl DESC, label) AS rn FROM pc)
+         |  WHERE rn = 1
+         |)
+         |SELECT t.cluster, t.n, m.maj_label, m.maj_n,
+         |  CAST((1000 * m.maj_n) // t.n AS BIGINT) AS purity_milli
+         |FROM pt t JOIN pmaj m USING (cluster) ORDER BY t.cluster""".stripMargin,
 
     // cluster-labeling replay: the shared clustering CTEs + member token
     // explode, stopword filter, per-cluster (count DESC, token) top-3

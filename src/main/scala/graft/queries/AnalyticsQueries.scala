@@ -537,6 +537,27 @@ object AnalyticsQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // inter-event gap envelope per event type — the arrival-cadence
+    // diagnostic (session gap sizing, bot detection): per-user lag gaps
+    // in exact integer MICROS (unix_micros == epoch_us), then count /
+    // engine-exact p50/p90 quantiles / max per the LATER event's type.
+    // Same single user_id window shuffle as s_paths
+    "s_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_us, 0.5D)").as("p50_gap_us"),
+          expr("percentile(gap_us, 0.9D)").as("p90_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("event_type")
+    }),
+
     // Q18-shaped large-volume orders: per-order quantity rollup, a
     // DATA-ADAPTIVE p99 volume cut (Spark percentile == DuckDB
     // quantile_cont exactly; a fixed literal would go vacuous or
@@ -1263,6 +1284,22 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
         |FROM bi ORDER BY from_type, to_type""".stripMargin,
+
+    "s_gaps" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS p50_gap_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM seq WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_bigorders" ->
       """WITH sums AS (

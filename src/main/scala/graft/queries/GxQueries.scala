@@ -330,6 +330,25 @@ object GxQueries {
       }.reduce(_ unionByName _).orderBy("landmark")
     }),
 
+    // power-of-2 degree histogram, in/out split — the scale-free-or-not
+    // shape check (straight log-log decay = heavy tail) and the skew
+    // budget every hub-sensitive operator reads first. log2 is exact at
+    // integer inputs (the d_len_hist discipline)
+    "gx_degree_hist" -> ((s, dir) => {
+      val e = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select(col("src"), col("dst"))
+      def hist(c: String, dirName: String) =
+        e.groupBy(col(c).as("n")).agg(count(lit(1)).as("d"))
+          .withColumn("bucket", floor(log2(col("d"))).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+          .select(lit(dirName).as("direction"), col("bucket"),
+            col("n_nodes"), col("min_d"), col("max_d"))
+      hist("src", "out").unionByName(hist("dst", "in"))
+        .orderBy("direction", "bucket")
+    }),
+
     // rich-club connectivity: do the hubs talk to each other? At three
     // DATA-ADAPTIVE degree cuts (p50/p75/p90 — percentile==quantile_cont
     // exactly), the fraction of possible hub-hub edges that exist, in
@@ -728,6 +747,19 @@ object GxQueries {
          |  coalesce(c.n_conflicts, 0) = 0 AS bipartite_in_radius
          |FROM brch r LEFT JOIN bconf c ON c.landmark = r.landmark
          |ORDER BY r.landmark""".stripMargin,
+
+    "gx_degree_hist" ->
+      s"""$cte, ghall AS (
+         |  SELECT 'out' AS direction, CAST(floor(log2(d)) AS INT) AS bucket, d
+         |  FROM (SELECT count(*) AS d FROM ue GROUP BY src)
+         |  UNION ALL
+         |  SELECT 'in', CAST(floor(log2(d)) AS INT), d
+         |  FROM (SELECT count(*) AS d FROM ue GROUP BY dst)
+         |)
+         |SELECT direction, bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+         |FROM ghall GROUP BY direction, bucket
+         |ORDER BY direction, bucket""".stripMargin,
 
     "gx_rich_club" ->
       s"""$cte, rund AS (

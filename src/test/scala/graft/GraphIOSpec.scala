@@ -79,6 +79,32 @@ class GraphIOSpec extends SparkSpec {
     assert(counts.sum == docs.count() && counts.forall(_ <= 200))
   }
 
+  test("orc shard export round-trips byte-exact, bounds shard sizes, orders globally") {
+    import graft.sources.{Export, Tables}
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("orcsh").toString
+    val shards = Export.orcShards(docs, "doc_id", out, maxRowsPerShard = 100)
+    assert(shards == math.ceil(docs.count() / 100.0).toInt)
+    val back = Export.readOrc(spark, out)
+    val a = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val b = back.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // range sharding: shard 0 holds the globally smallest ids — the
+    // deterministic-epoch-iteration layout contract, same as JSONL
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName).toSeq
+    assert(files.size == shards)
+    val perFile = files.map(f => {
+      val ids = spark.read.orc(f.getPath).select($"doc_id").as[Long].collect()
+      (ids.length.toLong, ids.min, ids.max)
+    })
+    assert(perFile.map(_._1).sum == docs.count() && perFile.forall(_._1 <= 200))
+    perFile.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi < lo, "global order across shards")
+      case _ => ()
+    }
+  }
+
   test("partitioned parquet export prunes by directory and round-trips") {
     import graft.sources.{Export, Tables}
     val docs = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")

@@ -88,6 +88,27 @@ object AnalyticsQueries {
               floor(col("bal") * 100).cast("long").cast("string"))))
             .as("checksum"))}),
 
+    // revenue concentration: what share of total order value sits with
+    // the top-1% customers (data-adaptive p99 cut on per-customer cents
+    // totals). Dollars go through the half-up cents cast BEFORE any sum
+    // so every aggregate is exact i64 — a float revenue sum would be
+    // order-dependent in the low bits; share is one integer division
+    "q_revenue_concentration" -> ((s, dir) => {
+      val pc = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).as("cents"))
+        .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+      val cut = pc.agg(expr("percentile(cents, 0.99D)").as("cut"))
+      pc.crossJoin(broadcast(cut))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("cents") > col("cut"), 1L).otherwise(0L)).as("n_top"),
+          sum(when(col("cents") > col("cut"), col("cents")).otherwise(0L))
+            .as("top_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("n_customers"), col("n_top"), col("top_cents"),
+          col("total_cents"),
+          expr("(1000 * top_cents) div total_cents").as("share_milli"))}),
+
     // data-contract integrity audit — the constraint checks a warehouse
     // runs before trusting a load: referential orphans (lineitem →
     // orders), duplicate primary keys, and a domain rule (discount ∈
@@ -986,6 +1007,20 @@ object AnalyticsQueries {
               "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")})
          |    AS BIGINT) AS checksum
          |FROM mm""".stripMargin,
+
+    "q_revenue_concentration" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), pcut AS (SELECT quantile_cont(cents, 0.99) AS cut FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN cents > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+        |  CAST(sum(CASE WHEN cents > cut THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST((1000 * sum(CASE WHEN cents > cut THEN cents ELSE 0 END))
+        |    // sum(cents) AS BIGINT) AS share_milli
+        |FROM pc, pcut""".stripMargin,
 
     "q_integrity" ->
       """WITH planted AS (

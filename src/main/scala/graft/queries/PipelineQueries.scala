@@ -1706,6 +1706,30 @@ object PipelineQueries {
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }.reduce(_ unionByName _).orderBy("nprobe", "query_id")}),
 
+    // INCREMENTAL PQ indexing — the index-maintenance identity behind
+    // the d_dedup_incr discipline, on the ANN side: a delta batch
+    // (id%7=3) encoded against the EXISTING shared codebooks must
+    // produce byte-identical codes to the full-corpus build's rows for
+    // those ids (per-vector encode is independent given the codebooks,
+    // so appends never re-encode the corpus and never drift). The gate
+    // full-outer-joins delta-encode vs full-build and counts cells,
+    // matches and missing — the oracle is the closed form (n·M, n·M, 0)
+    "e_pq_incr" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val delta = corpus.filter(pmod(col("id"), lit(7)) === 3)
+      val deltaCodes = Similarity.pqEncode(delta,
+          sharedPqCodebooks(s, dir), Similarity.inferDim(corpus))
+        .withColumnRenamed("code", "code_delta")
+      val fullDelta = sharedPqCodes(s, dir)
+        .join(delta.select(col("id").as("vec_id")), "vec_id")
+        .withColumnRenamed("code", "code_full")
+      deltaCodes.join(fullDelta, Seq("vec_id", "m"), "full_outer")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("code_delta") === col("code_full"), 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("code_delta").isNull || col("code_full").isNull, 1L)
+            .otherwise(0L)).as("n_missing"))}),
+
     // cluster purity vs ground-truth labels — the external-validation
     // grade of the kNN clustering (THIRD consumer of the shared cluster
     // build): per cluster the member count, majority embedding label
@@ -4794,6 +4818,16 @@ object PipelineQueries {
       s"""$knnClusterCte
          |SELECT r.key AS id, r.cluster, s.cluster_size
          |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // the closed form IS the oracle: delta-encode against fixed
+    // codebooks is per-vector deterministic, so every (vector, subspace)
+    // cell must match the full build — n·M cells, n·M matches, 0 missing
+    "e_pq_incr" ->
+      s"""SELECT
+         |  CAST(count(*) * ${Similarity.PqSubspaces} AS BIGINT) AS n_cells,
+         |  CAST(count(*) * ${Similarity.PqSubspaces} AS BIGINT) AS n_match,
+         |  CAST(0 AS BIGINT) AS n_missing
+         |FROM embeddings WHERE vec_id % 7 = 3""".stripMargin,
 
     // purity replay: the shared clustering CTEs + label join + majority
     // pick under the same (count DESC, label) order

@@ -403,6 +403,51 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[videoFrames]]: one sampled frame's raw still bytes. */
+  case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Extract every `stride`-th frame's BYTES from a GVID container — the
+    * walk of [[decodeVideo]] without the pixel decode, for pipelines that
+    * route frames onward (perceptual hashing, resize, feature extract)
+    * instead of aggregating in place. Malformed containers emit nothing
+    * (whole-container reject, same semantics as decodeVideo); the walk is
+    * sequential per row and only byte-slices, so the cost is I/O-shaped
+    * regardless of stride. */
+  def videoFrames(media: DataFrame, stride: Int): Dataset[VideoFrame] = {
+    require(stride >= 1, "stride >= 1")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        val out = scala.collection.mutable.ArrayBuffer.empty[VideoFrame]
+        if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'V' ||
+          bytes(2) != 'I' || bytes(3) != 'D') Seq.empty
+        else {
+          val nf = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+          var off = 6
+          var j = 0
+          var ok = true
+          while (j < nf && ok) {
+            if (off + 4 > bytes.length) ok = false
+            else {
+              val len = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+                ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+              if (len < 0 || off + 4 + len > bytes.length) ok = false
+              else {
+                if (j % stride == 0) out += VideoFrame(id, j,
+                  java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len))
+                off += 4 + len
+                j += 1
+              }
+            }
+          }
+          if (ok) out.toSeq else Seq.empty
+        }
+      }
+  }
+
   // --------------------------------------------- perceptual image hashes
   /** Output row of [[imageHashes]]: the decoded dimensions plus the two
     * classic perceptual hashes over the blue channel. */

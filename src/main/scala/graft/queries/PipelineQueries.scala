@@ -2238,6 +2238,34 @@ object PipelineQueries {
       Multimodal.videoFrameStats(media, stride = 2).toDF()
         .orderBy("media_id")}),
 
+    // cross-VIDEO frame-level perceptual dedup: the m_video containers'
+    // sampled frames flow through videoFrames (byte extraction, no
+    // in-place aggregation) into the SAME imageHashes operator as
+    // m_phash, and dhash grouping counts duplicate frames ACROSS videos
+    // — non-vacuous by construction (video d frame j is the BMP seeded
+    // d+j, so consecutive videos share planted frames). frame_id =
+    // 16·media_id + frame_idx keys each sampled frame uniquely; the
+    // oracle recomputes both hash bit formulas from the seed arithmetic
+    "m_video_phash" -> ((s, dir) => {
+      val d = col("doc_id")
+      val nf = pmod(d, lit(4L)) + 2
+      val frames = array_join(
+        transform(sequence(lit(0L), nf - 1),
+          j => concat(
+            leHexC(lit(54L) + (pmod(d + j, lit(8L)) + 1) * 12, 4),
+            plantedBmpHex(d + j))), "")
+      val media = docs(s, dir).select(
+        d.as("media_id"),
+        unhex(concat(lit("47564944"), leHexC(nf, 2), frames)).as("content"))
+      val fr = Multimodal.videoFrames(media, 2).toDF()
+        .select((col("media_id") * 16 + col("frame_idx")).as("media_id"),
+          col("frame").as("content"))
+      Multimodal.imageHashes(fr).toDF()
+        .withColumnRenamed("media_id", "frame_id")
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("dhash"))))
+        .orderBy("frame_id")}),
+
     // REAL nearest-neighbor resize under oracle: the m_features BMPs
     // (even doc_ids) downsample at stride 2 — imageio decodes actual
     // pixels, the operator keeps every 2nd row/col, and the oracle
@@ -4761,6 +4789,38 @@ object PipelineQueries {
         |  ahash, dhash,
         |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
         |FROM hashes ORDER BY media_id""".stripMargin,
+
+    // frame seed v = doc_id + j drives the same closed-form bit replay
+    // as m_phash; fid = 16*doc_id + j keys sampled frames
+    "m_video_phash" ->
+      """WITH vf AS (
+        |  SELECT doc_id * 16 + j AS fid, doc_id + j AS d, (doc_id + j) % 8 + 1 AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_filter(generate_series(0, doc_id % 4 + 1),
+        |      j -> j % 2 = 0)) AS j
+        |    FROM documents)
+        |), vsums AS (
+        |  SELECT fid, d, h,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 4 - 1),
+        |      p -> (d + p) % 256), 'sum') AS BIGINT) AS sum_b
+        |  FROM vf
+        |), vhashes AS (
+        |  SELECT fid, h,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 4 - 1),
+        |      p -> CASE WHEN ((d + (h - 1 - (p // 4)) * 4 + (p % 4)) % 256) * (4 * h) > sum_b
+        |           THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END),
+        |      'sum') AS BIGINT) AS ahash,
+        |    CAST(list_aggregate(list_transform(generate_series(0, h * 3 - 1),
+        |      q -> CASE WHEN (d + (h - 1 - (q // 3)) * 4 + (q % 3) + 1) % 256
+        |                   > (d + (h - 1 - (q // 3)) * 4 + (q % 3)) % 256
+        |           THEN (CAST(1 AS BIGINT) << CAST(q AS INT)) ELSE 0 END),
+        |      'sum') AS BIGINT) AS dhash
+        |  FROM vsums
+        |)
+        |SELECT fid AS frame_id, CAST(4 AS INT) AS w, CAST(h AS INT) AS h,
+        |  ahash, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+        |FROM vhashes ORDER BY frame_id""".stripMargin,
 
     "m_video" ->
       """WITH vb AS (

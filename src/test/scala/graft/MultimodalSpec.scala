@@ -271,5 +271,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideo(bad, 2).isEmpty)
     val trunc = container(fr).dropRight(10)
     assert(Multimodal.decodeVideo(trunc, 2).isEmpty)
+
+    // videoFrames extracts the SAME sampled stills byte-for-byte and
+    // keeps whole-container reject semantics
+    val media = Seq((7L, container(fr)), (8L, trunc))
+      .toDF("media_id", "content")
+    val got = Multimodal.videoFrames(media, 2).collect()
+      .map(v => (v.media_id, v.frame_idx, v.frame.toSeq)).toSet
+    assert(got == Set((7L, 0, fr(0).toSeq), (7L, 2, fr(2).toSeq)),
+      "sampled frame bytes must round-trip exactly; torn container emits nothing")
+    assert(Multimodal.videoFrames(media, 1).filter($"media_id" === 7L).count() == 3)
   }
 }

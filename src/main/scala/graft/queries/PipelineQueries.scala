@@ -2356,6 +2356,28 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING video ingest: the m_video GVID walk with the docs table
+    // arriving as parquet micro-batches — stateless mapPartitions frame
+    // sampling through the SAME operator object as batch, append-mode
+    // drain (the media-ingest deployment shape for video). Oracle =
+    // the m_video closed form, shared verbatim
+    "s_stream_video" -> ((s, dir) => {
+      val d = col("doc_id")
+      val nf = pmod(d, lit(4L)) + 2
+      val frames = array_join(
+        transform(sequence(lit(0L), nf - 1),
+          j => concat(
+            leHexC(lit(54L) + (pmod(d + j, lit(8L)) + 1) * 12, 4),
+            plantedBmpHex(d + j))), "")
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(d.as("media_id"),
+          unhex(concat(lit("47564944"), leHexC(nf, 2), frames)).as("content"))
+      val st = Multimodal.videoFrameStats(stream, 2).toDF()
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_video_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("media_id")}),
+
     // STREAMING CDC upsert: a seeded parquet target (even doc_ids,
     // original payload) receives the doc stream's change feed (every
     // 3rd id, payload rewritten) through the foreachBatch MERGE sink
@@ -2476,6 +2498,34 @@ object PipelineQueries {
       |  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
       |  FROM rch GROUP BY 1
       |)""".stripMargin
+
+  /** m_video closed-form replay, shared verbatim by the batch (m_video)
+    * and streaming (s_stream_video) paths — both walk identical planted
+    * GVID containers through the same operator object. */
+  private val mVideoSql: String =
+    """WITH vb AS (
+      |  SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
+      |), vs AS (
+      |  SELECT doc_id, nf,
+      |    list_filter(generate_series(0, nf - 1), j -> j % 2 = 0) AS sj
+      |  FROM vb
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(nf AS INT) AS n_frames,
+      |  CAST(len(sj) AS INT) AS n_sampled,
+      |  CAST(list_aggregate(list_transform(sj,
+      |    j -> 4 * ((doc_id + j) % 8 + 1)), 'sum') AS BIGINT) AS px_total,
+      |  CAST(list_aggregate(list_transform(sj,
+      |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 13 % 256)), 'sum')
+      |    AS BIGINT) AS sum_r,
+      |  CAST(list_aggregate(list_transform(sj,
+      |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 7 % 256)), 'sum')
+      |    AS BIGINT) AS sum_g,
+      |  CAST(list_aggregate(list_transform(sj,
+      |    j -> list_aggregate(list_transform(
+      |      generate_series(0, 4 * ((doc_id + j) % 8 + 1) - 1),
+      |      p -> (doc_id + j + p) % 256), 'sum')), 'sum') AS BIGINT) AS sum_b
+      |FROM vs ORDER BY media_id""".stripMargin
 
   /** m_audio closed-form replay, shared verbatim by the batch (m_audio)
     * and streaming (s_stream_audio) paths — both decode the identical
@@ -4822,30 +4872,10 @@ object PipelineQueries {
         |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
         |FROM vhashes ORDER BY frame_id""".stripMargin,
 
-    "m_video" ->
-      """WITH vb AS (
-        |  SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents
-        |), vs AS (
-        |  SELECT doc_id, nf,
-        |    list_filter(generate_series(0, nf - 1), j -> j % 2 = 0) AS sj
-        |  FROM vb
-        |)
-        |SELECT doc_id AS media_id,
-        |  CAST(nf AS INT) AS n_frames,
-        |  CAST(len(sj) AS INT) AS n_sampled,
-        |  CAST(list_aggregate(list_transform(sj,
-        |    j -> 4 * ((doc_id + j) % 8 + 1)), 'sum') AS BIGINT) AS px_total,
-        |  CAST(list_aggregate(list_transform(sj,
-        |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 13 % 256)), 'sum')
-        |    AS BIGINT) AS sum_r,
-        |  CAST(list_aggregate(list_transform(sj,
-        |    j -> 4 * ((doc_id + j) % 8 + 1) * ((doc_id + j) * 7 % 256)), 'sum')
-        |    AS BIGINT) AS sum_g,
-        |  CAST(list_aggregate(list_transform(sj,
-        |    j -> list_aggregate(list_transform(
-        |      generate_series(0, 4 * ((doc_id + j) % 8 + 1) - 1),
-        |      p -> (doc_id + j + p) % 256), 'sum')), 'sum') AS BIGINT) AS sum_b
-        |FROM vs ORDER BY media_id""".stripMargin,
+    "m_video" -> mVideoSql,
+
+    // identical oracle for the streaming drain of the same GVID walk
+    "s_stream_video" -> mVideoSql,
 
     "m_frames" ->
       """WITH m AS (

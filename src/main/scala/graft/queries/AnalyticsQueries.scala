@@ -536,6 +536,30 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // conversion latency: among users who complete the view→click→
+    // purchase funnel, the view-to-purchase latency envelope in exact
+    // integer micros (count, engine-exact p50/p90, max) — the metric
+    // behind attribution-window sizing, composed from the same chained
+    // min-aggregations as s_funnel
+    "s_conversion_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("view_ts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("view_ts"))
+        .groupBy("user_id").agg(min("ts").as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("click_ts"))
+        .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+      p.join(v, "user_id")
+        .select((unix_micros(col("purchase_ts")) -
+          unix_micros(col("view_ts"))).as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lat_us, 0.5D)").as("p50_us"),
+          expr("percentile(lat_us, 0.9D)").as("p90_us"),
+          max(col("lat_us")).as("max_us"))}),
+
     // event path mining: the per-user TRANSITION MATRIX (which event type
     // follows which — the Markov view funnels are a special case of).
     // One lead window over (user_id; ts, event_id — a total order, ids
@@ -1305,6 +1329,30 @@ object AnalyticsQueries {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "s_conversion_time" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1
+        |), lat AS (
+        |  SELECT epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS lat_us
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(lat_us, 0.5) AS p50_us,
+        |  quantile_cont(lat_us, 0.9) AS p90_us,
+        |  CAST(max(lat_us) AS BIGINT) AS max_us
+        |FROM lat""".stripMargin,
 
     "s_paths" ->
       """WITH seq AS (

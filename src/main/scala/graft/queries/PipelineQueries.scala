@@ -653,6 +653,52 @@ object PipelineQueries {
         .withColumn("acc_milli", expr("(1000 * n_correct) div n"))
         .orderBy("bucket")}),
 
+    // mixed-script / homoglyph detection — the data-poisoning guard a
+    // web corpus needs (Cyrillic lookalikes inside Latin text evade
+    // string blocklists): per source the docs whose text carries BOTH
+    // Latin and Cyrillic letters. The corpus is ASCII, so Cyrillic
+    // content is PLANTED (doc_id%37=5 gets a Cyrillic word appended)
+    // to keep the detector non-vacuous; counts via length-minus-
+    // stripped arithmetic over anchored char-class regexes (replace-all
+    // in both engines: Spark regexp_replace is global, DuckDB takes 'g')
+    "d_mixed_script" -> ((s, dir) => {
+      val txt = when(pmod(col("doc_id"), lit(37)) === 5,
+        concat(col("text"), lit(" привет"))).otherwise(col("text"))
+      def nOf(pat: String) =
+        length(txt) - length(regexp_replace(txt, pat, ""))
+      docs(s, dir)
+        .select(col("source"),
+          nOf("[A-Za-z]").as("n_latin"),
+          nOf("[Ѐ-ӿ]").as("n_cyr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_cyr") > 0, 1L).otherwise(0L)).as("n_with_cyr"),
+          sum(when(col("n_latin") > 0 && col("n_cyr") > 0, 1L).otherwise(0L))
+            .as("n_mixed"),
+          sum(col("n_cyr").cast("long")).as("total_cyr_chars"))
+        .orderBy("source")}),
+
+    // blocklist filter — the wordlist stage (NSFW/spam terms) every web
+    // pipeline runs before training: docs containing ANY blocked token.
+    // The corpus is clean, so hits are PLANTED (doc_id%41∈{3,7} append a
+    // blocked token) to keep both the hit and miss branches non-vacuous;
+    // the membership test is arrays_overlap against a literal list —
+    // broadcast-sized however long a real blocklist gets
+    "d_blocklist" -> ((s, dir) => {
+      val txt = when(pmod(col("doc_id"), lit(41)) === 3,
+          concat(col("text"), lit(" fraudword")))
+        .when(pmod(col("doc_id"), lit(41)) === 7,
+          concat(col("text"), lit(" spamword spamword")))
+        .otherwise(col("text"))
+      val blocked = array(lit("fraudword"), lit("spamword"), lit("scamword"))
+      docs(s, dir)
+        .select(col("source"),
+          arrays_overlap(tokens(txt), blocked).as("hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("source")}),
+
     // chi-square independence test of lang × source (is the language mix
     // uniform across sources, or does some source skew? — the stratified
     // mixture diagnostic). Observed counts are exact integers; each
@@ -3382,6 +3428,40 @@ object PipelineQueries {
     "d_nb_classifier" ->
       s"""${Classify.naiveBayesSql(docsT, "doc_id", "text", "lang")}
          |ORDER BY doc_id""".stripMargin,
+
+    // planted Cyrillic word + replace-all char-class strips ('g' flag —
+    // DuckDB's regexp_replace is first-match-only without it)
+    "d_mixed_script" ->
+      s"""WITH ms AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 37 = 5 THEN text || ' привет' ELSE text END AS t
+         |  FROM $docsT
+         |), msc AS (
+         |  SELECT source,
+         |    length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_latin,
+         |    length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS n_cyr
+         |  FROM ms
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_cyr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_cyr,
+         |  CAST(sum(CASE WHEN n_latin > 0 AND n_cyr > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_mixed,
+         |  CAST(sum(n_cyr) AS BIGINT) AS total_cyr_chars
+         |FROM msc GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_blocklist" ->
+      s"""WITH bl AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 41 = 3 THEN text || ' fraudword'
+         |         WHEN doc_id % 41 = 7 THEN text || ' spamword spamword'
+         |         ELSE text END AS t
+         |  FROM $docsT
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN list_has_any(${tokensSql("t")},
+         |    ['fraudword', 'spamword', 'scamword']) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_blocked
+         |FROM bl GROUP BY source ORDER BY source""".stripMargin,
 
     // exact contingency counts; e and the (o-e)^2/e term are the same
     // left-associated IEEE tree as the Spark column expression

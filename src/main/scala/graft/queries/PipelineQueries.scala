@@ -1752,6 +1752,33 @@ object PipelineQueries {
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }.reduce(_ unionByName _).orderBy("nprobe", "query_id")}),
 
+    // embedding DRIFT detection: per label the L1 milli distance between
+    // the int8 centroids of the even-id and odd-id corpus halves — the
+    // "did the encoder shift between batches" monitor (here the halves
+    // are a random split, so the drift reading is the NOISE FLOOR a real
+    // monitor alarms above). One centroid pass with grp = label|half;
+    // the per-dim min/max quantization stats stay GLOBAL so both halves
+    // quantize identically
+    "e_centroid_drift" -> ((s, dir) => {
+      val c = embs(s, dir).select(col("vec_id").as("id"),
+        concat(col("label").cast("string"), lit("|"),
+          pmod(col("vec_id"), lit(2)).cast("string")).as("grp"),
+        col("embedding").cast("array<double>").as("vec"))
+      val cent = Similarity.int8GroupCentroids(c)
+        .select(split(col("grp"), "\\|").getItem(0).cast("int").as("label"),
+          split(col("grp"), "\\|").getItem(1).as("half"),
+          col("dim"), col("mean_milli"))
+      val e = cent.filter(col("half") === "0")
+        .select(col("label"), col("dim"), col("mean_milli").as("m0"))
+      val o = cent.filter(col("half") === "1")
+        .select(col("label"), col("dim"), col("mean_milli").as("m1"))
+      e.join(o, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_dims"),
+          sum(abs(col("m0") - col("m1"))).as("l1_drift_milli"),
+          max(abs(col("m0") - col("m1"))).as("max_dim_drift_milli"))
+        .orderBy("label")}),
+
     // INCREMENTAL PQ indexing — the index-maintenance identity behind
     // the d_dedup_incr discipline, on the ANN side: a delta batch
     // (id%7=3) encoded against the EXISTING shared codebooks must
@@ -2398,6 +2425,27 @@ object PipelineQueries {
         .select(col("doc_id"))
       graft.streaming.EventStreams.runToMemory(surviving,
         "s_stream_decontam_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("doc_id")}),
+
+    // STREAMING blocklist filter at ingest: the d_blocklist wordlist as
+    // a per-row stateless stream filter (append mode, no state) — the
+    // cheapest place to kill blocked content is before it lands; gate
+    // pins the surviving doc set against the batch verdict
+    "s_stream_blocklist" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      val txt = when(pmod(col("doc_id"), lit(41)) === 3,
+          concat(col("text"), lit(" fraudword")))
+        .when(pmod(col("doc_id"), lit(41)) === 7,
+          concat(col("text"), lit(" spamword spamword")))
+        .otherwise(col("text"))
+      val blocked = array(lit("fraudword"), lit("spamword"), lit("scamword"))
+      val surviving = stream
+        .filter(!arrays_overlap(tokens(txt), blocked))
+        .select(col("doc_id"))
+      graft.streaming.EventStreams.runToMemory(surviving,
+        "s_stream_blocklist_sink",
         org.apache.spark.sql.streaming.OutputMode.Append(),
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
@@ -4988,6 +5036,40 @@ object PipelineQueries {
       s"""$knnClusterCte
          |SELECT r.key AS id, r.cluster, s.cluster_size
          |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // one centroid replay with grp = label|half, split back and L1'd
+    "e_centroid_drift" -> {
+      val centSql = Similarity.int8GroupCentroidsSql("embeddings",
+        "CAST(label AS VARCHAR) || '|' || CAST(vec_id % 2 AS VARCHAR)")
+      s"""WITH dcent AS (
+         |$centSql
+         |), dsp AS (
+         |  SELECT CAST(split_part(grp, '|', 1) AS INT) AS label,
+         |    split_part(grp, '|', 2) AS half, dim, mean_milli
+         |  FROM dcent
+         |), de AS (
+         |  SELECT label, dim, mean_milli AS m0 FROM dsp WHERE half = '0'
+         |), do_ AS (
+         |  SELECT label, dim, mean_milli AS m1 FROM dsp WHERE half = '1'
+         |)
+         |SELECT de.label, CAST(count(*) AS BIGINT) AS n_dims,
+         |  CAST(sum(abs(de.m0 - do_.m1)) AS BIGINT) AS l1_drift_milli,
+         |  CAST(max(abs(de.m0 - do_.m1)) AS BIGINT) AS max_dim_drift_milli
+         |FROM de JOIN do_ ON do_.label = de.label AND do_.dim = de.dim
+         |GROUP BY de.label ORDER BY de.label""".stripMargin
+    },
+
+    // surviving set of the per-row stream filter == the batch verdict
+    "s_stream_blocklist" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 3 THEN text || ' fraudword'
+         |         WHEN doc_id % 41 = 7 THEN text || ' spamword spamword'
+         |         ELSE text END AS t
+         |  FROM $docsT)
+         |WHERE NOT list_has_any(${tokensSql("t")},
+         |  ['fraudword', 'spamword', 'scamword'])
+         |ORDER BY doc_id""".stripMargin,
 
     // the closed form IS the oracle: delta-encode against fixed
     // codebooks is per-vector deterministic, so every (vector, subspace)

@@ -1752,6 +1752,39 @@ object PipelineQueries {
             coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       }.reduce(_ unionByName _).orderBy("nprobe", "query_id")}),
 
+    // greedy k-CENTER coreset selection — the diverse-subset pass of
+    // training-data selection (pick the 8 vectors that best COVER the
+    // embedding space: each round adds the point farthest from the
+    // chosen set, farthest-first traversal = the classic 2-approximation
+    // to k-center). Distance = 1e6 − floor-micro cosine (integers all
+    // the way), seed = min id, (dmin DESC, id) total order per round —
+    // so the whole greedy trajectory replays in 8 unrolled CTEs. The
+    // per-round argmax rides to the driver (k tiny by construction, the
+    // BPE-argmax discipline); each round is one corpus×chosen scan, and
+    // at 100 TB the corpus side is a hash-sampled candidate pool
+    "e_coreset" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(embDouble(s, dir)
+        .select(col("id"), col("vec"), Similarity.norm(col("vec")).as("nrm")))
+      val seedId = corpus.agg(min(col("id"))).head.getLong(0)
+      var chosen = Seq(seedId)
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Long])](
+        (0, seedId, None))
+      for (r <- 1 to 8) {
+        val ch = broadcast(corpus.filter(col("id").isin(chosen: _*))
+          .select(col("vec").as("cv"), col("nrm").as("cn")))
+        val row = corpus.filter(!col("id").isin(chosen: _*))
+          .crossJoin(ch)
+          .select(col("id"), (lit(1000000L) -
+            floor(lit(1000000.0) * (Similarity.dot(col("vec"), col("cv")) /
+              (col("nrm") * col("cn")))).cast("long")).as("dist"))
+          .groupBy("id").agg(min(col("dist")).as("dmin"))
+          .orderBy(col("dmin").desc, col("id")).limit(1).head
+        picks += ((r, row.getLong(0), Some(row.getLong(1))))
+        chosen = chosen :+ row.getLong(0)
+      }
+      import s.implicits._
+      picks.toSeq.toDF("round", "id", "dmin_micro").orderBy("round")}),
+
     // embedding DRIFT detection: per label the L1 milli distance between
     // the int8 centroids of the even-id and odd-id corpus halves — the
     // "did the encoder shift between batches" monitor (here the halves
@@ -5036,6 +5069,40 @@ object PipelineQueries {
       s"""$knnClusterCte
          |SELECT r.key AS id, r.cluster, s.cluster_size
          |FROM rch r JOIN sz s USING (cluster) ORDER BY id""".stripMargin,
+
+    // farthest-first traversal unrolled: 8 rounds of min-distance-to-
+    // chosen + (dmin DESC, id) argmax, chosen set growing by UNION
+    "e_coreset" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""ksdm$r AS MATERIALIZED (
+           |  SELECT c.id,
+           |    CAST(min(1000000 - floor(1000000 * (list_dot_product(c.vec, ch.vec) /
+           |      (c.nrm * ch.nrm)))) AS BIGINT) AS dmin
+           |  FROM kscn c, kscn ch
+           |  WHERE ch.id IN (SELECT id FROM ksch${r - 1})
+           |    AND c.id NOT IN (SELECT id FROM ksch${r - 1})
+           |  GROUP BY c.id
+           |), kspk$r AS MATERIALIZED (
+           |  SELECT CAST($r AS INT) AS round, id, dmin
+           |  FROM ksdm$r ORDER BY dmin DESC, id LIMIT 1
+           |), ksch$r AS MATERIALIZED (
+           |  SELECT id FROM ksch${r - 1} UNION ALL SELECT id FROM kspk$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ksc AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), kscn AS MATERIALIZED (
+         |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM ksc
+         |), ksch0 AS MATERIALIZED (SELECT min(id) AS id FROM kscn),
+         |$rounds
+         |SELECT CAST(0 AS INT) AS round, (SELECT id FROM ksch0) AS id,
+         |  CAST(NULL AS BIGINT) AS dmin_micro
+         |UNION ALL
+         |${(1 to 8).map(r => s"SELECT round, id, dmin FROM kspk$r")
+            .mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin
+    },
 
     // one centroid replay with grp = label|half, split back and L1'd
     "e_centroid_drift" -> {

@@ -94,6 +94,57 @@ object Bench {
         name -> timing
       }
     val results = cacheResults ++ queryResults ++ workloadResults
+    // Outlier re-time pass: any entry whose first-pass time exceeds 3× its
+    // committed local reference cost (tools/bench_ref_costs.json, seeded
+    // from BENCH_LOCAL_r10) AND by >1s absolute is run a second time —
+    // cache:<name> entries after dropping the cache so the rebuild has
+    // first-pass semantics (dependencies stay cached, as in pass one).
+    // Both samples are reported; if the second collapses to reference-
+    // sized, the first was machine noise (GC/contention during that
+    // window), proven rather than assumed. Skipped under BENCH_ONLY
+    // (profiling runs re-run things deliberately) and when the reference
+    // file is absent. `total` stays the pass-one sum — comparable across
+    // rounds; retimes are reported separately.
+    val refCosts: Map[String, Double] =
+      try {
+        val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_ref_costs.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val cacheFns = SparkEntry.cacheBuilds.toMap
+    val queryFns = SparkEntry.queries
+    val workloadFns = BenchWorkloads.workloads
+    val retimed: Seq[(String, Double, Double)] =
+      if (only.nonEmpty || refCosts.isEmpty) Seq.empty
+      else results.collect {
+        case (name, Some(t))
+          if refCosts.get(name).exists(ref => t > 3.0 * ref && t - ref > 1.0) =>
+          (name, t)
+      }.take(40).flatMap { case (name, t1) =>
+        val rerun: Option[() => Unit] =
+          if (name.startsWith("cache:")) {
+            val short = name.stripPrefix("cache:")
+            cacheFns.get(short).map { fn => () =>
+              { SparkEntry.dropCacheEntry(short, spark, sfDir)
+                materialize(fn(spark, sfDir)) }
+            }
+          } else queryFns.get(name).map(fn => () => materialize(fn(spark, sfDir)))
+            .orElse(workloadFns.get(name).map(fn => () => fn(spark)))
+        rerun.flatMap { run =>
+          val t0 = System.nanoTime()
+          val second =
+            try { run(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH WARN retime $name: ${e.getMessage}"); None }
+            finally CacheScope.releaseAll()
+          second.map(t2 => (name, t1, t2))
+        }
+      }
+    val retimedJson = retimed.map { case (n, t1, t2) =>
+      "\"" + n + "\":[" + "%.3f".format(t1) + "," + "%.3f".format(t2) + "]"
+    }.mkString("{", ",", "}")
     def qsJson(rs: Seq[(String, Option[Double])], digits: Int): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(d => s"%.${digits}f".format(d))
@@ -104,7 +155,7 @@ object Bench {
     // The driver captures a 2000-char log tail; the full line is ~3.5 KB and
     // has overflowed it every round (BENCH_r01..r05 all have parsed:null).
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"retimed":$retimedJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     // the detail also lands in the repo cwd so the driver's round-end
     // commit captures the full per-query map (the stdout tail holds only
@@ -140,7 +191,7 @@ object Bench {
     val headlineResults = results.filter { case (k, _) =>
       headline.contains(k) || k.startsWith("cache:") }
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"retimed":$retimedJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
     println(line)
     spark.stop()
   }

@@ -35,6 +35,13 @@ object SparkEntry {
   def cacheBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
     GxQueries.sharedCacheBuilds ++ PipelineQueries.sharedCacheBuilds
 
+  /** Drop one named session-shared cache (unpersist + forget) so Bench's
+    * outlier re-time pass can rebuild it with first-pass semantics —
+    * dependencies built earlier in [[cacheBuilds]] order stay cached. */
+  def dropCacheEntry(name: String, s: SparkSession, dir: String): Boolean =
+    if (name == "gx_graphx") GxQueries.dropUnionGxCache(s, dir)
+    else graft.sources.Tables.dropDerived(name, s, dir)
+
   def oracleSql: Map[String, String] =
     GraphQueries.oracles ++ AnalyticsQueries.oracles ++ PipelineQueries.oracles ++
       GxQueries.oracles

@@ -30,6 +30,13 @@ object GraphXBridge {
       gx
     })
 
+  /** Drop one memoized graph (unpersist vertex+edge RDDs + forget) — used
+    * by Bench's outlier re-time pass to rebuild the cache entry cold. */
+  def dropCached(key: String): Boolean = {
+    val g = graphCache.remove(key)
+    if (g != null) { g.unpersist(blocking = true); true } else false
+  }
+
   /** Above this node count the xxhash64 id assignment switches to
     * collision-safe dense ids: birthday-bound collision probability is
     * ~n²/2⁶⁵, which crosses ~3% at 10⁹ keys — real at 100 TB scale.

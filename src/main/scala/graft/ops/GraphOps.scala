@@ -1656,17 +1656,71 @@ object GraphOps {
     * map-side-combinable support aggregation; the edge set shrinks
     * monotonically and each round checkpoints, so plans stay flat and
     * later rounds run on the pruned set. */
+  /** Undirected edges `(u, v)` re-oriented from the lower-(degree, key)
+    * endpoint, carrying the head endpoint's degree: `(a, b, db)` with
+    * (deg, key)(a) < (deg, key)(b). Every wedge is then generated at its
+    * lowest-degree corner, bounding any node's out-degree by O(√m)
+    * amortized regardless of raw degree — the standard skew-killer for
+    * triangle/truss enumeration (a u<v lexical orientation leaves a
+    * high-degree `least`-side hub generating deg² wedges: a 300-spoke
+    * hub alone is 44 850 wedge rows lexically vs 0 here, pinned by
+    * GraphOpsSpec's planted-hub wedge-count assert). */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+      when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+  }
+
+  /** Wedge pairs at each oriented low corner: `(x, y, dy, z, dz)` with
+    * (deg, key)(y) < (deg, key)(z) — the frame whose row count the
+    * planted-hub spec asserts. Split out of [[degreeOrientedTriangles]]
+    * for that observability. */
+  private[graft] def orientedWedges(e: DataFrame): DataFrame = {
+    val eo = degreeOriented(e)
+    val wa = eo.select(col("a").as("x"), col("b").as("y"), col("db").as("dy"))
+    val wb = eo.select(col("a").as("x2"), col("b").as("z"), col("db").as("dz"))
+    wa.join(wb, col("x2") === col("x") &&
+        (col("dy") < col("dz") ||
+          (col("dy") === col("dz") && col("y") < col("z"))))
+      .select(col("x"), col("y"), col("dy"), col("z"), col("dz"))
+  }
+
+  /** Triangles `(x, y, z)` in (degree, key) orientation order, one row per
+    * triangle: wedge (y, z) at corner x closed by the oriented edge
+    * y -> z (stored exactly so under the same total order). The triangle
+    * SET is identical to lexical enumeration — only the join's work
+    * distribution changes — so kTruss hashes are unchanged and the DuckDB
+    * twin (kTrussSql) keeps the simpler lexical form. Degrees come from
+    * the live edge frame (node-sized, two hash joins to attach; AQE
+    * broadcasts when small). */
+  private[graft] def degreeOrientedTriangles(e: DataFrame): DataFrame = {
+    val eo = degreeOriented(e)
+    val wc = eo.select(col("a").as("y3"), col("b").as("z3"))
+    orientedWedges(e)
+      .join(wc, col("y") === col("y3") && col("z") === col("z3"))
+      .select("x", "y", "z")
+  }
+
   def kTruss(g: KinGraph, k: Int, rounds: Int): DataFrame = {
+    // per-edge triangle support via the degree-ordered wedge enumeration
+    // above; peeled-round degrees are recomputed from the surviving set
     def support(e: DataFrame): DataFrame = {
-      val a = e.select(col("u").as("x"), col("v").as("y"))
-      val b = e.select(col("u").as("y2"), col("v").as("z"))
-      val c = e.select(col("u").as("x3"), col("v").as("z3"))
-      val tri = a.join(b, col("y") === col("y2"))
-        .join(c, col("x") === col("x3") && col("z") === col("z3"))
-        .select("x", "y", "z")
-      tri.select(col("x").as("u"), col("y").as("v"))
-        .unionByName(tri.select(col("y").as("u"), col("z").as("v")))
-        .unionByName(tri.select(col("x").as("u"), col("z").as("v")))
+      val tri = degreeOrientedTriangles(e)
+      // support back on the LEXICAL u<v edge identity the loop state uses
+      def lex(p: Column, q: Column) =
+        Seq(least(p, q).as("u"), greatest(p, q).as("v"))
+      tri.select(lex(col("x"), col("y")): _*)
+        .unionByName(tri.select(lex(col("y"), col("z")): _*))
+        .unionByName(tri.select(lex(col("x"), col("z")): _*))
         .groupBy("u", "v").agg(count(lit(1)).as("supp"))
     }
     var e = g.edges.filter(col("src") =!= col("dst"))

@@ -280,12 +280,15 @@ object GraphQueries {
       s"""$cte SELECT dst AS key, count(*) AS in_degree FROM e
          |GROUP BY dst ORDER BY key""".stripMargin,
 
+    // aggregate over DISTINCT (src, dst) to mirror the Spark side's
+    // collect_set exactly — parity then holds on any edge source, not
+    // just the (currently duplicate-free) trade edge set
     "g_salted_hubs" ->
       s"""$cte SELECT key, degree, ${graft.functions.TextFunctions.hash32Sql("lst")} AS list_hash
          |FROM (
          |  SELECT src AS key, CAST(count(*) AS INT) AS degree,
          |    string_agg(dst, ',' ORDER BY dst) AS lst
-         |  FROM e GROUP BY src)
+         |  FROM (SELECT DISTINCT src, dst FROM e) GROUP BY src)
          |ORDER BY degree DESC, key LIMIT 20""".stripMargin,
 
     "g_degree_point" ->

@@ -26,11 +26,18 @@ object PipelineQueries {
     * with a fixed recycled path each query holds at most one live copy. */
   private val scratchHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val scratchPid = ProcessHandle.current().pid()
   private def scratchDir(name: String, dir: String): String = {
+    // PID in the path: concurrent JVMs (overlapping Verify + Bench) never
+    // share — and so never wipe — each other's in-flight scratch state,
+    // and the shutdown hook only ever removes this process's dirs.
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_scratch_${name}_${Integer.toHexString(dir.hashCode)}")
+      s"graft_scratch_p${scratchPid}_${name}_${Integer.toHexString(dir.hashCode)}")
     def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      // do not descend through symlinks — delete the link itself only
+      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
     }
     rm(p.toFile)
     java.nio.file.Files.createDirectories(p)
@@ -2017,13 +2024,37 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
         .orderBy("query_id")}),
 
-    // IVF-bucketed ANN (KMeans coarse quantizer; rows-only — recall
-    // checked in ScalaTest against the brute-force baseline)
+    // KMeans-IVF recall-floor CONTRACT row (hash-green): the index's
+    // centroids are engine-private (Spark ML KMeans), so its top-k VALUES
+    // have no SQL twin — but its recall against the hash-green exact
+    // brute-force baseline is a checkable contract. meets_floor = 1 iff
+    // aggregate recall@10 across the query set reaches the spec floor
+    // (0.4, integer form 10·hits ≥ 4·exact — no float compare); the
+    // oracle replays the exact side (n_exact) and asserts the closed-form
+    // all-true frame, so a regression anywhere in the index (cell
+    // training, assignment, probe routing, rerank) turns every row red.
+    // Per-query recall stays un-pinned on purpose: per-query cell luck
+    // varies with KMeans init, and a slack-tolerant aggregate is the
+    // stable cross-run contract (the gx_pagerank_rank discipline).
     "e_ann_ivf" -> ((s, dir) => {
       val corpus = embDouble(s, dir)
       val queriesDf = corpus.filter(col("id") < 5)
-      Similarity.ivfTopK(corpus, queriesDf, 10, cacheKey = Some(s"emb|$dir"))
-        .orderBy("query_id", "rank")}),
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.ivfTopK(corpus, queriesDf, 10,
+          cacheKey = Some(s"emb|$dir"))
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      ne.join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          when(lit(10) * sum(coalesce(col("n_hits"), lit(0L))).over(wAll)
+              >= lit(4) * sum(col("n_exact")).over(wAll), lit(1))
+            .otherwise(lit(0)).as("meets_floor"))
+        .orderBy("query_id")}),
 
     // IVF recall under ORACLE: the trainless sampled-centroid IVF is
     // fully SQL-replayable (deterministic hash-sampled centroids ->
@@ -4434,6 +4465,24 @@ object PipelineQueries {
         |  CAST((1000 * coalesce(cnt.n, 0) * 16) // tot.n_total AS BIGINT) AS load_milli
         |FROM cells LEFT JOIN cnt ON cnt.cell = cells.cell, tot
         |ORDER BY cells.cell""".stripMargin,
+
+    // contract-row oracle: replay the exact baseline for n_exact; the
+    // floor boolean's truth is the contract itself (closed-form 1) —
+    // the Spark side computes it from the live KMeans index
+    "e_ann_ivf" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id
+        |        ORDER BY round(list_cosine_similarity(q.vec, c.vec), 4) DESC, c.id) AS rnk
+        |    FROM c q JOIN c ON q.id < 5 AND c.id <> q.id)
+        |  WHERE rnk <= 10
+        |)
+        |SELECT query_id, count(*) AS n_exact, 1 AS meets_floor
+        |FROM exact GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "e_ann_ivf_recall" ->
       """WITH c AS (

@@ -88,6 +88,16 @@ object Tables {
     }
   }
 
+  /** Drop one derived-cache entry (unpersist + forget) so Bench's outlier
+    * re-time pass can rebuild it cold with first-pass semantics — nested
+    * dependencies stay cached, exactly as in the original timed build.
+    * Dependents holding their own persisted copies are unaffected. */
+  private[graft] def dropDerived(name: String, spark: SparkSession, dir: String): Boolean = {
+    val key = s"$name|$dir|${System.identityHashCode(spark)}"
+    val df = derivedCache.remove(key)
+    if (df != null) { df.unpersist(blocking = true); true } else false
+  }
+
   def tradeGraph(spark: SparkSession, dir: String): KinGraph =
     KinGraph.fromEdges(cached("trade", spark, dir)(tradeEdges(spark, dir)))
 

@@ -650,5 +650,17 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(t == Set(("a","b",2L),("a","c",2L),("a","d",2L),
       ("b","c",2L),("b","d",2L),("c","d",2L)), s"got ${t.size} edges")
+    // degree-ordered orientation kills the hub's wedge quadratic at the
+    // SOURCE: spokes (degree 1) orient spoke->hub, so the 300-degree hub
+    // has out-degree 0 and contributes ZERO wedge pairs (lexically
+    // "hub" < "s*" would put all 300 spokes on the hub's out side:
+    // C(300,2) = 44 850 wedges). Total = the 4-clique's sum of
+    // C(outdeg, 2) under (deg, key) order: a:C(3,2)=3, b:C(2,2)=1 -> 4.
+    val lex = (star ++ clique).map { case (p, q) =>
+      (if (p < q) p else q, if (p < q) q else p) }
+      .distinct.toDF("u", "v")
+    assert(GraphOps.orientedWedges(lex).count() == 4L)
+    // and every wedge row sits at a clique corner, never the hub
+    assert(GraphOps.orientedWedges(lex).filter($"x" === "hub").count() == 0L)
   }
 }

@@ -1666,9 +1666,13 @@ object GraphOps {
     * hub alone is 44 850 wedge rows lexically vs 0 here, pinned by
     * GraphOpsSpec's planted-hub wedge-count assert). */
   private[graft] def degreeOriented(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("node"))
+    // the degree frame is node-sized; broadcast it so the edge set never
+    // shuffles for the attach — eo is then a MAP-ONLY view over e, free
+    // to re-scan for each of the three wedge/closing-edge roles (the
+    // identical broadcast subplan is built once and reused)
+    val deg = broadcast(e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     val withDeg = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
@@ -1676,64 +1680,82 @@ object GraphOps {
       (col("du") === col("dv") && col("u") < col("v"))
     withDeg.select(
       when(lowFirst, col("u")).otherwise(col("v")).as("a"),
-      when(lowFirst, col("v")).otherwise(col("u")).as("b"),
-      when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+      when(lowFirst, col("v")).otherwise(col("u")).as("b"))
   }
 
-  /** Wedge pairs at each oriented low corner: `(x, y, dy, z, dz)` with
-    * (deg, key)(y) < (deg, key)(z) — the frame whose row count the
-    * planted-hub spec asserts. Split out of [[degreeOrientedTriangles]]
-    * for that observability. */
-  private[graft] def orientedWedges(e: DataFrame): DataFrame = {
-    val eo = degreeOriented(e)
-    val wa = eo.select(col("a").as("x"), col("b").as("y"), col("db").as("dy"))
-    val wb = eo.select(col("a").as("x2"), col("b").as("z"), col("db").as("dz"))
-    wa.join(wb, col("x2") === col("x") &&
-        (col("dy") < col("dz") ||
-          (col("dy") === col("dz") && col("y") < col("z"))))
-      .select(col("x"), col("y"), col("dy"), col("z"), col("dz"))
+  /** Wedge rows `(x, y, z)` CENTERED at y under the (degree, key)
+    * orientation: incoming oriented edge x -> y paired with outgoing
+    * y -> z. Per-node wedge count is in(y)·out(y), and out(y) is
+    * O(√m)-bounded by the orientation, so the total is O(m^1.5)
+    * worst-case — a mixed-neighborhood hub (half its neighbors ordered
+    * below it, half above) generates deg²/4 wedges under any FIXED key
+    * order but ZERO here, because every edge at a max-degree hub points
+    * INTO it (the planted-hub spec pins this at 300 spokes). */
+  private[graft] def orientedWedges(e: DataFrame): DataFrame =
+    orientedWedgesOf(degreeOriented(e))
+
+  private def orientedWedgesOf(eo: DataFrame): DataFrame = {
+    val wa = eo.select(col("a").as("x"), col("b").as("y"))
+    val wb = eo.select(col("a").as("y2"), col("b").as("z"))
+    wa.join(wb, col("y2") === col("y")).select(col("x"), col("y"), col("z"))
   }
 
   /** Triangles `(x, y, z)` in (degree, key) orientation order, one row per
-    * triangle: wedge (y, z) at corner x closed by the oriented edge
-    * y -> z (stored exactly so under the same total order). The triangle
-    * SET is identical to lexical enumeration — only the join's work
-    * distribution changes — so kTruss hashes are unchanged and the DuckDB
-    * twin (kTrussSql) keeps the simpler lexical form. Degrees come from
-    * the live edge frame (node-sized, two hash joins to attach; AQE
-    * broadcasts when small). */
+    * triangle: the wedge x -> y -> z closed by the oriented edge x -> z
+    * (a total order orients every triangle transitively, so the closing
+    * edge is stored exactly as x -> z). The triangle SET is identical to
+    * lexical enumeration — only the join's work distribution changes —
+    * so kTruss hashes are unchanged and the DuckDB twin (kTrussSql)
+    * keeps the simpler lexical form. */
   private[graft] def degreeOrientedTriangles(e: DataFrame): DataFrame = {
-    val eo = degreeOriented(e)
-    val wc = eo.select(col("a").as("y3"), col("b").as("z3"))
-    orientedWedges(e)
-      .join(wc, col("y") === col("y3") && col("z") === col("z3"))
+    // materialize the oriented view once — it is scanned three times
+    // (both wedge roles + the closing edge); without this the degree
+    // broadcast + attach would re-run per scan
+    val eo = degreeOriented(e).localCheckpoint(true)
+    val wc = eo.select(col("a").as("x3"), col("b").as("z3"))
+    orientedWedgesOf(eo)
+      .join(wc, col("x") === col("x3") && col("z") === col("z3"))
       .select("x", "y", "z")
   }
 
   def kTruss(g: KinGraph, k: Int, rounds: Int): DataFrame = {
-    // per-edge triangle support via the degree-ordered wedge enumeration
-    // above; peeled-round degrees are recomputed from the surviving set
+    // The LOOP STATE lives in (degree, key)-oriented form (a -> b): the
+    // orientation is computed ONCE on the input graph (any fixed total
+    // order keeps triangle enumeration correct, and out-degrees of a
+    // peeled SUBSET only shrink, so the O(√m) hub bound survives every
+    // round), making each peel round exactly the old three-scan shape —
+    // no per-round degree recompute. Triangle edges come out already
+    // oriented, so support aggregates on the (a, b) identity directly;
+    // the lexical u<v identity is restored only on the final output.
     def support(e: DataFrame): DataFrame = {
-      val tri = degreeOrientedTriangles(e)
-      // support back on the LEXICAL u<v edge identity the loop state uses
-      def lex(p: Column, q: Column) =
-        Seq(least(p, q).as("u"), greatest(p, q).as("v"))
-      tri.select(lex(col("x"), col("y")): _*)
-        .unionByName(tri.select(lex(col("y"), col("z")): _*))
-        .unionByName(tri.select(lex(col("x"), col("z")): _*))
-        .groupBy("u", "v").agg(count(lit(1)).as("supp"))
+      val wa = e.select(col("a").as("x"), col("b").as("y"))
+      val wb = e.select(col("a").as("y2"), col("b").as("z"))
+      val wc = e.select(col("a").as("x3"), col("b").as("z3"))
+      val tri = wa.join(wb, col("y") === col("y2"))
+        .join(wc, col("x") === col("x3") && col("z") === col("z3"))
+        .select("x", "y", "z")
+      tri.select(col("x").as("a"), col("y").as("b"))
+        .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+        .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
     }
-    var e = g.edges.filter(col("src") =!= col("dst"))
+    // checkpoint the lexical set BEFORE orienting: degreeOriented scans
+    // its input twice (degree aggregate + attach), which would otherwise
+    // re-run the whole edge derivation + distinct shuffle
+    val lex = g.edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint(true)
+    var e = degreeOriented(lex).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      e = e.join(support(e), Seq("u", "v"), "left")
+      e = e.join(support(e), Seq("a", "b"), "left")
         .filter(coalesce(col("supp"), lit(0L)) >= k - 2)
-        .select("u", "v").localCheckpoint(true)
+        .select("a", "b").localCheckpoint(true)
     }
-    e.join(support(e), Seq("u", "v"), "left")
-      .select(col("u"), col("v"), coalesce(col("supp"), lit(0L)).as("supp"))
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"),
+        coalesce(col("supp"), lit(0L)).as("supp"))
   }
 
   /** DuckDB twin of [[kTruss]] over directed edge CTE `$edges`(src, dst):

@@ -636,31 +636,30 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("k-truss on a planted hub: star wedges peel clean (skew shape)") {
-    // a 300-spoke hub is the wedge-join skew case — the hub key alone
-    // contributes 300²/2 wedge rows in round 1's triangle enumeration
-    // (AQE skew-join splits that bucket at scale; this pins the SEMANTIC
-    // outcome on the shape). No spoke pair is connected, so every star
-    // edge has support 0 and peels in round 1, while the disjoint
-    // 4-clique rides through untouched with support 2 per edge.
-    val star = (1 to 300).map(i => "hub" -> s"s$i")
-    val clique = Seq("a"->"b","a"->"c","a"->"d","b"->"c","b"->"d","c"->"d")
+    // a 300-spoke hub with MIXED-lexical spokes (half sort below "hub",
+    // half above) is the wedge-join skew case: a lexical u<v orientation
+    // centers 150·150 = 22 500 wedge rows on the hub key in round 1's
+    // triangle enumeration. The degree-ordered orientation generates
+    // ZERO — every edge at a max-degree node points INTO it, so
+    // in·out = 300·0 (asserted below). No spoke pair is connected, so
+    // every star edge has support 0 and peels in round 1, while the
+    // disjoint 4-clique rides through untouched with support 2 per edge.
+    val star = (1 to 150).map(i => s"a$i" -> "hub") ++
+      (1 to 150).map(i => "hub" -> s"z$i")
+    val clique = Seq("b"->"c","b"->"d","b"->"e","c"->"d","c"->"e","d"->"e")
     val g = KinGraph.fromEdges(
       (star ++ clique).map(e => (e._1, e._2, 0)).toDF("src", "dst", "etype"))
     val t = GraphOps.kTruss(g, k = 3, rounds = 2)
       .as[(String, String, Long)].collect().toSet
-    assert(t == Set(("a","b",2L),("a","c",2L),("a","d",2L),
-      ("b","c",2L),("b","d",2L),("c","d",2L)), s"got ${t.size} edges")
-    // degree-ordered orientation kills the hub's wedge quadratic at the
-    // SOURCE: spokes (degree 1) orient spoke->hub, so the 300-degree hub
-    // has out-degree 0 and contributes ZERO wedge pairs (lexically
-    // "hub" < "s*" would put all 300 spokes on the hub's out side:
-    // C(300,2) = 44 850 wedges). Total = the 4-clique's sum of
-    // C(outdeg, 2) under (deg, key) order: a:C(3,2)=3, b:C(2,2)=1 -> 4.
+    assert(t == Set(("b","c",2L),("b","d",2L),("b","e",2L),
+      ("c","d",2L),("c","e",2L),("d","e",2L)), s"got ${t.size} edges")
+    // wedge accounting under (deg, key) order: hub contributes 0; the
+    // 4-clique (all degree 3, ordered b<c<d<e) contributes
+    // in(y)·out(y) = c:1·2 + d:2·1 -> 4 total
     val lex = (star ++ clique).map { case (p, q) =>
       (if (p < q) p else q, if (p < q) q else p) }
       .distinct.toDF("u", "v")
     assert(GraphOps.orientedWedges(lex).count() == 4L)
-    // and every wedge row sits at a clique corner, never the hub
-    assert(GraphOps.orientedWedges(lex).filter($"x" === "hub").count() == 0L)
+    assert(GraphOps.orientedWedges(lex).filter($"y" === "hub").count() == 0L)
   }
 }

@@ -191,6 +191,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cross-corpus banded similarity join — BOTH sides corpus-sized,
+    * NEITHER broadcast (the new-crawl × existing-corpus shape; every
+    * other retrieval op here broadcasts its small query side). Both
+    * sides are banded with the SAME md5-derived hyperplane family, so
+    * a shared (table, bucket) key is the candidate predicate; the band
+    * join is hinted sort-merge — `broadcast()` of a 100 TB side is the
+    * one plan this operator exists to avoid, and the hint pins that
+    * choice against size-estimate drift (PlanSpec asserts no
+    * BroadcastExchange reaches the band join). Candidates dedup on the
+    * id pair BEFORE vectors re-attach (distinct over two longs, not
+    * 64-double arrays), then floor-micro rerank keeps top-`k` rights
+    * per left. A hot bucket is the known hazard of banded joins at
+    * scale — AQE skew-join splits it (same contract as d_minhash_lsh).
+    * Fully SQL-replayable: signatures, band join, rerank (e_cross_lsh). */
+  def crossLshJoin(left: DataFrame, right: DataFrame, k: Int): DataFrame = {
+    val dim = inferDim(left)
+    val lb = lshBucketed(left.select(col("id"), col("vec")), dim)
+      .select(col("table"), col("bucket"), col("id").as("left_id"))
+    val rb = lshBucketed(right.select(col("id"), col("vec")), dim)
+      .select(col("table"), col("bucket"), col("id").as("right_id"))
+    val pairIds = lb.hint("merge").join(rb, Seq("table", "bucket"))
+      .select("left_id", "right_id").distinct()
+    val lv = left.select(col("id").as("left_id"), col("vec").as("lvec"),
+      norm(col("vec")).as("ln"))
+    val rv = right.select(col("id").as("right_id"), col("vec").as("rvec"),
+      norm(col("vec")).as("rn"))
+    val scored = pairIds.hint("merge").join(lv, "left_id")
+      .hint("merge").join(rv, "right_id")
+      .withColumn("cos_micro",
+        cosMicroCol(col("lvec"), col("ln"), col("rvec"), col("rn")))
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos_micro").desc, col("right_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("left_id", "right_id", "cos_micro", "rank")
+  }
+
   // ------------------------------------------------- IVF (scale path 2)
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest of `nlist` centroids; a query searches only the

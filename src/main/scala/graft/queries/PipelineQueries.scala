@@ -1698,6 +1698,21 @@ object PipelineQueries {
           all.filter(col("id") >= 10), all.filter(col("id") < 10), 0.45)
         .orderBy("id")}),
 
+    // cross-corpus banded similarity join: embeddings split by id parity
+    // into two ~equal corpus-sized halves (the new-crawl × existing-
+    // corpus shape), both banded with the SHARED hyperplane family and
+    // joined on (table, bucket) with NEITHER side broadcast (hinted
+    // sort-merge; PlanSpec asserts no BroadcastExchange feeds the band
+    // join) — the one retrieval op where broadcasting a side is the
+    // wrong plan at scale. Floor-micro rerank keeps top-3 rights per
+    // left; signatures, band join and rerank all replay in SQL.
+    "e_cross_lsh" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      Similarity.crossLshJoin(
+          corpus.filter(col("id") % 2 === 0),
+          corpus.filter(col("id") % 2 === 1), 3)
+        .orderBy("left_id", "rank")}),
+
     // LSH-bucketed ANN (scale path): md5-derived hyperplanes, sign-bit
     // signatures, 1-bit multi-probe candidates, floor-micro cosine rerank
     // — every stage deterministic, so the FULL retrieval (ids, scores,
@@ -2765,10 +2780,10 @@ object PipelineQueries {
        |FROM terms GROUP BY doc_id
        |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
 
-  /** The LSH index replay (md5-derived hyperplanes, sign-bit signatures,
-    * 1-bit multi-probe, distinct candidates) shared by the e_ann_lsh full
-    * retrieval and the e_ann_recall grade — one CTE prefix, two gates. */
-  private val lshReplayCtes: String =
+  /** The shared LSH signature replay (md5-derived hyperplanes, sign-bit
+    * signatures) — prefix of [[lshReplayCtes]] and the e_cross_lsh band
+    * join, which needs signatures but not the query-side multi-probe. */
+  private val lshSigCtes: String =
     s"""WITH c AS (
        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
        |  FROM embeddings
@@ -2785,7 +2800,13 @@ object PipelineQueries {
        |  SELECT c.id, p.t AS tbl,
        |    CAST(sum(CASE WHEN list_dot_product(c.vec, p.plane) >= 0 THEN (1 << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM c, planes p GROUP BY c.id, p.t
-       |), probes AS (
+       |)""".stripMargin
+
+  /** The LSH index replay (md5-derived hyperplanes, sign-bit signatures,
+    * 1-bit multi-probe, distinct candidates) shared by the e_ann_lsh full
+    * retrieval and the e_ann_recall grade — one CTE prefix, two gates. */
+  private val lshReplayCtes: String =
+    s"""$lshSigCtes, probes AS (
        |  SELECT id AS query_id, tbl, bucket FROM sig WHERE id < 5
        |  UNION ALL
        |  SELECT id, tbl, xor(bucket, CAST(1 << CAST(f.range AS INT) AS BIGINT))
@@ -4362,6 +4383,28 @@ object PipelineQueries {
     // full LSH retrieval replay, hash-green end to end: planes,
     // signatures, multi-probe, floor-micro cosine rerank — the SAME CTE
     // prefix e_ann_recall grades recall over
+    // band join + rerank replay over the shared signature CTEs; the
+    // Spark side's merge hint changes the physical join only, so the
+    // candidate pair set is definitionally identical
+    "e_cross_lsh" ->
+      s"""$lshSigCtes, xc AS (
+         |  SELECT DISTINCT l.id AS left_id, r.id AS right_id
+         |  FROM sig l JOIN sig r ON r.tbl = l.tbl AND r.bucket = l.bucket
+         |  WHERE l.id % 2 = 0 AND r.id % 2 = 1
+         |), xs AS (
+         |  SELECT x.left_id, x.right_id,
+         |    CAST(floor(1000000 * (list_dot_product(lv.vec, rv.vec) /
+         |      (sqrt(list_dot_product(lv.vec, lv.vec)) *
+         |       sqrt(list_dot_product(rv.vec, rv.vec))))) AS BIGINT) AS cos_micro
+         |  FROM xc x JOIN c lv ON lv.id = x.left_id JOIN c rv ON rv.id = x.right_id
+         |), xr AS (
+         |  SELECT left_id, right_id, cos_micro,
+         |    CAST(row_number() OVER (PARTITION BY left_id
+         |      ORDER BY cos_micro DESC, right_id) AS INT) AS rank
+         |  FROM xs)
+         |SELECT left_id, right_id, cos_micro, rank FROM xr
+         |WHERE rank <= 3 ORDER BY left_id, rank""".stripMargin,
+
     "e_ann_lsh" ->
       s"""$lshReplayCtes, scored AS (
          |  SELECT cand.query_id, cand.vec_id,

@@ -276,6 +276,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cross-corpus LSH join never broadcasts either side") {
+    // both halves are corpus-sized at scale: the band join (and the vector
+    // re-attach joins) must stay shuffled even though the TEST corpus is
+    // tiny enough that size-based planning would broadcast it — the merge
+    // hints are the operator's scale contract, and they must survive AQE
+    // replanning (finalPlanString executes the plan)
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val out = operators.Similarity.crossLshJoin(
+      corpus.filter($"id" % 2 === 0), corpus.filter($"id" % 2 === 1), 3)
+    val plan = finalPlanString(out)
+    assert(!plan.contains("BroadcastExchange"),
+      s"no side of the cross-corpus join may broadcast:\n${plan.take(900)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the band join must be sort-merge:\n${plan.take(900)}")
+  }
+
   test("PQ ADC search broadcasts codebooks and query tables, never a product") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -615,6 +615,105 @@ object Dedup {
        |HAVING count(*) >= $minShared
        |ORDER BY a, b""".stripMargin
 
+  // -------------------------------------- span-level exact-substring dedup
+  /** Window width (tokens) for [[spanDedup]]. Small here so the fixture
+    * corpus is non-vacuous; production exact-substring dedup uses ~50
+    * tokens (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") — the shape is identical. */
+  val SpanDedupW = 5
+
+  /** Span-level exact-substring dedup TRANSFORM (not just a measure):
+    * every `w`-token window whose text occurs verbatim in ≥ 2 DISTINCT
+    * documents marks all `w` tokens it covers as duplicated, and the
+    * cleaned text is the surviving tokens in original order — the
+    * Lee-et-al-style rewrite d_repetition (intra-doc measure) and
+    * d_winnow (cross-doc span DETECTION) stop short of. Output per doc:
+    * (doc_id, n_tokens, n_kept, clean_text), empty docs included.
+    *
+    * Scale shape: one token explode; span identity travels as a 60-bit
+    * md5 key, so the duplicate-frequency groupBy and the back-join
+    * shuffle 8-byte keys, never span text; coverage is one bounded
+    * window frame (w-1 preceding) per doc partition — no self-join on
+    * positions. The reassembly groupBy is the only place full tokens
+    * shuffle, keyed by doc_id exactly like the explode. Reference
+    * analog: kinbaku's content-defined node attrs (graph.py:198) have no
+    * span semantics; this is pipeline-native. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = SpanDedupW): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = base.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    // concat_ws silently drops nulls, which would alias tail windows of
+    // < w tokens onto shorter spans — guard on the last lead existing
+    val spanTxt = concat_ws(" ",
+      (0 until w).map(j => lead(col("tok"), j).over(wOrd)): _*)
+    val spans = toks.withColumn("h",
+      when(lead(col("tok"), w - 1).over(wOrd).isNotNull, hash60(spanTxt)))
+    val dup = spans.filter(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select(col("h"), lit(1).as("isdup"))
+    val covW = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(-(w - 1), 0)
+    val marked = spans.join(dup, Seq("h"), "left")
+      .withColumn("cov", max(coalesce(col("isdup"), lit(0))).over(covW))
+    val cleaned = marked.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_tokens"),
+      sum(lit(1) - col("cov")).cast("int").as("n_kept"),
+      expr("array_join(transform(array_sort(" +
+        "collect_list(CASE WHEN cov = 0 THEN struct(i, tok) END))," +
+        " x -> x.tok), ' ')").as("clean_text"))
+    base.select(col("doc_id"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the
+    * same md5-60 span keys, window-frame coverage, ordered string_agg. */
+  def spanDedupSql(table: String, idCol: String, textCol: String,
+                   w: Int = SpanDedupW): String = {
+    val wm1 = w - 1
+    s"""WITH sdbase AS (
+       |  SELECT $idCol AS doc_id, $textCol AS text FROM $table
+       |), sdtk AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(generate_series(1, len(toks))) AS i,
+       |    unnest(toks) AS tok
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM sdbase
+       |        WHERE length(trim(text)) > 0)
+       |), sdsp AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN i + $wm1 <= n THEN
+       |      ${graft.functions.TextFunctions.hash60Sql(s"array_to_string(toks[i:i+$wm1], ' ')")}
+       |    END AS h
+       |  FROM sdtk
+       |), sddup AS (
+       |  SELECT h FROM sdsp WHERE h IS NOT NULL
+       |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |), sdmk AS (
+       |  SELECT s.doc_id, s.i, s.tok,
+       |    max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY s.doc_id ORDER BY s.i
+       |            ROWS BETWEEN $wm1 PRECEDING AND CURRENT ROW) AS cov
+       |  FROM sdsp s LEFT JOIN sddup d ON d.h = s.h
+       |), sdcl AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(1 - cov) AS INT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY i), '')
+       |      AS clean_text
+       |  FROM sdmk GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, coalesce(sdcl.n_tokens, 0) AS n_tokens,
+       |  coalesce(sdcl.n_kept, 0) AS n_kept,
+       |  coalesce(sdcl.clean_text, '') AS clean_text
+       |FROM sdbase b LEFT JOIN sdcl ON sdcl.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- end-to-end pipeline
   /** Full near-dup dedup pipeline: MinHash-LSH candidates filtered by
     * signature similarity become edges of a duplicate graph; connected

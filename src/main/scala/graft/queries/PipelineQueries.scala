@@ -938,6 +938,15 @@ object PipelineQueries {
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id", "fp")),
 
+    // span-level exact-substring dedup TRANSFORM: cross-doc duplicated
+    // 5-token windows are excised and the cleaned text emitted — the
+    // rewrite that d_repetition (measure) and d_winnow (detection) stop
+    // short of; full SQL replay oracle (spans, md5-60 keys, coverage
+    // window, ordered reassembly)
+    "d_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;
     // ranking orders by the exact integer triple (tf desc, df asc, token)
     // — NOT the double score, whose JDK-vs-libm ln() can differ by 1 ulp
@@ -2867,6 +2876,8 @@ object PipelineQueries {
     "d_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(docsT, "doc_id", "text", 0.3),
 
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
+
+    "d_span_dedup" -> Dedup.spanDedupSql(docsT, "doc_id", "text"),
 
     "d_winnow_pairs" -> Dedup.winnowMatchPairsSql(docsT, "doc_id", "text"),
 

@@ -1259,6 +1259,28 @@ class PipelineSpec extends SparkSpec {
       s"hot fingerprints must be capped out: ${out.toSeq}")
   }
 
+  test("span dedup excises exactly the planted cross-doc span") {
+    // docs 1/2 share one verbatim 7-token passage (covers three 5-token
+    // windows -> all 7 tokens dup-covered in both docs); doc 3 repeats a
+    // span only WITHIN itself (must survive: dup needs >= 2 DISTINCT
+    // docs); doc 4 is short and untouched; doc 5 is empty
+    val passage = "one two three four five six seven"
+    val d = Seq(
+      (1L, s"alpha $passage omega"),
+      (2L, s"beta gamma $passage"),
+      (3L, "rep a b c d rep a b c d rep a b c d"),
+      (4L, "tiny doc"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(d, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 9, 2, "alpha omega")), s"got ${out(0)}")
+    assert(out(1) == ((2L, 9, 2, "beta gamma")), s"got ${out(1)}")
+    // intra-doc repetition survives whole
+    assert(out(2)._3 == out(2)._2 && out(2)._4.nonEmpty, s"got ${out(2)}")
+    assert(out(3) == ((4L, 2, 2, "tiny doc")), s"got ${out(3)}")
+    assert(out(4) == ((5L, 0, 0, "")), s"got ${out(4)}")
+  }
+
   test("PQ index artifacts survive a parquet round-trip") {
     import java.nio.file.Files
     val corpus = Tables.embeddings(spark, sf)

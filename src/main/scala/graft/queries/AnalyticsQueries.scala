@@ -55,38 +55,48 @@ object AnalyticsQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy("n_name")}),
 
-    // MERGE INTO semantics without a table format: upsert a source batch
-    // (updates for key%3=0, inserts above the key space for key%7=0)
-    // into the customer dimension via ONE full-outer coalesce — matched
-    // rows take source values, unmatched keep target, source-only rows
-    // insert. The audit row carries exact counts plus an order-free
-    // Σhash32(key:cents) checksum over the merged state, so the hash
-    // proves row-level content, not just cardinalities. The insert
-    // offset is DATA-ADAPTIVE (max key via a broadcast 1-row frame /
-    // scalar subquery — the gx_kcore discipline): a fixed literal would
-    // collide with real keys once the fixture outgrows it (sf ≥ ~0.7 for
-    // +100000), silently turning inserts into updates
+    // Full MERGE INTO semantics without a table format, all three
+    // branches: WHEN MATCHED AND s.del THEN DELETE (source rows k%15=0
+    // carry the delete flag), WHEN MATCHED THEN UPDATE (k%3=0 takes
+    // source values), WHEN NOT MATCHED THEN INSERT (keys above the key
+    // space for k%7=0) — one full-outer coalesce, deletes filtered out
+    // of the merged state AFTER the per-row branch classification so the
+    // audit counts them. The audit row carries exact counts plus an
+    // order-free Σhash32(key:cents) checksum over the SURVIVING state,
+    // so the hash proves row-level content, not just cardinalities. The
+    // insert offset is DATA-ADAPTIVE (max key via a broadcast 1-row
+    // frame / scalar subquery — the gx_kcore discipline), never a
+    // literal: a fixed offset would collide with real keys once the
+    // fixture outgrows it, silently turning inserts into updates
     "q_merge" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
       val mx = c.agg(max(col("k")).as("mx"))
       val source = c.filter(pmod(col("k"), lit(3)) === 0)
-        .select(col("k"), (col("bal") + 100).as("bal"))
+        .select(col("k"), (col("bal") + 100).as("bal"),
+          (pmod(col("k"), lit(15)) === 0).as("del"))
         .unionByName(c.filter(pmod(col("k"), lit(7)) === 0)
           .crossJoin(broadcast(mx))
-          .select((col("k") + col("mx")).as("k"), col("bal")))
+          .select((col("k") + col("mx")).as("k"), col("bal"),
+            lit(false).as("del")))
       c.select(col("k"), col("bal").as("tbal"))
-        .join(source.select(col("k"), col("bal").as("sbal")), Seq("k"), "full_outer")
+        .join(source.select(col("k"), col("bal").as("sbal"), col("del")),
+          Seq("k"), "full_outer")
         .select(col("k"), coalesce(col("sbal"), col("tbal")).as("bal"),
-          (col("sbal").isNotNull && col("tbal").isNotNull).as("updated"),
-          col("tbal").isNull.as("inserted"))
-        .agg(count(lit(1)).as("n_result"),
+          (col("sbal").isNotNull && col("tbal").isNotNull &&
+            !coalesce(col("del"), lit(false))).as("updated"),
+          col("tbal").isNull.as("inserted"),
+          (col("sbal").isNotNull && col("tbal").isNotNull &&
+            coalesce(col("del"), lit(false))).as("deleted"))
+        .agg(sum(when(!col("deleted"), 1L).otherwise(0L)).as("n_result"),
           sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"),
           sum(when(col("inserted"), 1L).otherwise(0L)).as("n_inserted"),
-          sum(graft.functions.TextFunctions.hash32(
-            concat(col("k").cast("string"), lit(":"),
-              floor(col("bal") * 100).cast("long").cast("string"))))
-            .as("checksum"))}),
+          sum(when(col("deleted"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(!col("deleted"),
+            graft.functions.TextFunctions.hash32(
+              concat(col("k").cast("string"), lit(":"),
+                floor(col("bal") * 100).cast("long").cast("string"))))
+            .otherwise(0L)).as("checksum"))}),
 
     // revenue concentration: what share of total order value sits with
     // the top-1% customers (data-adaptive p99 cut on per-customer cents
@@ -1014,22 +1024,26 @@ object AnalyticsQueries {
       s"""WITH mt AS (
          |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
          |), ms AS (
-         |  SELECT k, bal + 100 AS bal FROM mt WHERE k % 3 = 0
+         |  SELECT k, bal + 100 AS bal, k % 15 = 0 AS del FROM mt WHERE k % 3 = 0
          |  UNION ALL
-         |  SELECT k + (SELECT max(k) FROM mt), bal FROM mt WHERE k % 7 = 0
+         |  SELECT k + (SELECT max(k) FROM mt), bal, false FROM mt WHERE k % 7 = 0
          |), mm AS (
          |  SELECT coalesce(t.k, s.k) AS k,
          |    coalesce(s.bal, t.bal) AS bal,
-         |    (s.k IS NOT NULL AND t.k IS NOT NULL) AS updated,
-         |    t.k IS NULL AS inserted
+         |    (s.k IS NOT NULL AND t.k IS NOT NULL
+         |      AND NOT coalesce(s.del, false)) AS updated,
+         |    t.k IS NULL AS inserted,
+         |    (s.k IS NOT NULL AND t.k IS NOT NULL
+         |      AND coalesce(s.del, false)) AS deleted
          |  FROM mt t FULL OUTER JOIN ms s ON s.k = t.k
          |)
-         |SELECT CAST(count(*) AS BIGINT) AS n_result,
+         |SELECT CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_result,
          |  CAST(sum(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
          |  CAST(sum(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-         |  CAST(sum(${graft.functions.TextFunctions.hash32Sql(
-              "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")})
-         |    AS BIGINT) AS checksum
+         |  CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         |  CAST(sum(CASE WHEN NOT deleted THEN ${graft.functions.TextFunctions.hash32Sql(
+              "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")}
+         |    ELSE 0 END) AS BIGINT) AS checksum
          |FROM mm""".stripMargin,
 
     "q_revenue_concentration" ->

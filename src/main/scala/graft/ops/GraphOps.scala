@@ -1028,6 +1028,57 @@ object GraphOps {
       partitionOn.fold(ud.distinct())(p => ud.repartition(p).distinct()))
   }
 
+  /** One-level Louvain refinement: every node synchronously evaluates
+    * moving to each community among its neighbors and takes the best
+    * strictly-positive modularity gain (tie: smallest label). Gains are
+    * EXACT INTEGERS in 4m² modularity units:
+    * ΔS(i: A→B) = 4m·(l_iB − l_iA) − 2·k_i·(D_B − D_A + k_i), where
+    * l_iC = links from i into community C, D_A = degree sum of i's own
+    * community (i included), D_B = of the target (i excluded), m = |und|.
+    * Input: `labels`(key, label) and DISTINCT lexical undirected edges
+    * `und`(u, v); output (key, label0, label1, gain_num), gain 0 on stay.
+    * Nodes with no edges drop (they have no modularity mass).
+    *
+    * Scale shape: candidate moves are one (node, neighbor-label)
+    * aggregation over the adjacency — each node scores only communities
+    * it actually TOUCHES, never all communities; the argmax is a
+    * key-partitioned window; m rides a broadcast 1-row frame. */
+  def louvainOneLevel(labels: DataFrame, und: DataFrame): DataFrame = {
+    val mm = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("u").as("key"))
+      .union(und.select(col("v").as("key")))
+      .groupBy("key").agg(count(lit(1)).as("ki"))
+    val dsum = labels.join(deg, "key")
+      .groupBy("label").agg(sum(col("ki")).as("dsum"))
+    val adj = und.select(col("u").as("key"), col("v").as("nb"))
+      .union(und.select(col("v").as("key"), col("u").as("nb")))
+    val lic = adj
+      .join(labels.select(col("key").as("nb"), col("label").as("nbl")), "nb")
+      .groupBy("key", "nbl").agg(count(lit(1)).as("lc"))
+    val base = labels.select(col("key"), col("label").as("l0"))
+      .join(deg, "key")
+      .join(dsum.select(col("label").as("l0"), col("dsum").as("da")), "l0")
+      .join(lic.select(col("key"), col("nbl").as("l0"),
+        col("lc").as("lown")), Seq("key", "l0"), "left")
+      .withColumn("lown", coalesce(col("lown"), lit(0L)))
+    val cand = base.join(lic, "key").filter(col("nbl") =!= col("l0"))
+      .join(dsum.select(col("label").as("nbl"), col("dsum").as("db")), "nbl")
+      .crossJoin(broadcast(mm))
+      .withColumn("gain",
+        lit(4L) * col("m") * (col("lc") - col("lown")) -
+          lit(2L) * col("ki") * (col("db") - col("da") + col("ki")))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("gain").desc, col("nbl"))
+    val best = cand.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("nbl").as("bl"), col("gain"))
+    base.select(col("key"), col("l0"))
+      .join(best, Seq("key"), "left")
+      .select(col("key"), col("l0").as("label0"),
+        when(col("gain") > 0, col("bl")).otherwise(col("l0")).as("label1"),
+        when(col("gain") > 0, col("gain")).otherwise(lit(0L)).as("gain_num"))
+  }
+
   /** DuckDB twin of [[labelPropagationSync]]: CTE fragments (ud, l0..lN)
     * over edge CTE `edges`(src, dst) and node CTE `nodes`(key); final
     * labels in `l<iters>`. */

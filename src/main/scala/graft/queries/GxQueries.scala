@@ -222,6 +222,27 @@ object GxQueries {
               col("m_edges").cast("double"))).cast("long"))
         .orderBy("label")}),
 
+    // One-level Louvain refinement over the LPA communities: every node
+    // synchronously evaluates moving to each neighboring community and
+    // takes the best strictly-positive modularity gain (tie: smallest
+    // label). Gains are EXACT INTEGERS in the 4m² modularity units of
+    // gx_modularity's q_num: ΔS(i: A→B) = 4m·(l_iB − l_iA)
+    // − 2·k_i·(D_B − D_A + k_i), with l_iC = links from i into C, D_A
+    // the degree sum of i's community (i included), D_B of the target
+    // (i excluded) — no floats anywhere, so the single pass replays as
+    // one unrolled CTE chain over the same l5 oracle labels. Scale
+    // shape: candidate moves are one (node, neighbor-label) aggregation
+    // over the adjacency — each node scores only communities it
+    // actually touches, never all communities; the per-node argmax is a
+    // key-partitioned window.
+    "gx_louvain1" -> ((s, dir) => {
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val und = e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      GraphOps.louvainOneLevel(sharedLpa(s, dir), und).orderBy("key")}),
+
     // Jaccard link prediction on the hub-capped undirected graph: top-100
     // pairs by (1000·|N∩|) div |N∪| — common counts, degrees and union
     // size all from the SAME capped adjacency (middles above the p90
@@ -680,6 +701,51 @@ object GxQueries {
          |    / ((4.0 * CAST(m_edges AS DOUBLE)) * CAST(m_edges AS DOUBLE)))
          |    AS BIGINT) AS q_total_micro
          |FROM mrows ORDER BY label""".stripMargin,
+
+    // single synchronous pass replayed over the same l5 labels; all
+    // gain terms exact integers (see the Spark-side derivation)
+    "gx_louvain1" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
+         |lvund AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), lvm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m FROM lvund
+         |), lvdeg AS (
+         |  SELECT key, CAST(count(*) AS BIGINT) AS ki FROM (
+         |    SELECT u AS key FROM lvund UNION ALL SELECT v FROM lvund)
+         |  GROUP BY key
+         |), lvdsum AS (
+         |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
+         |  FROM l5 l JOIN lvdeg d ON d.key = l.key GROUP BY l.label
+         |), lvadj AS (
+         |  SELECT u AS key, v AS nb FROM lvund
+         |  UNION ALL SELECT v, u FROM lvund
+         |), lvlic AS (
+         |  SELECT a.key, l.label AS nbl, CAST(count(*) AS BIGINT) AS lc
+         |  FROM lvadj a JOIN l5 l ON l.key = a.nb GROUP BY a.key, l.label
+         |), lvbase AS (
+         |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
+         |    coalesce(o.lc, 0) AS lown
+         |  FROM l5 l JOIN lvdeg d ON d.key = l.key
+         |  JOIN lvdsum s ON s.label = l.label
+         |  LEFT JOIN lvlic o ON o.key = l.key AND o.nbl = l.label
+         |), lvcand AS (
+         |  SELECT b.key, b.l0, c.nbl,
+         |    4 * lvm.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
+         |  FROM lvbase b JOIN lvlic c ON c.key = b.key AND c.nbl <> b.l0
+         |  JOIN lvdsum s2 ON s2.label = c.nbl, lvm
+         |), lvbest AS (
+         |  SELECT key, nbl, gain FROM (
+         |    SELECT key, nbl, gain,
+         |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
+         |    FROM lvcand) WHERE rn = 1
+         |)
+         |SELECT b.key, b.l0 AS label0,
+         |  CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.nbl ELSE b.l0 END AS label1,
+         |  CAST(CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.gain ELSE 0 END AS BIGINT) AS gain_num
+         |FROM lvbase b LEFT JOIN lvbest ON lvbest.key = b.key
+         |ORDER BY b.key""".stripMargin,
 
     "gx_jaccard" ->
       s"""$cte, ${GraphOps.jaccardPairsSql("ue", hubCapPercentile = 0.9)}

@@ -662,4 +662,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.orientedWedges(lex).count() == 4L)
     assert(GraphOps.orientedWedges(lex).filter($"y" === "hub").count() == 0L)
   }
+
+  test("louvainOneLevel: good partition is a fixpoint, bad label moves with exact gain") {
+    // two triangles bridged by a1-b1; m = 7, all hand-checkable
+    val und = Seq(("a1","a2"),("a1","a3"),("a2","a3"),
+      ("b1","b2"),("b1","b3"),("b2","b3"),("a1","b1")).toDF("u", "v")
+    // correct communities: nobody moves (e.g. a1->B: 4·7·(1−2) −
+    // 2·3·(7−7+3) = −46 < 0; inner nodes have no foreign candidates)
+    val good = Seq("a1"->"A","a2"->"A","a3"->"A","b1"->"B","b2"->"B","b3"->"B")
+      .toDF("key", "label")
+    val fix = GraphOps.louvainOneLevel(good, und)
+      .as[(String, String, String, Long)].collect()
+    assert(fix.length == 6 && fix.forall(r => r._2 == r._3 && r._4 == 0L),
+      s"good partition must be a fixpoint: ${fix.toSeq}")
+    // plant a3 in B: A={a1,a2}, B={b*,a3}; a3's gain back to A is
+    // 4·7·(2−0) − 2·2·(5−9+2) = 56 + 8 = 64 — exact integer pinned
+    val bad = Seq("a1"->"A","a2"->"A","a3"->"B","b1"->"B","b2"->"B","b3"->"B")
+      .toDF("key", "label")
+    val out = GraphOps.louvainOneLevel(bad, und)
+      .as[(String, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a3") == (("a3", "B", "A", 64L)), s"got ${out("a3")}")
+  }
 }

@@ -2538,6 +2538,62 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING watermark-drop observability: a construction-planted
+    // event-time lattice arrives as THREE parquet micro-batches
+    // (maxFilesPerTrigger=1, mod-time ordered). Batch 1 — 100 rows at
+    // hours 0..23 plus a clock row at hour 48 — raises the 2h watermark
+    // to 46; batch 2 (one clock row at hour 49) makes the hour-0..45
+    // windows EMIT AND EVICT under that watermark, then raises it to 47;
+    // batch 3 replays hours 0..49 against the evicted state and its
+    // h ≤ 45 rows are genuinely DROPPED (empirically pinned: Spark drops
+    // a late row iff its window END < the watermark — the h = 46 row
+    // with end == watermark is still accepted — and append mode emits a
+    // window once its end ≤ watermark). Three batches matter: a late row
+    // arriving in the SAME batch that finalizes its window still counts
+    // (the two-batch version shows no drops at all), so drop
+    // observability REQUIRES replaying against already-emitted windows.
+    // Output is hour offsets from the epoch-fixed base, so no timezone
+    // rides in the compare; the oracle derives drop + emission from the
+    // construction in closed form — this row pins watermark-drop
+    // semantics the way s_stream_tumbling pins window semantics.
+    "s_stream_late" -> ((s, dir) => {
+      val tmp = scratchDir("late", dir)
+      val baseEpoch = 1767225600L // 2026-01-01T00:00:00Z, hour-aligned
+      def lattice(n: Int, hExpr: String): org.apache.spark.sql.DataFrame =
+        s.range(n).select(
+          expr(s"timestamp_seconds($baseEpoch + ($hExpr) * 3600)").as("ts"))
+      def plant(df: org.apache.spark.sql.DataFrame, name: String,
+                mtime: Long): Unit = {
+        val w = s"$tmp/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$tmp/stream/$name")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = System.currentTimeMillis()
+      plant(lattice(101, "CASE WHEN id = 100 THEN 48 ELSE id % 24 END"),
+        "b1.parquet", t0 - 180000)
+      plant(lattice(1, "49"), "b2.parquet", t0 - 120000)
+      plant(lattice(50, "id % 50"), "b3.parquet", t0 - 60000)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream")
+      val agg = src.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(((unix_timestamp(col("window.start")) - baseEpoch) / 3600)
+          .cast("int").as("h"), col("n"))
+      graft.streaming.EventStreams.runToMemory(agg, "s_stream_late_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("h")}),
+
     // STREAMING video ingest: the m_video GVID walk with the docs table
     // arriving as parquet micro-batches — stateless mapPartitions frame
     // sampling through the SAME operator object as batch, append-mode
@@ -5140,6 +5196,29 @@ object PipelineQueries {
 
     // identical oracle for the streaming drain of the same GVID walk
     "s_stream_video" -> mVideoSql,
+
+    // closed-form replay of the planted lattice + the two empirically
+    // pinned rules: late DROP iff window end < watermark (w = max hour
+    // over batches 1-2, minus the 2h delay), append EMISSION iff window
+    // end <= the final watermark
+    "s_stream_late" ->
+      """WITH slb1 AS (
+        |  SELECT CASE WHEN i = 100 THEN 48 ELSE i % 24 END AS h
+        |  FROM (SELECT unnest(generate_series(0, 100)) AS i)
+        |), slb2 AS (
+        |  SELECT 49 AS h
+        |), slw AS (
+        |  SELECT max(h) - 2 AS w FROM (SELECT h FROM slb1 UNION ALL SELECT h FROM slb2)
+        |), slb3 AS (
+        |  SELECT i % 50 AS h FROM (SELECT unnest(generate_series(0, 49)) AS i)
+        |), slkept AS (
+        |  SELECT h FROM slb1
+        |  UNION ALL SELECT h FROM slb2
+        |  UNION ALL SELECT h FROM slb3, slw WHERE h + 1 >= w
+        |)
+        |SELECT CAST(h AS INT) AS h, CAST(count(*) AS BIGINT) AS n
+        |FROM slkept, slw WHERE h + 1 <= w
+        |GROUP BY h ORDER BY h""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (

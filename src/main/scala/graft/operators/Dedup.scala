@@ -386,7 +386,41 @@ object Dedup {
 
   /** DuckDB twin of [[minhashCandidates]] (same constants, same md5-derived
     * hash family), generated so the oracle replays the computation. */
-  def minhashCandidatesSql(table: String, idCol: String, textCol: String): String = {
+  /** Cross-corpus banded MinHash join — the TEXT twin of the embedding
+    * side's crossLshJoin: both sides corpus-sized (new-crawl × existing-
+    * corpus), banded with the SHARED minhash family, joined on
+    * (band, band_val) with NEITHER side broadcast (hinted sort-merge —
+    * the hint pins the only plan that survives two 100 TB sides), then
+    * scored by signature agreement. Per-doc signatures are independent
+    * of the corpus split, so the oracle reuses the whole-table signature
+    * CTEs with the parity predicate swapped in. */
+  def crossMinhashJoin(left: DataFrame, right: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val sigA = minhashSignatures(left, idCol, textCol)
+    val sigB = minhashSignatures(right, idCol, textCol)
+    val ba = lshBands(sigA)
+      .select(col("band"), col("band_val"), col("doc_id").as("a"))
+    val bb = lshBands(sigB)
+      .select(col("band"), col("band_val"), col("doc_id").as("b"))
+    val pairs = ba.hint("merge").join(bb, Seq("band", "band_val"))
+      .select("a", "b").distinct()
+    val sa = sigA.toDF(sigA.columns.map(c => if (c == "doc_id") "a" else s"${c}_a"): _*)
+    val sb = sigB.toDF(sigB.columns.map(c => if (c == "doc_id") "b" else s"${c}_b"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"mh_${i}_a") === col(s"mh_${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.hint("merge").join(sa, "a").hint("merge").join(sb, "b")
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / NumHashes, 6).as("est_sim"))
+  }
+
+  def minhashCandidatesSql(table: String, idCol: String, textCol: String): String =
+    minhashCandidatesSql(table, idCol, textCol, "x.doc_id < y.doc_id")
+
+  /** Shared CTE body for [[minhashCandidatesSql]] and the cross-corpus
+    * variant — `pairPred` selects which banded pairs qualify. */
+  def minhashCandidatesSql(table: String, idCol: String, textCol: String,
+                           pairPred: String): String = {
     val hexpr = hash32Sql("shingle")
     val minCols = (0 until NumHashes).map { i =>
       s"min((${CoeffA(i)} * h + ${CoeffB(i)}) % $MinhashP) AS mh_$i"
@@ -411,7 +445,7 @@ object Dedup {
        |), pairs AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |    ON x.band = y.band AND x.band_val = y.band_val AND ($pairPred)
        |)
        |SELECT p.a, p.b,
        |  round(CAST($agree AS DOUBLE) / $NumHashes, 6) AS est_sim

@@ -579,6 +579,18 @@ object PipelineQueries {
     "d_minhash_lsh" -> ((s, dir) =>
       sharedMinhashCands(s, dir).orderBy("a", "b")),
 
+    // cross-corpus banded MinHash join: documents split by id parity
+    // into two corpus-sized halves, shared minhash family, (band,
+    // band_val) sort-merge join with NEITHER side broadcast — the text
+    // twin of e_cross_lsh (new-crawl × existing-corpus dedup shape);
+    // PlanSpec asserts no BroadcastExchange feeds the band join
+    "d_cross_minhash" -> ((s, dir) =>
+      Dedup.crossMinhashJoin(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text")
+        .orderBy("a", "b")),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2926,6 +2938,11 @@ object PipelineQueries {
          |FROM $docsT GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "d_minhash_lsh" -> Dedup.minhashCandidatesSql(docsT, "doc_id", "text"),
+
+    // per-doc signatures are split-independent: same CTEs, parity pair
+    // predicate
+    "d_cross_minhash" -> Dedup.minhashCandidatesSql(docsT, "doc_id", "text",
+      "x.doc_id % 2 = 0 AND y.doc_id % 2 = 1"),
 
     "d_simhash" -> Dedup.simhashSignaturesSql(docsT, "doc_id", "text"),
 

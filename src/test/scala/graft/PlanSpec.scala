@@ -293,6 +293,18 @@ class PlanSpec extends SparkSpec {
       s"the band join must be sort-merge:\n${plan.take(900)}")
   }
 
+  test("cross-corpus MinHash join never broadcasts either side") {
+    val d = Tables.documents(spark, sf)
+    val out = operators.Dedup.crossMinhashJoin(
+      d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1),
+      "doc_id", "text")
+    val plan = finalPlanString(out)
+    assert(!plan.contains("BroadcastExchange"),
+      s"no side of the cross-corpus band join may broadcast:\n${plan.take(900)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the band join must be sort-merge:\n${plan.take(900)}")
+  }
+
   test("PQ ADC search broadcasts codebooks and query tables, never a product") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

@@ -243,6 +243,75 @@ object GxQueries {
           greatest(col("src"), col("dst")).as("v")).distinct()
       GraphOps.louvainOneLevel(sharedLpa(s, dir), und).orderBy("key")}),
 
+    // modularity AUDIT of the refinement pass: S = 4m·intra − Σ D_C²
+    // (4m² units) before and after gx_louvain1's synchronous move, plus
+    // the move count. s_delta is emitted, NOT sign-asserted —
+    // simultaneous moves can overshoot (mutually attracted nodes swap
+    // past each other); this row makes that property observable. All
+    // aggregates exact i64; the 1-row stat frames cross-join broadcast.
+    "gx_louvain_q" -> ((s, dir) => {
+      val labels = sharedLpa(s, dir)
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val und = e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val out = GraphOps.louvainOneLevel(labels, und)
+      val after = out.select(col("key"), col("label1").as("label"))
+      val deg = und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("ki"))
+      def stats(lab: org.apache.spark.sql.DataFrame, sfx: String) = {
+        val dsq = lab.join(deg, "key")
+          .groupBy("label").agg(sum(col("ki")).as("ds"))
+          .agg(sum(col("ds") * col("ds")).as(s"dsq$sfx"))
+        val intra = und
+          .join(lab.select(col("key").as("u"), col("label").as("lu")), "u")
+          .join(lab.select(col("key").as("v"), col("label").as("lv")), "v")
+          .filter(col("lu") === col("lv"))
+          .agg(count(lit(1)).as(s"intra$sfx"))
+        broadcast(dsq).crossJoin(broadcast(intra))
+      }
+      val mm = und.agg(count(lit(1)).as("m_edges"))
+      val nm = out.agg(sum(when(col("label0") =!= col("label1"), 1L)
+        .otherwise(0L)).as("n_moved"))
+      mm.crossJoin(stats(labels.select("key", "label"), "_b"))
+        .crossJoin(stats(after, "_a"))
+        .crossJoin(broadcast(nm))
+        .select(col("m_edges"),
+          col("intra_b").as("intra_before"), col("dsq_b").as("dsq_before"),
+          (lit(4L) * col("m_edges") * col("intra_b") - col("dsq_b"))
+            .as("s_before"),
+          col("intra_a").as("intra_after"), col("dsq_a").as("dsq_after"),
+          (lit(4L) * col("m_edges") * col("intra_a") - col("dsq_a"))
+            .as("s_after"),
+          ((lit(4L) * col("m_edges") * col("intra_a") - col("dsq_a")) -
+            (lit(4L) * col("m_edges") * col("intra_b") - col("dsq_b")))
+            .as("s_delta"),
+          col("n_moved"))}),
+
+    // community CONTRACTION (the Louvain phase-2 / graph-summarization
+    // primitive): collapse each LPA community to a supernode; weighted
+    // superedges = undirected edge counts between community pairs,
+    // self-loops = intra-community counts. Scale shape: two node-sized
+    // label attaches (AQE broadcasts the label frame when small) then
+    // ONE shuffle keyed on the community pair — the contracted graph is
+    // what the next coarsening level iterates on.
+    "gx_coarsen" -> ((s, dir) => {
+      val labels = sharedLpa(s, dir)
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val und = e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      und
+        .join(labels.select(col("key").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("key").as("v"), col("label").as("lv")), "v")
+        .select(least(col("lu"), col("lv")).as("ca"),
+          greatest(col("lu"), col("lv")).as("cb"))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("n_edges"))
+        .orderBy("ca", "cb")}),
+
     // Jaccard link prediction on the hub-capped undirected graph: top-100
     // pairs by (1000·|N∩|) div |N∪| — common counts, degrees and union
     // size all from the SAME capped adjacency (middles above the p90
@@ -627,6 +696,52 @@ object GxQueries {
       |  SELECT src AS key FROM pe UNION SELECT dst AS key FROM pe
       |)""".stripMargin
 
+  /** Louvain one-level refinement CTE chain (rides after the l5 LPA
+    * CTEs): lvund/lvm/lvdeg/lvdsum feed the gain computation; the final
+    * per-node verdict lands in `lvout`(key, label0, label1, gain_num).
+    * Shared by the gx_louvain1 and gx_louvain_q oracles. */
+  private val louvainCtes: String =
+    """lvund AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM ue WHERE src <> dst
+      |), lvm AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m FROM lvund
+      |), lvdeg AS (
+      |  SELECT key, CAST(count(*) AS BIGINT) AS ki FROM (
+      |    SELECT u AS key FROM lvund UNION ALL SELECT v FROM lvund)
+      |  GROUP BY key
+      |), lvdsum AS (
+      |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
+      |  FROM l5 l JOIN lvdeg d ON d.key = l.key GROUP BY l.label
+      |), lvadj AS (
+      |  SELECT u AS key, v AS nb FROM lvund
+      |  UNION ALL SELECT v, u FROM lvund
+      |), lvlic AS (
+      |  SELECT a.key, l.label AS nbl, CAST(count(*) AS BIGINT) AS lc
+      |  FROM lvadj a JOIN l5 l ON l.key = a.nb GROUP BY a.key, l.label
+      |), lvbase AS (
+      |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
+      |    coalesce(o.lc, 0) AS lown
+      |  FROM l5 l JOIN lvdeg d ON d.key = l.key
+      |  JOIN lvdsum s ON s.label = l.label
+      |  LEFT JOIN lvlic o ON o.key = l.key AND o.nbl = l.label
+      |), lvcand AS (
+      |  SELECT b.key, b.l0, c.nbl,
+      |    4 * lvm.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
+      |  FROM lvbase b JOIN lvlic c ON c.key = b.key AND c.nbl <> b.l0
+      |  JOIN lvdsum s2 ON s2.label = c.nbl, lvm
+      |), lvbest AS (
+      |  SELECT key, nbl, gain FROM (
+      |    SELECT key, nbl, gain,
+      |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
+      |    FROM lvcand) WHERE rn = 1
+      |), lvout AS (
+      |  SELECT b.key, b.l0 AS label0,
+      |    CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.nbl ELSE b.l0 END AS label1,
+      |    CAST(CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.gain ELSE 0 END AS BIGINT) AS gain_num
+      |  FROM lvbase b LEFT JOIN lvbest ON lvbest.key = b.key
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // undirected connected components via recursive min-label propagation
     // (the gx_sssp recursive-CTE technique): reach(key, label) closes over
@@ -705,47 +820,61 @@ object GxQueries {
     // single synchronous pass replayed over the same l5 labels; all
     // gain terms exact integers (see the Spark-side derivation)
     "gx_louvain1" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes
+         |SELECT key, label0, label1, gain_num FROM lvout ORDER BY key""".stripMargin,
+
+    // modularity audit of the refinement pass: S = 4m·intra − Σ D_C² in
+    // the same 4m² units, before (l5) and after (lvout.label1) the
+    // synchronous move pass, plus the move count. The delta is emitted,
+    // not sign-asserted — SIMULTANEOUS moves can overshoot (two mutually
+    // attracted nodes may swap past each other), and this row makes that
+    // property observable rather than assumed.
+    "gx_louvain_q" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |lqdsqb AS (
+         |  SELECT CAST(sum(dsum * dsum) AS BIGINT) AS dsq FROM lvdsum
+         |), lqintrab AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS intra
+         |  FROM lvund JOIN l5 a ON a.key = lvund.u JOIN l5 b ON b.key = lvund.v
+         |  WHERE a.label = b.label
+         |), lqd2 AS (
+         |  SELECT l.key, d.ki, o.label1 AS label
+         |  FROM l5 l JOIN lvdeg d ON d.key = l.key
+         |  JOIN lvout o ON o.key = l.key
+         |), lqdsqa AS (
+         |  SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq FROM (
+         |    SELECT CAST(sum(ki) AS BIGINT) AS ds FROM lqd2 GROUP BY label)
+         |), lqintraa AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS intra
+         |  FROM lvund JOIN lqd2 a ON a.key = lvund.u JOIN lqd2 b ON b.key = lvund.v
+         |  WHERE a.label = b.label
+         |), lqmoved AS (
+         |  SELECT CAST(sum(CASE WHEN label0 <> label1 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM lvout
+         |)
+         |SELECT lvm.m AS m_edges,
+         |  lqintrab.intra AS intra_before, lqdsqb.dsq AS dsq_before,
+         |  CAST(4 * lvm.m * lqintrab.intra - lqdsqb.dsq AS BIGINT) AS s_before,
+         |  lqintraa.intra AS intra_after, lqdsqa.dsq AS dsq_after,
+         |  CAST(4 * lvm.m * lqintraa.intra - lqdsqa.dsq AS BIGINT) AS s_after,
+         |  CAST((4 * lvm.m * lqintraa.intra - lqdsqa.dsq)
+         |     - (4 * lvm.m * lqintrab.intra - lqdsqb.dsq) AS BIGINT) AS s_delta,
+         |  lqmoved.n_moved
+         |FROM lvm, lqintrab, lqdsqb, lqintraa, lqdsqa, lqmoved""".stripMargin,
+
+
+    "gx_coarsen" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
-         |lvund AS (
+         |cund AS (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM ue WHERE src <> dst
-         |), lvm AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS m FROM lvund
-         |), lvdeg AS (
-         |  SELECT key, CAST(count(*) AS BIGINT) AS ki FROM (
-         |    SELECT u AS key FROM lvund UNION ALL SELECT v FROM lvund)
-         |  GROUP BY key
-         |), lvdsum AS (
-         |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
-         |  FROM l5 l JOIN lvdeg d ON d.key = l.key GROUP BY l.label
-         |), lvadj AS (
-         |  SELECT u AS key, v AS nb FROM lvund
-         |  UNION ALL SELECT v, u FROM lvund
-         |), lvlic AS (
-         |  SELECT a.key, l.label AS nbl, CAST(count(*) AS BIGINT) AS lc
-         |  FROM lvadj a JOIN l5 l ON l.key = a.nb GROUP BY a.key, l.label
-         |), lvbase AS (
-         |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
-         |    coalesce(o.lc, 0) AS lown
-         |  FROM l5 l JOIN lvdeg d ON d.key = l.key
-         |  JOIN lvdsum s ON s.label = l.label
-         |  LEFT JOIN lvlic o ON o.key = l.key AND o.nbl = l.label
-         |), lvcand AS (
-         |  SELECT b.key, b.l0, c.nbl,
-         |    4 * lvm.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
-         |  FROM lvbase b JOIN lvlic c ON c.key = b.key AND c.nbl <> b.l0
-         |  JOIN lvdsum s2 ON s2.label = c.nbl, lvm
-         |), lvbest AS (
-         |  SELECT key, nbl, gain FROM (
-         |    SELECT key, nbl, gain,
-         |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
-         |    FROM lvcand) WHERE rn = 1
          |)
-         |SELECT b.key, b.l0 AS label0,
-         |  CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.nbl ELSE b.l0 END AS label1,
-         |  CAST(CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.gain ELSE 0 END AS BIGINT) AS gain_num
-         |FROM lvbase b LEFT JOIN lvbest ON lvbest.key = b.key
-         |ORDER BY b.key""".stripMargin,
+         |SELECT least(la.label, lb.label) AS ca,
+         |  greatest(la.label, lb.label) AS cb,
+         |  CAST(count(*) AS BIGINT) AS n_edges
+         |FROM cund JOIN l5 la ON la.key = cund.u
+         |JOIN l5 lb ON lb.key = cund.v
+         |GROUP BY 1, 2 ORDER BY ca, cb""".stripMargin,
 
     "gx_jaccard" ->
       s"""$cte, ${GraphOps.jaccardPairsSql("ue", hubCapPercentile = 0.9)}

@@ -675,6 +675,17 @@ object Dedup {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = SpanDedupW): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val spans = spanRows(base, w)
+    val dup = spans.filter(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select(col("h"), lit(1).as("isdup"))
+    excised(base, spans, dup, w)
+  }
+
+  /** Token rows with the 60-bit span key starting at each position:
+    * (doc_id, i, tok, h) — h null for tail positions with < w tokens
+    * left. Shared by [[spanDedup]] and [[spanDedupAgainst]]. */
+  private def spanRows(base: DataFrame, w: Int): DataFrame = {
     val toks = base.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("i", "tok")))
@@ -683,11 +694,15 @@ object Dedup {
     // < w tokens onto shorter spans — guard on the last lead existing
     val spanTxt = concat_ws(" ",
       (0 until w).map(j => lead(col("tok"), j).over(wOrd)): _*)
-    val spans = toks.withColumn("h",
+    toks.withColumn("h",
       when(lead(col("tok"), w - 1).over(wOrd).isNotNull, hash60(spanTxt)))
-    val dup = spans.filter(col("h").isNotNull)
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
-      .filter(col("dfd") >= 2).select(col("h"), lit(1).as("isdup"))
+  }
+
+  /** Coverage + reassembly shared by the two span-dedup forms: tokens
+    * covered by any span in `dup`(h, isdup) are excised; docs reattach
+    * to `base` so empty docs survive with empty output. */
+  private def excised(base: DataFrame, spans: DataFrame, dup: DataFrame,
+                      w: Int): DataFrame = {
     val covW = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(-(w - 1), 0)
     val marked = spans.join(dup, Seq("h"), "left")
@@ -704,6 +719,24 @@ object Dedup {
         coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** INCREMENTAL span dedup: excise from a DELTA batch every w-token
+    * span already present in an INDEXED corpus — the daily-crawl form of
+    * [[spanDedup]] (and of exact-substring decontamination: seed the
+    * index with benchmark text). The index is just the DISTINCT 60-bit
+    * span-key set — at 100 TB a persisted/bucketed 8-byte-key table the
+    * delta co-shuffles against; the indexed text is never re-scanned per
+    * delta and never self-joins. Intra-delta duplication is deliberately
+    * out of scope (run [[spanDedup]] on the delta for that). */
+  def spanDedupAgainst(indexed: DataFrame, delta: DataFrame,
+                       idCol: String, textCol: String,
+                       w: Int = SpanDedupW): DataFrame = {
+    val ibase = indexed.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val dbase = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val idx = spanRows(ibase, w).filter(col("h").isNotNull)
+      .select("h").distinct().withColumn("isdup", lit(1))
+    excised(dbase, spanRows(dbase, w), idx, w)
   }
 
   /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the
@@ -745,6 +778,56 @@ object Dedup {
        |  coalesce(sdcl.n_kept, 0) AS n_kept,
        |  coalesce(sdcl.clean_text, '') AS clean_text
        |FROM sdbase b LEFT JOIN sdcl ON sdcl.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[spanDedupAgainst]] with both sides drawn from one
+    * `table` via predicates (the fixture split); the index CTE is the
+    * distinct span-key set, exactly the persisted-index shape. */
+  def spanDedupAgainstSql(table: String, idCol: String, textCol: String,
+                          indexPred: String, deltaPred: String,
+                          w: Int = SpanDedupW): String = {
+    val wm1 = w - 1
+    val h60 = graft.functions.TextFunctions.hash60Sql(
+      s"array_to_string(toks[i:i+$wm1], ' ')")
+    s"""WITH sabase AS (
+       |  SELECT $idCol AS doc_id, $textCol AS text FROM $table WHERE $deltaPred
+       |), satk AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(generate_series(1, len(toks))) AS i,
+       |    unnest(toks) AS tok
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM sabase
+       |        WHERE length(trim(text)) > 0)
+       |), sasp AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN i + $wm1 <= n THEN $h60 END AS h
+       |  FROM satk
+       |), saidx AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT CASE WHEN i + $wm1 <= n THEN $h60 END AS h
+       |    FROM (
+       |      SELECT toks, len(toks) AS n,
+       |        unnest(generate_series(1, len(toks))) AS i
+       |      FROM (SELECT ${tokensSql(textCol)} AS toks FROM $table
+       |            WHERE ($indexPred) AND length(trim($textCol)) > 0)))
+       |  WHERE h IS NOT NULL
+       |), samk AS (
+       |  SELECT s.doc_id, s.i, s.tok,
+       |    max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY s.doc_id ORDER BY s.i
+       |            ROWS BETWEEN $wm1 PRECEDING AND CURRENT ROW) AS cov
+       |  FROM sasp s LEFT JOIN saidx d ON d.h = s.h
+       |), sacl AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(1 - cov) AS INT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY i), '')
+       |      AS clean_text
+       |  FROM samk GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, coalesce(sacl.n_tokens, 0) AS n_tokens,
+       |  coalesce(sacl.n_kept, 0) AS n_kept,
+       |  coalesce(sacl.clean_text, '') AS clean_text
+       |FROM sabase b LEFT JOIN sacl ON sacl.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
   }
 

@@ -959,6 +959,17 @@ object PipelineQueries {
       Dedup.spanDedup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // INCREMENTAL span dedup (the daily-crawl / decontamination form):
+    // odd-id delta docs cleaned against the even-id corpus's persisted
+    // distinct span-key index — O(delta) work, the indexed text never
+    // re-scans or self-joins
+    "d_span_dedup_incr" -> ((s, dir) =>
+      Dedup.spanDedupAgainst(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;
     // ranking orders by the exact integer triple (tf desc, df asc, token)
     // — NOT the double score, whose JDK-vs-libm ln() can differ by 1 ulp
@@ -2951,6 +2962,9 @@ object PipelineQueries {
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
 
     "d_span_dedup" -> Dedup.spanDedupSql(docsT, "doc_id", "text"),
+
+    "d_span_dedup_incr" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",
+      "doc_id % 2 = 0", "doc_id % 2 = 1"),
 
     "d_winnow_pairs" -> Dedup.winnowMatchPairsSql(docsT, "doc_id", "text"),
 

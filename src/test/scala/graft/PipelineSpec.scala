@@ -1281,6 +1281,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(4) == ((5L, 0, 0, "")), s"got ${out(4)}")
   }
 
+  test("incremental span dedup excises only index-shared spans from the delta") {
+    val passage = "one two three four five six seven"
+    val indexed = Seq((10L, s"corpus doc with $passage inside")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, s"alpha $passage omega"),          // shares the index span -> cleaned
+      (2L, s"beta gamma delta epsilon zeta"), // untouched
+      (3L, s"rep a b c d rep a b c d"))       // delta-internal dup: out of scope
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupAgainst(indexed, delta, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 9, 2, "alpha omega")), s"got ${out(0)}")
+    assert(out(1)._3 == out(1)._2, s"got ${out(1)}")
+    assert(out(2)._3 == out(2)._2, s"got ${out(2)}")
+  }
+
   test("PQ index artifacts survive a parquet round-trip") {
     import java.nio.file.Files
     val corpus = Tables.embeddings(spark, sf)

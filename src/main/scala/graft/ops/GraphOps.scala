@@ -1045,16 +1045,20 @@ object GraphOps {
     * key-partitioned window; m rides a broadcast 1-row frame. */
   def louvainOneLevel(labels: DataFrame, und: DataFrame): DataFrame = {
     val mm = und.agg(count(lit(1)).as("m"))
-    val deg = und.select(col("u").as("key"))
+    // deg and lic each feed two downstream joins (dsum+base / lown+cand);
+    // without materialization the adjacency-sized aggregations re-run per
+    // consumer (the gx_louvain_q fan-out showed ~5× re-evaluation)
+    val deg = CacheScope.cached(und.select(col("u").as("key"))
       .union(und.select(col("v").as("key")))
-      .groupBy("key").agg(count(lit(1)).as("ki"))
+      .groupBy("key").agg(count(lit(1)).as("ki")))
     val dsum = labels.join(deg, "key")
       .groupBy("label").agg(sum(col("ki")).as("dsum"))
     val adj = und.select(col("u").as("key"), col("v").as("nb"))
       .union(und.select(col("v").as("key"), col("u").as("nb")))
-    val lic = adj
+    val lic = CacheScope.cached(adj
       .join(labels.select(col("key").as("nb"), col("label").as("nbl")), "nb")
-      .groupBy("key", "nbl").agg(count(lit(1)).as("lc"))
+      .groupBy("key", "nbl").agg(count(lit(1)).as("lc")))
+    // node-sized, referenced by cand AND the final stay/move projection
     val base = labels.select(col("key"), col("label").as("l0"))
       .join(deg, "key")
       .join(dsum.select(col("label").as("l0"), col("dsum").as("da")), "l0")
@@ -1067,11 +1071,11 @@ object GraphOps {
       .withColumn("gain",
         lit(4L) * col("m") * (col("lc") - col("lown")) -
           lit(2L) * col("ki") * (col("db") - col("da") + col("ki")))
-    val wK = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy(col("gain").desc, col("nbl"))
-    val best = cand.withColumn("rn", row_number().over(wK))
-      .filter(col("rn") === 1)
-      .select(col("key"), col("nbl").as("bl"), col("gain"))
+    // per-node argmax as a map-side-combinable min(struct(−gain, label))
+    // — (gain DESC, label ASC) without a window sort over the candidates
+    val best = cand.groupBy("key")
+      .agg(min(struct((-col("gain")).as("ng"), col("nbl").as("bl"))).as("mb"))
+      .select(col("key"), col("mb.bl").as("bl"), (-col("mb.ng")).as("gain"))
     base.select(col("key"), col("l0"))
       .join(best, Seq("key"), "left")
       .select(col("key"), col("l0").as("label0"),
@@ -1880,7 +1884,7 @@ object GraphOps {
     * (measured: boruvkaForest hung planning round 2 on a 4-node graph).
     * The reset costs nothing at runtime: the RDD is the checkpointed one;
     * only the statistics become the flat default again. */
-  private def statsReset(df: DataFrame): DataFrame =
+  private[graft] def statsReset(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** The shared doubling loop: final state (node, jump = f^(2^rounds),

@@ -98,6 +98,27 @@ object AnalyticsQueries {
                 floor(col("bal") * 100).cast("long").cast("string"))))
             .otherwise(0L)).as("checksum"))}),
 
+    // SCD TYPE-2 dimension build (the warehouse versioning op MERGE's
+    // upsert flattens away): each (customer, order date) becomes a
+    // version row with valid_from/valid_to half-open intervals (lead
+    // date; NULL = current) and running cumulative state (order count,
+    // lifetime cents — exact i64 via the half-up cents cast). One
+    // window partition per customer, no self-join; at scale this is a
+    // single shuffle on the customer key.
+    "q_scd2" -> ((s, dir) => {
+      val v = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("o_custkey", "valid_from")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("valid_from")
+      v.select(col("o_custkey"), col("valid_from"),
+          lead(col("valid_from"), 1).over(w).as("valid_to"),
+          sum(col("n_orders")).over(w).as("n_orders_cum"),
+          sum(col("cents")).over(w).as("cents_cum"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "valid_from")}),
+
     // revenue concentration: what share of total order value sits with
     // the top-1% customers (data-adaptive p99 cut on per-customer cents
     // totals). Dollars go through the half-up cents cast BEFORE any sum
@@ -1045,6 +1066,22 @@ object AnalyticsQueries {
               "CAST(k AS VARCHAR) || ':' || CAST(CAST(floor(bal * 100) AS BIGINT) AS VARCHAR)")}
          |    ELSE 0 END) AS BIGINT) AS checksum
          |FROM mm""".stripMargin,
+
+    "q_scd2" ->
+      """WITH scdv AS (
+        |  SELECT o_custkey, o_orderdate AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_custkey, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_orders_cum,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_cum,
+        |  lead(valid_from) OVER w IS NULL AS is_current
+        |FROM scdv
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+        |ORDER BY o_custkey, valid_from""".stripMargin,
 
     "q_revenue_concentration" ->
       """WITH pc AS (

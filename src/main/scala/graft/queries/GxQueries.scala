@@ -253,14 +253,22 @@ object GxQueries {
       val labels = sharedLpa(s, dir)
       val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
         .select("src", "dst")
-      val und = e0.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v")).distinct()
-      val out = GraphOps.louvainOneLevel(labels, und)
+      // und feeds the refinement AND both intra-edge counts — cache so
+      // the distinct shuffle runs once, not per consumer
+      val und = graft.CacheScope.cached(
+        e0.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct())
+      // the refinement output feeds four consumers (after-stats ×3 + move
+      // count) — materialize EAGERLY once (node-sized) or the whole gain
+      // pipeline re-runs per consumer (first cut showed 5× at 59s; a lazy
+      // persist still raced concurrent subtree scans in the final 1-row job)
+      val out = GraphOps.statsReset(
+        GraphOps.louvainOneLevel(labels, und).localCheckpoint(true))
       val after = out.select(col("key"), col("label1").as("label"))
-      val deg = und.select(col("u").as("key"))
+      val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
         .union(und.select(col("v").as("key")))
-        .groupBy("key").agg(count(lit(1)).as("ki"))
+        .groupBy("key").agg(count(lit(1)).as("ki")))
       def stats(lab: org.apache.spark.sql.DataFrame, sfx: String) = {
         val dsq = lab.join(deg, "key")
           .groupBy("label").agg(sum(col("ki")).as("ds"))

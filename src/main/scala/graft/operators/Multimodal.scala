@@ -288,6 +288,50 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[silenceStats]]: run-length silence profile of one
+    * PCM payload. */
+  case class SilenceStats(media_id: Long, n_samples: Int, n_silent: Int,
+                          longest_run: Int, lead_silent: Int)
+
+  /** Silence-run detection over PCM-16 WAV payloads — the VAD-adjacent
+    * pass an audio pipeline runs to drop dead air and find trimmable
+    * lead-in: a sample is silent iff |s| ≤ `threshold`; per payload we
+    * report the silent-sample count, the LONGEST consecutive silent run
+    * and the leading-silence length (n_samples when the whole payload is
+    * silent). Pure integer run-length scan inside the partition-batched
+    * decode — one output row per payload, no shuffle, no driver. The
+    * planted-WAV construction makes every run closed-form replayable
+    * (m_silence uses the gaps-and-islands window replay in DuckDB). */
+  def silenceStats(media: DataFrame, threshold: Int): Dataset[SilenceStats] = {
+    require(threshold >= 0, "threshold >= 0")
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          try {
+            pcm16DataRange(bytes).map { case (dOff, n) =>
+              var i = 0; var cur = 0; var best = 0; var cnt = 0
+              var lead = -1
+              while (i < n) {
+                val s = pcm16Sample(bytes, dOff, i)
+                if (math.abs(s) <= threshold) {
+                  cur += 1; cnt += 1; if (cur > best) best = cur
+                } else {
+                  if (lead < 0) lead = i
+                  cur = 0
+                }
+                i += 1
+              }
+              SilenceStats(id, n, cnt, best, if (lead < 0) n else lead)
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Output row of [[pcmWindowFeatures]]: exact integer features of one
     * fixed-length analysis window. */
   case class PcmWindowFeatures(media_id: Long, win_idx: Int, n_win: Long,

@@ -2486,6 +2486,18 @@ object PipelineQueries {
       Multimodal.pcmWindowFeatures(media, 4).toDF()
         .orderBy("media_id", "win_idx")}),
 
+    // REAL silence-run detection under oracle (the VAD-adjacent dead-air
+    // / trimmable-lead-in pass): |s| ≤ 8192 over the planted WAVs'
+    // decoded samples — run-length integer scan inside the batch decode;
+    // the oracle replays the planted sample arithmetic and rebuilds the
+    // runs with the gaps-and-islands window
+    "m_silence" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
+      Multimodal.silenceStats(media, 8192).toDF()
+        .orderBy("media_id")}),
+
     // REAL perceptual image hashing under oracle: aHash (mean-threshold
     // bits, written as the integer cross-multiplication B·n > ΣB) and
     // dHash (horizontal-gradient bits) over the decoded blue channel of
@@ -5131,6 +5143,38 @@ object PipelineQueries {
     // s_k = signed((31d + 997k) % 65536) re-derived directly; Σ|s| and
     // the window-local sign-flip count are order-free integers
     "m_audio" -> mAudioSql,
+
+    // planted-sample replay + gaps-and-islands run rebuild
+    "m_silence" ->
+      s"""WITH msdocs AS (
+         |  SELECT doc_id AS media_id, doc_id % 16 + 2 AS n
+         |  FROM $docsT WHERE doc_id % 2 = 1
+         |), msil AS (
+         |  SELECT media_id, n, k.range AS k,
+         |    CASE WHEN abs(CASE WHEN (media_id * 31 + k.range * 997) % 65536 >= 32768
+         |                       THEN (media_id * 31 + k.range * 997) % 65536 - 65536
+         |                       ELSE (media_id * 31 + k.range * 997) % 65536 END) <= 8192
+         |         THEN 1 ELSE 0 END AS silent
+         |  FROM msdocs, range(0, 18) k WHERE k.range < n
+         |), mruns AS (
+         |  SELECT media_id,
+         |    k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS grp
+         |  FROM msil WHERE silent = 1
+         |), mbest AS (
+         |  SELECT media_id, CAST(max(cnt) AS INT) AS longest_run FROM (
+         |    SELECT media_id, grp, count(*) AS cnt FROM mruns GROUP BY 1, 2)
+         |  GROUP BY media_id
+         |), mlead AS (
+         |  SELECT media_id, CAST(max(n) AS INT) AS n_samples,
+         |    CAST(sum(silent) AS INT) AS n_silent,
+         |    CAST(coalesce(min(CASE WHEN silent = 0 THEN k END), max(n)) AS INT)
+         |      AS lead_silent
+         |  FROM msil GROUP BY media_id
+         |)
+         |SELECT l.media_id, l.n_samples, l.n_silent,
+         |  CAST(coalesce(b.longest_run, 0) AS INT) AS longest_run, l.lead_silent
+         |FROM mlead l LEFT JOIN mbest b ON b.media_id = l.media_id
+         |ORDER BY l.media_id""".stripMargin,
 
     // the streaming path decodes the identical planted WAVs statelessly
     "s_stream_audio" -> mAudioSql,

@@ -2629,6 +2629,21 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("h")}),
 
+    // STREAMING audio ingest + VAD: m_silence's run-length silence scan
+    // with the docs table arriving as parquet micro-batches — stateless
+    // mapPartitions decode through the SAME operator object as batch,
+    // append-mode drain; oracle shared verbatim with m_silence
+    "s_stream_silence" -> ((s, dir) => {
+      val d = col("doc_id")
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
+      val st = Multimodal.silenceStats(stream, 8192).toDF()
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_silence_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("media_id")}),
+
     // STREAMING video ingest: the m_video GVID walk with the docs table
     // arriving as parquet micro-batches — stateless mapPartitions frame
     // sampling through the SAME operator object as batch, append-mode
@@ -2803,6 +2818,39 @@ object PipelineQueries {
   /** m_audio closed-form replay, shared verbatim by the batch (m_audio)
     * and streaming (s_stream_audio) paths — both decode the identical
     * planted WAVs through the same operator object. */
+  /** m_silence / s_stream_silence shared oracle: planted-sample replay +
+    * gaps-and-islands run rebuild. */
+  private val mSilenceSql: String =
+    s"""WITH msdocs AS (
+       |  SELECT doc_id AS media_id, doc_id % 16 + 2 AS n
+       |  FROM $docsT WHERE doc_id % 2 = 1
+       |), msil AS (
+       |  SELECT media_id, n, k.range AS k,
+       |    CASE WHEN abs(CASE WHEN (media_id * 31 + k.range * 997) % 65536 >= 32768
+       |                       THEN (media_id * 31 + k.range * 997) % 65536 - 65536
+       |                       ELSE (media_id * 31 + k.range * 997) % 65536 END) <= 8192
+       |         THEN 1 ELSE 0 END AS silent
+       |  FROM msdocs, range(0, 18) k WHERE k.range < n
+       |), mruns AS (
+       |  SELECT media_id,
+       |    k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS grp
+       |  FROM msil WHERE silent = 1
+       |), mbest AS (
+       |  SELECT media_id, CAST(max(cnt) AS INT) AS longest_run FROM (
+       |    SELECT media_id, grp, count(*) AS cnt FROM mruns GROUP BY 1, 2)
+       |  GROUP BY media_id
+       |), mlead AS (
+       |  SELECT media_id, CAST(max(n) AS INT) AS n_samples,
+       |    CAST(sum(silent) AS INT) AS n_silent,
+       |    CAST(coalesce(min(CASE WHEN silent = 0 THEN k END), max(n)) AS INT)
+       |      AS lead_silent
+       |  FROM msil GROUP BY media_id
+       |)
+       |SELECT l.media_id, l.n_samples, l.n_silent,
+       |  CAST(coalesce(b.longest_run, 0) AS INT) AS longest_run, l.lead_silent
+       |FROM mlead l LEFT JOIN mbest b ON b.media_id = l.media_id
+       |ORDER BY l.media_id""".stripMargin
+
   private val mAudioSql: String =
     """WITH base AS (
       |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
@@ -5145,36 +5193,11 @@ object PipelineQueries {
     "m_audio" -> mAudioSql,
 
     // planted-sample replay + gaps-and-islands run rebuild
-    "m_silence" ->
-      s"""WITH msdocs AS (
-         |  SELECT doc_id AS media_id, doc_id % 16 + 2 AS n
-         |  FROM $docsT WHERE doc_id % 2 = 1
-         |), msil AS (
-         |  SELECT media_id, n, k.range AS k,
-         |    CASE WHEN abs(CASE WHEN (media_id * 31 + k.range * 997) % 65536 >= 32768
-         |                       THEN (media_id * 31 + k.range * 997) % 65536 - 65536
-         |                       ELSE (media_id * 31 + k.range * 997) % 65536 END) <= 8192
-         |         THEN 1 ELSE 0 END AS silent
-         |  FROM msdocs, range(0, 18) k WHERE k.range < n
-         |), mruns AS (
-         |  SELECT media_id,
-         |    k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS grp
-         |  FROM msil WHERE silent = 1
-         |), mbest AS (
-         |  SELECT media_id, CAST(max(cnt) AS INT) AS longest_run FROM (
-         |    SELECT media_id, grp, count(*) AS cnt FROM mruns GROUP BY 1, 2)
-         |  GROUP BY media_id
-         |), mlead AS (
-         |  SELECT media_id, CAST(max(n) AS INT) AS n_samples,
-         |    CAST(sum(silent) AS INT) AS n_silent,
-         |    CAST(coalesce(min(CASE WHEN silent = 0 THEN k END), max(n)) AS INT)
-         |      AS lead_silent
-         |  FROM msil GROUP BY media_id
-         |)
-         |SELECT l.media_id, l.n_samples, l.n_silent,
-         |  CAST(coalesce(b.longest_run, 0) AS INT) AS longest_run, l.lead_silent
-         |FROM mlead l LEFT JOIN mbest b ON b.media_id = l.media_id
-         |ORDER BY l.media_id""".stripMargin,
+    "m_silence" -> mSilenceSql,
+
+    // batch/stream parity: the stream drains the same payloads through
+    // the same operator, so the oracle is shared verbatim
+    "s_stream_silence" -> mSilenceSql,
 
     // the streaming path decodes the identical planted WAVs statelessly
     "s_stream_audio" -> mAudioSql,

@@ -1051,13 +1051,48 @@ object GraphOps {
     val deg = CacheScope.cached(und.select(col("u").as("key"))
       .union(und.select(col("v").as("key")))
       .groupBy("key").agg(count(lit(1)).as("ki")))
-    val dsum = labels.join(deg, "key")
-      .groupBy("label").agg(sum(col("ki")).as("dsum"))
     val adj = und.select(col("u").as("key"), col("v").as("nb"))
       .union(und.select(col("v").as("key"), col("u").as("nb")))
     val lic = CacheScope.cached(adj
       .join(labels.select(col("key").as("nb"), col("label").as("nbl")), "nb")
       .groupBy("key", "nbl").agg(count(lit(1)).as("lc")))
+    louvainMovePass(labels, deg, lic, mm)
+  }
+
+  /** WEIGHTED one-level Louvain refinement — same exact-integer gain
+    * algebra as [[louvainOneLevel]] with W = Σw, weighted strengths and
+    * weighted community links. Input `wund`(u, v, w): distinct undirected
+    * weighted edges with integer weights; SELF-LOOPS (u == v) are allowed
+    * — a loop contributes 2w to its node's strength but cancels out of
+    * every gain (moving a node carries its loop to either community), so
+    * the link aggregation reads loop-free adjacency only. This is the
+    * refinement step that runs on a COARSENED community graph
+    * (gx_coarsen's output shape) as well as on natively weighted edges. */
+  def louvainOneLevelWeighted(labels: DataFrame, wund: DataFrame): DataFrame = {
+    val noloop = wund.filter(col("u") =!= col("v"))
+    val loops = wund.filter(col("u") === col("v"))
+      .select(col("u").as("key"), (col("w") * 2).as("w"))
+    val mm = wund.agg(sum(col("w")).as("m"))
+    val deg = CacheScope.cached(noloop.select(col("u").as("key"), col("w"))
+      .unionByName(noloop.select(col("v").as("key"), col("w")))
+      .unionByName(loops)
+      .groupBy("key").agg(sum(col("w")).as("ki")))
+    val adj = noloop.select(col("u").as("key"), col("v").as("nb"), col("w"))
+      .unionByName(noloop.select(col("v").as("key"), col("u").as("nb"), col("w")))
+    val lic = CacheScope.cached(adj
+      .join(labels.select(col("key").as("nb"), col("label").as("nbl")), "nb")
+      .groupBy("key", "nbl").agg(sum(col("w")).as("lc")))
+    louvainMovePass(labels, deg, lic, mm)
+  }
+
+  /** Shared gain/argmax/stay-or-move tail of the two refinement forms:
+    * `deg`(key, ki) node strengths, `lic`(key, nbl, lc) node→community
+    * link mass, `mm` 1-row total mass — the gain formula reads only these
+    * sufficient statistics, so weighting is entirely upstream. */
+  private def louvainMovePass(labels: DataFrame, deg: DataFrame,
+                              lic: DataFrame, mm: DataFrame): DataFrame = {
+    val dsum = labels.join(deg, "key")
+      .groupBy("label").agg(sum(col("ki")).as("dsum"))
     // node-sized, referenced by cand AND the final stay/move projection
     val base = labels.select(col("key"), col("label").as("l0"))
       .join(deg, "key")

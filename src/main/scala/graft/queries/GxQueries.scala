@@ -243,6 +243,25 @@ object GxQueries {
           greatest(col("src"), col("dst")).as("v")).distinct()
       GraphOps.louvainOneLevel(sharedLpa(s, dir), und).orderBy("key")}),
 
+    // WEIGHTED one-level Louvain refinement: the same exact-integer gain
+    // algebra over hash-weighted undirected edges (w = hash60(u|v) % 100
+    // + 1, the gx_wsssp weight family on the canonical lexical pair) —
+    // strengths, community mass and link mass all weighted sums, W = Σw.
+    // The weighted form is what runs on a COARSENED community graph; it
+    // is gated here on the native graph where every quantity is
+    // non-degenerate.
+    "gx_louvain_w" -> ((s, dir) => {
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val wund = e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+        .withColumn("w",
+          pmod(graft.functions.TextFunctions.hash60(
+            concat(col("u"), lit("|"), col("v"))), lit(100L)) + 1L)
+      GraphOps.louvainOneLevelWeighted(sharedLpa(s, dir), wund)
+        .orderBy("key")}),
+
     // modularity AUDIT of the refinement pass: S = 4m·intra − Σ D_C²
     // (4m² units) before and after gx_louvain1's synchronous move, plus
     // the move count. s_delta is emitted, NOT sign-asserted —
@@ -870,6 +889,54 @@ object GxQueries {
          |  lqmoved.n_moved
          |FROM lvm, lqintrab, lqdsqb, lqintraa, lqdsqa, lqmoved""".stripMargin,
 
+
+    // weighted twin of the louvain CTE chain: weights from the shared
+    // md5-60 family on the canonical lexical pair; every aggregate a
+    // weighted BIGINT sum
+    "gx_louvain_w" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
+         |lwu AS (
+         |  SELECT u, v,
+         |    ${graft.functions.TextFunctions.hash60Sql("u || '|' || v")} % 100 + 1 AS w
+         |  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM ue WHERE src <> dst)
+         |), lwm AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS m FROM lwu
+         |), lwdeg AS (
+         |  SELECT key, CAST(sum(w) AS BIGINT) AS ki FROM (
+         |    SELECT u AS key, w FROM lwu UNION ALL SELECT v, w FROM lwu)
+         |  GROUP BY key
+         |), lwdsum AS (
+         |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
+         |  FROM l5 l JOIN lwdeg d ON d.key = l.key GROUP BY l.label
+         |), lwadj AS (
+         |  SELECT u AS key, v AS nb, w FROM lwu
+         |  UNION ALL SELECT v, u, w FROM lwu
+         |), lwlic AS (
+         |  SELECT a.key, l.label AS nbl, CAST(sum(a.w) AS BIGINT) AS lc
+         |  FROM lwadj a JOIN l5 l ON l.key = a.nb GROUP BY a.key, l.label
+         |), lwbase AS (
+         |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
+         |    coalesce(o.lc, 0) AS lown
+         |  FROM l5 l JOIN lwdeg d ON d.key = l.key
+         |  JOIN lwdsum s ON s.label = l.label
+         |  LEFT JOIN lwlic o ON o.key = l.key AND o.nbl = l.label
+         |), lwcand AS (
+         |  SELECT b.key, b.l0, c.nbl,
+         |    4 * lwm.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
+         |  FROM lwbase b JOIN lwlic c ON c.key = b.key AND c.nbl <> b.l0
+         |  JOIN lwdsum s2 ON s2.label = c.nbl, lwm
+         |), lwbest AS (
+         |  SELECT key, nbl, gain FROM (
+         |    SELECT key, nbl, gain,
+         |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
+         |    FROM lwcand) WHERE rn = 1
+         |)
+         |SELECT b.key, b.l0 AS label0,
+         |  CASE WHEN coalesce(lwbest.gain, 0) > 0 THEN lwbest.nbl ELSE b.l0 END AS label1,
+         |  CAST(CASE WHEN coalesce(lwbest.gain, 0) > 0 THEN lwbest.gain ELSE 0 END AS BIGINT) AS gain_num
+         |FROM lwbase b LEFT JOIN lwbest ON lwbest.key = b.key
+         |ORDER BY b.key""".stripMargin,
 
     "gx_coarsen" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},

@@ -684,4 +684,30 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(out("a3") == (("a3", "B", "A", 64L)), s"got ${out("a3")}")
   }
+
+  test("louvainOneLevelWeighted: weighted gains exact, self-loops cancel") {
+    // two weight-10 triangles bridged by a weight-1 edge; W = 61
+    val wund = Seq(("a1","a2",10L),("a1","a3",10L),("a2","a3",10L),
+      ("b1","b2",10L),("b1","b3",10L),("b2","b3",10L),("a1","b1",1L))
+      .toDF("u", "v", "w")
+    val good = Seq("a1"->"A","a2"->"A","a3"->"A","b1"->"B","b2"->"B","b3"->"B")
+      .toDF("key", "label")
+    val fix = GraphOps.louvainOneLevelWeighted(good, wund)
+      .as[(String, String, String, Long)].collect()
+    assert(fix.length == 6 && fix.forall(r => r._2 == r._3 && r._4 == 0L),
+      s"weighted good partition must be a fixpoint: ${fix.toSeq}")
+    // plant a3 in B: gain back to A = 4·61·(20−0) − 2·20·(41−81+20) = 5680
+    val bad = Seq("a1"->"A","a2"->"A","a3"->"B","b1"->"B","b2"->"B","b3"->"B")
+      .toDF("key", "label")
+    val out = GraphOps.louvainOneLevelWeighted(bad, wund)
+      .as[(String, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a3") == (("a3", "B", "A", 5680L)), s"got ${out("a3")}")
+    // a self-loop (a2, w=7) raises W to 68 and a2's strength by 14 but
+    // must not create a move: loops cancel out of every gain
+    val looped = wund.union(Seq(("a2","a2",7L)).toDF("u", "v", "w"))
+    val fix2 = GraphOps.louvainOneLevelWeighted(good, looped)
+      .as[(String, String, String, Long)].collect()
+    assert(fix2.length == 6 && fix2.forall(r => r._2 == r._3 && r._4 == 0L),
+      s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
+  }
 }

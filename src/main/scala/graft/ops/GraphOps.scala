@@ -1118,6 +1118,51 @@ object GraphOps {
         when(col("gain") > 0, col("gain")).otherwise(lit(0L)).as("gain_num"))
   }
 
+  /** DuckDB twin of [[louvainOneLevelWeighted]]: CTE fragments over a
+    * weighted undirected edge CTE `$wedges`(u, v, w) — self-loops allowed
+    * — and a labels CTE `$labels`(key, label); per-node verdicts land in
+    * `${p}out`(key, label0, label1, gain_num). Loops feed strength twice
+    * (the UNION ALL double-count IS the 2w) but are excluded from the
+    * link adjacency, mirroring the Spark side's cancellation contract. */
+  def weightedLouvainSql(wedges: String, labels: String, p: String): String =
+    s"""${p}m AS MATERIALIZED (
+       |  SELECT CAST(sum(w) AS BIGINT) AS m FROM $wedges
+       |), ${p}deg AS MATERIALIZED (
+       |  SELECT key, CAST(sum(w) AS BIGINT) AS ki FROM (
+       |    SELECT u AS key, w FROM $wedges UNION ALL SELECT v, w FROM $wedges)
+       |  GROUP BY key
+       |), ${p}dsum AS MATERIALIZED (
+       |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
+       |  FROM $labels l JOIN ${p}deg d ON d.key = l.key GROUP BY l.label
+       |), ${p}adj AS (
+       |  SELECT u AS key, v AS nb, w FROM $wedges WHERE u <> v
+       |  UNION ALL SELECT v, u, w FROM $wedges WHERE u <> v
+       |), ${p}lic AS MATERIALIZED (
+       |  SELECT a.key, l.label AS nbl, CAST(sum(a.w) AS BIGINT) AS lc
+       |  FROM ${p}adj a JOIN $labels l ON l.key = a.nb GROUP BY a.key, l.label
+       |), ${p}base AS MATERIALIZED (
+       |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
+       |    coalesce(o.lc, 0) AS lown
+       |  FROM $labels l JOIN ${p}deg d ON d.key = l.key
+       |  JOIN ${p}dsum s ON s.label = l.label
+       |  LEFT JOIN ${p}lic o ON o.key = l.key AND o.nbl = l.label
+       |), ${p}cand AS (
+       |  SELECT b.key, b.l0, c.nbl,
+       |    4 * ${p}m.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
+       |  FROM ${p}base b JOIN ${p}lic c ON c.key = b.key AND c.nbl <> b.l0
+       |  JOIN ${p}dsum s2 ON s2.label = c.nbl, ${p}m
+       |), ${p}best AS (
+       |  SELECT key, nbl, gain FROM (
+       |    SELECT key, nbl, gain,
+       |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
+       |    FROM ${p}cand) WHERE rn = 1
+       |), ${p}out AS (
+       |  SELECT b.key, b.l0 AS label0,
+       |    CASE WHEN coalesce(${p}best.gain, 0) > 0 THEN ${p}best.nbl ELSE b.l0 END AS label1,
+       |    CAST(CASE WHEN coalesce(${p}best.gain, 0) > 0 THEN ${p}best.gain ELSE 0 END AS BIGINT) AS gain_num
+       |  FROM ${p}base b LEFT JOIN ${p}best ON ${p}best.key = b.key
+       |)""".stripMargin
+
   /** DuckDB twin of [[labelPropagationSync]]: CTE fragments (ud, l0..lN)
     * over edge CTE `edges`(src, dst) and node CTE `nodes`(key); final
     * labels in `l<iters>`. */

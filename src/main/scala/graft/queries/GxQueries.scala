@@ -262,6 +262,39 @@ object GxQueries {
       GraphOps.louvainOneLevelWeighted(sharedLpa(s, dir), wund)
         .orderBy("key")}),
 
+    // TWO-LEVEL Louvain: move pass → community CONTRACTION (weighted,
+    // with self-loops) → WEIGHTED move pass on the supernode graph →
+    // project every node to its supernode's refined community. This is
+    // the full multi-level Louvain iteration schema — each level's graph
+    // shrinks to one row per community, so levels get cheaper, and the
+    // weighted pass's loop-cancellation contract is exactly what the
+    // contracted self-loops need. Every step exact-integer, the whole
+    // two-level chain replays as one CTE pipeline.
+    "gx_louvain2" -> ((s, dir) => {
+      val labels = sharedLpa(s, dir)
+      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+      val und = graft.CacheScope.cached(
+        e0.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct())
+      val out1 = GraphOps.statsReset(
+        GraphOps.louvainOneLevel(labels, und).localCheckpoint(true))
+      val lab1 = out1.select(col("key"), col("label1").as("label"))
+      val coarse = und
+        .join(lab1.select(col("key").as("u"), col("label").as("lu")), "u")
+        .join(lab1.select(col("key").as("v"), col("label").as("lv")), "v")
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val superLab = lab1.select(col("label").as("key")).distinct()
+        .select(col("key"), col("key").as("label"))
+      val out2 = GraphOps.louvainOneLevelWeighted(superLab, coarse)
+      lab1.join(out2.select(col("key").as("label"),
+          col("label1").as("label2")), "label")
+        .select(col("key"), col("label").as("label1"), col("label2"))
+        .orderBy("key")}),
+
     // modularity AUDIT of the refinement pass: S = 4m·intra − Σ D_C²
     // (4m² units) before and after gx_louvain1's synchronous move, plus
     // the move count. s_delta is emitted, NOT sign-asserted —
@@ -728,7 +761,7 @@ object GxQueries {
     * per-node verdict lands in `lvout`(key, label0, label1, gain_num).
     * Shared by the gx_louvain1 and gx_louvain_q oracles. */
   private val louvainCtes: String =
-    """lvund AS (
+    """lvund AS MATERIALIZED (
       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |  FROM ue WHERE src <> dst
       |), lvm AS (
@@ -762,7 +795,7 @@ object GxQueries {
       |    SELECT key, nbl, gain,
       |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
       |    FROM lvcand) WHERE rn = 1
-      |), lvout AS (
+      |), lvout AS MATERIALIZED (
       |  SELECT b.key, b.l0 AS label0,
       |    CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.nbl ELSE b.l0 END AS label1,
       |    CAST(CASE WHEN coalesce(lvbest.gain, 0) > 0 THEN lvbest.gain ELSE 0 END AS BIGINT) AS gain_num
@@ -900,43 +933,26 @@ object GxQueries {
          |    ${graft.functions.TextFunctions.hash60Sql("u || '|' || v")} % 100 + 1 AS w
          |  FROM (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |        FROM ue WHERE src <> dst)
-         |), lwm AS (
-         |  SELECT CAST(sum(w) AS BIGINT) AS m FROM lwu
-         |), lwdeg AS (
-         |  SELECT key, CAST(sum(w) AS BIGINT) AS ki FROM (
-         |    SELECT u AS key, w FROM lwu UNION ALL SELECT v, w FROM lwu)
-         |  GROUP BY key
-         |), lwdsum AS (
-         |  SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dsum
-         |  FROM l5 l JOIN lwdeg d ON d.key = l.key GROUP BY l.label
-         |), lwadj AS (
-         |  SELECT u AS key, v AS nb, w FROM lwu
-         |  UNION ALL SELECT v, u, w FROM lwu
-         |), lwlic AS (
-         |  SELECT a.key, l.label AS nbl, CAST(sum(a.w) AS BIGINT) AS lc
-         |  FROM lwadj a JOIN l5 l ON l.key = a.nb GROUP BY a.key, l.label
-         |), lwbase AS (
-         |  SELECT l.key, l.label AS l0, d.ki, s.dsum AS da,
-         |    coalesce(o.lc, 0) AS lown
-         |  FROM l5 l JOIN lwdeg d ON d.key = l.key
-         |  JOIN lwdsum s ON s.label = l.label
-         |  LEFT JOIN lwlic o ON o.key = l.key AND o.nbl = l.label
-         |), lwcand AS (
-         |  SELECT b.key, b.l0, c.nbl,
-         |    4 * lwm.m * (c.lc - b.lown) - 2 * b.ki * (s2.dsum - b.da + b.ki) AS gain
-         |  FROM lwbase b JOIN lwlic c ON c.key = b.key AND c.nbl <> b.l0
-         |  JOIN lwdsum s2 ON s2.label = c.nbl, lwm
-         |), lwbest AS (
-         |  SELECT key, nbl, gain FROM (
-         |    SELECT key, nbl, gain,
-         |      row_number() OVER (PARTITION BY key ORDER BY gain DESC, nbl) AS rn
-         |    FROM lwcand) WHERE rn = 1
-         |)
-         |SELECT b.key, b.l0 AS label0,
-         |  CASE WHEN coalesce(lwbest.gain, 0) > 0 THEN lwbest.nbl ELSE b.l0 END AS label1,
-         |  CAST(CASE WHEN coalesce(lwbest.gain, 0) > 0 THEN lwbest.gain ELSE 0 END AS BIGINT) AS gain_num
-         |FROM lwbase b LEFT JOIN lwbest ON lwbest.key = b.key
-         |ORDER BY b.key""".stripMargin,
+         |), ${GraphOps.weightedLouvainSql("lwu", "l5", "lw")}
+         |SELECT key, label0, label1, gain_num FROM lwout ORDER BY key""".stripMargin,
+
+    // level-1 verdicts (lvout) → weighted contraction with self-loops →
+    // the weighted chain on singleton supernode communities → projection
+    "gx_louvain2" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |l2e AS MATERIALIZED (
+         |  SELECT least(la.label1, lb.label1) AS u,
+         |    greatest(la.label1, lb.label1) AS v,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lvund JOIN lvout la ON la.key = lvund.u
+         |  JOIN lvout lb ON lb.key = lvund.v
+         |  GROUP BY 1, 2
+         |), l2lab AS (
+         |  SELECT DISTINCT label1 AS key, label1 AS label FROM lvout
+         |), ${GraphOps.weightedLouvainSql("l2e", "l2lab", "l2")}
+         |SELECT o.key, o.label1, p.label1 AS label2
+         |FROM lvout o JOIN l2out p ON p.key = o.label1
+         |ORDER BY o.key""".stripMargin,
 
     "gx_coarsen" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},

@@ -37,6 +37,29 @@ object GxQueries {
   private[graft] def dropUnionGxCache(s: SparkSession, dir: String): Boolean =
     GraphXBridge.dropCached(s"union|$dir|${System.identityHashCode(s)}")
 
+  /** Session-shared DISTINCT lexical undirected edge set of the union
+    * graph — the frame the whole community family (modularity, coarsen,
+    * all four louvain gates) derives from. */
+  private def sharedUnd(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("gx_und", s, dir) {
+      Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
+        .select("src", "dst")
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+    }
+
+  /** Session-shared one-level Louvain refinement — gx_louvain1 emits it,
+    * gx_louvain_q audits it, gx_louvain2 contracts on it; the gain
+    * pipeline builds once per session (the lpa5 pattern). statsReset on
+    * the way out: the persisted plan's sizeInBytes is a product over the
+    * whole gain join tree, and consumers that join this frame twice
+    * (louvain2's contraction) square it into the documented
+    * BigInt-planning hang (270s observed, execution itself ~1s). */
+  private def sharedLouvain1(s: SparkSession, dir: String): DataFrame =
+    GraphOps.statsReset(Tables.cached("louvain1", s, dir)(
+      GraphOps.louvainOneLevel(sharedLpa(s, dir), sharedUnd(s, dir))))
+
   /** Session-shared LPA labels (5 sync iterations) — gx_labelprop emits
     * them directly and gx_modularity grades their community quality; the
     * 5-round iterative pass builds once per session. */
@@ -81,7 +104,9 @@ object GxQueries {
       Tables.cached("part", s, d)(Tables.partEdges(s, d))),
     "gx_graphx" -> ((s: SparkSession, d: String) => materializeUnionGx(s, d)),
     "lpa5" -> ((s: SparkSession, d: String) => sharedLpa(s, d)),
-    "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2)
+    "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2),
+    "gx_und" -> ((s: SparkSession, d: String) => sharedUnd(s, d)),
+    "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d))
   )
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
@@ -235,13 +260,8 @@ object GxQueries {
     // over the adjacency — each node scores only communities it
     // actually touches, never all communities; the per-node argmax is a
     // key-partitioned window.
-    "gx_louvain1" -> ((s, dir) => {
-      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
-        .select("src", "dst")
-      val und = e0.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v")).distinct()
-      GraphOps.louvainOneLevel(sharedLpa(s, dir), und).orderBy("key")}),
+    "gx_louvain1" -> ((s, dir) =>
+      sharedLouvain1(s, dir).orderBy("key")),
 
     // WEIGHTED one-level Louvain refinement: the same exact-integer gain
     // algebra over hash-weighted undirected edges (w = hash60(u|v) % 100
@@ -251,11 +271,7 @@ object GxQueries {
     // is gated here on the native graph where every quantity is
     // non-degenerate.
     "gx_louvain_w" -> ((s, dir) => {
-      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
-        .select("src", "dst")
-      val wund = e0.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v")).distinct()
+      val wund = sharedUnd(s, dir)
         .withColumn("w",
           pmod(graft.functions.TextFunctions.hash60(
             concat(col("u"), lit("|"), col("v"))), lit(100L)) + 1L)
@@ -271,16 +287,9 @@ object GxQueries {
     // contracted self-loops need. Every step exact-integer, the whole
     // two-level chain replays as one CTE pipeline.
     "gx_louvain2" -> ((s, dir) => {
-      val labels = sharedLpa(s, dir)
-      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
-        .select("src", "dst")
-      val und = graft.CacheScope.cached(
-        e0.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v")).distinct())
-      val out1 = GraphOps.statsReset(
-        GraphOps.louvainOneLevel(labels, und).localCheckpoint(true))
-      val lab1 = out1.select(col("key"), col("label1").as("label"))
+      val und = sharedUnd(s, dir)
+      val lab1 = sharedLouvain1(s, dir)
+        .select(col("key"), col("label1").as("label"))
       val coarse = und
         .join(lab1.select(col("key").as("u"), col("label").as("lu")), "u")
         .join(lab1.select(col("key").as("v"), col("label").as("lv")), "v")
@@ -303,20 +312,12 @@ object GxQueries {
     // aggregates exact i64; the 1-row stat frames cross-join broadcast.
     "gx_louvain_q" -> ((s, dir) => {
       val labels = sharedLpa(s, dir)
-      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
-        .select("src", "dst")
-      // und feeds the refinement AND both intra-edge counts — cache so
-      // the distinct shuffle runs once, not per consumer
-      val und = graft.CacheScope.cached(
-        e0.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("u"),
-            greatest(col("src"), col("dst")).as("v")).distinct())
+      val und = sharedUnd(s, dir)
       // the refinement output feeds four consumers (after-stats ×3 + move
-      // count) — materialize EAGERLY once (node-sized) or the whole gain
-      // pipeline re-runs per consumer (first cut showed 5× at 59s; a lazy
-      // persist still raced concurrent subtree scans in the final 1-row job)
-      val out = GraphOps.statsReset(
-        GraphOps.louvainOneLevel(labels, und).localCheckpoint(true))
+      // count) — it rides the session-shared persisted build (an
+      // unmaterialized plan re-ran per consumer: first cut showed 5× at
+      // 59s)
+      val out = sharedLouvain1(s, dir)
       val after = out.select(col("key"), col("label1").as("label"))
       val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
         .union(und.select(col("v").as("key")))
@@ -359,12 +360,7 @@ object GxQueries {
     // what the next coarsening level iterates on.
     "gx_coarsen" -> ((s, dir) => {
       val labels = sharedLpa(s, dir)
-      val e0 = Tables.cached("gx_union", s, dir)(unionEdges(s, dir))
-        .select("src", "dst")
-      val und = e0.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v")).distinct()
-      und
+      sharedUnd(s, dir)
         .join(labels.select(col("key").as("u"), col("label").as("lu")), "u")
         .join(labels.select(col("key").as("v"), col("label").as("lv")), "v")
         .select(least(col("lu"), col("lv")).as("ca"),

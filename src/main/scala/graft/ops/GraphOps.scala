@@ -520,6 +520,106 @@ object GraphOps {
     paths.reduce(_ unionByName _).select(col("start"), col("step"), col("node"))
   }
 
+  /** node2vec-style SECOND-ORDER biased hash walks: step 1 is the uniform
+    * hash choice of [[hashWalks]]; every later step weights each
+    * out-neighbor x of the current node v by its relation to the
+    * PREVIOUS node t — return (x = t) weight 1, triangle-closing
+    * (edge t→x exists) weight 2, forward weight 1, i.e. the node2vec
+    * (p, q) = (2, 2)-shaped bias with INTEGER weights, so the choice is
+    * an exact cumulative-range lookup: r = hash60(t|v|k) mod Σw lands in
+    * one neighbor's [cum−w, cum) slot. Deterministic, partition-
+    * invariant, and the whole walk replays as unrolled CTEs
+    * ([[node2vecWalksSql]]). Walkers at sink nodes stop (same contract
+    * as hashWalks).
+    *
+    * Scale shape: one walker row per start; each step is one equi-join
+    * on the current node plus one LEFT adjacency probe on (prev, x) —
+    * both on the shared distinct edge frame — and a per-walker window
+    * over its candidate slate (bounded by out-degree). State is
+    * checkpointed per step (the iterative discipline). */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 2, "steps >= 2 (the bias needs a previous node)")
+    import org.apache.spark.sql.expressions.Window
+    val de = CacheScope.cached(edges.select(col("src"), col("dst")).distinct())
+    val byDst = Window.partitionBy("src").orderBy("dst")
+    val ranked = de
+      .withColumn("rk", row_number().over(byDst) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+    val cur0 = starts.select(col("key").as("start"), col("key").as("node"))
+    val paths = scala.collection.mutable.ArrayBuffer(
+      cur0.select(col("start"), lit(0).as("step"), col("node")))
+    val idx1 = pmod(graft.functions.TextFunctions.hash60(
+      concat(col("node"), lit("|1"))), col("deg"))
+    var st = cur0.join(ranked,
+        cur0("node") === ranked("src") && ranked("rk") === idx1)
+      .select(col("start"), cur0("node").as("prev"), col("dst").as("node"))
+      .localCheckpoint(true)
+    paths += st.select(col("start"), lit(1).as("step"), col("node"))
+    val e1 = de.select(col("src").as("node"), col("dst").as("x"))
+    val adj = de.select(col("src").as("prev"), col("dst").as("x"),
+      lit(1).as("has_adj"))
+    for (k <- 2 to steps) {
+      val cand = st.join(e1, "node")
+        .join(adj, Seq("prev", "x"), "left")
+        .withColumn("wgt", when(col("x") === col("prev"), lit(1L))
+          .when(col("has_adj").isNotNull, lit(2L)).otherwise(lit(1L)))
+      val wOrd = Window.partitionBy("start").orderBy("x")
+      val wAllS = Window.partitionBy("start")
+      val r = pmod(graft.functions.TextFunctions.hash60(
+        concat(col("prev"), lit("|"), col("node"), lit(s"|$k"))), col("tot"))
+      st = cand
+        .withColumn("cum", sum(col("wgt")).over(wOrd))
+        .withColumn("tot", sum(col("wgt")).over(wAllS))
+        .filter(r >= col("cum") - col("wgt") && r < col("cum"))
+        .select(col("start"), col("node").as("prev"), col("x").as("node"))
+        .localCheckpoint(true)
+      paths += st.select(col("start"), lit(k).as("step"), col("node"))
+    }
+    paths.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[node2vecWalks]]: CTE fragments (n2de, rkn reuse is
+    * separate — this builds its own nvrk) producing nv0..nvN; select the
+    * path rows with [[node2vecWalksPathSql]]. */
+  def node2vecWalksSql(edges: String, startsSelect: String, steps: Int): String = {
+    import graft.functions.TextFunctions.hash60Sql
+    val its = (2 to steps).map { k =>
+      s"""nvc$k AS (
+         |  SELECT w.start, w.prev, w.node, e.dst AS x,
+         |    CASE WHEN e.dst = w.prev THEN 1
+         |         WHEN a.src IS NOT NULL THEN 2
+         |         ELSE 1 END AS wgt
+         |  FROM nv${k - 1} w JOIN n2de e ON e.src = w.node
+         |  LEFT JOIN n2de a ON a.src = w.prev AND a.dst = e.dst
+         |), nvh$k AS (
+         |  SELECT start, prev, node, x, wgt,
+         |    sum(wgt) OVER (PARTITION BY start ORDER BY x) AS cum,
+         |    sum(wgt) OVER (PARTITION BY start) AS tot
+         |  FROM nvc$k
+         |), nv$k AS (
+         |  SELECT start, node AS prev, x AS node FROM nvh$k
+         |  WHERE ${hash60Sql(s"prev || '|' || node || '|$k'")} % tot >= cum - wgt
+         |    AND ${hash60Sql(s"prev || '|' || node || '|$k'")} % tot < cum)""".stripMargin
+    }
+    (s"""n2de AS MATERIALIZED (SELECT DISTINCT src, dst FROM $edges),
+        |nvrk AS (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+        |         count(*) OVER (PARTITION BY src) AS deg
+        |  FROM n2de)""".stripMargin +:
+      s"nvs0 AS (SELECT key AS start, key AS node FROM ($startsSelect))" +:
+      s"""nv1 AS (
+         |  SELECT w.start, w.node AS prev, e.dst AS node FROM nvs0 w JOIN nvrk e
+         |  ON e.src = w.node
+         |  AND e.rk = ${hash60Sql("w.node || '|1'")} % e.deg)""".stripMargin +:
+      its).mkString(",\n")
+  }
+
+  /** The path-row union over [[node2vecWalksSql]]'s fragments. */
+  def node2vecWalksPathSql(steps: Int): String =
+    (s"SELECT start, 0 AS step, node FROM nvs0" +:
+      (1 to steps).map(k => s"SELECT start, $k AS step, node FROM nv$k"))
+      .mkString("\nUNION ALL\n")
+
   /** DuckDB twin of [[hashWalks]]: CTE fragments (rkn, wk0..wkN) over an
     * edge CTE `edges`(src, dst); `startsSelect` must yield one column
     * `key`. Select the path rows by UNION ALL over wk0..wkN (use

@@ -645,6 +645,19 @@ object GxQueries {
           g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
         .orderBy("start", "step", "node")}),
 
+    // node2vec-style SECOND-ORDER biased walks (the DeepWalk upgrade
+    // every graph-embedding pipeline actually ships): return/triangle/
+    // forward neighbors weighted 1/2/1 (the (p,q)=(2,2) shape) with the
+    // choice an exact integer cumulative-range lookup on the shared md5
+    // hash family — fully deterministic, so every path row hash-checks
+    // against the unrolled-CTE replay
+    "gx_walks_n2v" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      GraphOps.node2vecWalks(
+          g.edges.select(col("src"), col("dst")),
+          g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
+        .orderBy("start", "step", "node")}),
+
     // local clustering coefficient in integer micro-units:
     // 2e6·T(v) div (deg·(deg-1)) over the undirected distinct-neighbor
     // degree — exact integer ratio, no float division
@@ -1139,6 +1152,13 @@ object GxQueries {
              "SELECT key FROM un WHERE key LIKE 'S%'", 4)}
          |SELECT start, step, node FROM (
          |${GraphOps.hashWalksPathSql(4)}
+         |) ORDER BY start, step, node""".stripMargin,
+
+    "gx_walks_n2v" ->
+      s"""$cte, ${GraphOps.node2vecWalksSql("ue",
+             "SELECT key FROM un WHERE key LIKE 'S%'", 4)}
+         |SELECT start, step, node FROM (
+         |${GraphOps.node2vecWalksPathSql(4)}
          |) ORDER BY start, step, node""".stripMargin,
 
     "gx_clustering" ->

@@ -685,6 +685,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(out("a3") == (("a3", "B", "A", 64L)), s"got ${out("a3")}")
   }
 
+  test("node2vecWalks: biased choice matches an independent md5 replication") {
+    // third, pure-Scala implementation of the choice arithmetic — the
+    // DuckDB twin is the cross-engine check; this pins the Spark plan
+    // against a from-scratch replication of the CONTRACT
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // a -> {b, c}; from b (prev a): return a (w1), c closes a->c (w2),
+    // d forward (w1); from c (prev a): return a (w1), d forward (w1)
+    val edges = Seq("a"->"b","a"->"c","b"->"a","b"->"c","b"->"d",
+      "c"->"a","c"->"d","d"->"a").toDF("src", "dst")
+    val out = GraphOps.node2vecWalks(edges, Seq("a").toDF("key"), 2)
+      .as[(String, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 1, 2), s"got ${out.toSeq}")
+    // step 1: uniform over sorted out(a) = [b, c]
+    val n1 = if (h60("a|1") % 2 == 0) "b" else "c"
+    assert(out(1)._3 == n1, s"step1 got ${out(1)._3}, expected $n1")
+    // step 2: cumulative integer slots over sorted candidates
+    val n2 = if (n1 == "b") {
+      val r = h60("a|b|2") % 4 // a:[0,1) w1, c:[1,3) w2, d:[3,4) w1
+      if (r < 1) "a" else if (r < 3) "c" else "d"
+    } else {
+      val r = h60("a|c|2") % 2 // a:[0,1) w1, d:[1,2) w1
+      if (r < 1) "a" else "d"
+    }
+    assert(out(2)._3 == n2, s"step2 got ${out(2)._3}, expected $n2")
+    // partition invariance: identical paths from a repartitioned edge set
+    val again = GraphOps.node2vecWalks(edges.repartition(5),
+      Seq("a").toDF("key"), 2).as[(String, Int, String)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("louvainOneLevelWeighted: weighted gains exact, self-loops cancel") {
     // two weight-10 triangles bridged by a weight-1 edge; W = 61
     val wund = Seq(("a1","a2",10L),("a1","a3",10L),("a2","a3",10L),

@@ -276,6 +276,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("span dedup stays equi-join only (no product, no position self-join)") {
+    // the coverage pass must be a bounded window frame per doc, never a
+    // positions×positions self-join, and the span-df back-join an
+    // equi-join on the 60-bit key
+    val d = Tables.documents(spark, sf)
+    val out = operators.Dedup.spanDedup(d, "doc_id", "text")
+    val plan = finalPlanString(out)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must be equi-joins only:\n${plan.take(900)}")
+  }
+
   test("cross-corpus LSH join never broadcasts either side") {
     // both halves are corpus-sized at scale: the band join (and the vector
     // re-attach joins) must stay shuffled even though the TEST corpus is

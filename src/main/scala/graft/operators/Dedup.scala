@@ -698,14 +698,24 @@ object Dedup {
       when(lead(col("tok"), w - 1).over(wOrd).isNotNull, hash60(spanTxt)))
   }
 
-  /** Coverage + reassembly shared by the two span-dedup forms: tokens
-    * covered by any span in `dup`(h, isdup) are excised; docs reattach
-    * to `base` so empty docs survive with empty output. */
+  /** Coverage + reassembly shared by the span-dedup forms keyed on a
+    * span-key set: tokens covered by any span in `dup`(h, isdup) are
+    * excised; docs reattach to `base` so empty docs survive with empty
+    * output. */
   private def excised(base: DataFrame, spans: DataFrame, dup: DataFrame,
-                      w: Int): DataFrame = {
+                      w: Int): DataFrame =
+    reassemble(base, spans.join(dup, Seq("h"), "left"), w)
+
+  /** Coverage window + ordered reassembly over PRE-MARKED span rows
+    * `markedIn`(doc_id, i, tok, isdup nullable) — the shared tail of the
+    * key-set forms ([[excised]]) and the position-level intra-doc form
+    * ([[spanDedupWithin]], where dup-ness depends on the occurrence's
+    * position, not the key alone). */
+  private def reassemble(base: DataFrame, markedIn: DataFrame,
+                         w: Int): DataFrame = {
     val covW = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(-(w - 1), 0)
-    val marked = spans.join(dup, Seq("h"), "left")
+    val marked = markedIn
       .withColumn("cov", max(coalesce(col("isdup"), lit(0))).over(covW))
     val cleaned = marked.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_tokens"),
@@ -719,6 +729,29 @@ object Dedup {
         coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** INTRA-document span dedup: excise every `w`-token span occurring
+    * ≥ 2 times within the SAME document — the FIRST occurrence (minimum
+    * start position) survives, every later copy's tokens are excised.
+    * The transform counterpart of the d_repetition measure, and the
+    * within-doc complement of [[spanDedup]] (which only excises spans
+    * shared ACROSS documents): run [[spanDedup]] first, then this on
+    * the cleaned text, for the full Lee-et-al rewrite.
+    *
+    * Scale shape: dup-ness here is per OCCURRENCE, not per key — one
+    * (doc_id, span-key) window computes the doc's first position (all
+    * work stays keyed by doc, no cross-doc shuffle at all), then the
+    * same bounded coverage frame and keyed reassembly as [[spanDedup]].
+    * Nothing in the plan ever leaves the document partition. */
+  def spanDedupWithin(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = SpanDedupW): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val wKey = Window.partitionBy("doc_id", "h")
+    val marked = spanRows(base, w).withColumn("isdup",
+      when(col("h").isNotNull &&
+        col("i") > min(col("i")).over(wKey), lit(1)))
+    reassemble(base, marked, w)
   }
 
   /** INCREMENTAL span dedup: excise from a DELTA batch every w-token
@@ -828,6 +861,52 @@ object Dedup {
        |  coalesce(sacl.n_kept, 0) AS n_kept,
        |  coalesce(sacl.clean_text, '') AS clean_text
        |FROM sabase b LEFT JOIN sacl ON sacl.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[spanDedupWithin]]: the same slice/key CTEs as
+    * [[spanDedupSql]] with a per-(doc, key) min-position predicate —
+    * an occurrence is a dup iff a smaller start position in the SAME doc
+    * carries the same span key (first copy wins). */
+  def spanDedupWithinSql(table: String, idCol: String, textCol: String,
+                         w: Int = SpanDedupW): String = {
+    val wm1 = w - 1
+    s"""WITH swbase AS (
+       |  SELECT $idCol AS doc_id, $textCol AS text FROM $table
+       |), swtk AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(generate_series(1, len(toks))) AS i,
+       |    unnest(toks) AS tok
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM swbase
+       |        WHERE length(trim(text)) > 0)
+       |), swsp AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN i + $wm1 <= n THEN
+       |      ${graft.functions.TextFunctions.hash60Sql(s"array_to_string(toks[i:i+$wm1], ' ')")}
+       |    END AS h
+       |  FROM swtk
+       |), swdp AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN h IS NOT NULL
+       |      AND i > min(i) OVER (PARTITION BY doc_id, h) THEN 1 ELSE 0
+       |    END AS isdup
+       |  FROM swsp
+       |), swmk AS (
+       |  SELECT doc_id, i, tok,
+       |    max(isdup) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN $wm1 PRECEDING AND CURRENT ROW) AS cov
+       |  FROM swdp
+       |), swcl AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(1 - cov) AS INT) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY i), '')
+       |      AS clean_text
+       |  FROM swmk GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, coalesce(swcl.n_tokens, 0) AS n_tokens,
+       |  coalesce(swcl.n_kept, 0) AS n_kept,
+       |  coalesce(swcl.clean_text, '') AS clean_text
+       |FROM swbase b LEFT JOIN swcl ON swcl.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
   }
 

@@ -1044,6 +1044,55 @@ object Similarity {
       .select("query_id", "vec_id", "cos_micro", "rank")
   }
 
+  /** EXACT degree-bounded kNN edges by all-pairs floor-micro cosine —
+    * the O(n²) spec/fixture baseline for [[beamSearchTopK]]'s graph; the
+    * operator's default build is the banded [[lshKnnEdges]]. */
+  def exactKnnEdges(corpus: DataFrame, graphK: Int = 8): DataFrame = {
+    val cor = corpus.select(col("id").as("vec_id"), col("vec"),
+      norm(col("vec")).as("cn"))
+    val b = broadcast(cor.select(col("vec_id").as("dst"),
+      col("vec").as("bv"), col("cn").as("bn")))
+    val pairs = spread(cor)
+      .select(col("vec_id").as("src"), col("vec").as("av"), col("cn").as("an"))
+      .crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosMicroCol(col("av"), col("an"), col("bv"), col("bn")).as("cosm"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("dst"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= graphK)
+      .select("src", "dst")
+  }
+
+  /** LSH-banded degree-bounded kNN edges — the scale-path default graph
+    * build for [[beamSearchTopK]]: the corpus bands ONCE with the shared
+    * md5 hyperplane family, candidate pairs come from shared
+    * (table, bucket) keys via a sort-merge self-join (no product, no
+    * broadcast of a corpus-sized side), dedup on the two-long id pair
+    * BEFORE vectors re-attach, then a floor-micro rerank keeps the
+    * graphK best per source. The resulting graph is approximate where
+    * the exact kNN edge fell outside every shared band — beam recall
+    * degrades gracefully (spec-pinned ≥0.7 on the adversarial random
+    * fixture; clustered real corpora band far better). */
+  def lshKnnEdges(corpus: DataFrame, graphK: Int = 8): DataFrame = {
+    val banded = lshBucketed(corpus.select(col("id"), col("vec")),
+      inferDim(corpus))
+    val lb = banded.select(col("table"), col("bucket"), col("id").as("src"))
+    val rb = banded.select(col("table"), col("bucket"), col("id").as("dst"))
+    val pairIds = lb.hint("merge").join(rb, Seq("table", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val sv = corpus.select(col("id").as("src"), col("vec").as("av"),
+      norm(col("vec")).as("an"))
+    val dv = corpus.select(col("id").as("dst"), col("vec").as("bv"),
+      norm(col("vec")).as("bn"))
+    val scored = pairIds.hint("merge").join(sv, "src")
+      .hint("merge").join(dv, "dst")
+      .select(col("src"), col("dst"),
+        cosMicroCol(col("av"), col("an"), col("bv"), col("bn")).as("cosm"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= graphK)
+      .select("src", "dst")
+  }
+
   /** Graph-navigation ANN: greedy beam search over a degree-bounded kNN
     * graph — the NSW/HNSW family's base layer, the fourth index family
     * next to LSH, IVF and PQ. The navigable graph IS the index: search
@@ -1055,11 +1104,15 @@ object Similarity {
     * replay in SQL ([[Similarity.beamSearchRecallSql]]) and the recall
     * report is hash-checkable end to end.
     *
-    * Scale shape: the O(n²) graph build here is the declared
-    * testdata-exact form; at scale the edges come from any ANN index
-    * (`prebuiltEdges` — the knnComponents discipline) and the build
-    * amortizes over every query ever run. The search itself never scans
-    * the corpus: per round, the beam (|queries|·ef rows) joins the
+    * Scale shape: the DEFAULT graph build is the LSH-banded
+    * [[lshKnnEdges]] — candidates from shared (table, bucket) hyperplane
+    * bands, one sort-merge self-band-join, NO corpus×corpus product — so
+    * the navigable graph itself builds at 100 TB. [[exactKnnEdges]]
+    * keeps the O(n²) exact build as an explicit opt-in baseline for
+    * specs and tiny fixtures, and `prebuiltEdges` accepts any ANN
+    * index's edges (the knnComponents discipline) — the build amortizes
+    * over every query ever run. The search itself never scans the
+    * corpus: per round, the beam (|queries|·ef rows) joins the
     * degree-bounded edge table, only candidates NOT already scored fetch
     * their vectors by key, and the running state stays
     * ≤ |queries|·(1 + rounds·ef·graphK) rows — the whole loop is
@@ -1074,18 +1127,8 @@ object Similarity {
     // the DAG deepens each round and Catalyst re-analysis (driver CPU)
     // dominates the tiny physical work (same discipline as the GraphOps
     // iterative algorithms)
-    val edges = prebuiltEdges.getOrElse {
-      val b = broadcast(cor.select(col("vec_id").as("dst"),
-        col("vec").as("bv"), col("cn").as("bn")))
-      val pairs = spread(cor)
-        .select(col("vec_id").as("src"), col("vec").as("av"), col("cn").as("an"))
-        .crossJoin(b).filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          cosMicroCol(col("av"), col("an"), col("bv"), col("bn")).as("cosm"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cosm").desc, col("dst"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= graphK)
-        .select("src", "dst")
-    }.localCheckpoint(true)
+    val edges = prebuiltEdges.getOrElse(lshKnnEdges(corpus, graphK))
+      .localCheckpoint(true)
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").as("qv"), norm(col("vec")).as("qn")))
     // score only the handed-in (query, candidate) pairs: a keyed fetch of

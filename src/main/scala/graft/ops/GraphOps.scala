@@ -1168,21 +1168,126 @@ object GraphOps {
     * the link aggregation reads loop-free adjacency only. This is the
     * refinement step that runs on a COARSENED community graph
     * (gx_coarsen's output shape) as well as on natively weighted edges. */
-  def louvainOneLevelWeighted(labels: DataFrame, wund: DataFrame): DataFrame = {
+  def louvainOneLevelWeighted(labels: DataFrame, wund: DataFrame): DataFrame =
+    louvainMoveWeighted(labels,
+      CacheScope.cached(louvainWeightedDeg(wund)),
+      CacheScope.cached(louvainWeightedLic(labels, wund)),
+      wund.agg(sum(col("w")).as("m")))
+
+  /** Weighted node strengths `(key, ki)` of `wund`(u, v, w) — a self-loop
+    * contributes 2w to its own node (it appears once in the edge list but
+    * twice in the stub count). Exposed unpersisted so callers with a
+    * session-shared `wund` can lift this frame into their own shared cache
+    * (gx_louvain_w rides Tables.cached; per-call forms use CacheScope). */
+  def louvainWeightedDeg(wund: DataFrame): DataFrame = {
     val noloop = wund.filter(col("u") =!= col("v"))
-    val loops = wund.filter(col("u") === col("v"))
-      .select(col("u").as("key"), (col("w") * 2).as("w"))
-    val mm = wund.agg(sum(col("w")).as("m"))
-    val deg = CacheScope.cached(noloop.select(col("u").as("key"), col("w"))
+    noloop.select(col("u").as("key"), col("w"))
       .unionByName(noloop.select(col("v").as("key"), col("w")))
-      .unionByName(loops)
-      .groupBy("key").agg(sum(col("w")).as("ki")))
-    val adj = noloop.select(col("u").as("key"), col("v").as("nb"), col("w"))
+      .unionByName(wund.filter(col("u") === col("v"))
+        .select(col("u").as("key"), (col("w") * 2).as("w")))
+      .groupBy("key").agg(sum(col("w")).as("ki"))
+  }
+
+  /** Weighted node→community link mass `(key, nbl, lc)` over the loop-free
+    * adjacency of `wund` under `labels` — loops cancel out of every gain
+    * so they are excluded here by construction. */
+  def louvainWeightedLic(labels: DataFrame, wund: DataFrame): DataFrame = {
+    val noloop = wund.filter(col("u") =!= col("v"))
+    noloop.select(col("u").as("key"), col("v").as("nb"), col("w"))
       .unionByName(noloop.select(col("v").as("key"), col("u").as("nb"), col("w")))
-    val lic = CacheScope.cached(adj
       .join(labels.select(col("key").as("nb"), col("label").as("nbl")), "nb")
-      .groupBy("key", "nbl").agg(sum(col("w")).as("lc")))
+      .groupBy("key", "nbl").agg(sum(col("w")).as("lc"))
+  }
+
+  /** Weighted move pass over PREBUILT sufficient statistics — the gain
+    * formula reads only `deg`/`lic`/`mm`, so callers that session-share
+    * those frames pay just the node-sized join tree per invocation. */
+  private[graft] def louvainMoveWeighted(labels: DataFrame, deg: DataFrame,
+                                         lic: DataFrame, mm: DataFrame): DataFrame =
     louvainMovePass(labels, deg, lic, mm)
+
+  /** Contract a weighted undirected edge set `wund`(u, v, w) by a
+    * community map `map`(key, label): edge mass between (and within)
+    * communities sums; intra-community edges become self-loops — exactly
+    * the input shape [[louvainOneLevelWeighted]]'s loop-cancellation
+    * contract expects. One shuffle on the (community, community) key. */
+  private def contractWeighted(wund: DataFrame, map: DataFrame): DataFrame =
+    wund
+      .join(map.select(col("key").as("u"), col("label").as("lu")), "u")
+      .join(map.select(col("key").as("v"), col("label").as("lv")), "v")
+      .groupBy(least(col("lu"), col("lv")).as("u"),
+        greatest(col("lu"), col("lv")).as("v"))
+      .agg(sum(col("w")).as("w"))
+
+  /** FULL multi-level Louvain: one unweighted move pass on the native
+    * graph, then repeat (contract communities → weighted move pass on the
+    * supernode graph) until a weighted level moves nothing or `maxLevels`
+    * is reached. Output: one row per connected node with its community
+    * after EVERY level plus the per-level move counts (frame-global,
+    * replicated — the termination trace):
+    * (key, label1..labelN, moved1..movedN).
+    *
+    * Early-stop ≡ static unroll: a weighted level with zero moves leaves
+    * both the labels (every node stays) and the contracted graph
+    * (contraction by the identity map) unchanged, so every later level
+    * replays the identical pass and also moves nothing — filling the
+    * remaining label columns with the fixpoint is exactly what running
+    * them would produce, and the unrolled fixed-depth oracle CTE chain
+    * agrees with the early-stopping loop by construction. Level 2 always
+    * runs even when level 1 moved nothing: the level-1→2 CONTRACTION (by
+    * the input labels) changes the graph regardless of moves.
+    *
+    * Scale shape: each level is one adjacency-sized contraction shuffle
+    * plus a move pass over a graph that SHRINKS to one node per
+    * community — levels get strictly cheaper; per-level state is
+    * localCheckpoint'ed + statsReset per the repo's iterative-loop
+    * discipline (the projection joins each level map once). */
+  def louvainMultiLevel(labels: DataFrame, und: DataFrame, maxLevels: Int,
+                        level1: Option[DataFrame] = None): DataFrame = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    val out1 = level1.getOrElse(louvainOneLevel(labels, und))
+    var moves = Vector(
+      out1.filter(col("label0") =!= col("label1")).count())
+    var acc = statsReset(out1.select(col("key"), col("label1"))
+      .localCheckpoint(true))
+    var g = statsReset(contractWeighted(und.withColumn("w", lit(1L)),
+        acc.select(col("key"), col("label1").as("label")))
+      .localCheckpoint(true))
+    var lastCol = "label1"
+    var stopped = false
+    for (lvl <- 2 to maxLevels) {
+      val cname = s"label$lvl"
+      if (stopped) {
+        acc = acc.withColumn(cname, col(lastCol))
+        moves :+= 0L
+      } else {
+        val superLab = g.select(col("u").as("key"))
+          .union(g.select(col("v").as("key"))).distinct()
+          .select(col("key"), col("key").as("label"))
+        val outK = louvainOneLevelWeighted(superLab, g)
+        val movedK = outK.filter(col("label0") =!= col("label1")).count()
+        moves :+= movedK
+        if (movedK == 0L) {
+          stopped = true
+          acc = acc.withColumn(cname, col(lastCol))
+        } else {
+          val mapK = statsReset(outK.select(col("key"), col("label1"))
+            .localCheckpoint(true))
+          acc = statsReset(acc
+            .join(mapK.select(col("key").as(lastCol),
+              col("label1").as(cname)), lastCol)
+            .localCheckpoint(true))
+          g = statsReset(contractWeighted(g,
+              mapK.select(col("key"), col("label1").as("label")))
+            .localCheckpoint(true))
+          lastCol = cname
+        }
+      }
+    }
+    val labelCols = (1 to maxLevels).map(i => col(s"label$i"))
+    val moveCols = moves.zipWithIndex.map { case (m, i) =>
+      lit(m).as(s"moved${i + 1}") }
+    acc.select((col("key") +: labelCols) ++ moveCols: _*)
   }
 
   /** Shared gain/argmax/stay-or-move tail of the two refinement forms:

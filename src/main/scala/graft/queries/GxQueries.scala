@@ -49,6 +49,28 @@ object GxQueries {
           greatest(col("src"), col("dst")).as("v")).distinct()
     }
 
+  /** Session-shared hash-weighted undirected edge set (the gx_wsssp
+    * weight family on the canonical lexical pair) — pure function of
+    * cache:gx_und, the input of the weighted-Louvain gates. */
+  private def sharedWund(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("gx_wund", s, dir) {
+      sharedUnd(s, dir).withColumn("w",
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(col("u"), lit("|"), col("v"))), lit(100L)) + 1L)
+    }
+
+  /** Session-shared weighted-Louvain sufficient statistics (strengths +
+    * node→community link mass over the lpa5 labels) — pure functions of
+    * cache:gx_wund and cache:lpa5, so gx_louvain_w's per-call cost is the
+    * node-sized move pass alone, not an adjacency re-aggregation. */
+  private def sharedWDeg(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("louvw_deg", s, dir)(
+      GraphOps.louvainWeightedDeg(sharedWund(s, dir)))
+
+  private def sharedWLic(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("louvw_lic", s, dir)(
+      GraphOps.louvainWeightedLic(sharedLpa(s, dir), sharedWund(s, dir)))
+
   /** Session-shared one-level Louvain refinement — gx_louvain1 emits it,
     * gx_louvain_q audits it, gx_louvain2 contracts on it; the gain
     * pipeline builds once per session (the lpa5 pattern). statsReset on
@@ -106,7 +128,10 @@ object GxQueries {
     "lpa5" -> ((s: SparkSession, d: String) => sharedLpa(s, d)),
     "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2),
     "gx_und" -> ((s: SparkSession, d: String) => sharedUnd(s, d)),
-    "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d))
+    "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d)),
+    "gx_wund" -> ((s: SparkSession, d: String) => sharedWund(s, d)),
+    "louvw_deg" -> ((s: SparkSession, d: String) => sharedWDeg(s, d)),
+    "louvw_lic" -> ((s: SparkSession, d: String) => sharedWLic(s, d))
   )
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
@@ -271,11 +296,10 @@ object GxQueries {
     // is gated here on the native graph where every quantity is
     // non-degenerate.
     "gx_louvain_w" -> ((s, dir) => {
-      val wund = sharedUnd(s, dir)
-        .withColumn("w",
-          pmod(graft.functions.TextFunctions.hash60(
-            concat(col("u"), lit("|"), col("v"))), lit(100L)) + 1L)
-      GraphOps.louvainOneLevelWeighted(sharedLpa(s, dir), wund)
+      val wund = sharedWund(s, dir)
+      GraphOps.louvainMoveWeighted(sharedLpa(s, dir),
+          sharedWDeg(s, dir), sharedWLic(s, dir),
+          wund.agg(sum(col("w")).as("m")))
         .orderBy("key")}),
 
     // TWO-LEVEL Louvain: move pass → community CONTRACTION (weighted,
@@ -303,6 +327,17 @@ object GxQueries {
           col("label1").as("label2")), "label")
         .select(col("key"), col("label").as("label1"), col("label2"))
         .orderBy("key")}),
+
+    // FULL MULTI-LEVEL Louvain (3 unrolled levels): move → contract →
+    // weighted move → contract → weighted move, with early stop when a
+    // weighted level moves nothing (provably identical to the static
+    // unroll — see GraphOps.louvainMultiLevel). Emits every level's
+    // per-node community plus the per-level move counts as the
+    // termination trace. Level 1 rides cache:louvain1.
+    "gx_louvain_n" -> ((s, dir) =>
+      GraphOps.louvainMultiLevel(sharedLpa(s, dir), sharedUnd(s, dir),
+        maxLevels = 3, level1 = Some(sharedLouvain1(s, dir)))
+        .orderBy("key")),
 
     // modularity AUDIT of the refinement pass: S = 4m·intra − Σ D_C²
     // (4m² units) before and after gx_louvain1's synchronous move, plus
@@ -961,6 +996,51 @@ object GxQueries {
          |), ${GraphOps.weightedLouvainSql("l2e", "l2lab", "l2")}
          |SELECT o.key, o.label1, p.label1 AS label2
          |FROM lvout o JOIN l2out p ON p.key = o.label1
+         |ORDER BY o.key""".stripMargin,
+
+    // three-level unroll of the gx_louvain2 chain: level-1 verdicts →
+    // weighted contraction → weighted move (l2) → contraction of the
+    // WEIGHTED supernode graph by the l2 verdicts → weighted move (l3),
+    // plus per-level move counts (the termination trace). The static
+    // unroll equals the Spark side's early-stopping loop: a zero-move
+    // weighted level leaves both labels and the contracted graph
+    // unchanged, so later levels replay identically.
+    "gx_louvain_n" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |lnm1 AS (
+         |  SELECT CAST(sum(CASE WHEN label0 <> label1 THEN 1 ELSE 0 END) AS BIGINT) AS moved1
+         |  FROM lvout
+         |), l2e AS MATERIALIZED (
+         |  SELECT least(la.label1, lb.label1) AS u,
+         |    greatest(la.label1, lb.label1) AS v,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lvund JOIN lvout la ON la.key = lvund.u
+         |  JOIN lvout lb ON lb.key = lvund.v
+         |  GROUP BY 1, 2
+         |), l2lab AS (
+         |  SELECT DISTINCT label1 AS key, label1 AS label FROM lvout
+         |), ${GraphOps.weightedLouvainSql("l2e", "l2lab", "l2")},
+         |lnm2 AS (
+         |  SELECT CAST(sum(CASE WHEN label0 <> label1 THEN 1 ELSE 0 END) AS BIGINT) AS moved2
+         |  FROM l2out
+         |), l3e AS MATERIALIZED (
+         |  SELECT least(ma.label1, mb.label1) AS u,
+         |    greatest(ma.label1, mb.label1) AS v,
+         |    CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM l2e e JOIN l2out ma ON ma.key = e.u
+         |  JOIN l2out mb ON mb.key = e.v
+         |  GROUP BY 1, 2
+         |), l3lab AS (
+         |  SELECT DISTINCT label1 AS key, label1 AS label FROM l2out
+         |), ${GraphOps.weightedLouvainSql("l3e", "l3lab", "l3")},
+         |lnm3 AS (
+         |  SELECT CAST(sum(CASE WHEN label0 <> label1 THEN 1 ELSE 0 END) AS BIGINT) AS moved3
+         |  FROM l3out
+         |)
+         |SELECT o.key, o.label1, p.label1 AS label2, q.label1 AS label3,
+         |  lnm1.moved1, lnm2.moved2, lnm3.moved3
+         |FROM lvout o JOIN l2out p ON p.key = o.label1
+         |JOIN l3out q ON q.key = p.label1, lnm1, lnm2, lnm3
          |ORDER BY o.key""".stripMargin,
 
     "gx_coarsen" ->

@@ -959,6 +959,14 @@ object PipelineQueries {
       Dedup.spanDedup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // INTRA-doc span dedup: 5-token spans repeated within one document
+    // are excised except the first occurrence (first copy wins) — the
+    // d_repetition transform counterpart; all work stays inside the doc
+    // partition (no cross-doc shuffle at all)
+    "d_span_dedup_doc" -> ((s, dir) =>
+      Dedup.spanDedupWithin(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // INCREMENTAL span dedup (the daily-crawl / decontamination form):
     // odd-id delta docs cleaned against the even-id corpus's persisted
     // distinct span-key index — O(delta) work, the indexed text never
@@ -3022,6 +3030,8 @@ object PipelineQueries {
     "d_winnow" -> Dedup.winnowFingerprintsSql(docsT, "doc_id", "text"),
 
     "d_span_dedup" -> Dedup.spanDedupSql(docsT, "doc_id", "text"),
+
+    "d_span_dedup_doc" -> Dedup.spanDedupWithinSql(docsT, "doc_id", "text"),
 
     "d_span_dedup_incr" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",
       "doc_id % 2 = 0", "doc_id % 2 = 1"),

@@ -744,4 +744,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(fix2.length == 6 && fix2.forall(r => r._2 == r._3 && r._4 == 0L),
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
+
+  test("louvainMultiLevel: a graph that NEEDS level 3, fixpoint at level 4") {
+    // 10-node fixture found by exhaustive search over the exact integer
+    // gain algebra (independent Python replication of the contract):
+    // the per-level move trace is (2, 4, 4, 0) — level 3 STILL moves
+    // 4 supernodes, so the two-level fixpoint differs from three-level,
+    // and level 4 proves termination (labels4 == labels3 everywhere).
+    val und = Seq(("a0","a1"),("a0","a2"),("a0","b0"),("a0","c0"),
+      ("a0","c1"),("a0","d0"),("a1","a2"),("b0","b1"),("b0","d0"),
+      ("b0","d1"),("c0","c1"),("c0","d0"),("c0","d1"),("d0","d1"),
+      ("d0","d2")).toDF("u", "v")
+    val labels0 = Seq("a0"->"C0","a1"->"C0","a2"->"C0","b0"->"C1",
+      "b1"->"C1","c0"->"C2","c1"->"C2","d0"->"C3","d1"->"C3","d2"->"C3")
+      .toDF("key", "label")
+    val out = GraphOps.louvainMultiLevel(labels0, und, maxLevels = 4)
+      .as[(String, String, String, String, String, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size == 10)
+    val any = out("a0")
+    assert((any._6, any._7, any._8, any._9) == ((2L, 4L, 4L, 0L)),
+      s"move trace must be (2,4,4,0): got ${(any._6, any._7, any._8, any._9)}")
+    // expected final communities (hierarchy resolved at level 3):
+    // {a0,a1,a2,c0,d0,d2} -> C0, {b0,b1,c1,d1} -> C1
+    val expected3 = Map("a0"->"C0","a1"->"C0","a2"->"C0","b0"->"C1",
+      "b1"->"C1","c0"->"C0","c1"->"C1","d0"->"C0","d1"->"C1","d2"->"C0")
+    assert(out.forall { case (k, r) => r._4 == expected3(k) },
+      s"level-3 labels: ${out.view.mapValues(_._4).toMap}")
+    val l3 = out.view.mapValues(_._4).toMap  // label3 column
+    val l4 = out.view.mapValues(_._5).toMap  // label4 column
+    assert(l3 == l4, "level 4 must repeat the level-3 fixpoint")
+    // ...and strictly differs from the two-level labels somewhere
+    val l2 = out.view.mapValues(_._3).toMap
+    assert(l2 != l3, "the fixture must genuinely need level 3")
+    // maxLevels=3 run agrees with the first three columns
+    val three = GraphOps.louvainMultiLevel(labels0, und, maxLevels = 3)
+      .as[(String, String, String, String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(three.forall { case (k, r) => r._4 == l3(k) })
+  }
 }

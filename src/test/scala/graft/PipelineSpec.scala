@@ -393,7 +393,11 @@ class PipelineSpec extends SparkSpec {
       (i, Seq(0.0, 0.02 * (i % 5), 0.1 + 0.01 * (i % 7), 1.0))
     }).toDF("id", "vec")
     val queries = vecs.filter($"id" === 5L || $"id" === 11L)
-    val beam = Similarity.beamSearchTopK(vecs, queries, 5)
+    // EXACT graph build pinned explicitly: random low-dim micro-fixtures
+    // are the degenerate case for the default LSH-banded build (too few
+    // vectors per band), and this test is about the WALK, not the build
+    val beam = Similarity.beamSearchTopK(vecs, queries, 5,
+        prebuiltEdges = Some(Similarity.exactKnnEdges(vecs)))
       .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
     val exact = Similarity.exactTopKMicro(vecs, queries, 5)
       .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
@@ -410,10 +414,18 @@ class PipelineSpec extends SparkSpec {
     val cq = corpus.filter($"id" < 50)
     val ex = Similarity.exactTopKMicro(corpus, cq, 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val bm = Similarity.beamSearchTopK(corpus, cq, 10)
+    val bm = Similarity.beamSearchTopK(corpus, cq, 10,
+        prebuiltEdges = Some(Similarity.exactKnnEdges(corpus)))
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = ex.count(bm.contains).toDouble / ex.size
     assert(recall >= 0.9, s"graph-beam recall@10 = $recall")
+    // the DEFAULT (LSH-banded) graph build: approximate edges where the
+    // true neighbor shares no band — recall degrades gracefully even on
+    // this adversarial random high-dim fixture
+    val bmLsh = Similarity.beamSearchTopK(corpus, cq, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallLsh = ex.count(bmLsh.contains).toDouble / ex.size
+    assert(recallLsh >= 0.7, s"LSH-default graph-beam recall@10 = $recallLsh")
   }
 
   test("zipf fit reads -1 on a planted 1/rank vocabulary and near 0 on a flat one") {
@@ -1279,6 +1291,45 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 == out(2)._2 && out(2)._4.nonEmpty, s"got ${out(2)}")
     assert(out(3) == ((4L, 2, 2, "tiny doc")), s"got ${out(3)}")
     assert(out(4) == ((5L, 0, 0, "")), s"got ${out(4)}")
+  }
+
+  test("intra-doc span dedup: first copy wins, composition order pinned") {
+    // periodic doc: "rep a b c d" ×3 — every span at i>=5 repeats its
+    // i-5 twin, so coverage excises tokens 5..14 and the FIRST period
+    // survives verbatim
+    val d3 = Seq((3L, "rep a b c d rep a b c d rep a b c d"),
+      (4L, "tiny doc"), (5L, "")).toDF("doc_id", "text")
+    val w3 = Dedup.spanDedupWithin(d3, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(w3(0) == ((3L, 15, 5, "rep a b c d")), s"got ${w3(0)}")
+    assert(w3(1) == ((4L, 2, 2, "tiny doc")), s"got ${w3(1)}")
+    assert(w3(2) == ((5L, 0, 0, "")), s"got ${w3(2)}")
+    // cross-doc-only duplication is out of the intra form's scope
+    val passage = "one two three four five six seven"
+    val cd = Seq((1L, s"alpha $passage omega"), (2L, s"beta $passage"))
+      .toDF("doc_id", "text")
+    val cout = Dedup.spanDedupWithin(cd, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(cout.forall(r => r._2 == r._3), s"got ${cout.toSeq}")
+    // composition order (the documented pipeline: CROSS first, then
+    // intra on the cleaned text): excising the shared C1..C5 passage
+    // REJOINS doc 1's split "p q r s | t" halves into a brand-new
+    // intra-dup that only the cross→intra order can see
+    val ab = Seq((1L, "p q r s C1 C2 C3 C4 C5 t p q r s t"),
+      (2L, "zz C1 C2 C3 C4 C5 yy")).toDF("doc_id", "text")
+    val crossClean = Dedup.spanDedup(ab, "doc_id", "text")
+      .select($"doc_id", $"clean_text".as("text"))
+    val canonical = Dedup.spanDedupWithin(crossClean, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(canonical(0)._4 == "p q r s t", s"got ${canonical(0)}")
+    assert(canonical(1)._4 == "zz yy", s"got ${canonical(1)}")
+    // the reverse order misses it: intra finds no repeat in the original
+    val intraClean = Dedup.spanDedupWithin(ab, "doc_id", "text")
+      .select($"doc_id", $"clean_text".as("text"))
+    val reversed = Dedup.spanDedup(intraClean, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(reversed(0)._4 == "p q r s t p q r s t",
+      s"reverse order must leave the rejoined repetition: ${reversed(0)}")
   }
 
   test("incremental span dedup excises only index-shared spans from the delta") {

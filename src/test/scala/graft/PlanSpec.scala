@@ -246,6 +246,17 @@ class PlanSpec extends SparkSpec {
       s"equi-join on hashes only, never a product:\n${plan.take(800)}")
   }
 
+  test("default beam-graph build is banded: no corpus×corpus product") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val plan = finalPlanString(graft.operators.Similarity.lshKnnEdges(corpus))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the default NSW graph build must band, never product:\n${plan.take(800)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the self-band-join must be sort-merge (neither side broadcast):\n${plan.take(800)}")
+  }
+
   test("landmark closeness reuses the cached undirected edges per round") {
     val out = graft.ops.GraphOps.landmarkCloseness(parquetGraph,
       nLandmarks = 2, rounds = 3)

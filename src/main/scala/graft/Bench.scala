@@ -116,16 +116,30 @@ object Bench {
     val cacheFns = SparkEntry.cacheBuilds.toMap
     val queryFns = SparkEntry.queries
     val workloadFns = BenchWorkloads.workloads
-    val retimed: Seq[(String, Double, Double)] =
+    val outliers: Seq[(String, Double)] =
       if (only.nonEmpty || refCosts.isEmpty) Seq.empty
       else results.collect {
         case (name, Some(t))
           if refCosts.get(name).exists(ref => t > 3.0 * ref && t - ref > 1.0) =>
           (name, t)
-      }.take(40).flatMap { case (name, t1) =>
+      }
+    // the cap is a runaway guard, not a silent policy: dropped outliers
+    // are named so a cap-sized round is visible in the log
+    if (outliers.size > 40)
+      System.err.println(s"BENCH WARN retime: ${outliers.size - 40} outliers " +
+        s"dropped by the 40-entry cap: ${outliers.drop(40).map(_._1).mkString(",")}")
+    val retimed: Seq[(String, Double, Double)] =
+      outliers.take(40).flatMap { case (name, t1) =>
         val rerun: Option[() => Unit] =
           if (name.startsWith("cache:")) {
             val short = name.stripPrefix("cache:")
+            // nested dependency caches (e.g. gx_union under gx_graphx)
+            // stay warm, exactly as in the timed pass-one build — but a
+            // pass-one that ALSO first-touched a dependency can still
+            // retime faster for that reason; flagged so the artifact
+            // reader knows the second sample excludes nested first-touch
+            System.err.println(s"BENCH NOTE retime $name: cache retime " +
+              "excludes nested dependency first-touch cost")
             cacheFns.get(short).map { fn => () =>
               { SparkEntry.dropCacheEntry(short, spark, sfDir)
                 materialize(fn(spark, sfDir)) }
@@ -142,9 +156,36 @@ object Bench {
           second.map(t2 => (name, t1, t2))
         }
       }
-    val retimedJson = retimed.map { case (n, t1, t2) =>
-      "\"" + n + "\":[" + "%.3f".format(t1) + "," + "%.3f".format(t2) + "]"
-    }.mkString("{", ",", "}")
+    def retimedJsonOf(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (n, t1, t2) =>
+        "\"" + n + "\":[" + "%.3f".format(t1) + "," + "%.3f".format(t2) + "]"
+      }.mkString("{", ",", "}")
+    val retimedJson = retimedJsonOf(retimed)
+    // HEADLINE carries at most 12 retime pairs (worst first-pass ratio
+    // first) + the count — an unbounded map has overflowed the driver's
+    // 2000-char log tail before; full fidelity stays in the detail file
+    val retimedHeadJson = retimedJsonOf(
+      retimed.sortBy { case (n, t1, _) =>
+        -(t1 / refCosts.getOrElse(n, t1)) }.take(12))
+    // Environment-inflation report: per-entry first-pass ratio vs the
+    // committed local plan cost for EVERY entry with a reference (not
+    // just outliers), plus the cross-entry median/p90 — the whole-run
+    // driver-vs-local env factor becomes an in-artifact number instead
+    // of a hand-derived one, so weak-mark adjudication can read it off
+    val ratios: Seq[(String, Double)] = results.collect {
+      case (name, Some(t)) if refCosts.get(name).exists(_ > 0.0) =>
+        name -> t / refCosts(name)
+    }
+    def pct(sorted: Seq[Double], p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.size - 1,
+        math.round(p * (sorted.size - 1)).toInt))
+    val sortedRatios = ratios.map(_._2).sorted
+    val envFactor = pct(sortedRatios, 0.5)
+    val envP90 = pct(sortedRatios, 0.9)
+    val ratiosJson = ratios.map { case (n, r) =>
+      "\"" + n + "\":" + "%.3f".format(r) }.mkString("{", ",", "}")
+    val envJson = s""""env_factor":${"%.3f".format(envFactor)},"env_p90":${"%.3f".format(envP90)},"n_ref":${ratios.size}"""
     def qsJson(rs: Seq[(String, Option[Double])], digits: Int): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(d => s"%.${digits}f".format(d))
@@ -155,7 +196,7 @@ object Bench {
     // The driver captures a 2000-char log tail; the full line is ~3.5 KB and
     // has overflowed it every round (BENCH_r01..r05 all have parsed:null).
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"retimed":$retimedJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"retimed":$retimedJson,"ratio_vs_ref":$ratiosJson,$envJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     // the detail also lands in the repo cwd so the driver's round-end
     // commit captures the full per-query map (the stdout tail holds only
@@ -191,7 +232,7 @@ object Bench {
     val headlineResults = results.filter { case (k, _) =>
       headline.contains(k) || k.startsWith("cache:") }
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"retimed":$retimedJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"retimed":$retimedHeadJson,"retimed_n":${retimed.size},$envJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
     println(line)
     spark.stop()
   }

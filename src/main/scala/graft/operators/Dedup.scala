@@ -765,11 +765,19 @@ object Dedup {
   def spanDedupAgainst(indexed: DataFrame, delta: DataFrame,
                        idCol: String, textCol: String,
                        w: Int = SpanDedupW): DataFrame = {
-    val ibase = indexed.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val dbase = delta.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val idx = spanRows(ibase, w).filter(col("h").isNotNull)
-      .select("h").distinct().withColumn("isdup", lit(1))
+    val idx = spanKeyIndex(indexed, idCol, textCol, w)
+      .withColumn("isdup", lit(1))
     excised(dbase, spanRows(dbase, w), idx, w)
+  }
+
+  /** The DISTINCT 60-bit span-key index `(h)` of a corpus — the persisted
+    * side [[spanDedupAgainst]] (batch) and the streaming delta form clean
+    * against; at 100 TB a bucketed 8-byte-key table. */
+  def spanKeyIndex(indexed: DataFrame, idCol: String, textCol: String,
+                   w: Int = SpanDedupW): DataFrame = {
+    val ibase = indexed.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    spanRows(ibase, w).filter(col("h").isNotNull).select("h").distinct()
   }
 
   /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the

@@ -27,7 +27,34 @@ object PipelineQueries {
   private val scratchHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val scratchPid = ProcessHandle.current().pid()
+  /** One-time sweep of sibling scratch dirs whose owning PID is gone: a
+    * hard-killed JVM (OOM, driver stall kill) never runs its shutdown
+    * hook, and PID-suffixed paths would otherwise leak corpus copies in
+    * /tmp forever — the fixed-path era was self-healing on the next run;
+    * this restores that property across process generations. */
+  private lazy val sweepDeadScratch: Unit = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val pidRe = "graft_scratch_p([0-9]+)_.*".r
+    try {
+      val it = java.nio.file.Files.list(tmp).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        p.getFileName.toString match {
+          case pidRe(pid) if pid.toLong != scratchPid &&
+              !ProcessHandle.of(pid.toLong).isPresent =>
+            def rm(f: java.io.File): Unit = {
+              if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+                Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(p.toFile)
+          case _ =>
+        }
+      }
+    } catch { case _: Throwable => } // best-effort; never blocks a query
+  }
   private def scratchDir(name: String, dir: String): String = {
+    sweepDeadScratch
     // PID in the path: concurrent JVMs (overlapping Verify + Bench) never
     // share — and so never wipe — each other's in-flight scratch state,
     // and the shutdown hook only ever removes this process's dirs.
@@ -958,6 +985,24 @@ object PipelineQueries {
     "d_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // PRODUCTION-WIDTH span dedup gate: the same spanDedup transform at
+    // w=50 (the Lee-et-al exact-substring width) — docs are augmented
+    // with a planted 96-token run keyed by doc_id % 5 on every
+    // doc_id % 3 == 0 doc (the d_substring planted-leak discipline), so
+    // the run carries 47 cross-doc-shared 50-token windows and ALL 96
+    // planted tokens must excise, while natural text (doc-unique at this
+    // width) survives — proving the window width is a free parameter
+    "d_span_dedup_w50" -> ((s, dir) => {
+      val run = concat_ws(" ", (0 until 96).map(j =>
+        md5(concat(pmod(col("doc_id"), lit(5L)).cast("string"),
+          lit(s"_$j")))): _*)
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(col("text"), lit(" "), run)).otherwise(col("text"))
+          .as("text"))
+      Dedup.spanDedup(aug, "doc_id", "text", w = 50)
+        .orderBy("doc_id")}),
 
     // INTRA-doc span dedup: 5-token spans repeated within one document
     // are excised except the first occurrence (first copy wins) — the
@@ -2560,6 +2605,33 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING incremental span dedup: odd-id delta docs arrive as
+    // micro-batches and clean against the even-id corpus's persisted
+    // span-key index — a stateless stream-static EQUI join on the 8-byte
+    // key plus one per-doc update-mode aggregation (no driver collect);
+    // empty delta docs reattach from the static frame, sharing
+    // d_span_dedup_incr's oracle verbatim
+    "s_stream_span" -> ((s, dir) => {
+      val odd = pmod(col("doc_id"), lit(2L)) === 1
+      val idx = Dedup.spanKeyIndex(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(2L)) === 0),
+        "doc_id", "text")
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(pmod(col("doc_id"), lit(2L)) === 1)
+      val cleaned = graft.streaming.EventStreams
+        .spanDedupStream(stream, idx, "doc_id", "text")
+      val drained = graft.streaming.EventStreams.runToMemory(cleaned,
+        "s_stream_span_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      docs(s, dir).filter(odd).select(col("doc_id"))
+        .join(drained, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")}),
+
     // STREAMING blocklist filter at ingest: the d_blocklist wordlist as
     // a per-row stateless stream filter (append mode, no state) — the
     // cheapest place to kill blocked content is before it lands; gate
@@ -3033,7 +3105,17 @@ object PipelineQueries {
 
     "d_span_dedup_doc" -> Dedup.spanDedupWithinSql(docsT, "doc_id", "text"),
 
+    "d_span_dedup_w50" -> Dedup.spanDedupSql(docsT, "doc_id",
+      """CASE WHEN doc_id % 3 = 0 THEN text || ' ' ||
+        |  array_to_string(list_transform(generate_series(0, 95),
+        |    j -> md5(CAST(doc_id % 5 AS VARCHAR) || '_' || CAST(j AS VARCHAR))), ' ')
+        |ELSE text END""".stripMargin, w = 50),
+
     "d_span_dedup_incr" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",
+      "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // the streaming delta form shares the batch incremental oracle
+    "s_stream_span" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
 
     "d_winnow_pairs" -> Dedup.winnowMatchPairsSql(docsT, "doc_id", "text"),

@@ -279,6 +279,67 @@ object EventStreams {
       .drop("__hashes")
   }
 
+  /** STREAMING incremental span dedup —
+    * [[graft.operators.Dedup.spanDedupAgainst]]'s daily-crawl form with
+    * the delta arriving as micro-batches: every w-token span of a
+    * streamed doc already present in the PERSISTED span-key index
+    * (`indexKeys`(h) — [[graft.operators.Dedup.spanKeyIndex]]) is
+    * excised. No driver collect: the index joins as the static side per
+    * batch (the [[decontaminatedDocsJoin]] discipline), here on the
+    * 8-byte EQUI key, so the plan is a stateless stream-static hash
+    * join, not an NLJ.
+    *
+    * Window functions don't exist on streams, so the span keys build
+    * per-ROW from the token array (slice + hash60 — byte-identical span
+    * strings to the batch lead() form), the (i, tok, key) rows explode
+    * from a zip (the token array never rides along per token row),
+    * and the per-doc coverage + reassembly is ONE streaming aggregation
+    * (update mode) whose post-agg projection replays the batch coverage
+    * window with higher-order array functions over the collected rows.
+    * A doc is atomic within its micro-batch (one source row), so each
+    * group reaches its final state in the batch it arrives — the memory
+    * sink sees exactly one update per doc. Empty/whitespace docs have no
+    * token rows and drop here; callers reattach them from the static
+    * delta frame (the batch form's base-join contract). */
+  def spanDedupStream(docsStream: DataFrame, indexKeys: DataFrame,
+                      idCol: String, textCol: String,
+                      w: Int = graft.operators.Dedup.SpanDedupW): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, hash60}
+    val wm1 = w - 1
+    val toked = docsStream
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("toks",
+        when(length(trim(col("text"))) > 0, tokens(col("text")))
+          .otherwise(array().cast("array<string>")))
+    // span keys per start position, padded with nulls to token length so
+    // the zip aligns key-at-start with its first token
+    val hs = when(size(col("toks")) >= w,
+        transform(sequence(lit(0), size(col("toks")) - w),
+          i => hash60(array_join(slice(col("toks"), i + lit(1), lit(w)), " "))))
+      .otherwise(array().cast("array<long>"))
+    val rows = toked
+      .withColumn("hs", concat(hs, array_repeat(lit(null).cast("long"),
+        least(size(col("toks")), lit(wm1)))))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("hs"))).as(Seq("i", "z")))
+      .select(col("doc_id"), col("i"),
+        col("z.toks").as("tok"), col("z.hs").as("h"))
+    val marked = rows.join(
+      indexKeys.select(col("h"), lit(1).as("isdup")), Seq("h"), "left")
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sort_array(collect_list(struct(col("i"), col("tok"),
+          coalesce(col("isdup"), lit(0)).as("d")))).as("rows"))
+      // kept = tokens with no duplicated span STARTING in the trailing
+      // w-1 window; `rows` is the agg attribute itself, so nothing here
+      // re-evaluates a derived array per element
+      .withColumn("kept", expr(
+        s"filter(rows, r -> !exists(rows, s -> s.d = 1 AND s.i >= r.i - $wm1 AND s.i <= r.i))"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("int").as("n_kept"),
+        expr("array_join(transform(kept, r -> r.tok), ' ')").as("clean_text"))
+  }
+
   /** Streaming near-duplicate suppression: keep the first-arriving doc per
     * 60-bit SimHash signature (exact and trivially-near duplicates share
     * the signature; banded Hamming matching stays a batch sweep). The

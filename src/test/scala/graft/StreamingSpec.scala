@@ -149,6 +149,47 @@ class StreamingSpec extends SparkSpec {
     assert(viaJoin == viaBroadcast, "both forms must agree on null text")
   }
 
+  test("streaming span dedup equals the batch incremental form across micro-batches") {
+    import org.apache.spark.sql.types._
+    val passage = "one two three four five six seven"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spanstream").toString
+    // two files -> two micro-batches under maxFilesPerTrigger=1: proves
+    // the per-doc aggregation is batch-local (docs are source-row atomic)
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    writeFile(1, Seq((1L, s"alpha $passage omega"), (2L, "plain text here")))
+    writeFile(2, Seq((3L, s"beta gamma $passage"), (4L, "")))
+    val indexed = Seq((10L, s"corpus doc with $passage inside"))
+      .toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.spanKeyIndex(indexed, "doc_id", "text")
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val drained = EventStreams.runToMemory(
+      EventStreams.spanDedupStream(st, idx, "doc_id", "text"),
+      "t_span_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val delta = Seq((1L, s"alpha $passage omega"), (2L, "plain text here"),
+      (3L, s"beta gamma $passage"), (4L, "")).toDF("doc_id", "text")
+    val streamed = delta.select($"doc_id")
+      .join(drained, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_tokens", lit(0)).as("n_tokens"),
+        coalesce($"n_kept", lit(0)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    val batch = graft.operators.Dedup
+      .spanDedupAgainst(indexed, delta, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+    assert(streamed(0) == ((1L, 9, 2, "alpha omega")), s"got ${streamed(0)}")
+    assert(streamed(3) == ((4L, 0, 0, "")), s"got ${streamed(3)}")
+  }
+
   test("streaming near-dup suppression keeps one doc per simhash signature") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

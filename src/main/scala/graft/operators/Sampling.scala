@@ -351,6 +351,60 @@ object Sampling {
        |  CAST(o.off + ((r.rk - 1) % o.nbins) AS BIGINT) AS pack_id
        |FROM ranked r JOIN offs o ON r.grp = o.grp""".stripMargin
 
+  /** Deterministic epoch-order shuffle for packed context bins — the
+    * last step of the packing story: the training order of [[seqPack]]'s
+    * bins for a given `epoch` is the dense rank of a salted 60-bit hash
+    * of the pack id. A reproducible global permutation, independent of
+    * source layout, partitioning and arrival order (the hash interleaves
+    * sources by construction), and a new permutation per epoch.
+    *
+    * Scale shape: dense positions come from the two-pass range-bucket
+    * construction — bucket = the hash's top 10 bits (order-preserving
+    * prefix), per-bucket row_number windows, and a broadcast 1024-row
+    * prefix-sum of bucket counts — NEVER a single-partition global
+    * window. Same offs discipline as [[seqPack]]. Returns the input
+    * columns plus `posCol` (1-based). */
+  def epochOrder(packs: DataFrame, packIdCol: String, epoch: Long,
+                 posCol: String = "epoch_pos"): DataFrame = {
+    val bucketDiv = 1L << 50
+    val b = packs
+      .withColumn("__hk",
+        hash60(concat(col(packIdCol).cast("string"), lit(s"#$epoch"))))
+      .withColumn("__bk", expr(s"__hk div $bucketDiv"))
+    val counts = b.groupBy(col("__bk")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy(col("__bk"))
+      .orderBy(col("__hk"), col(packIdCol))
+    b.join(broadcast(offs.select(col("__bk"), col("__off"))), Seq("__bk"))
+      .withColumn(posCol, col("__off") + row_number().over(wIn))
+      .drop("__hk", "__bk", "__off")
+  }
+
+  /** DuckDB twin of [[epochOrder]] as CTE fragments: `${p}out`(key, pos)
+    * over `$table`'s `$packIdCol`. */
+  def epochOrderSql(table: String, packIdCol: String, epoch: Long,
+                    p: String): String = {
+    val bucketDiv = 1L << 50
+    s"""${p}b AS (
+       |  SELECT $packIdCol AS key,
+       |    ${hash60Sql(s"CAST($packIdCol AS VARCHAR) || '#$epoch'")} AS hk
+       |  FROM $table
+       |), ${p}c AS (
+       |  SELECT hk // $bucketDiv AS bk, count(*) AS n FROM ${p}b GROUP BY 1
+       |), ${p}o AS (
+       |  SELECT bk, coalesce(sum(n) OVER (ORDER BY bk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM ${p}c
+       |), ${p}out AS (
+       |  SELECT b.key, CAST(o.off + row_number() OVER (
+       |    PARTITION BY b.hk // $bucketDiv ORDER BY b.hk, b.key) AS BIGINT) AS pos
+       |  FROM ${p}b b JOIN ${p}o o ON o.bk = b.hk // $bucketDiv
+       |)""".stripMargin
+  }
+
   def splitColumnSql(keyCol: String, valFrac: Double, testFrac: Double,
                      salt: String = "split"): String = {
     val valBound = (valFrac * 1000000L).toLong

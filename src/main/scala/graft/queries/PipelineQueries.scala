@@ -1458,6 +1458,31 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("pack_id")}),
 
+    // deterministic EPOCH-ORDER shuffle over d_pack's bins (the last
+    // packing step): per-epoch training positions = dense rank of a
+    // salted hash of the pack id — reproducible, source-interleaving,
+    // epoch a free parameter (two epochs emitted). chk = Σ pos·tokens is
+    // the order-sensitive checksum: any transposition of two unequal
+    // bins changes it
+    "d_epoch_order" -> ((s, dir) => {
+      val withLen = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      val bins = Sampling.seqPack(withLen, "doc_id", "n_tokens",
+          ctxLen = 512, groups = 8)
+        .groupBy("pack_id")
+        .agg(sum("n_tokens").as("total_tokens"))
+      val e1 = Sampling.epochOrder(bins, "pack_id", 1, "pos_e1")
+      val e2 = Sampling.epochOrder(bins.select("pack_id"), "pack_id", 2,
+        "pos_e2")
+      val wAll = Window.partitionBy(lit(1))
+      e1.join(e2, "pack_id")
+        .withColumn("chk1",
+          sum(col("pos_e1") * col("total_tokens")).over(wAll))
+        .withColumn("chk2",
+          sum(col("pos_e2") * col("total_tokens")).over(wAll))
+        .select("pack_id", "total_tokens", "pos_e1", "pos_e2", "chk1", "chk2")
+        .orderBy("pack_id")}),
+
     // --- sketches --------------------------------------------------------
     // count-min heavy hitters: fixed-size (depth × width) frequency sketch
     // + estimates for the top-50 true-count tokens. est >= true by
@@ -3329,6 +3354,22 @@ object PipelineQueries {
          |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_epoch_order" ->
+      s"""WITH pk AS (
+         |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
+         |), bins AS (
+         |  SELECT pack_id, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM pk GROUP BY 1
+         |), ${Sampling.epochOrderSql("bins", "pack_id", 1, "x1")},
+         |${Sampling.epochOrderSql("bins", "pack_id", 2, "x2")}
+         |SELECT b.pack_id, b.total_tokens,
+         |  o1.pos AS pos_e1, o2.pos AS pos_e2,
+         |  CAST(sum(o1.pos * b.total_tokens) OVER () AS BIGINT) AS chk1,
+         |  CAST(sum(o2.pos * b.total_tokens) OVER () AS BIGINT) AS chk2
+         |FROM bins b JOIN x1out o1 ON o1.key = b.pack_id
+         |JOIN x2out o2 ON o2.key = b.pack_id
+         |ORDER BY b.pack_id""".stripMargin,
 
     "d_readability" ->
       TextFunctions.readabilityStatsSql(docsT, "doc_id", "text"),

@@ -155,6 +155,27 @@ class PipelineSpec extends SparkSpec {
     assert(packed.sortBy(_._1).toSeq == packed2.sortBy(_._1).toSeq)
   }
 
+  test("epochOrder: dense permutation, partition-invariant, epoch-distinct") {
+    import graft.operators.Sampling
+    val bins = (0L until 300L).map(i => (i, 400L + i % 100))
+      .toDF("pack_id", "total_tokens")
+    val e1 = Sampling.epochOrder(bins, "pack_id", 1)
+      .select($"pack_id", $"epoch_pos").as[(Long, Long)].collect()
+    // dense 1..n permutation
+    assert(e1.length == 300 && e1.map(_._2).sorted.toSeq == (1L to 300L))
+    // invariant under input partitioning (the determinism contract)
+    val e1b = Sampling.epochOrder(bins.repartition(17), "pack_id", 1)
+      .select($"pack_id", $"epoch_pos").as[(Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq == e1b.sortBy(_._1).toSeq)
+    // a different epoch is a genuinely different permutation
+    val e2 = Sampling.epochOrder(bins, "pack_id", 2)
+      .select($"pack_id", $"epoch_pos").as[(Long, Long)].collect()
+    assert(e2.map(_._2).sorted.toSeq == (1L to 300L))
+    assert(e1.sortBy(_._1).map(_._2).toSeq != e2.sortBy(_._1).map(_._2).toSeq)
+    // ...and not the identity (hash order really interleaves)
+    assert(e1.sortBy(_._1).map(_._2).toSeq != (1L to 300L))
+  }
+
   test("surprisal ranks rare-token docs above common-token docs") {
     // 10 docs of a shared phrase + 1 doc of tokens seen nowhere else:
     // the unique-token doc must carry the highest mean surprisal, the

@@ -1245,7 +1245,14 @@ object GraphOps {
   def louvainMultiLevel(labels: DataFrame, und: DataFrame, maxLevels: Int,
                         level1: Option[DataFrame] = None): DataFrame = {
     require(maxLevels >= 1, "maxLevels must be >= 1")
-    val out1 = level1.getOrElse(louvainOneLevel(labels, und))
+    // checkpoint BEFORE the move count: the count and the projection both
+    // read the pass output, and an unmaterialized plan would run the full
+    // gain pipeline once per consumer (level1 arrives pre-persisted from
+    // the session cache when provided)
+    val out1 = level1.getOrElse(statsReset(
+      louvainOneLevel(labels, und)
+        .select(col("key"), col("label0"), col("label1"))
+        .localCheckpoint(true)))
     var moves = Vector(
       out1.filter(col("label0") =!= col("label1")).count())
     var acc = statsReset(out1.select(col("key"), col("label1"))
@@ -1264,21 +1271,24 @@ object GraphOps {
         val superLab = g.select(col("u").as("key"))
           .union(g.select(col("v").as("key"))).distinct()
           .select(col("key"), col("key").as("label"))
-        val outK = louvainOneLevelWeighted(superLab, g)
+        // one materialization per level: the count, the projection join
+        // and the next contraction all read this checkpoint — an
+        // unmaterialized pass would re-run its gain pipeline per consumer
+        val outK = statsReset(louvainOneLevelWeighted(superLab, g)
+          .select(col("key"), col("label0"), col("label1"))
+          .localCheckpoint(true))
         val movedK = outK.filter(col("label0") =!= col("label1")).count()
         moves :+= movedK
         if (movedK == 0L) {
           stopped = true
           acc = acc.withColumn(cname, col(lastCol))
         } else {
-          val mapK = statsReset(outK.select(col("key"), col("label1"))
-            .localCheckpoint(true))
           acc = statsReset(acc
-            .join(mapK.select(col("key").as(lastCol),
+            .join(outK.select(col("key").as(lastCol),
               col("label1").as(cname)), lastCol)
             .localCheckpoint(true))
           g = statsReset(contractWeighted(g,
-              mapK.select(col("key"), col("label1").as("label")))
+              outK.select(col("key"), col("label1").as("label")))
             .localCheckpoint(true))
           lastCol = cname
         }

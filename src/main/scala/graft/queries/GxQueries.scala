@@ -49,6 +49,30 @@ object GxQueries {
           greatest(col("src"), col("dst")).as("v")).distinct()
     }
 
+  /** Position-aligned top-`n` of the integer fixed-point PageRank ranking
+    * vs the float GraphX ranking: (pos, key, rank_fp, key_gx, score_gx).
+    * gx_pagerank_rank consumes it as the slack-tolerant ≥48/50 driver
+    * gate; GraphXSpec pins the STRUCTURE of any disagreement (adjacent
+    * near-tie swaps only) — the sensitivity the frame-global flag
+    * deliberately trades away. Top-n via orderBy+limit
+    * (TakeOrderedAndProject) BEFORE the position window, so the global
+    * window runs on n rows, never the node set. */
+  private[graft] def pagerankRankAlignment(s: SparkSession, dir: String,
+                                           n: Int = 50): DataFrame = {
+    val fp = GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
+      .orderBy(col("r").desc, col("key")).limit(n)
+      .select(col("key"), col("r").as("rank_fp"))
+    val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 10)
+      .orderBy(col("rank").desc, col("key")).limit(n)
+      .select(col("key").as("key_gx"), col("rank").as("score_gx"))
+    val wfp = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_fp").desc, col("key"))
+    val wgx = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_gx").desc, col("key_gx"))
+    fp.withColumn("pos", row_number().over(wfp))
+      .join(gxr.withColumn("pos", row_number().over(wgx)), Seq("pos"), "left")
+  }
+
   /** Session-shared hash-weighted undirected edge set (the gx_wsssp
     * weight family on the canonical lexical pair) — pure function of
     * cache:gx_und, the input of the weighted-Louvain gates. */
@@ -195,20 +219,9 @@ object GxQueries {
     // node set.
     "gx_pagerank_rank" -> ((s, dir) => {
       val n = 50
-      val fp = GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
-        .orderBy(col("r").desc, col("key")).limit(n)
-        .select(col("key"), col("r").as("rank_fp"))
-      val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 10)
-        .orderBy(col("rank").desc, col("key")).limit(n)
-        .select(col("key").as("key_gx"), col("rank").as("score_gx"))
-      val wfp = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rank_fp").desc, col("key"))
-      val wgx = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score_gx").desc, col("key_gx"))
       val W = org.apache.spark.sql.expressions.Window
       val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-      fp.withColumn("pos", row_number().over(wfp))
-        .join(gxr.withColumn("pos", row_number().over(wgx)), Seq("pos"), "left")
+      pagerankRankAlignment(s, dir, n)
         .withColumn("pos_eq",
           when(col("key_gx") === col("key"), lit(1)).otherwise(lit(0)))
         .select(col("pos"), col("key"), col("rank_fp"),

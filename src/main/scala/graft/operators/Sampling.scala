@@ -4,7 +4,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.TextFunctions.{hash60, hash60Sql}
+import graft.functions.TextFunctions.{hash60, hash60Sql, tokensSql}
 
 /** Deterministic sampling for training-data pipelines.
   *
@@ -350,6 +350,61 @@ object Sampling {
        |SELECT r.doc_id, r.n_tokens,
        |  CAST(o.off + ((r.rk - 1) % o.nbins) AS BIGINT) AS pack_id
        |FROM ranked r JOIN offs o ON r.grp = o.grp""".stripMargin
+
+  /** MATERIALIZE the packed sequences — the step after [[seqPack]]'s bin
+    * assignment that produces the actual training rows: per bin, member
+    * docs concatenate in ascending doc_id order, every doc terminated by
+    * the `eos` sentinel token, truncated to exactly `ctxLen` tokens (the
+    * small overflow the LPT bound allows is cut and reported as
+    * `n_overflow`). Output (pack_id, n_docs, raw_tokens, n_overflow,
+    * packed_text); raw_tokens counts doc tokens plus one eos per doc.
+    *
+    * Scale shape: one doc_id-keyed join of the assignment back to the
+    * text, then ONE pack_id shuffle carrying each doc's tokens exactly
+    * once; per-bin assembly is array concat + slice over ~ctxLen
+    * elements. Nothing is ever quadratic in the bin. */
+  def packMaterialize(docs: DataFrame, idCol: String, textCol: String,
+                      ctxLen: Long, groups: Int = 64,
+                      eos: String = "<eos>"): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, tokenCount}
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n_tokens", tokenCount(col("text")))
+    val packed = seqPack(base, "doc_id", "n_tokens", ctxLen, groups)
+      .select(col("doc_id"), col("pack_id"))
+    val toked = base.withColumn("toks",
+      when(col("n_tokens") > 0, tokens(col("text")))
+        .otherwise(array().cast("array<string>")))
+    packed.join(toked, "doc_id")
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("doc_id"), col("toks")))).as("ds"))
+      .withColumn("pt",
+        expr(s"flatten(transform(ds, d -> concat(d.toks, array('$eos'))))"))
+      .select(col("pack_id"), col("n_docs"),
+        size(col("pt")).cast("long").as("raw_tokens"),
+        greatest(size(col("pt")) - lit(ctxLen), lit(0L)).cast("long")
+          .as("n_overflow"),
+        expr(s"array_join(slice(pt, 1, $ctxLen), ' ')").as("packed_text"))
+  }
+
+  /** DuckDB twin of [[packMaterialize]] (rides on [[seqPackSql]]'s
+    * assignment CTE `$pm`(doc_id, n_tokens, pack_id) and the raw
+    * `$table`). */
+  def packMaterializeSql(table: String, idCol: String, textCol: String,
+                         pm: String, ctxLen: Long,
+                         eos: String = "<eos>"): String =
+    s"""pmt AS (
+       |  SELECT p.pack_id, p.doc_id,
+       |    CASE WHEN length(trim(d.$textCol)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE ${tokensSql(s"d.$textCol")} END AS toks
+       |  FROM $pm p JOIN $table d ON d.$idCol = p.doc_id
+       |), pma AS (
+       |  SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |    flatten(list_transform(
+       |      list(struct_pack(doc_id := doc_id, toks := toks) ORDER BY doc_id),
+       |      s -> list_concat(s.toks, ['$eos']))) AS pt
+       |  FROM pmt GROUP BY pack_id
+       |)""".stripMargin
 
   /** Deterministic epoch-order shuffle for packed context bins — the
     * last step of the packing story: the training order of [[seqPack]]'s

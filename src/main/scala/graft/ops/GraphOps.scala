@@ -1206,6 +1206,33 @@ object GraphOps {
                                          lic: DataFrame, mm: DataFrame): DataFrame =
     louvainMovePass(labels, deg, lic, mm)
 
+  /** LEIDEN-style connectivity repair: split every community of
+    * `labels`(key, label) into its CONNECTED parts over the undirected
+    * edges `und`(u, v) — the Leiden paper's fix for Louvain's headline
+    * defect (internally disconnected communities). Output (key, label,
+    * label_cc, n_parts): label_cc = the part's min key (the repaired
+    * community id), n_parts = how many parts the node's community
+    * shattered into (1 = already connected). Members with no
+    * intra-community edge become singletons. One intra-edge join + CC on
+    * a graph that only SHRINKS from the input adjacency. */
+  def communityConnectedParts(labels: DataFrame, und: DataFrame): DataFrame = {
+    val lab = labels.select(col("key"), col("label"))
+    val intra = und
+      .join(lab.select(col("key").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("key").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val cc = graft.gx.GraphXBridge.connectedComponents(
+      graft.gx.GraphXBridge.toGraphX(KinGraph.fromEdges(intra)))
+    val out = lab.join(cc, Seq("key"), "left")
+      .select(col("key"), col("label"),
+        coalesce(col("component"), col("key")).as("label_cc"))
+    val parts = out.groupBy("label")
+      .agg(countDistinct(col("label_cc")).as("n_parts"))
+    out.join(parts, "label")
+      .select(col("key"), col("label"), col("label_cc"), col("n_parts"))
+  }
+
   /** Contract a weighted undirected edge set `wund`(u, v, w) by a
     * community map `map`(key, label): edge mass between (and within)
     * communities sums; intra-community edges become self-loops — exactly

@@ -341,6 +341,21 @@ object GxQueries {
         .select(col("key"), col("label").as("label1"), col("label2"))
         .orderBy("key")}),
 
+    // LEIDEN-style connectivity repair of the Louvain communities: the
+    // Leiden paper's headline defect of Louvain is that its communities
+    // can be INTERNALLY DISCONNECTED — this op splits every refined
+    // community into its connected parts (CC restricted to
+    // intra-community edges; members with no intra edge become
+    // singletons), emitting the repaired label (= part's min key) and
+    // the per-community part count as the disconnectedness audit. One
+    // intra-edge join + CC on a graph that only shrinks; the repair at
+    // scale is the same CC machinery every component pass here uses.
+    "gx_louvain_cc" -> ((s, dir) =>
+      GraphOps.communityConnectedParts(
+        sharedLouvain1(s, dir).select(col("key"), col("label1").as("label")),
+        sharedUnd(s, dir))
+        .orderBy("key")),
+
     // FULL MULTI-LEVEL Louvain (3 unrolled levels): move → contract →
     // weighted move → contract → weighted move, with early stop when a
     // weighted level moves nothing (provably identical to the static
@@ -1009,6 +1024,36 @@ object GxQueries {
          |), ${GraphOps.weightedLouvainSql("l2e", "l2lab", "l2")}
          |SELECT o.key, o.label1, p.label1 AS label2
          |FROM lvout o JOIN l2out p ON p.key = o.label1
+         |ORDER BY o.key""".stripMargin,
+
+    // Leiden repair replay: recursive min-label closure over the
+    // intra-community edge subset only (the gx_cc technique restricted by
+    // a label-equality predicate); singleton members seed themselves
+    "gx_louvain_cc" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |lcl AS MATERIALIZED (
+         |  SELECT key, label1 AS label FROM lvout
+         |), lce AS MATERIALIZED (
+         |  SELECT e.u AS src, e.v AS dst FROM lvund e
+         |  JOIN lcl a ON a.key = e.u JOIN lcl b ON b.key = e.v
+         |  WHERE a.label = b.label
+         |), lcd AS (
+         |  SELECT src, dst FROM lce UNION SELECT dst, src FROM lce
+         |), lcr AS (
+         |  WITH RECURSIVE reach(key, lbl) AS (
+         |    SELECT key, key FROM lcl
+         |    UNION
+         |    SELECT e.dst, r.lbl FROM reach r JOIN lcd e ON e.src = r.key
+         |  ) SELECT key, min(lbl) AS label_cc FROM reach GROUP BY key
+         |), lco AS MATERIALIZED (
+         |  SELECT l.key, l.label, r.label_cc
+         |  FROM lcl l JOIN lcr r ON r.key = l.key
+         |), lcp AS (
+         |  SELECT label, CAST(count(DISTINCT label_cc) AS BIGINT) AS n_parts
+         |  FROM lco GROUP BY label
+         |)
+         |SELECT o.key, o.label, o.label_cc, p.n_parts
+         |FROM lco o JOIN lcp p ON p.label = o.label
          |ORDER BY o.key""".stripMargin,
 
     // three-level unroll of the gx_louvain2 chain: level-1 verdicts →

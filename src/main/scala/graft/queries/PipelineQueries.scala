@@ -1458,6 +1458,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("pack_id")}),
 
+    // MATERIALIZED packed sequences: d_pack's bins turned into the
+    // actual training rows — member docs concatenated in doc_id order
+    // with an <eos> terminator each, truncated to exactly 512 tokens
+    // (overflow counted). The whole string content of every bin is
+    // hash-gated, so assembly order, separators and the truncation
+    // boundary are all pinned
+    "d_pack_text" -> ((s, dir) =>
+      Sampling.packMaterialize(docs(s, dir), "doc_id", "text",
+          ctxLen = 512, groups = 8)
+        .orderBy("pack_id")),
+
     // deterministic EPOCH-ORDER shuffle over d_pack's bins (the last
     // packing step): per-epoch training positions = dense rank of a
     // salted hash of the pack id — reproducible, source-interleaving,
@@ -3354,6 +3365,15 @@ object PipelineQueries {
          |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_pack_text" ->
+      s"""WITH pm AS (
+         |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
+         |), ${Sampling.packMaterializeSql(docsT, "doc_id", "text", "pm", 512)}
+         |SELECT pack_id, n_docs, CAST(len(pt) AS BIGINT) AS raw_tokens,
+         |  CAST(greatest(len(pt) - 512, 0) AS BIGINT) AS n_overflow,
+         |  array_to_string(pt[1:512], ' ') AS packed_text
+         |FROM pma ORDER BY pack_id""".stripMargin,
 
     "d_epoch_order" ->
       s"""WITH pk AS (

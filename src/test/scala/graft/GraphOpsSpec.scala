@@ -745,6 +745,31 @@ class GraphOpsSpec extends SparkSpec {
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
 
+  test("communityConnectedParts: planted disconnected community repaired") {
+    // community X = two triangles with NO edge between them (the Leiden
+    // defect), community Y = one connected path, plus a Y member with no
+    // intra edge (singleton part)
+    val und = Seq(("a1","a2"),("a1","a3"),("a2","a3"),
+      ("b1","b2"),("b1","b3"),("b2","b3"),
+      ("c1","c2"),("c2","c3"),
+      ("a1","c1"),("b1","c9")).toDF("u", "v")  // cross-community edges
+    val labels = Seq("a1"->"X","a2"->"X","a3"->"X","b1"->"X","b2"->"X",
+      "b3"->"X","c1"->"Y","c2"->"Y","c3"->"Y","c9"->"Y")
+      .toDF("key", "label")
+    val out = GraphOps.communityConnectedParts(labels, und)
+      .as[(String, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 10)
+    // X shatters into its two triangles, labeled by their min keys
+    assert(out("a1")._3 == "a1" && out("a2")._3 == "a1" && out("a3")._3 == "a1")
+    assert(out("b1")._3 == "b1" && out("b2")._3 == "b1" && out("b3")._3 == "b1")
+    assert(out("a1")._4 == 2L, s"X must report 2 parts: ${out("a1")}")
+    // Y: the path is one part; c9 (intra-edgeless) is its own singleton
+    assert(Seq("c1","c2","c3").forall(k => out(k)._3 == "c1"))
+    assert(out("c9")._3 == "c9" && out("c9")._4 == 2L)
+    // cross-community edges never glue parts together
+    assert(out("c1")._4 == 2L)
+  }
+
   test("louvainMultiLevel: a graph that NEEDS level 3, fixpoint at level 4") {
     // 10-node fixture found by exhaustive search over the exact integer
     // gain algebra (independent Python replication of the contract):

@@ -155,6 +155,26 @@ class PipelineSpec extends SparkSpec {
     assert(packed.sortBy(_._1).toSeq == packed2.sortBy(_._1).toSeq)
   }
 
+  test("packMaterialize: doc_id order, eos terminators, exact truncation") {
+    import graft.operators.Sampling
+    val docsF = Seq((1L, "a b c"), (2L, "d e"), (3L, ""))
+      .toDF("doc_id", "text")
+    // one group, 5 doc tokens -> a single bin; assembly in doc_id order
+    // with per-doc eos: "a b c <eos> d e <eos> <eos>" (8 raw), cut at 6
+    val out = Sampling.packMaterialize(docsF, "doc_id", "text",
+        ctxLen = 6, groups = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r._2 == 3L && r._3 == 8L && r._4 == 2L, s"got $r")
+    assert(r._5 == "a b c <eos> d e", s"got '${r._5}'")
+    // partition invariance rides seqPack's; assembly must also hold
+    val again = Sampling.packMaterialize(docsF.repartition(5), "doc_id",
+      "text", ctxLen = 6, groups = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("epochOrder: dense permutation, partition-invariant, epoch-distinct") {
     import graft.operators.Sampling
     val bins = (0L until 300L).map(i => (i, 400L + i % 100))

@@ -143,6 +143,63 @@ object GraphOps {
       its).mkString(",\n")
   }
 
+  /** Integer fixed-point KATZ centrality: x' (v) = β + α·Σ_{u→v} x(u)
+    * with β = `scale` and the DATA-ADAPTIVE attenuation α = 1/(dmax+1)
+    * (dmax = max in-degree, a one-row driver probe) applied as one exact
+    * integer division AFTER the neighbor sum. A constant α is the
+    * classic fixture-size trap — degrees grow with SF, and α ≥ 1/λmax
+    * diverges (and overflows i64) exactly when the data gets big; the
+    * adaptive divisor bounds every iterate by (k+1)·scale at ANY scale
+    * (Σ_in x ≤ dmax·max x, so the damped increment never exceeds the
+    * previous max). All steps exact i64 → unrolled-CTE replayable
+    * ([[fixedPointKatzSql]] computes the same divisor as a scalar
+    * subquery). Same iteration/broadcast shape as
+    * [[fixedPointPageRank]]. */
+  def fixedPointKatz(g: KinGraph, iters: Int,
+                     scale: Long = 1000000L,
+                     checkpointEvery: Int = 4,
+                     broadcastNodeLimit: Long = 5000000L): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val nodes = CacheScope.cached(g.nodes.select(col("key")))
+    val small = nodes.count() <= broadcastNodeLimit
+    val e = CacheScope.cached(
+      g.edges.select(col("src"), col("dst")).repartition(col("dst")))
+    val dmax = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    val kdiv = dmax + 1
+    var x = nodes.withColumn("x", lit(scale))
+    for (i <- 1 to iters) {
+      val xs = x.select(col("key"), col("x"))
+      val inc = e.join(if (small) broadcast(xs) else xs,
+          e("src") === xs("key"))
+        .groupBy(e("dst").as("key")).agg(sum(col("x")).as("inc"))
+      x = nodes.join(if (small) broadcast(inc) else inc, Seq("key"), "left")
+        .select(col("key"),
+          (lit(scale) +
+            expr(s"coalesce(inc, CAST(0 AS BIGINT)) div $kdiv")).as("x"))
+      if (i % checkpointEvery == 0 && i < iters) x = x.localCheckpoint(true)
+    }
+    x.select(col("key"), col("x").as("katz"))
+  }
+
+  /** DuckDB twin of [[fixedPointKatz]]: kdiv scalar + unrolled x0..xN
+    * over edge CTE `$edges`(src, dst) and node CTE `$nodes`(key). */
+  def fixedPointKatzSql(edges: String, nodes: String, iters: Int,
+                        scale: Long = 1000000L): String = {
+    val its = (1 to iters).map { k =>
+      s"""x$k AS (
+         |  SELECT n.key, CAST($scale + COALESCE(s.inc, 0) // kdiv.d AS BIGINT) AS x
+         |  FROM $nodes n LEFT JOIN (
+         |    SELECT e.dst AS key, CAST(SUM(x.x) AS BIGINT) AS inc
+         |    FROM $edges e JOIN x${k - 1} x ON e.src = x.key
+         |    GROUP BY e.dst) s ON n.key = s.key, kdiv)""".stripMargin
+    }
+    (s"""kdiv AS (SELECT max(cnt) + 1 AS d FROM (
+        |  SELECT count(*) AS cnt FROM $edges GROUP BY dst))""".stripMargin +:
+      s"x0 AS (SELECT key, CAST($scale AS BIGINT) AS x FROM $nodes)" +:
+      its).mkString(",\n")
+  }
+
   /** WEIGHTED fixed-point PageRank over integer edge weights — the
     * strength-aware ranking (trade volume, co-occurrence counts, …):
     * transition mass is weight-proportional, per-edge contribution

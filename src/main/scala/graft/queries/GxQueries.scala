@@ -203,6 +203,14 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // integer fixed-point KATZ centrality — the attenuation α =
+    // 1/(dmax_in + 1) is DATA-ADAPTIVE (a constant α diverges/overflows
+    // as degrees grow with SF — the gx_kcore parameter discipline);
+    // β = 1e6, every step exact i64, 5 unrolled rounds
+    "gx_katz" -> ((s, dir) =>
+      GraphOps.fixedPointKatz(unionGraph(s, dir), iters = 5)
+        .orderBy("key")),
+
     // rank-agreement gate for the FLOAT GraphX PageRank: its scores are
     // legitimately engine-specific (float damping, 10 iters), but the
     // ordering — the thing a user actually consumes — is pinned here
@@ -907,6 +915,10 @@ object GxQueries {
     "gx_labelprop" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}
          |SELECT key, label FROM l5 ORDER BY key""".stripMargin,
+
+    "gx_katz" ->
+      s"""$cte, ${GraphOps.fixedPointKatzSql("ue", "un", 5)}
+         |SELECT key, x AS katz FROM x5 ORDER BY key""".stripMargin,
 
     // modularity numerators from the same l5 labels: und distinct pairs,
     // symmetric degrees, per-community e_in/deg_sum, q_num = 4m·e_in−d²;

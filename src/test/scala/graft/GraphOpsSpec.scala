@@ -745,6 +745,31 @@ class GraphOpsSpec extends SparkSpec {
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
 
+  test("fixedPointKatz: hand-checked star values, adaptive divisor") {
+    // 3-spoke star into c: dmax = 3 so the divisor is 4; spokes have no
+    // in-edges and stay at β = 1e6 forever, so c fixes at
+    // 1e6 + (3·1e6) div 4 = 1 750 000 from iteration 1 on
+    val kg = KinGraph(
+      Seq("s1", "s2", "s3", "c").toDF("key"),
+      Seq(("s1","c"), ("s2","c"), ("s3","c")).toDF("src", "dst")
+        .withColumn("etype", lit(0)))
+    val out = GraphOps.fixedPointKatz(kg, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(out("c") == 1750000L, s"got ${out("c")}")
+    assert(out("s1") == 1000000L && out("s2") == 1000000L && out("s3") == 1000000L)
+    // two-hop attenuation: a -> b -> c chain (same graph object would
+    // change dmax, so a fresh graph: dmax = 1, divisor 2)
+    val chain = KinGraph(
+      Seq("a", "b", "c").toDF("key"),
+      Seq(("a","b"), ("b","c")).toDF("src", "dst")
+        .withColumn("etype", lit(0)))
+    val ch = GraphOps.fixedPointKatz(chain, iters = 5)
+      .as[(String, Long)].collect().toMap
+    // b = 1e6 + 1e6 div 2 = 1.5e6 (fixed); c = 1e6 + 1.5e6 div 2 = 1.75e6
+    assert(ch("a") == 1000000L && ch("b") == 1500000L && ch("c") == 1750000L,
+      s"got $ch")
+  }
+
   test("communityConnectedParts: planted disconnected community repaired") {
     // community X = two triangles with NO edge between them (the Leiden
     // defect), community Y = one connected path, plus a Y member with no

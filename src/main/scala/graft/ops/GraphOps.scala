@@ -1263,6 +1263,88 @@ object GraphOps {
                                          lic: DataFrame, mm: DataFrame): DataFrame =
     louvainMovePass(labels, deg, lic, mm)
 
+  /** HyperANF (Boldi-Rosa-Vigna): the approximate NEIGHBORHOOD FUNCTION
+    * — per node, a probabilistic-counter estimate of |ball(v, k)| —
+    * computed by propagating Flajolet-Martin registers `rounds` steps
+    * over the undirected adjacency. Node v's register j after k rounds =
+    * max rank among bucket-j nodes within distance k (self included);
+    * bucket = hash60(key) mod `buckets`, rank = trailing zeros of the
+    * remaining hash bits + 1, capped. The state is SPARSE (only touched
+    * registers get rows) and every update is a map-side-combinable
+    * (key, j) max — the whole algorithm is `rounds` shuffles of ≤
+    * buckets·|E| 12-byte rows, the reason HyperANF scales where exact
+    * per-node BFS cannot.
+    *
+    * Output (key, nnz, reg_sum, est_num): all EXACT integers —
+    * est_num = Σ_j 2^(cap − M_j) (absent registers at rank 0 contribute
+    * 2^cap), the HLL harmonic denominator as an exact dyadic rational in
+    * 2^cap units, so the float estimate αm·m²·2^cap / est_num is a
+    * post-hoc division while the gate hashes integers. */
+  def hyperAnf(und: DataFrame, rounds: Int, buckets: Int = 16,
+               rankCap: Int = 40): DataFrame = {
+    require(rounds >= 1 && buckets >= 2)
+    val adj = CacheScope.cached(
+      und.select(col("u").as("key"), col("v").as("nb"))
+        .union(und.select(col("v").as("key"), col("u").as("nb"))))
+    val nodes = und.select(col("u").as("key"))
+      .union(und.select(col("v").as("key"))).distinct()
+    val h = graft.functions.TextFunctions.hash60(col("key"))
+    var st = nodes
+      .withColumn("__h", h)
+      .withColumn("j", pmod(col("__h"), lit(buckets.toLong)).cast("int"))
+      .withColumn("__x", expr(s"__h div $buckets"))
+      // trailing zeros via bit_count((x & -x) - 1); x = 0 caps out
+      .withColumn("r",
+        least(expr("bit_count((__x & -__x) - 1) + 1"), lit(rankCap))
+          .cast("int"))
+      .select(col("key"), col("j"), col("r"))
+    for (i <- 1 to rounds) {
+      st = statsReset(st.unionByName(
+          adj.join(st.select(col("key").as("nb"), col("j"), col("r")), "nb")
+            .select(col("key"), col("j"), col("r")))
+        .groupBy("key", "j").agg(max(col("r")).as("r"))
+        .localCheckpoint(true))
+    }
+    st.groupBy("key").agg(
+      count(lit(1)).cast("int").as("nnz"),
+      sum(col("r")).as("reg_sum"),
+      (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rankCap - r)")) +
+        (lit(buckets.toLong) - count(lit(1))) *
+          lit(1L << rankCap)).as("est_num"))
+  }
+
+  /** DuckDB twin of [[hyperAnf]]: seed registers from the same md5-60
+    * bucket/rank split, `rounds` unrolled sparse max-merge CTEs over the
+    * doubled adjacency `$adj`(key, nb); final aggregate in `${p}est`. */
+  def hyperAnfSql(adj: String, nodes: String, rounds: Int, p: String,
+                  buckets: Int = 16, rankCap: Int = 40): String = {
+    val h = graft.functions.TextFunctions.hash60Sql("key")
+    val its = (1 to rounds).map { k =>
+      s"""${p}s$k AS MATERIALIZED (
+         |  SELECT key, j, CAST(max(r) AS INT) AS r FROM (
+         |    SELECT key, j, r FROM ${p}s${k - 1}
+         |    UNION ALL
+         |    SELECT a.key, s.j, s.r FROM $adj a
+         |    JOIN ${p}s${k - 1} s ON s.key = a.nb
+         |  ) GROUP BY key, j)""".stripMargin
+    }
+    val seed =
+      s"""${p}s0 AS (
+         |  SELECT key, CAST(h % $buckets AS INT) AS j,
+         |    CAST(least(bit_count((x & -x) - 1) + 1, $rankCap) AS INT) AS r
+         |  FROM (SELECT key, h, h // $buckets AS x
+         |        FROM (SELECT key, $h AS h FROM $nodes)))""".stripMargin
+    val est =
+      s"""${p}est AS (
+         |  SELECT key, CAST(count(*) AS INT) AS nnz,
+         |    CAST(sum(r) AS BIGINT) AS reg_sum,
+         |    CAST(sum(CAST(1 AS BIGINT) << ($rankCap - r))
+         |      + ($buckets - count(*)) * (CAST(1 AS BIGINT) << $rankCap)
+         |      AS BIGINT) AS est_num
+         |  FROM ${p}s$rounds GROUP BY key)""".stripMargin
+    (seed +: its :+ est).mkString(",\n")
+  }
+
   /** LEIDEN-style connectivity repair: split every community of
     * `labels`(key, label) into its CONNECTED parts over the undirected
     * edges `und`(u, v) — the Leiden paper's fix for Louvain's headline

@@ -203,6 +203,17 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // HyperANF approximate neighborhood function (Boldi-Rosa-Vigna):
+    // per-node Flajolet-Martin registers propagated 3 rounds over the
+    // undirected adjacency — |ball(v,3)| estimation by rounds of sparse
+    // (key, register) max-merges, the technique that computes distance
+    // distributions on billion-edge graphs. All emitted quantities exact
+    // integers (registers + the dyadic harmonic denominator), so the
+    // probabilistic counter is hash-gated bit-for-bit
+    "gx_anf" -> ((s, dir) =>
+      GraphOps.hyperAnf(sharedUnd(s, dir), rounds = 3)
+        .orderBy("key")),
+
     // integer fixed-point KATZ centrality — the attenuation α =
     // 1/(dmax_in + 1) is DATA-ADAPTIVE (a constant α diverges/overflows
     // as degrees grow with SF — the gx_kcore parameter discipline);
@@ -919,6 +930,17 @@ object GxQueries {
     "gx_katz" ->
       s"""$cte, ${GraphOps.fixedPointKatzSql("ue", "un", 5)}
          |SELECT key, x AS katz FROM x5 ORDER BY key""".stripMargin,
+
+    "gx_anf" ->
+      s"""$cte, anfu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), anfadj AS MATERIALIZED (
+         |  SELECT u AS key, v AS nb FROM anfu UNION ALL SELECT v, u FROM anfu
+         |), anfn AS (
+         |  SELECT u AS key FROM anfu UNION SELECT v FROM anfu
+         |), ${GraphOps.hyperAnfSql("anfadj", "anfn", 3, "anf")}
+         |SELECT key, nnz, reg_sum, est_num FROM anfest ORDER BY key""".stripMargin,
 
     // modularity numerators from the same l5 labels: und distinct pairs,
     // symmetric degrees, per-community e_in/deg_sum, q_num = 4m·e_in−d²;

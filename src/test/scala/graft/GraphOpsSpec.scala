@@ -745,6 +745,52 @@ class GraphOpsSpec extends SparkSpec {
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
 
+  test("hyperAnf registers equal a from-scratch ball replication") {
+    // third, pure-Scala implementation of the contract: exact balls via
+    // BFS, then the same md5 bucket/rank split — the DuckDB twin is the
+    // cross-engine check, this pins the Spark plan against first
+    // principles on a path + triangle graph
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val edges = Seq(("a","b"),("b","c"),("c","d"),("d","e"),
+      ("x","y"),("y","z"),("x","z"))
+    val und = edges.toDF("u", "v")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adjM = nodes.map(n => n -> edges.collect {
+      case (u, v) if u == n => v
+      case (u, v) if v == n => u
+    }.toSet).toMap
+    def ball(n: String, k: Int): Set[String] = {
+      var b = Set(n)
+      for (_ <- 1 to k) b = b ++ b.flatMap(adjM)
+      b
+    }
+    val rounds = 2
+    def expected(n: String): (Int, Long, Long) = {
+      val regs = scala.collection.mutable.Map.empty[Int, Int]
+      for (m <- ball(n, rounds)) {
+        val h = h60(m); val j = (h % 16).toInt; val x = h / 16
+        val r = if (x == 0) 40
+          else math.min(java.lang.Long.numberOfTrailingZeros(x) + 1, 40)
+        regs(j) = math.max(regs.getOrElse(j, 0), r)
+      }
+      val estNum = regs.values.map(r => 1L << (40 - r)).sum +
+        (16L - regs.size) * (1L << 40)
+      (regs.size, regs.values.map(_.toLong).sum, estNum)
+    }
+    val out = GraphOps.hyperAnf(und, rounds)
+      .as[(String, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == nodes.size)
+    nodes.foreach { n =>
+      val (nnz, rs, en) = expected(n)
+      assert(out(n) == ((n, nnz, rs, en)),
+        s"$n: got ${out(n)}, expected ${(n, nnz, rs, en)}")
+    }
+  }
+
   test("fixedPointKatz: hand-checked star values, adaptive divisor") {
     // 3-spoke star into c: dmax = 3 so the divisor is 4; spokes have no
     // in-edges and stay at β = 1e6 forever, so c fixes at

@@ -962,20 +962,29 @@ object Dedup {
     * re-run the candidate join that produced them. */
   private[graft] def ccMinIdSurvivors(docs: DataFrame, idCol: String,
                                       dupPairs: DataFrame): DataFrame = {
+    // victims = duplicated ids that are NOT their component's min
+    val victims = ccComponentRep(dupPairs)
+      .filter(col("id") =!= col("rep")).select(col("id").as("__vid"))
+    docs.join(victims, docs(idCol) === victims("__vid"), "left_anti")
+  }
+
+  /** Duplicate-component REPRESENTATIVE (numeric-min id) per duplicated
+    * doc: (id, rep) for every id appearing in `dupPairs`(a, b) — docs in
+    * no pair are absent (callers default rep = own id). The group key
+    * for leakage-safe operations that must treat a whole near-dup
+    * cluster as one unit (cluster-keyed train/test split, per-cluster
+    * quotas). */
+  private[graft] def ccComponentRep(dupPairs: DataFrame): DataFrame = {
     val pairs = dupPairs
       .select(col("a").cast("string").as("src"), col("b").cast("string").as("dst"))
       .localCheckpoint(true)
     val dupGraph = graft.KinGraph.fromEdges(pairs.withColumn("etype", lit(0)))
     val comps = graft.gx.GraphXBridge.connectedComponents(
       graft.gx.GraphXBridge.toGraphX(dupGraph))
-    // victims = duplicated ids that are NOT their component's min
-    val victims = comps
-      .select(col("key").cast("long").as("__vid"), col("component"))
-      .withColumn("__keep",
-        min(col("__vid")).over(Window.partitionBy(col("component"))))
-      .filter(col("__vid") =!= col("__keep"))
-      .select(col("__vid"))
-    docs.join(victims, docs(idCol) === victims("__vid"), "left_anti")
+    comps.select(col("key").cast("long").as("id"), col("component"))
+      .withColumn("rep",
+        min(col("id")).over(Window.partitionBy(col("component"))))
+      .select(col("id"), col("rep"))
   }
 
   // ------------------------------------------------------------ line dedup

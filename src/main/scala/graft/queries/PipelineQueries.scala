@@ -1735,6 +1735,26 @@ object PipelineQueries {
             .cast("long").as("js_micro"))
         .orderBy("sa", "sb")}),
 
+    // LEAKAGE-SAFE split: the FIX for what d_split_leakage measures —
+    // the split key is the near-dup CLUSTER representative (min id of
+    // the minhash CC component), so a whole duplicate cluster lands in
+    // ONE split by construction and train/test can never share a
+    // near-dup pair. `moved` flags docs whose naive doc-hash split
+    // differs — the visible repair
+    "d_split_safe" -> ((s, dir) => {
+      val pairs = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+      val rep = Dedup.ccComponentRep(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(rep.select(col("id").as("doc_id"), col("rep")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        .withColumn("split", Sampling.splitColumn(col("rep"), 0.1, 0.1))
+        .withColumn("naive_split",
+          Sampling.splitColumn(col("doc_id"), 0.1, 0.1))
+        .withColumn("moved",
+          when(col("split") =!= col("naive_split"), 1).otherwise(0))
+        .orderBy("doc_id")}),
+
     // split-leakage audit — the generalization-hygiene check a training
     // pipeline runs after splitting: what fraction of each eval split's
     // distinct shingles already appears in train (and how many eval docs
@@ -4185,6 +4205,33 @@ object PipelineQueries {
          |SELECT doc_id FROM $docsT
          |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
          |ORDER BY doc_id""".stripMargin,
+
+    // cluster-keyed split replay: CC over the >=0.5 candidate pairs, rep
+    // = numeric-min member, split hashes the rep (subquery so the alias
+    // comparison is engine-portable)
+    "d_split_safe" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM cand WHERE est_sim >= 0.5
+         |  UNION SELECT b, a FROM cand WHERE est_sim >= 0.5
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, CAST(min(label) AS BIGINT) AS rep FROM reach GROUP BY key
+         |), sbase AS (
+         |  SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep,
+         |    ${Sampling.splitColumnSql("coalesce(r.rep, d.doc_id)", 0.1, 0.1)} AS split,
+         |    ${Sampling.splitColumnSql("d.doc_id", 0.1, 0.1)} AS naive_split
+         |  FROM $docsT d LEFT JOIN rch r ON r.key = d.doc_id
+         |)
+         |SELECT doc_id, rep, split, naive_split,
+         |  CAST(CASE WHEN split <> naive_split THEN 1 ELSE 0 END AS INT) AS moved
+         |FROM sbase ORDER BY doc_id""".stripMargin,
 
     "d_dup_sources" ->
       s"""WITH cand AS (

@@ -155,6 +155,25 @@ class PipelineSpec extends SparkSpec {
     assert(packed.sortBy(_._1).toSeq == packed2.sortBy(_._1).toSeq)
   }
 
+  test("cluster-safe split: whole dup components share one split") {
+    import graft.operators.{Dedup, Sampling}
+    // planted components {1,2,3} (chain) and {10,11}; 20 is unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val rep = Dedup.ccComponentRep(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docsF = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val out = docsF
+      .join(rep.toSeq.toDF("doc_id", "rep"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"rep", $"doc_id"))
+      .withColumn("split", Sampling.splitColumn($"rep", 0.3, 0.3))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the invariant the op exists for: one split value per component
+    assert(Set(1L, 2L, 3L).map(out(_)._3).size == 1)
+    assert(Set(10L, 11L).map(out(_)._3).size == 1)
+    assert(out(20L)._2 == 20L)
+  }
+
   test("packMaterialize: doc_id order, eos terminators, exact truncation") {
     import graft.operators.Sampling
     val docsF = Seq((1L, "a b c"), (2L, "d e"), (3L, ""))

@@ -438,6 +438,59 @@ object Sampling {
       .drop("__hk", "__bk", "__off")
   }
 
+  /** CURRICULUM order: [[epochOrder]] with a MAJOR band key — the
+    * quality-annealed training schedule (band 1 = highest-quality docs
+    * first, then band 2, …), deterministically hash-shuffled WITHIN each
+    * band. pos = band offset + dense in-band hash rank, same range-bucket
+    * two-pass (the per-(band, bucket) count frame stays broadcast-sized).
+    * Every band-k position precedes every band-(k+1) position by
+    * construction. */
+  def curriculumOrder(rows: DataFrame, keyCol: String, bandCol: String,
+                      epoch: Long, posCol: String = "cur_pos"): DataFrame = {
+    val bucketDiv = 1L << 50
+    val b = rows
+      .withColumn("__hk",
+        hash60(concat(col(keyCol).cast("string"), lit(s"#$epoch"))))
+      .withColumn("__bk", expr(s"__hk div $bucketDiv"))
+    val counts = b.groupBy(col(bandCol), col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col(bandCol), col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    val wIn = Window.partitionBy(col(bandCol), col("__bk"))
+      .orderBy(col("__hk"), col(keyCol))
+    b.join(broadcast(offs.select(col(bandCol), col("__bk"), col("__off"))),
+        Seq(bandCol, "__bk"))
+      .withColumn(posCol, col("__off") + row_number().over(wIn))
+      .drop("__hk", "__bk", "__off")
+  }
+
+  /** DuckDB twin of [[curriculumOrder]]: `${p}out`(key, band, pos) over
+    * `$table`(… $keyCol, $bandCol …). */
+  def curriculumOrderSql(table: String, keyCol: String, bandCol: String,
+                         epoch: Long, p: String): String = {
+    val bucketDiv = 1L << 50
+    s"""${p}b AS (
+       |  SELECT $keyCol AS key, $bandCol AS band,
+       |    ${hash60Sql(s"CAST($keyCol AS VARCHAR) || '#$epoch'")} AS hk
+       |  FROM $table
+       |), ${p}c AS (
+       |  SELECT band, hk // $bucketDiv AS bk, count(*) AS n
+       |  FROM ${p}b GROUP BY 1, 2
+       |), ${p}o AS (
+       |  SELECT band, bk, coalesce(sum(n) OVER (ORDER BY band, bk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM ${p}c
+       |), ${p}out AS (
+       |  SELECT b.key, b.band, CAST(o.off + row_number() OVER (
+       |    PARTITION BY b.band, b.hk // $bucketDiv
+       |    ORDER BY b.hk, b.key) AS BIGINT) AS pos
+       |  FROM ${p}b b JOIN ${p}o o
+       |    ON o.band = b.band AND o.bk = b.hk // $bucketDiv
+       |)""".stripMargin
+  }
+
   /** DuckDB twin of [[epochOrder]] as CTE fragments: `${p}out`(key, pos)
     * over `$table`'s `$packIdCol`. */
   def epochOrderSql(table: String, packIdCol: String, epoch: Long,

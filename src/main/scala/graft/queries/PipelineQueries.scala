@@ -1458,6 +1458,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("pack_id")}),
 
+    // CURRICULUM training order: quality-annealed deterministic schedule
+    // — surprisal-tercile band as the MAJOR key (band 1 = lowest
+    // perplexity first), hash-shuffled within band, every band-1
+    // position before every band-2 position by construction. The
+    // tercile cuts are data-adaptive and engine-exact (the
+    // d_ccnet_buckets percentile discipline)
+    "d_curriculum" -> ((s, dir) => {
+      val sp = TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("mean_micro"))
+      val cuts = sp.agg(
+        expr("percentile(mean_micro, 1.0D/3)").as("p33"),
+        expr("percentile(mean_micro, 2.0D/3)").as("p66"))
+      val banded = sp.crossJoin(broadcast(cuts))
+        .withColumn("band",
+          when(col("mean_micro") < col("p33"), lit(1))
+            .when(col("mean_micro") < col("p66"), lit(2))
+            .otherwise(lit(3)))
+        .select("doc_id", "band")
+      Sampling.curriculumOrder(banded, "doc_id", "band", epoch = 1)
+        .select("doc_id", "band", "cur_pos")
+        .orderBy("doc_id")}),
+
     // MATERIALIZED packed sequences: d_pack's bins turned into the
     // actual training rows — member docs concatenated in doc_id order
     // with an <eos> terminator each, truncated to exactly 512 tokens
@@ -3385,6 +3407,22 @@ object PipelineQueries {
          |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_curriculum" ->
+      s"""WITH csp AS (
+         |  SELECT doc_id, mean_micro
+         |  FROM (${TextFunctions.surprisalStatsSql(docsT, "doc_id", "text")}) t
+         |), ccut AS (
+         |  SELECT quantile_cont(mean_micro, 1.0/3) AS p33,
+         |         quantile_cont(mean_micro, 2.0/3) AS p66 FROM csp
+         |), cbd AS (
+         |  SELECT doc_id, CASE WHEN mean_micro < p33 THEN 1
+         |                      WHEN mean_micro < p66 THEN 2
+         |                      ELSE 3 END AS band
+         |  FROM csp CROSS JOIN ccut
+         |), ${Sampling.curriculumOrderSql("cbd", "doc_id", "band", 1, "cu")}
+         |SELECT key AS doc_id, band, pos AS cur_pos
+         |FROM cuout ORDER BY doc_id""".stripMargin,
 
     "d_pack_text" ->
       s"""WITH pm AS (

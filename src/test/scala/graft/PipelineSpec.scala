@@ -194,6 +194,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("curriculumOrder: bands strictly ordered, dense within") {
+    import graft.operators.Sampling
+    val rows = ((0L until 100L).map(i => (i, 1)) ++
+      (100L until 250L).map(i => (i, 2)) ++
+      (250L until 300L).map(i => (i, 3))).toDF("key", "band")
+    val out = Sampling.curriculumOrder(rows, "key", "band", 1)
+      .select($"key", $"band", $"cur_pos").as[(Long, Int, Long)].collect()
+    assert(out.length == 300)
+    assert(out.map(_._3).sorted.toSeq == (1L to 300L), "dense 1..n")
+    // every band-1 position precedes every band-2 position, etc.
+    val byBand = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byBand(1).max < byBand(2).min && byBand(2).max < byBand(3).min)
+    // within a band the order is a hash shuffle, not key order
+    assert(byBand(1).toSeq != byBand(1).sorted.toSeq ||
+      out.filter(_._2 == 1).sortBy(_._3).map(_._1).toSeq != (0L until 100L))
+    // partition invariance
+    val again = Sampling.curriculumOrder(rows.repartition(11), "key", "band", 1)
+      .select($"key", $"band", $"cur_pos").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("epochOrder: dense permutation, partition-invariant, epoch-distinct") {
     import graft.operators.Sampling
     val bins = (0L until 300L).map(i => (i, 400L + i % 100))

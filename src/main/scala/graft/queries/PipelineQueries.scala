@@ -2787,6 +2787,70 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("h")}),
 
+    // STREAMING dedup STATE-EVICTION observability:
+    // dropDuplicatesWithinWatermark keeps per-key state only until the
+    // watermark passes first-seen event time + delay — a duplicate
+    // arriving after eviction is genuinely RE-ADMITTED (the bounded-state
+    // contract: dedup is only guaranteed WITHIN the watermark). A planted
+    // 3-batch lattice (maxFilesPerTrigger=1, mod-time ordered, 120-min
+    // delay) pins all four behaviors: (A) re-admission after eviction,
+    // (C) suppression while state lives — across batches and with a
+    // DIFFERENT event time, (D) in-batch duplicate suppression, (E) a
+    // never-seen key arriving below the watermark (late input).
+    // Empirically pinned like s_stream_late; the oracle is the closed
+    // form of the construction.
+    "s_stream_dedup_wm" -> ((s, dir) => {
+      val tmp = scratchDir("dedupwm", dir)
+      val baseEpoch = 1767225600L // 2026-01-01T00:00:00Z
+      def rows(kv: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+        val sp = s; import sp.implicits._
+        kv.toDF("k", "m").select(col("k"),
+          expr(s"timestamp_seconds($baseEpoch + m * 60)").as("ts"))
+      }
+      def plant(df: org.apache.spark.sql.DataFrame, name: String,
+                mtime: Long): Unit = {
+        val w = s"$tmp/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$tmp/stream/$name")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = System.currentTimeMillis()
+      // b1: first-seen A/B/C + clock to m600 -> watermark 480 after b1
+      plant(rows(Seq("A" -> 0, "B" -> 60, "C" -> 540, "W1" -> 600)),
+        "b1.parquet", t0 - 180000)
+      // b2 (wm 480): A expired (0+120<480) -> re-admit; C alive (660>480)
+      // -> dup dropped; D+D in-batch pair -> one survives; clock to 720
+      plant(rows(Seq("A" -> 540, "C" -> 540, "D" -> 540, "D" -> 540,
+          "W2" -> 720)), "b2.parquet", t0 - 120000)
+      // b3 (wm 600): C STILL alive (660>600) even at a new event time ->
+      // dropped; B expired (180<600) -> re-admit; E first-seen but BELOW
+      // the watermark (300<600) -> late-input verdict pinned empirically
+      plant(rows(Seq("C" -> 630, "B" -> 650, "E" -> 300)),
+        "b3.parquet", t0 - 60000)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream")
+      val dd = src.withWatermark("ts", "120 minutes")
+        .dropDuplicatesWithinWatermark("k")
+        .select(col("k"),
+          (((unix_timestamp(col("ts")) - baseEpoch) / 60)).cast("int").as("m"))
+      graft.streaming.EventStreams.runToMemory(dd, "s_stream_dedup_wm_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .groupBy("k").agg(count(lit(1)).cast("long").as("n_admitted"),
+          min(col("m")).as("first_m"), max(col("m")).as("last_m"))
+        .orderBy("k")}),
+
     // STREAMING audio ingest + VAD: m_silence's run-length silence scan
     // with the docs table arriving as parquet micro-batches — stateless
     // mapPartitions decode through the SAME operator object as batch,
@@ -5537,6 +5601,48 @@ object PipelineQueries {
     // pinned rules: late DROP iff window end < watermark (w = max hour
     // over batches 1-2, minus the 2h delay), append EMISSION iff window
     // end <= the final watermark
+    // dropDuplicatesWithinWatermark replay under the empirically pinned
+    // mechanics: the OPERATING watermark of batch n is computed from
+    // batches 1..n-1 (one-batch lag; batch 1 runs at -inf), the late
+    // filter and the dedup-vs-state check use that operating watermark,
+    // and state eviction runs at batch COMMIT with the same value — so a
+    // duplicate of an expired key arriving in the first batch after
+    // expiry is STILL suppressed (input processes before eviction), and
+    // re-admission is observable one full batch later
+    "s_stream_dedup_wm" ->
+      """WITH swb1(k, m) AS (
+        |  VALUES ('A', 0), ('B', 60), ('C', 540), ('W1', 600)
+        |), swb2(k, m) AS (
+        |  VALUES ('A', 540), ('C', 540), ('D', 540), ('D', 540), ('W2', 720)
+        |), swb3(k, m) AS (
+        |  VALUES ('C', 630), ('B', 650), ('E', 300)
+        |), sww2 AS (
+        |  SELECT max(m) - 120 AS w FROM swb1
+        |), sww3 AS (
+        |  SELECT max(m) - 120 AS w
+        |  FROM (SELECT m FROM swb1 UNION ALL SELECT m FROM swb2)
+        |), swa1 AS (
+        |  SELECT k, min(m) AS m FROM swb1 GROUP BY k
+        |), swa2 AS (
+        |  SELECT b.k, min(b.m) AS m FROM swb2 b, sww2
+        |  WHERE b.m >= sww2.w AND b.k NOT IN (SELECT k FROM swa1)
+        |  GROUP BY b.k
+        |), swst3 AS (
+        |  SELECT k FROM (SELECT k, m FROM swa1
+        |                 UNION ALL SELECT k, m FROM swa2) s, sww2
+        |  WHERE s.m + 120 > sww2.w
+        |), swa3 AS (
+        |  SELECT b.k, min(b.m) AS m FROM swb3 b, sww3
+        |  WHERE b.m >= sww3.w AND b.k NOT IN (SELECT k FROM swst3)
+        |  GROUP BY b.k
+        |), swall AS (
+        |  SELECT k, m FROM swa1 UNION ALL SELECT k, m FROM swa2
+        |  UNION ALL SELECT k, m FROM swa3
+        |)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_admitted,
+        |  CAST(min(m) AS INT) AS first_m, CAST(max(m) AS INT) AS last_m
+        |FROM swall GROUP BY k ORDER BY k""".stripMargin,
+
     "s_stream_late" ->
       """WITH slb1 AS (
         |  SELECT CASE WHEN i = 100 THEN 48 ELSE i % 24 END AS h

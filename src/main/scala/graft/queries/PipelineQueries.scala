@@ -362,6 +362,30 @@ object PipelineQueries {
     // each back, and emit the per-source profile of the round-trips side
     // by side — the oracle is the direct profile, so a hash match proves
     // read(write(x)) == x row-for-row through each sink
+    // SCHEMA EVOLUTION read (the lakehouse append-era contract): era-1
+    // files carry a narrow schema, era-2 files gained a column;
+    // mergeSchema=true + partition discovery must unify them with NULLs
+    // for the pre-evolution rows — the per-parity profile proves exactly
+    // which era carries the new column. Floor-to-cents BEFORE summing
+    // (double prices; order-free i64 sums)
+    "q_schema_evolution" -> ((s, dir) => {
+      val tmp = scratchDir("schevo", dir)
+      val o = Tables.orders(s, dir)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/t/era=1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/t/era=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+        .groupBy(pmod(col("o_orderkey"), lit(2)).as("parity"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderstatus").isNotNull, 1L).otherwise(0L))
+            .as("n_with_status"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("price_cents"))
+        .orderBy("parity")}),
+
     "d_export_roundtrip" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       val tmp = scratchDir("export_rt", dir)
@@ -3695,6 +3719,16 @@ object PipelineQueries {
          |  (SELECT CAST(sum(iterm) AS BIGINT) FROM ni) AS idcg_micro,
          |  (1000 * (SELECT CAST(sum(dterm) AS BIGINT) FROM ng))
          |    // (SELECT CAST(sum(iterm) AS BIGINT) FROM ni) AS ndcg_milli""".stripMargin,
+
+    // evolution-read replay: the merged table's content equals the source
+    // split by parity; the new column exists only on odd keys
+    "q_schema_evolution" ->
+      """SELECT o_orderkey % 2 AS parity, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_status,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders GROUP BY 1 ORDER BY parity""".stripMargin,
 
     "d_export_roundtrip" ->
       s"""SELECT source,

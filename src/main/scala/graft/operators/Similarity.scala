@@ -1007,6 +1007,74 @@ object Similarity {
         cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cos_micro"))
   }
 
+  /** BINARY (1-bit sign) quantization codes: dimension j's sign packs
+    * into bit j of two 32-bit halves (`blo` dims 0-31, `bhi` 32-63) —
+    * two BIGINTs per vector, 16 bytes instead of 512, the BQ/RaBitQ
+    * family's storage point. Two halves, not one 64-bit word, so every
+    * shift stays ≤ 31 and the packing replays portably (a 1<<63 BIGINT
+    * shift is engine-defined). */
+  def binarySignCodes(corpus: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 64, s"binary codes support 2..64 dims, got $dim")
+    def half(lo: Int, hi: Int, shiftBase: Int): String =
+      s"aggregate(sequence($lo, ${math.min(hi, dim - 1)}), CAST(0 AS BIGINT), " +
+        s"(acc, j) -> acc | CASE WHEN element_at(vec, j + 1) >= 0D " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), j - $shiftBase) ELSE CAST(0 AS BIGINT) END)"
+    corpus.select(col("id"), col("vec"),
+      expr(half(0, 31, 0)).as("blo"),
+      (if (dim > 32) expr(half(32, 63, 32)) else lit(0L)).as("bhi"))
+  }
+
+  /** Binary-quantized ANN: Hamming distance between sign codes is the
+    * cheap first-pass score (two XOR+popcounts over 16 bytes — the
+    * reason binary quantization scans fast), the best `shortlist` per
+    * query rerank by exact floor-micro cosine, and the top-`k` emit with
+    * BOTH scores plus per-query recall vs the tie-exact micro top-k.
+    * Every ranking step is an integer total order ((hamming, id) then
+    * (cos_micro DESC, id)), so the whole index — packing, scan, rerank,
+    * recall — replays in SQL and hash-checks.
+    *
+    * Scale shape: the scan is corpus×queries like [[bruteForceTopK]]
+    * (the declared exact baseline pattern — queries broadcast, corpus
+    * never shuffles) but each comparison touches 16 bytes, not 64
+    * doubles; past that, LSH banding composes upstream exactly as for
+    * the full-precision scans. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 shortlist: Int = 32): DataFrame = {
+    val dim = inferDim(corpus)
+    val c = binarySignCodes(corpus, dim)
+      .select(col("id").as("vec_id"), col("vec"), norm(col("vec")).as("cn"),
+        col("blo"), col("bhi"))
+    val q = broadcast(binarySignCodes(queries, dim)
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        norm(col("vec")).as("qn"),
+        col("blo").as("qlo"), col("bhi").as("qhi")))
+    val ham = spread(c).crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        expr("bit_count(blo ^ qlo) + bit_count(bhi ^ qhi)").cast("int"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val short = ham.withColumn("hrn", row_number().over(wHam))
+      .filter(col("hrn") <= shortlist)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    val top = short
+      .withColumn("cos_micro", cosMicroCol(col("qv"), col("qn"),
+        col("vec"), col("cn")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "hamming", "cos_micro", "rank")
+    val exact = exactTopKMicro(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = top.select("query_id", "vec_id")
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    top.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        col("cos_micro"), col("rank"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Maximum-inner-product search (MIPS) — the ranking retrieval with
     * learned embeddings actually uses (dot, NOT cosine: a trained
     * two-tower scorer encodes popularity/confidence in the norm, which

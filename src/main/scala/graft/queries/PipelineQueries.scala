@@ -2451,6 +2451,16 @@ object PipelineQueries {
     "e_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embDouble(s, dir)).orderBy("id")),
 
+    // BINARY (1-bit sign) quantization ANN — the BQ/RaBitQ storage
+    // point: 16 bytes per vector, Hamming scan as the cheap first pass,
+    // exact floor-micro rerank of the 32-deep shortlist, per-query
+    // recall vs the tie-exact top-10. Every step an integer total
+    // order, so packing + scan + rerank + recall all hash-check
+    "e_ann_binary" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      Similarity.binaryTopK(corpus, corpus.filter(col("id") < 30), 10)
+        .orderBy("query_id", "rank")}),
+
     // top principal component of the centered int8-quantized corpus via
     // 4 integer power-iteration rounds: exact Gram matrix, order-free
     // integer matvecs, IEEE-exact floor-micro renormalization — the
@@ -3355,6 +3365,59 @@ object PipelineQueries {
       "source <> 'src19'", "source = 'src19'"),
 
     "e_quantize" -> Similarity.quantizeInt8Sql("embeddings"),
+
+    // full replay of the binary-quantization index: sign packing into
+    // two 32-bit halves, XOR+popcount Hamming scan, micro-cosine rerank,
+    // recall vs the exact top-10
+    "e_ann_binary" ->
+      """WITH eb AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), ebn AS (
+        |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM eb
+        |), ebc AS (
+        |  SELECT id, vec, nrm,
+        |    CAST(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN vec[j + 1] >= 0 THEN (CAST(1 AS BIGINT) << j)
+        |           ELSE 0 END)) AS BIGINT) AS blo,
+        |    CAST(list_sum(list_transform(generate_series(32, 63),
+        |      j -> CASE WHEN vec[j + 1] >= 0 THEN (CAST(1 AS BIGINT) << (j - 32))
+        |           ELSE 0 END)) AS BIGINT) AS bhi
+        |  FROM ebn
+        |), ebh AS (
+        |  SELECT q.id AS query_id, c.id AS vec_id,
+        |    CAST(bit_count(xor(c.blo, q.blo)) + bit_count(xor(c.bhi, q.bhi)) AS INT) AS hamming,
+        |    c.vec AS cvec, c.nrm AS cnrm, q.vec AS qvec, q.nrm AS qnrm
+        |  FROM ebc c JOIN ebc q ON q.id < 30 AND c.id <> q.id
+        |), ebs AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY hamming, vec_id) AS hrn FROM ebh)
+        |  WHERE hrn <= 32
+        |), ebr AS (
+        |  SELECT query_id, vec_id, hamming,
+        |    CAST(floor(1000000 * (list_dot_product(qvec, cvec) / (qnrm * cnrm))) AS BIGINT) AS cos_micro
+        |  FROM ebs
+        |), ebt AS (
+        |  SELECT * FROM (SELECT query_id, vec_id, hamming, cos_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_micro DESC, vec_id) AS rank FROM ebr)
+        |  WHERE rank <= 10
+        |), ebx AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.id AS query_id, c.id AS vec_id,
+        |      row_number() OVER (PARTITION BY q.id ORDER BY
+        |        floor(1000000 * (list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm))) DESC,
+        |        c.id) AS rk
+        |    FROM ebn c JOIN ebn q ON q.id < 30 AND c.id <> q.id)
+        |  WHERE rk <= 10
+        |), ebhit AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ebt t JOIN ebx x ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+        |  GROUP BY 1
+        |)
+        |SELECT t.query_id, t.vec_id, t.hamming, t.cos_micro,
+        |  CAST(t.rank AS INT) AS rank, coalesce(h.n_hits, 0) AS n_hits
+        |FROM ebt t LEFT JOIN ebhit h ON h.query_id = t.query_id
+        |ORDER BY t.query_id, t.rank""".stripMargin,
 
     "e_centroid" ->
       (Similarity.int8GroupCentroidsSql("embeddings", "label") +

@@ -155,6 +155,35 @@ class PipelineSpec extends SparkSpec {
     assert(packed.sortBy(_._1).toSeq == packed2.sortBy(_._1).toSeq)
   }
 
+  test("binary-sign ANN: packing hand-checked, orthant fixture exact") {
+    import graft.operators.Similarity
+    // packing: all-positive first half, all-negative second half
+    val one = Seq((0L, Seq.fill(32)(1.0) ++ Seq.fill(32)(-1.0)))
+      .toDF("id", "vec")
+    val code = Similarity.binarySignCodes(one, 64)
+      .select($"blo", $"bhi").as[(Long, Long)].head()
+    assert(code == ((0xFFFFFFFFL, 0L)), s"got $code")
+    // two opposite orthants: binary codes separate them perfectly, so
+    // the Hamming shortlist is the query's own cluster and the rerank
+    // recovers the EXACT micro top-5 (n_hits = 5 everywhere)
+    val vecs = ((0L until 20L).map { i =>
+      (i, (0 until 64).map(j => if (j < 32) 1.0 + 0.01 * ((i + j) % 7)
+                                else -1.0 - 0.01 * ((i * 3 + j) % 5)).toSeq)
+    } ++ (100L until 120L).map { i =>
+      (i, (0 until 64).map(j => if (j < 32) -1.0 - 0.01 * ((i + j) % 7)
+                                else 1.0 + 0.01 * ((i * 5 + j) % 5)).toSeq)
+    }).toDF("id", "vec")
+    val queries = vecs.filter($"id" === 3L || $"id" === 105L)
+    val out = Similarity.binaryTopK(vecs, queries, 5)
+      .as[(Long, Long, Int, Long, Int, Long)].collect()
+    assert(out.length == 10)
+    assert(out.forall(_._6 == 5L), s"orthant recall must be exact: ${out.toSeq}")
+    // no cross-orthant neighbor can enter a top-5
+    assert(out.forall(r => (r._1 < 100L) == (r._2 < 100L)))
+    // in-cluster hamming strictly below the cross-cluster floor (64)
+    assert(out.forall(_._3 < 32))
+  }
+
   test("cluster-safe split: whole dup components share one split") {
     import graft.operators.{Dedup, Sampling}
     // planted components {1,2,3} (chain) and {10,11}; 20 is unpaired

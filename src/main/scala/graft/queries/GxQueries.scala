@@ -214,6 +214,23 @@ object GxQueries {
       GraphOps.hyperAnf(sharedUnd(s, dir), rounds = 3)
         .orderBy("key")),
 
+    // ANF GROWTH TRACE — the neighborhood-function curve N(r) that
+    // effective-diameter estimation reads: the global register state at
+    // radius 1, 2, 3 (Σ est_num shrinks as balls grow — est_num is the
+    // harmonic DENOMINATOR). Three runs of the same register propagation;
+    // the curve flattening out IS the "most pairs within r hops" signal
+    "gx_anf_growth" -> ((s, dir) => {
+      val und = sharedUnd(s, dir)
+      val runs = (1 to 3).map { r =>
+        GraphOps.hyperAnf(und, rounds = r)
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("reg_sum")).as("tot_reg"),
+            sum(col("est_num")).as("tot_est_num"))
+          .select(lit(r).as("round"), col("n_nodes"), col("tot_reg"),
+            col("tot_est_num"))
+      }
+      runs.reduce(_ unionByName _).orderBy("round")}),
+
     // integer fixed-point KATZ centrality — the attenuation α =
     // 1/(dmax_in + 1) is DATA-ADAPTIVE (a constant α diverges/overflows
     // as degrees grow with SF — the gx_kcore parameter discipline);
@@ -930,6 +947,28 @@ object GxQueries {
     "gx_katz" ->
       s"""$cte, ${GraphOps.fixedPointKatzSql("ue", "un", 5)}
          |SELECT key, x AS katz FROM x5 ORDER BY key""".stripMargin,
+
+    "gx_anf_growth" ->
+      s"""$cte, agu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), agadj AS MATERIALIZED (
+         |  SELECT u AS key, v AS nb FROM agu UNION ALL SELECT v, u FROM agu
+         |), agn AS (
+         |  SELECT u AS key FROM agu UNION SELECT v FROM agu
+         |), ${GraphOps.hyperAnfSql("agadj", "agn", 1, "g1")},
+         |${GraphOps.hyperAnfSql("agadj", "agn", 2, "g2")},
+         |${GraphOps.hyperAnfSql("agadj", "agn", 3, "g3")},
+         |agall AS (
+         |  SELECT 1 AS round, * FROM g1est
+         |  UNION ALL SELECT 2, * FROM g2est
+         |  UNION ALL SELECT 3, * FROM g3est
+         |)
+         |SELECT CAST(round AS INT) AS round,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(reg_sum) AS BIGINT) AS tot_reg,
+         |  CAST(sum(est_num) AS BIGINT) AS tot_est_num
+         |FROM agall GROUP BY round ORDER BY round""".stripMargin,
 
     "gx_anf" ->
       s"""$cte, anfu AS MATERIALIZED (

@@ -672,6 +672,48 @@ object GraphOps {
   }
 
   /** The path-row union over [[node2vecWalksSql]]'s fragments. */
+  /** SKIP-GRAM training pairs from random walks — the step that turns
+    * [[node2vecWalks]] output into the (center, context, label) rows an
+    * embedding trainer consumes: positives are co-occurrences within
+    * `window` steps of the same walk; each positive draws `negatives`
+    * DETERMINISTIC negative samples by hashing (center, context, k) into
+    * the rank-indexed node vocabulary — reproducible negative sampling,
+    * no RNG state. Output (start, i, j, center, context, label, neg_k).
+    *
+    * Scale shape: the pair join is per-walk (walks are bounded-length),
+    * the vocabulary rank table is one node-sized sort (the same
+    * vocabulary-scale global order every vocab op pays), and negatives
+    * attach by an equi join on the 8-byte rank. */
+  def skipGramPairs(walks: DataFrame, nodes: DataFrame,
+                    window: Int = 2, negatives: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = walks.select(col("start"), col("step").as("i"),
+      col("node").as("center"))
+    val b = walks.select(col("start"), col("step").as("j"),
+      col("node").as("context"))
+    val pos = a.join(b, Seq("start"))
+      .filter(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .select(col("start"), col("i"), col("j"), col("center"),
+        col("context"), lit(1).as("label"), lit(0).as("neg_k"))
+    val n = nodes.count()
+    val ranked = CacheScope.cached(nodes.select(col("key"))
+      .withColumn("rk",
+        (row_number().over(Window.orderBy("key")) - 1).cast("long")))
+    val negs = pos
+      .select(col("start"), col("i"), col("j"), col("center"),
+        col("context").as("pos_ctx"),
+        explode(expr(s"sequence(1, $negatives)")).as("neg_k"))
+      .withColumn("rk", pmod(graft.functions.TextFunctions.hash60(
+        concat_ws("|", col("center"), col("pos_ctx"), col("neg_k"),
+          lit("neg"))), lit(n)))
+      .join(ranked, "rk")
+      .select(col("start"), col("i"), col("j"), col("center"),
+        col("key").as("context"), lit(0).as("label"),
+        col("neg_k").cast("int").as("neg_k"))
+    pos.unionByName(negs)
+  }
+
   def node2vecWalksPathSql(steps: Int): String =
     (s"SELECT start, 0 AS step, node FROM nvs0" +:
       (1 to steps).map(k => s"SELECT start, $k AS step, node FROM nv$k"))

@@ -757,6 +757,20 @@ object GxQueries {
           g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
         .orderBy("start", "step", "node")}),
 
+    // SKIP-GRAM training pairs from the node2vec walks — the step that
+    // turns graph walks into embedding-trainer rows: window-2 positive
+    // co-occurrences + 2 DETERMINISTIC hash-drawn negatives per positive
+    // from the rank-indexed node vocabulary (reproducible negative
+    // sampling, no RNG). The graph→training-data bridge, end-to-end
+    // hash-gated
+    "gx_walk_pairs" -> ((s, dir) => {
+      val g = unionGraph(s, dir)
+      val walks = GraphOps.node2vecWalks(
+        g.edges.select(col("src"), col("dst")),
+        g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
+      GraphOps.skipGramPairs(walks, g.nodes.select(col("key")))
+        .orderBy("start", "i", "j", "label", "neg_k")}),
+
     // local clustering coefficient in integer micro-units:
     // 2e6·T(v) div (deg·(deg-1)) over the undirected distinct-neighbor
     // degree — exact integer ratio, no float division
@@ -1371,6 +1385,38 @@ object GxQueries {
          |SELECT start, step, node FROM (
          |${GraphOps.node2vecWalksPathSql(4)}
          |) ORDER BY start, step, node""".stripMargin,
+
+    "gx_walk_pairs" ->
+      s"""$cte, ${GraphOps.node2vecWalksSql("ue",
+             "SELECT key FROM un WHERE key LIKE 'S%'", 4)},
+         |wpp AS MATERIALIZED (
+         |SELECT start, step, node FROM (
+         |${GraphOps.node2vecWalksPathSql(4)}
+         |)
+         |), wpw AS (
+         |  SELECT a.start, a.step AS i, b.step AS j,
+         |    a.node AS center, b.node AS context
+         |  FROM wpp a JOIN wpp b ON a.start = b.start
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |), wpn AS (
+         |  SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS rk
+         |  FROM un
+         |), wpc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM un
+         |), wpneg AS (
+         |  SELECT w.start, w.i, w.j, w.center, r.key AS context,
+         |    0 AS label, CAST(k.k AS INT) AS neg_k
+         |  FROM wpw w
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) k
+         |  CROSS JOIN wpc
+         |  JOIN wpn r ON r.rk =
+         |    ${graft.functions.TextFunctions.hash60Sql(
+                "w.center || '|' || w.context || '|' || CAST(k.k AS VARCHAR) || '|neg'")} % wpc.n
+         |)
+         |SELECT start, i, j, center, context, 1 AS label, 0 AS neg_k FROM wpw
+         |UNION ALL
+         |SELECT start, i, j, center, context, label, neg_k FROM wpneg
+         |ORDER BY start, i, j, label, neg_k""".stripMargin,
 
     "gx_clustering" ->
       s"""$cte, und AS (

@@ -745,6 +745,37 @@ class GraphOpsSpec extends SparkSpec {
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
 
+  test("skipGramPairs: window positives + md5-replicated negative draws") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // one 4-step walk a->b->c->d->e; vocab {a..e, z1, z2}
+    val walks = Seq(("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c"),
+      ("a", 3, "d"), ("a", 4, "e")).toDF("start", "step", "node")
+    val vocab = Seq("a", "b", "c", "d", "e", "z1", "z2").toDF("key")
+    val out = GraphOps.skipGramPairs(walks, vocab)
+      .as[(String, Int, Int, String, String, Int, Int)].collect()
+    val pos = out.filter(_._6 == 1)
+    val neg = out.filter(_._6 == 0)
+    // positives: ordered pairs |i-j| in {1,2}: 4*2 + 3*2 = 14
+    assert(pos.length == 14, s"got ${pos.length}")
+    assert(pos.forall(p => math.abs(p._2 - p._3) <= 2 && p._2 != p._3))
+    assert(neg.length == 28 && neg.forall(n => n._7 == 1 || n._7 == 2))
+    // replicate one negative draw from scratch: pos pair (a,b) k=1
+    val sorted = Seq("a", "b", "c", "d", "e", "z1", "z2").sorted
+    val expect = sorted((h60("a|b|1|neg") % 7).toInt)
+    val drawn = neg.find(n => n._4 == "a" && n._5 != null &&
+      n._2 == 0 && n._3 == 1 && n._7 == 1).get._5
+    assert(drawn == expect, s"got $drawn, expected $expect")
+    // determinism under repartition
+    val again = GraphOps.skipGramPairs(walks.repartition(7), vocab)
+      .as[(String, Int, Int, String, String, Int, Int)].collect()
+    assert(out.sortBy(r => (r._2, r._3, r._6, r._7)).toSeq ==
+      again.sortBy(r => (r._2, r._3, r._6, r._7)).toSeq)
+  }
+
   test("hyperAnf registers equal a from-scratch ball replication") {
     // third, pure-Scala implementation of the contract: exact balls via
     // BFS, then the same md5 bucket/rank split — the DuckDB twin is the

@@ -106,6 +106,15 @@ object GxQueries {
     GraphOps.statsReset(Tables.cached("louvain1", s, dir)(
       GraphOps.louvainOneLevel(sharedLpa(s, dir), sharedUnd(s, dir))))
 
+  /** Session-shared 3-level Louvain loop output — gx_louvain_n emits it,
+    * gx_louvain_nq grades its modularity payoff; the loop (driver-count
+    * actions + per-level checkpoints) runs once per session. statsReset
+    * for the same reason as louvain1. */
+  private def sharedLouvainN(s: SparkSession, dir: String): DataFrame =
+    GraphOps.statsReset(Tables.cached("louvain_n", s, dir)(
+      GraphOps.louvainMultiLevel(sharedLpa(s, dir), sharedUnd(s, dir),
+        maxLevels = 3, level1 = Some(sharedLouvain1(s, dir)))))
+
   /** Session-shared LPA labels (5 sync iterations) — gx_labelprop emits
     * them directly and gx_modularity grades their community quality; the
     * 5-round iterative pass builds once per session. */
@@ -155,7 +164,8 @@ object GxQueries {
     "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d)),
     "gx_wund" -> ((s: SparkSession, d: String) => sharedWund(s, d)),
     "louvw_deg" -> ((s: SparkSession, d: String) => sharedWDeg(s, d)),
-    "louvw_lic" -> ((s: SparkSession, d: String) => sharedWLic(s, d))
+    "louvw_lic" -> ((s: SparkSession, d: String) => sharedWLic(s, d)),
+    "louvain_n" -> ((s: SparkSession, d: String) => sharedLouvainN(s, d))
   )
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
@@ -399,9 +409,45 @@ object GxQueries {
     // per-node community plus the per-level move counts as the
     // termination trace. Level 1 rides cache:louvain1.
     "gx_louvain_n" -> ((s, dir) =>
-      GraphOps.louvainMultiLevel(sharedLpa(s, dir), sharedUnd(s, dir),
-        maxLevels = 3, level1 = Some(sharedLouvain1(s, dir)))
-        .orderBy("key")),
+      sharedLouvainN(s, dir).orderBy("key")),
+
+    // MULTI-LEVEL modularity PAYOFF audit: S = 4m·intra − Σ D_C² (4m²
+    // units) for the LPA input, the one-level refinement and the
+    // three-level loop output in one row — the number that shows the
+    // contract-and-repeat loop actually buys community quality. All
+    // exact i64; the per-level s_* are emitted, not sign-asserted (the
+    // level-1 sync pass can overshoot, gx_louvain_q's documented
+    // property — the L3 column is the one the loop optimizes)
+    "gx_louvain_nq" -> ((s, dir) => {
+      val und = sharedUnd(s, dir)
+      val multi = sharedLouvainN(s, dir)
+      val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("ki")))
+      def stats(lab: org.apache.spark.sql.DataFrame, sfx: String) = {
+        val dsq = lab.join(deg, "key")
+          .groupBy("label").agg(sum(col("ki")).as("ds"))
+          .agg(sum(col("ds") * col("ds")).as(s"dsq$sfx"))
+        val intra = und
+          .join(lab.select(col("key").as("u"), col("label").as("lu")), "u")
+          .join(lab.select(col("key").as("v"), col("label").as("lv")), "v")
+          .filter(col("lu") === col("lv"))
+          .agg(count(lit(1)).as(s"intra$sfx"))
+        broadcast(dsq).crossJoin(broadcast(intra))
+      }
+      val mm = und.agg(count(lit(1)).as("m_edges"))
+      mm.crossJoin(stats(sharedLpa(s, dir).select("key", "label"), "_l0"))
+        .crossJoin(stats(multi.select(col("key"),
+          col("label1").as("label")), "_l1"))
+        .crossJoin(stats(multi.select(col("key"),
+          col("label3").as("label")), "_l3"))
+        .select(col("m_edges"),
+          (lit(4) * col("m_edges") * col("intra_l0") - col("dsq_l0"))
+            .as("s_l0"),
+          (lit(4) * col("m_edges") * col("intra_l1") - col("dsq_l1"))
+            .as("s_l1"),
+          (lit(4) * col("m_edges") * col("intra_l3") - col("dsq_l3"))
+            .as("s_l3"))}),
 
     // modularity AUDIT of the refinement pass: S = 4m·intra − Σ D_C²
     // (4m² units) before and after gx_louvain1's synchronous move, plus
@@ -1187,6 +1233,67 @@ object GxQueries {
          |FROM lvout o JOIN l2out p ON p.key = o.label1
          |JOIN l3out q ON q.key = p.label1, lnm1, lnm2, lnm3
          |ORDER BY o.key""".stripMargin,
+
+    // multi-level payoff replay: the gx_louvain_n chain's labelings fed
+    // through the gx_louvain_q stat blocks (lvdeg/lvund shared)
+    "gx_louvain_nq" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |l2e AS MATERIALIZED (
+         |  SELECT least(la.label1, lb.label1) AS u,
+         |    greatest(la.label1, lb.label1) AS v,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lvund JOIN lvout la ON la.key = lvund.u
+         |  JOIN lvout lb ON lb.key = lvund.v
+         |  GROUP BY 1, 2
+         |), l2lab AS (
+         |  SELECT DISTINCT label1 AS key, label1 AS label FROM lvout
+         |), ${GraphOps.weightedLouvainSql("l2e", "l2lab", "l2")},
+         |l3e AS MATERIALIZED (
+         |  SELECT least(ma.label1, mb.label1) AS u,
+         |    greatest(ma.label1, mb.label1) AS v,
+         |    CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM l2e e JOIN l2out ma ON ma.key = e.u
+         |  JOIN l2out mb ON mb.key = e.v
+         |  GROUP BY 1, 2
+         |), l3lab AS (
+         |  SELECT DISTINCT label1 AS key, label1 AS label FROM l2out
+         |), ${GraphOps.weightedLouvainSql("l3e", "l3lab", "l3")},
+         |nql1 AS MATERIALIZED (
+         |  SELECT key, label1 AS label FROM lvout
+         |), nql3 AS MATERIALIZED (
+         |  SELECT o.key, q.label1 AS label
+         |  FROM lvout o JOIN l2out p ON p.key = o.label1
+         |  JOIN l3out q ON q.key = p.label1
+         |), nqd0 AS (
+         |  SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq FROM (
+         |    SELECT CAST(sum(d.ki) AS BIGINT) AS ds FROM l5 l
+         |    JOIN lvdeg d ON d.key = l.key GROUP BY l.label)
+         |), nqi0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS intra FROM lvund
+         |  JOIN l5 a ON a.key = lvund.u JOIN l5 b ON b.key = lvund.v
+         |  WHERE a.label = b.label
+         |), nqd1 AS (
+         |  SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq FROM (
+         |    SELECT CAST(sum(d.ki) AS BIGINT) AS ds FROM nql1 l
+         |    JOIN lvdeg d ON d.key = l.key GROUP BY l.label)
+         |), nqi1 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS intra FROM lvund
+         |  JOIN nql1 a ON a.key = lvund.u JOIN nql1 b ON b.key = lvund.v
+         |  WHERE a.label = b.label
+         |), nqd3 AS (
+         |  SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq FROM (
+         |    SELECT CAST(sum(d.ki) AS BIGINT) AS ds FROM nql3 l
+         |    JOIN lvdeg d ON d.key = l.key GROUP BY l.label)
+         |), nqi3 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS intra FROM lvund
+         |  JOIN nql3 a ON a.key = lvund.u JOIN nql3 b ON b.key = lvund.v
+         |  WHERE a.label = b.label
+         |)
+         |SELECT lvm.m AS m_edges,
+         |  CAST(4 * lvm.m * nqi0.intra - nqd0.dsq AS BIGINT) AS s_l0,
+         |  CAST(4 * lvm.m * nqi1.intra - nqd1.dsq AS BIGINT) AS s_l1,
+         |  CAST(4 * lvm.m * nqi3.intra - nqd3.dsq AS BIGINT) AS s_l3
+         |FROM lvm, nqi0, nqd0, nqi1, nqd1, nqi3, nqd3""".stripMargin,
 
     "gx_coarsen" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},

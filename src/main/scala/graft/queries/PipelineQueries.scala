@@ -630,6 +630,28 @@ object PipelineQueries {
     "d_minhash_lsh" -> ((s, dir) =>
       sharedMinhashCands(s, dir).orderBy("a", "b")),
 
+    // CONTRASTIVE training pairs from the dedup signal — the text twin
+    // of gx_walk_pairs: near-dup candidate pairs (est_sim >= 0.5) are
+    // the positives an embedding model trains on; each draws 2
+    // DETERMINISTIC hash-indexed negatives from the rank-ordered doc-id
+    // vocabulary (reproducible, no RNG; a rare accidental near-dup
+    // negative is standard sampling noise and replays identically)
+    "d_contrastive" -> ((s, dir) => {
+      val pos = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+        .select(col("a"), col("b"), lit(1).as("label"), lit(0).as("neg_k"))
+      val ids = docs(s, dir).select(col("doc_id"))
+      val n = ids.count()
+      val ranked = graft.CacheScope.cached(ids.withColumn("rk",
+        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long")))
+      val negs = pos.select(col("a"),
+          explode(expr("sequence(1, 2)")).as("neg_k"))
+        .withColumn("rk", pmod(graft.functions.TextFunctions.hash60(
+          concat_ws("|", col("a"), col("neg_k"), lit("cneg"))), lit(n)))
+        .join(ranked, "rk")
+        .select(col("a"), col("doc_id").as("b"), lit(0).as("label"),
+          col("neg_k").cast("int").as("neg_k"))
+      pos.unionByName(negs).orderBy("a", "b", "label", "neg_k")}),
+
     // cross-corpus banded MinHash join: documents split by id parity
     // into two corpus-sized halves, shared minhash family, (band,
     // band_val) sort-merge join with NEITHER side broadcast — the text
@@ -3265,6 +3287,29 @@ object PipelineQueries {
          |FROM $docsT GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "d_minhash_lsh" -> Dedup.minhashCandidatesSql(docsT, "doc_id", "text"),
+
+    "d_contrastive" ->
+      s"""WITH cpo AS (
+         |  SELECT a, b FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |  WHERE est_sim >= 0.5
+         |), crk AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rk
+         |  FROM $docsT
+         |), ccn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM $docsT
+         |), cng AS (
+         |  SELECT p.a, r.doc_id AS b, 0 AS label, CAST(k.k AS INT) AS neg_k
+         |  FROM cpo p
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) k
+         |  CROSS JOIN ccn
+         |  JOIN crk r ON r.rk =
+         |    ${graft.functions.TextFunctions.hash60Sql(
+                "CAST(p.a AS VARCHAR) || '|' || CAST(k.k AS VARCHAR) || '|cneg'")} % ccn.n
+         |)
+         |SELECT a, b, 1 AS label, 0 AS neg_k FROM cpo
+         |UNION ALL
+         |SELECT a, b, label, neg_k FROM cng
+         |ORDER BY a, b, label, neg_k""".stripMargin,
 
     // per-doc signatures are split-independent: same CTEs, parity pair
     // predicate

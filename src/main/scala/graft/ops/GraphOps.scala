@@ -1325,14 +1325,42 @@ object GraphOps {
   def hyperAnf(und: DataFrame, rounds: Int, buckets: Int = 16,
                rankCap: Int = 40): DataFrame = {
     require(rounds >= 1 && buckets >= 2)
-    val adj = CacheScope.cached(
-      und.select(col("u").as("key"), col("v").as("nb"))
-        .union(und.select(col("v").as("key"), col("u").as("nb"))))
+    var st = anfSeed(und, buckets, rankCap)
+    val adj = anfAdj(und)
+    for (_ <- 1 to rounds) st = anfStep(adj, st)
+    anfPerKey(st, buckets, rankCap)
+  }
+
+  /** The N(r) GROWTH TRACE from ONE register propagation: the state after
+    * round r of a continuous run IS hyperAnf(r)'s state (same
+    * recurrence), so the whole radius-1..rounds curve costs `rounds`
+    * shuffles, not the triangular 1+2+…+rounds of independent runs.
+    * Output one row per round: (round, n_nodes, tot_reg, tot_est_num). */
+  def hyperAnfTrace(und: DataFrame, rounds: Int, buckets: Int = 16,
+                    rankCap: Int = 40): DataFrame = {
+    require(rounds >= 1 && buckets >= 2)
+    var st = anfSeed(und, buckets, rankCap)
+    val adj = anfAdj(und)
+    val perRound = (1 to rounds).map { r =>
+      st = anfStep(adj, st)
+      anfPerKey(st, buckets, rankCap)
+        .agg(count(lit(1)).as("n_nodes"), sum(col("reg_sum")).as("tot_reg"),
+          sum(col("est_num")).as("tot_est_num"))
+        .select(lit(r).as("round"), col("n_nodes"), col("tot_reg"),
+          col("tot_est_num"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
+  private def anfAdj(und: DataFrame): DataFrame = CacheScope.cached(
+    und.select(col("u").as("key"), col("v").as("nb"))
+      .union(und.select(col("v").as("key"), col("u").as("nb"))))
+
+  private def anfSeed(und: DataFrame, buckets: Int, rankCap: Int): DataFrame = {
     val nodes = und.select(col("u").as("key"))
       .union(und.select(col("v").as("key"))).distinct()
-    val h = graft.functions.TextFunctions.hash60(col("key"))
-    var st = nodes
-      .withColumn("__h", h)
+    nodes
+      .withColumn("__h", graft.functions.TextFunctions.hash60(col("key")))
       .withColumn("j", pmod(col("__h"), lit(buckets.toLong)).cast("int"))
       .withColumn("__x", expr(s"__h div $buckets"))
       // trailing zeros via bit_count((x & -x) - 1); x = 0 caps out
@@ -1340,20 +1368,22 @@ object GraphOps {
         least(expr("bit_count((__x & -__x) - 1) + 1"), lit(rankCap))
           .cast("int"))
       .select(col("key"), col("j"), col("r"))
-    for (i <- 1 to rounds) {
-      st = statsReset(st.unionByName(
-          adj.join(st.select(col("key").as("nb"), col("j"), col("r")), "nb")
-            .select(col("key"), col("j"), col("r")))
-        .groupBy("key", "j").agg(max(col("r")).as("r"))
-        .localCheckpoint(true))
-    }
+  }
+
+  private def anfStep(adj: DataFrame, st: DataFrame): DataFrame =
+    statsReset(st.unionByName(
+        adj.join(st.select(col("key").as("nb"), col("j"), col("r")), "nb")
+          .select(col("key"), col("j"), col("r")))
+      .groupBy("key", "j").agg(max(col("r")).as("r"))
+      .localCheckpoint(true))
+
+  private def anfPerKey(st: DataFrame, buckets: Int, rankCap: Int): DataFrame =
     st.groupBy("key").agg(
       count(lit(1)).cast("int").as("nnz"),
       sum(col("r")).as("reg_sum"),
       (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rankCap - r)")) +
         (lit(buckets.toLong) - count(lit(1))) *
           lit(1L << rankCap)).as("est_num"))
-  }
 
   /** DuckDB twin of [[hyperAnf]]: seed registers from the same md5-60
     * bucket/rank split, `rounds` unrolled sparse max-merge CTEs over the

@@ -115,6 +115,17 @@ object GxQueries {
       GraphOps.louvainMultiLevel(sharedLpa(s, dir), sharedUnd(s, dir),
         maxLevels = 3, level1 = Some(sharedLouvain1(s, dir)))))
 
+  /** Session-shared node2vec walks (S-starts, 4 steps) — gx_walks_n2v
+    * emits them, gx_walk_pairs turns them into skip-gram rows; the
+    * 4-step iterative pass runs once per session. statsReset: the pair
+    * query SELF-JOINS this frame (the checkpoint-squaring discipline). */
+  private def sharedWalks(s: SparkSession, dir: String): DataFrame =
+    GraphOps.statsReset(Tables.cached("n2v_walks", s, dir) {
+      val g = unionGraph(s, dir)
+      GraphOps.node2vecWalks(g.edges.select(col("src"), col("dst")),
+        g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
+    })
+
   /** Session-shared LPA labels (5 sync iterations) — gx_labelprop emits
     * them directly and gx_modularity grades their community quality; the
     * 5-round iterative pass builds once per session. */
@@ -165,7 +176,8 @@ object GxQueries {
     "gx_wund" -> ((s: SparkSession, d: String) => sharedWund(s, d)),
     "louvw_deg" -> ((s: SparkSession, d: String) => sharedWDeg(s, d)),
     "louvw_lic" -> ((s: SparkSession, d: String) => sharedWLic(s, d)),
-    "louvain_n" -> ((s: SparkSession, d: String) => sharedLouvainN(s, d))
+    "louvain_n" -> ((s: SparkSession, d: String) => sharedLouvainN(s, d)),
+    "n2v_walks" -> ((s: SparkSession, d: String) => sharedWalks(s, d))
   )
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
@@ -229,17 +241,9 @@ object GxQueries {
     // radius 1, 2, 3 (Σ est_num shrinks as balls grow — est_num is the
     // harmonic DENOMINATOR). Three runs of the same register propagation;
     // the curve flattening out IS the "most pairs within r hops" signal
-    "gx_anf_growth" -> ((s, dir) => {
-      val und = sharedUnd(s, dir)
-      val runs = (1 to 3).map { r =>
-        GraphOps.hyperAnf(und, rounds = r)
-          .agg(count(lit(1)).as("n_nodes"),
-            sum(col("reg_sum")).as("tot_reg"),
-            sum(col("est_num")).as("tot_est_num"))
-          .select(lit(r).as("round"), col("n_nodes"), col("tot_reg"),
-            col("tot_est_num"))
-      }
-      runs.reduce(_ unionByName _).orderBy("round")}),
+    "gx_anf_growth" -> ((s, dir) =>
+      GraphOps.hyperAnfTrace(sharedUnd(s, dir), rounds = 3)
+        .orderBy("round")),
 
     // integer fixed-point KATZ centrality — the attenuation α =
     // 1/(dmax_in + 1) is DATA-ADAPTIVE (a constant α diverges/overflows
@@ -796,12 +800,8 @@ object GxQueries {
     // choice an exact integer cumulative-range lookup on the shared md5
     // hash family — fully deterministic, so every path row hash-checks
     // against the unrolled-CTE replay
-    "gx_walks_n2v" -> ((s, dir) => {
-      val g = unionGraph(s, dir)
-      GraphOps.node2vecWalks(
-          g.edges.select(col("src"), col("dst")),
-          g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
-        .orderBy("start", "step", "node")}),
+    "gx_walks_n2v" -> ((s, dir) =>
+      sharedWalks(s, dir).orderBy("start", "step", "node")),
 
     // SKIP-GRAM training pairs from the node2vec walks — the step that
     // turns graph walks into embedding-trainer rows: window-2 positive
@@ -809,13 +809,10 @@ object GxQueries {
     // from the rank-indexed node vocabulary (reproducible negative
     // sampling, no RNG). The graph→training-data bridge, end-to-end
     // hash-gated
-    "gx_walk_pairs" -> ((s, dir) => {
-      val g = unionGraph(s, dir)
-      val walks = GraphOps.node2vecWalks(
-        g.edges.select(col("src"), col("dst")),
-        g.nodes.filter(col("key").startsWith("S")).select(col("key")), 4)
-      GraphOps.skipGramPairs(walks, g.nodes.select(col("key")))
-        .orderBy("start", "i", "j", "label", "neg_k")}),
+    "gx_walk_pairs" -> ((s, dir) =>
+      GraphOps.skipGramPairs(sharedWalks(s, dir),
+          unionGraph(s, dir).nodes.select(col("key")))
+        .orderBy("start", "i", "j", "label", "neg_k")),
 
     // local clustering coefficient in integer micro-units:
     // 2e6·T(v) div (deg·(deg-1)) over the undirected distinct-neighbor

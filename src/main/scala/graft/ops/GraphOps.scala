@@ -1305,6 +1305,53 @@ object GraphOps {
                                          lic: DataFrame, mm: DataFrame): DataFrame =
     louvainMovePass(labels, deg, lic, mm)
 
+  /** TIME-RESPECTING reachability over a temporal edge multiset
+    * `tedges`(src, dst, t) — integer edge times, a path is valid iff its
+    * edge times are non-decreasing (you can't take a flight that left
+    * before you arrived). State: earliest time-respecting ARRIVAL per
+    * reached node; seeds start at -1 (before all activity). One relax
+    * round extends every ≤ `rounds`-hop temporal path, so the bounded
+    * horizon is the landmark-BFS contract; each round is one edge join +
+    * a map-side-combinable min — arrival state only ever SHRINKS the
+    * frontier it re-expands (sparse, like wsssp). Exact i64 end to end →
+    * unrolled-CTE replayable ([[temporalReachabilitySql]]). */
+  def temporalReachability(tedges: DataFrame, seeds: DataFrame,
+                           rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = CacheScope.cached(
+      tedges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+        .repartition(col("dst")))
+    var arr = seeds.select(col("key")).distinct()
+      .withColumn("arr", lit(-1L))
+    for (_ <- 1 to rounds) {
+      arr = statsReset(arr.unionByName(
+          e.join(arr.select(col("key").as("src"), col("arr")), "src")
+            .filter(col("t") >= col("arr"))
+            .select(col("dst").as("key"), col("t").as("arr")))
+        .groupBy("key").agg(min(col("arr")).as("arr"))
+        .localCheckpoint(true))
+    }
+    arr
+  }
+
+  /** DuckDB twin of [[temporalReachability]]: unrolled min-union rounds
+    * over `$tedges`(src, dst, t) from seed CTE `$seeds`(key); final state
+    * in `tr$rounds`(key, arr). */
+  def temporalReachabilitySql(tedges: String, seeds: String,
+                              rounds: Int): String = {
+    val its = (1 to rounds).map { k =>
+      s"""tr$k AS (
+         |  SELECT key, CAST(min(arr) AS BIGINT) AS arr FROM (
+         |    SELECT key, arr FROM tr${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS key, e.t AS arr
+         |    FROM $tedges e JOIN tr${k - 1} a ON a.key = e.src AND e.t >= a.arr
+         |  ) GROUP BY key)""".stripMargin
+    }
+    (s"tr0 AS (SELECT DISTINCT key, CAST(-1 AS BIGINT) AS arr FROM $seeds)" +:
+      its).mkString(",\n")
+  }
+
   /** HyperANF (Boldi-Rosa-Vigna): the approximate NEIGHBORHOOD FUNCTION
     * — per node, a probabilistic-counter estimate of |ball(v, k)| —
     * computed by propagating Flajolet-Martin registers `rounds` steps

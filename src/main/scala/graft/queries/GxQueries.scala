@@ -225,6 +225,38 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // TIME-RESPECTING reachability over the order contact network: an
+    // order is a supplier↔customer CONTACT dated by o_orderdate, and a
+    // temporal path must use non-decreasing dates (the
+    // epidemic/logistics semantics static reachability gets wrong — you
+    // can't ride a contact that happened before you arrived). Seeds = a
+    // deterministic 1/29 hash sample of suppliers starting before all
+    // activity; 4 relax rounds = all ≤4-contact temporal paths; state is
+    // the earliest arrival day per reached node, exact i64
+    "gx_treach" -> ((s, dir) => {
+      val o = graft.sources.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val contacts = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("S"), col("l_suppkey")).as("a"),
+          concat(lit("C"), col("o_custkey")).as("b"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("t"))
+        .distinct()
+      val tedges = contacts
+        .select(col("a").as("src"), col("b").as("dst"), col("t"))
+        .unionByName(contacts
+          .select(col("b").as("src"), col("a").as("dst"), col("t")))
+      // data-adaptive seeds (fixture-size discipline: a modulus sample is
+      // empty at small SF): the 3 lowest-hash suppliers, at every scale
+      val seeds = contacts.select(col("a").as("key")).distinct()
+        .orderBy(graft.functions.TextFunctions.hash60(col("key")),
+          col("key"))
+        .limit(3)
+      GraphOps.temporalReachability(tedges, seeds, rounds = 4)
+        .orderBy("key")}),
+
     // HyperANF approximate neighborhood function (Boldi-Rosa-Vigna):
     // per-node Flajolet-Martin registers propagated 3 rounds over the
     // undirected adjacency — |ball(v,3)| estimation by rounds of sparse
@@ -1026,6 +1058,22 @@ object GxQueries {
          |  CAST(sum(reg_sum) AS BIGINT) AS tot_reg,
          |  CAST(sum(est_num) AS BIGINT) AS tot_est_num
          |FROM agall GROUP BY round ORDER BY round""".stripMargin,
+
+    "gx_treach" ->
+      s"""WITH trc AS MATERIALIZED (
+         |  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+         |    'C' || CAST(o_custkey AS VARCHAR) AS b,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), tre AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, t FROM trc
+         |  UNION ALL SELECT b, a, t FROM trc
+         |), trs AS (
+         |  SELECT key FROM (SELECT DISTINCT a AS key FROM trc)
+         |  ORDER BY ${graft.functions.TextFunctions.hash60Sql("key")}, key
+         |  LIMIT 3
+         |), ${GraphOps.temporalReachabilitySql("tre", "trs", 4)}
+         |SELECT key, arr FROM tr4 ORDER BY key""".stripMargin,
 
     "gx_anf" ->
       s"""$cte, anfu AS MATERIALIZED (

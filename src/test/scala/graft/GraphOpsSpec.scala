@@ -745,6 +745,21 @@ class GraphOpsSpec extends SparkSpec {
       s"looped good partition must stay a fixpoint: ${fix2.toSeq}")
   }
 
+  test("temporalReachability: time ordering gates paths, equal times chain") {
+    // static path a->b->c exists, but the b->c contact (t=5) left BEFORE
+    // arrival at b (t=10) — temporal reachability must NOT take it
+    val te = Seq(("a","b",10L), ("b","c",5L), ("b","d",15L), ("b","e",10L),
+      ("e","f",9L)).toDF("src", "dst", "t")
+    val out = GraphOps.temporalReachability(te, Seq("a").toDF("key"), 4)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> -1L, "b" -> 10L, "d" -> 15L, "e" -> 10L),
+      s"got $out")  // c and f unreachable (stale contacts), equal-time chains
+    // c IS reachable when seeded at b directly (arrival -1 <= 5)
+    val fromB = GraphOps.temporalReachability(te, Seq("b").toDF("key"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(fromB("c") == 5L && fromB("d") == 15L)
+  }
+
   test("skipGramPairs: window positives + md5-replicated negative draws") {
     def h60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

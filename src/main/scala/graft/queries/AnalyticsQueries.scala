@@ -548,6 +548,28 @@ object AnalyticsQueries {
     // min-aggregations chained on user_id (every join and groupBy keys on
     // user_id, so the exchange is reused; no per-user window sort) —
     // timestamps compare in integer micros, exact in both engines
+    // SEQUENCE PATTERN MATCHING over per-user event streams — the
+    // MATCH_RECOGNIZE analog: each user's events collapse (ts, event_id
+    // order) to a symbol string (first letter of event_type — v/c/p/s/e,
+    // all distinct) and regex counts detect ordered patterns: the full
+    // view→clicks→purchase run and error bursts. Non-overlapping
+    // leftmost matching agrees across engines for this pattern class
+    // (the emailCount regexp_count discipline); the order-sensitive
+    // collapse is a per-user sorted collect, never a window over the
+    // whole stream
+    "s_seq_pattern" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("substring(event_type, 1, 1)").as("sym"))
+        .groupBy("user_id")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ts, event_id, sym))), x -> x.sym), '')")
+          .as("seq"))
+        .select(col("user_id"), length(col("seq")).as("n_events"),
+          regexp_count(col("seq"), lit("vc+p")).as("n_funnels"),
+          regexp_count(col("seq"), lit("e{2,}")).as("n_error_bursts"))
+        .orderBy("user_id")}),
+
     "s_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -1359,6 +1381,16 @@ object AnalyticsQueries {
 
     // funnel replay: the same three chained min-aggregations; ts compared
     // in micros after the ns→us cast (matches Tables.events truncation)
+    "s_seq_pattern" ->
+      """SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS INT) AS n_funnels,
+        |  CAST(len(regexp_extract_all(seq, 'e{2,}')) AS INT) AS n_error_bursts
+        |FROM (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "s_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -225,6 +225,40 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
+    // RICH-CLUB coefficient: edge density among the hubs — do
+    // high-degree nodes preferentially interconnect? φ(cut) =
+    // 2·E_club / (n·(n−1)) in floor-micro units for the p50 and p90
+    // degree cuts (DATA-ADAPTIVE: Spark percentile == DuckDB
+    // quantile_cont exactly, the d_quality_cut discipline — an integer
+    // degree only sits on the boundary when the interpolated cut IS an
+    // integer, which both engines compute exactly). One degree frame,
+    // one broadcast cut row, one club-internal edge count per cut
+    "gx_richclub" -> ((s, dir) => {
+      val und = sharedUnd(s, dir)
+      val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("d")))
+      val cuts = deg.agg(
+        expr("percentile(d, 0.5D)").as("p50"),
+        expr("percentile(d, 0.9D)").as("p90"))
+      def club(cutCol: String, pct: Int) = {
+        val hubs = deg.crossJoin(broadcast(cuts))
+          .filter(col("d") > col(cutCol)).select(col("key"))
+        val eClub = und
+          .join(hubs.select(col("key").as("u")), "u")
+          .join(hubs.select(col("key").as("v")), "v")
+          .agg(count(lit(1)).as("n_edges"))
+        val nH = hubs.agg(count(lit(1)).as("n_hubs"))
+        broadcast(nH).crossJoin(broadcast(eClub))
+          .select(lit(pct).as("pct"), col("n_hubs"), col("n_edges"),
+            when(col("n_hubs") >= 2,
+              floor(lit(2000000.0) * col("n_edges").cast("double") /
+                (col("n_hubs").cast("double") *
+                  (col("n_hubs") - 1).cast("double"))).cast("long"))
+              .otherwise(lit(0L)).as("phi_micro"))
+      }
+      club("p50", 50).unionByName(club("p90", 90)).orderBy("pct")}),
+
     // TIME-RESPECTING reachability over the order contact network: an
     // order is a supplier↔customer CONTACT dated by o_orderdate, and a
     // temporal path must use non-decreasing dates (the
@@ -1058,6 +1092,45 @@ object GxQueries {
          |  CAST(sum(reg_sum) AS BIGINT) AS tot_reg,
          |  CAST(sum(est_num) AS BIGINT) AS tot_est_num
          |FROM agall GROUP BY round ORDER BY round""".stripMargin,
+
+    "gx_richclub" ->
+      s"""$cte, rcu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), rcd AS MATERIALIZED (
+         |  SELECT key, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS key FROM rcu UNION ALL SELECT v FROM rcu)
+         |  GROUP BY key
+         |), rcc AS (
+         |  SELECT quantile_cont(d, 0.5) AS p50, quantile_cont(d, 0.9) AS p90
+         |  FROM rcd
+         |), rch50 AS MATERIALIZED (
+         |  SELECT key FROM rcd, rcc WHERE d > p50
+         |), rch90 AS MATERIALIZED (
+         |  SELECT key FROM rcd, rcc WHERE d > p90
+         |), rce50 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM rcu
+         |  JOIN rch50 a ON a.key = rcu.u JOIN rch50 b ON b.key = rcu.v
+         |), rcn50 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM rch50
+         |), rce90 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM rcu
+         |  JOIN rch90 a ON a.key = rcu.u JOIN rch90 b ON b.key = rcu.v
+         |), rcn90 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM rch90
+         |)
+         |SELECT 50 AS pct, n_hubs, n_edges,
+         |  CASE WHEN n_hubs >= 2 THEN CAST(floor(2000000.0 * CAST(n_edges AS DOUBLE)
+         |    / (CAST(n_hubs AS DOUBLE) * CAST(n_hubs - 1 AS DOUBLE))) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS phi_micro
+         |FROM rcn50, rce50
+         |UNION ALL
+         |SELECT 90, n_hubs, n_edges,
+         |  CASE WHEN n_hubs >= 2 THEN CAST(floor(2000000.0 * CAST(n_edges AS DOUBLE)
+         |    / (CAST(n_hubs AS DOUBLE) * CAST(n_hubs - 1 AS DOUBLE))) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END
+         |FROM rcn90, rce90
+         |ORDER BY pct""".stripMargin,
 
     "gx_treach" ->
       s"""WITH trc AS MATERIALIZED (

@@ -207,4 +207,56 @@ object Layout {
        |  CAST(max(xv) - min(xv) AS BIGINT) AS x_span,
        |  CAST(max(yv) - min(yv) AS BIGINT) AS y_span
        |FROM zb GROUP BY bucket""".stripMargin
+
+  /** RENDEZVOUS (highest-random-weight) shard of an id for `k` shards:
+    * argmax over s ∈ [0, k) of hash60(id ":" s). The property that
+    * matters for training-data layout: growing k → k+1 relocates ONLY
+    * the ~1/(k+1) of keys whose new argmax IS the added shard — every
+    * other doc keeps its shard, so an incremental re-shard rewrites one
+    * shard's worth of files, where mod-hashing rewrites ~k/(k+1) of the
+    * corpus. k hashes per row as one codegen'd array expression (k is a
+    * config constant, not data-sized); first-max tie-break matches
+    * DuckDB list_indexof. */
+  def rendezvousShard(id: Column, k: Int): Column = {
+    val hs = transform(sequence(lit(0), lit(k - 1)),
+      x => graft.functions.TextFunctions.hash60(
+        concat(id.cast("string"), lit(":"), x.cast("string"))))
+    (array_position(hs, array_max(hs)) - 1).cast("int")
+  }
+
+  /** DuckDB twin of [[rendezvousShard]]. */
+  def rendezvousShardSql(idExpr: String, k: Int): String = {
+    val h = graft.functions.TextFunctions.hash60Sql(
+      s"CAST($idExpr AS VARCHAR) || ':' || CAST(x AS VARCHAR)")
+    s"CAST(list_indexof(list_transform(generate_series(0, ${k - 1}), " +
+      s"x -> $h), list_max(list_transform(generate_series(0, ${k - 1}), " +
+      s"x -> $h))) - 1 AS INT)"
+  }
+
+  /** Re-shard stability report, HRW vs mod-hash, growing `k1` → `k2`
+    * shards: per method, the doc count, how many docs change shards,
+    * the moved fraction in milli, and the k1-assignment balance
+    * (max/min per-shard count). Two corpus scans + two shard-sized
+    * aggregations — linear, map-side combinable, no shuffle wider than
+    * the shard count. */
+  def reshardReport(docs: DataFrame, idCol: String,
+                    k1: Int, k2: Int): DataFrame = {
+    val base = graft.CacheScope.cached(docs.select(col(idCol).as("id"))
+      .withColumn("h1", rendezvousShard(col("id"), k1))
+      .withColumn("h2", rendezvousShard(col("id"), k2))
+      .withColumn("m1", pmod(col("id"), lit(k1.toLong)).cast("int"))
+      .withColumn("m2", pmod(col("id"), lit(k2.toLong)).cast("int")))
+    def methodRow(method: String, a: String, b: String) = {
+      val mv = base.agg(count(lit(1)).as("n_docs"),
+        sum(when(col(a) =!= col(b), 1L).otherwise(0L)).as("n_moved"))
+      val bal = base.groupBy(col(a)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_shard_n"), min(col("n")).as("min_shard_n"))
+      broadcast(mv).crossJoin(broadcast(bal))
+        .select(lit(method).as("method"), col("n_docs"), col("n_moved"),
+          expr("(1000 * n_moved) div n_docs").as("moved_milli"),
+          col("max_shard_n"), col("min_shard_n"))
+    }
+    methodRow("hrw", "h1", "h2").unionByName(methodRow("mod", "m1", "m2"))
+      .orderBy("method")
+  }
 }

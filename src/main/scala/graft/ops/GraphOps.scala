@@ -2567,5 +2567,107 @@ object GraphOps {
        |SELECT node, cycle_rep,
        |  CAST(count(*) OVER (PARTITION BY cycle_rep) AS BIGINT) AS basin_size
        |FROM pdlab""".stripMargin
+
+  /** WEISFEILER-LEHMAN color refinement over an undirected edge set
+    * (u, v): every node starts in one class (label 0) and each round
+    * re-hashes (own label | sorted multiset of neighbor labels), so
+    * after r rounds two nodes share a label iff their radius-r
+    * unfolding trees agree — the structural-equivalence signature WL
+    * graph kernels and GNN expressivity results are built on. Each
+    * round is one adjacency join + one sorted per-node aggregation
+    * (map-side combinable up to the sort), labels are md5-derived i64
+    * ([[graft.functions.TextFunctions.hash60]]) so the DuckDB
+    * string_agg twin replays bit-for-bit; per-round localCheckpoint +
+    * statsReset per the iterative-op discipline. Returns
+    * (key, l0..lR). */
+  def wlRefine(und: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val adj = CacheScope.cached(
+      und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+        .repartition(col("a")))
+    var labels = adj.select(col("a").as("key")).distinct()
+      .withColumn("l0", lit(0L))
+    for (r <- 1 to rounds) {
+      val prev = s"l${r - 1}"
+      val nb = adj
+        .join(labels.select(col("key").as("b"), col(prev).as("nl")), "b")
+        .groupBy(col("a"))
+        .agg(sort_array(collect_list(col("nl"))).as("nls"))
+      labels = statsReset(labels
+        .join(nb, labels("key") === nb("a")).drop("a")
+        .withColumn(s"l$r", graft.functions.TextFunctions.hash60(
+          concat(col(prev).cast("string"), lit("|"),
+            array_join(expr("transform(nls, x -> cast(x as string))"),
+              ","))))
+        .drop("nls")
+        .localCheckpoint(true))
+    }
+    labels
+  }
+
+  /** DuckDB twin of [[wlRefine]]: unrolled rounds over adjacency CTE
+    * `$adj`(a, b); round-k labels in `wl$k`(key, l). */
+  def wlRefineSql(adj: String, rounds: Int): String = {
+    import graft.functions.TextFunctions.hash60Sql
+    val h = hash60Sql("CAST(p.l AS VARCHAR) || '|' || " +
+      "string_agg(CAST(nb.l AS VARCHAR), ',' ORDER BY nb.l)")
+    val its = (1 to rounds).map { k =>
+      s"""wl$k AS MATERIALIZED (
+         |  SELECT p.key, $h AS l
+         |  FROM wl${k - 1} p
+         |  JOIN $adj ON $adj.a = p.key
+         |  JOIN wl${k - 1} nb ON nb.key = $adj.b
+         |  GROUP BY p.key, p.l
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""wl0 AS (
+       |  SELECT DISTINCT a AS key, CAST(0 AS BIGINT) AS l FROM $adj
+       |), $its""".stripMargin
+  }
+
+  /** Directed TRIAD census of an edge set (src, dst): reciprocity
+    * (edges whose reverse edge also exists), cyclic triangles
+    * (u→v→w→u, each counted ONCE via its unique minimal node — the one
+    * rotation with e1.src = min passes `e1.src < e1.dst AND e1.src <
+    * e2.dst`), and transitive triads (u→v, v→w, u→w — the feed-forward
+    * motif), plus the reciprocity rate in integer milli. The
+    * direction-sensitive companion to the undirected transitivity
+    * census: a DAG scores n_recip = n_cyc3 = 0, so feedback structure
+    * shows up here and nowhere in the undirected view. Self-loops and
+    * duplicate edges are dropped on entry; every join keys on a node
+    * column (AQE skew handling applies at scale) and all outputs are
+    * exact i64, so the DuckDB twin is bit-for-bit. */
+  def triadCensus(edges: DataFrame): DataFrame = {
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nN = e.select(col("src").as("k"))
+      .union(e.select(col("dst").as("k")))
+      .agg(countDistinct(col("k")).as("n_nodes"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val rec = e.as("f").join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .agg(count(lit(1)).as("n_recip"))
+    val cyc = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"), col("e3.src") === col("e2.dst") &&
+        col("e3.dst") === col("e1.src"))
+      .filter(col("e1.src") < col("e1.dst") &&
+        col("e1.src") < col("e2.dst"))
+      .agg(count(lit(1)).as("n_cyc3"))
+    val tr = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"), col("e3.src") === col("e1.src") &&
+        col("e3.dst") === col("e2.dst"))
+      .filter(col("e1.src") =!= col("e2.dst"))
+      .agg(count(lit(1)).as("n_trans3"))
+    broadcast(nN).crossJoin(broadcast(nE)).crossJoin(broadcast(rec))
+      .crossJoin(broadcast(cyc)).crossJoin(broadcast(tr))
+      .select(col("n_nodes"), col("n_edges"), col("n_recip"),
+        col("n_cyc3"), col("n_trans3"),
+        coalesce(expr("(1000 * n_recip) div nullif(n_edges, 0)"), lit(0L))
+          .as("recip_milli"))
+  }
 }
 

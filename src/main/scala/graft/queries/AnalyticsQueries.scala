@@ -293,6 +293,29 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "measure")),
 
     // window functions: top-3 parts per supplier by shipped quantity
+    // SKYLINE (Pareto frontier): the parts no other part dominates on
+    // (minimize p_retailprice, maximize p_size). NOT the n² dominance
+    // join — the 2-D skyline collapses to a grouped sweep: max size per
+    // distinct price, then a prefix-max over the price-ordered GROUP
+    // frame (bounded price domain, never the part table), keep groups
+    // whose max strictly exceeds every cheaper group's, re-attach
+    // tied parts. The oracle is the INDEPENDENT quadratic NOT EXISTS
+    // dominance formulation — a semantic check, not a plan replay.
+    // Price is a raw parquet double compared, never computed — exact
+    "q_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val byPrice = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("msz"))
+      val w = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = byPrice.withColumn("prevmax", max(col("msz")).over(w))
+        .filter(col("prevmax").isNull || col("msz") > col("prevmax"))
+      p.join(sky, Seq("p_retailprice"))
+        .filter(col("p_size") === col("msz"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))}),
+
     "q_window_topk" -> ((s, dir) => {
       val per = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey"), col("l_partkey"))
@@ -530,6 +553,22 @@ object AnalyticsQueries {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         shufflePartitions = Some(8))
         .orderBy("user_id", "purchase_ts", "click_ts")}),
+
+    // STREAMING AS-OF enrichment: each event picks up the user's
+    // loyalty tier AT EVENT TIME via a stateless stream-static
+    // equi+range join against the broadcast tier-interval dimension
+    // (EventStreams.asOfTier) — the streaming "latest dim version
+    // at-or-before" that batch as-of does with a window replay, which
+    // streams cannot run. Append mode, no state store; the oracle
+    // replays the identical interval construction in SQL
+    "s_stream_asof" -> ((s, dir) => {
+      val st = graft.streaming.EventStreams.asOfTier(
+        graft.streaming.EventStreams.readEvents(s, dir),
+        graft.streaming.EventStreams.tierIntervals(Tables.events(s, dir)))
+      graft.streaming.EventStreams.runToMemory(st, "s_stream_asof_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("event_id")}),
 
     // event-time tumbling window (batch form of the streaming pipeline —
     // identical semantics to EventStreams.tumblingCounts)
@@ -1212,6 +1251,19 @@ object AnalyticsQueries {
         |  INTO NAME measure VALUE value)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // independent dominance formulation — quadratic is fine at oracle
+    // scale and checks the SEMANTICS, not the Spark plan's sweep
+    "q_skyline" ->
+      """SELECT p1.p_partkey, p1.p_retailprice, p1.p_size
+        |FROM part p1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p2
+        |  WHERE p2.p_retailprice <= p1.p_retailprice
+        |    AND p2.p_size >= p1.p_size
+        |    AND (p2.p_retailprice < p1.p_retailprice
+        |         OR p2.p_size > p1.p_size))
+        |ORDER BY p1.p_retailprice, p1.p_partkey""".stripMargin,
+
     "q_window_topk" ->
       """SELECT l_suppkey, l_partkey, qty, rk FROM (
         |  SELECT l_suppkey, l_partkey, qty,
@@ -1647,6 +1699,31 @@ object AnalyticsQueries {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
         |ORDER BY p.user_id, purchase_ts, click_ts""".stripMargin,
+
+    // same half-open interval dimension the Spark side builds
+    // (EventStreams.tierIntervals): i-th purchase opens era i, era 0 is
+    // (-inf, first purchase), last era to +inf — each event matches
+    // exactly one row, non-purchasers fall to tier 0 via the LEFT join
+    "s_stream_asof" ->
+      """WITH satp AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS pus, event_id,
+        |    CAST(row_number() OVER w AS INT) AS tier,
+        |    lead(epoch_us(ts), 1, 9223372036854775807) OVER w AS to_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), satd AS MATERIALIZED (
+        |  SELECT user_id, tier, pus AS from_us, to_us FROM satp
+        |  UNION ALL
+        |  SELECT user_id, 0, -9223372036854775807 - 1, pus
+        |  FROM satp WHERE tier = 1
+        |)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  e.event_type, CAST(coalesce(d.tier, 0) AS INT) AS tier
+        |FROM events e LEFT JOIN satd d
+        |  ON d.user_id = e.user_id
+        | AND epoch_us(e.ts) >= d.from_us
+        | AND epoch_us(e.ts) < d.to_us
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

@@ -225,40 +225,6 @@ object GxQueries {
         .select(col("key"), col("r").as("rank_fp"))
         .orderBy("key")),
 
-    // RICH-CLUB coefficient: edge density among the hubs — do
-    // high-degree nodes preferentially interconnect? φ(cut) =
-    // 2·E_club / (n·(n−1)) in floor-micro units for the p50 and p90
-    // degree cuts (DATA-ADAPTIVE: Spark percentile == DuckDB
-    // quantile_cont exactly, the d_quality_cut discipline — an integer
-    // degree only sits on the boundary when the interpolated cut IS an
-    // integer, which both engines compute exactly). One degree frame,
-    // one broadcast cut row, one club-internal edge count per cut
-    "gx_richclub" -> ((s, dir) => {
-      val und = sharedUnd(s, dir)
-      val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
-        .union(und.select(col("v").as("key")))
-        .groupBy("key").agg(count(lit(1)).as("d")))
-      val cuts = deg.agg(
-        expr("percentile(d, 0.5D)").as("p50"),
-        expr("percentile(d, 0.9D)").as("p90"))
-      def club(cutCol: String, pct: Int) = {
-        val hubs = deg.crossJoin(broadcast(cuts))
-          .filter(col("d") > col(cutCol)).select(col("key"))
-        val eClub = und
-          .join(hubs.select(col("key").as("u")), "u")
-          .join(hubs.select(col("key").as("v")), "v")
-          .agg(count(lit(1)).as("n_edges"))
-        val nH = hubs.agg(count(lit(1)).as("n_hubs"))
-        broadcast(nH).crossJoin(broadcast(eClub))
-          .select(lit(pct).as("pct"), col("n_hubs"), col("n_edges"),
-            when(col("n_hubs") >= 2,
-              floor(lit(2000000.0) * col("n_edges").cast("double") /
-                (col("n_hubs").cast("double") *
-                  (col("n_hubs") - 1).cast("double"))).cast("long"))
-              .otherwise(lit(0L)).as("phi_micro"))
-      }
-      club("p50", 50).unionByName(club("p90", 90)).orderBy("pct")}),
-
     // TIME-RESPECTING reachability over the order contact network: an
     // order is a supplier↔customer CONTACT dated by o_orderdate, and a
     // temporal path must use non-decreasing dates (the
@@ -290,6 +256,39 @@ object GxQueries {
         .limit(3)
       GraphOps.temporalReachability(tedges, seeds, rounds = 4)
         .orderBy("key")}),
+
+    // DIRECTED TRIAD census over the supply-sequencing network: within
+    // each order, consecutive line numbers chain their suppliers
+    // (supplier of line i feeds line i+1), giving a genuinely CYCLIC
+    // directed graph — unlike the prefix-layered union graph, which is
+    // a DAG where reciprocity and 3-cycles are vacuously zero (the
+    // fixture-vacuity trap). Reciprocity + cyclic u→v→w→u vs
+    // transitive u→v,v→w,u→w motif counts — the direction-sensitive
+    // census the undirected gx_transitivity cannot see; feedback loops
+    // vs hierarchy is THE directed-graph health signal. Exact i64
+    // counts end-to-end; the edge build is one self-join on the
+    // (orderkey, linenumber) natural key
+    "gx_triads" -> ((s, dir) => {
+      val li = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+      val de = a.join(b, Seq("ok", "ln"))
+        .select(col("sa").as("src"), col("sb").as("dst"))
+      GraphOps.triadCensus(de)}),
+
+    // WEISFEILER-LEHMAN color refinement (3 rounds) over the canonical
+    // undirected union graph: per-node structural-equivalence classes —
+    // two nodes share a round-r label iff their radius-r unfolding
+    // trees agree, the signature WL kernels and GNN expressivity
+    // results build on. Labels are md5-derived i64 (hash60), so the
+    // unrolled string_agg twin replays the refinement bit-for-bit
+    "gx_wl" -> ((s, dir) =>
+      GraphOps.wlRefine(sharedUnd(s, dir), rounds = 3)
+        .select(col("key"), col("l1"), col("l2"), col("l3"))
+        .orderBy("key")),
 
     // HyperANF approximate neighborhood function (Boldi-Rosa-Vigna):
     // per-node Flajolet-Martin registers propagated 3 rounds over the
@@ -1093,45 +1092,6 @@ object GxQueries {
          |  CAST(sum(est_num) AS BIGINT) AS tot_est_num
          |FROM agall GROUP BY round ORDER BY round""".stripMargin,
 
-    "gx_richclub" ->
-      s"""$cte, rcu AS MATERIALIZED (
-         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |  FROM ue WHERE src <> dst
-         |), rcd AS MATERIALIZED (
-         |  SELECT key, CAST(count(*) AS BIGINT) AS d FROM (
-         |    SELECT u AS key FROM rcu UNION ALL SELECT v FROM rcu)
-         |  GROUP BY key
-         |), rcc AS (
-         |  SELECT quantile_cont(d, 0.5) AS p50, quantile_cont(d, 0.9) AS p90
-         |  FROM rcd
-         |), rch50 AS MATERIALIZED (
-         |  SELECT key FROM rcd, rcc WHERE d > p50
-         |), rch90 AS MATERIALIZED (
-         |  SELECT key FROM rcd, rcc WHERE d > p90
-         |), rce50 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM rcu
-         |  JOIN rch50 a ON a.key = rcu.u JOIN rch50 b ON b.key = rcu.v
-         |), rcn50 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM rch50
-         |), rce90 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM rcu
-         |  JOIN rch90 a ON a.key = rcu.u JOIN rch90 b ON b.key = rcu.v
-         |), rcn90 AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_hubs FROM rch90
-         |)
-         |SELECT 50 AS pct, n_hubs, n_edges,
-         |  CASE WHEN n_hubs >= 2 THEN CAST(floor(2000000.0 * CAST(n_edges AS DOUBLE)
-         |    / (CAST(n_hubs AS DOUBLE) * CAST(n_hubs - 1 AS DOUBLE))) AS BIGINT)
-         |  ELSE CAST(0 AS BIGINT) END AS phi_micro
-         |FROM rcn50, rce50
-         |UNION ALL
-         |SELECT 90, n_hubs, n_edges,
-         |  CASE WHEN n_hubs >= 2 THEN CAST(floor(2000000.0 * CAST(n_edges AS DOUBLE)
-         |    / (CAST(n_hubs AS DOUBLE) * CAST(n_hubs - 1 AS DOUBLE))) AS BIGINT)
-         |  ELSE CAST(0 AS BIGINT) END
-         |FROM rcn90, rce90
-         |ORDER BY pct""".stripMargin,
-
     "gx_treach" ->
       s"""WITH trc AS MATERIALIZED (
          |  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
@@ -1147,6 +1107,49 @@ object GxQueries {
          |  LIMIT 3
          |), ${GraphOps.temporalReachabilitySql("tre", "trs", 4)}
          |SELECT key, arr FROM tr4 ORDER BY key""".stripMargin,
+
+    "gx_triads" ->
+      """WITH tse AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON b.l_orderkey = a.l_orderkey
+        |   AND b.l_linenumber = a.l_linenumber + 1
+        |  WHERE a.l_suppkey <> b.l_suppkey
+        |), tsn AS (
+        |  SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_nodes FROM (
+        |    SELECT src AS k FROM tse UNION ALL SELECT dst FROM tse)
+        |), tsne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tse),
+        |tsr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_recip
+        |  FROM tse f JOIN tse r ON f.src = r.dst AND f.dst = r.src
+        |), tsc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cyc3
+        |  FROM tse e1 JOIN tse e2 ON e2.src = e1.dst
+        |  JOIN tse e3 ON e3.src = e2.dst AND e3.dst = e1.src
+        |  WHERE e1.src < e1.dst AND e1.src < e2.dst
+        |), tst AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_trans3
+        |  FROM tse e1 JOIN tse e2 ON e2.src = e1.dst
+        |  JOIN tse e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |  WHERE e1.src <> e2.dst
+        |)
+        |SELECT n_nodes, n_edges, n_recip, n_cyc3, n_trans3,
+        |  CAST(coalesce((1000 * n_recip) // nullif(n_edges, CAST(0 AS BIGINT)),
+        |                CAST(0 AS BIGINT)) AS BIGINT) AS recip_milli
+        |FROM tsn, tsne, tsr, tsc, tst""".stripMargin,
+
+    "gx_wl" ->
+      s"""$cte, wlu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), wladj AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM wlu UNION ALL SELECT v, u FROM wlu
+         |), ${GraphOps.wlRefineSql("wladj", 3)}
+         |SELECT w1.key, w1.l AS l1, w2.l AS l2, w3.l AS l3
+         |FROM wl1 w1
+         |JOIN wl2 w2 ON w2.key = w1.key
+         |JOIN wl3 w3 ON w3.key = w1.key
+         |ORDER BY w1.key""".stripMargin,
 
     "gx_anf" ->
       s"""$cte, anfu AS MATERIALIZED (

@@ -587,6 +587,16 @@ object PipelineQueries {
           max(col("bytes")).as("max_file"))
         .orderBy("bin")}),
 
+    // RE-SHARD stability (rendezvous vs mod hashing, 8 → 9 shards):
+    // growing a mod-hashed layout relocates ~8/9 of the corpus — a
+    // near-total rewrite — where rendezvous hashing relocates only the
+    // ~1/9 whose new argmax IS the added shard (Layout.rendezvousShard;
+    // every move lands on shard 8, PipelineSpec pins it). THE metric
+    // for whether a 100 TB layout can grow incrementally; per method:
+    // moved fraction in milli + the k=8 balance spread
+    "d_reshard" -> ((s, dir) =>
+      graft.operators.Layout.reshardReport(docs(s, dir), "doc_id", 8, 9)),
+
     "d_quality" -> ((s, dir) => {
       val toks = tokens(col("text"))
       docs(s, dir).select(
@@ -3974,6 +3984,37 @@ object PipelineQueries {
          |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
          |  CAST(max(bytes) AS BIGINT) AS max_file
          |FROM cw GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "d_reshard" ->
+      s"""WITH rsb AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    ${graft.operators.Layout.rendezvousShardSql("doc_id", 8)} AS h1,
+         |    ${graft.operators.Layout.rendezvousShardSql("doc_id", 9)} AS h2,
+         |    CAST(doc_id % 8 AS INT) AS m1, CAST(doc_id % 9 AS INT) AS m2
+         |  FROM $docsT
+         |), rsrow AS (
+         |  SELECT 'hrw' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN h1 <> h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |    (SELECT CAST(max(n) AS BIGINT) FROM (
+         |       SELECT count(*) AS n FROM rsb GROUP BY h1)) AS max_shard_n,
+         |    (SELECT CAST(min(n) AS BIGINT) FROM (
+         |       SELECT count(*) AS n FROM rsb GROUP BY h1)) AS min_shard_n
+         |  FROM rsb
+         |  UNION ALL
+         |  SELECT 'mod',
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN m1 <> m2 THEN 1 ELSE 0 END) AS BIGINT),
+         |    (SELECT CAST(max(n) AS BIGINT) FROM (
+         |       SELECT count(*) AS n FROM rsb GROUP BY m1)),
+         |    (SELECT CAST(min(n) AS BIGINT) FROM (
+         |       SELECT count(*) AS n FROM rsb GROUP BY m1))
+         |  FROM rsb
+         |)
+         |SELECT method, n_docs, n_moved,
+         |  CAST((1000 * n_moved) // n_docs AS BIGINT) AS moved_milli,
+         |  max_shard_n, min_shard_n
+         |FROM rsrow ORDER BY method""".stripMargin,
 
     "d_sampled_pct" ->
       s"""WITH pvals AS (

@@ -279,6 +279,48 @@ object EventStreams {
       .drop("__hashes")
   }
 
+  /** The per-user loyalty-tier TIMELINE as half-open validity intervals
+    * [from_us, to_us): the user's i-th purchase (ts, event_id order)
+    * opens era i at its timestamp, era 0 runs from -inf to the first
+    * purchase, the last era to +inf. Built ONCE in batch; user-count ×
+    * purchase-count sized, so it broadcasts. Equal-ts purchases produce
+    * an empty [t, t) era — harmless, the intervals still partition the
+    * timeline, so every event matches exactly one row. One user-keyed
+    * window, no corpus-sized shuffle. */
+  def tierIntervals(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("tier", row_number().over(w))
+      .withColumn("from_us", unix_micros(col("ts")))
+      .withColumn("to_us",
+        lead(unix_micros(col("ts")), 1, Long.MaxValue).over(w))
+    p.select(col("user_id"), col("tier"), col("from_us"), col("to_us"))
+      .unionByName(p.filter(col("tier") === 1)
+        .select(col("user_id"), lit(0).as("tier"),
+          lit(Long.MinValue).as("from_us"), col("from_us").as("to_us")))
+  }
+
+  /** STREAMING AS-OF enrichment — the streaming counterpart of the
+    * batch as-of family (s_asof_join): each event picks up the user's
+    * loyalty tier AT EVENT TIME. Streams cannot run the window-replay
+    * trick batch as-of uses, so the "latest version at-or-before" is
+    * re-expressed as an equi+range stream-static LEFT join against the
+    * broadcast [[tierIntervals]] dimension — stateless, append-mode,
+    * one broadcast hash join per micro-batch, no state store. Users
+    * with no purchase history keep their events (tier 0). */
+  def asOfTier(eventsStream: DataFrame, tiers: DataFrame): DataFrame =
+    eventsStream.as("e")
+      .join(broadcast(tiers).as("d"),
+        col("e.user_id") === col("d.user_id") &&
+          unix_micros(col("e.ts")) >= col("d.from_us") &&
+          unix_micros(col("e.ts")) < col("d.to_us"), "left")
+      .select(col("e.event_id").as("event_id"),
+        col("e.user_id").as("user_id"), col("e.ts").as("ts"),
+        col("e.event_type").as("event_type"),
+        coalesce(col("d.tier"), lit(0)).as("tier"))
+
   /** STREAMING incremental span dedup —
     * [[graft.operators.Dedup.spanDedupAgainst]]'s daily-crawl form with
     * the delta arriving as micro-batches: every w-token span of a

@@ -925,4 +925,47 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(three.forall { case (k, r) => r._4 == l3(k) })
   }
+
+  test("wlRefine: path-graph classes refine then fix; isomorphy ⇒ equal labels") {
+    // P5: a-b-c-d-e. Round 1 splits by degree {a,e} vs {b,c,d}; round 2
+    // splits c from {b,d} (its neighbors are both middles); round 3 is
+    // the fixpoint — P5's WL partition is {ends} {b,d} {c}
+    val p5 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("u", "v")
+    val out = GraphOps.wlRefine(p5, rounds = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    def classes(f: ((Long, Long, Long)) => Long) =
+      out.values.map(f).toSet.size
+    assert(classes(_._1) == 2 && classes(_._2) == 3 && classes(_._3) == 3)
+    assert(out("a") == out("e"), "end nodes structurally equivalent")
+    assert(out("b") == out("d"), "b and d structurally equivalent")
+    assert(out("b")._2 != out("c")._2, "round 2 separates c from b/d")
+    // two disjoint triangles: every node identical at every round
+    val twoTri = Seq(("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+      ("s1", "s2"), ("s2", "s3"), ("s1", "s3")).toDF("u", "v")
+    val tri = GraphOps.wlRefine(twoTri, rounds = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(tri.map(r => (r._3, r._4, r._5)).toSet.size == 1,
+      "isomorphic placement ⇒ one WL class")
+  }
+
+  test("triadCensus: reciprocity, canonical 3-cycles, transitive triads") {
+    // cycle 1→2→3→1; transitive 4→5,5→6,4→6; mutual 7↔8;
+    // self-loop 9→9 and a duplicate 1→2 must be dropped on entry
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (4L, 6L),
+      (7L, 8L), (8L, 7L), (9L, 9L), (1L, 2L)).toDF("src", "dst")
+    val r = GraphOps.triadCensus(e).collect().head
+    assert(r.getLong(0) == 8L, s"n_nodes: $r")       // 9 never survives
+    assert(r.getLong(1) == 8L, s"n_edges: $r")       // dedup + self-loop
+    assert(r.getLong(2) == 2L, s"n_recip: $r")       // 7→8 and 8→7
+    assert(r.getLong(3) == 1L, s"n_cyc3: $r")        // {1,2,3} once
+    assert(r.getLong(4) == 1L, s"n_trans3: $r")      // (4,5,6) once
+    assert(r.getLong(5) == 250L, s"recip_milli: $r") // 2000/8
+    // a pure DAG scores zero on the direction-sensitive rows
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val d = GraphOps.triadCensus(dag).collect().head
+    assert(d.getLong(2) == 0L && d.getLong(3) == 0L && d.getLong(4) == 1L)
+  }
 }

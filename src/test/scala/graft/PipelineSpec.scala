@@ -1580,4 +1580,25 @@ class PipelineSpec extends SparkSpec {
       assert(a > 0, s"$lang: state lost docs")
     }
   }
+
+  test("rendezvous reshard: every 8→9 move lands on the NEW shard; beats mod") {
+    import graft.operators.Layout
+    val ids = spark.range(0, 1000).toDF("doc_id")
+    val sh = ids
+      .withColumn("s8", Layout.rendezvousShard(col("doc_id"), 8))
+      .withColumn("s9", Layout.rendezvousShard(col("doc_id"), 9))
+      .as[(Long, Int, Int)].collect()
+    assert(sh.forall { case (_, s8, _) => s8 >= 0 && s8 < 8 })
+    val moved = sh.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.nonEmpty && moved.forall(_._3 == 8),
+      "HRW growth relocates ONLY to the added shard")
+    assert(moved.length < 250, s"~1/9 expected, got ${moved.length}/1000")
+    val rep = Layout.reshardReport(ids, "doc_id", 8, 9)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep("hrw")._4 < rep("mod")._4,
+      "HRW moved fraction must beat mod-hash rewrite fraction")
+    assert(rep("mod")._4 > 800L, "mod-hash 8→9 is a near-total rewrite")
+    assert(rep("hrw")._3 == moved.length.toLong)
+  }
 }

@@ -257,6 +257,15 @@ class PlanSpec extends SparkSpec {
       s"the self-band-join must be sort-merge (neither side broadcast):\n${plan.take(800)}")
   }
 
+  test("skyline runs the grouped sweep: no quadratic dominance join") {
+    val plan = finalPlanString(
+      graft.queries.AnalyticsQueries.queries("q_skyline")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must sweep the grouped price frame, never the n² " +
+        s"dominance product the oracle uses:\n${plan.take(800)}")
+  }
+
   test("landmark closeness reuses the cached undirected edges per round") {
     val out = graft.ops.GraphOps.landmarkCloseness(parquetGraph,
       nLandmarks = 2, rounds = 3)

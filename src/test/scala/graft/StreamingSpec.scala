@@ -231,6 +231,39 @@ class StreamingSpec extends SparkSpec {
     assert(Set(3L, 4L).subsetOf(kept), s"null docs must pass through: $kept")
   }
 
+  test("as-of tier enrichment: boundaries, equal-ts purchases, tier 0") {
+    // user 1: purchases at 1000, 5000 — events straddle every boundary;
+    // user 2: never purchases (tier 0 via the LEFT join);
+    // user 3: TWO purchases at the same ts — the empty [t, t) era must
+    // be skipped and ts == t lands in the later era (tier 2)
+    val mk = Seq(
+      (1L, 500L, 1L, "view"), (2L, 1000L, 1L, "purchase"),
+      (3L, 3000L, 1L, "click"), (4L, 5000L, 1L, "purchase"),
+      (5L, 9000L, 1L, "view"), (6L, 700L, 2L, "view"),
+      (30L, 2000L, 3L, "purchase"), (31L, 2000L, 3L, "purchase"),
+      (7L, 1000L, 3L, "view"), (8L, 2000L, 3L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+    val out = EventStreams.asOfTier(mk, EventStreams.tierIntervals(mk))
+      .select($"event_id", $"tier").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2,
+      6L -> 0, 30L -> 2, 31L -> 2, 7L -> 0, 8L -> 2), s"got $out")
+  }
+
+  test("streaming as-of tier equals the batch join over the fixture") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.asOfTier(stream, EventStreams.tierIntervals(batch)),
+      "t_asof_tier", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select($"event_id", $"tier").as[(Long, Int)].collect().toMap
+    val batched = EventStreams
+      .asOfTier(batch, EventStreams.tierIntervals(batch))
+      .select($"event_id", $"tier").as[(Long, Int)].collect().toMap
+    assert(streamed == batched)
+    assert(streamed.size == batch.count(), "exactly one row per event")
+    assert(streamed.valuesIterator.exists(_ > 0) &&
+      streamed.valuesIterator.exists(_ == 0), "both tiers non-vacuous")
+  }
+
   test("stream-static ANTI-join decontamination matches the broadcast form") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

@@ -2568,6 +2568,50 @@ object GraphOps {
        |  CAST(count(*) OVER (PARTITION BY cycle_rep) AS BIGINT) AS basin_size
        |FROM pdlab""".stripMargin
 
+  /** Per-round BFS reach curve over an undirected edge set (u, v) from
+    * a seed frame (`key`): after each of `rounds` frontier expansions,
+    * the size of the reached set — (round, n_reached) rows. Each round
+    * is one adjacency semi-join + distinct, state is the reached set
+    * only (sparse-state discipline), localCheckpoint + statsReset per
+    * round. The counting frames read the checkpointed states, so the
+    * curve costs one action over materialized RDDs. */
+  def bfsReachCurve(und: DataFrame, seeds: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val adj = CacheScope.cached(
+      und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+        .repartition(col("a")))
+    var reached = seeds.select(col("key")).distinct()
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      reached = statsReset(reached.unionByName(
+          adj.join(reached.select(col("key").as("a")), "a")
+            .select(col("b").as("key")))
+        .distinct().localCheckpoint(true))
+      val c = reached.agg(count(lit(1)).as("n_reached"))
+        .select(lit(r).as("round"), col("n_reached"))
+      out = if (out == null) c else out.unionByName(c)
+    }
+    out
+  }
+
+  /** DuckDB twin of [[bfsReachCurve]]: unrolled rounds over adjacency
+    * CTE `$adj`(a, b) from seed CTE `$seeds`(key); per-round reached
+    * sets in `$prefix1..$prefix$rounds`. */
+  def bfsReachCurveSql(prefix: String, adj: String, seeds: String,
+                       rounds: Int): String =
+    (1 to rounds).map { k =>
+      val prev = if (k == 1) seeds else s"$prefix${k - 1}"
+      s"""$prefix$k AS MATERIALIZED (
+         |  SELECT DISTINCT key FROM (
+         |    SELECT key FROM $prev
+         |    UNION ALL
+         |    SELECT $adj.b AS key FROM $adj
+         |    JOIN $prev p ON p.key = $adj.a)
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** WEISFEILER-LEHMAN color refinement over an undirected edge set
     * (u, v): every node starts in one class (label 0) and each round
     * re-hashes (own label | sorted multiset of neighbor labels), so

@@ -290,6 +290,36 @@ object GxQueries {
         .select(col("key"), col("l1"), col("l2"), col("l3"))
         .orderBy("key")),
 
+    // ATTACK-TOLERANCE probe: the 4-round BFS reach curve from 3 fixed
+    // low-hash non-hub seeds, on the intact graph vs the graph with
+    // every p90-degree hub REMOVED (targeted-attack percolation — the
+    // scale-free-network fragility result: random failure barely dents
+    // reach, hub removal shatters it). Cut and seeds are DATA-ADAPTIVE
+    // (percentile + lowest-hash, the gx_kcore/gx_treach disciplines);
+    // state per round is the sparse reached set only; exact counts
+    "gx_attack" -> ((s, dir) => {
+      val und = sharedUnd(s, dir)
+      val deg = und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("d"))
+      val cut = deg.agg(expr("percentile(d, 0.9D)").as("c90"))
+      val hubs = deg.crossJoin(broadcast(cut))
+        .filter(col("d") > col("c90")).select("key")
+      val filt = und
+        .join(hubs.select(col("key").as("u")), Seq("u"), "left_anti")
+        .join(hubs.select(col("key").as("v")), Seq("v"), "left_anti")
+      val seeds = deg.crossJoin(broadcast(cut))
+        .filter(col("d") <= col("c90"))
+        .orderBy(graft.functions.TextFunctions.hash60(
+          concat(col("key"), lit("atk"))), col("key"))
+        .limit(3).select("key")
+      GraphOps.bfsReachCurve(und, seeds, rounds = 4)
+        .withColumn("variant", lit("full"))
+        .unionByName(GraphOps.bfsReachCurve(filt, seeds, rounds = 4)
+          .withColumn("variant", lit("attacked")))
+        .select(col("variant"), col("round"), col("n_reached"))
+        .orderBy("variant", "round")}),
+
     // HyperANF approximate neighborhood function (Boldi-Rosa-Vigna):
     // per-node Flajolet-Martin registers propagated 3 rounds over the
     // undirected adjacency — |ball(v,3)| estimation by rounds of sparse
@@ -1137,6 +1167,45 @@ object GxQueries {
         |  CAST(coalesce((1000 * n_recip) // nullif(n_edges, CAST(0 AS BIGINT)),
         |                CAST(0 AS BIGINT)) AS BIGINT) AS recip_milli
         |FROM tsn, tsne, tsr, tsc, tst""".stripMargin,
+
+    "gx_attack" ->
+      s"""$cte, aku AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), akd AS MATERIALIZED (
+         |  SELECT key, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS key FROM aku UNION ALL SELECT v FROM aku)
+         |  GROUP BY key
+         |), akc AS (
+         |  SELECT quantile_cont(d, 0.9) AS c90 FROM akd
+         |), akh AS MATERIALIZED (
+         |  SELECT key FROM akd, akc WHERE d > c90
+         |), akf AS MATERIALIZED (
+         |  SELECT u, v FROM aku
+         |  WHERE u NOT IN (SELECT key FROM akh)
+         |    AND v NOT IN (SELECT key FROM akh)
+         |), aka AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM aku UNION ALL SELECT v, u FROM aku
+         |), akfa AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM akf UNION ALL SELECT v, u FROM akf
+         |), aks AS MATERIALIZED (
+         |  SELECT key FROM akd, akc WHERE d <= c90
+         |  ORDER BY ${graft.functions.TextFunctions.hash60Sql(
+               "key || 'atk'")}, key
+         |  LIMIT 3
+         |), ${GraphOps.bfsReachCurveSql("akr", "aka", "aks", 4)},
+         |${GraphOps.bfsReachCurveSql("akx", "akfa", "aks", 4)}
+         |SELECT variant, round, n_reached FROM (
+         |  SELECT 'full' AS variant, 1 AS round,
+         |    CAST(count(*) AS BIGINT) AS n_reached FROM akr1
+         |  UNION ALL SELECT 'full', 2, CAST(count(*) AS BIGINT) FROM akr2
+         |  UNION ALL SELECT 'full', 3, CAST(count(*) AS BIGINT) FROM akr3
+         |  UNION ALL SELECT 'full', 4, CAST(count(*) AS BIGINT) FROM akr4
+         |  UNION ALL SELECT 'attacked', 1, CAST(count(*) AS BIGINT) FROM akx1
+         |  UNION ALL SELECT 'attacked', 2, CAST(count(*) AS BIGINT) FROM akx2
+         |  UNION ALL SELECT 'attacked', 3, CAST(count(*) AS BIGINT) FROM akx3
+         |  UNION ALL SELECT 'attacked', 4, CAST(count(*) AS BIGINT) FROM akx4
+         |) ORDER BY variant, round""".stripMargin,
 
     "gx_wl" ->
       s"""$cte, wlu AS MATERIALIZED (

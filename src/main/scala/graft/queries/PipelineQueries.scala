@@ -587,6 +587,38 @@ object PipelineQueries {
           max(col("bytes")).as("max_file"))
         .orderBy("bin")}),
 
+    // FILL-IN-THE-MIDDLE transform (the FIM pretraining objective):
+    // deterministic hash-derived split points cut each doc into
+    // prefix/middle/suffix, re-serialized in PSM order — the transform
+    // that teaches infilling, applied corpus-wide as pure codegen'd
+    // integer-hash + substring arithmetic (no UDF, no shuffle). p1 ≤ p2
+    // land in [1, n-1] so all three segments are well-formed (middle
+    // may be empty when the two hashes collide — legal FIM). fim_fp
+    // fingerprints the transformed string; roundtrip pins
+    // prefix||middle||suffix == text in BOTH engines
+    "d_fim" -> ((s, dir) => {
+      import graft.functions.TextFunctions.hash60
+      val n = length(col("text")).cast("long")
+      val h1 = pmod(hash60(concat(col("doc_id").cast("string"),
+        lit(":fim1"))), n - 1) + 1
+      val h2 = pmod(hash60(concat(col("doc_id").cast("string"),
+        lit(":fim2"))), n - 1) + 1
+      val pre = col("text").substr(lit(1L), col("p1"))
+      val mid = col("text").substr(col("p1") + 1, col("p2") - col("p1"))
+      val suf = col("text").substr(col("p2") + 1, col("n") - col("p2"))
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 20)
+        .withColumn("n", n)
+        .withColumn("p1", least(h1, h2))
+        .withColumn("p2", greatest(h1, h2))
+        .select(col("doc_id"), col("n").cast("int").as("n_chars"),
+          col("p1").cast("int").as("p1"), col("p2").cast("int").as("p2"),
+          hash60(concat(lit("<PRE>"), pre, lit("<SUF>"), suf,
+            lit("<MID>"), mid)).as("fim_fp"),
+          (concat(pre, mid, suf) === col("text")).cast("int")
+            .as("roundtrip"))
+        .orderBy("doc_id")}),
+
     // RE-SHARD stability (rendezvous vs mod hashing, 8 → 9 shards):
     // growing a mod-hashed layout relocates ~8/9 of the corpus — a
     // near-total rewrite — where rendezvous hashing relocates only the
@@ -3984,6 +4016,34 @@ object PipelineQueries {
          |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
          |  CAST(max(bytes) AS BIGINT) AS max_file
          |FROM cw GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "d_fim" ->
+      s"""WITH fimb AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    (${graft.functions.TextFunctions.hash60Sql(
+               "CAST(doc_id AS VARCHAR) || ':fim1'")}
+         |      % (CAST(length(text) AS BIGINT) - 1)) + 1 AS h1,
+         |    (${graft.functions.TextFunctions.hash60Sql(
+               "CAST(doc_id AS VARCHAR) || ':fim2'")}
+         |      % (CAST(length(text) AS BIGINT) - 1)) + 1 AS h2
+         |  FROM $docsT WHERE length(text) >= 20
+         |), fims AS (
+         |  SELECT doc_id, n, least(h1, h2) AS p1, greatest(h1, h2) AS p2,
+         |    substring(text, 1, CAST(least(h1, h2) AS INT)) AS pre,
+         |    substring(text, CAST(least(h1, h2) + 1 AS INT),
+         |              CAST(greatest(h1, h2) - least(h1, h2) AS INT)) AS mid,
+         |    substring(text, CAST(greatest(h1, h2) + 1 AS INT),
+         |              CAST(n - greatest(h1, h2) AS INT)) AS suf,
+         |    text
+         |  FROM fimb
+         |)
+         |SELECT doc_id, CAST(n AS INT) AS n_chars,
+         |  CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
+         |  ${graft.functions.TextFunctions.hash60Sql(
+             "'<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid")} AS fim_fp,
+         |  CAST(CASE WHEN pre || mid || suf = text THEN 1 ELSE 0 END
+         |       AS INT) AS roundtrip
+         |FROM fims ORDER BY doc_id""".stripMargin,
 
     "d_reshard" ->
       s"""WITH rsb AS MATERIALIZED (

@@ -926,6 +926,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(three.forall { case (k, r) => r._4 == l3(k) })
   }
 
+  test("bfsReachCurve: monotone frontier growth; hub removal caps reach") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("x", "y")).toDF("u", "v")
+    val seeds = Seq("a").toDF("key")
+    val curve = GraphOps.bfsReachCurve(und, seeds, 4)
+      .as[(Int, Long)].collect().toMap
+    assert(curve == Map(1 -> 2L, 2 -> 3L, 3 -> 4L, 4 -> 5L),
+      s"path reach must grow one hop per round: $curve")
+    val cut = und.filter($"u" =!= "c" && $"v" =!= "c")
+    val c2 = GraphOps.bfsReachCurve(cut, seeds, 4)
+      .as[(Int, Long)].collect().toMap
+    assert(c2 == Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 2L),
+      s"removing the cut node must cap the curve at {a,b}: $c2")
+  }
+
   test("wlRefine: path-graph classes refine then fix; isomorphy ⇒ equal labels") {
     // P5: a-b-c-d-e. Round 1 splits by degree {a,e} vs {b,c,d}; round 2
     // splits c from {b,d} (its neighbors are both middles); round 3 is

@@ -1601,4 +1601,13 @@ class PipelineSpec extends SparkSpec {
     assert(rep("mod")._4 > 800L, "mod-hash 8→9 is a near-total rewrite")
     assert(rep("hrw")._3 == moved.length.toLong)
   }
+
+  test("d_fim: roundtrip reassembly holds and split points are in-bounds") {
+    val out = graft.queries.PipelineQueries.queries("d_fim")(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._6 == 1), "prefix||middle||suffix must equal text")
+    assert(out.forall(r => r._3 >= 1 && r._3 <= r._4 && r._4 <= r._2 - 1),
+      "1 <= p1 <= p2 <= n-1 so all three segments are well-formed")
+  }
 }

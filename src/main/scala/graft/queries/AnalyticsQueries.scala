@@ -679,6 +679,26 @@ object AnalyticsQueries {
     // in exact integer MICROS (unix_micros == epoch_us), then count /
     // engine-exact p50/p90 quantiles / max per the LATER event's type.
     // Same single user_id window shuffle as s_paths
+    // GAPS-AND-ISLANDS: per-user runs of CONSECUTIVE active days (the
+    // streak pattern: day − row_number is constant within a run, the
+    // classic island key). One distinct + two user-keyed aggregations,
+    // both reusing the user_id exchange; exact integer day arithmetic
+    // (UTC session ⇒ to_date == DuckDB CAST(ts AS DATE))
+    "s_islands" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01")) - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_islands"),
+          max(col("len")).as("max_streak"),
+          sum(col("len")).as("active_days"))
+        .orderBy("user_id")}),
+
     "s_gaps" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1502,6 +1522,23 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n,
         |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
         |FROM bi ORDER BY from_type, to_type""".stripMargin,
+
+    "s_islands" ->
+      """WITH iad AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), iir AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM iad
+        |), iil AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM iir GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM iil GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s_gaps" ->
       """WITH seq AS (

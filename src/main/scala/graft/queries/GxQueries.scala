@@ -446,6 +446,39 @@ object GxQueries {
     "gx_louvain1" -> ((s, dir) =>
       sharedLouvain1(s, dir).orderBy("key")),
 
+    // per-community CONDUCTANCE of the Louvain refinement — the
+    // cut-quality companion to modularity: φ(C) = cut(C) /
+    // min(vol(C), 2m − vol(C)), all exact integers until one milli
+    // integer division. cut = vol − 2·e_in needs no boundary-edge scan;
+    // reads the session-shared louvain1 labels and und caches, adds two
+    // label-keyed aggregations
+    "gx_conductance" -> ((s, dir) => {
+      val lab = sharedLouvain1(s, dir)
+        .select(col("key"), col("label1").as("lbl"))
+      val und = sharedUnd(s, dir)
+      val mm = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("u").as("key"))
+        .union(und.select(col("v").as("key")))
+        .groupBy("key").agg(count(lit(1)).as("ki"))
+      val vol = lab.join(deg, "key").groupBy("lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("ki")).as("vol"))
+      val ein = und
+        .join(lab.select(col("key").as("u"), col("lbl").as("lu")), "u")
+        .join(lab.select(col("key").as("v"), col("lbl").as("lv")), "v")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("e_in"))
+      vol.join(ein, Seq("lbl"), "left")
+        .crossJoin(broadcast(mm))
+        .withColumn("cut",
+          col("vol") - lit(2) * coalesce(col("e_in"), lit(0L)))
+        .withColumn("denom",
+          least(col("vol"), lit(2) * col("m") - col("vol")))
+        .select(col("lbl").as("label"), col("n_nodes"), col("vol"),
+          col("cut"),
+          when(col("denom") > 0, expr("(1000 * cut) div denom"))
+            .otherwise(lit(0L)).as("cond_milli"))
+        .orderBy("label")}),
+
     // WEIGHTED one-level Louvain refinement: the same exact-integer gain
     // algebra over hash-weighted undirected edges (w = hash60(u|v) % 100
     // + 1, the gx_wsssp weight family on the canonical lexical pair) —
@@ -1277,6 +1310,30 @@ object GxQueries {
     "gx_louvain1" ->
       s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes
          |SELECT key, label0, label1, gain_num FROM lvout ORDER BY key""".stripMargin,
+
+    "gx_conductance" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)}, $louvainCtes,
+         |cdl AS MATERIALIZED (
+         |  SELECT key, label1 AS lbl FROM lvout
+         |), cdv AS (
+         |  SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(ki) AS BIGINT) AS vol
+         |  FROM cdl JOIN lvdeg ON lvdeg.key = cdl.key GROUP BY lbl
+         |), cde AS (
+         |  SELECT a.lbl, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM lvund
+         |  JOIN cdl a ON a.key = lvund.u
+         |  JOIN cdl b ON b.key = lvund.v
+         |  WHERE a.lbl = b.lbl GROUP BY a.lbl
+         |)
+         |SELECT v.lbl AS label, n_nodes, vol,
+         |  vol - 2 * coalesce(e_in, CAST(0 AS BIGINT)) AS cut,
+         |  CASE WHEN least(vol, 2 * (SELECT m FROM lvm) - vol) > 0
+         |    THEN CAST((1000 * (vol - 2 * coalesce(e_in, CAST(0 AS BIGINT))))
+         |      // least(vol, 2 * (SELECT m FROM lvm) - vol) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS cond_milli
+         |FROM cdv v LEFT JOIN cde e ON e.lbl = v.lbl
+         |ORDER BY label""".stripMargin,
 
     // modularity audit of the refinement pass: S = 4m·intra − Σ D_C² in
     // the same 4m² units, before (l5) and after (lvout.label1) the

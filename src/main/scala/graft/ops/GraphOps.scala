@@ -2576,21 +2576,36 @@ object GraphOps {
     * round. The counting frames read the checkpointed states, so the
     * curve costs one action over materialized RDDs. */
   def bfsReachCurve(und: DataFrame, seeds: DataFrame,
-                    rounds: Int): DataFrame = {
+                    rounds: Int): DataFrame =
+    bfsReachCurveTagged(und.withColumn("variant", lit("_")),
+      seeds.withColumn("variant", lit("_")), rounds)
+      .select(col("round"), col("n_reached"))
+
+  /** [[bfsReachCurve]] over several TAGGED edge sets at once: adjacency
+    * and seeds carry a `variant` column and every round expands all
+    * variants in one job, so comparing graphs (gx_attack's intact vs
+    * attacked pair) costs ONE checkpoint chain, not one per variant —
+    * in local mode the sequential blocking jobs are the floor, and this
+    * halves them. Returns (variant, round, n_reached). */
+  def bfsReachCurveTagged(undTagged: DataFrame, seedsTagged: DataFrame,
+                          rounds: Int): DataFrame = {
     require(rounds >= 1)
     val adj = CacheScope.cached(
-      und.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      undTagged.select(col("variant"), col("u").as("a"), col("v").as("b"))
+        .unionByName(undTagged
+          .select(col("variant"), col("v").as("a"), col("u").as("b")))
         .repartition(col("a")))
-    var reached = seeds.select(col("key")).distinct()
+    var reached = seedsTagged.select(col("variant"), col("key")).distinct()
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       reached = statsReset(reached.unionByName(
-          adj.join(reached.select(col("key").as("a")), "a")
-            .select(col("b").as("key")))
+          adj.join(reached.withColumnRenamed("key", "a"),
+              Seq("variant", "a"))
+            .select(col("variant"), col("b").as("key")))
         .distinct().localCheckpoint(true))
-      val c = reached.agg(count(lit(1)).as("n_reached"))
-        .select(lit(r).as("round"), col("n_reached"))
+      val c = reached.groupBy("variant")
+        .agg(count(lit(1)).as("n_reached"))
+        .select(col("variant"), lit(r).as("round"), col("n_reached"))
       out = if (out == null) c else out.unionByName(c)
     }
     out

@@ -257,26 +257,28 @@ object GxQueries {
       GraphOps.temporalReachability(tedges, seeds, rounds = 4)
         .orderBy("key")}),
 
-    // DIRECTED TRIAD census over the supply-sequencing network: within
-    // each order, consecutive line numbers chain their suppliers
-    // (supplier of line i feeds line i+1), giving a genuinely CYCLIC
-    // directed graph — unlike the prefix-layered union graph, which is
-    // a DAG where reciprocity and 3-cycles are vacuously zero (the
-    // fixture-vacuity trap). Reciprocity + cyclic u→v→w→u vs
-    // transitive u→v,v→w,u→w motif counts — the direction-sensitive
-    // census the undirected gx_transitivity cannot see; feedback loops
-    // vs hierarchy is THE directed-graph health signal. Exact i64
-    // counts end-to-end; the edge build is one self-join on the
-    // (orderkey, linenumber) natural key
+    // DIRECTED TRIAD census over the part-sequencing network: within
+    // each order, consecutive line numbers chain their PARTS (part of
+    // line i feeds line i+1), giving a genuinely CYCLIC directed graph
+    // — unlike the prefix-layered union graph, which is a DAG where
+    // reciprocity and 3-cycles are vacuously zero (the fixture-vacuity
+    // trap). Parts, not suppliers: the part domain grows with SF, so
+    // the graph stays SPARSE (avg degree ≈ 2·lines/parts at every
+    // scale) and the wedge join is m²/n-bounded — a supplier variant
+    // saturates to a near-complete digraph whose census goes n³.
+    // Reciprocity + cyclic u→v→w→u vs transitive u→v,v→w,u→w motif
+    // counts — the direction-sensitive census the undirected
+    // gx_transitivity cannot see. Exact i64 counts end-to-end; the
+    // edge build is one self-join on the (orderkey, linenumber) key
     "gx_triads" -> ((s, dir) => {
       val li = graft.sources.Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       val a = li.select(col("l_orderkey").as("ok"),
-        col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        col("l_linenumber").as("ln"), col("l_partkey").as("pa"))
       val b = li.select(col("l_orderkey").as("ok"),
-        (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("pb"))
       val de = a.join(b, Seq("ok", "ln"))
-        .select(col("sa").as("src"), col("sb").as("dst"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
       GraphOps.triadCensus(de)}),
 
     // WEISFEILER-LEHMAN color refinement (3 rounds) over the canonical
@@ -299,9 +301,11 @@ object GxQueries {
     // state per round is the sparse reached set only; exact counts
     "gx_attack" -> ((s, dir) => {
       val und = sharedUnd(s, dir)
-      val deg = und.select(col("u").as("key"))
+      // cut, hub set and seed ranking all read the degree frame —
+      // materialize once per call (harness releaseAll frees it)
+      val deg = graft.CacheScope.cached(und.select(col("u").as("key"))
         .union(und.select(col("v").as("key")))
-        .groupBy("key").agg(count(lit(1)).as("d"))
+        .groupBy("key").agg(count(lit(1)).as("d")))
       val cut = deg.agg(expr("percentile(d, 0.9D)").as("c90"))
       val hubs = deg.crossJoin(broadcast(cut))
         .filter(col("d") > col("c90")).select("key")
@@ -313,10 +317,11 @@ object GxQueries {
         .orderBy(graft.functions.TextFunctions.hash60(
           concat(col("key"), lit("atk"))), col("key"))
         .limit(3).select("key")
-      GraphOps.bfsReachCurve(und, seeds, rounds = 4)
-        .withColumn("variant", lit("full"))
-        .unionByName(GraphOps.bfsReachCurve(filt, seeds, rounds = 4)
-          .withColumn("variant", lit("attacked")))
+      val tagged = und.withColumn("variant", lit("full"))
+        .unionByName(filt.withColumn("variant", lit("attacked")))
+      val seeds2 = seeds.select(col("key"),
+        explode(array(lit("full"), lit("attacked"))).as("variant"))
+      GraphOps.bfsReachCurveTagged(tagged, seeds2, rounds = 4)
         .select(col("variant"), col("round"), col("n_reached"))
         .orderBy("variant", "round")}),
 
@@ -1173,11 +1178,11 @@ object GxQueries {
 
     "gx_triads" ->
       """WITH tse AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON b.l_orderkey = a.l_orderkey
         |   AND b.l_linenumber = a.l_linenumber + 1
-        |  WHERE a.l_suppkey <> b.l_suppkey
+        |  WHERE a.l_partkey <> b.l_partkey
         |), tsn AS (
         |  SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_nodes FROM (
         |    SELECT src AS k FROM tse UNION ALL SELECT dst FROM tse)

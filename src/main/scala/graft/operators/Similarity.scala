@@ -511,6 +511,80 @@ object Similarity {
       .select("query_id", "vec_id", "score_micro", "rank")
   }
 
+  /** STREAMING IVF+PQ serving — the online face of [[ivfPqTopK]]: query
+    * vectors arrive as a stream and each micro-batch runs the full
+    * probe → candidate fetch → ADC score → top-k pipeline with ONE
+    * stateful operator (the final per-query aggregation, update mode).
+    *
+    * Streams cannot run the batch path's ranking windows, so the index
+    * STRUCTURE rides the plan as literals built from two bounded driver
+    * collects (nlist centroids + M·K codebook rows — the documented
+    * landmark-frame pattern): probing is a per-row sorted slice over
+    * the centroid literal, and the ADC lookup table (M·K floor-micro
+    * dots) is computed once per query ROW and carried through the
+    * candidate join — exactly FAISS's per-query LUT, expressed as an
+    * array column. Candidates come from a stateless stream-static equi
+    * join on cell; per-candidate scoring is one `aggregate` over the M
+    * code lookups; every arithmetic step reuses the batch operators'
+    * expression trees, so the result is bit-identical to [[ivfPqTopK]]
+    * and replays in the same SQL.
+    *
+    * Scale shape: the corpus-sized inputs (assignment, pivoted codes)
+    * join on their keys and never broadcast; per-query state is one
+    * k-slot top list. */
+  def streamingIvfPqTopK(queryStream: DataFrame, cells: DataFrame,
+                         assigned: DataFrame, codebooks: DataFrame,
+                         codes: DataFrame, kNN: Int, dim: Int,
+                         nlist: Int = 16, nprobe: Int = 4,
+                         m: Int = PqSubspaces,
+                         k: Int = PqCodebookSize): DataFrame = {
+    val sub = dim / m
+    val centArr: Seq[Seq[Double]] = cells.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbFlat: Seq[Seq[Double]] = codebooks.orderBy("m", "j")
+      .select("cb").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centArr.length == nlist && cbFlat.length == m * k,
+      "index literals must cover the full index")
+    val centLit = typedlit(centArr)
+    val cbLit = typedlit(cbFlat)
+    val q = queryStream
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    // top-nprobe cells by (rounded cosine desc, cell asc): negate the
+    // sim (exact IEEE) so one ascending struct sort gives the order
+    val simStruct = transform(sequence(lit(0), lit(nlist - 1)),
+      c => struct(
+        (lit(0d) - round(cosine(col("qvec"),
+          element_at(centLit, (c + 1).cast("int"))), 4)).as("ns"),
+        c.cast("int").as("cell")))
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)),
+      mm => transform(sequence(lit(0), lit(k - 1)),
+        j => floor(lit(1000000.0) * dot(
+          slice(col("qvec"), mm * lit(sub) + 1, lit(sub)),
+          element_at(cbLit, (mm * lit(k) + j + 1).cast("int"))))
+          .cast("long"))))
+    val probed = q
+      .withColumn("lut", lut)
+      .withColumn("pc", explode(slice(array_sort(simStruct), 1, nprobe)))
+      .select(col("query_id"), col("lut"), col("pc.cell").as("cell"))
+    // static sides: cell → members, and codes pivoted to one m-ordered
+    // int array per vector (persisted so micro-batches reuse the pivot)
+    val codesArr = graft.CacheScope.cached(codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes")))
+    val scoredRows = probed
+      .join(assigned.select(col("cell"), col("vec_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codesArr, Seq("vec_id"))
+      .withColumn("score_micro", expr(
+        s"aggregate(sequence(0, ${m - 1}), CAST(0 AS BIGINT), (acc, mm) " +
+          s"-> acc + element_at(lut, mm * $k + element_at(codes, mm + 1) + 1))"))
+    scoredRows.groupBy("query_id").agg(
+      count(lit(1)).as("n_cands"),
+      slice(array_sort(collect_list(struct(
+        (lit(0L) - col("score_micro")).as("ns"), col("vec_id")))),
+        1, kNN).as("top"))
+  }
+
   /** Two-stage retrieval — PQ-ADC shortlist, exact rerank (the FAISS
     * "refine" shape every production ANN deployment runs): the compressed
     * index proposes `shortlist` candidates per query touching only M ints

@@ -2433,6 +2433,36 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("query_id")}),
 
+    // STREAMING ANN SERVING: query vectors arrive as a stream and each
+    // micro-batch runs probe → candidate fetch → ADC score → top-10
+    // against the session's static IVF+PQ index with ONE stateful
+    // operator (Similarity.streamingIvfPqTopK). Arithmetic reuses the
+    // batch expression trees, so the stream's answer is bit-identical
+    // to batch ivfPqTopK — StreamingSpec pins that equality, and the
+    // oracle replays the full index + scoring in SQL
+    "s_stream_ann" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val dim = Similarity.inferDim(corpus)
+      val st = graft.streaming.EventStreams.readEmbeddings(s, dir)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val agg = Similarity.streamingIvfPqTopK(st,
+        sharedIvfCells(s, dir), sharedIvfAssign(s, dir),
+        sharedPqCodebooks(s, dir), sharedPqCodes(s, dir),
+        kNN = 10, dim = dim)
+      val sunk = graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_ann_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      sunk.groupBy("query_id")
+        .agg(max(struct(col("n_cands"), col("top"))).as("mx"))
+        .select(col("query_id"), posexplode(col("mx.top")).as(Seq("pos", "t")))
+        .select(col("query_id"), col("t.vec_id").as("vec_id"),
+          (lit(0L) - col("t.ns")).as("score_micro"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")}),
+
     // two-stage retrieval (the FAISS "refine" production shape): PQ-ADC
     // proposes a 20-deep shortlist reading M ints per corpus vector, the
     // full vectors rescore ONLY the shortlist, top-5 survive. The rerank
@@ -5538,6 +5568,80 @@ object PipelineQueries {
 
     // IVF+PQ replay: the e_ann_ivf_recall cell/probe CTEs bound the
     // candidates, the e_pq_recall codebook/encode/table CTEs score them
+    // the e_ivfpq_recall replay chain, re-emitting the top-10 LIST per
+    // query (score + rank) instead of the recall counts — the streaming
+    // serving result is bit-identical to the batch index's answer
+    "s_stream_ann" -> {
+      val m = Similarity.PqSubspaces
+      val k = Similarity.PqCodebookSize
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |), dims AS (
+         |  SELECT len(vec) // $m AS sub FROM c LIMIT 1
+         |), cells AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+         |    vec AS centroid
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT 16)
+         |), asg AS (
+         |  SELECT id, cell FROM (
+         |    SELECT c.id, cells.cell, row_number() OVER (PARTITION BY c.id
+         |      ORDER BY round(list_cosine_similarity(c.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+         |    FROM c, cells) WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.id AS query_id, cells.cell, row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(list_cosine_similarity(q.vec, cells.centroid), 4) DESC, cells.cell) AS rn
+         |    FROM c q, cells WHERE q.id < 5) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.id AS vec_id
+         |  FROM asg a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.id <> p.query_id
+         |), samp AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS j, vec
+         |  FROM (
+         |    SELECT id, vec,
+         |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'pqc'), 1, 15) AS BIGINT) AS hc
+         |    FROM c ORDER BY hc, id LIMIT $k)
+         |), cb AS (
+         |  SELECT mm.range AS m, j,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS cbv
+         |  FROM samp, range($m) mm, dims
+         |), sv AS (
+         |  SELECT id, mm.range AS m,
+         |    vec[(mm.range * sub + 1):((mm.range + 1) * sub)] AS svv
+         |  FROM c, range($m) mm, dims
+         |), enc AS (
+         |  SELECT id, m, j AS code FROM (
+         |    SELECT sv.id, sv.m, cb.j,
+         |      row_number() OVER (PARTITION BY sv.id, sv.m
+         |        ORDER BY CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) DESC, cb.j) AS rn
+         |    FROM sv JOIN cb ON sv.m = cb.m) WHERE rn = 1
+         |), qt AS (
+         |  SELECT sv.id AS query_id, sv.m, cb.j AS code,
+         |    CAST(floor(1000000 * list_dot_product(sv.svv, cb.cbv)) AS BIGINT) AS t_micro
+         |  FROM sv JOIN cb ON sv.m = cb.m WHERE sv.id < 5
+         |), pqs AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(SUM(t_micro) AS BIGINT) AS score
+         |  FROM cand JOIN enc ON enc.id = cand.vec_id
+         |  JOIN qt ON qt.query_id = cand.query_id
+         |    AND qt.m = enc.m AND qt.code = enc.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id, score AS score_micro,
+         |  CAST(rnk AS INT) AS rank
+         |FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rnk
+         |  FROM pqs)
+         |WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     "e_ivfpq_recall" -> {
       val m = Similarity.PqSubspaces
       val k = Similarity.PqCodebookSize

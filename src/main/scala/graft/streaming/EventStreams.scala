@@ -206,6 +206,19 @@ object EventStreams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over a testdata dir's embeddings (the query-vector
+    * stream of the online-serving gates). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
   /** Streaming decontamination filter — the ingest-time face of
     * `Dedup.contaminationReport`: drop any streamed doc sharing a shingle
     * with the benchmark set. The benchmark's hashed shingles are shipped as

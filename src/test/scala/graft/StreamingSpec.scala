@@ -231,6 +231,40 @@ class StreamingSpec extends SparkSpec {
     assert(Set(3L, 4L).subsetOf(kept), s"null docs must pass through: $kept")
   }
 
+  test("streaming IVF+PQ serving equals the batch index answer") {
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sf).select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"))
+    val dim = Similarity.inferDim(corpus)
+    val cells = Similarity.ivfSampledCells(corpus).persist()
+    val assigned = Similarity.ivfSampledAssign(corpus, cells).persist()
+    val cbs = Similarity.pqCodebooks(corpus, dim).persist()
+    val codes = Similarity.pqEncode(corpus, cbs, dim).persist()
+    val queriesDf = corpus.filter($"id" < 5)
+    val batch = Similarity.ivfPqTopK(corpus, queriesDf, 10,
+        prebuiltCells = Some(cells), prebuiltAssigned = Some(assigned),
+        prebuiltCodebooks = Some(cbs), prebuiltCodes = Some(codes))
+      .select($"query_id", $"vec_id", $"score_micro", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val st = EventStreams.readEmbeddings(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vec"))
+    val agg = Similarity.streamingIvfPqTopK(st, cells, assigned, cbs,
+      codes, kNN = 10, dim = dim)
+    val sunk = EventStreams.runToMemory(agg, "t_stream_ann",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val streamed = sunk.groupBy($"query_id")
+      .agg(max(struct($"n_cands", $"top")).as("mx"))
+      .select($"query_id", posexplode($"mx.top"))
+      .select($"query_id", $"col.vec_id".as("vec_id"),
+        (lit(0L) - $"col.ns").as("score_micro"),
+        ($"pos" + 1).cast("int").as("rank"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed == batch,
+      "the stream's answer must be bit-identical to batch ivfPqTopK")
+    assert(streamed.size == 50, s"5 queries x top-10: ${streamed.size}")
+  }
+
   test("as-of tier enrichment: boundaries, equal-ts purchases, tier 0") {
     // user 1: purchases at 1000, 5000 — events straddle every boundary;
     // user 2: never purchases (tier 0 via the LEFT join);

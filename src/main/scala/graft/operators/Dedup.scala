@@ -1050,6 +1050,89 @@ object Dedup {
        |FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
        |ORDER BY la.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ boilerplate
+  /** CCNet-style boilerplate stripping: drop every line whose document
+    * frequency WITHIN its source exceeds a strict majority (2·df > n_docs)
+    * — the shared header/footer/nav shape of a web crawl, removed per
+    * source group rather than corpus-first-wins (that is [[lineDedup]]'s
+    * job). Unlike line dedup, every copy of a boilerplate line is dropped
+    * (including the first) and non-majority shared lines survive in place.
+    *
+    * Scale shape: the line explode aggregates df on (source, line_fp) with
+    * map-side combine; the drop set is boilerplate-line-sized (tiny by
+    * definition — only majority lines qualify), so the anti-join
+    * broadcasts. No corpus-sized shuffle beyond the df aggregation and the
+    * per-doc reassembly group. The threshold is an integer cross-multiply
+    * (2·df > n), exact in both engines at every SF. */
+  def boilerplateStrip(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String): DataFrame = {
+    val lined = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+      .withColumn("lfp", fingerprint(col("line")))
+    val nDocs = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dropSet = lined.groupBy("source", "lfp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(nDocs, Seq("source"))
+      .filter(col("df") * 2 > col("n_docs"))
+      .select("source", "lfp")
+    val kept = lined.join(broadcast(dropSet), Seq("source", "lfp"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("i"), col("line")))),
+        x => x.getField("line"))).as("clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+  }
+
+  /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */
+  def boilerplateStripSql(table: String, idCol: String, srcCol: String,
+                          textExpr: String): String =
+    s"""WITH lined AS (
+       |  SELECT $idCol AS doc_id, $srcCol AS source, $textExpr AS text
+       |  FROM $table
+       |), larr AS (
+       |  SELECT doc_id, source, string_split(text, chr(10)) AS lines
+       |  FROM lined
+       |), l AS (
+       |  SELECT doc_id, source, s['i'] AS i, s['line'] AS line,
+       |    ${fingerprintSql("s['line']")} AS lfp FROM (
+       |    SELECT doc_id, source, unnest(list_transform(
+       |      generate_series(1, len(lines)),
+       |      i -> {'i': i, 'line': lines[i]})) AS s
+       |    FROM larr)
+       |), nd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM lined GROUP BY source
+       |), dfq AS (
+       |  SELECT source, lfp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM l GROUP BY source, lfp
+       |), drop_set AS (
+       |  SELECT d.source, d.lfp FROM dfq d
+       |  JOIN nd ON d.source = nd.source
+       |  WHERE d.df * 2 > nd.n_docs
+       |), kept AS (
+       |  SELECT l.doc_id, l.i, l.line FROM l
+       |  WHERE NOT EXISTS (SELECT 1 FROM drop_set ds
+       |                    WHERE ds.source = l.source AND ds.lfp = l.lfp)
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY i) AS clean
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT la.doc_id,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(la.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(a.clean, '')) AS clean_fp
+       |FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
+       |ORDER BY la.doc_id""".stripMargin
+
   // -------------------------------------------------------- decontamination
   /** Benchmark decontamination sweep: flag every corpus doc sharing at
     * least one shingle with the benchmark set (the n-gram-overlap test-set

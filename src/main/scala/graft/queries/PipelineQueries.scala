@@ -1399,6 +1399,23 @@ object PipelineQueries {
           lit("\nvisit us at "), col("source"), lit(" dot example")).as("text"))
       Dedup.lineDedup(lined, "doc_id", "text").orderBy("doc_id")}),
 
+    // CCNet-style per-source boilerplate strip: the planted header is in
+    // EVERY doc of its source (df ratio 1.0 → dropped, all copies), the
+    // newsletter line in 60% (majority → dropped), the promo line in 10%
+    // (shared but non-majority → kept). floor(doc_id/20)%10 decorrelates
+    // the plant from the source assignment (source = doc_id%20) so the
+    // ratios hold at every SF
+    "d_boilerplate" -> ((s, dir) => {
+      val q = floor(col("doc_id") / 20) % 10
+      val lined = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          lit("(c) "), col("source"), lit(" all rights reserved\n"),
+          col("text"),
+          when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
+          when(q === 3, lit("\nrare promo line")).otherwise(lit(""))).as("text"))
+      Dedup.boilerplateStrip(lined, "doc_id", "source", "text")
+        .orderBy("doc_id")}),
+
     // benchmark decontamination: src19 is the held-out benchmark; every
     // other doc is flagged by shared-shingle count — the n-gram-overlap
     // contamination sweep an LLM data pipeline runs before training
@@ -3443,6 +3460,13 @@ object PipelineQueries {
 
     "d_line_dedup" -> Dedup.lineDedupSql(docsT, "doc_id",
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),
+
+    "d_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id", "source",
+      "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
+        " || (CASE WHEN (doc_id // 20) % 10 < 6" +
+        " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
+        " || (CASE WHEN (doc_id // 20) % 10 = 3" +
+        " THEN chr(10) || 'rare promo line' ELSE '' END)"),
 
     "d_decontaminate" -> Dedup.contaminationReportSql(docsT, "doc_id", "text",
       "source <> 'src19'", "source = 'src19'"),

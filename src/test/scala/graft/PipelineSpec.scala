@@ -51,6 +51,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._3 == md)
   }
 
+  test("boilerplate strip drops per-source majority lines, ALL copies") {
+    val corpus = Seq(
+      // srcA (3 docs): "header a" in all 3 (dropped, every copy);
+      // "semi a" in 2 of 3 (majority -> dropped); bodies unique (kept)
+      (1L, "A", "header a\nbody one\nsemi a"),
+      (2L, "A", "header a\nsemi a\nbody two"),
+      (3L, "A", "header a\nbody three"),
+      // srcB (2 docs): "header a" appears in ONE of 2 -> not a majority
+      // there (2*1 > 2 is false) -> kept in srcB even though it is
+      // boilerplate in srcA: the threshold is per source
+      (4L, "B", "header a\nbody four"),
+      (5L, "B", "body five")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateStrip(corpus, "doc_id", "source", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 2) // header + semi dropped
+    assert(out(2L)._1 == 1 && out(2L)._2 == 2)
+    assert(out(3L)._1 == 1 && out(3L)._2 == 1) // header dropped, no semi
+    assert(out(4L)._1 == 2 && out(4L)._2 == 0) // srcB: header survives
+    assert(out(5L)._1 == 1 && out(5L)._2 == 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("body one".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md) // first copy does NOT survive, unlike lineDedup
+  }
+
   test("contamination report flags exactly the docs sharing benchmark shingles") {
     val corpus = Seq(
       (1L, "aa bb cc dd"),      // shares shingle "bb cc dd" with benchmark

@@ -1066,16 +1066,8 @@ object Dedup {
     * (2·df > n), exact in both engines at every SF. */
   def boilerplateStrip(docs: DataFrame, idCol: String, srcCol: String,
                        textCol: String): DataFrame = {
-    val lined = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-        posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
-      .withColumn("lfp", fingerprint(col("line")))
-    val nDocs = docs.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
-    val dropSet = lined.groupBy("source", "lfp")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .join(nDocs, Seq("source"))
-      .filter(col("df") * 2 > col("n_docs"))
-      .select("source", "lfp")
+    val lined = boilerplateLines(docs, idCol, srcCol, textCol)
+    val dropSet = boilerplateDropSet(docs, idCol, srcCol, textCol)
     val kept = lined.join(broadcast(dropSet), Seq("source", "lfp"), "left_anti")
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
@@ -1089,6 +1081,32 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+  }
+
+  /** `(doc_id, source, i, line, lfp)` line rows of [[boilerplateStrip]]'s
+    * explode — shared by the batch strip and the streaming per-batch
+    * form (which rebuilds these rows on the stream side). */
+  private[graft] def boilerplateLines(docs: DataFrame, idCol: String,
+                                      srcCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        posexplode(split(col(textCol), "\n")).as(Seq("i", "line")))
+      .withColumn("lfp", fingerprint(col("line")))
+
+  /** The `(source, lfp)` per-source majority-line DROP SET of
+    * [[boilerplateStrip]], exposed so a streaming ingest can clean
+    * micro-batches against the corpus-derived set (the persisted-index
+    * discipline of [[spanKeyIndex]]): boilerplate-line-sized by
+    * definition, so it ships as one static join side. */
+  def boilerplateDropSet(docs: DataFrame, idCol: String, srcCol: String,
+                         textCol: String): DataFrame = {
+    val lined = boilerplateLines(docs, idCol, srcCol, textCol)
+    val nDocs = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    lined.groupBy("source", "lfp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(nDocs, Seq("source"))
+      .filter(col("df") * 2 > col("n_docs"))
+      .select("source", "lfp")
   }
 
   /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */

@@ -2855,6 +2855,32 @@ object PipelineQueries {
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")}),
 
+    // STREAMING boilerplate strip at ingest: micro-batches clean against
+    // the corpus-derived per-source majority-line drop set (static side,
+    // stateless equi join + one update-mode per-doc reassembly, no
+    // driver collect) — shares d_boilerplate's planted text and oracle
+    // verbatim, pinning stream == batch
+    "s_stream_boilerplate" -> ((s, dir) => {
+      def plant(df: org.apache.spark.sql.DataFrame) = {
+        val q = floor(col("doc_id") / 20) % 10
+        df.select(col("doc_id"), col("source"),
+          concat(
+            lit("(c) "), col("source"), lit(" all rights reserved\n"),
+            col("text"),
+            when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
+            when(q === 3, lit("\nrare promo line")).otherwise(lit(""))).as("text"))
+      }
+      val dropSet = Dedup.boilerplateDropSet(plant(docs(s, dir)),
+        "doc_id", "source", "text")
+      val stream = plant(graft.streaming.EventStreams.readDocuments(s, dir))
+      val cleaned = graft.streaming.EventStreams
+        .boilerplateStripStream(stream, dropSet, "doc_id", "source", "text")
+      graft.streaming.EventStreams.runToMemory(cleaned,
+        "s_stream_boilerplate_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .orderBy("doc_id")}),
+
     // STREAMING blocklist filter at ingest: the d_blocklist wordlist as
     // a per-row stateless stream filter (append mode, no state) — the
     // cheapest place to kill blocked content is before it lands; gate
@@ -3462,6 +3488,15 @@ object PipelineQueries {
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),
 
     "d_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id", "source",
+      "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
+        " || (CASE WHEN (doc_id // 20) % 10 < 6" +
+        " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
+        " || (CASE WHEN (doc_id // 20) % 10 = 3" +
+        " THEN chr(10) || 'rare promo line' ELSE '' END)"),
+
+    // stream == batch: the streaming strip shares the batch twin verbatim
+    "s_stream_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id",
+      "source",
       "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
         " || (CASE WHEN (doc_id // 20) % 10 < 6" +
         " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +

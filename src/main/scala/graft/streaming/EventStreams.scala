@@ -395,6 +395,38 @@ object EventStreams {
         expr("array_join(transform(kept, r -> r.tok), ' ')").as("clean_text"))
   }
 
+  /** STREAMING boilerplate strip at ingest —
+    * [[graft.operators.Dedup.boilerplateStrip]]'s per-batch form: each
+    * streamed doc's lines are cleaned against the PERSISTED per-source
+    * majority-line drop set ([[graft.operators.Dedup.boilerplateDropSet]],
+    * computed once in batch over the corpus — the [[spanDedupStream]]
+    * index discipline). Stateless stream-static EQUI join on
+    * (source, lfp) (the drop set is boilerplate-sized, so the static side
+    * hash-joins per micro-batch), then ONE update-mode per-doc
+    * aggregation reassembles the kept lines — a doc is atomic within its
+    * micro-batch, so the memory sink sees exactly one update per doc.
+    * Output is column-identical to the batch strip (doc_id, n_kept,
+    * n_dropped, clean_fp), so the two forms share an oracle. */
+  def boilerplateStripStream(docsStream: DataFrame, dropSet: DataFrame,
+                             idCol: String, srcCol: String,
+                             textCol: String): DataFrame = {
+    val lined = graft.operators.Dedup
+      .boilerplateLines(docsStream, idCol, srcCol, textCol)
+    val marked = lined.join(
+      dropSet.select(col("source"), col("lfp"), lit(1).as("isdrop")),
+      Seq("source", "lfp"), "left")
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("isdrop").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(struct(col("i"), col("line"),
+          coalesce(col("isdrop"), lit(0)).as("d")))).as("rows"))
+      .withColumn("keptRows", expr("filter(rows, r -> r.d = 0)"))
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"),
+        md5(array_join(expr("transform(keptRows, r -> r.line)"), "\n"))
+          .as("clean_fp"))
+  }
+
   /** Streaming near-duplicate suppression: keep the first-arriving doc per
     * 60-bit SimHash signature (exact and trivially-near duplicates share
     * the signature; banded Hamming matching stays a batch sweep). The

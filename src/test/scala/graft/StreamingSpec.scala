@@ -190,6 +190,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3) == ((4L, 0, 0, "")), s"got ${streamed(3)}")
   }
 
+  test("streaming boilerplate strip equals the batch form across micro-batches") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpstream").toString
+    def writeFile(n: Int, rows: Seq[(Long, String, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    // srcA: "header a" in 3/3 (dropped everywhere), "semi a" 2/3 (dropped);
+    // srcB: "header a" in 1/2 -> kept there (threshold is per source).
+    // Docs split across TWO micro-batches: the drop set is static, the
+    // per-doc reassembly is batch-local, so the split must not matter.
+    val corpus = Seq(
+      (1L, "A", "header a\nbody one\nsemi a"),
+      (2L, "A", "header a\nsemi a\nbody two"),
+      (3L, "A", "header a\nbody three"),
+      (4L, "B", "header a\nbody four"),
+      (5L, "B", "body five"))
+    writeFile(1, corpus.take(2))
+    writeFile(2, corpus.drop(2))
+    val batchDf = corpus.toDF("doc_id", "source", "text")
+    val dropSet = graft.operators.Dedup
+      .boilerplateDropSet(batchDf, "doc_id", "source", "text")
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val streamed = EventStreams.runToMemory(
+      EventStreams.boilerplateStripStream(st, dropSet,
+        "doc_id", "source", "text"),
+      "t_bp_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val batch = graft.operators.Dedup
+      .boilerplateStrip(batchDf, "doc_id", "source", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+    assert(streamed(3)._2 == 2 && streamed(3)._3 == 0) // srcB keeps header
+  }
+
   test("streaming near-dup suppression keeps one doc per simhash signature") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

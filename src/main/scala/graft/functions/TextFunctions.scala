@@ -130,6 +130,123 @@ object TextFunctions {
         coalesce(col("n_distinct"), lit(0)).as("n_distinct"))
   }
 
+  /** Gopher-style repetition panel (Rae et al. 2021, Table A1) — the
+    * character-OCCUPANCY repetition rules [[repetitionStats]]'s bigram
+    * distinctness cannot see: per doc the duplicate-LINE fraction and the
+    * fraction of characters in duplicate lines, in the single most
+    * frequent word 2-gram (tie → lexicographically first), and in all
+    * word 3-grams occurring ≥ 2 times (the standard non-overlap-adjusted
+    * form: Σ count·len over duplicated grams — documented proxy for the
+    * paper's overlap-deduped character count). All four signals are
+    * integer micro-fractions via `(1e6·a) div b` (pure integer, exact in
+    * both engines), and `keep` applies the paper's thresholds (0.30 /
+    * 0.20 / 0.20 / 0.18) as integer comparisons.
+    *
+    * Scale shape: three explode → (doc, gram)-keyed counts → doc-keyed
+    * reductions, every aggregation map-side combinable; no joins beyond
+    * the doc_id-keyed reassembly of the four panel columns. The top-2gram
+    * argmax is a struct-min aggregate, not a ranking window. */
+  def gopherRepetitionStats(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      greatest(length(col(textCol)), lit(1)).cast("long").as("n_chars"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+    val lineAgg = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt") - 1).as("dup_lines"),
+        sum((col("cnt") - 1) * length(col("line"))).as("dup_line_chars"))
+    val bgTop = docs.select(col(idCol).as("doc_id"),
+        explode(bigrams(col(textCol))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        min(struct((-col("cnt")).as("nc"), col("g"))).as("m"))
+      .select(col("doc_id"),
+        (-col("m.nc") * length(col("m.g"))).as("top2_chars"))
+    val tgDup = docs.select(col(idCol).as("doc_id"),
+        explode(trigrams(col(textCol))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id").agg(
+        sum(col("cnt") * length(col("g"))).as("dup3_chars"))
+    base.join(lineAgg, Seq("doc_id"), "left")
+      .join(bgTop, Seq("doc_id"), "left")
+      .join(tgDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        expr("(1000000 * coalesce(dup_lines, 0)) div n_lines")
+          .as("dup_line_micro"),
+        expr("(1000000 * coalesce(dup_line_chars, 0)) div n_chars")
+          .as("dup_line_char_micro"),
+        expr("(1000000 * coalesce(top2_chars, 0)) div n_chars")
+          .as("top2_char_micro"),
+        expr("(1000000 * coalesce(dup3_chars, 0)) div n_chars")
+          .as("dup3_char_micro"))
+      .withColumn("keep",
+        col("dup_line_micro") <= 300000L &&
+          col("dup_line_char_micro") <= 200000L &&
+          col("top2_char_micro") <= 200000L &&
+          col("dup3_char_micro") <= 180000L)
+  }
+
+  /** DuckDB twin of [[gopherRepetitionStats]] over `textExpr`; the
+    * argmax replays as a (cnt DESC, g) ranking window — same total
+    * order, different plan. */
+  def gopherRepetitionStatsSql(table: String, idCol: String,
+                               textExpr: String): String =
+    s"""WITH d AS (
+       |  SELECT $idCol AS doc_id, $textExpr AS text FROM $table
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+       |  FROM d
+       |), ln AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+       |), lc AS (
+       |  SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY 1, 2
+       |), la AS (
+       |  SELECT doc_id, CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
+       |    CAST(sum((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars
+       |  FROM lc GROUP BY 1
+       |), bgc AS (
+       |  SELECT doc_id, g, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${bigramsSql("text")}) AS g FROM d)
+       |  GROUP BY 1, 2
+       |), bgt AS (
+       |  SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top2_chars
+       |  FROM (SELECT doc_id, g, cnt, row_number()
+       |          OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+       |        FROM bgc) WHERE rn = 1
+       |), tgc AS (
+       |  SELECT doc_id, g, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(${trigramsSql("text")}) AS g FROM d)
+       |  GROUP BY 1, 2
+       |), tga AS (
+       |  SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT) AS dup3_chars
+       |  FROM tgc WHERE cnt >= 2 GROUP BY 1
+       |), panel AS (
+       |  SELECT b.doc_id, b.n_lines,
+       |    (1000000 * coalesce(la.dup_lines, 0)) // b.n_lines
+       |      AS dup_line_micro,
+       |    (1000000 * coalesce(la.dup_line_chars, 0)) // b.n_chars
+       |      AS dup_line_char_micro,
+       |    (1000000 * coalesce(bgt.top2_chars, 0)) // b.n_chars
+       |      AS top2_char_micro,
+       |    (1000000 * coalesce(tga.dup3_chars, 0)) // b.n_chars
+       |      AS dup3_char_micro
+       |  FROM base b
+       |  LEFT JOIN la ON b.doc_id = la.doc_id
+       |  LEFT JOIN bgt ON b.doc_id = bgt.doc_id
+       |  LEFT JOIN tga ON b.doc_id = tga.doc_id
+       |)
+       |SELECT doc_id, n_lines, dup_line_micro, dup_line_char_micro,
+       |  top2_char_micro, dup3_char_micro,
+       |  (dup_line_micro <= 300000 AND dup_line_char_micro <= 200000
+       |   AND top2_char_micro <= 200000 AND dup3_char_micro <= 180000)
+       |    AS keep
+       |FROM panel ORDER BY doc_id""".stripMargin
+
   /** Flesch readability profile — the classic surface-level difficulty
     * signal a quality-filtering pipeline runs next to the Gopher-style
     * counts: per doc the word count (whitespace tokens), sentence count

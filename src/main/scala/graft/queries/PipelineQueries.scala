@@ -663,6 +663,25 @@ object PipelineQueries {
       TextFunctions.repetitionStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher repetition panel (char-occupancy rules): planted repetition
+    // keeps every rule non-vacuous at all SFs — doc_id%10 selects docs
+    // that get 4 duplicate lines (line rules), a 7× repeated word (the
+    // top-2gram rule), or a 3× repeated phrase (the dup-3gram rule);
+    // whether a planted doc crosses a threshold depends on its length,
+    // so keep lands mixed rather than constant
+    "d_gopher_rep" -> ((s, dir) => {
+      val q = pmod(col("doc_id"), lit(10))
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(q === 0, lit("\nrepeat me line\nrepeat me line" +
+            "\nrepeat me line\nrepeat me line")).otherwise(lit("")),
+          when(q === 1, lit(" badger badger badger badger badger" +
+            " badger badger")).otherwise(lit("")),
+          when(q === 2, lit(" one two three one two three one two three"))
+            .otherwise(lit(""))).as("text"))
+      TextFunctions.gopherRepetitionStats(planted, "doc_id", "text")
+        .orderBy("doc_id")}),
+
     // --- dedup -----------------------------------------------------------
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
@@ -3486,6 +3505,17 @@ object PipelineQueries {
 
     "d_line_dedup" -> Dedup.lineDedupSql(docsT, "doc_id",
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),
+
+    "d_gopher_rep" -> TextFunctions.gopherRepetitionStatsSql(docsT, "doc_id",
+      "text" +
+        " || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 1 THEN" +
+        " ' badger badger badger badger badger badger badger'" +
+        " ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 2 THEN" +
+        " ' one two three one two three one two three' ELSE '' END)"),
 
     "d_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id", "source",
       "'(c) ' || source || ' all rights reserved' || chr(10) || text" +

@@ -1031,6 +1031,30 @@ class PipelineSpec extends SparkSpec {
     assert(stats == out)
   }
 
+  test("gopher repetition panel: line, top-2gram and dup-3gram occupancy") {
+    val df = Seq(
+      (1L, "aa\naa\nbb"),       // dup line: "aa" x2 of 3 lines, 8 chars
+      (2L, "x y x y x y"),      // top 2-gram "x y" x3, dup 3-grams x2+x2
+      (3L, "all words differ entirely")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.gopherRepetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: dup_line = 1e6*1 div 3; dup_line_chars = 1*len("aa") of 8;
+    // bigram tie ("aa aa","aa bb" both x1) -> lexicographic first "aa aa"
+    // (5 chars x1) of 8 chars; no duplicated trigram
+    assert(out(1L) == ((1L, 3L, 333333L, 250000L, 625000L, 0L, false)))
+    // doc 2: one line, no dups; "x y" x3 * 3 chars = 9 of 11;
+    // trigrams "x y x" x2 + "y x y" x2 -> (2*5 + 2*5) = 20 of 11
+    // (overlap-counted: the documented proxy exceeds 1e6 here)
+    assert(out(2L) == ((2L, 1L, 0L, 0L, 818181L, 1818181L, false)))
+    // doc 3: zero repetition everywhere; top 2-gram is a singleton
+    // ("all words", 9 chars of 25 = 360000 > 0.2 -> short-doc guardrail
+    // fires, the known small-doc behavior of the occupancy proxy)
+    assert(out(3L)._3 == 0L && out(3L)._6 == 0L && !out(3L)._7)
+    assert(out(3L)._5 == 360000L)
+  }
+
   test("text functions: token count, fingerprint, langid determinism") {
     val df = Seq((1L, "  the cat and the hat  "), (2L, ""), (3L, "der hund ist nicht ein"))
       .toDF("doc_id", "text")

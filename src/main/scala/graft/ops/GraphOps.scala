@@ -2353,6 +2353,58 @@ object GraphOps {
       .select("x", "y", "z")
   }
 
+  /** Edge-EMBEDDEDNESS histogram (Granovetter weak ties): for every
+    * undirected edge, its embeddedness = triangle support = |N(u)∩N(v)|,
+    * reduced to `(support, n_edges)` — the support-0 row counts the graph's
+    * LOCAL BRIDGES (edges whose endpoints share no neighbor, the weak-tie /
+    * Burt structural-hole signal), and the histogram's mass profile is the
+    * community-embeddedness curve tie-strength studies plot. Reference
+    * analog: per-edge neighborhood intersection, `common_neighbors`
+    * (graph.py:751) evaluated edge-wise.
+    *
+    * Scale shape: one degree-oriented triangle enumeration (the
+    * [[kTruss]] wedge discipline — per-node wedge count bounded O(√m) by
+    * the orientation, so a 300-spoke hub contributes zero wedge rows),
+    * support counted on the ORIENTED edge identity (orientation is a
+    * bijection on edges, so the histogram is identical to the lexical
+    * form), then a support-sized final aggregate. No corpus-sized frame is
+    * ever joined unkeyed. */
+  def edgeSupportHist(und: DataFrame): DataFrame = {
+    val eo = degreeOriented(und.select(col("u"), col("v")))
+      .localCheckpoint(true)
+    val wc = eo.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = orientedWedgesOf(eo)
+      .join(wc, col("x") === col("x3") && col("z") === col("z3"))
+      .select("x", "y", "z")
+    val sup = tri.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+      .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("s"))
+    eo.join(sup, Seq("a", "b"), "left")
+      .select(coalesce(col("s"), lit(0L)).as("support"))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** DuckDB twin of [[edgeSupportHist]] over an undirected lexical edge
+    * CTE `und`(u, v) — the simpler lexical triangle enumeration (same
+    * triangle set, same per-edge support). */
+  def edgeSupportHistSql(und: String): String =
+    s"""tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM $und a JOIN $und b ON b.u = a.v
+       |  JOIN $und c ON c.u = a.u AND c.v = b.v
+       |), te AS (
+       |  SELECT x AS u, y AS v FROM tri
+       |  UNION ALL SELECT y, z FROM tri
+       |  UNION ALL SELECT x, z FROM tri
+       |), sup AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM te GROUP BY u, v
+       |)
+       |SELECT coalesce(sup.s, 0) AS support,
+       |  CAST(count(*) AS BIGINT) AS n_edges
+       |FROM $und e LEFT JOIN sup ON e.u = sup.u AND e.v = sup.v
+       |GROUP BY 1 ORDER BY support""".stripMargin
+
   def kTruss(g: KinGraph, k: Int, rounds: Int): DataFrame = {
     // The LOOP STATE lives in (degree, key)-oriented form (a -> b): the
     // orientation is computed ONCE on the input graph (any fixed total

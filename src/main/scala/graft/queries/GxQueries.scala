@@ -281,6 +281,16 @@ object GxQueries {
         .select(col("pa").as("src"), col("pb").as("dst"))
       GraphOps.triadCensus(de)}),
 
+    // EDGE-EMBEDDEDNESS histogram over the canonical undirected union
+    // graph: support = |N(u)∩N(v)| per edge, reduced to (support,
+    // n_edges) — support 0 counts the LOCAL BRIDGES (Granovetter weak
+    // ties / Burt structural holes), the tie-strength curve community
+    // studies plot. Degree-oriented triangle enumeration (the gx_ktruss
+    // skew discipline) on the Spark side; the oracle replays the simpler
+    // lexical wedge join (identical triangle set). Exact i64 end-to-end
+    "gx_embed" -> ((s, dir) =>
+      GraphOps.edgeSupportHist(sharedUnd(s, dir)).orderBy("support")),
+
     // WEISFEILER-LEHMAN color refinement (3 rounds) over the canonical
     // undirected union graph: per-node structural-equivalence classes —
     // two nodes share a round-r label iff their radius-r unfolding
@@ -1832,6 +1842,12 @@ object GxQueries {
          |SELECT a.id AS row_id, b.id AS col_id, pe.quantity AS value
          |FROM pe JOIN ids a ON pe.src = a.key JOIN ids b ON pe.dst = b.key
          |ORDER BY row_id, col_id""".stripMargin,
+
+    "gx_embed" ->
+      s"""$cte, und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), ${GraphOps.edgeSupportHistSql("und")}""".stripMargin,
 
     "gx_triangles" ->
       s"""$cte, und AS (

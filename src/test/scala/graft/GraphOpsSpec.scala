@@ -663,6 +663,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.orientedWedges(lex).filter($"y" === "hub").count() == 0L)
   }
 
+  test("edgeSupportHist: triangle support per edge, bridges at support 0") {
+    // two triangles sharing edge (b,c) + a pendant local bridge (d,e):
+    // (b,c) sits in 2 triangles, the other 4 triangle edges in 1,
+    // (d,e) in none
+    val und = Seq(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),
+      ("d","e")).toDF("u", "v")
+    val hist = GraphOps.edgeSupportHist(und)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(0L -> 1L, 1L -> 4L, 2L -> 1L), s"got $hist")
+  }
+
   test("louvainOneLevel: good partition is a fixpoint, bad label moves with exact gain") {
     // two triangles bridged by a1-b1; m = 7, all hand-checkable
     val und = Seq(("a1","a2"),("a1","a3"),("a2","a3"),

@@ -332,6 +332,56 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[gainStats]]: loudness-normalization profile of one
+    * PCM payload. */
+  case class GainStats(media_id: Long, n_samples: Int, peak: Int,
+                       n_clipped: Int, sum_sq: Long, gain_micro: Long,
+                       rms_micro: Long)
+
+  /** Loudness-normalization pass over PCM-16 WAV payloads — the gain
+    * computation an audio pipeline runs before resampling/feature
+    * extraction: per payload the PEAK (max |s|; |−32768| counts as
+    * 32768), the CLIPPED-sample count (s at either int16 rail — the
+    * re-record/re-encode quality signal), the exact Σs² energy, the
+    * peak-normalization factor `gain_micro = (10⁶·32767) div max(peak,1)`
+    * (pure integer division) and the RMS in floor-micro units. The RMS is
+    * the one float: sqrt(Σs²/n) is two IEEE basic ops on exact integers,
+    * so `floor(10⁶·rms)` replays engine-exactly (the d_temperature /
+    * gx_assort discipline — sqrt is correctly rounded in both engines).
+    * Pure partition-batched scan: one output row per payload, no shuffle,
+    * no driver. Malformed/non-PCM payloads drop ([[decodeMedia]] owns
+    * triage). */
+  def gainStats(media: DataFrame): Dataset[GainStats] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          try {
+            pcm16DataRange(bytes).map { case (dOff, n) =>
+              var (peak, clip, sumSq) = (0, 0, 0L)
+              var i = 0
+              while (i < n) {
+                val s = pcm16Sample(bytes, dOff, i)
+                val a = math.abs(s) // abs(-32768) = 32768 fits Int
+                if (a > peak) peak = a
+                if (s == 32767 || s == -32768) clip += 1
+                sumSq += s.toLong * s
+                i += 1
+              }
+              val gain = 32767L * 1000000L / math.max(peak, 1)
+              val rms =
+                if (n == 0) 0L
+                else math.floor(1e6 * math.sqrt(sumSq.toDouble / n)).toLong
+              GainStats(id, n, peak, clip, sumSq, gain, rms)
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
   /** Output row of [[pcmWindowFeatures]]: exact integer features of one
     * fixed-length analysis window. */
   case class PcmWindowFeatures(media_id: Long, win_idx: Int, n_win: Long,

@@ -154,11 +154,24 @@ object PipelineQueries {
     * m_resample: doc_id%16+2 signed LE16 samples with
     * sample[k] = signed((doc_id·31 + k·997) % 65536) — canonical 44-byte
     * layout, every decoded stat a closed-form function of doc_id. */
-  private def plantedWavHex(d: Column): Column = {
+  private def plantedWavHex(d: Column): Column =
+    plantedWavHexOf(d, (dd, k) => pmod(dd * 31 + k * 997, lit(65536L)))
+
+  /** [[plantedWavHex]] with the int16 RAILS planted: docs with
+    * doc_id%10 == 5 get sample[0] = 32767 and sample[1] = −32768
+    * (LE16 0x8000), so m_gain's clipped-sample census is non-vacuous at
+    * every SF; all other samples keep the shared arithmetic. */
+  private def plantedGainWavHex(d: Column): Column =
+    plantedWavHexOf(d, (dd, k) =>
+      when(pmod(dd, lit(10L)) === 5 && k < 2,
+          when(k === 0, lit(32767L)).otherwise(lit(32768L)))
+        .otherwise(pmod(dd * 31 + k * 997, lit(65536L))))
+
+  private def plantedWavHexOf(d: Column,
+                              sample: (Column, Column) => Column): Column = {
     val n = pmod(d, lit(16L)) + 2
     val samples = array_join(
-      transform(sequence(lit(0L), n - 1),
-        k => leHexC(pmod(d * 31 + k * 997, lit(65536L)), 2)), "")
+      transform(sequence(lit(0L), n - 1), k => leHexC(sample(d, k), 2)), "")
     concat(
       lit("52494646"), leHexC(lit(36L) + n * 2, 4), lit("57415645"),
       lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
@@ -2780,6 +2793,18 @@ object PipelineQueries {
         .select(d.as("media_id"), unhex(plantedWavHex(d)).as("content"))
       Multimodal.pcmWindowFeatures(media, 4).toDF()
         .orderBy("media_id", "win_idx")}),
+
+    // REAL loudness-normalization pass under oracle: peak / clipped-rail
+    // census / exact Σs² / integer peak-gain / floor-micro RMS over the
+    // planted WAVs (rails planted on doc_id%10==5 so the clip branch
+    // fires at every SF) — the gain computation an audio pipeline runs
+    // before resample and feature extraction. RMS is sqrt∘div on exact
+    // integers, IEEE-exact in both engines
+    "m_gain" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).filter(pmod(d, lit(2)) === 1)
+        .select(d.as("media_id"), unhex(plantedGainWavHex(d)).as("content"))
+      Multimodal.gainStats(media).toDF().orderBy("media_id")}),
 
     // REAL silence-run detection under oracle (the VAD-adjacent dead-air
     // / trimmable-lead-in pass): |s| ≤ 8192 over the planted WAVs'
@@ -5929,6 +5954,39 @@ object PipelineQueries {
     // s_k = signed((31d + 997k) % 65536) re-derived directly; Σ|s| and
     // the window-local sign-flip count are order-free integers
     "m_audio" -> mAudioSql,
+
+    // planted-sample replay incl. the doc_id%10==5 rail plant; gain is
+    // pure integer division, rms = floor(1e6·sqrt(Σs²/n)) — IEEE-exact
+    "m_gain" ->
+      """WITH base AS (
+        |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
+        |  WHERE doc_id % 2 = 1
+        |), smps AS (
+        |  SELECT d, n, list_transform(generate_series(0, n - 1),
+        |    k -> CASE WHEN d % 10 = 5 AND k < 2
+        |              THEN CASE WHEN k = 0 THEN 32767 ELSE -32768 END
+        |              ELSE CASE WHEN (d * 31 + k * 997) % 65536 < 32768
+        |                        THEN (d * 31 + k * 997) % 65536
+        |                        ELSE (d * 31 + k * 997) % 65536 - 65536
+        |                   END END) AS smp
+        |  FROM base
+        |), f AS (
+        |  SELECT d, n,
+        |    list_aggregate(list_transform(smp, x -> abs(x)), 'max') AS peak,
+        |    coalesce(list_aggregate(list_transform(smp,
+        |      x -> CASE WHEN x = 32767 OR x = -32768 THEN 1 ELSE 0 END),
+        |      'sum'), 0) AS n_clipped,
+        |    list_aggregate(list_transform(smp, x -> x * x), 'sum') AS sum_sq
+        |  FROM smps
+        |)
+        |SELECT d AS media_id, CAST(n AS INT) AS n_samples,
+        |  CAST(peak AS INT) AS peak, CAST(n_clipped AS INT) AS n_clipped,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  (CAST(32767 AS BIGINT) * 1000000)
+        |    // greatest(CAST(peak AS BIGINT), 1) AS gain_micro,
+        |  CAST(floor(1000000 * sqrt(CAST(sum_sq AS DOUBLE) / n)) AS BIGINT)
+        |    AS rms_micro
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // planted-sample replay + gaps-and-islands run rebuild
     "m_silence" -> mSilenceSql,

@@ -104,6 +104,36 @@ class MultimodalSpec extends SparkSpec {
     // the boundary pair 6→−9 crosses zero but spans windows: never counted
   }
 
+  test("gainStats: peak incl. the negative rail, clip census, exact RMS") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      val body = fmt ++ "data".getBytes ++ le32(data.length) ++ data
+      "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    }
+    val out = Multimodal.gainStats(Seq(
+        (1L, wav(Seq(100, -200, 32767, -32768, 0))),
+        (2L, wav(Seq(3, -4))))
+      .toDF("media_id", "content"))
+      .collect().map(g => g.media_id -> g).toMap
+    val g1 = out(1L)
+    // peak = |−32768| = 32768 (beyond the positive rail), both rails clip
+    assert(g1.n_samples == 5 && g1.peak == 32768 && g1.n_clipped == 2)
+    assert(g1.sum_sq == 100L * 100 + 200L * 200 + 32767L * 32767 +
+      32768L * 32768)
+    assert(g1.gain_micro == 32767L * 1000000L / 32768L)
+    assert(g1.rms_micro ==
+      math.floor(1e6 * math.sqrt(g1.sum_sq.toDouble / 5)).toLong)
+    // unclipped clip-free payload: gain amplifies (> 1e6)
+    val g2 = out(2L)
+    assert(g2.peak == 4 && g2.n_clipped == 0 && g2.sum_sq == 25L)
+    assert(g2.gain_micro == 32767L * 1000000L / 4)
+  }
+
   test("imageHashes: same raster hashes equal across PNG/BMP encodings") {
     // known 4x2 blue raster; red/green constant so only blue drives bits
     val blue = Array(Array(10, 250, 30, 30), Array(200, 5, 5, 90))

@@ -2679,6 +2679,89 @@ object GraphOps {
          |)""".stripMargin
     }.mkString(", ")
 
+  /** Seed-rooted bounded BOW-TIE decomposition (Broder et al.'s web-graph
+    * macro-structure, rooted at a seed set the way [[bfsReachCurve]]
+    * roots its percolation probe): nodes that both reach the seeds and
+    * are reached from them within `rounds` directed hops form the CORE,
+    * reach-only is IN, reached-only is OUT, the rest OTHER — returned as
+    * the `(component, n_nodes)` census. Self-loops and duplicate edges
+    * are dropped first (they never change reachability).
+    *
+    * Scale shape: two directed BFS frontiers (forward + backward) expand
+    * as ONE tagged loop over a variant-keyed adjacency cache — per round
+    * one keyed equi-join + distinct on the SPARSE reached set (the
+    * gx_attack discipline), checkpoint + statsReset per the iterative-op
+    * rules; the final classification is two reached-set-sized left joins
+    * against the node frame. Nothing node² anywhere. */
+  def bowtieCensus(edges: DataFrame, seeds: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = CacheScope.cached(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val adj = CacheScope.cached(
+      e.select(lit("f").as("variant"), col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(lit("b").as("variant"),
+          col("dst").as("a"), col("src").as("b")))
+        .repartition(col("a")))
+    var reached = seeds.select(col("key"))
+      .withColumn("variant", explode(array(lit("f"), lit("b"))))
+      .select(col("variant"), col("key")).distinct()
+    for (_ <- 1 to rounds) {
+      reached = statsReset(reached.unionByName(
+          adj.join(reached.withColumnRenamed("key", "a"),
+              Seq("variant", "a"))
+            .select(col("variant"), col("b").as("key")))
+        .distinct().localCheckpoint(true))
+    }
+    val nodes = e.select(col("src").as("key"))
+      .unionByName(e.select(col("dst").as("key"))).distinct()
+    val f = reached.filter(col("variant") === "f")
+      .select(col("key"), lit(1).as("fwd"))
+    val b = reached.filter(col("variant") === "b")
+      .select(col("key"), lit(1).as("bwd"))
+    nodes.join(f, Seq("key"), "left").join(b, Seq("key"), "left")
+      .select(when(col("fwd").isNotNull && col("bwd").isNotNull, "core")
+        .when(col("bwd").isNotNull, "in")
+        .when(col("fwd").isNotNull, "out")
+        .otherwise("other").as("component"))
+      .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Unrolled DIRECTED reach CTEs over edge CTE `$edges`(src, dst) from
+    * seed CTE `$seeds`(key) — the directed sibling of
+    * [[bfsReachCurveSql]]; `reversed` walks dst→src. */
+  def directedReachSql(prefix: String, edges: String, seeds: String,
+                       rounds: Int, reversed: Boolean): String = {
+    val (s, d) = if (reversed) ("dst", "src") else ("src", "dst")
+    (1 to rounds).map { k =>
+      val prev = if (k == 1) seeds else s"$prefix${k - 1}"
+      s"""$prefix$k AS MATERIALIZED (
+         |  SELECT DISTINCT key FROM (
+         |    SELECT key FROM $prev
+         |    UNION ALL
+         |    SELECT e.$d AS key FROM $edges e JOIN $prev p ON p.key = e.$s)
+         |)""".stripMargin
+    }.mkString(", ")
+  }
+
+  /** DuckDB twin of [[bowtieCensus]]: forward/backward unrolled reach +
+    * the classification census, over deduped self-loop-free edge CTE
+    * `$edges`(src, dst), seed CTE `$seeds`(key), node CTE `$nodes`(key). */
+  def bowtieCensusSql(edges: String, seeds: String, nodes: String,
+                      rounds: Int): String =
+    s"""${directedReachSql("btf", edges, seeds, rounds, reversed = false)},
+       |${directedReachSql("btb", edges, seeds, rounds, reversed = true)}
+       |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+       |  SELECT CASE
+       |    WHEN f.key IS NOT NULL AND b.key IS NOT NULL THEN 'core'
+       |    WHEN b.key IS NOT NULL THEN 'in'
+       |    WHEN f.key IS NOT NULL THEN 'out'
+       |    ELSE 'other' END AS component
+       |  FROM $nodes n
+       |  LEFT JOIN btf$rounds f ON n.key = f.key
+       |  LEFT JOIN btb$rounds b ON n.key = b.key)
+       |GROUP BY 1 ORDER BY component""".stripMargin
+
   /** WEISFEILER-LEHMAN color refinement over an undirected edge set
     * (u, v): every node starts in one class (label 0) and each round
     * re-hashes (own label | sorted multiset of neighbor labels), so

@@ -257,6 +257,35 @@ object GxQueries {
       GraphOps.temporalReachability(tedges, seeds, rounds = 4)
         .orderBy("key")}),
 
+    // BOW-TIE decomposition (Broder web-graph macro-structure) of the
+    // BOND-PERCOLATED part-sequencing digraph, rooted at the 3
+    // lowest-hash nodes (data-adaptive seed discipline) with a 4-hop
+    // radius: core / in / out / other census from one tagged
+    // forward+backward BFS loop. The percolation (keep an edge iff its
+    // pair hash ≡ 0 mod 8) is the SF-density fix: the raw sequencing
+    // graph's avg degree is SF-CONSTANT ~30, so any fixed radius
+    // saturates to all-core at every scale; at p=1/8 the branching
+    // factor is ~2 and a 4-hop reach stays a sparse subset of the
+    // SF-scaling part domain. Exact i64 counts
+    "gx_bowtie" -> ((s, dir) => {
+      val li = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("pb"))
+      val de = a.join(b, Seq("ok", "ln"))
+        .filter(col("pa") =!= col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst")).distinct()
+        .filter(pmod(graft.functions.TextFunctions.hash60(
+          concat(col("src").cast("string"), lit("|"),
+            col("dst").cast("string"))), lit(8L)) === 0)
+      val nodes = de.select(col("src").as("key"))
+        .union(de.select(col("dst"))).distinct()
+      val seeds = nodes.orderBy(graft.functions.TextFunctions.hash60(
+          col("key").cast("string")), col("key")).limit(3)
+      GraphOps.bowtieCensus(de, seeds, rounds = 4).orderBy("component")}),
+
     // DIRECTED TRIAD census over the part-sequencing network: within
     // each order, consecutive line numbers chain their PARTS (part of
     // line i feeds line i+1), giving a genuinely CYCLIC directed graph
@@ -1185,6 +1214,26 @@ object GxQueries {
          |  LIMIT 3
          |), ${GraphOps.temporalReachabilitySql("tre", "trs", 4)}
          |SELECT key, arr FROM tr4 ORDER BY key""".stripMargin,
+
+    "gx_bowtie" ->
+      s"""WITH bte AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |    FROM lineitem a JOIN lineitem b
+         |      ON b.l_orderkey = a.l_orderkey
+         |     AND b.l_linenumber = a.l_linenumber + 1
+         |    WHERE a.l_partkey <> b.l_partkey)
+         |  WHERE ${graft.functions.TextFunctions.hash60Sql(
+              "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")} % 8 = 0
+         |), btn AS MATERIALIZED (
+         |  SELECT DISTINCT k AS key FROM (
+         |    SELECT src AS k FROM bte UNION ALL SELECT dst FROM bte)
+         |), bts AS (
+         |  SELECT key FROM btn
+         |  ORDER BY ${graft.functions.TextFunctions.hash60Sql(
+              "CAST(key AS VARCHAR)")}, key
+         |  LIMIT 3
+         |), ${GraphOps.bowtieCensusSql("bte", "bts", "btn", 4)}""".stripMargin,
 
     "gx_triads" ->
       """WITH tse AS MATERIALIZED (

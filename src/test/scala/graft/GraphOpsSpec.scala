@@ -663,6 +663,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.orientedWedges(lex).filter($"y" === "hub").count() == 0L)
   }
 
+  test("bowtieCensus: seed-rooted core/in/out/other classification") {
+    // cycle a->b->c->a is the core when seeded at a; d feeds in, e flows
+    // out, (f,g) is disconnected; self-loop + duplicate edge must be inert
+    val de = Seq(("a","b"),("b","c"),("c","a"),("d","a"),("c","e"),
+      ("f","g"),("a","b"),("b","b")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("key")
+    val out = GraphOps.bowtieCensus(de, seeds, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("core" -> 3L, "in" -> 1L, "out" -> 1L, "other" -> 2L),
+      s"got $out")
+  }
+
   test("edgeSupportHist: triangle support per edge, bridges at support 0") {
     // two triangles sharing edge (b,c) + a pendant local bridge (d,e):
     // (b,c) sits in 2 triangles, the other 4 triangle edges in 1,

@@ -2914,8 +2914,11 @@ object PipelineQueries {
             when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
             when(q === 3, lit("\nrare promo line")).otherwise(lit(""))).as("text"))
       }
+      // materialize the boilerplate-sized drop set ONCE: the static side
+      // re-plans per micro-batch, and without the checkpoint each batch
+      // re-runs the full corpus df aggregation (7.7s -> plan-sized)
       val dropSet = Dedup.boilerplateDropSet(plant(docs(s, dir)),
-        "doc_id", "source", "text")
+        "doc_id", "source", "text").localCheckpoint(true)
       val stream = plant(graft.streaming.EventStreams.readDocuments(s, dir))
       val cleaned = graft.streaming.EventStreams
         .boilerplateStripStream(stream, dropSet, "doc_id", "source", "text")

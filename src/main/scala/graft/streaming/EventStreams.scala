@@ -413,7 +413,8 @@ object EventStreams {
     val lined = graft.operators.Dedup
       .boilerplateLines(docsStream, idCol, srcCol, textCol)
     val marked = lined.join(
-      dropSet.select(col("source"), col("lfp"), lit(1).as("isdrop")),
+      broadcast(dropSet.select(col("source"), col("lfp"),
+        lit(1).as("isdrop"))),
       Seq("source", "lfp"), "left")
     marked.groupBy("doc_id").agg(
         count(lit(1)).as("n_lines"),

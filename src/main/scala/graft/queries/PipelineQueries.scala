@@ -2928,6 +2928,30 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING Gopher repetition panel at ingest: the d_gopher_rep
+    // quality gate as one tagged explode union + ONE update-mode per-doc
+    // aggregation (no corpus state, no driver collect) — shares
+    // d_gopher_rep's planted text and oracle verbatim, pinning
+    // stream == batch on all four occupancy signals and the verdict
+    "s_stream_gopher" -> ((s, dir) => {
+      val q = pmod(col("doc_id"), lit(10))
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(q === 0, lit("\nrepeat me line\nrepeat me line" +
+              "\nrepeat me line\nrepeat me line")).otherwise(lit("")),
+            when(q === 1, lit(" badger badger badger badger badger" +
+              " badger badger")).otherwise(lit("")),
+            when(q === 2, lit(" one two three one two three one two three"))
+              .otherwise(lit(""))).as("text"))
+      val panel = graft.streaming.EventStreams
+        .gopherPanelStream(stream, "doc_id", "text")
+      graft.streaming.EventStreams.runToMemory(panel,
+        "s_stream_gopher_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .orderBy("doc_id")}),
+
     // STREAMING blocklist filter at ingest: the d_blocklist wordlist as
     // a per-row stateless stream filter (append mode, no state) — the
     // cheapest place to kill blocked content is before it lands; gate
@@ -3533,6 +3557,19 @@ object PipelineQueries {
 
     "d_line_dedup" -> Dedup.lineDedupSql(docsT, "doc_id",
       "text || chr(10) || 'visit us at ' || source || ' dot example'"),
+
+    // stream == batch: the streaming panel shares the batch twin verbatim
+    "s_stream_gopher" -> TextFunctions.gopherRepetitionStatsSql(docsT,
+      "doc_id",
+      "text" +
+        " || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 1 THEN" +
+        " ' badger badger badger badger badger badger badger'" +
+        " ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 2 THEN" +
+        " ' one two three one two three one two three' ELSE '' END)"),
 
     "d_gopher_rep" -> TextFunctions.gopherRepetitionStatsSql(docsT, "doc_id",
       "text" +

@@ -428,6 +428,77 @@ object EventStreams {
           .as("clean_fp"))
   }
 
+  /** STREAMING Gopher repetition panel —
+    * [[graft.functions.TextFunctions.gopherRepetitionStats]]'s
+    * quality-gate-at-ingest form: per streamed doc the same four
+    * character-occupancy micro-fractions and keep verdict, column- and
+    * value-identical to the batch panel (shared oracle). Streams can't
+    * run the batch form's three explode→(doc, gram) groupings, so the
+    * doc's lines/bigrams/trigrams explode into ONE tagged row stream
+    * (stateless union of three projections of the same source) and ONE
+    * update-mode per-doc aggregation collects each kind into its own
+    * array via `collect_list(when(kind...))` (null-skipping) — the
+    * occupancy math then runs as post-aggregation array expressions over
+    * those AGG ATTRIBUTES (never a recomputed array inside a lambda, per
+    * the VectorExpressions discipline; the per-distinct-gram counting is
+    * the intrinsic O(G²) per-doc cost, bounded by doc length). A doc is
+    * atomic within its micro-batch, so the memory sink sees exactly one
+    * update per doc. */
+  def gopherPanelStream(docsStream: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.{bigrams, trigrams}
+    val base = docsStream.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    def tagged(kind: String, arr: org.apache.spark.sql.Column) =
+      base.select(col("doc_id"),
+        greatest(length(col("text")), lit(1)).cast("long").as("n_chars"),
+        lit(kind).as("kind"), explode(arr).as("val"))
+    val rows = tagged("L", split(col("text"), "\n"))
+      .unionByName(tagged("B", bigrams(col("text"))))
+      .unionByName(tagged("T", trigrams(col("text"))))
+    val counts = rows.groupBy("doc_id").agg(
+        max(col("n_chars")).as("n_chars"),
+        collect_list(when(col("kind") === "L", col("val"))).as("lvals"),
+        collect_list(when(col("kind") === "B", col("val"))).as("bvals"),
+        collect_list(when(col("kind") === "T", col("val"))).as("tvals"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("lvals")).cast("long").as("n_lines"),
+        (size(col("lvals")) - size(array_distinct(col("lvals"))))
+          .cast("long").as("dup_lines"),
+        (expr("aggregate(lvals, 0L, (a, x) -> a + length(x))") -
+          expr("aggregate(array_distinct(lvals), 0L, (a, x) -> a + length(x))"))
+          .as("dup_line_chars"),
+        // (count, gram) argmax as ONE aggregate fold with a finish lambda
+        // — cnt desc then gram asc, exactly the batch struct-min order
+        expr("""aggregate(
+          |  transform(array_distinct(bvals),
+          |    g -> struct(size(filter(bvals, x -> x = g)) AS c, g AS g)),
+          |  CAST(null AS struct<c: int, g: string>),
+          |  (acc, s) -> CASE WHEN acc IS NULL THEN s
+          |    WHEN s.c > acc.c OR (s.c = acc.c AND s.g < acc.g) THEN s
+          |    ELSE acc END,
+          |  m -> IF(m IS NULL, 0L, CAST(m.c AS BIGINT) * length(m.g)))"""
+          .stripMargin).as("top2_chars"),
+        expr("""aggregate(
+          |  transform(array_distinct(tvals),
+          |    g -> struct(size(filter(tvals, x -> x = g)) AS c,
+          |                length(g) AS l)),
+          |  0L,
+          |  (a, s) -> a + IF(s.c >= 2, CAST(s.c AS BIGINT) * s.l, 0L))"""
+          .stripMargin).as("dup3_chars"))
+    counts.select(col("doc_id"), col("n_lines"),
+        expr("(1000000 * dup_lines) div n_lines").as("dup_line_micro"),
+        expr("(1000000 * dup_line_chars) div n_chars")
+          .as("dup_line_char_micro"),
+        expr("(1000000 * top2_chars) div n_chars").as("top2_char_micro"),
+        expr("(1000000 * dup3_chars) div n_chars").as("dup3_char_micro"))
+      .withColumn("keep",
+        col("dup_line_micro") <= 300000L &&
+          col("dup_line_char_micro") <= 200000L &&
+          col("top2_char_micro") <= 200000L &&
+          col("dup3_char_micro") <= 180000L)
+  }
+
   /** Streaming near-duplicate suppression: keep the first-arriving doc per
     * 60-bit SimHash signature (exact and trivially-near duplicates share
     * the signature; banded Hamming matching stays a batch sweep). The

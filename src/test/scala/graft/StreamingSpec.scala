@@ -231,6 +231,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3)._2 == 2 && streamed(3)._3 == 0) // srcB keeps header
   }
 
+  test("streaming gopher panel equals the batch form across micro-batches") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopherstream").toString
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    val corpus = Seq(
+      (1L, "aa\naa\nbb"),                    // dup lines + bigram tie
+      (2L, "x y x y x y"),                   // top-2gram + dup-3gram
+      (3L, "all words differ entirely"),     // clean
+      (4L, "one"))                           // no bigrams/trigrams at all
+    writeFile(1, corpus.take(2))
+    writeFile(2, corpus.drop(2))
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val streamed = EventStreams.runToMemory(
+      EventStreams.gopherPanelStream(st, "doc_id", "text"),
+      "t_gopher_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    val batch = graft.functions.TextFunctions
+      .gopherRepetitionStats(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+    assert(streamed(0)._3 == 333333L && streamed(1)._5 == 818181L)
+  }
+
   test("streaming near-dup suppression keeps one doc per simhash signature") {
     val docsStream = EventStreams.readDocuments(spark, sf)
     val docsBatch = Tables.documents(spark, sf)

@@ -308,6 +308,45 @@ class PlanSpec extends SparkSpec {
       s"span dedup must be equi-joins only:\n${plan.take(900)}")
   }
 
+  test("boilerplate strip broadcasts the drop set; never a product") {
+    // the drop set is boilerplate-line-sized by definition — the anti
+    // join must broadcast it; the df aggregation must map-side combine
+    val d = Tables.documents(spark, sf)
+    val out = operators.Dedup.boilerplateStrip(d, "doc_id", "source", "text")
+    val plan = finalPlanString(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"drop-set anti join must broadcast:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no product anywhere in the strip:\n${plan.take(900)}")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"df aggregation must be partial+final:\n${plan.take(900)}")
+  }
+
+  test("gopher panel: per-gram counts partial-aggregate, no join products") {
+    val d = Tables.documents(spark, sf)
+    val out = graft.functions.TextFunctions
+      .gopherRepetitionStats(d, "doc_id", "text")
+    val plan = finalPlanString(out)
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"(doc, gram) counts must map-side combine:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"panel reassembly must be doc_id equi-joins:\n${plan.take(900)}")
+    // the argmax is a struct-min AGGREGATE, not a ranking window
+    assert(!plan.contains("Window"),
+      s"no ranking window in the top-2gram argmax:\n${plan.take(900)}")
+  }
+
+  test("edge-support histogram joins stay keyed (no product)") {
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("u", "v")
+    val plan = finalPlanString(ops.GraphOps.edgeSupportHist(und))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/support joins must be equi-joins:\n${plan.take(900)}")
+  }
+
   test("cross-corpus LSH join never broadcasts either side") {
     // both halves are corpus-sized at scale: the band join (and the vector
     // re-attach joins) must stay shuffled even though the TEST corpus is

@@ -355,6 +355,33 @@ object Similarity {
     best.join(corpus.select(col("id").as("vec_id"), col("vec").as("cvec")), "vec_id")
   }
 
+  /** Query-DRIFT monitor for a serving ANN index — the
+    * out-of-distribution alarm a vector-search deployment runs next to
+    * its recall gates: per query group (`grp`, e.g. live traffic vs the
+    * training distribution) the histogram of each query's NEAREST-CENTROID
+    * rounded cosine, bucketed at 0.1. OOD queries sit far from every
+    * centroid, so their mass shifts to low buckets BEFORE recall visibly
+    * degrades (nprobe cells stop covering the true neighbors). Emits
+    * (grp, bucket, n_queries, sum_best_tenthmilli) — the sum is of
+    * round(best·10⁴) integers, order-free, so group means replay exactly
+    * downstream.
+    *
+    * Scale shape: centroids broadcast (nlist rows by construction); one
+    * map-side-combinable (grp, id) max + one bucket-sized aggregation —
+    * the query table is scanned once, nothing corpus×corpus. */
+  def oodDriftHist(queries: DataFrame, cells: DataFrame): DataFrame = {
+    val scored = queries.crossJoin(broadcast(cells))
+      .select(col("grp"), col("id"),
+        round(cosine(col("vec"), col("centroid")), 4).as("sim"))
+    scored.groupBy("grp", "id").agg(max(col("sim")).as("best"))
+      .select(col("grp"),
+        floor(col("best") * 10).cast("int").as("bucket"),
+        round(col("best") * 10000).cast("long").as("btm"))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("btm")).as("sum_best_tenthmilli"))
+  }
+
   /** Search the sampled-centroid index: top-`nprobe` cells per query by
     * rounded centroid cosine (cell tie-break), exact rounded-cosine rerank
     * of the probed cells only — same shape as [[ivfSearch]], every step

@@ -2413,6 +2413,19 @@ object PipelineQueries {
           expr("(1000 * coalesce(n, 0) * 16) div n_total").as("load_milli"))
         .orderBy("cell")}),
 
+    // Query-drift (OOD) monitor for the serving index: the id%10==7
+    // subsample as in-distribution traffic vs the SAME vectors shifted
+    // x -> 3x+1 as planted drift — nearest-centroid cosine histograms
+    // per group, the alarm that fires before nprobe recall visibly
+    // degrades. Centroids broadcast; order-free integer sums
+    "e_ann_ood" -> ((s, dir) => {
+      val base = embDouble(s, dir).filter(col("id") % 10 === 7)
+      val q = base.select(lit("base").as("grp"), col("id"), col("vec"))
+        .unionByName(base.select(lit("ood").as("grp"), col("id"),
+          expr("transform(vec, x -> x * 3.0D + 1.0D)").as("vec")))
+      Similarity.oodDriftHist(q, sharedIvfCells(s, dir))
+        .orderBy("grp", "bucket")}),
+
     // Product-quantization ADC recall under ORACLE: trainless sampled
     // codebooks -> floor-micro argmax encoding -> M×K query tables ->
     // integer ADC scores, vs the exact top-k — every step SQL-replayable
@@ -5395,6 +5408,35 @@ object PipelineQueries {
         |  CAST((1000 * coalesce(cnt.n, 0) * 16) // tot.n_total AS BIGINT) AS load_milli
         |FROM cells LEFT JOIN cnt ON cnt.cell = cells.cell, tot
         |ORDER BY cells.cell""".stripMargin,
+
+    // planted-drift replay: the ood branch rebuilds 3x+1 in SQL; buckets
+    // and integer tenth-milli sums off the same rounded cosine
+    "e_ann_ood" ->
+      """WITH c AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY hc, id) - 1 AS INT) AS cell,
+        |    vec AS centroid
+        |  FROM (
+        |    SELECT id, vec,
+        |      CAST('0x' || substring(md5(CAST(id AS VARCHAR) || 'ivfc'), 1, 15) AS BIGINT) AS hc
+        |    FROM c ORDER BY hc, id LIMIT 16)
+        |), q AS (
+        |  SELECT 'base' AS grp, id, vec FROM c WHERE id % 10 = 7
+        |  UNION ALL
+        |  SELECT 'ood' AS grp, id, list_transform(vec, x -> x * 3.0 + 1.0)
+        |  FROM c WHERE id % 10 = 7
+        |), best AS (
+        |  SELECT grp, id,
+        |    max(round(list_cosine_similarity(q.vec, cells.centroid), 4)) AS best
+        |  FROM q, cells GROUP BY 1, 2
+        |)
+        |SELECT grp, CAST(floor(best * 10) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CAST(round(best * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_best_tenthmilli
+        |FROM best GROUP BY 1, 2 ORDER BY grp, bucket""".stripMargin,
 
     // contract-row oracle: replay the exact baseline for n_exact; the
     // floor boolean's truth is the contract itself (closed-form 1) —

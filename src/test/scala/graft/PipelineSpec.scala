@@ -483,6 +483,22 @@ class PipelineSpec extends SparkSpec {
     assert(viaRow == viaAgg)
   }
 
+  test("oodDriftHist: on-centroid queries bucket at 1.0, drift shifts low") {
+    val cells = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell", "centroid")
+    val q = Seq(
+      ("base", 1L, Seq(1.0, 0.0, 0.0)),   // IS centroid 0 -> best 1.0
+      ("base", 2L, Seq(0.8, 0.6, 0.0)),   // cos 0.8 to centroid 0
+      ("ood", 3L, Seq(0.0, 0.0, 1.0))     // orthogonal to both -> 0.0
+    ).toDF("grp", "id", "vec")
+    val out = Similarity.oodDriftHist(q, cells)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("base", 10)) == ((1L, 10000L)), s"got $out") // exact 1.0
+    assert(out(("base", 8)) == ((1L, 8000L)))
+    assert(out(("ood", 0)) == ((1L, 0L)))
+  }
+
   test("LSH ANN achieves high recall@10 vs brute force") {
     val corpus = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))

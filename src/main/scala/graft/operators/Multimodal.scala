@@ -497,6 +497,78 @@ object Multimodal {
       }
   }
 
+  /** Output row of [[sceneStats]]: temporal segmentation profile of one
+    * GVID container. */
+  case class SceneStats(media_id: Long, n_frames: Int, n_scenes: Int,
+                        longest_scene: Int, boundary_sum: Long)
+
+  /** Scene-boundary detection over GVID containers — the temporal
+    * segmentation pass a video pipeline runs before per-scene sampling /
+    * dedup / captioning: every frame decodes to its exact integer pixel
+    * profile (n_pixels, Σr, Σg, Σb) and a SCENE BOUNDARY is any frame
+    * whose profile differs from its predecessor (planted scenes repeat a
+    * frame byte-identically, so the cut criterion is exact — the
+    * real-codec analog thresholds the same profile delta). Emits per clip
+    * the frame count, scene count, longest scene and the sum of scene
+    * START indices (an order-free integer checksum of the cut
+    * positions). Malformed containers or undecodable frames reject the
+    * whole clip, [[decodeVideo]]'s contract.
+    *
+    * Scale shape: stateless partition-batched decode — sequential
+    * per-row container walk, one output row per clip, no shuffle, no
+    * driver. Decode cost is every frame (segmentation needs the full
+    * timeline, unlike [[decodeVideo]]'s sampling). */
+  def sceneStats(media: DataFrame): Dataset[SceneStats] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'V' ||
+            bytes(2) != 'I' || bytes(3) != 'D') None
+          else {
+            val nf = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+            var off = 6
+            var j = 0
+            var ok = true
+            var prev: (Long, Long, Long, Long) = null
+            var nScenes = 0; var runLen = 0; var longest = 0
+            var boundarySum = 0L
+            while (j < nf && ok) {
+              if (off + 4 > bytes.length) ok = false
+              else {
+                val len = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+                  ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+                if (len < 0 || off + 4 + len > bytes.length) ok = false
+                else {
+                  decodeImage(java.util.Arrays.copyOfRange(
+                    bytes, off + 4, off + 4 + len)) match {
+                    case Some(st) =>
+                      val cur = (st.nPixels, st.sumR, st.sumG, st.sumB)
+                      if (prev == null || cur != prev) {
+                        if (runLen > longest) longest = runLen
+                        nScenes += 1; boundarySum += j; runLen = 0
+                      }
+                      runLen += 1; prev = cur
+                    case None => ok = false
+                  }
+                  off += 4 + len
+                  j += 1
+                }
+              }
+            }
+            if (runLen > longest) longest = runLen
+            if (ok && j == nf) Some(SceneStats(id, nf, nScenes, longest,
+              boundarySum))
+            else None
+          }
+        }
+      }
+  }
+
   /** Output row of [[videoFrames]]: one sampled frame's raw still bytes. */
   case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

@@ -2743,6 +2743,29 @@ object PipelineQueries {
       Multimodal.videoFrameStats(media, stride = 2).toDF()
         .orderBy("media_id")}),
 
+    // REAL scene segmentation under oracle: clip doc_id has doc_id%4+2
+    // scenes, scene s repeated byte-identically (d+s)%3+1 frames — the
+    // operator decodes EVERY frame and cuts where the exact pixel
+    // profile changes; the oracle inverts the construction (scene
+    // lengths, starts, longest run all closed-form). Consecutive scene
+    // seeds always differ in height mod 8, so every planted cut is a
+    // real profile change and no cut lands inside a scene
+    "m_scenes" -> ((s, dir) => {
+      val d = col("doc_id")
+      val ns = pmod(d, lit(4L)) + 2
+      def frameHex(seed: Column) = concat(
+        leHexC(lit(54L) + (pmod(seed, lit(8L)) + 1) * 12, 4),
+        plantedBmpHex(seed))
+      val scenes = flatten(transform(sequence(lit(0L), ns - 1),
+        sc => array_repeat(frameHex(d + sc),
+          (pmod(d + sc, lit(3L)) + 1).cast("int"))))
+      val media = docs(s, dir).select(
+        d.as("media_id"),
+        unhex(concat(lit("47564944"),
+          leHexC(size(scenes).cast("long"), 2),
+          array_join(scenes, ""))).as("content"))
+      Multimodal.sceneStats(media).toDF().orderBy("media_id")}),
+
     // cross-VIDEO frame-level perceptual dedup: the m_video containers'
     // sampled frames flow through videoFrames (byte extraction, no
     // in-place aggregation) into the SAME imageHashes operator as
@@ -6169,6 +6192,27 @@ object PipelineQueries {
         |FROM vhashes ORDER BY frame_id""".stripMargin,
 
     "m_video" -> mVideoSql,
+
+    // construction inversion: scene lengths (d+s)%3+1, starts = running
+    // sum, boundary checksum = Σ starts — all closed-form per clip
+    "m_scenes" ->
+      """WITH base AS (
+        |  SELECT doc_id AS d, doc_id % 4 + 2 AS ns FROM documents
+        |), scl AS (
+        |  SELECT d, s, (d + s) % 3 + 1 AS len FROM (
+        |    SELECT d, unnest(generate_series(0, ns - 1)) AS s FROM base)
+        |), st AS (
+        |  SELECT d, s, len,
+        |    coalesce(sum(len) OVER (PARTITION BY d ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM scl
+        |)
+        |SELECT d AS media_id,
+        |  CAST(sum(len) AS INT) AS n_frames,
+        |  CAST(count(*) AS INT) AS n_scenes,
+        |  CAST(max(len) AS INT) AS longest_scene,
+        |  CAST(sum(start) AS BIGINT) AS boundary_sum
+        |FROM st GROUP BY d ORDER BY media_id""".stripMargin,
 
     // identical oracle for the streaming drain of the same GVID walk
     "s_stream_video" -> mVideoSql,

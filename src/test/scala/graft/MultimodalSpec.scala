@@ -312,4 +312,38 @@ class MultimodalSpec extends SparkSpec {
       "sampled frame bytes must round-trip exactly; torn container emits nothing")
     assert(Multimodal.videoFrames(media, 1).filter($"media_id" === 7L).count() == 3)
   }
+
+  test("sceneStats cuts exactly at pixel-profile changes; rejects torn clips") {
+    def pngFrame(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 2; y <- 0 until 2)
+        img.setRGB(x, y, ((seed + x) << 16) | ((seed + y) << 8) | seed)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write('G'); bos.write('V'); bos.write('I'); bos.write('D')
+      bos.write(frames.length & 0xff); bos.write((frames.length >> 8) & 0xff)
+      frames.foreach { f =>
+        bos.write(f.length & 0xff); bos.write((f.length >> 8) & 0xff)
+        bos.write((f.length >> 16) & 0xff); bos.write((f.length >> 24) & 0xff)
+        bos.write(f)
+      }
+      bos.toByteArray
+    }
+    val a = pngFrame(10); val b = pngFrame(50); val c = pngFrame(90)
+    // scenes: a a a | b | c c  -> 3 scenes, longest 3, starts 0+3+4 = 7;
+    // adjacent IDENTICAL frames never cut, every profile change does
+    val clip = container(Seq(a, a, a, b, c, c))
+    val media = Seq((1L, clip), (2L, container(Seq(a)).dropRight(5)))
+      .toDF("media_id", "content")
+    val out = Multimodal.sceneStats(media).collect()
+    assert(out.length == 1, "torn clip must reject whole")
+    val s = out.head
+    assert(s.media_id == 1L && s.n_frames == 6 && s.n_scenes == 3)
+    assert(s.longest_scene == 3 && s.boundary_sum == 7L, s"got $s")
+  }
 }

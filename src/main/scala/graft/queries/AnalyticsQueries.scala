@@ -741,6 +741,42 @@ object AnalyticsQueries {
     // counts per (cohort_day, day_offset) cell — the classic retention
     // triangle. Dates derive from UTC-session timestamp truncation and
     // offsets are integer day diffs, so every cell is engine-exact
+    // GROWTH ACCOUNTING (the classic new/retained/resurrected/churned
+    // decomposition product analytics runs on every activity table):
+    // per 7-day epoch week, each active user classifies by first-ever
+    // week and exact previous-week adjacency; churn = active this week,
+    // absent the next (the final week reports everyone churned — the
+    // honest right-edge of the decomposition). One distinct + three
+    // (user, week)-keyed equi-joins, exact integer counts. The fixture's
+    // 15 users are active EVERY week (the density trap: resurrection
+    // would be vacuous at every SF), so the activity table hash-thins
+    // 25% of user-weeks — deterministic in both engines — planting the
+    // gaps the resurrected/churned classes classify
+    "s_growth" -> ((s, dir) => {
+      val aw = Tables.events(s, dir).select(col("user_id"),
+          expr("datediff(to_date(ts), date '1970-01-01') div 7").as("w"))
+        .distinct()
+        .filter(pmod(graft.functions.TextFunctions.hash60(
+          concat(col("user_id").cast("string"), lit("|"),
+            col("w").cast("string"), lit("gw"))), lit(4L)) =!= 0)
+      val first = aw.groupBy("user_id").agg(min("w").as("fw"))
+      val prev = aw.select(col("user_id"), (col("w") + 1).as("w"),
+        lit(1).as("had_prev"))
+      val nxt = aw.select(col("user_id"), (col("w") - 1).as("w"),
+        lit(1).as("has_next"))
+      aw.join(first, "user_id")
+        .join(prev, Seq("user_id", "w"), "left")
+        .join(nxt, Seq("user_id", "w"), "left")
+        .groupBy("w").agg(
+          count(lit(1)).as("n_active"),
+          sum(when(col("w") === col("fw"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("w") =!= col("fw") && col("had_prev").isNotNull, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("w") =!= col("fw") && col("had_prev").isNull, 1L)
+            .otherwise(0L)).as("n_resurrected"),
+          sum(when(col("has_next").isNull, 1L).otherwise(0L)).as("n_churned"))
+        .orderBy("w")}),
+
     "s_retention" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -1414,6 +1450,34 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "s_growth" ->
+      s"""WITH ev0 AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) // 7 AS w
+        |  FROM events
+        |), ev AS (
+        |  SELECT user_id, w FROM ev0
+        |  WHERE ${graft.functions.TextFunctions.hash60Sql(
+             "CAST(user_id AS VARCHAR) || '|' || CAST(w AS VARCHAR) || 'gw'")}
+        |    % 4 <> 0
+        |), f AS (SELECT user_id, min(w) AS fw FROM ev GROUP BY 1)
+        |SELECT e.w,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN e.w = f.fw THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN e.w <> f.fw AND EXISTS (
+        |    SELECT 1 FROM ev p WHERE p.user_id = e.user_id AND p.w = e.w - 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN e.w <> f.fw AND NOT EXISTS (
+        |    SELECT 1 FROM ev p WHERE p.user_id = e.user_id AND p.w = e.w - 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM ev n WHERE n.user_id = e.user_id AND n.w = e.w + 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM ev e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1 ORDER BY w""".stripMargin,
 
     "s_retention" ->
       """WITH ev AS (

@@ -978,6 +978,26 @@ object AnalyticsQueries {
           round(col("p_retailprice"), 2).as("price"))
         .orderBy("p_partkey")}),
 
+    // TPC-H Q21 shape (suppliers-who-kept-orders-waiting): the supplier
+    // UNIQUELY last to ship on a multi-supplier order — the classic
+    // semi+anti double correlation on the fact table, expressed as two
+    // keyed re-aggregations of the per-(order, supplier) frame instead
+    // of correlated subqueries (one fact shuffle, two group-sized joins)
+    "q_late_supplier" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("sd"))
+      val os = ps.groupBy("l_orderkey")
+        .agg(max(col("sd")).as("omax"), count(lit(1)).as("nsupp"))
+      val lc = ps.join(os, "l_orderkey").filter(col("sd") === col("omax"))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("nlast"))
+      ps.join(os, "l_orderkey").join(lc, "l_orderkey")
+        .filter(col("sd") === col("omax") && col("nsupp") > 1 &&
+          col("nlast") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey")).limit(20)}),
+
     // cube: all grouping-set combinations over (flag, status)
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1825,6 +1845,26 @@ object AnalyticsQueries {
         | AND epoch_us(e.ts) >= d.from_us
         | AND epoch_us(e.ts) < d.to_us
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_late_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sd
+        |  FROM lineitem GROUP BY 1, 2
+        |), os AS (
+        |  SELECT l_orderkey, max(sd) AS omax,
+        |    CAST(count(*) AS BIGINT) AS nsupp
+        |  FROM ps GROUP BY 1
+        |), lc AS (
+        |  SELECT ps.l_orderkey, CAST(count(*) AS BIGINT) AS nlast
+        |  FROM ps JOIN os ON ps.l_orderkey = os.l_orderkey
+        |  WHERE ps.sd = os.omax GROUP BY 1
+        |)
+        |SELECT ps.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps
+        |JOIN os ON ps.l_orderkey = os.l_orderkey
+        |JOIN lc ON ps.l_orderkey = lc.l_orderkey
+        |WHERE ps.sd = os.omax AND os.nsupp > 1 AND lc.nlast = 1
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty

@@ -2679,6 +2679,72 @@ object GraphOps {
          |)""".stripMargin
     }.mkString(", ")
 
+  /** ADJUSTED RAND INDEX between two node partitions `a`(key, la) and
+    * `b`(key, lb) — the standard clustering-agreement grade (chance-
+    * corrected pair-counting): emits the exact integer pair sums
+    * (n, sij = ΣC(n_ij,2), sa = ΣC(a_i,2), sb = ΣC(b_j,2), nc2 = C(n,2))
+    * plus `ari_micro = floor(10⁶·(sij − sa·sb/nc2) / ((sa+sb)/2 −
+    * sa·sb/nc2))`. Every binomial is pure integer arithmetic; the final
+    * ratio is a fixed left-associated IEEE tree over exact integers
+    * (< 2⁵³), so the floor-micro replays engine-exactly (the gx_assort
+    * discipline). A zero denominator (both partitions trivial) yields 0.
+    *
+    * Scale shape: one key-equi join, one (la, lb) contingency aggregation
+    * (map-side combinable), then label-count-sized reductions crossed as
+    * 1-row frames — nothing larger than the contingency table shuffles. */
+  def adjustedRandIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("key"), col("la"))
+      .join(b.select(col("key"), col("lb")), "key")
+    val ct = CacheScope.cached(
+      j.groupBy("la", "lb").agg(count(lit(1)).as("c")))
+    val s1 = ct.agg(sum(expr("c * (c - 1) div 2")).as("sij"))
+    val s2 = ct.groupBy("la").agg(sum(col("c")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("sa"))
+    val s3 = ct.groupBy("lb").agg(sum(col("c")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("sb"))
+    val s4 = j.agg(count(lit(1)).as("n"))
+    val base = s4.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .crossJoin(broadcast(s3))
+      .withColumn("nc2", expr("n * (n - 1) div 2"))
+    val expd = col("sa").cast("double") * col("sb").cast("double") / col("nc2")
+    val num = col("sij").cast("double") - expd
+    val den = (col("sa") + col("sb")).cast("double") / 2.0 - expd
+    base.select(col("n"), col("sij"), col("sa"), col("sb"), col("nc2"),
+      when(den === 0.0, 0L)
+        .otherwise(floor(lit(1000000.0) * num / den).cast("long"))
+        .as("ari_micro"))
+  }
+
+  /** DuckDB twin of [[adjustedRandIndex]] over partition CTEs
+    * `$a`(key, la) and `$b`(key, lb). */
+  def adjustedRandIndexSql(a: String, b: String): String = {
+    val exp = "CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / nc2"
+    s"""arj AS (
+       |  SELECT $a.key, la, lb FROM $a JOIN $b ON $a.key = $b.key
+       |), arct AS (
+       |  SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM arj GROUP BY 1, 2
+       |), ars1 AS (
+       |  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sij FROM arct
+       |), ars2 AS (
+       |  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sa FROM (
+       |    SELECT CAST(sum(c) AS BIGINT) AS ai FROM arct GROUP BY la)
+       |), ars3 AS (
+       |  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sb FROM (
+       |    SELECT CAST(sum(c) AS BIGINT) AS bj FROM arct GROUP BY lb)
+       |), ars4 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM arj
+       |), arbase AS (
+       |  SELECT n, sij, sa, sb, n * (n - 1) // 2 AS nc2
+       |  FROM ars1, ars2, ars3, ars4
+       |)
+       |SELECT n, sij, sa, sb, nc2,
+       |  CAST(CASE WHEN CAST(sa + sb AS DOUBLE) / 2.0 - $exp = 0 THEN 0
+       |    ELSE floor(1000000 * (CAST(sij AS DOUBLE) - $exp)
+       |         / (CAST(sa + sb AS DOUBLE) / 2.0 - $exp)) END AS BIGINT)
+       |    AS ari_micro
+       |FROM arbase""".stripMargin
+  }
+
   /** Seed-rooted bounded BOW-TIE decomposition (Broder et al.'s web-graph
     * macro-structure, rooted at a seed set the way [[bfsReachCurve]]
     * roots its percolation probe): nodes that both reach the seeds and

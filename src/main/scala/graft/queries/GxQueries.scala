@@ -310,6 +310,20 @@ object GxQueries {
         .select(col("pa").as("src"), col("pb").as("dst"))
       GraphOps.triadCensus(de)}),
 
+    // ADJUSTED RAND INDEX between the LPA COMMUNITY partition and the
+    // round-1 WL STRUCTURAL classes of the union graph — the chance-
+    // corrected agreement grade every clustering comparison reports,
+    // here between two partitions different BY CONSTRUCTION (community
+    // cohesion vs degree-class equivalence; every community-vs-community
+    // pairing on this graph converges to the identical 2-block split at
+    // small SF and pins the vacuous 1.0). Exact integer pair sums + one
+    // fixed IEEE tree for the floor-micro index
+    "gx_ari" -> ((s, dir) => {
+      val a = sharedLpa(s, dir).select(col("key"), col("label").as("la"))
+      val b = GraphOps.wlRefine(sharedUnd(s, dir), rounds = 1)
+        .select(col("key"), col("l1").cast("string").as("lb"))
+      GraphOps.adjustedRandIndex(a, b)}),
+
     // EDGE-EMBEDDEDNESS histogram over the canonical undirected union
     // graph: support = |N(u)∩N(v)| per edge, reduced to (support,
     // n_edges) — support 0 counts the LOCAL BRIDGES (Granovetter weak
@@ -1891,6 +1905,18 @@ object GxQueries {
          |SELECT a.id AS row_id, b.id AS col_id, pe.quantity AS value
          |FROM pe JOIN ids a ON pe.src = a.key JOIN ids b ON pe.dst = b.key
          |ORDER BY row_id, col_id""".stripMargin,
+
+    "gx_ari" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
+         |wlu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), wladj AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM wlu UNION ALL SELECT v, u FROM wlu
+         |), ${GraphOps.wlRefineSql("wladj", 1)},
+         |arpa AS (SELECT key, label AS la FROM l5),
+         |arpb AS (SELECT key, CAST(l AS VARCHAR) AS lb FROM wl1),
+         |${GraphOps.adjustedRandIndexSql("arpa", "arpb")}""".stripMargin,
 
     "gx_embed" ->
       s"""$cte, und AS (

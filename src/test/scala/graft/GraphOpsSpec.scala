@@ -663,6 +663,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.orientedWedges(lex).filter($"y" === "hub").count() == 0L)
   }
 
+  test("adjustedRandIndex: identity = 1e6, hand contingency exact") {
+    val a = Seq("a" -> "A", "b" -> "A", "c" -> "A",
+      "d" -> "B", "e" -> "B", "f" -> "B").toDF("key", "la")
+    // identical partition (relabeled) -> ARI exactly 1.0
+    val ident = a.select($"key", $"la".as("lb"))
+      .withColumn("lb", concat(lit("x"), $"lb"))
+    val r1 = GraphOps.adjustedRandIndex(a, ident)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r1 == ((6L, 6L, 6L, 6L, 15L, 1000000L)), s"got $r1")
+    // A = {abc|def}, B = {ab|cdef}: n_ij = 2,1,3 -> sij 4, sa 6, sb 7,
+    // exp = 6*7/15 = 2.8, ari = 1.2/3.7 -> floor micro 324324
+    val b = Seq("a" -> "X", "b" -> "X", "c" -> "Y",
+      "d" -> "Y", "e" -> "Y", "f" -> "Y").toDF("key", "lb")
+    val r2 = GraphOps.adjustedRandIndex(a, b)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r2 == ((6L, 4L, 6L, 7L, 15L, 324324L)), s"got $r2")
+    // the trivial one-cluster partition is chance-level: ARI = 0
+    val t = a.select($"key", lit("Z").as("lb"))
+    assert(GraphOps.adjustedRandIndex(a, t)
+      .select($"ari_micro").as[Long].head() == 0L)
+  }
+
   test("bowtieCensus: seed-rooted core/in/out/other classification") {
     // cycle a->b->c->a is the core when seeded at a; d feeds in, e flows
     // out, (f,g) is disconnected; self-loop + duplicate edge must be inert

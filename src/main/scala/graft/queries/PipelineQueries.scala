@@ -1764,6 +1764,41 @@ object PipelineQueries {
           col("rho_merged"), col("rho_full"))
         .orderBy("register")}),
 
+    // HLL SET-ALGEBRA: distinct-intersection estimate by inclusion-
+    // exclusion over three 64-register sketches (est_a + est_b −
+    // est_union — the standard trick that turns a union-only sketch into
+    // set overlap), next to the exact distinct counts so the estimator's
+    // error is in-artifact. Registers never rescan data; the exact
+    // columns are one distinct + one key join
+    "d_hll_intersect" -> ((s, dir) => {
+      // the corpus vocabulary is closed (both halves see all 31 tokens),
+      // so shard-unique tokens are planted: evens carry 5 exclusive
+      // types, odds 7 — the intersection estimate is then a genuine
+      // subtraction, not est_a trivially
+      def toks(cond: Column) = docs(s, dir).filter(cond)
+        .select(explode(tokens(concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" evenonly"), col("doc_id") % 5))
+            .otherwise(concat(lit(" oddonly"), col("doc_id") % 7)))))
+          .as("token"))
+      val a = Sketches.hllRegisters(toks(col("doc_id") % 2 === 0), "token")
+      val b = Sketches.hllRegisters(toks(col("doc_id") % 2 =!= 0), "token")
+      val u = Sketches.hllMerge(a, b)
+      val ea = Sketches.hllEstimate(a).select(col("est").as("est_a"))
+      val eb = Sketches.hllEstimate(b).select(col("est").as("est_b"))
+      val eu = Sketches.hllEstimate(u).select(col("est").as("est_union"))
+      val ta = toks(col("doc_id") % 2 === 0).distinct()
+      val tb = toks(col("doc_id") % 2 =!= 0).distinct()
+      val exA = ta.agg(count(lit(1)).as("exact_a"))
+      val exB = tb.agg(count(lit(1)).as("exact_b"))
+      val exI = ta.join(tb, "token").agg(count(lit(1)).as("exact_intersect"))
+      ea.crossJoin(eb).crossJoin(eu)
+        .crossJoin(exA).crossJoin(exB).crossJoin(exI)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union"))
+            .as("est_intersect"),
+          col("exact_a"), col("exact_b"), col("exact_intersect"))}),
+
     // Bloom shard-merge identity, the third sketch-merge law after CMS
     // (cell sum) and HLL (register max): set bits are position-set
     // unions, so filters of the even-id and odd-id doc shards OR together
@@ -3999,6 +4034,45 @@ object PipelineQueries {
          |LEFT JOIN cesk e ON e.r = f.r AND e.bucket = f.bucket
          |LEFT JOIN cosk o ON o.r = f.r AND o.bucket = f.bucket
          |ORDER BY f.r, f.bucket""".stripMargin,
+
+    "d_hll_intersect" -> {
+      def est(src: String): String =
+        s"""CAST(floor(CAST(${Sketches.HllAlpha} AS DOUBLE)
+           |    * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
+           |    / CAST((SELECT CAST(sum(1::BIGINT << (55 - rho_max)) AS BIGINT)
+           |            FROM $src) AS DOUBLE)) AS BIGINT)""".stripMargin
+      s"""WITH ia_items AS (
+         |  SELECT unnest(${tokensSql(
+              "text || ' evenonly' || CAST(doc_id % 5 AS VARCHAR)")}) AS item
+         |  FROM $docsT WHERE doc_id % 2 = 0
+         |), ib_items AS (
+         |  SELECT unnest(${tokensSql(
+              "text || ' oddonly' || CAST(doc_id % 7 AS VARCHAR)")}) AS item
+         |  FROM $docsT WHERE doc_id % 2 <> 0
+         |), ${Sketches.hllRegistersSql("ia_items", "ia")},
+         |${Sketches.hllRegistersSql("ib_items", "ib")},
+         |im AS (
+         |  SELECT a.register, greatest(a.rho_max, b.rho_max) AS rho_max
+         |  FROM iafull a JOIN ibfull b ON a.register = b.register
+         |), ests AS (
+         |  SELECT ${est("iafull")} AS est_a, ${est("ibfull")} AS est_b,
+         |    ${est("im")} AS est_union
+         |), exa AS (
+         |  SELECT CAST(count(DISTINCT item) AS BIGINT) AS exact_a
+         |  FROM ia_items
+         |), exb AS (
+         |  SELECT CAST(count(DISTINCT item) AS BIGINT) AS exact_b
+         |  FROM ib_items
+         |), exi AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+         |  FROM (SELECT DISTINCT item FROM ia_items) x
+         |  JOIN (SELECT DISTINCT item FROM ib_items) y ON x.item = y.item
+         |)
+         |SELECT est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersect,
+         |  exact_a, exact_b, exact_intersect
+         |FROM ests, exa, exb, exi""".stripMargin
+    },
 
     "d_hll_merge" ->
       s"""WITH he_items AS (

@@ -2702,7 +2702,9 @@ object GraphOps {
       .agg(sum(expr("ai * (ai - 1) div 2")).as("sa"))
     val s3 = ct.groupBy("lb").agg(sum(col("c")).as("bj"))
       .agg(sum(expr("bj * (bj - 1) div 2")).as("sb"))
-    val s4 = j.agg(count(lit(1)).as("n"))
+    // n off the CACHED contingency, not the raw join — a j.agg would
+    // re-evaluate the whole upstream (e.g. a WL refinement) a second time
+    val s4 = ct.agg(sum(col("c")).as("n"))
     val base = s4.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
       .crossJoin(broadcast(s3))
       .withColumn("nc2", expr("n * (n - 1) div 2"))
@@ -2743,6 +2745,81 @@ object GraphOps {
        |         / (CAST(sa + sb AS DOUBLE) / 2.0 - $exp)) END AS BIGINT)
        |    AS ari_micro
        |FROM arbase""".stripMargin
+  }
+
+  /** NORMALIZED MUTUAL INFORMATION between two node partitions — ARI's
+    * information-theoretic sibling (the two agreement grades every
+    * clustering comparison reports together): per contingency cell the
+    * pointwise term n_ij·(ln n_ij + ln n − ln a_i − ln b_j) with EVERY ln
+    * separately rounded to integer micro-nats before the additive
+    * combination (the PMI discipline — order-free i64 sums, no libm
+    * divergence can compound), marginal entropies likewise; the final
+    * `nmi_micro = floor(10⁶·2I/(H_a+H_b))` is one fixed IEEE tree over
+    * exact integers. Same scale shape as [[adjustedRandIndex]]: one key
+    * join + one contingency aggregation, label-sized everything after. */
+  def normalizedMutualInfo(a: DataFrame, b: DataFrame): DataFrame = {
+    def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
+    val j = a.select(col("key"), col("la"))
+      .join(b.select(col("key"), col("lb")), "key")
+    val ct = CacheScope.cached(
+      j.groupBy("la", "lb").agg(count(lit(1)).as("c")))
+    val ai = ct.groupBy("la").agg(sum(col("c")).as("ai"))
+    val bj = ct.groupBy("lb").agg(sum(col("c")).as("bj"))
+    // n off the CACHED contingency (see adjustedRandIndex's note)
+    val nF = ct.agg(sum(col("c")).as("n"),
+      lmicro(sum(col("c"))).as("ln_n"))
+    val iNum = ct.join(ai, "la").join(bj, "lb").crossJoin(broadcast(nF))
+      .select((col("c") * (lmicro(col("c")) + col("ln_n")
+        - lmicro(col("ai")) - lmicro(col("bj")))).as("t"))
+      .agg(sum(col("t")).as("i_num"))
+    // H = n·ln n − Σ a_i·ln a_i (micro-nat·count units, same as i_num)
+    val ha = ai.crossJoin(broadcast(nF))
+      .select((col("ai") * (col("ln_n") - lmicro(col("ai")))).as("t"))
+      .agg(sum(col("t")).as("h_a"))
+    val hb = bj.crossJoin(broadcast(nF))
+      .select((col("bj") * (col("ln_n") - lmicro(col("bj")))).as("t"))
+      .agg(sum(col("t")).as("h_b"))
+    nF.select(col("n")).crossJoin(broadcast(iNum))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n"), col("i_num"), col("h_a"), col("h_b"),
+        when((col("h_a") + col("h_b")) === 0L, 0L)
+          .otherwise(floor(lit(1000000.0) * (lit(2.0) * col("i_num"))
+            / (col("h_a") + col("h_b")).cast("double")).cast("long"))
+          .as("nmi_micro"))
+  }
+
+  /** DuckDB twin of [[normalizedMutualInfo]] over partition CTEs
+    * `$a`(key, la) and `$b`(key, lb). */
+  def normalizedMutualInfoSql(a: String, b: String): String = {
+    val lm = (x: String) => s"CAST(round(ln($x) * 1000000.0) AS BIGINT)"
+    s"""nmj AS (
+       |  SELECT $a.key, la, lb FROM $a JOIN $b ON $a.key = $b.key
+       |), nmct AS (
+       |  SELECT la, lb, CAST(count(*) AS BIGINT) AS c FROM nmj GROUP BY 1, 2
+       |), nmai AS (
+       |  SELECT la, CAST(sum(c) AS BIGINT) AS ai FROM nmct GROUP BY 1
+       |), nmbj AS (
+       |  SELECT lb, CAST(sum(c) AS BIGINT) AS bj FROM nmct GROUP BY 1
+       |), nmn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${lm("count(*)")} AS ln_n FROM nmj
+       |), nmi AS (
+       |  SELECT CAST(sum(c * (${lm("c")} + nmn.ln_n
+       |    - ${lm("ai")} - ${lm("bj")})) AS BIGINT) AS i_num
+       |  FROM nmct JOIN nmai ON nmct.la = nmai.la
+       |  JOIN nmbj ON nmct.lb = nmbj.lb, nmn
+       |), nmha AS (
+       |  SELECT CAST(sum(ai * (nmn.ln_n - ${lm("ai")})) AS BIGINT) AS h_a
+       |  FROM nmai, nmn
+       |), nmhb AS (
+       |  SELECT CAST(sum(bj * (nmn.ln_n - ${lm("bj")})) AS BIGINT) AS h_b
+       |  FROM nmbj, nmn
+       |)
+       |SELECT n, i_num, h_a, h_b,
+       |  CAST(CASE WHEN h_a + h_b = 0 THEN 0
+       |    ELSE floor(1000000.0 * (2.0 * i_num)
+       |         / CAST(h_a + h_b AS DOUBLE)) END AS BIGINT) AS nmi_micro
+       |FROM nmn, nmi, nmha, nmhb""".stripMargin
   }
 
   /** Seed-rooted bounded BOW-TIE decomposition (Broder et al.'s web-graph

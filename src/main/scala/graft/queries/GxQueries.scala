@@ -95,6 +95,14 @@ object GxQueries {
     Tables.cached("louvw_lic", s, dir)(
       GraphOps.louvainWeightedLic(sharedLpa(s, dir), sharedWund(s, dir)))
 
+  /** Session-shared round-1 WL structural classes — the partition both
+    * agreement grades (gx_ari, gx_nmi) compare against LPA; the
+    * adjacency join + checkpoint runs once per session. statsReset per
+    * the checkpoint discipline (two consumers join it). */
+  private def sharedWl1(s: SparkSession, dir: String): DataFrame =
+    GraphOps.statsReset(Tables.cached("wl1", s, dir)(
+      GraphOps.wlRefine(sharedUnd(s, dir), rounds = 1)))
+
   /** Session-shared one-level Louvain refinement — gx_louvain1 emits it,
     * gx_louvain_q audits it, gx_louvain2 contracts on it; the gain
     * pipeline builds once per session (the lpa5 pattern). statsReset on
@@ -172,6 +180,7 @@ object GxQueries {
     "lpa5" -> ((s: SparkSession, d: String) => sharedLpa(s, d)),
     "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2),
     "gx_und" -> ((s: SparkSession, d: String) => sharedUnd(s, d)),
+    "wl1" -> ((s: SparkSession, d: String) => sharedWl1(s, d)),
     "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d)),
     "gx_wund" -> ((s: SparkSession, d: String) => sharedWund(s, d)),
     "louvw_deg" -> ((s: SparkSession, d: String) => sharedWDeg(s, d)),
@@ -320,9 +329,18 @@ object GxQueries {
     // fixed IEEE tree for the floor-micro index
     "gx_ari" -> ((s, dir) => {
       val a = sharedLpa(s, dir).select(col("key"), col("label").as("la"))
-      val b = GraphOps.wlRefine(sharedUnd(s, dir), rounds = 1)
+      val b = sharedWl1(s, dir)
         .select(col("key"), col("l1").cast("string").as("lb"))
       GraphOps.adjustedRandIndex(a, b)}),
+
+    // NMI — ARI's information-theoretic sibling over the same
+    // LPA-vs-WL partition pair; every ln separately micro-nat-rounded
+    // before summation (the PMI discipline), one IEEE tree at the end
+    "gx_nmi" -> ((s, dir) => {
+      val a = sharedLpa(s, dir).select(col("key"), col("label").as("la"))
+      val b = sharedWl1(s, dir)
+        .select(col("key"), col("l1").cast("string").as("lb"))
+      GraphOps.normalizedMutualInfo(a, b)}),
 
     // EDGE-EMBEDDEDNESS histogram over the canonical undirected union
     // graph: support = |N(u)∩N(v)| per edge, reduced to (support,
@@ -1917,6 +1935,18 @@ object GxQueries {
          |arpa AS (SELECT key, label AS la FROM l5),
          |arpb AS (SELECT key, CAST(l AS VARCHAR) AS lb FROM wl1),
          |${GraphOps.adjustedRandIndexSql("arpa", "arpb")}""".stripMargin,
+
+    "gx_nmi" ->
+      s"""$cte, ${GraphOps.labelPropagationSql("ue", "un", 5)},
+         |wlu AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM ue WHERE src <> dst
+         |), wladj AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM wlu UNION ALL SELECT v, u FROM wlu
+         |), ${GraphOps.wlRefineSql("wladj", 1)},
+         |arpa AS (SELECT key, label AS la FROM l5),
+         |arpb AS (SELECT key, CAST(l AS VARCHAR) AS lb FROM wl1),
+         |${GraphOps.normalizedMutualInfoSql("arpa", "arpb")}""".stripMargin,
 
     "gx_embed" ->
       s"""$cte, und AS (

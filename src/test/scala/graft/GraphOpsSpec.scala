@@ -685,6 +685,32 @@ class GraphOpsSpec extends SparkSpec {
       .select($"ari_micro").as[Long].head() == 0L)
   }
 
+  test("normalizedMutualInfo: identity = 1e6, trivial = 0, hand case exact") {
+    val a = Seq("a" -> "A", "b" -> "A", "c" -> "A",
+      "d" -> "B", "e" -> "B", "f" -> "B").toDF("key", "la")
+    val ident = a.select($"key", concat(lit("x"), $"la").as("lb"))
+    assert(GraphOps.normalizedMutualInfo(a, ident)
+      .select($"nmi_micro").as[Long].head() == 1000000L)
+    // one-cluster partition: I = 0, H_b = 0 -> NMI 0 (not NaN/div-by-0)
+    val t = a.select($"key", lit("Z").as("lb"))
+    assert(GraphOps.normalizedMutualInfo(a, t)
+      .select($"nmi_micro").as[Long].head() == 0L)
+    // {abc|def} vs {ab|cdef}: replay the micro-nat formula exactly
+    val b = Seq("a" -> "X", "b" -> "X", "c" -> "Y",
+      "d" -> "Y", "e" -> "Y", "f" -> "Y").toDF("key", "lb")
+    def lm(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    val lnN = lm(6)
+    // cells: (A,X)=2 (A,Y)=1 (B,Y)=3; a: A=3 B=3; b: X=2 Y=4
+    val iNum = 2 * (lm(2) + lnN - lm(3) - lm(2)) +
+      1 * (lm(1) + lnN - lm(3) - lm(4)) + 3 * (lm(3) + lnN - lm(3) - lm(4))
+    val hA = 3 * (lnN - lm(3)) + 3 * (lnN - lm(3))
+    val hB = 2 * (lnN - lm(2)) + 4 * (lnN - lm(4))
+    val want = math.floor(1e6 * (2.0 * iNum) / (hA + hB).toDouble).toLong
+    val r = GraphOps.normalizedMutualInfo(a, b)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((6L, iNum, hA, hB, want)), s"got $r want $want")
+  }
+
   test("bowtieCensus: seed-rooted core/in/out/other classification") {
     // cycle a->b->c->a is the core when seeded at a; d feeds in, e flows
     // out, (f,g) is disconnected; self-loop + duplicate edge must be inert

@@ -1066,8 +1066,13 @@ object Dedup {
     * (2·df > n), exact in both engines at every SF. */
   def boilerplateStrip(docs: DataFrame, idCol: String, srcCol: String,
                        textCol: String): DataFrame = {
-    val lined = boilerplateLines(docs, idCol, srcCol, textCol)
-    val dropSet = boilerplateDropSet(docs, idCol, srcCol, textCol)
+    // the line explode + fingerprint is the expensive stage and feeds
+    // BOTH the df aggregation and the anti join — materialize it once
+    // (harness releaseAll frees it per query)
+    val lined = graft.CacheScope.cached(
+      boilerplateLines(docs, idCol, srcCol, textCol))
+    val dropSet = boilerplateDropSetOf(lined,
+      docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n_docs")))
     val kept = lined.join(broadcast(dropSet), Seq("source", "lfp"), "left_anti")
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
@@ -1098,16 +1103,17 @@ object Dedup {
     * discipline of [[spanKeyIndex]]): boilerplate-line-sized by
     * definition, so it ships as one static join side. */
   def boilerplateDropSet(docs: DataFrame, idCol: String, srcCol: String,
-                         textCol: String): DataFrame = {
-    val lined = boilerplateLines(docs, idCol, srcCol, textCol)
-    val nDocs = docs.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
+                         textCol: String): DataFrame =
+    boilerplateDropSetOf(boilerplateLines(docs, idCol, srcCol, textCol),
+      docs.groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n_docs")))
+
+  private def boilerplateDropSetOf(lined: DataFrame,
+                                   nDocs: DataFrame): DataFrame =
     lined.groupBy("source", "lfp")
       .agg(countDistinct(col("doc_id")).as("df"))
       .join(nDocs, Seq("source"))
       .filter(col("df") * 2 > col("n_docs"))
       .select("source", "lfp")
-  }
 
   /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */
   def boilerplateStripSql(table: String, idCol: String, srcCol: String,

@@ -164,8 +164,12 @@ object GraphOps {
     val small = nodes.count() <= broadcastNodeLimit
     val e = CacheScope.cached(
       g.edges.select(col("src"), col("dst")).repartition(col("dst")))
-    val dmax = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).head().getLong(0)
+    // max over an EMPTY degree frame is a NULL cell — an edgeless graph
+    // (filtered subgraph, degenerate fixture) must score all-β (inc = 0
+    // every round), not NPE on Row.getLong
+    val dmaxRow = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head()
+    val dmax = if (dmaxRow.isNullAt(0)) 0L else dmaxRow.getLong(0)
     val kdiv = dmax + 1
     var x = nodes.withColumn("x", lit(scale))
     for (i <- 1 to iters) {

@@ -32,26 +32,34 @@ object PipelineQueries {
     * hook, and PID-suffixed paths would otherwise leak corpus copies in
     * /tmp forever — the fixed-path era was self-healing on the next run;
     * this restores that property across process generations. */
+  /** Recursive delete that never descends through a symlink (deletes the
+    * link itself only) — shared by the sweep, the per-call reset and the
+    * shutdown hook so the guard can't drift between copies. */
+  private def rmScratch(f: java.io.File): Unit = {
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(rmScratch))
+    f.delete(); ()
+  }
   private lazy val sweepDeadScratch: Unit = {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val pidRe = "graft_scratch_p([0-9]+)_.*".r
+    // Files.list holds an OS directory handle until CLOSED — drain inside
+    // try/finally or the fd leaks for the JVM lifetime (incl. on throw)
+    var st: java.util.stream.Stream[java.nio.file.Path] = null
     try {
-      val it = java.nio.file.Files.list(tmp).iterator()
+      st = java.nio.file.Files.list(tmp)
+      val it = st.iterator()
       while (it.hasNext) {
         val p = it.next()
         p.getFileName.toString match {
           case pidRe(pid) if pid.toLong != scratchPid &&
               !ProcessHandle.of(pid.toLong).isPresent =>
-            def rm(f: java.io.File): Unit = {
-              if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-                Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(); ()
-            }
-            rm(p.toFile)
+            rmScratch(p.toFile)
           case _ =>
         }
       }
     } catch { case _: Throwable => } // best-effort; never blocks a query
+    finally if (st != null) st.close()
   }
   private def scratchDir(name: String, dir: String): String = {
     sweepDeadScratch
@@ -60,16 +68,10 @@ object PipelineQueries {
     // and the shutdown hook only ever removes this process's dirs.
     val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_scratch_p${scratchPid}_${name}_${Integer.toHexString(dir.hashCode)}")
-    def rm(f: java.io.File): Unit = {
-      // do not descend through symlinks — delete the link itself only
-      if (!java.nio.file.Files.isSymbolicLink(f.toPath))
-        Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(p.toFile)
+    rmScratch(p.toFile)
     java.nio.file.Files.createDirectories(p)
     if (scratchHooked.add(p.toString))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmScratch(p.toFile)))
     p.toString
   }
 
@@ -717,10 +719,14 @@ object PipelineQueries {
       val n = ids.count()
       val ranked = graft.CacheScope.cached(ids.withColumn("rk",
         (row_number().over(Window.orderBy("doc_id")) - 1).cast("long")))
-      val negs = pos.select(col("a"),
+      // draws keyed by the WHOLE positive pair (a, b, k) — keying on
+      // (a, k) alone made every positive of the same anchor reuse one
+      // negative, emitting byte-identical duplicate rows
+      val negs = pos.select(col("a"), col("b").as("bp"),
           explode(expr("sequence(1, 2)")).as("neg_k"))
         .withColumn("rk", pmod(graft.functions.TextFunctions.hash60(
-          concat_ws("|", col("a"), col("neg_k"), lit("cneg"))), lit(n)))
+          concat_ws("|", col("a"), col("bp"), col("neg_k"), lit("cneg"))),
+          lit(n)))
         .join(ranked, "rk")
         .select(col("a"), col("doc_id").as("b"), lit(0).as("label"),
           col("neg_k").cast("int").as("neg_k"))
@@ -3015,12 +3021,13 @@ object PipelineQueries {
               " badger badger")).otherwise(lit("")),
             when(q === 2, lit(" one two three one two three one two three"))
               .otherwise(lit(""))).as("text"))
-      val panel = graft.streaming.EventStreams
-        .gopherPanelStream(stream, "doc_id", "text")
-      graft.streaming.EventStreams.runToMemory(panel,
+      val counts = graft.streaming.EventStreams
+        .gopherGramCountsStream(stream, "doc_id", "text")
+      val drained = graft.streaming.EventStreams.runToMemory(counts,
         "s_stream_gopher_sink",
         org.apache.spark.sql.streaming.OutputMode.Update(),
         shufflePartitions = Some(8))
+      graft.streaming.EventStreams.gopherPanelOfCounts(drained)
         .orderBy("doc_id")}),
 
     // STREAMING blocklist filter at ingest: the d_blocklist wordlist as
@@ -3136,8 +3143,12 @@ object PipelineQueries {
       // b1: first-seen A/B/C + clock to m600 -> watermark 480 after b1
       plant(rows(Seq("A" -> 0, "B" -> 60, "C" -> 540, "W1" -> 600)),
         "b1.parquet", t0 - 180000)
-      // b2 (wm 480): A expired (0+120<480) -> re-admit; C alive (660>480)
-      // -> dup dropped; D+D in-batch pair -> one survives; clock to 720
+      // b2 (wm 480): A's state nominally expired (0+120<480) but eviction
+      // runs at batch COMMIT with the one-batch-LAGGED watermark, so A is
+      // STILL SUPPRESSED here (n_admitted(A)=1 — re-admission is only
+      // observable one batch later, which B demonstrates in b3); C alive
+      // (660>480) -> dup dropped; D+D in-batch pair -> one survives;
+      // clock to 720
       plant(rows(Seq("A" -> 540, "C" -> 540, "D" -> 540, "D" -> 540,
           "W2" -> 720)), "b2.parquet", t0 - 120000)
       // b3 (wm 600): C STILL alive (660>600) even at a new event time ->
@@ -3561,7 +3572,8 @@ object PipelineQueries {
          |  CROSS JOIN ccn
          |  JOIN crk r ON r.rk =
          |    ${graft.functions.TextFunctions.hash60Sql(
-                "CAST(p.a AS VARCHAR) || '|' || CAST(k.k AS VARCHAR) || '|cneg'")} % ccn.n
+                "CAST(p.a AS VARCHAR) || '|' || CAST(p.b AS VARCHAR)" +
+                " || '|' || CAST(k.k AS VARCHAR) || '|cneg'")} % ccn.n
          |)
          |SELECT a, b, 1 AS label, 0 AS neg_k FROM cpo
          |UNION ALL

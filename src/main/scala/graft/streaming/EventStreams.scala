@@ -295,8 +295,10 @@ object EventStreams {
   /** The per-user loyalty-tier TIMELINE as half-open validity intervals
     * [from_us, to_us): the user's i-th purchase (ts, event_id order)
     * opens era i at its timestamp, era 0 runs from -inf to the first
-    * purchase, the last era to +inf. Built ONCE in batch; user-count ×
-    * purchase-count sized, so it broadcasts. Equal-ts purchases produce
+    * purchase, the last era to +inf. Built ONCE in batch; one row per
+    * PURCHASE EVENT (fact-scaled, not user-scaled), so whether it
+    * broadcasts is the planner's size call, never a hint
+    * ([[asOfTier]]). Equal-ts purchases produce
     * an empty [t, t) era — harmless, the intervals still partition the
     * timeline, so every event matches exactly one row. One user-keyed
     * window, no corpus-sized shuffle. */
@@ -320,12 +322,16 @@ object EventStreams {
     * loyalty tier AT EVENT TIME. Streams cannot run the window-replay
     * trick batch as-of uses, so the "latest version at-or-before" is
     * re-expressed as an equi+range stream-static LEFT join against the
-    * broadcast [[tierIntervals]] dimension — stateless, append-mode,
-    * one broadcast hash join per micro-batch, no state store. Users
-    * with no purchase history keep their events (tier 0). */
+    * [[tierIntervals]] dimension — stateless, append-mode, no state
+    * store. The dimension is purchase-event-SCALED (it grows with the
+    * fact table), so no broadcast hint: the planner broadcasts it while
+    * small and falls back to a shuffled per-batch join past the
+    * threshold — a forced broadcast would collect every purchase
+    * interval to the driver at scale. Users with no purchase history
+    * keep their events (tier 0). */
   def asOfTier(eventsStream: DataFrame, tiers: DataFrame): DataFrame =
     eventsStream.as("e")
-      .join(broadcast(tiers).as("d"),
+      .join(tiers.as("d"),
         col("e.user_id") === col("d.user_id") &&
           unix_micros(col("e.ts")) >= col("d.from_us") &&
           unix_micros(col("e.ts")) < col("d.to_us"), "left")
@@ -433,19 +439,20 @@ object EventStreams {
     * quality-gate-at-ingest form: per streamed doc the same four
     * character-occupancy micro-fractions and keep verdict, column- and
     * value-identical to the batch panel (shared oracle). Streams can't
-    * run the batch form's three explode→(doc, gram) groupings, so the
-    * doc's lines/bigrams/trigrams explode into ONE tagged row stream
-    * (stateless union of three projections of the same source) and ONE
-    * update-mode per-doc aggregation collects each kind into its own
-    * array via `collect_list(when(kind...))` (null-skipping) — the
-    * occupancy math then runs as post-aggregation array expressions over
-    * those AGG ATTRIBUTES (never a recomputed array inside a lambda, per
-    * the VectorExpressions discipline; the per-distinct-gram counting is
-    * the intrinsic O(G²) per-doc cost, bounded by doc length). A doc is
-    * atomic within its micro-batch, so the memory sink sees exactly one
-    * update per doc. */
-  def gopherPanelStream(docsStream: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+    * run the batch form's three explode→(doc, gram) groupBy chains
+    * (chained streaming aggregations are unsupported), so the doc's
+    * lines/bigrams/trigrams explode into ONE tagged row stream
+    * (stateless union of three projections of the same source) and the
+    * single stateful operator is a (doc, kind, gram)-keyed COUNT
+    * aggregation — linear in doc length, where an array-expression
+    * formulation (count-by-filter inside transform) is O(G²) per doc and
+    * one long document stalls its whole micro-batch. A doc is atomic
+    * within its micro-batch, so every (doc, kind, gram) group finalizes
+    * in the batch it arrives and the memory sink sees exactly one update
+    * per group; [[gopherPanelOfCounts]] reduces the drained counts to
+    * the panel on the batch side. */
+  def gopherGramCountsStream(docsStream: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     import graft.functions.TextFunctions.{bigrams, trigrams}
     val base = docsStream.select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
@@ -456,41 +463,35 @@ object EventStreams {
     val rows = tagged("L", split(col("text"), "\n"))
       .unionByName(tagged("B", bigrams(col("text"))))
       .unionByName(tagged("T", trigrams(col("text"))))
-    val counts = rows.groupBy("doc_id").agg(
-        max(col("n_chars")).as("n_chars"),
-        collect_list(when(col("kind") === "L", col("val"))).as("lvals"),
-        collect_list(when(col("kind") === "B", col("val"))).as("bvals"),
-        collect_list(when(col("kind") === "T", col("val"))).as("tvals"))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("lvals")).cast("long").as("n_lines"),
-        (size(col("lvals")) - size(array_distinct(col("lvals"))))
-          .cast("long").as("dup_lines"),
-        (expr("aggregate(lvals, 0L, (a, x) -> a + length(x))") -
-          expr("aggregate(array_distinct(lvals), 0L, (a, x) -> a + length(x))"))
-          .as("dup_line_chars"),
-        // (count, gram) argmax as ONE aggregate fold with a finish lambda
-        // — cnt desc then gram asc, exactly the batch struct-min order
-        expr("""aggregate(
-          |  transform(array_distinct(bvals),
-          |    g -> struct(size(filter(bvals, x -> x = g)) AS c, g AS g)),
-          |  CAST(null AS struct<c: int, g: string>),
-          |  (acc, s) -> CASE WHEN acc IS NULL THEN s
-          |    WHEN s.c > acc.c OR (s.c = acc.c AND s.g < acc.g) THEN s
-          |    ELSE acc END,
-          |  m -> IF(m IS NULL, 0L, CAST(m.c AS BIGINT) * length(m.g)))"""
-          .stripMargin).as("top2_chars"),
-        expr("""aggregate(
-          |  transform(array_distinct(tvals),
-          |    g -> struct(size(filter(tvals, x -> x = g)) AS c,
-          |                length(g) AS l)),
-          |  0L,
-          |  (a, s) -> a + IF(s.c >= 2, CAST(s.c AS BIGINT) * s.l, 0L))"""
-          .stripMargin).as("dup3_chars"))
-    counts.select(col("doc_id"), col("n_lines"),
+    rows.groupBy("doc_id", "kind", "val")
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
+  }
+
+  /** Batch-side finish of [[gopherGramCountsStream]]: the drained
+    * (doc, kind, gram, cnt) frame reduces to exactly the batch panel —
+    * dup lines = Σ(cnt−1), char occupancy via length(gram), the
+    * top-2gram argmax as the same struct-min aggregate as the batch op,
+    * dup-3grams filtered at cnt ≥ 2. Every aggregation here is
+    * map-side combinable and gram-count-sized. */
+  def gopherPanelOfCounts(counts: DataFrame): DataFrame = {
+    val isL = col("kind") === "L"
+    val isT = col("kind") === "T"
+    val byDoc = counts.groupBy("doc_id").agg(
+      max(col("n_chars")).as("n_chars"),
+      sum(when(isL, col("cnt")).otherwise(0L)).as("n_lines"),
+      sum(when(isL, col("cnt") - 1).otherwise(0L)).as("dup_lines"),
+      sum(when(isL, (col("cnt") - 1) * length(col("val"))).otherwise(0L))
+        .as("dup_line_chars"),
+      min(when(col("kind") === "B",
+        struct((-col("cnt")).as("nc"), col("val").as("g")))).as("m"),
+      sum(when(isT && col("cnt") >= 2, col("cnt") * length(col("val")))
+        .otherwise(0L)).as("dup3_chars"))
+    byDoc.select(col("doc_id"), col("n_lines"),
         expr("(1000000 * dup_lines) div n_lines").as("dup_line_micro"),
         expr("(1000000 * dup_line_chars) div n_chars")
           .as("dup_line_char_micro"),
-        expr("(1000000 * top2_chars) div n_chars").as("top2_char_micro"),
+        expr("(1000000 * coalesce(-m.nc * length(m.g), 0L)) div n_chars")
+          .as("top2_char_micro"),
         expr("(1000000 * dup3_chars) div n_chars").as("dup3_char_micro"))
       .withColumn("keep",
         col("dup_line_micro") <= 300000L &&

@@ -250,10 +250,11 @@ class StreamingSpec extends SparkSpec {
     writeFile(2, corpus.drop(2))
     val st = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
-    val streamed = EventStreams.runToMemory(
-      EventStreams.gopherPanelStream(st, "doc_id", "text"),
-      "t_gopher_stream",
-      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val streamed = EventStreams.gopherPanelOfCounts(
+      EventStreams.runToMemory(
+        EventStreams.gopherGramCountsStream(st, "doc_id", "text"),
+        "t_gopher_stream",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update()))
       .as[(Long, Long, Long, Long, Long, Long, Boolean)]
       .collect().sortBy(_._1)
     val batch = graft.functions.TextFunctions

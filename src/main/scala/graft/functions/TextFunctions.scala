@@ -661,10 +661,13 @@ object TextFunctions {
     * stat exists to expose. i64 headroom: |x|,|y| ≤ ln(topK·maxCnt)·1e6,
     * so Σx² stays exact through topK ≈ 10⁴ at web-corpus counts. */
   def zipfFit(tokenCounts: DataFrame, topK: Int = 200): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("token"))
     def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
-    val xy = tokenCounts.withColumn("r", row_number().over(w))
-      .filter(col("r") <= topK)
+    // cut to the top-K FIRST (distributed TakeOrdered — never a global
+    // rank window over the full vocabulary), then rank inside the
+    // literal-topK frame via the distributed range+offset two-pass
+    val top = tokenCounts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val xy = graft.operators.Ranks.rowNumber(top, "r",
+        col("cnt").desc, col("token"))
       .select(lmicro(col("r")).as("x"), lmicro(col("cnt")).as("y"))
     val st = xy.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),

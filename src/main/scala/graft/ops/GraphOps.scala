@@ -198,7 +198,10 @@ object GraphOps {
          |    FROM $edges e JOIN x${k - 1} x ON e.src = x.key
          |    GROUP BY e.dst) s ON n.key = s.key, kdiv)""".stripMargin
     }
-    (s"""kdiv AS (SELECT max(cnt) + 1 AS d FROM (
+    // coalesce mirrors the Spark dmaxRow.isNullAt guard: on an edgeless
+    // graph max(cnt) is NULL and every katz value would go NULL instead
+    // of the all-β score the Spark side emits
+    (s"""kdiv AS (SELECT coalesce(max(cnt), 0) + 1 AS d FROM (
         |  SELECT count(*) AS cnt FROM $edges GROUP BY dst))""".stripMargin +:
       s"x0 AS (SELECT key, CAST($scale AS BIGINT) AS x FROM $nodes)" +:
       its).mkString(",\n")
@@ -685,12 +688,12 @@ object GraphOps {
     * no RNG state. Output (start, i, j, center, context, label, neg_k).
     *
     * Scale shape: the pair join is per-walk (walks are bounded-length),
-    * the vocabulary rank table is one node-sized sort (the same
-    * vocabulary-scale global order every vocab op pays), and negatives
-    * attach by an equi join on the 8-byte rank. */
+    * the vocabulary rank table is the distributed range-bucket + offset
+    * two-pass ([[graft.operators.Ranks.rowNumber]] — never a
+    * single-partition window over the node set), and negatives attach by
+    * an equi join on the 8-byte rank. */
   def skipGramPairs(walks: DataFrame, nodes: DataFrame,
                     window: Int = 2, negatives: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = walks.select(col("start"), col("step").as("i"),
       col("node").as("center"))
     val b = walks.select(col("start"), col("step").as("j"),
@@ -701,9 +704,10 @@ object GraphOps {
       .select(col("start"), col("i"), col("j"), col("center"),
         col("context"), lit(1).as("label"), lit(0).as("neg_k"))
     val n = nodes.count()
-    val ranked = CacheScope.cached(nodes.select(col("key"))
-      .withColumn("rk",
-        (row_number().over(Window.orderBy("key")) - 1).cast("long")))
+    val ranked = CacheScope.cached(
+      graft.operators.Ranks.rowNumber(nodes.select(col("key")), "rk",
+          col("key"))
+        .withColumn("rk", col("rk") - 1))
     val negs = pos
       .select(col("start"), col("i"), col("j"), col("center"),
         col("context").as("pos_ctx"),

@@ -315,11 +315,14 @@ object PipelineQueries {
       val sur = TextFunctions.surprisalStats(docs(s, dir), "doc_id", "text")
       val a = sur.select(col("doc_id"), col("n_tokens").as("sa"))
       val b = sur.select(col("doc_id"), col("mean_micro").as("sb"))
-      val wa = Window.orderBy(col("sa").desc, col("doc_id"))
-      val wb = Window.orderBy(col("sb").desc, col("doc_id"))
-      val st = a.join(b, "doc_id")
-        .withColumn("ra", row_number().over(wa).cast("long"))
-        .withColumn("rb", row_number().over(wb).cast("long"))
+      // both global rank columns via the distributed range+offset
+      // two-pass (Ranks) — Spearman needs corpus-wide ranks, but never
+      // from a single-partition window; ties are impossible on the
+      // (value desc, doc_id) total order so row_number == rank
+      val st = graft.operators.Ranks.rowNumber(
+          graft.operators.Ranks.rowNumber(a.join(b, "doc_id"),
+            "ra", col("sa").desc, col("doc_id")),
+          "rb", col("sb").desc, col("doc_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("ra")).as("sx"), sum(col("rb")).as("sy"),
           sum(col("ra") * col("rb")).as("sxy"),
@@ -717,8 +720,11 @@ object PipelineQueries {
         .select(col("a"), col("b"), lit(1).as("label"), lit(0).as("neg_k"))
       val ids = docs(s, dir).select(col("doc_id"))
       val n = ids.count()
-      val ranked = graft.CacheScope.cached(ids.withColumn("rk",
-        (row_number().over(Window.orderBy("doc_id")) - 1).cast("long")))
+      // rank table via the distributed range+offset two-pass (Ranks) —
+      // never a single-partition window over the corpus id set
+      val ranked = graft.CacheScope.cached(
+        graft.operators.Ranks.rowNumber(ids, "rk", col("doc_id"))
+          .withColumn("rk", col("rk") - 1))
       // draws keyed by the WHOLE positive pair (a, b, k) — keying on
       // (a, k) alone made every positive of the same anchor reuse one
       // negative, emitting byte-identical duplicate rows

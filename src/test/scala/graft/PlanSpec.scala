@@ -578,6 +578,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("corpus rank tables: no unpartitioned window over unbounded input") {
+    // the round-12 verdict's scale-killer: a corpus/node-sized rank built
+    // with row_number().over(Window.orderBy(...)) is a single-partition
+    // sort of the whole frame. All four former offenders now rank via
+    // Ranks.rowNumber (range-bucket + broadcast-offset two-pass); the ONLY
+    // unpartitioned windows their plans may contain are the offset-frame
+    // cumulative sums, bounded by the partition count and recognizable by
+    // their __pid order key.
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    // descend through InMemoryTableScan too: the former offenders built
+    // their rank tables INSIDE CacheScope.cached, so the window hides in
+    // the InMemoryRelation's cached plan, invisible to a surface walk
+    def unpartWindows(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExecBase] = {
+      val here = helper.collect(p) {
+        case w: org.apache.spark.sql.execution.window.WindowExecBase
+            if w.partitionSpec.isEmpty => w
+      }
+      val cached = helper.collect(p) {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      here ++ cached.flatMap(unpartWindows)
+    }
+    for (name <- Seq("gx_walk_pairs", "d_contrastive", "d_spearman", "d_zipf")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE so stages are traversable
+      val unpart = unpartWindows(df.queryExecution.executedPlan)
+      unpart.foreach { w =>
+        assert(w.orderSpec.exists(_.child.toString.contains("__pid")),
+          s"$name: unpartitioned window over unbounded input:\n$w")
+      }
+      graft.CacheScope.releaseAll()
+    }
+  }
+
   test("event transition matrix shuffles the corpus exactly once (user window)") {
     val whole = finalPlanString(
       graft.queries.AnalyticsQueries.queries("s_paths")(spark, sf))

@@ -730,4 +730,96 @@ object Multimodal {
       transform(
         sequence(lit(1), greatest(col("meta.n_bytes").cast("int"), lit(1)), lit(stride)),
         i => expr("content").substr(i, lit(1))))
+
+  // ------------------------------------------ phash-banded image near-dup
+  /** Output row of [[dhash64]]: one full-width 64-bit gradient hash per
+    * decodable image. */
+  case class MediaHash64(media_id: Long, dhash64: Long)
+
+  /** FIXED-WIDTH perceptual hash for the image near-dup JOIN: resample
+    * the decoded blue channel to the standard 9×8 raster (nearest
+    * neighbor — the same stride walk as [[resizeImageStats]], closed-form
+    * replayable) and take the horizontal-gradient dHash over it:
+    * bit(y·8+x) = 1 iff B(x+1, y) > B(x, y) on the resampled grid.
+    * Unlike [[imageHashes]] (whose width varies with the source raster,
+    * so distances across sizes are meaningless) every image maps to the
+    * same 64 bits, which is what makes Hamming banding well-defined. */
+  def dhash64(media: DataFrame): Dataset[MediaHash64] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var bits = 0L
+              for (y <- 0 until 8; x <- 0 until 8) {
+                val ys = y * h / 8
+                val bl = img.getRGB(x * w / 9, ys) & 0xff
+                val br = img.getRGB((x + 1) * w / 9, ys) & 0xff
+                if (br > bl) bits |= 1L << (y * 8 + x)
+              }
+              Some(MediaHash64(id, bits))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Phash-banded image near-dup excision — the LAION-style step a
+    * multimodal pipeline runs right after decode: band each 64-bit
+    * [[dhash64]] into 4 pieces of 16 bits (pigeonhole: Hamming ≤ 3 ⇒ at
+    * least one piece matches exactly — the SimHash discipline applied to
+    * image codes), candidate-join on (piece, value), verify exact
+    * Hamming on the full hash, then map every image to its best
+    * survivor: keep_id = min(media_id, smallest verified partner),
+    * n_near = verified-partner count. Direct (non-transitive) partners
+    * — for the exact-duplicate clusters the planted fixtures contain,
+    * every member links to the class minimum directly, so min-direct ==
+    * min-transitive there.
+    *
+    * Scale shape: the join is bucketed by the 2^16-value pieces (never
+    * all-pairs; PlanSpec pins no product), the hash frame shuffles 16
+    * bytes per image, and the survivor agg is one groupBy. */
+  def phashNearDupSurvivors(hashes: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    val pieces = 4
+    val bitsPer = 16
+    require(maxHamming < pieces,
+      s"banding is pigeonhole-exact only for maxHamming < $pieces pieces")
+    val mask = (1L << bitsPer) - 1
+    val hs = graft.CacheScope.cached(
+      hashes.select(col("media_id"), col("dhash64")))
+    val bandRows = (0 until pieces).map { p =>
+      struct(lit(p).as("piece"),
+        shiftright(col("dhash64"), p * bitsPer).bitwiseAND(lit(mask)).as("pv"))
+    }
+    val banded = hs.select(col("media_id"), col("dhash64"),
+        explode(array(bandRows: _*)).as("bp"))
+      .select(col("media_id"), col("dhash64"), col("bp.piece"), col("bp.pv"))
+    val a = banded.select(col("piece"), col("pv"),
+      col("media_id").as("a"), col("dhash64").as("ha"))
+    val b = banded.select(col("piece"), col("pv"),
+      col("media_id").as("b"), col("dhash64").as("hb"))
+    val pairs = a.join(b, Seq("piece", "pv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val partners = pairs.select(col("a").as("media_id"), col("b").as("partner"))
+      .unionByName(pairs.select(col("b").as("media_id"), col("a").as("partner")))
+    hs.join(partners, Seq("media_id"), "left")
+      .groupBy(col("media_id"))
+      .agg(min(col("partner")).as("mn"), count(col("partner")).as("n_near"))
+      .select(col("media_id"),
+        when(col("mn").isNull || col("mn") > col("media_id"), col("media_id"))
+          .otherwise(col("mn")).as("keep_id"),
+        col("n_near"))
+  }
 }

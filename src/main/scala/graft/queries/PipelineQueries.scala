@@ -152,6 +152,61 @@ object PipelineQueries {
       lit("00000000"), lit("00000000"), pixels)
   }
 
+  /** The TEXTURED BMP family for the perceptual near-dup gate: the same
+    * container discipline as [[plantedBmpHex]] but big enough to hash —
+    * w=16, h = doc_id%8+8 (a 4-px image upsampled to the 9×8 hash raster
+    * leaves most sample pairs reading the SAME source pixel: 5 of 8 bits
+    * per row structurally zero, pieces trivially colliding, banding
+    * degenerating to all-pairs; at 16×8+ every 9×8 sample column reads a
+    * distinct source column and all 64 bits carry signal). Blue(p) =
+    * (31·d + 97·p) % 256, a full-range pseudo-texture; 31 is invertible
+    * mod 256 so seeds 256 apart yield byte-IDENTICAL payloads — exact-
+    * duplicate clusters at every SF. Row stride 48 bytes (already
+    * 4-aligned, no BMP padding).
+    *
+    * `pert` plants the near-dup copies:
+    *  - 1 (near): blue+16 at image pixel (14, 0) — sampled only by the
+    *    hash's rightmost column in row y=0, so the copy is within
+    *    Hamming ≤1 of its base: a TRUE near-dup the join must accept;
+    *  - 2 (far): blue+64 at even columns of image rows ys ≥ 2 — image
+    *    rows 0-1 (hash piece 0) are untouched, so the copy ALWAYS shares
+    *    a band piece with its base (a guaranteed candidate) while the
+    *    other 48 bits scatter far past the threshold: the candidate the
+    *    Hamming verify step must reject. */
+  private def plantedTexturedBmpHex(d: Column, pert: Int): Column = {
+    val hgt = pmod(d, lit(8L)) + 8          // 8..15 rows, width fixed at 16
+    val g0 = pmod(d * 7, lit(256L))
+    val r0 = pmod(d * 13, lit(256L))
+    // raster row r = p >> 4 (w=16), col xs = p & 15; image ys = h-1-r
+    val bump: Column => Column = p => pert match {
+      case 0 => lit(0L)
+      case 1 => when(p === (hgt - 1) * 16 + 14, lit(16L)).otherwise(lit(0L))
+      case 2 => when(p.bitwiseAND(lit(1L)) === 0 &&
+          shiftright(p, 4) <= hgt - 3, lit(64L)).otherwise(lit(0L))
+    }
+    val pixels = array_join(
+      transform(sequence(lit(0L), hgt * 16 - 1),
+        p => concat(
+          lpad(hex(pmod(d * 31 + p * 97 + bump(p), lit(256L))), 2, "0"),
+          lpad(hex(g0), 2, "0"), lpad(hex(r0), 2, "0"))), "")
+    concat(
+      lit("424D"), leHexC(lit(54L) + hgt * 48, 4),
+      lit("00000000"), lit("36000000"),
+      lit("28000000"), lit("10000000"), leHexC(hgt, 4),
+      lit("0100"), lit("1800"), lit("00000000"),
+      leHexC(hgt * 48, 4), lit("00000000"), lit("00000000"),
+      lit("00000000"), lit("00000000"), pixels)
+  }
+
+  /** DuckDB replay of [[plantedTexturedBmpHex]]'s blue channel at image
+    * coordinate (`xs`, `ys`) (top-down; raster index = (h−1−ys)·16+xs),
+    * over row columns `seed`, `h`, `pert` (0 base / 1 near / 2 far). */
+  private def texBlueSql(xs: String, ys: String): String =
+    s"((seed * 31 + ((h - 1 - ($ys)) * 16 + ($xs)) * 97 + " +
+      s"(CASE WHEN pert = 1 AND ($ys) = 0 AND ($xs) = 14 THEN 16 ELSE 0 END) + " +
+      s"(CASE WHEN pert = 2 AND ($ys) >= 2 AND ($xs) % 2 = 0 THEN 64 ELSE 0 END)" +
+      s") % 256)"
+
   /** The planted PCM-16 WAV payload (hex) shared by m_features and
     * m_resample: doc_id%16+2 signed LE16 samples with
     * sample[k] = signed((doc_id·31 + k·997) % 65536) — canonical 44-byte
@@ -2917,6 +2972,35 @@ object PipelineQueries {
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("dhash"))))
         .orderBy("media_id")}),
+
+    // phash-banded image NEAR-DUP excision — the composition m_phash
+    // computed parts for: decode the textured BMPs (even ids) plus their
+    // planted perturbed copies (ids d+1 for d%20==0), resample to the
+    // fixed 9×8 raster, 64-bit gradient dHash, band into 4×16-bit pieces
+    // (pigeonhole ⇒ Hamming ≤3 always shares a piece), verify exact
+    // Hamming, excise to the best (minimum-id) survivor. Planted truth:
+    // seeds 256 apart are byte-identical images (exact clusters); the
+    // d%40!=0 copies are Hamming-≤1 true near-dups; the d%40==0 copies
+    // share piece 0 by construction but scatter ~dozens of bits — the
+    // guaranteed candidates the verify step must reject. The oracle
+    // recomputes every hash in closed form from the construction and
+    // runs the pair join all-pairs — banding is plan-shape, not
+    // semantics (PlanSpec pins no product on the Spark side)
+    "m_phash_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = docs(s, dir).filter(pmod(d, lit(2)) === 0)
+        .select(d.as("media_id"),
+          unhex(plantedTexturedBmpHex(d, pert = 0)).as("content"))
+      val near = docs(s, dir)
+        .filter(pmod(d, lit(20)) === 0 && pmod(d, lit(40)) =!= 0)
+        .select((d + 1).as("media_id"),
+          unhex(plantedTexturedBmpHex(d, pert = 1)).as("content"))
+      val far = docs(s, dir).filter(pmod(d, lit(40)) === 0)
+        .select((d + 1).as("media_id"),
+          unhex(plantedTexturedBmpHex(d, pert = 2)).as("content"))
+      val hashes = Multimodal.dhash64(
+        base.unionByName(near).unionByName(far)).toDF()
+      Multimodal.phashNearDupSurvivors(hashes).orderBy("media_id")}),
 
     // STREAMING multimodal ingest decode: the m_resize pipeline with the
     // docs table arriving as a parquet micro-batch stream — the planted
@@ -6250,6 +6334,50 @@ object PipelineQueries {
         |  ahash, dhash,
         |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
         |FROM hashes ORDER BY media_id""".stripMargin,
+
+    // near-dup replay: the 9×8-resampled 64-bit gradient hash recomputed
+    // in closed form from the textured construction (nearest-neighbor
+    // source coords xsrc = x·4//9, ysrc = y·h//8), then the pair join run
+    // ALL-PAIRS with bit_count(xor) ≤ 3 — banding is the Spark side's
+    // plan shape, not part of the answer
+    "m_phash_dedup" -> {
+      val ysS = "((q // 8) * h) // 8"
+      val dhExpr =
+        s"""CAST(list_aggregate(list_transform(generate_series(0, 63),
+           |      q -> CASE WHEN ${texBlueSql("(((q % 8) + 1) * 16) // 9", ysS)}
+           |                   > ${texBlueSql("((q % 8) * 16) // 9", ysS)}
+           |           THEN (CASE WHEN q = 63 THEN -9223372036854775807 - 1
+           |                 ELSE (CAST(1 AS BIGINT) << CAST(q AS INT)) END)
+           |           ELSE 0 END),
+           |      'sum') AS BIGINT)""".stripMargin
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed, doc_id % 8 + 8 AS h,
+         |    0 AS pert
+         |  FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1, doc_id, doc_id % 8 + 8,
+         |    CASE WHEN doc_id % 40 = 0 THEN 2 ELSE 1 END
+         |  FROM documents WHERE doc_id % 20 = 0
+         |), dh AS MATERIALIZED (
+         |  SELECT media_id,
+         |    $dhExpr AS dh64
+         |  FROM media
+         |), prs AS (
+         |  SELECT x.media_id AS a, y.media_id AS b
+         |  FROM dh x JOIN dh y ON x.media_id < y.media_id
+         |  WHERE bit_count(xor(x.dh64, y.dh64)) <= 3
+         |), part AS (
+         |  SELECT a AS media_id, b AS partner FROM prs
+         |  UNION ALL SELECT b, a FROM prs
+         |)
+         |SELECT m.media_id,
+         |  CAST(CASE WHEN MIN(p.partner) IS NULL OR MIN(p.partner) > m.media_id
+         |       THEN m.media_id ELSE MIN(p.partner) END AS BIGINT) AS keep_id,
+         |  CAST(COUNT(p.partner) AS BIGINT) AS n_near
+         |FROM dh m LEFT JOIN part p ON m.media_id = p.media_id
+         |GROUP BY m.media_id
+         |ORDER BY m.media_id""".stripMargin
+    },
 
     // frame seed v = doc_id + j drives the same closed-form bit replay
     // as m_phash; fid = 16*doc_id + j keys sampled frames

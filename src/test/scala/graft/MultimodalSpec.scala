@@ -346,4 +346,34 @@ class MultimodalSpec extends SparkSpec {
     assert(s.media_id == 1L && s.n_frames == 6 && s.n_scenes == 3)
     assert(s.longest_scene == 3 && s.boundary_sum == 7L, s"got $s")
   }
+
+  test("phash near-dup: planted copies accept/reject as constructed") {
+    // the m_phash_dedup planting contract: near copies (seed%20==0,
+    // %40!=0, one sampled pixel +16) land within Hamming ≤1 of their
+    // base and excise to it; far copies (seed%40==0, rows ≥2 perturbed)
+    // share hash piece 0 with their base — a guaranteed band candidate —
+    // but scatter past the threshold and must come out unmatched; seeds
+    // 256 apart decode to byte-identical images (exact clusters keep the
+    // class minimum)
+    val out = SparkEntry.queries("m_phash_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CacheScope.releaseAll()
+    val nearCopies = out.keys.filter(id => id % 2 == 1 && id % 40 != 1)
+    val farCopies = out.keys.filter(_ % 40 == 1)
+    assert(nearCopies.nonEmpty && farCopies.nonEmpty, "planting missing")
+    nearCopies.foreach { id =>
+      val (keep, n) = out(id)
+      assert(n >= 1 && keep < id, s"near copy $id must excise: keep=$keep n=$n")
+    }
+    farCopies.foreach { id =>
+      val (keep, n) = out(id)
+      assert(keep == id && n == 0, s"far copy $id must reject: keep=$keep n=$n")
+    }
+    // an exact mod-256 cluster pair: both present => larger maps to smaller
+    val exact = out.keys.filter(id => id % 2 == 0 && out.contains(id + 256))
+    assert(exact.nonEmpty, "no mod-256 exact pair at this SF")
+    exact.foreach { id =>
+      assert(out(id + 256)._1 <= id, s"exact dup ${id + 256} must excise")
+    }
+  }
 }

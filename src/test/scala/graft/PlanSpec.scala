@@ -308,6 +308,18 @@ class PlanSpec extends SparkSpec {
       s"span dedup must be equi-joins only:\n${plan.take(900)}")
   }
 
+  test("phash near-dup dedup joins on band pieces only (no corpus product)") {
+    // the candidate join must bucket on (piece, value) — a corpus×corpus
+    // Hamming join is the all-pairs scale-killer the banding exists to
+    // avoid
+    val plan = finalPlanString(
+      graft.queries.PipelineQueries.queries("m_phash_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash dedup must join on band pieces only:\n${plan.take(900)}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("boilerplate strip broadcasts the drop set; never a product") {
     // the drop set is boilerplate-line-sized by definition — the anti
     // join must broadcast it; the df aggregation must map-side combine

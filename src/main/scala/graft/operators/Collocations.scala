@@ -259,6 +259,280 @@ object Collocations {
     (s0 +: perRound).mkString(",\n")
   }
 
+  // ------------------------- unigram-LM tokenizer (SentencePiece-style EM)
+  /** Max piece length — the DP lookback width. */
+  val UniMaxPiece = 3
+  /** Seed vocabulary: top multi-char substrings kept alongside ALL single
+    * chars (coverage guarantee). */
+  val UniSeedMulti = 50
+  /** Multi-char tokens surviving each EM prune. */
+  val UniKeepMulti = 40
+  /** EM rounds (E = Viterbi segment, M = usage re-count + prune). */
+  val UniRounds = 2
+  private val UniSent = -400000000000000L // can never beat a genuine path
+
+  /** Viterbi segmentation of `word` under integer micro-nat piece scores:
+    * best[j] = max over piece lengths ℓ ≤ [[UniMaxPiece]] of
+    * best[j−ℓ] + score(word[j−ℓ..j]), ties preferring the LONGEST piece —
+    * a deterministic integer DP (no floats anywhere), replayed in SQL by
+    * [[unigramCtes]]'s recursive dp CTEs carrying the 3-value sliding
+    * window. Positions are UTF-16 units == code points for BMP text (the
+    * fixtures' scripts, incl. zh, are BMP; both engines then index
+    * identically). Every single char is in-vocabulary by construction, so
+    * best[j] is always genuine and the sentinel never wins. */
+  private def uniViterbi(word: String,
+                         sc: collection.Map[String, Long]): (List[String], Long) = {
+    val n = word.length
+    val best = Array.fill(n + 1)(UniSent)
+    val bl = new Array[Int](n + 1)
+    best(0) = 0L
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(UniMaxPiece, j)) {
+        sc.get(word.substring(j - l, j)) match {
+          case Some(s) =>
+            val c = best(j - l) + s
+            if (c > best(j) || (c == best(j) && l > bl(j))) {
+              best(j) = c; bl(j) = l
+            }
+          case None =>
+        }
+        l += 1
+      }
+      j += 1
+    }
+    var pieces = List.empty[String]
+    var k = n
+    while (k > 0) {
+      val l = math.max(bl(k), 1) // bl==0 unreachable when chars covered
+      pieces = word.substring(k - l, k) :: pieces
+      k -= l
+    }
+    (pieces, best(n))
+  }
+
+  /** Laplace-smoothed integer micro-nat unigram scores over a
+    * (tok, cnt) vocabulary: score = lmicro(cnt+1) − lmicro(tot+|V|),
+    * each ln micro-rounded separately (the PMI discipline) so both
+    * engines compute the identical integers. */
+  private def scoredVocab(v: DataFrame): DataFrame = {
+    def lm(c: Column) = round(log(c) * 1e6, 0).cast("long")
+    val tots = v.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nv"))
+    v.crossJoin(broadcast(tots))
+      .select(col("tok"), col("cnt"),
+        (lm(col("cnt") + 1) - lm(col("tot") + col("nv"))).as("score_micro"))
+  }
+
+  /** The corpus's distinct-word frame (word, wcnt) — the SentencePiece
+    * move that makes EM corpus-size-free: every DP below runs once per
+    * DISTINCT word, weighted by its count. */
+  private def distinctWords(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+
+  /** Unigram-LM tokenizer training (the SentencePiece-style EM family —
+    * the other mainstream tokenizer next to [[mergeRounds]]' BPE):
+    *
+    *   seed: all substrings of length ≤ [[UniMaxPiece]] of the distinct
+    *     words, occurrence-weighted; vocabulary = ALL single chars ∪
+    *     top-[[UniSeedMulti]] multi-char by (cnt desc, tok);
+    *   per round: E-step Viterbi-segments every distinct word under the
+    *     current scores ([[uniViterbi]]); M-step re-counts piece usage,
+    *     keeps all single chars (0-usage allowed — Laplace keeps scores
+    *     finite) plus the top-[[UniKeepMulti]] used multi-char pieces.
+    *
+    * Returns the final scored vocabulary (tok, cnt, score_micro).
+    *
+    * Scale shape: corpus-sized work is ONE word explode + count; the
+    * seed explode, DP and usage counts all run on the vocabulary-sized
+    * distinct-word frame; the per-round driver traffic is the ≤
+    * (alphabet + [[UniSeedMulti]])-row score map (the documented bounded
+    * k-sized-frame collect, broadcast into the DP). */
+  def unigramVocab(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val words = graft.CacheScope.cached(distinctWords(docs, idCol, textCol))
+    val seeds = words.select(col("wcnt"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+        s"transform(sequence(1, least($UniMaxPiece, length(word) - i + 1)), " +
+        s"l -> substring(word, i, l))))")).as("tok"))
+      .groupBy("tok").agg(sum(col("wcnt")).as("cnt"))
+    val chars0 = graft.CacheScope.cached(
+      seeds.filter(length(col("tok")) === 1))
+    val multi0 = seeds.filter(length(col("tok")) > 1)
+      .orderBy(col("cnt").desc, col("tok")).limit(UniSeedMulti)
+    var vocab = chars0.unionByName(multi0)
+    val charSet = chars0.select("tok")
+    for (_ <- 1 to UniRounds) {
+      val scMap = scoredVocab(vocab).select("tok", "score_micro").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = sp.sparkContext.broadcast(scMap)
+      val used = words.select("word", "wcnt").as[(String, Long)]
+        .mapPartitions(_.flatMap { case (w, c) =>
+          uniViterbi(w, bc.value)._1.map(p => (p, c)) })
+        .toDF("tok", "wc").groupBy("tok").agg(sum(col("wc")).as("cnt"))
+      val chars = charSet.join(used, Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val multi = used.filter(length(col("tok")) > 1)
+        .orderBy(col("cnt").desc, col("tok")).limit(UniKeepMulti)
+      vocab = chars.unionByName(multi)
+    }
+    scoredVocab(vocab)
+  }
+
+  /** APPLY side: segment the corpus with a trained scored vocabulary
+    * (from [[unigramVocab]]): per doc, the word count, total piece count
+    * and summed segmentation log-likelihood in micro-nats — all exact
+    * integers. Per-word DP runs once per distinct word; docs join their
+    * word stats by an equi join (word-keyed shuffle — never a broadcast
+    * assumption on the corpus vocabulary). */
+  def unigramApplyFrom(vocabScored: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val scMap = vocabScored.select("tok", "score_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = sp.sparkContext.broadcast(scMap)
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wstats = words.select("word").distinct().as[String]
+      .mapPartitions(_.map { w =>
+        val (ps, ll) = uniViterbi(w, bc.value)
+        (w, ps.length.toLong, ll)
+      }).toDF("word", "np", "ll")
+    words.join(wstats, "word").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("ll")).as("ll_micro"))
+  }
+
+  /** DuckDB twin of the unigram-LM train loop: the seed cut, every EM
+    * round's Viterbi DP (a recursive CTE per round carrying the 3-value
+    * best-score sliding window — bounded lookback == [[UniMaxPiece]]),
+    * the backtrack (a second recursive CTE walking j → j − ℓ(j)) and the
+    * usage/prune CTEs, all unrolled. Emits CTE bodies only (callers
+    * prefix `WITH RECURSIVE ` and append their select). Final scored
+    * vocabulary lands in `usc${UniRounds}`; apply DP in `uwstat`. */
+  def unigramCtes(table: String, idCol: String, textCol: String): String = {
+    val toks = tokensSql(textCol)
+    def scoreCte(r: Int): String =
+      s"""ut$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |  CAST(count(*) AS BIGINT) AS nv FROM uv$r),
+         |usc$r AS MATERIALIZED (
+         |  SELECT tok, cnt,
+         |    CAST(round(ln(cnt + 1) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(tot + nv) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM uv$r, ut$r)""".stripMargin
+    // dp over positions with the (b0,b1,b2) best-score window; ties
+    // prefer the longest piece (c3 >= c2 >= c1 case order); c1 is always
+    // genuine because every single char is in-vocabulary
+    def dpCte(name: String, sc: String, extra: Boolean): String = {
+      val npInit = if (extra) ", 0 AS n0, 0 AS n1, 0 AS n2" else ""
+      val npStep = if (extra)
+        """,
+          |    CASE WHEN c3 >= c2 AND c3 >= c1 THEN n2 + 1
+          |         WHEN c2 >= c1 THEN n1 + 1 ELSE n0 + 1 END, n0, n1""".stripMargin
+      else ""
+      s"""$name AS (
+         |  SELECT word, wcnt, wlen, 0 AS j, CAST(0 AS BIGINT) AS b0,
+         |    CAST($UniSent AS BIGINT) AS b1, CAST($UniSent AS BIGINT) AS b2,
+         |    0 AS l$npInit
+         |  FROM uw
+         |  UNION ALL
+         |  SELECT word, wcnt, wlen, j + 1, greatest(c1, c2, c3), b0, b1,
+         |    CASE WHEN c3 >= c2 AND c3 >= c1 THEN 3
+         |         WHEN c2 >= c1 THEN 2 ELSE 1 END$npStep
+         |  FROM (
+         |    SELECT d.*,
+         |      d.b0 + s1.score_micro AS c1,
+         |      coalesce(d.b1 + s2.score_micro, $UniSent) AS c2,
+         |      coalesce(d.b2 + s3.score_micro, $UniSent) AS c3
+         |    FROM $name d
+         |    LEFT JOIN $sc s1 ON s1.tok = d.word[d.j + 1 : d.j + 1]
+         |    LEFT JOIN $sc s2 ON d.j >= 1 AND s2.tok = d.word[d.j : d.j + 1]
+         |    LEFT JOIN $sc s3 ON d.j >= 2 AND s3.tok = d.word[d.j - 1 : d.j + 1]
+         |  ) WHERE j < wlen
+         |)""".stripMargin
+    }
+    def roundCtes(r: Int): String = {
+      val p = r - 1
+      s"""${dpCte(s"udp$r", s"usc$p", extra = false)},
+         |ubt$r AS (
+         |  SELECT word, wcnt, wlen AS j, CAST(NULL AS VARCHAR) AS piece FROM uw
+         |  UNION ALL
+         |  SELECT b.word, b.wcnt, b.j - d.l,
+         |    b.word[b.j - d.l + 1 : b.j]
+         |  FROM ubt$r b JOIN udp$r d ON d.word = b.word AND d.j = b.j
+         |  WHERE b.j > 0
+         |), uu$r AS MATERIALIZED (
+         |  SELECT piece AS tok, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM ubt$r WHERE piece IS NOT NULL GROUP BY piece
+         |), uv$r AS (
+         |  SELECT v.tok, coalesce(u.cnt, 0) AS cnt
+         |  FROM (SELECT tok FROM uv$p WHERE len(tok) = 1) v
+         |  LEFT JOIN uu$r u ON u.tok = v.tok
+         |  UNION ALL
+         |  SELECT tok, cnt FROM (
+         |    SELECT tok, cnt FROM uu$r WHERE len(tok) > 1
+         |    ORDER BY cnt DESC, tok LIMIT $UniKeepMulti)
+         |),
+         |${scoreCte(r)}""".stripMargin
+    }
+    val base =
+      s"""uw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt, len(word) AS wlen
+         |  FROM (SELECT unnest($toks) AS word FROM $table)
+         |  WHERE word <> '' GROUP BY word
+         |), useed AS (
+         |  SELECT tok, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+         |    SELECT wcnt, unnest(flatten(list_transform(
+         |      generate_series(1, len(word)),
+         |      i -> list_transform(
+         |        generate_series(1, least($UniMaxPiece, len(word) - i + 1)),
+         |        l -> word[i : i + l - 1])))) AS tok
+         |    FROM uw) GROUP BY tok
+         |), uv0 AS (
+         |  SELECT tok, cnt FROM useed WHERE len(tok) = 1
+         |  UNION ALL
+         |  SELECT tok, cnt FROM (
+         |    SELECT tok, cnt FROM useed WHERE len(tok) > 1
+         |    ORDER BY cnt DESC, tok LIMIT $UniSeedMulti)
+         |),
+         |${scoreCte(0)}""".stripMargin
+    val rounds = (1 to UniRounds).map(roundCtes).mkString(",\n")
+    val applyDp =
+      s"""${dpCte("udpA", s"usc$UniRounds", extra = true)},
+         |uwstat AS MATERIALIZED (
+         |  SELECT word, b0 AS ll, n0 AS np FROM udpA WHERE j = wlen
+         |)""".stripMargin
+    Seq(base, rounds, applyDp).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[unigramVocab]]'s gate view (final scored vocab). */
+  def unigramVocabSql(table: String, idCol: String, textCol: String): String =
+    "WITH RECURSIVE " + unigramCtes(table, idCol, textCol) +
+      s"""
+         |SELECT tok AS token, cnt, score_micro FROM usc$UniRounds
+         |ORDER BY token""".stripMargin
+
+  /** DuckDB twin of [[unigramApplyFrom]]: per-doc word/piece counts and
+    * summed segmentation log-likelihood under the trained vocab. */
+  def unigramApplySql(table: String, idCol: String, textCol: String): String =
+    "WITH RECURSIVE " + unigramCtes(table, idCol, textCol) +
+      s"""
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(s.ll) AS BIGINT) AS ll_micro
+         |FROM (
+         |  SELECT $idCol AS doc_id, unnest(${tokensSql(textCol)}) AS word
+         |  FROM $table
+         |) dw JOIN uwstat s ON s.word = dw.word
+         |WHERE dw.word <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** TextRank keyword extraction — PageRank over the token co-occurrence
     * graph (the graph-centrality complement of PMI's pair statistics and
     * TF-IDF's query-relative ranking: TextRank finds the corpus's

@@ -236,6 +236,14 @@ object PipelineQueries {
       lit("64617461"), leHexC(n * 2, 4), samples)
   }
 
+  /** Session-shared unigram-LM trained vocabulary — d_unigram_lm and
+    * d_unigram_apply both consume the 2-round EM result; the train loop
+    * (with its bounded per-round score-map collects) runs once per
+    * (session, dir). */
+  private def sharedUnigramVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("unigram_vocab", s, dir)(
+      Collocations.unigramVocab(docs(s, dir), "doc_id", "text"))
+
   /** Session-shared Naive Bayes scoring — d_nb_classifier, d_nb_eval and
     * d_auc all read the one train+score pass; build the per-(doc, class)
     * log-posterior frame once and hang the argmax off it. */
@@ -1371,6 +1379,27 @@ object PipelineQueries {
         size(tokens(col("text"))).cast("long").as("n_before"))
       val after = state.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
       before.join(after, "doc_id").orderBy("doc_id")}),
+
+    // unigram-LM tokenizer training (the SentencePiece-style EM family —
+    // the other mainstream tokenizer next to d_bpe's merge rounds):
+    // substring-seeded vocabulary (all chars + top-50 multi-char), 2 EM
+    // rounds of Viterbi-segment (bounded-lookback-3 integer DP, ties to
+    // the longest piece) + usage re-count + prune-to-top-40. Scores are
+    // Laplace-smoothed integer micro-nats (the PMI discipline); the
+    // oracle replays the ENTIRE loop — seeds, both DPs as recursive CTEs
+    // carrying the 3-value sliding window, backtracks, prunes — in SQL
+    "d_unigram_lm" -> ((s, dir) =>
+      sharedUnigramVocab(s, dir)
+        .select(col("tok").as("token"), col("cnt"), col("score_micro"))
+        .orderBy("token")),
+
+    // the APPLY side: per-doc word/piece counts and summed segmentation
+    // log-likelihood under the trained vocab — hash-pins the actual
+    // segmentation of every document, not just the vocabulary
+    "d_unigram_apply" -> ((s, dir) =>
+      Collocations.unigramApplyFrom(sharedUnigramVocab(s, dir),
+          docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // held-out trigram LM with STUPID BACKOFF (the web-scale count LM):
     // train on the first 4/5 of doc_ids (adaptive cutoff — the
@@ -5133,6 +5162,12 @@ object PipelineQueries {
 
     // full BPE-training replay: the unrolled 3-round loop
     "d_bpe" -> Collocations.mergeRoundsSql(docsT, "doc_id", "text", 3),
+
+    // the full EM train loop replayed: recursive-CTE Viterbi DPs,
+    // backtracks, usage counts and prunes, then the final scored vocab /
+    // the per-doc segmentation stats
+    "d_unigram_lm" -> Collocations.unigramVocabSql(docsT, "doc_id", "text"),
+    "d_unigram_apply" -> Collocations.unigramApplySql(docsT, "doc_id", "text"),
 
     "d_budget" ->
       s"""${Sampling.tokenBudgetSql(docsT, "source", tokenCountSql("text"))}

@@ -1668,6 +1668,32 @@ class PipelineSpec extends SparkSpec {
     assert(rep("hrw")._3 == moved.length.toLong)
   }
 
+  test("unigram LM: EM learns the planted piece and apply segments with it") {
+    import spark.implicits._
+    // every doc is "abcabc xy": the only 2-piece segmentation of abcabc
+    // is abc|abc, which the Viterbi must prefer over any 3+-piece path
+    // (fewer log factors); EM must then prune the vocab down to exactly
+    // the used pieces + the alphabet
+    val docs = (1L to 20L).map(i => (i, "abcabc xy")).toDF("doc_id", "text")
+    val vocab = Collocations.unigramVocab(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.CacheScope.releaseAll()
+    assert(vocab.keySet == Set("a", "b", "c", "x", "y", "abc", "xy"),
+      s"vocab must converge to used pieces + alphabet: ${vocab.keySet}")
+    assert(vocab("abc") == 40L && vocab("xy") == 20L,
+      s"usage counts must be word-count-weighted: $vocab")
+    assert(Seq("a", "b", "c", "x", "y").forall(vocab(_) == 0L),
+      "chars are kept for coverage with zero usage")
+    val applied = Collocations.unigramApplyFrom(
+        Collocations.unigramVocab(docs, "doc_id", "text"),
+        docs, "doc_id", "text")
+      .select("doc_id", "n_words", "n_pieces").as[(Long, Long, Long)]
+      .collect()
+    graft.CacheScope.releaseAll()
+    assert(applied.length == 20 && applied.forall { case (_, w, p) =>
+      w == 2L && p == 3L }, "abcabc|xy must segment as abc abc xy")
+  }
+
   test("d_fim: roundtrip reassembly holds and split points are in-bounds") {
     val out = graft.queries.PipelineQueries.queries("d_fim")(spark, sf)
       .as[(Long, Int, Int, Int, Long, Int)].collect()

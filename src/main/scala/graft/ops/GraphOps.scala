@@ -3014,5 +3014,89 @@ object GraphOps {
         coalesce(expr("(1000 * n_recip) div nullif(n_edges, 0)"), lit(0L))
           .as("recip_milli"))
   }
+
+  /** BUTTERFLY (4-cycle) census of a bipartite graph — the bipartite
+    * analog of the triangle census ([[triadCensus]] cannot see it: a
+    * bipartite graph has no triangles at all). `edges` = (src = left
+    * node, dst = right node), deduped here.
+    *
+    * Wedges are enumerated ONLY from the left side, which callers must
+    * pick as the side whose degree is bounded by the data model (the
+    * gx_triads density discipline: the part side of part–supplier stays
+    * at ~constant degree at every SF, while the SF-fixed supplier side
+    * densifies and its wedge ENUMERATION goes d² per node — its wedge
+    * COUNT is still reported, via the closed-form degree aggregate that
+    * needs no enumeration). Left nodes with degree > `maxDeg` are
+    * excluded from wedge enumeration entirely (the winnowMatchPairs
+    * maxDf move: a hub's d² wedge rows dominate the join and carry no
+    * similarity signal; the planted-hub spec pins the exclusion).
+    *
+    * Output (one row, exact i64 end-to-end):
+    * n_left, n_right, n_edges, wedges_left (Σ over right-node pairs of
+    * their common-left count c, capped graph), wedges_right (closed-form
+    * Σ C(d,2), uncapped), butterflies (Σ C(c,2)), closed_wedges_left
+    * (Σ c over pairs with c ≥ 2 — wedges participating in ≥1 butterfly)
+    * and cc_left_milli = 1000·closed/wedges (null on a wedgeless graph).
+    *
+    * Scale shape: one distinct + the left-keyed self-join (bounded by
+    * Σ d_left² ≤ maxDeg·|E|), then pair-keyed counts — never an
+    * all-pairs product on either node domain. */
+  def butterflyCensus(edges: DataFrame, maxDeg: Long = 64): DataFrame = {
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst")).distinct())
+    val counts = e.agg(countDistinct(col("src")).as("n_left"),
+      countDistinct(col("dst")).as("n_right"),
+      count(lit(1)).as("n_edges"))
+    val wr = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+        .as("wedges_right"))
+    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg).select("src")
+    val ek = e.join(keep, Seq("src"), "left_semi")
+    val pairs = ek.select(col("src"), col("dst").as("u"))
+      .join(ek.select(col("src"), col("dst").as("v")), Seq("src"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+    val ws = pairs.agg(
+      coalesce(sum(col("c")), lit(0L)).as("wedges_left"),
+      coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("butterflies"),
+      coalesce(sum(when(col("c") >= 2, col("c")).otherwise(0L)), lit(0L))
+        .as("closed_wedges_left"))
+    broadcast(counts).crossJoin(broadcast(wr)).crossJoin(broadcast(ws))
+      .select(col("n_left"), col("n_right"), col("n_edges"),
+        col("wedges_left"), col("wedges_right"), col("butterflies"),
+        col("closed_wedges_left"),
+        expr("(1000 * closed_wedges_left) div nullif(wedges_left, 0)")
+          .as("cc_left_milli"))
+  }
+
+  /** DuckDB twin of [[butterflyCensus]] over edge CTE `$edges`(src, dst)
+    * (deduped inside, same as the Spark side). */
+  def butterflyCensusSql(edges: String, maxDeg: Long = 64): String =
+    s"""WITH bfe AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM $edges
+       |), bfp AS MATERIALIZED (
+       |  SELECT x.dst AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM bfe x JOIN bfe y ON x.src = y.src AND x.dst < y.dst
+       |  WHERE x.src IN (
+       |    SELECT src FROM bfe GROUP BY src HAVING count(*) <= $maxDeg)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT
+       |  CAST((SELECT count(DISTINCT src) FROM bfe) AS BIGINT) AS n_left,
+       |  CAST((SELECT count(DISTINCT dst) FROM bfe) AS BIGINT) AS n_right,
+       |  CAST((SELECT count(*) FROM bfe) AS BIGINT) AS n_edges,
+       |  CAST(coalesce((SELECT sum(c) FROM bfp), 0) AS BIGINT) AS wedges_left,
+       |  CAST(coalesce((SELECT sum(d * (d - 1) // 2) FROM (
+       |    SELECT count(*) AS d FROM bfe GROUP BY dst)), 0) AS BIGINT)
+       |    AS wedges_right,
+       |  CAST(coalesce((SELECT sum(c * (c - 1) // 2) FROM bfp), 0) AS BIGINT)
+       |    AS butterflies,
+       |  CAST(coalesce((SELECT sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+       |    FROM bfp), 0) AS BIGINT) AS closed_wedges_left,
+       |  CAST((1000 * coalesce((SELECT sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+       |      FROM bfp), 0))
+       |    // nullif(coalesce((SELECT sum(c) FROM bfp), 0), 0) AS BIGINT)
+       |    AS cc_left_milli""".stripMargin
 }
 

@@ -319,6 +319,24 @@ object GxQueries {
         .select(col("pa").as("src"), col("pb").as("dst"))
       GraphOps.triadCensus(de)}),
 
+    // BUTTERFLY (4-cycle) census of the part–supplier bipartite graph —
+    // the bipartite analog of the triangle census (no triangles exist in
+    // a bipartite graph, so gx_transitivity/gx_triads are blind here).
+    // Edges from lineitem's (partkey, suppkey) pairs: the PART side is
+    // the SF-scaling domain whose degree stays ~constant across SF
+    // (suppliers-per-part is bounded by lineitems-per-part, which scales
+    // with parts — the gx_triads density discipline), so wedges
+    // enumerate from parts, with the supplier side's wedge count
+    // reported via the closed-form degree aggregate, never enumerated
+    // (the supplier domain is SF-fixed and densifies; at sf0.001 its 10
+    // suppliers saturate cc_left to 1000 — the documented small-fixture
+    // ceiling, not a defect). Exact i64 counts; hub parts beyond the
+    // degree cap are excluded from enumeration (spec-pinned)
+    "gx_butterfly" -> ((s, dir) => {
+      val e = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      GraphOps.butterflyCensus(e)}),
+
     // ADJUSTED RAND INDEX between the LPA COMMUNITY partition and the
     // round-1 WL STRUCTURAL classes of the union graph — the chance-
     // corrected agreement grade every clustering comparison reports,
@@ -1296,6 +1314,9 @@ object GxQueries {
         |  CAST(coalesce((1000 * n_recip) // nullif(n_edges, CAST(0 AS BIGINT)),
         |                CAST(0 AS BIGINT)) AS BIGINT) AS recip_milli
         |FROM tsn, tsne, tsr, tsc, tst""".stripMargin,
+
+    "gx_butterfly" -> GraphOps.butterflyCensusSql(
+      "(SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem)"),
 
     "gx_attack" ->
       s"""$cte, aku AS MATERIALIZED (

@@ -1054,4 +1054,25 @@ class GraphOpsSpec extends SparkSpec {
     val d = GraphOps.triadCensus(dag).collect().head
     assert(d.getLong(2) == 0L && d.getLong(3) == 0L && d.getLong(4) == 1L)
   }
+
+  test("butterflyCensus: planted 4-cycle counts; hub part excluded from wedges") {
+    // p1,p2 each link s1,s2 -> one butterfly, two part wedges (both
+    // closed); hub part p9 links 300 fresh suppliers — over the degree
+    // cap, so it contributes ZERO wedge rows (but still counts in
+    // n_left/n_edges and in the suppliers' closed-form wedge count,
+    // which is 0 here since each hub supplier has degree 1)
+    val base = Seq((1L, 1001L), (1L, 1002L), (2L, 1001L), (2L, 1002L))
+    val hub = (1L to 300L).map(i => (9L, 2000L + i))
+    val e = (base ++ hub).toDF("src", "dst")
+    val r = GraphOps.butterflyCensus(e).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 302L && r.getLong(2) == 304L,
+      s"counts: $r")
+    assert(r.getLong(3) == 2L, s"hub must contribute zero wedge rows: $r")
+    assert(r.getLong(4) == 2L, s"supplier-side wedges (s1, s2 deg 2): $r")
+    assert(r.getLong(5) == 1L && r.getLong(6) == 2L && r.getLong(7) == 1000L,
+      s"one butterfly, both wedges closed: $r")
+    // without the hub, the cap is not binding and nothing changes
+    val r2 = GraphOps.butterflyCensus(base.toDF("src", "dst")).collect().head
+    assert(r2.getLong(5) == 1L && r2.getLong(3) == 2L)
+  }
 }

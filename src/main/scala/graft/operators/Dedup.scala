@@ -1065,7 +1065,22 @@ object Dedup {
     * per-doc reassembly group. The threshold is an integer cross-multiply
     * (2·df > n), exact in both engines at every SF. */
   def boilerplateStrip(docs: DataFrame, idCol: String, srcCol: String,
-                       textCol: String): DataFrame = {
+                       textCol: String): DataFrame =
+    boilerplateCore(docs, idCol, srcCol, textCol)
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
+
+  /** [[boilerplateStrip]]'s cleaned TEXT per doc — the composable form
+    * the end-to-end cleaning pipeline feeds downstream stages. */
+  def boilerplateClean(docs: DataFrame, idCol: String, srcCol: String,
+                       textCol: String): DataFrame =
+    boilerplateCore(docs, idCol, srcCol, textCol)
+      .select(col("doc_id"), coalesce(col("clean"), lit("")).as("text"))
+
+  private def boilerplateCore(docs: DataFrame, idCol: String, srcCol: String,
+                              textCol: String): DataFrame = {
     // the line explode + fingerprint is the expensive stage and feeds
     // BOTH the df aggregation and the anti join — materialize it once
     // (harness releaseAll frees it per query)
@@ -1082,10 +1097,6 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(coalesce(col("clean"), lit(""))).as("clean_fp"))
   }
 
   /** `(doc_id, source, i, line, lfp)` line rows of [[boilerplateStrip]]'s
@@ -1114,6 +1125,91 @@ object Dedup {
       .join(nDocs, Seq("source"))
       .filter(col("df") * 2 > col("n_docs"))
       .select("source", "lfp")
+
+  /** The COMPOSED end-to-end web-crawl cleaning pipeline — the stages
+    * the individual gates pin one at a time, run in the order a real
+    * pipeline runs them (the order changes the answer: repetition
+    * fractions move once boilerplate is stripped, the quality cut's
+    * percentile is taken over the already-cleaned corpus, and span
+    * dedup must see scrubbed text so a redacted span dedups against its
+    * redacted twin):
+    *
+    *   1. CCNet boilerplate strip ([[boilerplateClean]]);
+    *   2. PII scrub (regex projection, stateless);
+    *   3. Gopher repetition DROP (docs failing the paper thresholds);
+    *   4. quality cut: token count ≥ the 25th percentile of the
+    *      post-strip corpus (data-adaptive, both engines exact);
+    *   5. cross-doc span dedup ([[spanDedup]]) on the survivors.
+    *
+    * Output per surviving doc: (doc_id, n_tokens, n_kept, clean_fp) —
+    * the final text pinned by md5. Scale shape: each stage keeps its
+    * own gated plan shape (broadcast drop set, map-side gram counts,
+    * broadcast scalar cut, 8-byte span keys); the composition adds one
+    * semi join and one scalar cross join. */
+  def cleanPipeline(docs: DataFrame, idCol: String, srcCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val stripped = boilerplateClean(docs, idCol, srcCol, textCol)
+    val scrubbed = graft.CacheScope.cached(stripped.select(col("doc_id"),
+      TextFunctions.scrubPii(col("text")).as("text")))
+    val gkeep = TextFunctions.gopherRepetitionStats(scrubbed, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val afterG = scrubbed.join(gkeep, Seq("doc_id"), "left_semi")
+    val withN = afterG.withColumn("n_tok",
+      TextFunctions.tokenCount(col("text")))
+    val cut = withN.agg(expr("percentile(n_tok, 0.25)").as("p25"))
+    val survivors = withN.crossJoin(broadcast(cut))
+      .filter(col("n_tok") >= col("p25"))
+      .select("doc_id", "text")
+    spanDedup(survivors, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_fp"))
+  }
+
+  /** DuckDB twin of [[cleanPipeline]] over `textExpr`: every stage's
+    * existing twin nested as a CTE (the strip chain, the gopher panel
+    * and the span-dedup rewrite are the gated builders verbatim), so
+    * the composition is pinned with zero re-derived stage logic. */
+  def cleanPipelineSql(table: String, idCol: String, srcCol: String,
+                       textExpr: String): String = {
+    import graft.functions.TextFunctions
+    s"""WITH ${boilerplateCleanCtes(table, idCol, srcCol, textExpr)},
+       |scr AS MATERIALIZED (
+       |  SELECT doc_id, ${TextFunctions.scrubPiiSql("text")} AS text
+       |  FROM bclean
+       |), gst AS (
+       |  ${TextFunctions.gopherRepetitionStatsSql("scr", "doc_id", "text")}
+       |), gsv AS (
+       |  SELECT s.doc_id, s.text FROM scr s
+       |  JOIN gst g ON g.doc_id = s.doc_id AND g.keep
+       |), qn AS MATERIALIZED (
+       |  SELECT doc_id, text, ${TextFunctions.tokenCountSql("text")} AS n_tok
+       |  FROM gsv
+       |), qs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM qn
+       |  WHERE n_tok >= (SELECT quantile_cont(n_tok, 0.25) FROM qn)
+       |), fin AS (
+       |  ${spanDedupSql("qs", "doc_id", "text")}
+       |)
+       |SELECT doc_id, n_tokens, n_kept, md5(clean_text) AS clean_fp
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[boilerplateClean]]: the [[boilerplateStripSql]]
+    * chain as CTE BODIES (no WITH prefix), ending in `bclean`(doc_id,
+    * text) — the composable form the d_clean_e2e oracle builds on. */
+  def boilerplateCleanCtes(table: String, idCol: String, srcCol: String,
+                           textExpr: String): String = {
+    val full = boilerplateStripSql(table, idCol, srcCol, textExpr)
+    val cut = full.indexOf("\nSELECT la.doc_id,")
+    require(cut > 0, "boilerplateStripSql shape changed")
+    full.substring(0, cut).stripPrefix("WITH ") +
+      s""",
+         |bclean AS (
+         |  SELECT la.doc_id, coalesce(a.clean, '') AS text
+         |  FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
+         |)""".stripMargin
+  }
 
   /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */
   def boilerplateStripSql(table: String, idCol: String, srcCol: String,

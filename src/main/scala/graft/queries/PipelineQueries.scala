@@ -1544,6 +1544,35 @@ object PipelineQueries {
       Dedup.boilerplateStrip(lined, "doc_id", "source", "text")
         .orderBy("doc_id")}),
 
+    // the COMPOSED cleaning pipeline end-to-end — strip → scrub →
+    // gopher drop → quality cut → span dedup in the documented order
+    // (each stage is gated alone; the composition order changes the
+    // answer and is what a real pipeline actually ships). The plant
+    // unions every stage's fixture: the d_boilerplate headers, the
+    // d_gopher_rep repetition tails (doc_id%10 ∈ {0,1,2}) and a planted
+    // per-doc email line (doc_id%10 == 4) the scrub must redact BEFORE
+    // span dedup sees it
+    "d_clean_e2e" -> ((s, dir) => {
+      val q = floor(col("doc_id") / 20) % 10
+      val m = pmod(col("doc_id"), lit(10))
+      val planted = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          lit("(c) "), col("source"), lit(" all rights reserved\n"),
+          col("text"),
+          when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
+          when(q === 3, lit("\nrare promo line")).otherwise(lit("")),
+          when(m === 0, lit("\nrepeat me line\nrepeat me line" +
+            "\nrepeat me line\nrepeat me line")).otherwise(lit("")),
+          when(m === 1, lit(" badger badger badger badger badger" +
+            " badger badger")).otherwise(lit("")),
+          when(m === 2, lit(" one two three one two three one two three"))
+            .otherwise(lit("")),
+          when(m === 4, concat(lit("\ncontact user"), col("doc_id"),
+            lit("@example.com for details"))).otherwise(lit("")))
+          .as("text"))
+      Dedup.cleanPipeline(planted, "doc_id", "source", "text")
+        .orderBy("doc_id")}),
+
     // benchmark decontamination: src19 is the held-out benchmark; every
     // other doc is flagged by shared-shingle count — the n-gram-overlap
     // contamination sweep an LLM data pipeline runs before training
@@ -3790,6 +3819,26 @@ object PipelineQueries {
         " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
         " || (CASE WHEN (doc_id // 20) % 10 = 3" +
         " THEN chr(10) || 'rare promo line' ELSE '' END)"),
+
+    // every stage's gated twin nested verbatim, composed in the
+    // documented order over the unioned plant
+    "d_clean_e2e" -> Dedup.cleanPipelineSql(docsT, "doc_id", "source",
+      "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
+        " || (CASE WHEN (doc_id // 20) % 10 < 6" +
+        " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
+        " || (CASE WHEN (doc_id // 20) % 10 = 3" +
+        " THEN chr(10) || 'rare promo line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 1 THEN" +
+        " ' badger badger badger badger badger badger badger'" +
+        " ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 2 THEN" +
+        " ' one two three one two three one two three' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 4 THEN chr(10) || 'contact user'" +
+        " || CAST(doc_id AS VARCHAR) || '@example.com for details'" +
+        " ELSE '' END)"),
 
     // stream == batch: the streaming strip shares the batch twin verbatim
     "s_stream_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id",

@@ -1668,6 +1668,47 @@ class PipelineSpec extends SparkSpec {
     assert(rep("hrw")._3 == moved.length.toLong)
   }
 
+  test("clean pipeline: strip runs BEFORE gopher, scrub BEFORE span dedup") {
+    import spark.implicits._
+    val head = "aaa bbb aaa bbb aaa bbb"
+    val bodies = Seq(
+      "one two xyz abc def ghi jkl mno pqr stu",
+      "uvw rst opq lmn ijk fgh cde bca abd cab",
+      "zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+    val long4 = "pad4 early filler tokens going along nicely today mail me" +
+      " at u4@x.com soon now final words keep going until end"
+    val long5 = "pad5 early filler tokens going along nicely today mail me" +
+      " at u5@x.com soon now final words keep going until end"
+    val docs = (bodies.zipWithIndex.map { case (b, i) =>
+      (i.toLong + 1, "s", s"$head\n$b") } ++
+      Seq((4L, "t", long4), (5L, "t", long5)))
+      .toDF("doc_id", "source", "text")
+    // ORDER PIN 1: on the RAW docs the majority header trips gopher's
+    // top-2gram fraction for every source-s doc — a gopher-first
+    // pipeline would drop them all; the shipped strip-first order keeps
+    // them (the header is boilerplate, not content repetition)
+    val rawKeep = graft.functions.TextFunctions
+      .gopherRepetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(!rawKeep(_)),
+      s"header must trip raw gopher: $rawKeep")
+    val out = operators.Dedup.cleanPipeline(docs, "doc_id", "source", "text")
+      .select("doc_id", "n_tokens", "n_kept")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    graft.CacheScope.releaseAll()
+    assert(Seq(1L, 2L, 3L).forall(out.contains),
+      s"strip-first must keep the source-s docs: ${out.keySet}")
+    assert(Seq(1L, 2L, 3L).forall(d => out(d) == ((10, 10))),
+      s"stripped bodies are unique 10-token texts: $out")
+    // ORDER PIN 2: docs 4/5 differ only in their email pre-scrub (so
+    // the strip keeps both lines); AFTER the scrub their redacted spans
+    // are identical and span dedup must excise them in both docs —
+    // impossible if the scrub ran after span dedup
+    assert(out.contains(4L) && out.contains(5L), s"4/5 must survive: $out")
+    assert(out(4L)._2 < out(4L)._1 && out(5L)._2 < out(5L)._1,
+      s"redacted twins must span-dedup: $out")
+  }
+
   test("unigram LM: EM learns the planted piece and apply segments with it") {
     import spark.implicits._
     // every doc is "abcabc xy": the only 2-piece segmentation of abcabc

@@ -51,7 +51,7 @@ object GxQueries {
 
   /** Position-aligned top-`n` of the integer fixed-point PageRank ranking
     * vs the float GraphX ranking: (pos, key, rank_fp, key_gx, score_gx).
-    * gx_pagerank_rank consumes it as the slack-tolerant ≥48/50 driver
+    * gx_pagerank_rank consumes it as the slack-tolerant ≥49/50 driver
     * gate; GraphXSpec pins the STRUCTURE of any disagreement (adjacent
     * near-tie swaps only) — the sensitivity the frame-global flag
     * deliberately trades away. Top-n via orderBy+limit
@@ -447,15 +447,16 @@ object GxQueries {
     // ordering — the thing a user actually consumes — is pinned here
     // against the hash-green integer fixed-point ranking. Each top-50
     // position carries the fp key/score plus gx_agree = 1 iff the total
-    // positional agreement across the frame reaches 48/50 — a slack-
-    // tolerant gate (near-ties between adjacent float scores can swap a
-    // pair of positions run-to-run without any code change; exact
-    // per-position equality would flicker red on that). The oracle replays
-    // the fp twin alone and asserts the floor everywhere, so a real drift
-    // in the GraphX ordering (>2 displaced positions) still turns every
-    // row red. Top-50 via orderBy+limit (TakeOrderedAndProject) BEFORE the
-    // position window, so the global window runs on 50 rows, never the
-    // node set.
+    // positional agreement across the frame reaches 49/50 — one
+    // adjacent-near-tie swap of slack (exact per-position equality
+    // could flicker red on a float tie; the measured distribution is
+    // ZERO disagreements across repeated runs — GraphXSpec's stability
+    // test pins it — so the floor sits one swap above observed). The
+    // oracle replays the fp twin alone and asserts the floor
+    // everywhere, so a real drift in the GraphX ordering (>1 displaced
+    // position) turns every row red. Top-50 via orderBy+limit
+    // (TakeOrderedAndProject) BEFORE the position window, so the global
+    // window runs on 50 rows, never the node set.
     "gx_pagerank_rank" -> ((s, dir) => {
       val n = 50
       val W = org.apache.spark.sql.expressions.Window
@@ -464,7 +465,7 @@ object GxQueries {
         .withColumn("pos_eq",
           when(col("key_gx") === col("key"), lit(1)).otherwise(lit(0)))
         .select(col("pos"), col("key"), col("rank_fp"),
-          when(sum(col("pos_eq")).over(wAll) >= lit(n - 2), lit(1))
+          when(sum(col("pos_eq")).over(wAll) >= lit(n - 1), lit(1))
             .otherwise(lit(0)).as("gx_agree"))
         .orderBy("pos")
     }),

@@ -3153,6 +3153,52 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING epoch-order emission: the training-order schedule
+    // (bin packing + per-epoch hash-bucket positions) is corpus-static
+    // by definition — computed once batch-side and checkpointed (the
+    // s_stream_boilerplate static-side discipline); the doc stream then
+    // looks up its pack and the pack's two epoch positions via two
+    // STATELESS stream-static equi joins, and ONE update-mode
+    // aggregation accumulates per-pack token totals. The drain
+    // collapses to final state (max(struct) — totals strictly
+    // increase; the s_stream_totals idiom) and the pack-sized global
+    // checksums attach post-drain. Shares d_epoch_order's oracle
+    // verbatim: stream == batch on positions, totals and checksums
+    "s_stream_epoch" -> ((s, dir) => {
+      val withLen = docs(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"))
+      val assign = Sampling.seqPack(withLen, "doc_id", "n_tokens",
+          ctxLen = 512, groups = 8)
+        .select("doc_id", "pack_id").localCheckpoint(true)
+      val bins = assign.select("pack_id").distinct()
+      val pos = Sampling.epochOrder(bins, "pack_id", 1, "pos_e1")
+        .join(Sampling.epochOrder(bins, "pack_id", 2, "pos_e2"), "pack_id")
+        .localCheckpoint(true)
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .join(assign, "doc_id")
+        .join(pos, "pack_id")
+      val agg = stream.groupBy(col("pack_id"), col("pos_e1"), col("pos_e2"))
+        .agg(sum(col("n_tokens")).as("total_tokens"))
+      val drained = graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_epoch_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val fin = drained.groupBy("pack_id")
+        .agg(max(struct(col("total_tokens"), col("pos_e1"),
+          col("pos_e2"))).as("m"))
+        .select(col("pack_id"), col("m.total_tokens").as("total_tokens"),
+          col("m.pos_e1").as("pos_e1"), col("m.pos_e2").as("pos_e2"))
+      val wAll = Window.partitionBy(lit(1))
+      fin
+        .withColumn("chk1",
+          sum(col("pos_e1") * col("total_tokens")).over(wAll))
+        .withColumn("chk2",
+          sum(col("pos_e2") * col("total_tokens")).over(wAll))
+        .select("pack_id", "total_tokens", "pos_e1", "pos_e2",
+          "chk1", "chk2")
+        .orderBy("pack_id")}),
+
     // STREAMING Gopher repetition panel at ingest: the d_gopher_rep
     // quality gate as one tagged explode union + ONE update-mode per-doc
     // aggregation (no corpus state, no driver collect) — shares
@@ -3450,6 +3496,23 @@ object PipelineQueries {
   )
 
   private val docsT = "documents"
+
+  /** Shared by d_epoch_order and its streaming twin s_stream_epoch. */
+  private lazy val epochOrderOracleSql: String =
+    s"""WITH pk AS (
+       |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
+       |), bins AS (
+       |  SELECT pack_id, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM pk GROUP BY 1
+       |), ${Sampling.epochOrderSql("bins", "pack_id", 1, "x1")},
+       |${Sampling.epochOrderSql("bins", "pack_id", 2, "x2")}
+       |SELECT b.pack_id, b.total_tokens,
+       |  o1.pos AS pos_e1, o2.pos AS pos_e2,
+       |  CAST(sum(o1.pos * b.total_tokens) OVER () AS BIGINT) AS chk1,
+       |  CAST(sum(o2.pos * b.total_tokens) OVER () AS BIGINT) AS chk2
+       |FROM bins b JOIN x1out o1 ON o1.key = b.pack_id
+       |JOIN x2out o2 ON o2.key = b.pack_id
+       |ORDER BY b.pack_id""".stripMargin
 
   /** kNN-clustering CTEs (10% subsample, top-3 cosine edges, symmetrized,
     * recursive CC to min-id labels + sizes) — shared by the e_knn_cluster
@@ -4106,21 +4169,10 @@ object PipelineQueries {
          |  array_to_string(pt[1:512], ' ') AS packed_text
          |FROM pma ORDER BY pack_id""".stripMargin,
 
-    "d_epoch_order" ->
-      s"""WITH pk AS (
-         |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
-         |), bins AS (
-         |  SELECT pack_id, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |  FROM pk GROUP BY 1
-         |), ${Sampling.epochOrderSql("bins", "pack_id", 1, "x1")},
-         |${Sampling.epochOrderSql("bins", "pack_id", 2, "x2")}
-         |SELECT b.pack_id, b.total_tokens,
-         |  o1.pos AS pos_e1, o2.pos AS pos_e2,
-         |  CAST(sum(o1.pos * b.total_tokens) OVER () AS BIGINT) AS chk1,
-         |  CAST(sum(o2.pos * b.total_tokens) OVER () AS BIGINT) AS chk2
-         |FROM bins b JOIN x1out o1 ON o1.key = b.pack_id
-         |JOIN x2out o2 ON o2.key = b.pack_id
-         |ORDER BY b.pack_id""".stripMargin,
+    "d_epoch_order" -> epochOrderOracleSql,
+
+    // stream == batch: the streaming schedule shares the batch twin
+    "s_stream_epoch" -> epochOrderOracleSql,
 
     "d_readability" ->
       TextFunctions.readabilityStatsSql(docsT, "doc_id", "text"),

@@ -39,8 +39,8 @@ class GraphXSpec extends SparkSpec {
   }
 
   test("pagerank rank agreement: disagreements are adjacent near-tie swaps only") {
-    // the driver gate (gx_pagerank_rank) is a deliberately slack frame
-    // flag (>=48/50); this pins the STRUCTURE the slack exists for — a
+    // the driver gate (gx_pagerank_rank) is a slack frame flag
+    // (>=49/50); this pins the STRUCTURE the slack exists for — a
     // float-vs-fixed-point divergence may only be an adjacent
     // transposition of near-tied scores, so a persistent >=1-position
     // displacement that is NOT a neighbor swap fails here even though
@@ -51,10 +51,33 @@ class GraphXSpec extends SparkSpec {
     assert(al.length == 50)
     val fpAt = al.map(r => r._1 -> r._2).toMap
     val dis = al.filter(r => r._3 == null || r._2 != r._3)
-    assert(dis.length <= 2, s"positional disagreements: ${dis.toSeq}")
+    assert(dis.length <= 1, s"positional disagreements: ${dis.toSeq}")
     assert(dis.forall(r => r._3 != null &&
       (fpAt.get(r._1 - 1).contains(r._3) || fpAt.get(r._1 + 1).contains(r._3))),
       s"non-adjacent rank divergence: ${dis.toSeq}")
+  }
+
+  test("pagerank rank agreement: swap distribution is stable across runs") {
+    // retry-tolerant stability pin for the driver gate's slack: three
+    // independent alignments (fresh GraphX runs) must agree on WHICH
+    // positions disagree, and the swap count must stay within the
+    // gate's slack. Measured distribution on this fixture (3 runs,
+    // sf0.001): zero disagreements in every run — the 10-iter float
+    // scores are far enough apart in the top 50 that no adjacent pair
+    // ties; the driver gate's floor is raised to 49/50 on that basis
+    // (one swap of slack retained for larger-SF near-ties).
+    val runs = (1 to 3).map { _ =>
+      val dis = graft.queries.GxQueries.pagerankRankAlignment(spark, sf)
+        .select($"pos", $"key", $"key_gx")
+        .as[(Int, String, String)].collect()
+        .filter(r => r._3 == null || r._2 != r._3).map(_._1).toSet
+      graft.CacheScope.releaseAll()
+      dis
+    }
+    assert(runs.forall(_ == runs.head),
+      s"disagreeing positions must be run-stable: $runs")
+    assert(runs.head.size <= 1,
+      s"swap count beyond the gate slack: ${runs.head}")
   }
 
   test("shortest paths: forward-edge hop distance to the landmark") {

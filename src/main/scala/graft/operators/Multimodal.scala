@@ -787,22 +787,68 @@ object Multimodal {
     * Scale shape: the join is bucketed by the 2^16-value pieces (never
     * all-pairs; PlanSpec pins no product), the hash frame shuffles 16
     * bytes per image, and the survivor agg is one groupBy. */
-  def phashNearDupSurvivors(hashes: DataFrame,
-                            maxHamming: Int = 3): DataFrame = {
+  /** 4×16-bit band-piece rows (media_id, dhash64, piece, pv) of a
+    * [[dhash64]] frame — pigeonhole-exact for Hamming ≤ 3 (≥1 piece
+    * must match). Shared by the self-join, incremental and streaming
+    * near-dup forms; a pure stateless projection+explode, so a stream
+    * can run it ahead of its one stateful aggregation. */
+  private[graft] def phashBandPieces(hashes: DataFrame): DataFrame = {
     val pieces = 4
     val bitsPer = 16
-    require(maxHamming < pieces,
-      s"banding is pigeonhole-exact only for maxHamming < $pieces pieces")
     val mask = (1L << bitsPer) - 1
-    val hs = graft.CacheScope.cached(
-      hashes.select(col("media_id"), col("dhash64")))
     val bandRows = (0 until pieces).map { p =>
       struct(lit(p).as("piece"),
         shiftright(col("dhash64"), p * bitsPer).bitwiseAND(lit(mask)).as("pv"))
     }
-    val banded = hs.select(col("media_id"), col("dhash64"),
+    hashes.select(col("media_id"), col("dhash64"),
         explode(array(bandRows: _*)).as("bp"))
       .select(col("media_id"), col("dhash64"), col("bp.piece"), col("bp.pv"))
+  }
+
+  /** Hamming-verified candidate pairs (media_id, partner) of a DELTA
+    * hash frame against a static INDEX piece frame (from
+    * [[phashBandPieces]]) — the incremental/ingest form of the
+    * candidate join ([[phashNearDupSurvivors]] is the self-join form).
+    * May emit one row per matching piece; consumers dedup (batch
+    * `distinct`, streaming `collect_set`). Stateless end-to-end, so the
+    * streaming gate runs it as a stream-static equi join. */
+  def phashCandidatesAgainst(indexPieces: DataFrame, deltaHashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "banding is pigeonhole-exact only for maxHamming < 4 pieces")
+    phashBandPieces(deltaHashes)
+      .join(indexPieces.select(col("piece"), col("pv"),
+        col("media_id").as("partner"), col("dhash64").as("hb")),
+        Seq("piece", "pv"))
+      .filter(bit_count(col("dhash64").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("media_id"), col("partner"))
+  }
+
+  /** Batch delta-vs-index best-survivor mapping: every delta image maps
+    * to min(own id, smallest verified index partner); n_near counts
+    * distinct partners. `deltaIds` reattaches zero-candidate media. */
+  def phashNearDupAgainst(indexPieces: DataFrame, deltaHashes: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    val cands = phashCandidatesAgainst(indexPieces, deltaHashes, maxHamming)
+      .distinct()
+    deltaHashes.select(col("media_id"))
+      .join(cands, Seq("media_id"), "left")
+      .groupBy(col("media_id"))
+      .agg(min(col("partner")).as("mn"), count(col("partner")).as("n_near"))
+      .select(col("media_id"),
+        when(col("mn").isNull || col("mn") > col("media_id"), col("media_id"))
+          .otherwise(col("mn")).as("keep_id"),
+        col("n_near"))
+  }
+
+  def phashNearDupSurvivors(hashes: DataFrame,
+                            maxHamming: Int = 3): DataFrame = {
+    val pieces = 4
+    require(maxHamming < pieces,
+      s"banding is pigeonhole-exact only for maxHamming < $pieces pieces")
+    val hs = graft.CacheScope.cached(
+      hashes.select(col("media_id"), col("dhash64")))
+    val banded = phashBandPieces(hs)
     val a = banded.select(col("piece"), col("pv"),
       col("media_id").as("a"), col("dhash64").as("ha"))
     val b = banded.select(col("piece"), col("pv"),

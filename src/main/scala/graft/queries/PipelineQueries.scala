@@ -173,17 +173,21 @@ object PipelineQueries {
     *    a band piece with its base (a guaranteed candidate) while the
     *    other 48 bits scatter far past the threshold: the candidate the
     *    Hamming verify step must reject. */
-  private def plantedTexturedBmpHex(d: Column, pert: Int): Column = {
+  private def plantedTexturedBmpHex(d: Column, pert: Int): Column =
+    plantedTexturedBmpHexOf(d, lit(pert))
+
+  /** [[plantedTexturedBmpHex]] with the perturbation kind chosen PER ROW
+    * (the streaming delta builds near and far copies in one pass). */
+  private def plantedTexturedBmpHexOf(d: Column, pert: Column): Column = {
     val hgt = pmod(d, lit(8L)) + 8          // 8..15 rows, width fixed at 16
     val g0 = pmod(d * 7, lit(256L))
     val r0 = pmod(d * 13, lit(256L))
     // raster row r = p >> 4 (w=16), col xs = p & 15; image ys = h-1-r
-    val bump: Column => Column = p => pert match {
-      case 0 => lit(0L)
-      case 1 => when(p === (hgt - 1) * 16 + 14, lit(16L)).otherwise(lit(0L))
-      case 2 => when(p.bitwiseAND(lit(1L)) === 0 &&
-          shiftright(p, 4) <= hgt - 3, lit(64L)).otherwise(lit(0L))
-    }
+    val bump: Column => Column = p =>
+      when(pert === 1 && p === (hgt - 1) * 16 + 14, lit(16L))
+        .when(pert === 2 && p.bitwiseAND(lit(1L)) === 0 &&
+          shiftright(p, 4) <= hgt - 3, lit(64L))
+        .otherwise(lit(0L))
     val pixels = array_join(
       transform(sequence(lit(0L), hgt * 16 - 1),
         p => concat(
@@ -206,6 +210,48 @@ object PipelineQueries {
       s"(CASE WHEN pert = 1 AND ($ys) = 0 AND ($xs) = 14 THEN 16 ELSE 0 END) + " +
       s"(CASE WHEN pert = 2 AND ($ys) >= 2 AND ($xs) % 2 = 0 THEN 64 ELSE 0 END)" +
       s") % 256)"
+
+  /** The closed-form 9×8 dHash64 replay over (seed, h, pert) rows —
+    * shared by the m_phash_dedup and m_phash_incr/s_stream_phash
+    * oracles. Bit 63 is the long-min literal (DuckDB rejects 1<<63). */
+  private lazy val texDh64Sql: String = {
+    val ysS = "((q // 8) * h) // 8"
+    s"""CAST(list_aggregate(list_transform(generate_series(0, 63),
+       |      q -> CASE WHEN ${texBlueSql("(((q % 8) + 1) * 16) // 9", ysS)}
+       |                   > ${texBlueSql("((q % 8) * 16) // 9", ysS)}
+       |           THEN (CASE WHEN q = 63 THEN -9223372036854775807 - 1
+       |                 ELSE (CAST(1 AS BIGINT) << CAST(q AS INT)) END)
+       |           ELSE 0 END),
+       |      'sum') AS BIGINT)""".stripMargin
+  }
+
+  /** Shared oracle of m_phash_incr and its streaming twin
+    * s_stream_phash: delta copies hamming-joined against the index
+    * all-pairs (banding is the Spark side's plan shape). */
+  private lazy val phashIncrOracleSql: String =
+    s"""WITH pidx AS (
+       |  SELECT doc_id AS media_id, doc_id AS seed, doc_id % 8 + 8 AS h,
+       |    0 AS pert
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), pdel AS (
+       |  SELECT doc_id + 1 AS media_id, doc_id AS seed, doc_id % 8 + 8 AS h,
+       |    CASE WHEN doc_id % 40 = 0 THEN 2 ELSE 1 END AS pert
+       |  FROM documents WHERE doc_id % 20 = 0
+       |), dhx AS MATERIALIZED (
+       |  SELECT media_id, $texDh64Sql AS dh64 FROM pidx
+       |), dhd AS MATERIALIZED (
+       |  SELECT media_id, $texDh64Sql AS dh64 FROM pdel
+       |), pprs AS (
+       |  SELECT d.media_id, x.media_id AS partner
+       |  FROM dhd d JOIN dhx x ON bit_count(xor(d.dh64, x.dh64)) <= 3
+       |)
+       |SELECT d.media_id,
+       |  CAST(CASE WHEN MIN(p.partner) IS NULL OR MIN(p.partner) > d.media_id
+       |       THEN d.media_id ELSE MIN(p.partner) END AS BIGINT) AS keep_id,
+       |  CAST(COUNT(p.partner) AS BIGINT) AS n_near
+       |FROM dhd d LEFT JOIN pprs p ON p.media_id = d.media_id
+       |GROUP BY d.media_id
+       |ORDER BY d.media_id""".stripMargin
 
   /** The planted PCM-16 WAV payload (hex) shared by m_features and
     * m_resample: doc_id%16+2 signed LE16 samples with
@@ -234,6 +280,34 @@ object PipelineQueries {
       lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
       leHexC(lit(8000L), 4), leHexC(lit(16000L), 4), lit("0200"), lit("1000"),
       lit("64617461"), leHexC(n * 2, 4), samples)
+  }
+
+  /** Session-shared phash band-piece INDEX over the base textured BMPs
+    * (even doc_ids) — the persisted image-dedup index m_phash_incr
+    * (batch delta) and s_stream_phash (ingest stream) both clean
+    * against; eagerly checkpointed so the stream-static side never
+    * re-runs the corpus decode per micro-batch (the s_stream_boilerplate
+    * discipline). */
+  private def sharedPhashIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("phash_index", s, dir) {
+      val d = col("doc_id")
+      val base = docs(s, dir).filter(pmod(d, lit(2)) === 0)
+        .select(d.as("media_id"),
+          unhex(plantedTexturedBmpHex(d, pert = 0)).as("content"))
+      Multimodal.phashBandPieces(Multimodal.dhash64(base).toDF())
+        .localCheckpoint(true)
+    }
+
+  /** The planted DELTA media of the incremental phash gates: one copy
+    * per doc_id%20==0 seed — near (≤1 bit, must match its base) for
+    * %40!=0, far (piece-0-sharing reject candidate) for %40==0. */
+  private def phashDeltaMedia(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    df.filter(pmod(d, lit(20)) === 0)
+      .select((d + 1).as("media_id"),
+        unhex(plantedTexturedBmpHexOf(d,
+          when(pmod(d, lit(40)) === 0, lit(2)).otherwise(lit(1))))
+          .as("content"))
   }
 
   /** Session-shared unigram-LM trained vocabulary — d_unigram_lm and
@@ -3060,6 +3134,17 @@ object PipelineQueries {
         base.unionByName(near).unionByName(far)).toDF()
       Multimodal.phashNearDupSurvivors(hashes).orderBy("media_id")}),
 
+    // INCREMENTAL image near-dup: the daily-ingest form — a DELTA batch
+    // of copies cleans against the persisted band-piece index of the
+    // base corpus (the d_span_dedup_incr shape applied to image codes):
+    // stateless banded candidate join + Hamming verify + per-delta
+    // survivor mapping. Near copies excise to their base; far copies are
+    // candidates the verify rejects (n_near = 0)
+    "m_phash_incr" -> ((s, dir) =>
+      Multimodal.phashNearDupAgainst(sharedPhashIndex(s, dir),
+          Multimodal.dhash64(phashDeltaMedia(docs(s, dir))).toDF())
+        .orderBy("media_id")),
+
     // STREAMING multimodal ingest decode: the m_resize pipeline with the
     // docs table arriving as a parquet micro-batch stream — the planted
     // BMPs build as a stateless projection, the imageio resize runs as the
@@ -3152,6 +3237,38 @@ object PipelineQueries {
         org.apache.spark.sql.streaming.OutputMode.Update(),
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
+
+    // STREAMING image near-dup at ingest: the m_phash_incr pipeline
+    // with the delta arriving as micro-batches — in-stream decode +
+    // 9×8 dHash64 (stateless mapPartitions, the s_stream_decode
+    // discipline), band-piece explode, stream-static equi join against
+    // the checkpointed corpus index, Hamming verify, then ONE
+    // update-mode per-media aggregation collecting the partner set
+    // (collect_set dedups the per-piece candidate repeats — streaming
+    // has no distinct aggregate). Drain collapses to the largest set
+    // (sets only grow), zero-candidate media reattach from the static
+    // id list. Shares m_phash_incr's oracle verbatim: stream == batch
+    "s_stream_phash" -> ((s, dir) => {
+      val delta = phashDeltaMedia(
+        graft.streaming.EventStreams.readDocuments(s, dir))
+      val cands = Multimodal.phashCandidatesAgainst(
+        sharedPhashIndex(s, dir), Multimodal.dhash64(delta).toDF())
+      val agg = cands.groupBy(col("media_id"))
+        .agg(collect_set(col("partner")).as("ps"))
+      val drained = graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_phash_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val fin = drained.groupBy("media_id")
+        .agg(max(struct(size(col("ps")).as("n"), col("ps"))).as("m"))
+        .select(col("media_id"), col("m.ps").as("ps"))
+      phashDeltaMedia(docs(s, dir)).select(col("media_id"))
+        .join(fin, Seq("media_id"), "left")
+        .select(col("media_id"),
+          when(col("ps").isNull || array_min(col("ps")) > col("media_id"),
+            col("media_id")).otherwise(array_min(col("ps"))).as("keep_id"),
+          coalesce(size(col("ps")), lit(0)).cast("long").as("n_near"))
+        .orderBy("media_id")}),
 
     // STREAMING epoch-order emission: the training-order schedule
     // (bin packing + per-epoch hash-bucket positions) is corpus-static
@@ -6477,15 +6594,7 @@ object PipelineQueries {
     // ALL-PAIRS with bit_count(xor) ≤ 3 — banding is the Spark side's
     // plan shape, not part of the answer
     "m_phash_dedup" -> {
-      val ysS = "((q // 8) * h) // 8"
-      val dhExpr =
-        s"""CAST(list_aggregate(list_transform(generate_series(0, 63),
-           |      q -> CASE WHEN ${texBlueSql("(((q % 8) + 1) * 16) // 9", ysS)}
-           |                   > ${texBlueSql("((q % 8) * 16) // 9", ysS)}
-           |           THEN (CASE WHEN q = 63 THEN -9223372036854775807 - 1
-           |                 ELSE (CAST(1 AS BIGINT) << CAST(q AS INT)) END)
-           |           ELSE 0 END),
-           |      'sum') AS BIGINT)""".stripMargin
+      val dhExpr = texDh64Sql
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, doc_id AS seed, doc_id % 8 + 8 AS h,
          |    0 AS pert
@@ -6514,6 +6623,11 @@ object PipelineQueries {
          |GROUP BY m.media_id
          |ORDER BY m.media_id""".stripMargin
     },
+
+    // delta copies vs the index, all-pairs in the oracle; shared with
+    // the streaming ingest twin
+    "m_phash_incr" -> phashIncrOracleSql,
+    "s_stream_phash" -> phashIncrOracleSql,
 
     // frame seed v = doc_id + j drives the same closed-form bit replay
     // as m_phash; fid = 16*doc_id + j keys sampled frames

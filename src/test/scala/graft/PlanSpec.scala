@@ -312,12 +312,14 @@ class PlanSpec extends SparkSpec {
     // the candidate join must bucket on (piece, value) — a corpus×corpus
     // Hamming join is the all-pairs scale-killer the banding exists to
     // avoid
-    val plan = finalPlanString(
-      graft.queries.PipelineQueries.queries("m_phash_dedup")(spark, sf))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"phash dedup must join on band pieces only:\n${plan.take(900)}")
-    graft.CacheScope.releaseAll()
+    for (q <- Seq("m_phash_dedup", "m_phash_incr")) {
+      val plan = finalPlanString(
+        graft.queries.PipelineQueries.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on band pieces only:\n${plan.take(900)}")
+      graft.CacheScope.releaseAll()
+    }
   }
 
   test("boilerplate strip broadcasts the drop set; never a product") {

@@ -409,6 +409,24 @@ object Collocations {
         sum(col("ll")).as("ll_micro"))
   }
 
+  /** Per-word-OCCURRENCE segmentation stats (doc_id, np, ll) under a
+    * trained scored vocabulary — STATELESS (mapPartitions over a
+    * broadcast score map), so a stream runs it ahead of its single
+    * per-doc aggregation; summing occurrence rows equals the batch
+    * distinct-word-join form exactly. `words` = (doc_id, word) rows. */
+  def unigramWordStats(words: DataFrame, vocabScored: DataFrame): DataFrame = {
+    val sp = words.sparkSession
+    import sp.implicits._
+    val scMap = vocabScored.select("tok", "score_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = sp.sparkContext.broadcast(scMap)
+    words.select(col("doc_id"), col("word")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, w) =>
+        val (ps, ll) = uniViterbi(w, bc.value)
+        (id, ps.length.toLong, ll)
+      }).toDF("doc_id", "np", "ll")
+  }
+
   /** DuckDB twin of the unigram-LM train loop: the seed cut, every EM
     * round's Viterbi DP (a recursive CTE per round carrying the 3-value
     * best-score sliding window — bounded lookback == [[UniMaxPiece]]),
@@ -517,6 +535,24 @@ object Collocations {
       s"""
          |SELECT tok AS token, cnt, score_micro FROM usc$UniRounds
          |ORDER BY token""".stripMargin
+
+  /** DuckDB twin of the per-LANG fertility view (pieces per word, the
+    * tokenizer-compression diagnostic d_bpe_compression computes for
+    * the merge family): word rows joined to the apply DP, aggregated by
+    * the doc's language. */
+  def unigramFertilitySql(table: String, idCol: String, textCol: String,
+                          grpCol: String): String =
+    "WITH RECURSIVE " + unigramCtes(table, idCol, textCol) +
+      s"""
+         |SELECT dw.$grpCol, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST((1000 * sum(s.np)) // count(*) AS BIGINT) AS fertility_milli
+         |FROM (
+         |  SELECT $idCol AS doc_id, $grpCol, unnest(${tokensSql(textCol)}) AS word
+         |  FROM $table
+         |) dw JOIN uwstat s ON s.word = dw.word
+         |WHERE dw.word <> ''
+         |GROUP BY dw.$grpCol ORDER BY dw.$grpCol""".stripMargin
 
   /** DuckDB twin of [[unigramApplyFrom]]: per-doc word/piece counts and
     * summed segmentation log-likelihood under the trained vocab. */

@@ -1475,6 +1475,21 @@ object PipelineQueries {
           docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // per-language fertility (pieces per word) of the trained unigram
+    // vocab — the compression diagnostic d_bpe_compression reports for
+    // the merge family, here for the EM family; rides the shared vocab
+    "d_unigram_fertility" -> ((s, dir) => {
+      val applied = Collocations.unigramApplyFrom(
+        sharedUnigramVocab(s, dir), docs(s, dir), "doc_id", "text")
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(applied, "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility_milli",
+          expr("(1000 * n_pieces) div n_words"))
+        .orderBy("lang")}),
+
     // held-out trigram LM with STUPID BACKOFF (the web-scale count LM):
     // train on the first 4/5 of doc_ids (adaptive cutoff — the
     // d_dedup_incr discipline), score the held-out tail with trigram →
@@ -3236,6 +3251,32 @@ object PipelineQueries {
         "s_stream_boilerplate_sink",
         org.apache.spark.sql.streaming.OutputMode.Update(),
         shufflePartitions = Some(8))
+        .orderBy("doc_id")}),
+
+    // STREAMING unigram-LM tokenization at ingest: the trained vocab is
+    // corpus-static (session-shared); each arriving doc explodes to
+    // word rows, the Viterbi DP runs as a STATELESS mapPartitions over
+    // the broadcast score map, and ONE update-mode per-doc aggregation
+    // sums words/pieces/log-likelihood (collapsed by max(struct) —
+    // n_words only grows). Shares d_unigram_apply's oracle verbatim
+    "s_stream_unigram" -> ((s, dir) => {
+      val vocab = sharedUnigramVocab(s, dir)
+      val words = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val stats = Collocations.unigramWordStats(words, vocab)
+      val agg = stats.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          sum(col("ll")).as("ll_micro"))
+      graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_unigram_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+        .groupBy("doc_id")
+        .agg(max(struct(col("n_words"), col("n_pieces"),
+          col("ll_micro"))).as("m"))
+        .select(col("doc_id"), col("m.n_words").as("n_words"),
+          col("m.n_pieces").as("n_pieces"), col("m.ll_micro").as("ll_micro"))
         .orderBy("doc_id")}),
 
     // STREAMING image near-dup at ingest: the m_phash_incr pipeline
@@ -5386,6 +5427,11 @@ object PipelineQueries {
     // the per-doc segmentation stats
     "d_unigram_lm" -> Collocations.unigramVocabSql(docsT, "doc_id", "text"),
     "d_unigram_apply" -> Collocations.unigramApplySql(docsT, "doc_id", "text"),
+    "d_unigram_fertility" ->
+      Collocations.unigramFertilitySql(docsT, "doc_id", "text", "lang"),
+    // stream == batch: the streaming apply shares the batch twin
+    "s_stream_unigram" ->
+      Collocations.unigramApplySql(docsT, "doc_id", "text"),
 
     "d_budget" ->
       s"""${Sampling.tokenBudgetSql(docsT, "source", tokenCountSql("text"))}

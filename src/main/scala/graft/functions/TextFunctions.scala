@@ -189,6 +189,58 @@ object TextFunctions {
           col("dup3_char_micro") <= 180000L)
   }
 
+  /** PER-ROW form of [[gopherRepetitionStats]]: the identical four
+    * occupancy signals and verdict computed as array folds over the
+    * row's own line/gram arrays — no explode, no groupBy — so a STREAM
+    * can run the Gopher gate as a stateless projection ahead of its one
+    * stateful operator (the [[graft.operators.Dedup.withSimhash]]
+    * batch-vs-stream duality). Each derived array materializes as its
+    * own column and lambdas reference the ATTRIBUTES (never a computed
+    * array inside a lambda — re-evaluated per element otherwise). The
+    * per-doc cost is O(L²) interpreted lambda work vs the batch form's
+    * codegen'd explode — batch callers should prefer the agg form;
+    * row-for-row equality is spec-pinned. Adds the panel columns to
+    * `df`, keeping its existing columns. */
+  def gopherPanelRow(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("__nchars", greatest(length(t), lit(1)).cast("long"))
+      .withColumn("__lines", split(t, "\n"))
+      .withColumn("__dlines", array_distinct(col("__lines")))
+      .withColumn("__bg", bigrams(t))
+      .withColumn("__dbg", array_distinct(col("__bg")))
+      .withColumn("__tg", trigrams(t))
+      .withColumn("__dtg", array_distinct(col("__tg")))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__dup_lines",
+        (size(col("__lines")) - size(col("__dlines"))).cast("long"))
+      .withColumn("__dlc", expr("aggregate(__dlines, 0L, (a, l) -> " +
+        "a + (size(filter(__lines, x -> x = l)) - 1) * length(l))"))
+      .withColumn("__m", array_min(expr("transform(__dbg, g -> " +
+        "named_struct('nc', -size(filter(__bg, x -> x = g)), 'g', g))")))
+      .withColumn("__top2",
+        (-col("__m.nc") * length(col("__m.g"))).cast("long"))
+      .withColumn("__d3", expr("aggregate(transform(__dtg, g -> " +
+        "named_struct('c', size(filter(__tg, x -> x = g)), " +
+        "'l', length(g))), 0L, " +
+        "(a, s) -> a + if(s.c >= 2, CAST(s.c * s.l AS BIGINT), 0L))"))
+      .withColumn("dup_line_micro",
+        expr("(1000000 * coalesce(__dup_lines, 0)) div n_lines"))
+      .withColumn("dup_line_char_micro",
+        expr("(1000000 * coalesce(__dlc, 0)) div __nchars"))
+      .withColumn("top2_char_micro",
+        expr("(1000000 * coalesce(__top2, 0)) div __nchars"))
+      .withColumn("dup3_char_micro",
+        expr("(1000000 * coalesce(__d3, 0)) div __nchars"))
+      .withColumn("keep",
+        col("dup_line_micro") <= 300000L &&
+          col("dup_line_char_micro") <= 200000L &&
+          col("top2_char_micro") <= 200000L &&
+          col("dup3_char_micro") <= 180000L)
+      .drop("__nchars", "__lines", "__dlines", "__bg", "__dbg", "__tg",
+        "__dtg", "__dup_lines", "__dlc", "__m", "__top2", "__d3")
+  }
+
   /** DuckDB twin of [[gopherRepetitionStats]] over `textExpr`; the
     * argmax replays as a (cnt DESC, g) ranking window — same total
     * order, different plan. */

@@ -780,6 +780,46 @@ object Dedup {
     spanRows(ibase, w).filter(col("h").isNotNull).select("h").distinct()
   }
 
+  /** The DUPLICATED span-key set `(h)` of a corpus — keys occurring in
+    * ≥ 2 distinct documents, i.e. exactly the keys [[spanDedup]] excises.
+    * Computed batch-side and persisted, it turns the streaming ingest
+    * form into the SELF-dedup semantics: a stream cleaning against this
+    * set reproduces [[spanDedup]] over the same corpus bit-for-bit. */
+  def dupSpanKeySet(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = SpanDedupW): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    spanRows(base, w).filter(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select("h")
+  }
+
+  /** PER-ROW form of [[boilerplateClean]]: each doc's lines filtered
+    * against a per-source drop-set ARRAY (from [[boilerplateDropSets]])
+    * joined in as one static row per source — no explode, no reassembly
+    * aggregation — so a STREAM can strip as a stateless projection ahead
+    * of its one stateful operator. Row-for-row equal to the batch form
+    * (spec-pinned); the lambda references only the joined attribute. */
+  def boilerplateCleanRow(docs: DataFrame, dropSets: DataFrame,
+                          idCol: String, srcCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("text"))
+      .join(dropSets, Seq("source"), "left")
+      .withColumn("__lines", split(col("text"), "\n"))
+      .select(col("doc_id"),
+        array_join(filter(col("__lines"), l =>
+          !coalesce(array_contains(col("drops"), fingerprint(l)),
+            lit(false))), "\n").as("text"))
+
+  /** [[boilerplateDropSet]] collected to one ARRAY row per source — the
+    * static join side of [[boilerplateCleanRow]] (membership-only, so
+    * collect_list order is irrelevant). Boilerplate-sized per source by
+    * definition. */
+  def boilerplateDropSets(docs: DataFrame, idCol: String, srcCol: String,
+                          textCol: String): DataFrame =
+    boilerplateDropSet(docs, idCol, srcCol, textCol)
+      .groupBy("source").agg(collect_list(col("lfp")).as("drops"))
+
   /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the
     * same md5-60 span keys, window-frame coverage, ordered string_agg. */
   def spanDedupSql(table: String, idCol: String, textCol: String,

@@ -282,6 +282,30 @@ object PipelineQueries {
       lit("64617461"), leHexC(n * 2, 4), samples)
   }
 
+  /** The d_clean_e2e plant, shared with its streaming twin: the
+    * d_boilerplate headers, the d_gopher_rep repetition tails
+    * (doc_id%10 ∈ {0,1,2}) and a planted per-doc email line
+    * (doc_id%10 == 4). */
+  private def cleanPlant(df: DataFrame): DataFrame = {
+    val q = floor(col("doc_id") / 20) % 10
+    val m = pmod(col("doc_id"), lit(10))
+    df.select(col("doc_id"), col("source"),
+      concat(
+        lit("(c) "), col("source"), lit(" all rights reserved\n"),
+        col("text"),
+        when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
+        when(q === 3, lit("\nrare promo line")).otherwise(lit("")),
+        when(m === 0, lit("\nrepeat me line\nrepeat me line" +
+          "\nrepeat me line\nrepeat me line")).otherwise(lit("")),
+        when(m === 1, lit(" badger badger badger badger badger" +
+          " badger badger")).otherwise(lit("")),
+        when(m === 2, lit(" one two three one two three one two three"))
+          .otherwise(lit("")),
+        when(m === 4, concat(lit("\ncontact user"), col("doc_id"),
+          lit("@example.com for details"))).otherwise(lit("")))
+        .as("text"))
+  }
+
   /** Session-shared phash band-piece INDEX over the base textured BMPs
     * (even doc_ids) — the persisted image-dedup index m_phash_incr
     * (batch delta) and s_stream_phash (ingest stream) both clean
@@ -1641,26 +1665,10 @@ object PipelineQueries {
     // d_gopher_rep repetition tails (doc_id%10 ∈ {0,1,2}) and a planted
     // per-doc email line (doc_id%10 == 4) the scrub must redact BEFORE
     // span dedup sees it
-    "d_clean_e2e" -> ((s, dir) => {
-      val q = floor(col("doc_id") / 20) % 10
-      val m = pmod(col("doc_id"), lit(10))
-      val planted = docs(s, dir).select(col("doc_id"), col("source"),
-        concat(
-          lit("(c) "), col("source"), lit(" all rights reserved\n"),
-          col("text"),
-          when(q < 6, lit("\nsubscribe to the newsletter")).otherwise(lit("")),
-          when(q === 3, lit("\nrare promo line")).otherwise(lit("")),
-          when(m === 0, lit("\nrepeat me line\nrepeat me line" +
-            "\nrepeat me line\nrepeat me line")).otherwise(lit("")),
-          when(m === 1, lit(" badger badger badger badger badger" +
-            " badger badger")).otherwise(lit("")),
-          when(m === 2, lit(" one two three one two three one two three"))
-            .otherwise(lit("")),
-          when(m === 4, concat(lit("\ncontact user"), col("doc_id"),
-            lit("@example.com for details"))).otherwise(lit("")))
-          .as("text"))
-      Dedup.cleanPipeline(planted, "doc_id", "source", "text")
-        .orderBy("doc_id")}),
+    "d_clean_e2e" -> ((s, dir) =>
+      Dedup.cleanPipeline(cleanPlant(docs(s, dir)), "doc_id", "source",
+          "text")
+        .orderBy("doc_id")),
 
     // benchmark decontamination: src19 is the held-out benchmark; every
     // other doc is flagged by shared-shingle count — the n-gram-overlap
@@ -3253,6 +3261,61 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("doc_id")}),
 
+    // STREAMING composed cleaning pipeline at ingest — d_clean_e2e's
+    // five stages with the docs arriving as micro-batches and exactly
+    // ONE stateful operator. The corpus-derived statics (per-source
+    // drop-set arrays, the quality percentile scalar, the duplicated
+    // span-key set over the batch survivors) are computed once
+    // batch-side and checkpointed; the strip and the Gopher panel run
+    // as the PER-ROW stateless forms (boilerplateCleanRow /
+    // gopherPanelRow — spec-pinned equal to their agg twins), scrub and
+    // quality are row-local, and only the span stage's per-doc
+    // reassembly aggregates (update mode). Cleaning against the
+    // batch-derived DUP key set reproduces the self cross-doc dedup
+    // bit-for-bit, so the gate shares d_clean_e2e's oracle verbatim
+    "s_stream_clean" -> ((s, dir) => {
+      val planted = cleanPlant(docs(s, dir))
+      val dropSets = Dedup.boilerplateDropSets(planted,
+        "doc_id", "source", "text").localCheckpoint(true)
+      // batch replay of the stateless prefix derives the corpus statics
+      val bScrub = Dedup.boilerplateClean(planted, "doc_id", "source", "text")
+        .select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("text"))
+      val bKeep = TextFunctions.gopherRepetitionStats(bScrub, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val bWithN = bScrub.join(bKeep, Seq("doc_id"), "left_semi")
+        .withColumn("n_tok", tokenCount(col("text")))
+      // one-row corpus scalar (the documented bounded driver probe)
+      val cut = bWithN.agg(expr("percentile(n_tok, 0.25)").as("p25"))
+        .head().getDouble(0)
+      val bSurv = bWithN.filter(col("n_tok") >= lit(cut))
+        .select("doc_id", "text")
+      val survIds = bSurv.select("doc_id").localCheckpoint(true)
+      val dupKeys = Dedup.dupSpanKeySet(bSurv, "doc_id", "text")
+        .localCheckpoint(true)
+      // the stream: four stateless stages, then the one stateful span agg
+      val stream0 = cleanPlant(
+        graft.streaming.EventStreams.readDocuments(s, dir))
+      val stripped = Dedup.boilerplateCleanRow(stream0, dropSets,
+        "doc_id", "source", "text")
+      val scrubbed = stripped.select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("text"))
+      val survivors = TextFunctions.gopherPanelRow(scrubbed, "text")
+        .filter(col("keep"))
+        .filter(tokenCount(col("text")) >= lit(cut))
+        .select("doc_id", "text")
+      val cleaned = graft.streaming.EventStreams
+        .spanDedupStream(survivors, dupKeys, "doc_id", "text")
+      val drained = graft.streaming.EventStreams.runToMemory(cleaned,
+        "s_stream_clean_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      survIds.join(drained, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+        .orderBy("doc_id")}),
+
     // STREAMING unigram-LM tokenization at ingest: the trained vocab is
     // corpus-static (session-shared); each arriving doc explodes to
     // word rows, the Viterbi DP runs as a STATELESS mapPartitions over
@@ -3655,6 +3718,26 @@ object PipelineQueries {
 
   private val docsT = "documents"
 
+  /** Shared by d_clean_e2e and its streaming twin s_stream_clean. */
+  private lazy val cleanE2eOracleSql: String =
+    Dedup.cleanPipelineSql(docsT, "doc_id", "source",
+      "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
+        " || (CASE WHEN (doc_id // 20) % 10 < 6" +
+        " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
+        " || (CASE WHEN (doc_id // 20) % 10 = 3" +
+        " THEN chr(10) || 'rare promo line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'" +
+        " || chr(10) || 'repeat me line' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 1 THEN" +
+        " ' badger badger badger badger badger badger badger'" +
+        " ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 2 THEN" +
+        " ' one two three one two three one two three' ELSE '' END)" +
+        " || (CASE WHEN doc_id % 10 = 4 THEN chr(10) || 'contact user'" +
+        " || CAST(doc_id AS VARCHAR) || '@example.com for details'" +
+        " ELSE '' END)")
+
   /** Shared by d_epoch_order and its streaming twin s_stream_epoch. */
   private lazy val epochOrderOracleSql: String =
     s"""WITH pk AS (
@@ -4042,24 +4125,10 @@ object PipelineQueries {
         " THEN chr(10) || 'rare promo line' ELSE '' END)"),
 
     // every stage's gated twin nested verbatim, composed in the
-    // documented order over the unioned plant
-    "d_clean_e2e" -> Dedup.cleanPipelineSql(docsT, "doc_id", "source",
-      "'(c) ' || source || ' all rights reserved' || chr(10) || text" +
-        " || (CASE WHEN (doc_id // 20) % 10 < 6" +
-        " THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)" +
-        " || (CASE WHEN (doc_id // 20) % 10 = 3" +
-        " THEN chr(10) || 'rare promo line' ELSE '' END)" +
-        " || (CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'repeat me line'" +
-        " || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'" +
-        " || chr(10) || 'repeat me line' ELSE '' END)" +
-        " || (CASE WHEN doc_id % 10 = 1 THEN" +
-        " ' badger badger badger badger badger badger badger'" +
-        " ELSE '' END)" +
-        " || (CASE WHEN doc_id % 10 = 2 THEN" +
-        " ' one two three one two three one two three' ELSE '' END)" +
-        " || (CASE WHEN doc_id % 10 = 4 THEN chr(10) || 'contact user'" +
-        " || CAST(doc_id AS VARCHAR) || '@example.com for details'" +
-        " ELSE '' END)"),
+    // documented order over the unioned plant; shared with the
+    // streaming ingest twin (stream == batch)
+    "d_clean_e2e" -> cleanE2eOracleSql,
+    "s_stream_clean" -> cleanE2eOracleSql,
 
     // stream == batch: the streaming strip shares the batch twin verbatim
     "s_stream_boilerplate" -> Dedup.boilerplateStripSql(docsT, "doc_id",

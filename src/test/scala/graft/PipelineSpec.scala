@@ -1668,6 +1668,45 @@ class PipelineSpec extends SparkSpec {
     assert(rep("hrw")._3 == moved.length.toLong)
   }
 
+  test("row-local gopher panel and strip equal their aggregation twins") {
+    // the stateless per-row forms s_stream_clean runs (no explode, no
+    // groupBy) must be row-for-row equal to the gated batch forms on
+    // the same planted corpus — the withSimhash batch/stream duality
+    val q = floor(col("doc_id") / 20) % 10
+    val m = pmod(col("doc_id"), lit(10))
+    val planted = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), col("source"),
+        concat(lit("(c) "), col("source"), lit(" reserved\n"), col("text"),
+          when(m === 0, lit("\nrepeat me line\nrepeat me line")
+            ).otherwise(lit("")),
+          when(m === 1, lit(" badger badger badger")).otherwise(lit("")),
+          when(q === 3, lit("\nrare promo")).otherwise(lit(""))).as("text"))
+      .cache()
+    val aggPanel = TextFunctions
+      .gopherRepetitionStats(planted, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val rowPanel = TextFunctions.gopherPanelRow(planted, "text")
+      .select("doc_id", "n_lines", "dup_line_micro", "dup_line_char_micro",
+        "top2_char_micro", "dup3_char_micro", "keep")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(aggPanel.length == rowPanel.length && aggPanel.length > 0)
+    aggPanel.zip(rowPanel).foreach { case (a, r) =>
+      assert(a == r, s"gopher row/agg divergence: $a vs $r") }
+    val aggStrip = operators.Dedup
+      .boilerplateClean(planted, "doc_id", "source", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val rowStrip = operators.Dedup.boilerplateCleanRow(planted,
+        operators.Dedup.boilerplateDropSets(planted, "doc_id", "source",
+          "text"),
+        "doc_id", "source", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    graft.CacheScope.releaseAll()
+    planted.unpersist()
+    assert(aggStrip.length == rowStrip.length)
+    aggStrip.zip(rowStrip).foreach { case (a, r) =>
+      assert(a == r, s"strip row/agg divergence: $a vs $r") }
+  }
+
   test("clean pipeline: strip runs BEFORE gopher, scrub BEFORE span dedup") {
     import spark.implicits._
     val head = "aaa bbb aaa bbb aaa bbb"

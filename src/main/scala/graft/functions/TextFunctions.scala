@@ -194,36 +194,61 @@ object TextFunctions {
     * row's own line/gram arrays — no explode, no groupBy — so a STREAM
     * can run the Gopher gate as a stateless projection ahead of its one
     * stateful operator (the [[graft.operators.Dedup.withSimhash]]
-    * batch-vs-stream duality). Each derived array materializes as its
-    * own column and lambdas reference the ATTRIBUTES (never a computed
-    * array inside a lambda — re-evaluated per element otherwise). The
-    * per-doc cost is O(L²) interpreted lambda work vs the batch form's
-    * codegen'd explode — batch callers should prefer the agg form;
-    * row-for-row equality is spec-pinned. Adds the panel columns to
-    * `df`, keeping its existing columns. */
+    * batch-vs-stream duality). Per-doc cost is O(G log G): duplicate
+    * char mass uses the identity Σ_distinct (cnt−1)·len =
+    * Σ_all len − Σ_distinct len, and the per-gram counts come from ONE
+    * run-length scan of the SORTED gram array (a count-via-filter per
+    * distinct gram is O(G²) interpreted work — it cost a 7× bench
+    * regression before this form). All accumulator math is i64. Each
+    * derived array materializes as its own column and lambdas reference
+    * the ATTRIBUTES (never a computed array inside a lambda). Batch
+    * callers should prefer the codegen'd agg form; row-for-row equality
+    * is spec-pinned. Adds the panel columns to `df`. */
   def gopherPanelRow(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    def charSum(arr: String): String =
+      s"aggregate($arr, 0L, (a, l) -> a + CAST(length(l) AS BIGINT))"
+    // Σ cnt·len over grams with cnt ≥ 2, via a run scan of the sorted
+    // array: close each run into the accumulator, finish the last one
+    def dupMass(sorted: String): String =
+      s"""aggregate($sorted,
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L),
+         |  (s, g) -> IF(s.prev IS NOT NULL AND g = s.prev,
+         |    named_struct('prev', g, 'run', s.run + 1L, 'acc', s.acc),
+         |    named_struct('prev', g, 'run', 1L,
+         |      'acc', s.acc + IF(s.run >= 2L,
+         |        s.run * CAST(length(s.prev) AS BIGINT), 0L))),
+         |  s -> s.acc + IF(s.run >= 2L,
+         |    s.run * CAST(length(s.prev) AS BIGINT), 0L))""".stripMargin
+    // argmax (cnt desc, gram asc) · len, from the same run scan —
+    // strictly-greater replacement on ascending grams == the batch
+    // min(struct(-cnt, g)) tie-break; NULL on an empty gram array
+    def topMass(sorted: String): String =
+      s"""aggregate($sorted,
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+         |    'bc', 0L, 'bg', CAST(NULL AS STRING)),
+         |  (s, g) -> IF(s.prev IS NOT NULL AND g = s.prev,
+         |    named_struct('prev', g, 'run', s.run + 1L,
+         |      'bc', s.bc, 'bg', s.bg),
+         |    named_struct('prev', g, 'run', 1L,
+         |      'bc', IF(s.run > s.bc, s.run, s.bc),
+         |      'bg', IF(s.run > s.bc, s.prev, s.bg))),
+         |  s -> IF(s.run > s.bc, s.run * CAST(length(s.prev) AS BIGINT),
+         |    IF(s.bc > 0L, s.bc * CAST(length(s.bg) AS BIGINT),
+         |      CAST(NULL AS BIGINT))))""".stripMargin
     df
       .withColumn("__nchars", greatest(length(t), lit(1)).cast("long"))
       .withColumn("__lines", split(t, "\n"))
       .withColumn("__dlines", array_distinct(col("__lines")))
-      .withColumn("__bg", bigrams(t))
-      .withColumn("__dbg", array_distinct(col("__bg")))
-      .withColumn("__tg", trigrams(t))
-      .withColumn("__dtg", array_distinct(col("__tg")))
+      .withColumn("__sbg", array_sort(bigrams(t)))
+      .withColumn("__stg", array_sort(trigrams(t)))
       .withColumn("n_lines", size(col("__lines")).cast("long"))
       .withColumn("__dup_lines",
         (size(col("__lines")) - size(col("__dlines"))).cast("long"))
-      .withColumn("__dlc", expr("aggregate(__dlines, 0L, (a, l) -> " +
-        "a + (size(filter(__lines, x -> x = l)) - 1) * length(l))"))
-      .withColumn("__m", array_min(expr("transform(__dbg, g -> " +
-        "named_struct('nc', -size(filter(__bg, x -> x = g)), 'g', g))")))
-      .withColumn("__top2",
-        (-col("__m.nc") * length(col("__m.g"))).cast("long"))
-      .withColumn("__d3", expr("aggregate(transform(__dtg, g -> " +
-        "named_struct('c', size(filter(__tg, x -> x = g)), " +
-        "'l', length(g))), 0L, " +
-        "(a, s) -> a + if(s.c >= 2, CAST(s.c * s.l AS BIGINT), 0L))"))
+      .withColumn("__dlc",
+        expr(s"${charSum("__lines")} - ${charSum("__dlines")}"))
+      .withColumn("__top2", expr(topMass("__sbg")))
+      .withColumn("__d3", expr(dupMass("__stg")))
       .withColumn("dup_line_micro",
         expr("(1000000 * coalesce(__dup_lines, 0)) div n_lines"))
       .withColumn("dup_line_char_micro",
@@ -237,8 +262,8 @@ object TextFunctions {
           col("dup_line_char_micro") <= 200000L &&
           col("top2_char_micro") <= 200000L &&
           col("dup3_char_micro") <= 180000L)
-      .drop("__nchars", "__lines", "__dlines", "__bg", "__dbg", "__tg",
-        "__dtg", "__dup_lines", "__dlc", "__m", "__top2", "__d3")
+      .drop("__nchars", "__lines", "__dlines", "__sbg", "__stg",
+        "__dup_lines", "__dlc", "__top2", "__d3")
   }
 
   /** DuckDB twin of [[gopherRepetitionStats]] over `textExpr`; the
@@ -716,10 +741,12 @@ object TextFunctions {
     def lmicro(c: Column): Column = round(log(c) * 1e6, 0).cast("long")
     // cut to the top-K FIRST (distributed TakeOrdered — never a global
     // rank window over the full vocabulary), then rank inside the
-    // literal-topK frame via the distributed range+offset two-pass
+    // literal-topK frame: the one unpartitioned window here runs on
+    // ≤ topK rows by construction (the gx_pagerank_rank bounded-frame
+    // idiom; PlanSpec whitelists limit-bounded windows)
     val top = tokenCounts.orderBy(col("cnt").desc, col("token")).limit(topK)
-    val xy = graft.operators.Ranks.rowNumber(top, "r",
-        col("cnt").desc, col("token"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val xy = top.withColumn("r", row_number().over(w))
       .select(lmicro(col("r")).as("x"), lmicro(col("cnt")).as("y"))
     val st = xy.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -327,8 +327,7 @@ object Collocations {
   /** The corpus's distinct-word frame (word, wcnt) — the SentencePiece
     * move that makes EM corpus-size-free: every DP below runs once per
     * DISTINCT word, weighted by its count. */
-  private def distinctWords(docs: DataFrame, idCol: String,
-                            textCol: String): DataFrame =
+  private def distinctWords(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
@@ -354,7 +353,7 @@ object Collocations {
   def unigramVocab(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
-    val words = graft.CacheScope.cached(distinctWords(docs, idCol, textCol))
+    val words = graft.CacheScope.cached(distinctWords(docs, textCol))
     val seeds = words.select(col("wcnt"), explode(expr(
         s"flatten(transform(sequence(1, length(word)), i -> " +
         s"transform(sequence(1, least($UniMaxPiece, length(word) - i + 1)), " +

@@ -676,11 +676,18 @@ object Dedup {
                 w: Int = SpanDedupW): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val spans = spanRows(base, w)
-    val dup = spans.filter(col("h").isNotNull)
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
-      .filter(col("dfd") >= 2).select(col("h"), lit(1).as("isdup"))
+    val dup = dupKeysOf(spans).withColumn("isdup", lit(1))
     excised(base, spans, dup, w)
   }
+
+  /** The ≥-2-distinct-docs duplicated key set of a span-row frame — the
+    * ONE definition [[spanDedup]] and [[dupSpanKeySet]] both use (a
+    * mirrored copy would silently break their documented bit-for-bit
+    * equivalence). */
+  private def dupKeysOf(spans: DataFrame): DataFrame =
+    spans.filter(col("h").isNotNull)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
+      .filter(col("dfd") >= 2).select("h")
 
   /** Token rows with the 60-bit span key starting at each position:
     * (doc_id, i, tok, h) — h null for tail positions with < w tokens
@@ -788,9 +795,7 @@ object Dedup {
   def dupSpanKeySet(docs: DataFrame, idCol: String, textCol: String,
                     w: Int = SpanDedupW): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    spanRows(base, w).filter(col("h").isNotNull)
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("dfd"))
-      .filter(col("dfd") >= 2).select("h")
+    dupKeysOf(spanRows(base, w))
   }
 
   /** PER-ROW form of [[boilerplateClean]]: each doc's lines filtered
@@ -1188,22 +1193,32 @@ object Dedup {
     * semi join and one scalar cross join. */
   def cleanPipeline(docs: DataFrame, idCol: String, srcCol: String,
                     textCol: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val stripped = boilerplateClean(docs, idCol, srcCol, textCol)
-    val scrubbed = graft.CacheScope.cached(stripped.select(col("doc_id"),
-      TextFunctions.scrubPii(col("text")).as("text")))
-    val gkeep = TextFunctions.gopherRepetitionStats(scrubbed, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-    val afterG = scrubbed.join(gkeep, Seq("doc_id"), "left_semi")
-    val withN = afterG.withColumn("n_tok",
-      TextFunctions.tokenCount(col("text")))
-    val cut = withN.agg(expr("percentile(n_tok, 0.25)").as("p25"))
+    val (withN, cut) = cleanQualityFrame(docs, idCol, srcCol, textCol)
     val survivors = withN.crossJoin(broadcast(cut))
       .filter(col("n_tok") >= col("p25"))
       .select("doc_id", "text")
     spanDedup(survivors, "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"), col("n_kept"),
         md5(col("clean_text")).as("clean_fp"))
+  }
+
+  /** The stateless prefix of [[cleanPipeline]] (strip → scrub → Gopher
+    * drop → token count): the post-Gopher frame (doc_id, text, n_tok)
+    * plus the one-row quality-cut scalar frame. Shared with
+    * s_stream_clean's batch static-side derivation so the stage chain
+    * exists exactly once. */
+  private[graft] def cleanQualityFrame(docs: DataFrame, idCol: String,
+                                       srcCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions
+    val stripped = boilerplateClean(docs, idCol, srcCol, textCol)
+    val scrubbed = graft.CacheScope.cached(stripped.select(col("doc_id"),
+      TextFunctions.scrubPii(col("text")).as("text")))
+    val gkeep = TextFunctions.gopherRepetitionStats(scrubbed, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val withN = scrubbed.join(gkeep, Seq("doc_id"), "left_semi")
+      .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+    (withN, withN.agg(expr("percentile(n_tok, 0.25)").as("p25")))
   }
 
   /** DuckDB twin of [[cleanPipeline]] over `textExpr`: every stage's

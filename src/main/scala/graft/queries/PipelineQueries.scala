@@ -3146,15 +3146,10 @@ object PipelineQueries {
       val base = docs(s, dir).filter(pmod(d, lit(2)) === 0)
         .select(d.as("media_id"),
           unhex(plantedTexturedBmpHex(d, pert = 0)).as("content"))
-      val near = docs(s, dir)
-        .filter(pmod(d, lit(20)) === 0 && pmod(d, lit(40)) =!= 0)
-        .select((d + 1).as("media_id"),
-          unhex(plantedTexturedBmpHex(d, pert = 1)).as("content"))
-      val far = docs(s, dir).filter(pmod(d, lit(40)) === 0)
-        .select((d + 1).as("media_id"),
-          unhex(plantedTexturedBmpHex(d, pert = 2)).as("content"))
+      // the copies are phashDeltaMedia's one construction — shared with
+      // the incr/streaming gates so the plants cannot drift apart
       val hashes = Multimodal.dhash64(
-        base.unionByName(near).unionByName(far)).toDF()
+        base.unionByName(phashDeltaMedia(docs(s, dir)))).toDF()
       Multimodal.phashNearDupSurvivors(hashes).orderBy("media_id")}),
 
     // INCREMENTAL image near-dup: the daily-ingest form — a DELTA batch
@@ -3277,17 +3272,17 @@ object PipelineQueries {
       val planted = cleanPlant(docs(s, dir))
       val dropSets = Dedup.boilerplateDropSets(planted,
         "doc_id", "source", "text").localCheckpoint(true)
-      // batch replay of the stateless prefix derives the corpus statics
-      val bScrub = Dedup.boilerplateClean(planted, "doc_id", "source", "text")
-        .select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("text"))
-      val bKeep = TextFunctions.gopherRepetitionStats(bScrub, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val bWithN = bScrub.join(bKeep, Seq("doc_id"), "left_semi")
-        .withColumn("n_tok", tokenCount(col("text")))
-      // one-row corpus scalar (the documented bounded driver probe)
-      val cut = bWithN.agg(expr("percentile(n_tok, 0.25)").as("p25"))
-        .head().getDouble(0)
-      val bSurv = bWithN.filter(col("n_tok") >= lit(cut))
+      // batch replay of the stateless prefix (the cleanPipeline stage
+      // chain, shared — not a second copy) derives the corpus statics
+      val (bWithN, cutFrame) =
+        Dedup.cleanQualityFrame(planted, "doc_id", "source", "text")
+      // one-row corpus scalar (the documented bounded driver probe);
+      // NULL on an all-dropped corpus — the null-propagating filter
+      // then keeps nothing, exactly like the batch >= null comparison
+      val cutRow = cutFrame.head()
+      val cut = if (cutRow.isNullAt(0)) lit(null).cast("double")
+        else lit(cutRow.getDouble(0))
+      val bSurv = bWithN.filter(col("n_tok") >= cut)
         .select("doc_id", "text")
       val survIds = bSurv.select("doc_id").localCheckpoint(true)
       val dupKeys = Dedup.dupSpanKeySet(bSurv, "doc_id", "text")

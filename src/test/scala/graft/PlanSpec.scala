@@ -595,11 +595,13 @@ class PlanSpec extends SparkSpec {
   test("corpus rank tables: no unpartitioned window over unbounded input") {
     // the round-12 verdict's scale-killer: a corpus/node-sized rank built
     // with row_number().over(Window.orderBy(...)) is a single-partition
-    // sort of the whole frame. All four former offenders now rank via
-    // Ranks.rowNumber (range-bucket + broadcast-offset two-pass); the ONLY
-    // unpartitioned windows their plans may contain are the offset-frame
-    // cumulative sums, bounded by the partition count and recognizable by
-    // their __pid order key.
+    // sort of the whole frame. The four former offenders now rank via
+    // Ranks.rowNumber (range-bucket + broadcast-offset two-pass) or, for
+    // zipf, a TakeOrdered limit BEFORE the window; the only legal
+    // unpartitioned windows are (a) the offset-frame cumulative sums,
+    // bounded by the partition count and recognizable by their __pid
+    // order key, and (b) windows whose input subtree is bounded by a
+    // global limit.
     val helper =
       new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
     // descend through InMemoryTableScan too: the former offenders built
@@ -622,7 +624,13 @@ class PlanSpec extends SparkSpec {
       df.collect() // finalize AQE so stages are traversable
       val unpart = unpartWindows(df.queryExecution.executedPlan)
       unpart.foreach { w =>
-        assert(w.orderSpec.exists(_.child.toString.contains("__pid")),
+        val pidBounded =
+          w.orderSpec.exists(_.child.toString.contains("__pid"))
+        val limitBounded = helper.collect(w.child) {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+          case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+        }.nonEmpty
+        assert(pidBounded || limitBounded,
           s"$name: unpartitioned window over unbounded input:\n$w")
       }
       graft.CacheScope.releaseAll()

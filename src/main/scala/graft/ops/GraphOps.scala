@@ -3070,6 +3070,113 @@ object GraphOps {
           .as("cc_left_milli"))
   }
 
+  /** k-BITRUSS peel of a bipartite graph — the butterfly analog of
+    * [[kTruss]]: per round, every edge's butterfly SUPPORT is computed
+    * (support(p,s) = Σ over wedges p–{s,s'} of c_{s,s'}−1, where c is
+    * the right-pair common-left count — each wedge at p pairs p with
+    * its c−1 fellow center parts) and edges below the threshold peel;
+    * `rounds` fixed iterations, then the survivors with their final
+    * support. The threshold is DATA-ADAPTIVE — the `q`-quantile of the
+    * initial edge supports (a constant k is vacuous at one SF and total
+    * at another; the gx_kcore parameter discipline) — computed as one
+    * driver probe and replayed by the oracle's scalar quantile_cont
+    * CTE. q defaults to 0.25: support distributions are heavily
+    * interdependent (removing an edge drops its whole neighborhood's
+    * support), so a median-threshold peel CASCADES to empty on fixture
+    * graphs — the lower quartile peels meaningfully while leaving a
+    * non-vacuous core at every SF (measured: sf0.001 5382→1051 edges,
+    * sf0.01 59391→12161).
+    *
+    * Scale shape: the [[butterflyCensus]] discipline per round — wedges
+    * enumerate only from the left side with hub-capped degrees (cap
+    * applied ONCE on the input, like kTruss's one-time orientation;
+    * degrees only shrink under peeling), support aggregates are
+    * pair-keyed sums, and each round's state checkpoints + statsResets
+    * (the iterative-loop discipline — support() references e twice). */
+  def bitruss(edges: DataFrame, rounds: Int = 3,
+              maxDeg: Long = 64, q: Double = 0.25): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val keep = e0.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg).select("src")
+    var e = e0.join(keep, Seq("src"), "left_semi").localCheckpoint(true)
+    def support(ed: DataFrame): DataFrame = {
+      val w = ed.select(col("src"), col("dst").as("u"))
+        .join(ed.select(col("src"), col("dst").as("v")), Seq("src"))
+        .filter(col("u") < col("v"))
+      val c = w.groupBy("u", "v").agg(count(lit(1)).as("c"))
+      val ws = w.join(c, Seq("u", "v"))
+      ws.select(col("src"), col("u").as("dst"), (col("c") - 1).as("b"))
+        .unionByName(ws.select(col("src"), col("v").as("dst"),
+          (col("c") - 1).as("b")))
+        .groupBy("src", "dst").agg(sum(col("b")).as("supp"))
+    }
+    val s0 = CacheScope.cached(support(e))
+    // one-row data-adaptive threshold probe (exact in both engines per
+    // the percentile discipline); NULL only on an edgeless graph —
+    // guarded like the Katz dmax probe
+    val kRow = e.join(s0, Seq("src", "dst"), "left")
+      .select(coalesce(col("supp"), lit(0L)).as("s"))
+      .agg(expr(s"percentile(s, $q)").as("k")).head()
+    val k = if (kRow.isNullAt(0)) 0.0 else kRow.getDouble(0)
+    for (r <- 1 to rounds) {
+      val sup = if (r == 1) s0 else support(e)
+      e = statsReset(e.join(sup, Seq("src", "dst"), "left")
+        .filter(coalesce(col("supp"), lit(0L)) >= k)
+        .select("src", "dst").localCheckpoint(true))
+    }
+    e.join(support(e), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("supp"), lit(0L)).as("supp"))
+  }
+
+  /** DuckDB twin of [[bitruss]] over edge CTE `$edges`(src, dst): the
+    * hub cap, the scalar median-support threshold and every peel round
+    * unrolled (MATERIALIZED — each round's edge set feeds the next
+    * wedge self-join twice). */
+  def bitrussSql(edges: String, rounds: Int = 3,
+                 maxDeg: Long = 64, q: Double = 0.25): String = {
+    def suppCte(e: String, p: String): String =
+      s"""${p}w AS (
+         |  SELECT x.src, x.dst AS u, y.dst AS v
+         |  FROM $e x JOIN $e y ON y.src = x.src AND x.dst < y.dst
+         |), ${p}c AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM ${p}w GROUP BY 1, 2
+         |), ${p}supp AS (
+         |  SELECT src, dst, CAST(sum(b) AS BIGINT) AS supp FROM (
+         |    SELECT w.src, w.u AS dst, c.c - 1 AS b
+         |    FROM ${p}w w JOIN ${p}c c ON c.u = w.u AND c.v = w.v
+         |    UNION ALL
+         |    SELECT w.src, w.v, c.c - 1
+         |    FROM ${p}w w JOIN ${p}c c ON c.u = w.u AND c.v = w.v)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val supPrefix = if (r == 1) "s0" else s"r$r"
+      val supCte =
+        if (r == 1) "" else s"${suppCte(s"bt${r - 1}", s"r$r")}, "
+      s"""${supCte}bt$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM bt${r - 1} e
+         |  LEFT JOIN ${supPrefix}supp s
+         |    ON s.src = e.src AND s.dst = e.dst, btk
+         |  WHERE coalesce(s.supp, 0) >= btk.k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""bt0 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM $edges
+       |  WHERE src IN (
+       |    SELECT src FROM (SELECT DISTINCT src, dst FROM $edges)
+       |    GROUP BY src HAVING count(*) <= $maxDeg)
+       |), ${suppCte("bt0", "s0")}, btk AS (
+       |  SELECT quantile_cont(coalesce(s.supp, 0), $q) AS k
+       |  FROM bt0 e LEFT JOIN s0supp s ON s.src = e.src AND s.dst = e.dst
+       |), $roundCtes, ${suppCte(s"bt$rounds", "fin")}
+       |SELECT e.src, e.dst, CAST(coalesce(s.supp, 0) AS BIGINT) AS supp
+       |FROM bt$rounds e
+       |LEFT JOIN finsupp s ON s.src = e.src AND s.dst = e.dst
+       |ORDER BY e.src, e.dst""".stripMargin
+  }
+
   /** DuckDB twin of [[butterflyCensus]] over edge CTE `$edges`(src, dst)
     * (deduped inside, same as the Spark side). */
   def butterflyCensusSql(edges: String, maxDeg: Long = 64): String =

@@ -337,6 +337,24 @@ object GxQueries {
         .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
       GraphOps.butterflyCensus(e)}),
 
+    // k-BITRUSS peel — the butterfly analog of gx_ktruss's
+    // triangle-support peel, on the part–CUSTOMER bipartite graph
+    // (BOTH domains SF-scaling, so supports stay spread; the SF-fixed
+    // supplier side's supports are a 1230..1658 sliver where any
+    // quantile peel cascades to empty — the density trap again):
+    // per-edge butterfly support from the capped part-side wedge join,
+    // edges below the DATA-ADAPTIVE lower-quartile initial-support
+    // threshold peel for 3 rounds, survivors with their final support
+    // — exact i64 end-to-end, every round unrolled in the oracle
+    "gx_bitruss" -> ((s, dir) => {
+      val li = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.join(graft.sources.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          li("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("src"), col("o_custkey").as("dst"))
+      GraphOps.bitruss(e).orderBy("src", "dst")}),
+
     // ADJUSTED RAND INDEX between the LPA COMMUNITY partition and the
     // round-1 WL STRUCTURAL classes of the union graph — the chance-
     // corrected agreement grade every clustering comparison reports,
@@ -1318,6 +1336,10 @@ object GxQueries {
 
     "gx_butterfly" -> GraphOps.butterflyCensusSql(
       "(SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem)"),
+
+    "gx_bitruss" -> ("WITH " + GraphOps.bitrussSql(
+      "(SELECT l_partkey AS src, o_custkey AS dst FROM lineitem " +
+        "JOIN orders ON o_orderkey = l_orderkey)")),
 
     "gx_attack" ->
       s"""$cte, aku AS MATERIALIZED (

@@ -1075,4 +1075,21 @@ class GraphOpsSpec extends SparkSpec {
     val r2 = GraphOps.butterflyCensus(base.toDF("src", "dst")).collect().head
     assert(r2.getLong(5) == 1L && r2.getLong(3) == 2L)
   }
+
+  test("bitruss: pendant edges peel, the butterfly core survives with support") {
+    // K_{2,2} on parts {1,2} × customers {1001,1002}: one butterfly,
+    // every core edge in exactly 1; pendant edges (parts 5-8) have
+    // support 0. With the threshold at the 0.75-quantile of the initial
+    // supports (== 1 on this mix), the pendants peel in round 1 and the
+    // core is a fixpoint — survivors are exactly the 4 core edges, each
+    // still reporting support 1 after the final recount
+    val core = Seq((1L, 1001L), (1L, 1002L), (2L, 1001L), (2L, 1002L))
+    val pendants = (5L to 8L).map(p => (p, 3000L + p))
+    val e = (core ++ pendants).toDF("src", "dst")
+    val out = GraphOps.bitruss(e, rounds = 3, q = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.CacheScope.releaseAll()
+    assert(out.keySet == core.toSet, s"survivors: ${out.keySet}")
+    assert(out.values.forall(_ == 1L), s"core supports: $out")
+  }
 }

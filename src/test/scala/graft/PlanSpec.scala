@@ -322,6 +322,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("butterfly census and bitruss stay keyed: no product, partial aggs") {
+    // the wedge enumeration must be the src-keyed equi self-join over
+    // the capped edge set — never a node-domain product; the pair and
+    // support counts must map-side combine
+    for (q <- Seq("gx_butterfly", "gx_bitruss")) {
+      val plan = finalPlanString(
+        graft.queries.GxQueries.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must never build a node-domain product:\n${plan.take(900)}")
+      assert(plan.contains("partial_count") || plan.contains("partial count") ||
+        plan.contains("partial_sum") || plan.contains("partial sum"),
+        s"$q aggregations must be partial+final:\n${plan.take(900)}")
+      graft.CacheScope.releaseAll()
+    }
+  }
+
   test("boilerplate strip broadcasts the drop set; never a product") {
     // the drop set is boilerplate-line-sized by definition — the anti
     // join must broadcast it; the df aggregation must map-side combine

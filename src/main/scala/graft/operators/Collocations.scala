@@ -47,6 +47,46 @@ object Collocations {
     * looks like after the learned merges. */
   def mergeRoundsWithState(docs: DataFrame, idCol: String, textCol: String,
                            rounds: Int = 3): (DataFrame, DataFrame) = {
+    val (m, st, _) = mergeRoundsFull(docs, idCol, textCol, rounds)
+    (m, st)
+  }
+
+  /** One greedy non-overlapping merge application over token state with
+    * `nxt` attached: candidates matching `cand` merge left-to-right
+    * with run parity; returns the re-numbered state and the taken frame
+    * (for n_applied accounting). Shared by the learn loop and the
+    * dropout apply so the application rule exists once. */
+  private def greedyMerge(withNext: DataFrame,
+                          cand: Column): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val marked = withNext
+      .withColumn("cand", cand)
+      .withColumn("rnc", sum(when(col("cand"), 1L).otherwise(0L)).over(w))
+      .withColumn("grp", col("i") - col("rnc"))
+    val taken = marked
+      .withColumn("take", col("cand") &&
+        pmod(col("rnc") - min(when(col("cand"), col("rnc")))
+          .over(Window.partitionBy("doc_id", "grp")), lit(2L)) === 0)
+      .withColumn("consumed",
+        coalesce(lag(col("take"), 1).over(w), lit(false)))
+      .localCheckpoint(true)
+    val st = taken.filter(!col("consumed"))
+      .select(col("doc_id"), col("i").as("oi"),
+        when(col("take"), concat(col("t"), lit(" "), col("nxt")))
+          .otherwise(col("t")).as("t"))
+      .withColumn("i",
+        row_number().over(Window.partitionBy("doc_id").orderBy("oi")) - 1)
+      .select("doc_id", "i", "t")
+    (st, taken)
+  }
+
+  /** [[mergeRoundsWithState]] plus the learned merge PAIRS as (a, b)
+    * tuples — the unambiguous form a downstream apply needs (the
+    * display `pair` string "a b" cannot be split back once a merged
+    * token itself contains spaces). */
+  def mergeRoundsFull(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int = 3)
+      : (DataFrame, DataFrame, Seq[(String, String)]) = {
     require(rounds >= 1, "rounds >= 1")
     val sp = docs.sparkSession
     import sp.implicits._
@@ -54,6 +94,7 @@ object Collocations {
     var state = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("i", "t")))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -68,31 +109,87 @@ object Collocations {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         val cand = col("nxt").isNotNull && col("t") === lit(a) && col("nxt") === lit(b)
-        val marked = withNext
-          .withColumn("cand", cand)
-          .withColumn("rnc", sum(when(col("cand"), 1L).otherwise(0L)).over(w))
-          .withColumn("grp", col("i") - col("rnc"))
-        val taken = marked
-          .withColumn("take", col("cand") &&
-            pmod(col("rnc") - min(when(col("cand"), col("rnc")))
-              .over(Window.partitionBy("doc_id", "grp")), lit(2L)) === 0)
-          .withColumn("consumed",
-            coalesce(lag(col("take"), 1).over(w), lit(false)))
-          .localCheckpoint(true)
+        val (st, taken) = greedyMerge(withNext, cand)
         val nApplied = taken.filter(col("take")).count()
-        state = taken.filter(!col("consumed"))
-          .select(col("doc_id"), col("i").as("oi"),
-            when(col("take"), concat(col("t"), lit(" "), col("nxt")))
-              .otherwise(col("t")).as("t"))
-          .withColumn("i",
-            row_number().over(Window.partitionBy("doc_id").orderBy("oi")) - 1)
-          .select("doc_id", "i", "t")
+        state = st
         learned += ((r, s"$a $b", n, nApplied))
+        pairs += ((a, b))
         r += 1
       }
     }
     (sp.createDataFrame(learned.toSeq)
-      .toDF("round", "pair", "pair_n", "n_applied"), state)
+      .toDF("round", "pair", "pair_n", "n_applied"), state, pairs.toSeq)
+  }
+
+  /** APPLY the learned merges with BPE-DROPOUT (Provilkov et al.,
+    * "BPE-Dropout: Simple and Effective Subword Regularization"): each
+    * candidate application of merge r at position i is SKIPPED when
+    * hash60(doc_id|i|r|bdrop) % `dropMod` == 0 — a deterministic 1/10
+    * dropout, reproducible and exactly replayable in SQL (no RNG
+    * state, the skip-gram negative-sampling discipline). The surviving
+    * candidates then merge under the standard greedy run parity, so
+    * dropout composes with the application rule unchanged. Output: the
+    * re-tokenized state (doc_id, i, t). */
+  def applyMergesWithDropout(docs: DataFrame, idCol: String, textCol: String,
+                             merges: Seq[(String, String)],
+                             dropMod: Long = 10): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    var state = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("i", "t")))
+    for (((a, b), idx) <- merges.zipWithIndex) {
+      state = state.localCheckpoint(true)
+      val withNext = state.withColumn("nxt", lead("t", 1).over(w))
+      val cand = col("nxt").isNotNull &&
+        col("t") === lit(a) && col("nxt") === lit(b) &&
+        pmod(hash60(concat_ws("|", col("doc_id"), col("i"),
+          lit((idx + 1).toString), lit("bdrop"))), lit(dropMod)) =!= 0
+      state = greedyMerge(withNext, cand)._1
+    }
+    state
+  }
+
+  /** DuckDB twin of [[applyMergesWithDropout]]: b0..bR CTE bodies
+    * replaying the learned m$r merges over s0 with the same hash gate —
+    * appended after [[cteBody]]'s learn chain in one WITH. */
+  def dropoutCteBody(rounds: Int, dropMod: Long = 10): String = {
+    import graft.functions.TextFunctions.hash60Sql
+    val perRound = (1 to rounds).map { r =>
+      val p = r - 1
+      val gate = hash60Sql(
+        s"CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|$r|bdrop'")
+      s"""bx$r AS (
+         |  SELECT doc_id, i, t, nxt,
+         |    coalesce(nxt IS NOT NULL AND t = a AND nxt = b, FALSE)
+         |      AND ($gate) % $dropMod <> 0 AS cand
+         |  FROM (
+         |    SELECT s.doc_id, s.i, s.t,
+         |      lead(s.t) OVER (PARTITION BY s.doc_id ORDER BY s.i) AS nxt
+         |    FROM b$p s) LEFT JOIN m$r ON TRUE
+         |), by$r AS (
+         |  SELECT *, i - rnc AS grp FROM (
+         |    SELECT doc_id, i, t, nxt, cand,
+         |      sum(CASE WHEN cand THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY i) AS rnc
+         |    FROM bx$r)
+         |), bz$r AS (
+         |  SELECT doc_id, i, t, nxt,
+         |    coalesce(cand AND (rnc - min(CASE WHEN cand THEN rnc END)
+         |        OVER (PARTITION BY doc_id, grp)) % 2 = 0, FALSE) AS take
+         |  FROM by$r
+         |), bw$r AS (
+         |  SELECT doc_id, i, t, nxt, take,
+         |    coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+         |      AS consumed
+         |  FROM bz$r
+         |), b$r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
+         |    CASE WHEN take THEN t || ' ' || nxt ELSE t END AS t
+         |  FROM bw$r WHERE NOT consumed
+         |)""".stripMargin
+    }
+    ("b0 AS (SELECT doc_id, i, t FROM s0)" +: perRound).mkString(",\n")
   }
 
   /** DuckDB twin of [[mergeRounds]]: the full unrolled training loop as
@@ -202,6 +299,11 @@ object Collocations {
          |JOIN (SELECT doc_id, count(*) AS n FROM s$rounds GROUP BY 1) a
          |  ON a.doc_id = d.$idCol
          |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** [[cteBody]] exposed for oracles that append further chains onto
+    * the learn CTEs (the d_bpe_dropout apply replay). */
+  def bpeCteBody(table: String, idCol: String, textCol: String,
+                 rounds: Int): String = cteBody(table, idCol, textCol, rounds)
 
   private def cteBody(table: String, idCol: String, textCol: String,
                       rounds: Int): String = {

@@ -85,16 +85,17 @@ object PipelineQueries {
     * `Tables.cached`-able); memoize the (merges, final state) pair per
     * (session, dir) so the loop runs once. The state is already
     * checkpointed; the merge table is a local literal frame. */
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def bpeShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Seq[(String, String)])]()
+  private def bpeShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[(String, String)]) = {
     val sid = System.identityHashCode(s)
     // entries pin checkpoint blocks of THEIR session — drop entries from
     // replaced sessions so a long-lived JVM (sbt test suites) does not
     // accumulate dead sessions' block-manager state
     bpeCache.keySet.removeIf(k => !k.endsWith(s"|$sid"))
     bpeCache.computeIfAbsent(s"$dir|$sid",
-      _ => Collocations.mergeRoundsWithState(docs(s, dir), "doc_id", "text", 3))
+      _ => Collocations.mergeRoundsFull(docs(s, dir), "doc_id", "text", 3))
   }
 
   /** Session-shared trainless ANN index parts: the IVF cells/assignment
@@ -1513,6 +1514,24 @@ object PipelineQueries {
         .withColumn("fertility_milli",
           expr("(1000 * n_pieces) div n_words"))
         .orderBy("lang")}),
+
+    // BPE-DROPOUT apply (Provilkov et al. subword regularization): the
+    // learned 3 merges re-applied with a deterministic hash-gated 1/10
+    // candidate skip — training-time segmentation diversity with zero
+    // RNG state, so both the per-doc counts AND the exact dropped-out
+    // segmentation (md5 of the token stream) replay in SQL. n_drop ≥
+    // n_plain by construction (skipping merges only splits finer)
+    "d_bpe_dropout" -> ((s, dir) => {
+      val shared = bpeShared(s, dir)
+      val plain = shared._2.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_plain"))
+      val drop = Collocations.applyMergesWithDropout(
+        docs(s, dir), "doc_id", "text", shared._3)
+      val dstats = drop.groupBy("doc_id").agg(
+        count(lit(1)).as("n_drop"),
+        md5(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(i, t))), x -> x.t), ' ')")).as("fp_drop"))
+      plain.join(dstats, "doc_id").orderBy("doc_id")}),
 
     // held-out trigram LM with STUPID BACKOFF (the web-scale count LM):
     // train on the first 4/5 of doc_ids (adaptive cutoff — the
@@ -5493,6 +5512,18 @@ object PipelineQueries {
     "d_unigram_apply" -> Collocations.unigramApplySql(docsT, "doc_id", "text"),
     "d_unigram_fertility" ->
       Collocations.unigramFertilitySql(docsT, "doc_id", "text", "lang"),
+    // learn chain + the hash-gated dropout apply chain in one WITH
+    "d_bpe_dropout" ->
+      ("WITH " + Collocations.bpeCteBody(docsT, "doc_id", "text", 3) + ",\n" +
+        Collocations.dropoutCteBody(3) +
+        s"""
+           |SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_plain,
+           |  CAST(d.n AS BIGINT) AS n_drop, d.fp AS fp_drop
+           |FROM (SELECT doc_id, count(*) AS n FROM s3 GROUP BY 1) p
+           |JOIN (SELECT doc_id, count(*) AS n,
+           |        md5(string_agg(t, ' ' ORDER BY i)) AS fp
+           |      FROM b3 GROUP BY 1) d ON d.doc_id = p.doc_id
+           |ORDER BY p.doc_id""".stripMargin),
     // stream == batch: the streaming apply shares the batch twin
     "s_stream_unigram" ->
       Collocations.unigramApplySql(docsT, "doc_id", "text"),

@@ -1774,6 +1774,21 @@ class PipelineSpec extends SparkSpec {
       w == 2L && p == 3L }, "abcabc|xy must segment as abc abc xy")
   }
 
+  test("BPE-dropout: never merges more than plain apply, and does skip") {
+    import spark.implicits._
+    val out = graft.queries.PipelineQueries.queries("d_bpe_dropout")(spark, sf)
+      .select("doc_id", "n_plain", "n_drop").as[(Long, Long, Long)]
+      .collect()
+    graft.CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    // skipping candidate merges can only leave segmentation finer
+    assert(out.forall { case (_, p, d) => d >= p },
+      "dropout must never merge more than the plain apply")
+    // the 1/10 gate must actually fire somewhere at this SF
+    assert(out.exists { case (_, p, d) => d > p },
+      "dropout must skip at least one merge on the fixture")
+  }
+
   test("d_fim: roundtrip reassembly holds and split points are in-bounds") {
     val out = graft.queries.PipelineQueries.queries("d_fim")(spark, sf)
       .as[(Long, Int, Int, Int, Long, Int)].collect()

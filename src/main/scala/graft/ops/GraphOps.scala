@@ -3113,11 +3113,14 @@ object GraphOps {
     val s0 = CacheScope.cached(support(e))
     // one-row data-adaptive threshold probe (exact in both engines per
     // the percentile discipline); NULL only on an edgeless graph —
-    // guarded like the Katz dmax probe
+    // guarded like the Katz dmax probe. FLOORED at 1: on sparse graphs
+    // the quantile lands on the zero mass (sf0.1's part–customer
+    // subsample reads median 0) and a 0 threshold peels nothing —
+    // floor 1 always excises the butterfly-free periphery
     val kRow = e.join(s0, Seq("src", "dst"), "left")
       .select(coalesce(col("supp"), lit(0L)).as("s"))
-      .agg(expr(s"percentile(s, $q)").as("k")).head()
-    val k = if (kRow.isNullAt(0)) 0.0 else kRow.getDouble(0)
+      .agg(expr(s"greatest(1.0D, percentile(s, $q))").as("k")).head()
+    val k = if (kRow.isNullAt(0)) 1.0 else kRow.getDouble(0)
     for (r <- 1 to rounds) {
       val sup = if (r == 1) s0 else support(e)
       e = statsReset(e.join(sup, Seq("src", "dst"), "left")
@@ -3168,7 +3171,7 @@ object GraphOps {
        |    SELECT src FROM (SELECT DISTINCT src, dst FROM $edges)
        |    GROUP BY src HAVING count(*) <= $maxDeg)
        |), ${suppCte("bt0", "s0")}, btk AS (
-       |  SELECT quantile_cont(coalesce(s.supp, 0), $q) AS k
+       |  SELECT greatest(1.0, quantile_cont(coalesce(s.supp, 0), $q)) AS k
        |  FROM bt0 e LEFT JOIN s0supp s ON s.src = e.src AND s.dst = e.dst
        |), $roundCtes, ${suppCte(s"bt$rounds", "fin")}
        |SELECT e.src, e.dst, CAST(coalesce(s.supp, 0) AS BIGINT) AS supp

@@ -138,7 +138,9 @@ object Collocations {
     var state = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("i", "t")))
     for (((a, b), idx) <- merges.zipWithIndex) {
-      state = state.localCheckpoint(true)
+      // no loop-top checkpoint: unlike the learn loop (which probes the
+      // state twice per round), the apply references state exactly once
+      // and greedyMerge checkpoints its taken frame
       val withNext = state.withColumn("nxt", lead("t", 1).over(w))
       val cand = col("nxt").isNotNull &&
         col("t") === lit(a) && col("nxt") === lit(b) &&
@@ -182,7 +184,7 @@ object Collocations {
          |    coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
          |      AS consumed
          |  FROM bz$r
-         |), b$r AS (
+         |), b$r AS MATERIALIZED (
          |  SELECT doc_id,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
          |    CASE WHEN take THEN t || ' ' || nxt ELSE t END AS t
@@ -308,7 +310,7 @@ object Collocations {
   private def cteBody(table: String, idCol: String, textCol: String,
                       rounds: Int): String = {
     val s0 =
-      s"""s0 AS (
+      s"""s0 AS MATERIALIZED (
          |  SELECT doc_id, s['i'] AS i, s['t'] AS t FROM (
          |    SELECT $idCol AS doc_id, unnest(list_transform(
          |      generate_series(1, len(tk)), j -> {'i': j - 1, 't': tk[j]})) AS s
@@ -316,7 +318,7 @@ object Collocations {
          |)""".stripMargin
     val perRound = (1 to rounds).map { r =>
       val p = r - 1
-      s"""m$r AS (
+      s"""m$r AS MATERIALIZED (
          |  SELECT t AS a, nxt AS b, count(*) AS n FROM (
          |    SELECT t, lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
          |    FROM s$p)
@@ -349,7 +351,7 @@ object Collocations {
          |    coalesce(lag(take) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
          |      AS consumed
          |  FROM z$r
-         |), s$r AS (
+         |), s$r AS MATERIALIZED (
          |  SELECT doc_id,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
          |    CASE WHEN take THEN t || ' ' || nxt ELSE t END AS t

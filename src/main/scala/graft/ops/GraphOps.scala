@@ -3138,14 +3138,17 @@ object GraphOps {
     * wedge self-join twice). */
   def bitrussSql(edges: String, rounds: Int = 3,
                  maxDeg: Long = 64, q: Double = 0.25): String = {
+    // every CTE here is MATERIALIZED: DuckDB inlines CTEs per reference
+    // (CLAUDE.md, gx_louvain2 r11), and the wedge self-join would
+    // otherwise re-execute once per supp/c reference per round
     def suppCte(e: String, p: String): String =
-      s"""${p}w AS (
+      s"""${p}w AS MATERIALIZED (
          |  SELECT x.src, x.dst AS u, y.dst AS v
          |  FROM $e x JOIN $e y ON y.src = x.src AND x.dst < y.dst
-         |), ${p}c AS (
+         |), ${p}c AS MATERIALIZED (
          |  SELECT u, v, CAST(count(*) AS BIGINT) AS c
          |  FROM ${p}w GROUP BY 1, 2
-         |), ${p}supp AS (
+         |), ${p}supp AS MATERIALIZED (
          |  SELECT src, dst, CAST(sum(b) AS BIGINT) AS supp FROM (
          |    SELECT w.src, w.u AS dst, c.c - 1 AS b
          |    FROM ${p}w w JOIN ${p}c c ON c.u = w.u AND c.v = w.v
@@ -3170,7 +3173,7 @@ object GraphOps {
        |  WHERE src IN (
        |    SELECT src FROM (SELECT DISTINCT src, dst FROM $edges)
        |    GROUP BY src HAVING count(*) <= $maxDeg)
-       |), ${suppCte("bt0", "s0")}, btk AS (
+       |), ${suppCte("bt0", "s0")}, btk AS MATERIALIZED (
        |  SELECT greatest(1.0, quantile_cont(coalesce(s.supp, 0), $q)) AS k
        |  FROM bt0 e LEFT JOIN s0supp s ON s.src = e.src AND s.dst = e.dst
        |), $roundCtes, ${suppCte(s"bt$rounds", "fin")}

@@ -1520,7 +1520,8 @@ object PipelineQueries {
     // candidate skip — training-time segmentation diversity with zero
     // RNG state, so both the per-doc counts AND the exact dropped-out
     // segmentation (md5 of the token stream) replay in SQL. n_drop ≥
-    // n_plain by construction (skipping merges only splits finer)
+    // n_plain on this fixture but NOT universally: a skipped early
+    // merge can enable two later merges on the same tokens
     "d_bpe_dropout" -> ((s, dir) => {
       val shared = bpeShared(s, dir)
       val plain = shared._2.groupBy("doc_id")

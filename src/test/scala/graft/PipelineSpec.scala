@@ -1774,19 +1774,24 @@ class PipelineSpec extends SparkSpec {
       w == 2L && p == 3L }, "abcabc|xy must segment as abc abc xy")
   }
 
-  test("BPE-dropout: never merges more than plain apply, and does skip") {
+  test("BPE-dropout: deterministic and segmentation-changing") {
     import spark.implicits._
-    val out = graft.queries.PipelineQueries.queries("d_bpe_dropout")(spark, sf)
+    // NOTE: n_drop >= n_plain is NOT universal — skipping an early
+    // merge can ENABLE two later merges on the same tokens (y a b z
+    // under merges (a,b),(y,a),(b,z)), so the only corpus-independent
+    // contracts are determinism and that the gate fires somewhere
+    val run = () => graft.queries.PipelineQueries
+      .queries("d_bpe_dropout")(spark, sf)
       .select("doc_id", "n_plain", "n_drop").as[(Long, Long, Long)]
-      .collect()
-    graft.CacheScope.releaseAll()
+      .collect().sortBy(_._1).toSeq
+    val out = run()
     assert(out.nonEmpty)
-    // skipping candidate merges can only leave segmentation finer
-    assert(out.forall { case (_, p, d) => d >= p },
-      "dropout must never merge more than the plain apply")
-    // the 1/10 gate must actually fire somewhere at this SF
-    assert(out.exists { case (_, p, d) => d > p },
-      "dropout must skip at least one merge on the fixture")
+    // the 1/10 gate must actually change some segmentation at this SF
+    assert(out.exists { case (_, p, d) => d != p },
+      "dropout must alter at least one doc's segmentation")
+    // zero RNG state: a second full apply is byte-identical
+    assert(run() == out, "dropout must be deterministic")
+    graft.CacheScope.releaseAll()
   }
 
   test("d_fim: roundtrip reassembly holds and split points are in-bounds") {

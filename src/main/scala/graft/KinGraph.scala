@@ -58,6 +58,27 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
   def edgePairs: DataFrame = edges.select(col("src"), col("dst"))
 
   // ---------------------------------------------------------- point lookups
+  /** Driver-side bounded LRU over point-lookup results — the Spark analog
+    * of the reference's LRU caches (graph.py:100-106, cache_len default
+    * 1e6), cleared by [[emptyCache]] exactly like the reference's
+    * empty_cache (graph.py:383-388). Sound because a KinGraph is an
+    * immutable snapshot (a cached Row can never go stale) and every
+    * mutation derives a NEW graph with a fresh cache. Hits only — a miss
+    * raises like the reference and is re-probed on the next call. */
+  @transient private lazy val lookupCache
+      : java.util.Map[(Char, String, String, Int), Row] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Char, String, String, Int), Row](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Char, String, String, Int), Row]): Boolean =
+          size() > KinConfig.DefaultCacheLen
+      })
+
+  /** Current lookup-cache occupancy (reference exposes cache_len sizing;
+    * the spec uses this to pin hit/clear behavior). */
+  private[graft] def lookupCacheSize: Int = lookupCache.size()
+
   /** Point-lookup plan for a node key — the predicate pushes down to the
     * parquet scan (Catalyst `PushedFilters`), the Spark analog of the
     * reference's hash-BST descent (graph.py:435-470). */
@@ -67,17 +88,29 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
   def edgeLookup(src: String, dst: String, etype: Int = 0): DataFrame =
     edges.filter(col("src") === src && col("dst") === dst && col("etype") === etype)
 
-  /** Point lookup by key; NodeNotFound on miss (reference: graph.py:999-1036). */
+  /** Point lookup by key; NodeNotFound on miss (reference: graph.py:999-1036
+    * — cache probe first, graph.py:1018-1023, then the storage descent). */
   def node(key: String, maxKeyLen: Int = Int.MaxValue): Row = {
     if (key.length > maxKeyLen) throw new KeyTooLong(key, maxKeyLen)
-    nodeLookup(key).limit(1).collect()
-      .headOption.getOrElse(throw new NodeNotFound(key))
+    val ck = ('n', key, "", 0)
+    Option(lookupCache.get(ck)).getOrElse {
+      val row = nodeLookup(key).limit(1).collect()
+        .headOption.getOrElse(throw new NodeNotFound(key))
+      lookupCache.put(ck, row)
+      row
+    }
   }
 
   /** Point lookup of an edge triple (reference: graph.py:1038-1067). */
-  def edge(src: String, dst: String, etype: Int = 0): Row =
-    edgeLookup(src, dst, etype).limit(1).collect().headOption
-      .getOrElse(throw new EdgeNotFound(src, dst, etype))
+  def edge(src: String, dst: String, etype: Int = 0): Row = {
+    val ck = ('e', src, dst, etype)
+    Option(lookupCache.get(ck)).getOrElse {
+      val row = edgeLookup(src, dst, etype).limit(1).collect().headOption
+        .getOrElse(throw new EdgeNotFound(src, dst, etype))
+      lookupCache.put(ck, row)
+      row
+    }
+  }
 
   /** reference: graph.py:1069-1082 */
   def hasNode(key: String): Boolean =
@@ -101,23 +134,45 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     edges.filter(col("dst") === key).select(col("src").as("key")).distinct()
   }
 
+  /** Eager existence check for a batch of queried keys — the reference's
+    * per-key NodeNotFound raise (graph.py:865, hit inside neighbors_from's
+    * loop). One broadcast semi-join probe; the collected set is bounded by
+    * the query-key list, never the node table. */
+  private def requireAllExist(keys: Seq[String]): Unit = {
+    val ks = strDF("key", keys.distinct)
+    val found = nodes.join(broadcast(ks), Seq("key"), "left_semi")
+      .select(col("key")).distinct().collect().map(_.getString(0)).toSet
+    keys.find(!found.contains(_)).foreach(k => throw new NodeNotFound(k))
+  }
+
   /** Batch out-adjacency: one row per queried key with its sorted neighbor
     * list (reference: graph.py:928-940 loops node-at-a-time; here it is one
     * semi-join + one aggregation — the set-oriented form the reference's
-    * `n_jobs` parameter gestures at but never implements, graph.py:954). */
+    * `n_jobs` parameter gestures at but never implements, graph.py:954).
+    * Exact reference contract: every EXISTING queried key appears, a key
+    * with no out-edges with an EMPTY list (graph.py:928-940 yields an empty
+    * iterator for it); a missing key raises NodeNotFound (graph.py:865). */
   def neighborsFrom(keys: Seq[String]): DataFrame = {
-    val ks = strDF("key", keys)
-    edges.join(broadcast(ks), edges("src") === ks("key"), "left_semi")
+    requireAllExist(keys)
+    val ks = strDF("key", keys.distinct)
+    val adj = edges.join(broadcast(ks), edges("src") === ks("key"), "left_semi")
       .groupBy(col("src").as("key"))
       .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+    ks.join(adj, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("neighbors"), lit(Array.empty[String])).as("neighbors"))
   }
 
-  /** reference: graph.py:942-957 */
+  /** reference: graph.py:942-957 — same contract as [[neighborsFrom]]. */
   def predecessorsFrom(keys: Seq[String]): DataFrame = {
-    val ks = strDF("key", keys)
-    edges.join(broadcast(ks), edges("dst") === ks("key"), "left_semi")
+    requireAllExist(keys)
+    val ks = strDF("key", keys.distinct)
+    val adj = edges.join(broadcast(ks), edges("dst") === ks("key"), "left_semi")
       .groupBy(col("dst").as("key"))
       .agg(sort_array(collect_set(col("src"))).as("predecessors"))
+    ks.join(adj, Seq("key"), "left")
+      .select(col("key"),
+        coalesce(col("predecessors"), lit(Array.empty[String])).as("predecessors"))
   }
 
   /** reference: graph.py:959-970 — set(nbrs(u)) ∩ set(nbrs(v)). */
@@ -453,8 +508,11 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     edges.persist(StorageLevel.MEMORY_AND_DISK); edges.count()
     this
   }
-  /** reference `empty_cache` (graph.py:383-388). */
+  /** reference `empty_cache` (graph.py:383-388): drops BOTH cache tiers —
+    * the driver-side point-lookup LRU (the reference's 4 LRUCache maps)
+    * and any persisted node/edge frames (the preload tier). */
   def emptyCache(): KinGraph = {
+    lookupCache.clear()
     nodes.unpersist(); edges.unpersist(); this
   }
 }

@@ -71,4 +71,6 @@ object KinConfig {
     * are unbounded — but the facade can enforce the contract when asked. */
   val DefaultMaxKeyLen = 15
   val DefaultMaxStrLen = 15
+  /** Point-lookup LRU bound (reference `cache_len` default, graph.py:29). */
+  val DefaultCacheLen = 1000000
 }

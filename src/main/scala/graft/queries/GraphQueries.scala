@@ -84,16 +84,21 @@ object GraphQueries {
     // §2 #8 — predecessors(v)
     "g_predecessors" -> ((s, dir) => g(s, dir).predecessors("C1").orderBy("key")),
 
-    // §2 #11 — neighbors_from (flattened for oracle comparison)
+    // §2 #11 — neighbors_from (flattened for oracle comparison). C1 is the
+    // zero-out-degree existing key (the trade graph is bipartite S->C):
+    // the reference yields an empty iterator for it (graph.py:928-940), so
+    // it must appear — explode_outer + '' sentinel keeps the row visible
     "g_neighbors_from" -> ((s, dir) =>
-      g(s, dir).neighborsFrom(Seq("S1", "S2", "S3"))
-        .select(col("key"), explode(col("neighbors")).as("neighbor"))
+      g(s, dir).neighborsFrom(Seq("S1", "S2", "S3", "C1"))
+        .select(col("key"), explode_outer(col("neighbors")).as("n0"))
+        .select(col("key"), coalesce(col("n0"), lit("")).as("neighbor"))
         .orderBy("key", "neighbor")),
 
-    // §2 #12 — predecessors_from
+    // §2 #12 — predecessors_from (S1 = zero-in-degree existing key)
     "g_predecessors_from" -> ((s, dir) =>
-      g(s, dir).predecessorsFrom(Seq("C1", "C2", "C3"))
-        .select(col("key"), explode(col("predecessors")).as("predecessor"))
+      g(s, dir).predecessorsFrom(Seq("C1", "C2", "C3", "S1"))
+        .select(col("key"), explode_outer(col("predecessors")).as("p0"))
+        .select(col("key"), coalesce(col("p0"), lit("")).as("predecessor"))
         .orderBy("key", "predecessor")),
 
     // §2 #13 — common_neighbors
@@ -257,12 +262,18 @@ object GraphQueries {
       s"$cte SELECT DISTINCT src AS key FROM e WHERE dst = 'C1' ORDER BY key",
 
     "g_neighbors_from" ->
-      s"""$cte SELECT DISTINCT src AS key, dst AS neighbor FROM e
-         |WHERE src IN ('S1','S2','S3') ORDER BY key, neighbor""".stripMargin,
+      s"""$cte SELECT k.key, coalesce(a.neighbor, '') AS neighbor
+         |FROM (VALUES ('S1'),('S2'),('S3'),('C1')) k(key)
+         |LEFT JOIN (SELECT DISTINCT src, dst AS neighbor FROM e) a
+         |  ON a.src = k.key
+         |ORDER BY key, neighbor""".stripMargin,
 
     "g_predecessors_from" ->
-      s"""$cte SELECT DISTINCT dst AS key, src AS predecessor FROM e
-         |WHERE dst IN ('C1','C2','C3') ORDER BY key, predecessor""".stripMargin,
+      s"""$cte SELECT k.key, coalesce(a.predecessor, '') AS predecessor
+         |FROM (VALUES ('C1'),('C2'),('C3'),('S1')) k(key)
+         |LEFT JOIN (SELECT DISTINCT dst, src AS predecessor FROM e) a
+         |  ON a.dst = k.key
+         |ORDER BY key, predecessor""".stripMargin,
 
     "g_common_neighbors" ->
       s"""$cte SELECT dst AS key FROM e WHERE src = 'S1'

@@ -54,6 +54,37 @@ class KinGraphSpec extends SparkSpec {
     }
   }
 
+  test("neighborsFrom/predecessorsFrom: one row per existing key (empty " +
+    "list for zero degree), NodeNotFound for missing keys") {
+    // differential vs the oracle over EVERY node — zero-out-degree sinks
+    // must appear with an empty list (reference graph.py:928-940 yields an
+    // empty iterator, never skips the key)
+    val allKeys = oracle.nodes.toSeq
+    val nf = g.neighborsFrom(allKeys)
+      .as[(String, Seq[String])].collect().toMap
+    val pf = g.predecessorsFrom(allKeys)
+      .as[(String, Seq[String])].collect().toMap
+    assert(nf.keySet == oracle.nodes, "every queried key appears")
+    assert(pf.keySet == oracle.nodes)
+    oracle.nodes.foreach { k =>
+      assert(nf(k) == oracle.neighbors(k).toSeq.sorted, s"nbrsFrom($k)")
+      assert(pf(k) == oracle.predecessors(k).toSeq.sorted, s"predsFrom($k)")
+    }
+    // a missing key raises eagerly, like neighbors() (graph.py:865)
+    assertThrows[NodeNotFound](g.neighborsFrom(Seq(allKeys.head, "missing_key")))
+    assertThrows[NodeNotFound](g.predecessorsFrom(Seq("missing_key")))
+    // explicit sink/source fixture (the dense random graph has none):
+    // b is a pure sink, a/c pure sources — each must appear with []
+    val g2 = graphOf(Oracle(Set("a", "b", "c"),
+      Set(("a", "b", 0), ("c", "b", 0))))
+    val nf2 = g2.neighborsFrom(Seq("a", "b", "c"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(nf2 == Map("a" -> Seq("b"), "b" -> Seq.empty, "c" -> Seq("b")))
+    val pf2 = g2.predecessorsFrom(Seq("a", "b", "c"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(pf2 == Map("a" -> Seq.empty, "b" -> Seq("a", "c"), "c" -> Seq.empty))
+  }
+
   test("point lookups and existence") {
     val k = oracle.nodes.head
     assert(g.node(k).getAs[String]("key") == k)
@@ -66,6 +97,52 @@ class KinGraphSpec extends SparkSpec {
     assertThrows[EdgeNotFound](g.edge("missing_key", "also_missing"))
     assertThrows[NodeNotFound](g.neighbors("missing_key"))
     assertThrows[KeyTooLong](g.node("a" * 20, maxKeyLen = 15))
+  }
+
+  test("point-lookup LRU: repeated node()/edge() launches no Spark job; " +
+    "emptyCache restores cold behavior (reference cache_len contract)") {
+    // a parquet-backed graph: on the in-memory fixtures Catalyst folds
+    // point lookups into a LocalRelation (zero jobs even cold), so the
+    // job-count pin needs a real scan behind the facade
+    val tg = graft.sources.Tables.tradeGraph(spark, sf)
+    val k = "S1"
+    val eRow = tg.edges.limit(1).collect().head
+    val (s0, d0, t0) = (eRow.getAs[String]("src"), eRow.getAs[String]("dst"),
+      eRow.getAs[Int]("etype"))
+    tg.emptyCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r1 = tg.node(k)
+      val e1 = tg.edge(s0, d0, t0)
+      // drain the async listener bus: cold lookups ran >=1 job each
+      val t = System.currentTimeMillis()
+      while (jobs.get() < 2 && System.currentTimeMillis() - t < 5000)
+        Thread.sleep(20)
+      val cold = jobs.get()
+      assert(cold >= 2, "cold lookups must run Spark jobs")
+      assert(tg.lookupCacheSize == 2)
+      // warm repeats are served from the LRU — zero new jobs
+      assert(tg.node(k) == r1)
+      assert(tg.edge(s0, d0, t0) == e1)
+      tg.nodeData(k) // rides the same cache via node()
+      Thread.sleep(300) // allow any unexpected job event to surface
+      assert(jobs.get() == cold, "cached lookups must not launch Spark jobs")
+      // emptyCache drops the LRU: the next lookup is cold again
+      tg.emptyCache()
+      assert(tg.lookupCacheSize == 0)
+      assert(tg.node(k) == r1)
+      val t2 = System.currentTimeMillis()
+      while (jobs.get() == cold && System.currentTimeMillis() - t2 < 5000)
+        Thread.sleep(20)
+      assert(jobs.get() > cold, "post-clear lookup must re-probe storage")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("requireKeyLen enforces the KeyTooLong contract on batches") {

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for local iteration; the driver
     // never sets it (it always dumps the full surface)

@@ -387,6 +387,18 @@ object Collocations {
   private def uniViterbi(word: String,
                          sc: collection.Map[String, Long]): (List[String], Long) = {
     val n = word.length
+    // BMP guard: the cross-engine position parity above is FALSE for
+    // supplementary chars (Scala substring splits surrogate pairs where
+    // DuckDB slices code points) — fail loudly instead of silently
+    // hash-diverging at whatever SF first plants an emoji
+    var g = 0
+    while (g < n) {
+      if (Character.isSurrogate(word.charAt(g)))
+        throw new IllegalArgumentException(
+          s"uniViterbi: non-BMP code point in word '$word' — UTF-16 " +
+            "positions no longer match DuckDB code-point slicing")
+      g += 1
+    }
     val best = Array.fill(n + 1)(UniSent)
     val bl = new Array[Int](n + 1)
     best(0) = 0L

@@ -761,6 +761,35 @@ object Dedup {
     reassemble(base, marked, w)
   }
 
+  /** MAXIMAL shared-span runs — the longest-shared-span readout the
+    * fixed-w excision forms stop short of: consecutive duplicated
+    * w-window START positions within a doc merge into maximal runs
+    * (gaps-and-islands: island key = i − row_number over the doc's
+    * duplicated starts), so two docs sharing an L-token block (L ≥ w)
+    * report ONE run of run_len = L, not L−w+1 separate windows. One row
+    * per (doc, run): (doc_id, run_start 1-based, n_spans, run_len =
+    * n_spans + w − 1). Docs with no duplicated span contribute no rows.
+    * Adjacent duplicated windows merge regardless of WHICH partner doc
+    * duplicates them — a run is "every token here is w-window-shared",
+    * the document-granularity contract, not a per-pair longest match.
+    *
+    * Scale shape: same as [[spanDedup]] — one token explode, 8-byte span
+    * keys through the duplicate-frequency groupBy and back-join; the
+    * islands window and run aggregation stay doc-partitioned. */
+  def spanDupRuns(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int = SpanDedupW): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val spans = spanRows(base, w)
+    val dupStarts = spans.join(dupKeysOf(spans), Seq("h"), "left_semi")
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    dupStarts
+      .withColumn("isl", col("i") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("i0"), count(lit(1)).cast("int").as("n_spans"))
+      .select(col("doc_id"), (col("i0") + 1).cast("int").as("run_start"),
+        col("n_spans"), (col("n_spans") + lit(w - 1)).cast("int").as("run_len"))
+  }
+
   /** INCREMENTAL span dedup: excise from a DELTA batch every w-token
     * span already present in an INDEXED corpus — the daily-crawl form of
     * [[spanDedup]] (and of exact-substring decontamination: seed the
@@ -825,12 +854,14 @@ object Dedup {
     boilerplateDropSet(docs, idCol, srcCol, textCol)
       .groupBy("source").agg(collect_list(col("lfp")).as("drops"))
 
-  /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the
-    * same md5-60 span keys, window-frame coverage, ordered string_agg. */
-  def spanDedupSql(table: String, idCol: String, textCol: String,
-                   w: Int = SpanDedupW): String = {
+  /** The shared sdbase→sdtk→sdsp→sddup CTE chain (no `WITH `): 1-based
+    * token rows, per-start span keys, the ≥-2-distinct-docs duplicated
+    * key set — the SQL mirror of [[spanRows]]+[[dupKeysOf]], assembled
+    * by [[spanDedupSql]] and [[spanDupRunsSql]]. */
+  private def spanKeyCtes(table: String, idCol: String, textCol: String,
+                          w: Int): String = {
     val wm1 = w - 1
-    s"""WITH sdbase AS (
+    s"""sdbase AS (
        |  SELECT $idCol AS doc_id, $textCol AS text FROM $table
        |), sdtk AS (
        |  SELECT doc_id, toks, len(toks) AS n,
@@ -847,7 +878,32 @@ object Dedup {
        |), sddup AS (
        |  SELECT h FROM sdsp WHERE h IS NOT NULL
        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-       |), sdmk AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[spanDupRuns]]: the shared span-key CTEs, duplicated
+    * starts via a 1:1 join on the distinct duplicated-key set, and the
+    * identical islands merge (i − row_number per doc). DuckDB's i is
+    * already 1-based, matching the Spark side's min(i)+1. */
+  def spanDupRunsSql(table: String, idCol: String, textCol: String,
+                     w: Int = SpanDedupW): String =
+    s"""WITH ${spanKeyCtes(table, idCol, textCol, w)}, srds AS (
+       |  SELECT s.doc_id, s.i,
+       |    s.i - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.i) AS isl
+       |  FROM sdsp s JOIN sddup d ON d.h = s.h
+       |)
+       |SELECT doc_id, CAST(min(i) AS INT) AS run_start,
+       |  CAST(count(*) AS INT) AS n_spans,
+       |  CAST(count(*) + ${w - 1} AS INT) AS run_len
+       |FROM srds GROUP BY doc_id, isl
+       |ORDER BY doc_id, run_start""".stripMargin
+
+  /** DuckDB twin of [[spanDedup]]: spans from 1-based list slices, the
+    * same md5-60 span keys, window-frame coverage, ordered string_agg. */
+  def spanDedupSql(table: String, idCol: String, textCol: String,
+                   w: Int = SpanDedupW): String = {
+    val wm1 = w - 1
+    s"""WITH ${spanKeyCtes(table, idCol, textCol, w)}, sdmk AS (
        |  SELECT s.doc_id, s.i, s.tok,
        |    max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY s.doc_id ORDER BY s.i
@@ -1250,26 +1306,14 @@ object Dedup {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB twin of [[boilerplateClean]]: the [[boilerplateStripSql]]
-    * chain as CTE BODIES (no WITH prefix), ending in `bclean`(doc_id,
-    * text) — the composable form the d_clean_e2e oracle builds on. */
-  def boilerplateCleanCtes(table: String, idCol: String, srcCol: String,
-                           textExpr: String): String = {
-    val full = boilerplateStripSql(table, idCol, srcCol, textExpr)
-    val cut = full.indexOf("\nSELECT la.doc_id,")
-    require(cut > 0, "boilerplateStripSql shape changed")
-    full.substring(0, cut).stripPrefix("WITH ") +
-      s""",
-         |bclean AS (
-         |  SELECT la.doc_id, coalesce(a.clean, '') AS text
-         |  FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
-         |)""".stripMargin
-  }
-
-  /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */
-  def boilerplateStripSql(table: String, idCol: String, srcCol: String,
-                          textExpr: String): String =
-    s"""WITH lined AS (
+  /** The shared [[boilerplateStripSql]] CTE BODY (no `WITH ` prefix, no
+    * final SELECT): `lined` → … → `agg`(doc_id, n_kept, clean), with
+    * `larr` still in scope for the callers' base joins — the
+    * cteBody/bpeCteBody pattern (both SQL builders assemble from this
+    * one chain; no text surgery). */
+  private def boilerplateCteBody(table: String, idCol: String,
+                                 srcCol: String, textExpr: String): String =
+    s"""lined AS (
        |  SELECT $idCol AS doc_id, $srcCol AS source, $textExpr AS text
        |  FROM $table
        |), larr AS (
@@ -1300,7 +1344,24 @@ object Dedup {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
        |    string_agg(line, chr(10) ORDER BY i) AS clean
        |  FROM kept GROUP BY doc_id
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin of [[boilerplateClean]]: the [[boilerplateStripSql]]
+    * chain as CTE BODIES (no WITH prefix), ending in `bclean`(doc_id,
+    * text) — the composable form the d_clean_e2e oracle builds on. */
+  def boilerplateCleanCtes(table: String, idCol: String, srcCol: String,
+                           textExpr: String): String =
+    boilerplateCteBody(table, idCol, srcCol, textExpr) +
+      s""",
+         |bclean AS (
+         |  SELECT la.doc_id, coalesce(a.clean, '') AS text
+         |  FROM larr la LEFT JOIN agg a ON la.doc_id = a.doc_id
+         |)""".stripMargin
+
+  /** DuckDB twin of [[boilerplateStrip]] over `textExpr`. */
+  def boilerplateStripSql(table: String, idCol: String, srcCol: String,
+                          textExpr: String): String =
+    s"""WITH ${boilerplateCteBody(table, idCol, srcCol, textExpr)}
        |SELECT la.doc_id,
        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
        |  CAST(len(la.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,

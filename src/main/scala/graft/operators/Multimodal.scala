@@ -809,6 +809,8 @@ object Multimodal {
     * hash frame against a static INDEX piece frame (from
     * [[phashBandPieces]]) — the incremental/ingest form of the
     * candidate join ([[phashNearDupSurvivors]] is the self-join form).
+    * A delta id also present in the index never self-matches (explicit
+    * media_id != partner guard).
     * May emit one row per matching piece; consumers dedup (batch
     * `distinct`, streaming `collect_set`). Stateless end-to-end, so the
     * streaming gate runs it as a stream-static equi join. */
@@ -820,6 +822,7 @@ object Multimodal {
       .join(indexPieces.select(col("piece"), col("pv"),
         col("media_id").as("partner"), col("dhash64").as("hb")),
         Seq("piece", "pv"))
+      .filter(col("media_id") =!= col("partner"))
       .filter(bit_count(col("dhash64").bitwiseXOR(col("hb"))) <= maxHamming)
       .select(col("media_id"), col("partner"))
   }

@@ -3117,10 +3117,13 @@ object GraphOps {
     // the quantile lands on the zero mass (sf0.1's part–customer
     // subsample reads median 0) and a 0 threshold peels nothing —
     // floor 1 always excises the butterfly-free periphery
-    val kRow = e.join(s0, Seq("src", "dst"), "left")
+    // greatest(1.0D, percentile(...)) already floors the edgeless case:
+    // Spark's greatest ignores the NULL percentile and returns 1.0, so
+    // the probe is never null (the DuckDB twin's greatest-NULL quirk is
+    // unobservable there — its result set is empty on an edgeless graph)
+    val k = e.join(s0, Seq("src", "dst"), "left")
       .select(coalesce(col("supp"), lit(0L)).as("s"))
-      .agg(expr(s"greatest(1.0D, percentile(s, $q))").as("k")).head()
-    val k = if (kRow.isNullAt(0)) 1.0 else kRow.getDouble(0)
+      .agg(expr(s"greatest(1.0D, percentile(s, $q))").as("k")).head().getDouble(0)
     for (r <- 1 to rounds) {
       val sup = if (r == 1) s0 else support(e)
       e = statsReset(e.join(sup, Seq("src", "dst"), "left")

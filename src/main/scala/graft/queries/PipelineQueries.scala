@@ -1317,6 +1317,16 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // MAXIMAL shared-span runs — the longest-shared-span readout the
+    // fixed-w excisions stop short of: consecutive duplicated 5-token
+    // window starts merge per doc into maximal runs (gaps-and-islands,
+    // i − row_number), so an L-token shared block reports ONE run of
+    // run_len = L; the oracle replays the islands merge on the same
+    // sd* span-key CTEs
+    "d_span_runs" -> ((s, dir) =>
+      Dedup.spanDupRuns(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "run_start")),
+
     // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;
     // ranking orders by the exact integer triple (tf desc, df asc, token)
     // — NOT the double score, whose JDK-vs-libm ln() can differ by 1 ulp
@@ -4070,6 +4080,8 @@ object PipelineQueries {
 
     "d_span_dedup_incr" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    "d_span_runs" -> Dedup.spanDupRunsSql(docsT, "doc_id", "text"),
 
     // the streaming delta form shares the batch incremental oracle
     "s_stream_span" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",

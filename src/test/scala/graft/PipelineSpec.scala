@@ -1523,6 +1523,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(2)._3 == out(2)._2, s"got ${out(2)}")
   }
 
+  test("span runs: a 3w shared block merges to ONE maximal excision") {
+    // docs 1/2 share one 15-token (3w) block: its 11 consecutive
+    // duplicated window starts must merge into ONE maximal run of
+    // run_len 15 per doc — not 11 separate windows. Docs 3/4 share two
+    // 5-token blocks separated by a unique token: islands must split
+    // them into TWO single-window runs. Doc 5 shares nothing -> no rows.
+    val block = (1 to 15).map(j => s"B$j").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 $block a3 a4"),
+      (2L, s"b1 $block b2 b3 b4"),
+      (3L, "x1 x2 x3 x4 x5 g1 y1 y2 y3 y4 y5"),
+      (4L, "c1 x1 x2 x3 x4 x5 c2 y1 y2 y3 y4 y5 c3"),
+      (5L, "solo tokens that never repeat anywhere else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupRuns(d, "doc_id", "text")
+      .orderBy("doc_id", "run_start")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3, 11, 15), (2L, 2, 11, 15),
+      (3L, 1, 1, 5), (3L, 7, 1, 5),
+      (4L, 2, 1, 5), (4L, 8, 1, 5)), s"got ${out.toSeq}")
+  }
+
   test("PQ index artifacts survive a parquet round-trip") {
     import java.nio.file.Files
     val corpus = Tables.embeddings(spark, sf)

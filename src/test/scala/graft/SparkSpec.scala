@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    Logs.quietBoundedWindowWarn()
     s
   }
   val Sf = "/root/testdata/sf0.001"

@@ -118,6 +118,54 @@ object Dedup {
       .select(col("doc_id"), col("bv.band"), col("bv.band_val"))
   }
 
+  /** ROW-LOCAL MinHash signature as one array<bigint> column —
+    * bit-identical to [[minhashSignatures]] (spec-pinned): a doc's
+    * signature is a pure function of its own text, so a STREAM computes
+    * it as a stateless projection instead of a per-doc aggregation. One
+    * fold over the hashed shingle array carries all [[NumHashes]] lanes
+    * at once (zip_with against the literal coefficient table — never a
+    * per-lane re-scan). `hashedShingles` must be a NAMED attribute of
+    * [[graft.functions.TextFunctions.hash32]]'d shingles (inlining a
+    * computed array here would re-evaluate it per element). */
+  def minhashSigArray(hashedShingles: Column): Column = {
+    val consts = array((0 until NumHashes).map(i =>
+      struct(lit(CoeffA(i)).as("a"), lit(CoeffB(i)).as("b"))): _*)
+    aggregate(hashedShingles,
+      array_repeat(lit(MinhashP), NumHashes),
+      (acc, h) => zip_with(acc,
+        transform(consts,
+          c => pmod(c.getField("a") * h + c.getField("b"), lit(MinhashP))),
+        (x, y) => least(x, y)))
+  }
+
+  /** The [[lshBands]] structs from a signature ARRAY column: Bands ×
+    * (band, band_val md5) — the comma-joined slice strings are identical
+    * to the batch concat_ws over mh_i attribute columns. `sig` must be a
+    * named attribute (same contract as [[minhashSigArray]]). */
+  def lshBandArray(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand)
+        .map(r => element_at(sig, b * RowsPerBand + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
+    }: _*)
+
+  /** The persisted stream-side INDEX of the incremental cross stage: one
+    * row per (band, band_val, partner, psig) — band buckets carrying the
+    * partner's full signature array so the agreement verify after the
+    * bucket equi-join is row-local. Index-sized × [[Bands]]; at 100 TB a
+    * bucketed table keyed by (band, band_val). */
+  def minhashBandIndex(sigs: DataFrame): DataFrame = {
+    val sigArr = array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
+    }
+    sigs.select(col("doc_id").as("partner"), sigArr.as("psig"),
+        explode(array(bandStructs: _*)).as("bv"))
+      .select(col("bv.band").as("band"), col("bv.band_val").as("band_val"),
+        col("partner"), col("psig"))
+  }
+
   /** Candidate pairs (a < b) that share at least one LSH bucket, with the
     * signature-agreement similarity estimate est_sim = |{i: mh_i^a = mh_i^b}|/k.
     * The bucket self-join is the only shuffle that touches pairs; it never
@@ -377,7 +425,18 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
       .select(col("b").as("__hit")).distinct()
     val remainder = delta.join(crossHit, delta(idCol) === col("__hit"), "left_anti")
-    val rSigs = dSigs.join(remainder.select(col(idCol).as("doc_id")),
+    minhashSelfSurvivors(remainder, idCol, dSigs, minEstSim)
+  }
+
+  /** The intra-batch TAIL of [[incrementalSurvivors]] — dedup `remainder`
+    * among itself from precomputed per-doc signatures (banded candidate
+    * pairs → connected components → min-id survivors). Public because the
+    * streaming gate's post-drain composition runs the identical stage on
+    * the stream-decided remainder. */
+  def minhashSelfSurvivors(remainder: DataFrame, idCol: String,
+                           sigs: DataFrame,
+                           minEstSim: Double = 0.5): DataFrame = {
+    val rSigs = sigs.join(remainder.select(col(idCol).as("doc_id")),
       Seq("doc_id"), "left_semi")
     val internal = candidatesAcrossSigs(rSigs, rSigs, requireLess = true)
       .filter(col("est_sim") >= minEstSim)

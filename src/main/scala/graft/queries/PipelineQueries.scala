@@ -3257,6 +3257,45 @@ object PipelineQueries {
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")}),
 
+    // STREAMING incremental MinHash dedup — the third leg of the
+    // incremental ingest trilogy (span, phash, now minhash): the
+    // top-fifth delta docs arrive as micro-batches and take their
+    // near-dup verdict against the indexed corpus's PERSISTED banded
+    // signature index (batch-side, checkpointed once — the static side
+    // re-plans per micro-batch). Signature = stateless row-local fold,
+    // band join = stateless stream-static equi, verify = zip_with
+    // agreement at est_sim >= 0.5, ONE update-mode partner-set
+    // aggregation. Post-drain the batch self stage
+    // (minhashSelfSurvivors) dedups the surviving remainder among
+    // itself, composing to EXACTLY incrementalSurvivors' verdict —
+    // the gate shares d_dedup_incr's oracle verbatim
+    "s_stream_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cutoff = d.agg(expr("(4 * max(doc_id)) div 5")).head.getLong(0)
+      def sideSigs(cond: Column) = Dedup.minhashSignaturesFrom(
+        sharedShingles(s, dir).filter(cond))
+      val bandIdx = Dedup.minhashBandIndex(sideSigs(col("doc_id") < cutoff))
+        .localCheckpoint(true)
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .filter(col("doc_id") >= cutoff)
+      val hits = graft.streaming.EventStreams.minhashHitsStream(
+        stream, bandIdx, "doc_id", "text")
+      val drained = graft.streaming.EventStreams.runToMemory(hits,
+        "s_stream_minhash_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      // collapse to final state (partner sets only grow; docs are
+      // atomic per micro-batch) -> the stream-decided cross-hit set
+      val fin = drained.groupBy("doc_id")
+        .agg(max(struct(size(col("ps")).as("n"), col("ps"))).as("m"))
+        .select(col("doc_id").as("__hit"))
+      val delta = d.filter(col("doc_id") >= cutoff)
+      val remainder = delta.join(fin,
+        delta("doc_id") === col("__hit"), "left_anti")
+      Dedup.minhashSelfSurvivors(remainder, "doc_id",
+          sideSigs(col("doc_id") >= cutoff))
+        .select(col("doc_id")).orderBy("doc_id")}),
+
     // STREAMING boilerplate strip at ingest: micro-batches clean against
     // the corpus-derived per-source majority-line drop set (static side,
     // stateless equi join + one update-mode per-doc reassembly, no
@@ -3742,6 +3781,34 @@ object PipelineQueries {
   )
 
   private val docsT = "documents"
+
+  private lazy val dedupIncrOracleSql: String =
+    s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),
+         |cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), xhit AS (
+         |  SELECT DISTINCT b AS key FROM cand, cut
+         |  WHERE a < c AND b >= c AND est_sim >= 0.5
+         |), rem AS (
+         |  SELECT doc_id FROM $docsT, cut WHERE doc_id >= c
+         |    AND doc_id NOT IN (SELECT key FROM xhit)
+         |), internal AS (
+         |  SELECT a, b FROM cand, cut WHERE a >= c AND est_sim >= 0.5
+         |    AND a IN (SELECT doc_id FROM rem) AND b IN (SELECT doc_id FROM rem)
+         |), ud AS (
+         |  SELECT a AS s, b AS t FROM internal UNION SELECT b, a FROM internal
+         |), dn AS (
+         |  SELECT DISTINCT s AS key FROM ud
+         |), rch AS (
+         |  WITH RECURSIVE reach(key, label) AS (
+         |    SELECT key, key FROM dn
+         |    UNION
+         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
+         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
+         |)
+         |SELECT doc_id FROM rem
+         |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
+         |ORDER BY doc_id""".stripMargin
 
   /** Shared by d_clean_e2e and its streaming twin s_stream_clean. */
   private lazy val cleanE2eOracleSql: String =
@@ -5377,33 +5444,9 @@ object PipelineQueries {
     // delta-internal pairs) equals the operator's two banded joins — the
     // per-doc signatures are identical whether computed per side or over
     // the union
-    "d_dedup_incr" ->
-      s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),
-         |cand AS (
-         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
-         |), xhit AS (
-         |  SELECT DISTINCT b AS key FROM cand, cut
-         |  WHERE a < c AND b >= c AND est_sim >= 0.5
-         |), rem AS (
-         |  SELECT doc_id FROM $docsT, cut WHERE doc_id >= c
-         |    AND doc_id NOT IN (SELECT key FROM xhit)
-         |), internal AS (
-         |  SELECT a, b FROM cand, cut WHERE a >= c AND est_sim >= 0.5
-         |    AND a IN (SELECT doc_id FROM rem) AND b IN (SELECT doc_id FROM rem)
-         |), ud AS (
-         |  SELECT a AS s, b AS t FROM internal UNION SELECT b, a FROM internal
-         |), dn AS (
-         |  SELECT DISTINCT s AS key FROM ud
-         |), rch AS (
-         |  WITH RECURSIVE reach(key, label) AS (
-         |    SELECT key, key FROM dn
-         |    UNION
-         |    SELECT e.t, r.label FROM reach r JOIN ud e ON e.s = r.key
-         |  ) SELECT key, min(label) AS keep FROM reach GROUP BY key
-         |)
-         |SELECT doc_id FROM rem
-         |WHERE doc_id NOT IN (SELECT key FROM rch WHERE keep <> key)
-         |ORDER BY doc_id""".stripMargin,
+    "d_dedup_incr" -> dedupIncrOracleSql,
+
+    "s_stream_minhash" -> dedupIncrOracleSql,
 
     "d_tfidf" ->
       s"""WITH tok AS (

@@ -401,6 +401,51 @@ object EventStreams {
         expr("array_join(transform(kept, r -> r.tok), ' ')").as("clean_text"))
   }
 
+  /** STREAMING incremental MinHash dedup, CROSS stage — each arriving
+    * doc's near-dup verdict against the PERSISTED banded signature index
+    * ([[graft.operators.Dedup.minhashBandIndex]], computed once batch-
+    * side over the already-indexed corpus). The whole detection chain is
+    * stateless: the doc's signature is a ROW-LOCAL projection
+    * ([[graft.operators.Dedup.minhashSigArray]] — a minhash is a pure
+    * function of the doc's own text, so no per-doc aggregation), the
+    * Bands band rows explode from it, the (band, band_val) stream-static
+    * equi join buckets candidates exactly like the batch form (never
+    * all-pairs), and the signature-agreement verify is one zip_with fold
+    * against the psig array the index row carries. The ONE stateful
+    * operator is the per-doc partner-set aggregation (update mode,
+    * collect_set dedups the per-band candidate repeats — the
+    * s_stream_phash idiom). Emits (doc_id, ps) for docs with ≥ 1 partner
+    * at est_sim ≥ minEstSim; hit-free docs produce no row (callers
+    * reattach from the static delta frame). est_sim replays the batch
+    * round(agree/k, 6) bit-for-bit, so the stream's hit set IS
+    * incrementalSurvivors' crossHit set (spec-pinned). */
+  def minhashHitsStream(docsStream: DataFrame, bandIndex: DataFrame,
+                        idCol: String, textCol: String,
+                        minEstSim: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val k = Dedup.NumHashes
+    val sigged = docsStream
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("__sh", transform(Dedup.shingles(col("text")),
+        sh => graft.functions.TextFunctions.hash32(sh)))
+      .withColumn("__sig", Dedup.minhashSigArray(col("__sh")))
+    val banded = sigged
+      .select(col("doc_id"), col("__sig"),
+        explode(Dedup.lshBandArray(col("__sig"))).as("bv"))
+      .select(col("doc_id"), col("__sig"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    val agree = aggregate(
+      zip_with(col("__sig"), col("psig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (a, x) => a + x)
+    banded.join(bandIndex, Seq("band", "band_val"))
+      .filter(col("doc_id") =!= col("partner"))
+      .withColumn("est_sim", round(agree.cast("double") / k, 6))
+      .filter(col("est_sim") >= minEstSim)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("partner")).as("ps"))
+  }
+
   /** STREAMING boilerplate strip at ingest —
     * [[graft.operators.Dedup.boilerplateStrip]]'s per-batch form: each
     * streamed doc's lines are cleaned against the PERSISTED per-source

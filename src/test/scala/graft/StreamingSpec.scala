@@ -190,6 +190,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3) == ((4L, 0, 0, "")), s"got ${streamed(3)}")
   }
 
+  test("row-local minhash signature array equals the aggregated batch form") {
+    import graft.operators.Dedup
+    // varied docs: long text, exactly-2-token (short-shingle path), empty
+    // and whitespace-only (both collapse to the '' shingle), 7-token
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two"), (3L, ""), (4L, "  "),
+      (5L, "a b c d e f g")).toDF("doc_id", "text")
+    val batchSigs = Dedup.minhashSignatures(d, "doc_id", "text")
+      .select($"doc_id", array((0 until Dedup.NumHashes)
+        .map(i => col(s"mh_$i")): _*).as("bsig"))
+    val rowLocal = d
+      .withColumn("__sh", transform(Dedup.shingles($"text"),
+        sh => graft.functions.TextFunctions.hash32(sh)))
+      .select($"doc_id", Dedup.minhashSigArray($"__sh").as("rsig"))
+    val joined = batchSigs.join(rowLocal, "doc_id")
+      .select($"doc_id", ($"bsig" === $"rsig").as("eq"),
+        $"bsig", $"rsig")
+      .as[(Long, Boolean, Seq[Long], Seq[Long])].collect()
+    assert(joined.length == 5)
+    joined.foreach { case (id, eq, b, r) =>
+      assert(eq, s"doc $id: batch=$b rowLocal=$r") }
+  }
+
+  test("streaming minhash dedup equals batch incrementalSurvivors across micro-batches") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tb = "red orange yellow green blue indigo violet ultra"
+    val tc = "north south east west up down left right forward back"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhstream").toString
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    // file 1: an index duplicate (drops) + a unique survivor; file 2: an
+    // intra-delta duplicate PAIR (min id 3 survives, 5 drops), an empty
+    // doc, and a second index duplicate — proving cross hits land in
+    // whichever micro-batch carries the doc
+    writeFile(1, Seq((1L, ta), (2L, "a genuinely unique document text")))
+    writeFile(2, Seq((3L, tc), (4L, ""), (5L, tc), (6L, ta)))
+    val indexed = Seq((10L, ta), (12L, tb)).toDF("doc_id", "text")
+    val delta = Seq((1L, ta), (2L, "a genuinely unique document text"),
+      (3L, tc), (4L, ""), (5L, tc), (6L, ta)).toDF("doc_id", "text")
+    val bandIdx = Dedup.minhashBandIndex(
+      Dedup.minhashSignatures(indexed, "doc_id", "text"))
+      .localCheckpoint(true)
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val drained = EventStreams.runToMemory(
+      EventStreams.minhashHitsStream(st, bandIdx, "doc_id", "text"),
+      "t_minhash_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val hitIds = drained.select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    val remainder = delta.join(
+      drained.select($"doc_id".as("__hit")).distinct(),
+      delta("doc_id") === col("__hit"), "left_anti")
+    val streamed = Dedup.minhashSelfSurvivors(remainder, "doc_id",
+        Dedup.minhashSignatures(delta, "doc_id", "text"))
+      .select($"doc_id").as[Long].collect().sorted
+    val batch = Dedup.incrementalSurvivors(indexed, delta, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+    assert(hitIds == Set(1L, 6L), s"cross hits: $hitIds")
+    assert(streamed.toSeq == Seq(2L, 3L, 4L), s"got ${streamed.toSeq}")
+  }
+
   test("streaming boilerplate strip equals the batch form across micro-batches") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),

@@ -124,19 +124,19 @@ object Bench {
           if refCosts.get(name).exists(ref => t > 3.0 * ref && t - ref > 1.0) =>
           (name, t)
       }
-    // second tier closes the 2-3× blind band (round-12 verdict: entries
-    // like a 2.6× gx_matching sat unfalsifiable between noise and
-    // regression): anything >2× its reference, >1s over it AND >3s
-    // first-pass gets one proving rerun too — capped at 6 extras, worst
-    // ratio first, so a noisy round can't double the bench
+    // second tier closes the 2× blind band (round-12 verdict; floor
+    // lowered round 14 — the old >3s absolute floor left 1-3s entries
+    // like a 2.6× d_dup_sources unfalsifiable): anything >2× its
+    // reference AND >1s first-pass gets one proving rerun too — capped
+    // at 6 extras, worst ratio first, so a noisy round can't double the
+    // bench
     val tier1Names = tier1.map(_._1).toSet
     val tier2: Seq[(String, Double)] =
       if (only.nonEmpty || refCosts.isEmpty) Seq.empty
       else results.collect {
         case (name, Some(t))
           if !tier1Names.contains(name) &&
-            refCosts.get(name).exists(ref =>
-              t > 2.0 * ref && t - ref > 1.0 && t > 3.0) =>
+            refCosts.get(name).exists(ref => t > 2.0 * ref && t > 1.0) =>
           (name, t)
       }.sortBy { case (n, t) => -(t / refCosts(n)) }.take(6)
     // third tier (round-13 verdict): a PREV-ARTIFACT delta trigger, so
@@ -156,7 +156,7 @@ object Bench {
         if (i < 0) Map.empty
         else {
           val j = txt.indexOf("}", i)
-          """\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)""".r
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
             .findAllMatchIn(txt.substring(i + 11, j))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }

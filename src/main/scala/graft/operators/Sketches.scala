@@ -43,13 +43,19 @@ object Sketches {
   /** Build the sketch: (r, bucket, cnt) with at most depth·width rows.
     * One explode(depth) + one map-side-combinable count — the sketch of a
     * petabyte token stream is still ≤ 2048 rows. */
-  def cmsBuild(items: DataFrame, itemCol: String): DataFrame = {
+  def cmsBuild(items: DataFrame, itemCol: String): DataFrame =
+    cmsBucketRows(items, itemCol)
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The stateless (r, bucket) pre-aggregation rows of [[cmsBuild]] —
+    * depth rows per item, shared with the STREAMING cell maintenance
+    * (whose per-cell count is the streaming aggregation state). */
+  def cmsBucketRows(items: DataFrame, itemCol: String): DataFrame = {
     val h = items.select(hash32(col(itemCol)).as("h"))
     val rows = (0 until CmsDepth).map(r =>
       struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket")))
     h.select(explode(array(rows: _*)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
   }
 
   /** Cell-wise merge of two [[cmsBuild]] sketches — counts are additive,
@@ -320,18 +326,27 @@ object Sketches {
     * saw an item. */
   def hllRegisters(items: DataFrame, itemCol: String): DataFrame = {
     val sp = items.sparkSession
-    val pre = items.select(hash60(col(itemCol)).as("h"))
-      .select(pmod(col("h"), lit(64L)).cast("int").as("register"),
-        expr("h div 64").as("v"))
-    val regs = pre
-      .select(col("register"),
-        when(col("v") === 0L, lit(55))
-          .otherwise(lit(55) - length(bin(col("v")))).as("rho"))
+    val regs = hllRhoRows(items, itemCol)
       .groupBy("register").agg(max(col("rho")).as("rho_max"))
     sp.range(HllM.toLong).select(col("id").cast("int").as("register"))
       .join(regs, Seq("register"), "left")
       .select(col("register"),
         coalesce(col("rho_max"), lit(0)).cast("int").as("rho_max"))
+  }
+
+  /** The stateless (register, rho) pre-aggregation rows of
+    * [[hllRegisters]] — one row per item, shared with the STREAMING
+    * register maintenance (whose per-register max is the streaming
+    * aggregation state). */
+  def hllRhoRows(items: DataFrame, itemCol: String,
+                 carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    items.select(cs :+ hash60(col(itemCol)).as("h"): _*)
+      .select(cs :+ pmod(col("h"), lit(64L)).cast("int").as("register")
+        :+ expr("h div 64").as("v"): _*)
+      .select(cs :+ col("register")
+        :+ when(col("v") === 0L, lit(55))
+          .otherwise(lit(55) - length(bin(col("v")))).as("rho"): _*)
   }
 
   /** One-row estimate off a [[hllRegisters]] table: the exact integer

@@ -405,6 +405,36 @@ object AnalyticsQueries {
         shufflePartitions = Some(8))
         .orderBy("window_start", "event_type")}),
 
+    // STREAMING WINDOWED-HLL cardinality in the gate: distinct users per
+    // 1-hour window maintained as 64 integers of state per window (the
+    // production replacement for the windowed count(DISTINCT) streams
+    // can't run at scale — s_stream_degree keeps every dedup key in
+    // state); registers drain in update mode, collapse by max, and the
+    // IEEE-exact estimate + exact distinct + milli error attach
+    // post-drain. Full register/float-tree replay in the oracle
+    "s_stream_whll" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val st = graft.streaming.EventStreams.windowedHllRegisters(
+        graft.streaming.EventStreams.readEvents(s, dir))
+      val drained = graft.streaming.EventStreams.runToMemory(st,
+        "s_stream_whll_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val regs = drained.groupBy("window_start", "register")
+        .agg(max(col("rho_max")).as("rho_max"))
+      val est = Sketches.hllEstimateBy(
+          regs.withColumnRenamed("window_start", "grp"))
+        .withColumnRenamed("grp", "window_start")
+      val exact = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("window_start"),
+          col("user_id"))
+        .groupBy("window_start")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      est.join(exact, "window_start")
+        .select(col("window_start"), col("s_pow"), col("est"), col("exact"),
+          expr("(1000 * abs(est - exact)) div exact").as("err_milli"))
+        .orderBy("window_start")}),
+
     // streaming SESSION windows in the gate: session_window(ts, 30 min)
     // drained to memory; the oracle replays the 30-min-gap rule with the
     // lag/running-sum sessionization and session_start = min(ts), using a
@@ -1659,6 +1689,43 @@ object AnalyticsQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // windowed-HLL replay: per-hour register table from the md5-derived
+    // user hashes, the absent-registers-as-2^55 estimate fold (the
+    // hllEstimateBy arithmetic), exact distincts and integer milli error
+    "s_stream_whll" ->
+      """WITH wpre AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events
+        |), wrho AS (
+        |  SELECT window_start, CAST(h % 64 AS INT) AS register,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM wpre
+        |), wreg AS (
+        |  SELECT window_start, register, max(rho) AS rho_max
+        |  FROM wrho GROUP BY 1, 2
+        |), wsp AS (
+        |  SELECT window_start,
+        |    CAST(sum(1::BIGINT << (55 - rho_max)) AS BIGINT)
+        |      + (64 - CAST(count(*) AS BIGINT)) * (1::BIGINT << 55) AS s_pow
+        |  FROM wreg GROUP BY 1
+        |), west AS (
+        |  SELECT window_start, s_pow,
+        |    CAST(floor(CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |        * CAST(36028797018963968.0 AS DOUBLE)
+        |      / CAST(s_pow AS DOUBLE)) AS BIGINT) AS est
+        |  FROM wsp
+        |), wex AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.window_start, e.s_pow, e.est, x.exact,
+        |  CAST((1000 * abs(e.est - x.exact)) // x.exact AS BIGINT) AS err_milli
+        |FROM west e JOIN wex x ON e.window_start = x.window_start
+        |ORDER BY e.window_start""".stripMargin,
 
     // sliding-window replay: Spark's window(ts, 1h, 15min) assigns each
     // event to the 4 epoch-aligned 15-min starts covering it; explode

@@ -1953,6 +1953,43 @@ object PipelineQueries {
         docs(s, dir).select(explode(tokens(col("text"))).as("token")), "token")
         .orderBy("register")),
 
+    // STREAMING HLL maintenance at ingest: the d_hll register table
+    // with the corpus arriving as micro-batches — the per-register max
+    // IS the one streaming aggregation's state (64 rows however large
+    // the stream); the drain collapses by max (monotone) and absent
+    // registers reattach from the 64-row literal frame. Cell-identical
+    // to the batch sketch: shares d_hll's oracle verbatim
+    "s_stream_hll" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+      val drained = graft.streaming.EventStreams.runToMemory(
+        graft.streaming.EventStreams.hllRegisterStream(stream, "token"),
+        "s_stream_hll_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val fin = drained.groupBy("register").agg(max(col("rho_max")).as("r"))
+      s.range(64L).select(col("id").cast("int").as("register"))
+        .join(fin, Seq("register"), "left")
+        .select(col("register"),
+          coalesce(col("r"), lit(0)).cast("int").as("rho_max"))
+        .orderBy("register")}),
+
+    // STREAMING CMS maintenance at ingest: the count-min cell table with
+    // the engine applying the sketch's additive-merge law per
+    // micro-batch (the one streaming aggregation's state IS the cells,
+    // ≤ 2048 rows); drain collapses by max (counts only grow). The
+    // oracle replays the full build over the same tokens
+    "s_stream_cms" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+      val drained = graft.streaming.EventStreams.runToMemory(
+        graft.streaming.EventStreams.cmsCellStream(stream, "token"),
+        "s_stream_cms_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      drained.groupBy("r", "bucket").agg(max(col("cnt")).as("cnt"))
+        .orderBy("r", "bucket")}),
+
     // GROUPED deterministic HLL: one 64-register sketch PER SOURCE from
     // a single token pass (sketch-as-aggregation — per-source/per-day
     // distincts without a per-group rescan; each group's sketch stays
@@ -3782,6 +3819,12 @@ object PipelineQueries {
 
   private val docsT = "documents"
 
+  private lazy val hllRegistersOracleSql: String =
+    s"""WITH hitems AS (
+       |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
+       |), ${Sketches.hllRegistersSql("hitems")}
+       |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin
+
   private lazy val dedupIncrOracleSql: String =
     s"""WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM $docsT),
          |cand AS (
@@ -4529,11 +4572,17 @@ object PipelineQueries {
       (0 to 9).map("src" + _).mkString("source IN ('", "', '", "')"),
       (0 to 9).map("src" + _).mkString("source NOT IN ('", "', '", "')")),
 
-    "d_hll" ->
-      s"""WITH hitems AS (
+    "d_hll" -> hllRegistersOracleSql,
+
+    // streaming register maintenance is cell-identical to the batch
+    // sketch — shared verbatim
+    "s_stream_hll" -> hllRegistersOracleSql,
+
+    "s_stream_cms" ->
+      s"""WITH citems AS (
          |  SELECT unnest(${tokensSql("text")}) AS item FROM $docsT
-         |), ${Sketches.hllRegistersSql("hitems")}
-         |SELECT register, rho_max FROM hfull ORDER BY register""".stripMargin,
+         |), ${Sketches.cmsBuildSql("citems", "c")}
+         |SELECT r, bucket, cnt FROM csk ORDER BY r, bucket""".stripMargin,
 
     // grouped registers + the absent-registers-as-2^55 estimate fold,
     // the same float tree as hllEstimateSql, per source

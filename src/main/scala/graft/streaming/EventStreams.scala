@@ -446,6 +446,51 @@ object EventStreams {
       .agg(collect_set(col("partner")).as("ps"))
   }
 
+  /** STREAMING HLL register maintenance at ingest —
+    * [[graft.operators.Sketches.hllRegisters]] with the per-register max
+    * AS the streaming aggregation state: the (register, rho) projection
+    * is stateless per item ([[graft.operators.Sketches.hllRhoRows]],
+    * shared code), so the whole sketch is ONE update-mode aggregation
+    * holding 64 rows of state however large the stream. Re-emissions
+    * only grow (max is monotone) — callers collapse by max post-drain
+    * and reattach absent registers as rho 0. This is the point of
+    * carrying the sketch at 100 TB: distinct-cardinality stays current
+    * per micro-batch with no rescan anywhere. */
+  def hllRegisterStream(itemsStream: DataFrame, itemCol: String): DataFrame =
+    graft.operators.Sketches.hllRhoRows(itemsStream, itemCol)
+      .groupBy("register").agg(max(col("rho")).as("rho_max"))
+
+  /** STREAMING windowed-HLL cardinality at ingest: per-1-hour-window
+    * distinct-user registers — the production replacement for the
+    * windowed count(DISTINCT) streams cannot run exactly at scale
+    * ([[windowedDegrees]] keeps every dedup key in state; this keeps 64
+    * integers per window however many users arrive). The (ts, register,
+    * rho) rows are the batch sketch's stateless projection
+    * ([[graft.operators.Sketches.hllRhoRows]] carrying ts), and the
+    * per-(window, register) max is the ONE stateful aggregation (update
+    * mode, 2 h watermark for state eviction — update mode never drops
+    * late input, so drained totals stay complete). */
+  def windowedHllRegisters(events: DataFrame): DataFrame =
+    graft.operators.Sketches.hllRhoRows(
+        events.withWatermark("ts", "2 hours")
+          .select(col("ts"), col("user_id").cast("string").as("item")),
+        "item", carry = Seq("ts"))
+      .groupBy(window(col("ts"), "1 hour"), col("register"))
+      .agg(max(col("rho")).as("rho_max"))
+      .select(col("window.start").as("window_start"),
+        col("register"), col("rho_max"))
+
+  /** STREAMING count-min cell maintenance at ingest —
+    * [[graft.operators.Sketches.cmsBuild]] with the per-cell COUNT as
+    * the streaming aggregation state: depth bucket rows per item explode
+    * stateless ([[graft.operators.Sketches.cmsBucketRows]], shared
+    * code), and the engine applies the sketch's additive-merge law per
+    * micro-batch. ≤ depth·width rows of state; counts only grow, so the
+    * drain collapses by max. */
+  def cmsCellStream(itemsStream: DataFrame, itemCol: String): DataFrame =
+    graft.operators.Sketches.cmsBucketRows(itemsStream, itemCol)
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** STREAMING boilerplate strip at ingest —
     * [[graft.operators.Dedup.boilerplateStrip]]'s per-batch form: each
     * streamed doc's lines are cleaned against the PERSISTED per-source

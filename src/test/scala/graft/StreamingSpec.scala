@@ -262,6 +262,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == Seq(2L, 3L, 4L), s"got ${streamed.toSeq}")
   }
 
+  test("streaming windowed HLL equals the batch per-window registers") {
+    import graft.operators.Sketches
+    val streamed = EventStreams.runToMemory(
+        EventStreams.windowedHllRegisters(stream), "t_whll_stream",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy("window_start", "register").agg(max($"rho_max").as("rho_max"))
+      .as[(java.sql.Timestamp, Int, Int)].collect().toSet
+    val b = Sketches.hllRegistersBy(
+        batch.select(date_trunc("hour", $"ts").as("grp"),
+          $"user_id".cast("string").as("item")), "grp", "item")
+      .as[(java.sql.Timestamp, Int, Int)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == b,
+      s"stream-only=${(streamed -- b).take(3)} batch-only=${(b -- streamed).take(3)}")
+  }
+
+  test("streaming sketch maintenance equals the batch sketches across micro-batches") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Sketches
+    val schema = StructType(Seq(StructField("token", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_skstream").toString
+    def writeFile(n: Int, toks: Seq[String]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          toks.map(t => org.apache.spark.sql.Row(t)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    // overlapping token files: the shared tokens count twice in CMS and
+    // re-max in HLL, so equality REQUIRES cross-micro-batch state
+    val t1 = (1 to 40).map(i => s"tok$i")
+    val t2 = (20 to 60).map(i => s"tok$i")
+    writeFile(1, t1); writeFile(2, t2)
+    val all = (t1 ++ t2).toDF("token")
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val hllStream = EventStreams.runToMemory(
+        EventStreams.hllRegisterStream(st, "token"), "t_hll_stream",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy("register").agg(max($"rho_max").as("r"))
+    val hllJoined = Sketches.hllRegisters(all, "token")
+      .join(hllStream, Seq("register"), "left")
+      .select($"register", $"rho_max",
+        coalesce($"r", lit(0)).cast("int").as("rs"))
+      .as[(Int, Int, Int)].collect()
+    assert(hllJoined.length == 64)
+    hllJoined.foreach { case (reg, b, sm) =>
+      assert(b == sm, s"register $reg: batch=$b stream=$sm") }
+    val cmsStream = EventStreams.runToMemory(
+        EventStreams.cmsCellStream(st, "token"), "t_cms_stream",
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy("r", "bucket").agg(max($"cnt").as("cnt"))
+      .orderBy("r", "bucket").collect().toSeq
+    val batchCells = Sketches.cmsBuild(all, "token")
+      .orderBy("r", "bucket").collect().toSeq
+    assert(cmsStream == batchCells,
+      s"stream cells=${cmsStream.take(5)} batch=${batchCells.take(5)}")
+  }
+
   test("streaming boilerplate strip equals the batch form across micro-batches") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),

@@ -734,10 +734,24 @@ object Dedup {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = SpanDedupW): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val spans = spanRows(base, w)
+    spanDedupFrom(base, spanRows(base, w), w)
+  }
+
+  /** [[spanDedup]] over precomputed [[spanRowsOf]] rows — callers running
+    * several span consumers over the same corpus share ONE cached token
+    * explode (the minhashSignaturesFrom discipline). `base` must be the
+    * (doc_id, text) frame `spans` came from. */
+  def spanDedupFrom(base: DataFrame, spans: DataFrame,
+                    w: Int = SpanDedupW): DataFrame = {
     val dup = dupKeysOf(spans).withColumn("isdup", lit(1))
     excised(base, spans, dup, w)
   }
+
+  /** The (doc_id, i, tok, h) span-row explode as a PUBLIC builder so a
+    * session cache can feed every `From`-variant span consumer. */
+  def spanRowsOf(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = SpanDedupW): DataFrame =
+    spanRows(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), w)
 
   /** The ≥-2-distinct-docs duplicated key set of a span-row frame — the
     * ONE definition [[spanDedup]] and [[dupSpanKeySet]] both use (a
@@ -813,8 +827,14 @@ object Dedup {
   def spanDedupWithin(docs: DataFrame, idCol: String, textCol: String,
                       w: Int = SpanDedupW): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    spanDedupWithinFrom(base, spanRows(base, w), w)
+  }
+
+  /** [[spanDedupWithin]] over precomputed [[spanRowsOf]] rows. */
+  def spanDedupWithinFrom(base: DataFrame, spans: DataFrame,
+                          w: Int = SpanDedupW): DataFrame = {
     val wKey = Window.partitionBy("doc_id", "h")
-    val marked = spanRows(base, w).withColumn("isdup",
+    val marked = spans.withColumn("isdup",
       when(col("h").isNotNull &&
         col("i") > min(col("i")).over(wKey), lit(1)))
     reassemble(base, marked, w)
@@ -836,9 +856,11 @@ object Dedup {
     * keys through the duplicate-frequency groupBy and back-join; the
     * islands window and run aggregation stay doc-partitioned. */
   def spanDupRuns(docs: DataFrame, idCol: String, textCol: String,
-                  w: Int = SpanDedupW): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val spans = spanRows(base, w)
+                  w: Int = SpanDedupW): DataFrame =
+    spanDupRunsFrom(spanRowsOf(docs, idCol, textCol, w), w)
+
+  /** [[spanDupRuns]] over precomputed [[spanRowsOf]] rows. */
+  def spanDupRunsFrom(spans: DataFrame, w: Int = SpanDedupW): DataFrame = {
     val dupStarts = spans.join(dupKeysOf(spans), Seq("h"), "left_semi")
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     dupStarts

@@ -365,6 +365,11 @@ object PipelineQueries {
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_shingles", s, dir)(
       Dedup.shingleRows(docs(s, dir), "doc_id", "text"))
+  private def sharedSpanRows(s: SparkSession, dir: String): DataFrame =
+    Tables.cached("span_rows", s, dir)(
+      Dedup.spanRowsOf(docs(s, dir), "doc_id", "text"))
+  private def docBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"))
   private def sharedMinhashCands(s: SparkSession, dir: String): DataFrame =
     Tables.cached("minhash_cands", s, dir)(
       Dedup.minhashCandidatesFrom(sharedShingles(s, dir)))
@@ -434,6 +439,7 @@ object PipelineQueries {
     * first-toucher build costs (see GxQueries.sharedCacheBuilds). */
   private[graft] val sharedCacheBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "minhash_shingles" -> ((s: SparkSession, d: String) => sharedShingles(s, d)),
+    "span_rows" -> ((s: SparkSession, d: String) => sharedSpanRows(s, d)),
     "minhash_cands" -> ((s: SparkSession, d: String) => sharedMinhashCands(s, d)),
     "nb_scored_all" -> ((s: SparkSession, d: String) => sharedNbScored(s, d)),
     "nb_scored" -> ((s: SparkSession, d: String) => sharedNb(s, d)),
@@ -1277,7 +1283,7 @@ object PipelineQueries {
     // short of; full SQL replay oracle (spans, md5-60 keys, coverage
     // window, ordered reassembly)
     "d_span_dedup" -> ((s, dir) =>
-      Dedup.spanDedup(docs(s, dir), "doc_id", "text")
+      Dedup.spanDedupFrom(docBase(s, dir), sharedSpanRows(s, dir))
         .orderBy("doc_id")),
 
     // PRODUCTION-WIDTH span dedup gate: the same spanDedup transform at
@@ -1303,7 +1309,7 @@ object PipelineQueries {
     // d_repetition transform counterpart; all work stays inside the doc
     // partition (no cross-doc shuffle at all)
     "d_span_dedup_doc" -> ((s, dir) =>
-      Dedup.spanDedupWithin(docs(s, dir), "doc_id", "text")
+      Dedup.spanDedupWithinFrom(docBase(s, dir), sharedSpanRows(s, dir))
         .orderBy("doc_id")),
 
     // INCREMENTAL span dedup (the daily-crawl / decontamination form):
@@ -1324,7 +1330,7 @@ object PipelineQueries {
     // run_len = L; the oracle replays the islands merge on the same
     // sd* span-key CTEs
     "d_span_runs" -> ((s, dir) =>
-      Dedup.spanDupRuns(docs(s, dir), "doc_id", "text")
+      Dedup.spanDupRunsFrom(sharedSpanRows(s, dir))
         .orderBy("doc_id", "run_start")),
 
     // per-document TF-IDF: top-3 terms per doc. tf/df are exact integers;

@@ -126,7 +126,15 @@ object Dedup {
     * at once (zip_with against the literal coefficient table — never a
     * per-lane re-scan). `hashedShingles` must be a NAMED attribute of
     * [[graft.functions.TextFunctions.hash32]]'d shingles (inlining a
-    * computed array here would re-evaluate it per element). */
+    * computed array here would re-evaluate it per element).
+    *
+    * NULL-text edge: here a null doc folds to the all-P sentinel array
+    * (least skips the null lane values), where the batch aggregation
+    * yields all-null mh_i. The asymmetry cannot flip a verdict — an
+    * all-P signature's bands (md5 of "P,P,P,P") match nothing the batch
+    * index publishes (null signatures band as md5("")), and the batch
+    * pair estimate between null signatures is 0 agreement — so null
+    * docs are hit-free on BOTH paths (spec-pinned in StreamingSpec). */
   def minhashSigArray(hashedShingles: Column): Column = {
     val consts = array((0 until NumHashes).map(i =>
       struct(lit(CoeffA(i)).as("a"), lit(CoeffB(i)).as("b"))): _*)

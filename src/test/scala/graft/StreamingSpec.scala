@@ -232,11 +232,17 @@ class StreamingSpec extends SparkSpec {
     // intra-delta duplicate PAIR (min id 3 survives, 5 drops), an empty
     // doc, and a second index duplicate — proving cross hits land in
     // whichever micro-batch carries the doc
+    // doc 7 is NULL-text: its row-local sentinel signature and the batch
+    // all-null signature band differently, but neither can hit anything
+    // (minhashSigArray's documented null contract) — it must survive on
+    // both paths
     writeFile(1, Seq((1L, ta), (2L, "a genuinely unique document text")))
-    writeFile(2, Seq((3L, tc), (4L, ""), (5L, tc), (6L, ta)))
+    writeFile(2, Seq((3L, tc), (4L, ""), (5L, tc), (6L, ta),
+      (7L, null.asInstanceOf[String])))
     val indexed = Seq((10L, ta), (12L, tb)).toDF("doc_id", "text")
     val delta = Seq((1L, ta), (2L, "a genuinely unique document text"),
-      (3L, tc), (4L, ""), (5L, tc), (6L, ta)).toDF("doc_id", "text")
+      (3L, tc), (4L, ""), (5L, tc), (6L, ta),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val bandIdx = Dedup.minhashBandIndex(
       Dedup.minhashSignatures(indexed, "doc_id", "text"))
       .localCheckpoint(true)
@@ -259,7 +265,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       s"stream=${streamed.toSeq} batch=${batch.toSeq}")
     assert(hitIds == Set(1L, 6L), s"cross hits: $hitIds")
-    assert(streamed.toSeq == Seq(2L, 3L, 4L), s"got ${streamed.toSeq}")
+    assert(streamed.toSeq == Seq(2L, 3L, 4L, 7L), s"got ${streamed.toSeq}")
   }
 
   test("streaming windowed HLL equals the batch per-window registers") {

@@ -106,13 +106,15 @@ object Bench {
     // (profiling runs re-run things deliberately) and when the reference
     // file is absent. `total` stays the pass-one sum — comparable across
     // rounds; retimes are reported separately.
+    // the one flat name->number JSON parser both cost readers share
+    def parseNumMap(txt: String): Map[String, Double] =
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val refCosts: Map[String, Double] =
       try {
         val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "tools/bench_ref_costs.json")
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parseNumMap(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8"))
       } catch { case _: Throwable => Map.empty }
     val cacheFns = SparkEntry.cacheBuilds.toMap
     val queryFns = SparkEntry.queries
@@ -152,13 +154,16 @@ object Bench {
           "BENCH_DETAIL_last.json")
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(prevPath)), "UTF-8")
+        // only compare runs of the SAME scale: a prev detail from another
+        // sfDir would mis-trigger (or silently disable) the whole tier
+        val sfOk = txt.contains("\"sf\":\"" + sfDir + "\"")
         val i = txt.indexOf("\"queries\":{")
-        if (i < 0) Map.empty
+        if (!sfOk || i < 0) Map.empty
         else {
+          // the queries map is flat by construction (qsJson below writes
+          // it); the first '}' after the opener closes it
           val j = txt.indexOf("}", i)
-          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
-            .findAllMatchIn(txt.substring(i + 11, j))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          parseNumMap(txt.substring(i + 11, j))
         }
       } catch { case _: Throwable => Map.empty }
     val t12Names = tier1Names ++ tier2.map(_._1)

@@ -107,16 +107,23 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band rows: (doc_id, band, band_val) — band_val is the md5 of the
-    * band's minhash slice, so bucket keys are tiny fixed-width strings. */
-  def lshBands(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
+  /** THE band law, once: Bands structs of (band, md5 of the comma-joined
+    * RowsPerBand minhash slice) over lane accessor `mh` — every Scala
+    * band producer (column-wise sigs, array sigs, the persisted index)
+    * builds from this one definition, so the stream and batch sides
+    * cannot band-drift apart. */
+  private def bandStructs(mh: Int => Column): Seq[Column] =
+    (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bv"))
+
+  /** LSH band rows: (doc_id, band, band_val) — band_val is the md5 of the
+    * band's minhash slice, so bucket keys are tiny fixed-width strings. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(array(bandStructs(i => col(s"mh_$i")): _*)).as("bv"))
       .select(col("doc_id"), col("bv.band"), col("bv.band_val"))
-  }
 
   /** ROW-LOCAL MinHash signature as one array<bigint> column —
     * bit-identical to [[minhashSignatures]] (spec-pinned): a doc's
@@ -128,13 +135,16 @@ object Dedup {
     * [[graft.functions.TextFunctions.hash32]]'d shingles (inlining a
     * computed array here would re-evaluate it per element).
     *
-    * NULL-text edge: here a null doc folds to the all-P sentinel array
-    * (least skips the null lane values), where the batch aggregation
-    * yields all-null mh_i. The asymmetry cannot flip a verdict — an
-    * all-P signature's bands (md5 of "P,P,P,P") match nothing the batch
-    * index publishes (null signatures band as md5("")), and the batch
-    * pair estimate between null signatures is 0 agreement — so null
-    * docs are hit-free on BOTH paths (spec-pinned in StreamingSpec). */
+    * NULL-text edge: under ANSI size(NULL) is NULL, so shingles(null)
+    * is a NULL array and the row-local signature is NULL (while batch
+    * shingleRows drops null docs entirely — they are ABSENT from sigs
+    * and the band index). A NULL stream signature still explodes band
+    * rows (element_at(null) → null, concat_ws skips → md5("")), but
+    * md5("") matches nothing a real index publishes, and even a
+    * constructed match dies at the verify: zip_with against NULL is
+    * NULL, so est_sim is NULL and the ≥-threshold filter drops it.
+    * Null docs are therefore hit-free on BOTH paths (spec-pinned in
+    * StreamingSpec with a planted null-text doc). */
   def minhashSigArray(hashedShingles: Column): Column = {
     val consts = array((0 until NumHashes).map(i =>
       struct(lit(CoeffA(i)).as("a"), lit(CoeffB(i)).as("b"))): _*)
@@ -151,11 +161,7 @@ object Dedup {
     * to the batch concat_ws over mh_i attribute columns. `sig` must be a
     * named attribute (same contract as [[minhashSigArray]]). */
   def lshBandArray(sig: Column): Column =
-    array((0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand)
-        .map(r => element_at(sig, b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
-    }: _*)
+    array(bandStructs(i => element_at(sig, i + 1)): _*)
 
   /** The persisted stream-side INDEX of the incremental cross stage: one
     * row per (band, band_val, partner, psig) — band buckets carrying the
@@ -164,12 +170,8 @@ object Dedup {
     * bucketed table keyed by (band, band_val). */
   def minhashBandIndex(sigs: DataFrame): DataFrame = {
     val sigArr = array((0 until NumHashes).map(i => col(s"mh_$i")): _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_val"))
-    }
     sigs.select(col("doc_id").as("partner"), sigArr.as("psig"),
-        explode(array(bandStructs: _*)).as("bv"))
+        explode(array(bandStructs(i => col(s"mh_$i")): _*)).as("bv"))
       .select(col("bv.band").as("band"), col("bv.band_val").as("band_val"),
         col("partner"), col("psig"))
   }
@@ -751,15 +753,33 @@ object Dedup {
     * (doc_id, text) frame `spans` came from. */
   def spanDedupFrom(base: DataFrame, spans: DataFrame,
                     w: Int = SpanDedupW): DataFrame = {
+    requireSpanW(spans, w)
     val dup = dupKeysOf(spans).withColumn("isdup", lit(1))
     excised(base, spans, dup, w)
   }
 
   /** The (doc_id, i, tok, h) span-row explode as a PUBLIC builder so a
-    * session cache can feed every `From`-variant span consumer. */
+    * session cache can feed every `From`-variant span consumer. The
+    * build width rides as column metadata on `h` so a From-variant
+    * called with a DIFFERENT w fails loudly instead of computing
+    * plausible-but-wrong coverage (the silent-mismatch trap). */
   def spanRowsOf(docs: DataFrame, idCol: String, textCol: String,
-                 w: Int = SpanDedupW): DataFrame =
+                 w: Int = SpanDedupW): DataFrame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("w", w.toLong).build()
     spanRows(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), w)
+      .withColumn("h", col("h").as("h", md))
+  }
+
+  /** Loud guard for the From-variants: spans built at one w must not be
+    * consumed at another (metadata-free frames — the internal spanRows
+    * path — pass unchecked). */
+  private def requireSpanW(spans: DataFrame, w: Int): Unit = {
+    val m = spans.schema("h").metadata
+    require(!m.contains("w") || m.getLong("w") == w.toLong,
+      s"span rows were built at w=${if (m.contains("w")) m.getLong("w") else -1}" +
+        s" but the caller asked for w=$w")
+  }
 
   /** The ≥-2-distinct-docs duplicated key set of a span-row frame — the
     * ONE definition [[spanDedup]] and [[dupSpanKeySet]] both use (a
@@ -841,6 +861,7 @@ object Dedup {
   /** [[spanDedupWithin]] over precomputed [[spanRowsOf]] rows. */
   def spanDedupWithinFrom(base: DataFrame, spans: DataFrame,
                           w: Int = SpanDedupW): DataFrame = {
+    requireSpanW(spans, w)
     val wKey = Window.partitionBy("doc_id", "h")
     val marked = spans.withColumn("isdup",
       when(col("h").isNotNull &&
@@ -869,6 +890,7 @@ object Dedup {
 
   /** [[spanDupRuns]] over precomputed [[spanRowsOf]] rows. */
   def spanDupRunsFrom(spans: DataFrame, w: Int = SpanDedupW): DataFrame = {
+    requireSpanW(spans, w)
     val dupStarts = spans.join(dupKeysOf(spans), Seq("h"), "left_semi")
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     dupStarts

@@ -368,12 +368,8 @@ object Sketches {
     * arithmetically instead. */
   def hllRegistersBy(items: DataFrame, groupCol: String,
                      itemCol: String): DataFrame =
-    items.select(col(groupCol).as("grp"), hash60(col(itemCol)).as("h"))
-      .select(col("grp"), pmod(col("h"), lit(64L)).cast("int").as("register"),
-        expr("h div 64").as("v"))
-      .select(col("grp"), col("register"),
-        when(col("v") === 0L, lit(55))
-          .otherwise(lit(55) - length(bin(col("v")))).as("rho"))
+    hllRhoRows(items.select(col(groupCol).as("grp"), col(itemCol)),
+        itemCol, carry = Seq("grp"))
       .groupBy("grp", "register").agg(max(col("rho")).as("rho_max"))
 
   /** Per-group estimate off a [[hllRegistersBy]] table. Absent registers

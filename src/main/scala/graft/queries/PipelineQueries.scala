@@ -3327,11 +3327,10 @@ object PipelineQueries {
         "s_stream_minhash_sink",
         org.apache.spark.sql.streaming.OutputMode.Update(),
         shufflePartitions = Some(8))
-      // collapse to final state (partner sets only grow; docs are
-      // atomic per micro-batch) -> the stream-decided cross-hit set
-      val fin = drained.groupBy("doc_id")
-        .agg(max(struct(size(col("ps")).as("n"), col("ps"))).as("m"))
-        .select(col("doc_id").as("__hit"))
+      // the cross-hit verdict only needs MEMBERSHIP in the drained
+      // output (a doc re-emits only with a grown partner set) — distinct
+      // ids, never the arrays, leave the sink
+      val fin = drained.select(col("doc_id").as("__hit")).distinct()
       val delta = d.filter(col("doc_id") >= cutoff)
       val remainder = delta.join(fin,
         delta("doc_id") === col("__hit"), "left_anti")

@@ -232,10 +232,10 @@ class StreamingSpec extends SparkSpec {
     // intra-delta duplicate PAIR (min id 3 survives, 5 drops), an empty
     // doc, and a second index duplicate — proving cross hits land in
     // whichever micro-batch carries the doc
-    // doc 7 is NULL-text: its row-local sentinel signature and the batch
-    // all-null signature band differently, but neither can hit anything
-    // (minhashSigArray's documented null contract) — it must survive on
-    // both paths
+    // doc 7 is NULL-text: its row-local signature is NULL (ANSI
+    // size(NULL) propagation) while the batch side drops null docs from
+    // sigs entirely — neither path can produce a hit for it
+    // (minhashSigArray's documented null contract); it must survive
     writeFile(1, Seq((1L, ta), (2L, "a genuinely unique document text")))
     writeFile(2, Seq((3L, tc), (4L, ""), (5L, tc), (6L, ta),
       (7L, null.asInstanceOf[String])))

@@ -1225,6 +1225,52 @@ object PipelineQueries {
     // near-dup candidate table): which source pairs share near-dup docs,
     // and how many — pairs ordered so src_a <= src_b groups both
     // directions together
+    // SPLIT-LEAKAGE audit: near-dup candidate pairs that STRADDLE the
+    // deterministic train/validation/test split — the eval-integrity
+    // check every pipeline must run before trusting held-out numbers
+    // (a near-dup of a training doc in the test split leaks). The PAIR
+    // view of what d_split_leakage measures by shingle mass and
+    // d_split_safe repairs. Rides the session-shared banded candidates;
+    // split assignment is the exact d_split hash rule; symmetric
+    // (least, greatest) split-pair cells so off-diagonal rows ARE leaks
+    "d_split_leak_pairs" -> ((s, dir) => {
+      def sp(c: String) = Sampling.splitColumn(col(c), 0.1, 0.1)
+      sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
+        .select(least(sp("a"), sp("b")).as("split_a"),
+          greatest(sp("a"), sp("b")).as("split_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")}),
+
+    // SNAPSHOT DIFF (dataset versioning audit): v2 is a deterministic
+    // transform of the corpus (every 7th doc removed, every remaining
+    // 5th doc's text revised, every 11th doc re-added under a shifted
+    // id) and the diff classifies each id as added / removed / changed /
+    // same by full-outer fingerprint compare — the crawl-over-crawl
+    // regression report, one join + one aggregation at any scale
+    "d_snapshot_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val kept = v1.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+            .as("text"))
+      val added = v1.filter(pmod(col("doc_id"), lit(11L)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("text"))
+      val v2 = kept.unionByName(added)
+      val a = v1.select(col("doc_id"), col("source").as("src1"),
+        fingerprint(col("text")).as("fp1"))
+      val b = v2.select(col("doc_id"), col("source").as("src2"),
+        fingerprint(col("text")).as("fp2"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")}),
+
     "d_dup_sources" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"))
       val cand = sharedMinhashCands(s, dir).filter(col("est_sim") >= 0.5)
@@ -5478,6 +5524,41 @@ object PipelineQueries {
          |SELECT doc_id, rep, split, naive_split,
          |  CAST(CASE WHEN split <> naive_split THEN 1 ELSE 0 END AS INT) AS moved
          |FROM sbase ORDER BY doc_id""".stripMargin,
+
+    "d_split_leak_pairs" ->
+      s"""WITH cand AS (
+         |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
+         |), sl AS (
+         |  SELECT least(${Sampling.splitColumnSql("a", 0.1, 0.1)},
+         |           ${Sampling.splitColumnSql("b", 0.1, 0.1)}) AS split_a,
+         |    greatest(${Sampling.splitColumnSql("a", 0.1, 0.1)},
+         |           ${Sampling.splitColumnSql("b", 0.1, 0.1)}) AS split_b
+         |  FROM cand WHERE est_sim >= 0.5
+         |)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sl GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+
+    "d_snapshot_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, source, text FROM $docsT
+         |), v2 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM v1 WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, source, text || ' new' FROM v1
+         |  WHERE doc_id % 11 = 0
+         |), dj AS (
+         |  SELECT coalesce(a.source, b.source) AS source,
+         |    CASE WHEN a.doc_id IS NULL THEN 'added'
+         |         WHEN b.doc_id IS NULL THEN 'removed'
+         |         WHEN ${fingerprintSql("a.text")} <> ${fingerprintSql("b.text")}
+         |           THEN 'changed'
+         |         ELSE 'same' END AS status
+         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+         |)
+         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM dj GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
     "d_dup_sources" ->
       s"""WITH cand AS (

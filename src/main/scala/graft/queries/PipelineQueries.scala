@@ -1241,13 +1241,13 @@ object PipelineQueries {
         .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
         .orderBy("split_a", "split_b")}),
 
-    // SNAPSHOT DIFF (dataset versioning audit): v2 is a deterministic
-    // transform of the corpus (every 7th doc removed, every remaining
-    // 5th doc's text revised, every 11th doc re-added under a shifted
-    // id) and the diff classifies each id as added / removed / changed /
-    // same by full-outer fingerprint compare — the crawl-over-crawl
-    // regression report, one join + one aggregation at any scale
-    "d_snapshot_diff" -> ((s, dir) => {
+    // SNAPSHOT DIFF, per-source rollup — d_snapshot_diff's CDC audit
+    // widened by the provenance dimension (WHICH source regressed) and
+    // by genuinely NEW ids (v2 re-adds every 11th doc under a shifted
+    // id, so 'added' rows exist beyond re-appearing ones): every 7th
+    // doc removed, every remaining 5th doc's text revised; full-outer
+    // fingerprint compare → per-(source, status) counts
+    "d_snapshot_diff_src" -> ((s, dir) => {
       val v1 = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       val kept = v1.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
         .select(col("doc_id"), col("source"),
@@ -5538,7 +5538,7 @@ object PipelineQueries {
          |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM sl GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
 
-    "d_snapshot_diff" ->
+    "d_snapshot_diff_src" ->
       s"""WITH v1 AS (
          |  SELECT doc_id, source, text FROM $docsT
          |), v2 AS (

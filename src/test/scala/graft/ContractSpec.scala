@@ -19,6 +19,28 @@ class ContractSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate query names (map merge would drop one): $dups")
   }
 
+  test("no shadowed (duplicate) registry keys within one source file") {
+    // A Scala Map literal silently keeps only the LAST duplicate key: the
+    // shadowed query definition becomes dead code and which oracle pairs
+    // with the surviving one is luck. The runtime Map cannot see this
+    // (duplicates are collapsed before any test runs), so scan the
+    // registry SOURCE: every underscore-named string key may appear at
+    // most twice per file (once in the query map, once in the oracle
+    // map). Bit round 14 twice: d_split_leakage, d_snapshot_diff.
+    val keyDef = """"([a-z]+[a-z0-9]*_[a-z0-9_]+)"\s*->""".r
+    for (f <- Seq("GraphQueries", "AnalyticsQueries", "PipelineQueries",
+        "GxQueries")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/queries/$f.scala")),
+        "UTF-8")
+      val over = keyDef.findAllMatchIn(src).map(_.group(1)).toSeq
+        .groupBy(identity).filter(_._2.size > 2)
+      assert(over.isEmpty,
+        s"$f.scala binds a key more than twice (query def shadowed?): " +
+          over.keys.toSeq.sorted.mkString(", "))
+    }
+  }
+
   test("oracle SQL contains no unescaped driver-breaking characters") {
     // Verify.q() escapes control chars; this guards against accidental
     // binary/unicode-control content in builder-authored SQL

@@ -28,15 +28,17 @@ import org.apache.spark.storage.StorageLevel
   *    session) + the caller can salt via repartition if needed.
   */
 class KinGraph(val nodes: DataFrame, val edges: DataFrame,
-               val hashFunc: Column => Column = KinGraph.DefaultHashFunc)
+               val hashFunc: Column => Column = KinGraph.DefaultHashFunc,
+               val cacheLen: Int = KinConfig.DefaultCacheLen)
     extends Serializable {
   import KinGraph._
   private def spark: SparkSession = nodes.sparkSession
 
   /** Derived graph carrying the same pluggable key hash (reference's
-    * user-supplied hash_func ctor parameter, graph.py:41-43, 82-90). */
+    * user-supplied hash_func ctor parameter, graph.py:41-43, 82-90) and
+    * point-lookup cache bound (reference cache_len, graph.py:29). */
   private def derive(n: DataFrame, e: DataFrame): KinGraph =
-    new KinGraph(n, e, hashFunc)
+    new KinGraph(n, e, hashFunc, cacheLen)
 
   private def strDF(name: String, vals: Seq[String]): DataFrame = {
     val sp = spark
@@ -72,7 +74,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
           64, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(Char, String, String, Int), Row]): Boolean =
-          size() > KinConfig.DefaultCacheLen
+          size() > cacheLen
       })
 
   /** Current lookup-cache occupancy (reference exposes cache_len sizing;
@@ -112,12 +114,17 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     }
   }
 
-  /** reference: graph.py:1069-1082 */
+  /** reference: graph.py:1069-1082. A lookup-cache hit short-circuits
+    * the existence job (the reference's cache tier does the same,
+    * graph.py:1018-1023) — a cached Row proves existence on this
+    * immutable snapshot; a miss still probes the table. */
   def hasNode(key: String): Boolean =
-    !nodes.filter(col("key") === key).isEmpty
-  /** reference: graph.py:1084-1099 */
+    lookupCache.containsKey(('n', key, "", 0)) ||
+      !nodes.filter(col("key") === key).isEmpty
+  /** reference: graph.py:1084-1099 (same cache short-circuit). */
   def hasEdge(src: String, dst: String, etype: Int = 0): Boolean =
-    !edges.filter(col("src") === src && col("dst") === dst && col("etype") === etype).isEmpty
+    lookupCache.containsKey(('e', src, dst, etype)) ||
+      !edges.filter(col("src") === src && col("dst") === dst && col("etype") === etype).isEmpty
 
   // ------------------------------------------------------------- adjacency
   /** Out-neighbors of `key` as a 1-column DataFrame (`key`). Raises
@@ -141,7 +148,7 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
   private def requireAllExist(keys: Seq[String]): Unit = {
     val ks = strDF("key", keys.distinct)
     val found = nodes.join(broadcast(ks), Seq("key"), "left_semi")
-      .select(col("key")).distinct().collect().map(_.getString(0)).toSet
+      .select(col("key")).collect().map(_.getString(0)).toSet
     keys.find(!found.contains(_)).foreach(k => throw new NodeNotFound(k))
   }
 
@@ -151,7 +158,10 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     * `n_jobs` parameter gestures at but never implements, graph.py:954).
     * Exact reference contract: every EXISTING queried key appears, a key
     * with no out-edges with an EMPTY list (graph.py:928-940 yields an empty
-    * iterator for it); a missing key raises NodeNotFound (graph.py:865). */
+    * iterator for it); a missing key raises NodeNotFound (graph.py:865).
+    * Deliberate relational divergence: DUPLICATE queried keys collapse to
+    * one row (the reference's loop yields one iterator per occurrence) —
+    * a keyed frame, not a positional zip. */
   def neighborsFrom(keys: Seq[String]): DataFrame = {
     requireAllExist(keys)
     val ks = strDF("key", keys.distinct)

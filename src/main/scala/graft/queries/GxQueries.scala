@@ -227,7 +227,7 @@ object GxQueries {
         .select(col("key"))
         .orderBy("key")),
 
-    // connected components — rows-only check + ScalaTest semantics
+    // connected components — exact recursive min-label CTE oracle
     "gx_cc" -> ((s, dir) =>
       GraphXBridge.connectedComponents(unionGx(s, dir)).orderBy("key")),
 

@@ -103,13 +103,16 @@ class KinGraphSpec extends SparkSpec {
     "emptyCache restores cold behavior (reference cache_len contract)") {
     // a parquet-backed graph: on the in-memory fixtures Catalyst folds
     // point lookups into a LocalRelation (zero jobs even cold), so the
-    // job-count pin needs a real scan behind the facade
-    val tg = graft.sources.Tables.tradeGraph(spark, sf)
+    // job-count pin needs a real scan behind the facade. Built PRIVATELY
+    // (not Tables.tradeGraph): emptyCache() unpersists the graph's
+    // frames, and doing that to the session-shared registered "trade"
+    // cache would break the registry invariant for every later test
+    val tg = graft.KinGraph.fromEdges(
+      graft.sources.Tables.tradeEdges(spark, sf))
     val k = "S1"
     val eRow = tg.edges.limit(1).collect().head
     val (s0, d0, t0) = (eRow.getAs[String]("src"), eRow.getAs[String]("dst"),
       eRow.getAs[Int]("etype"))
-    tg.emptyCache()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -121,11 +124,18 @@ class KinGraphSpec extends SparkSpec {
     try {
       val r1 = tg.node(k)
       val e1 = tg.edge(s0, d0, t0)
-      // drain the async listener bus: cold lookups ran >=1 job each
+      // drain the async listener bus until the count is STABLE — ">= 2"
+      // is a floor, not the total (AQE can run several jobs per lookup),
+      // and an early snapshot would leak late cold events into the
+      // warm-phase equality assert
       val t = System.currentTimeMillis()
-      while (jobs.get() < 2 && System.currentTimeMillis() - t < 5000)
-        Thread.sleep(20)
-      val cold = jobs.get()
+      var cold = -1
+      var last = jobs.get()
+      while (cold < 0 && System.currentTimeMillis() - t < 10000) {
+        Thread.sleep(300)
+        val now = jobs.get()
+        if (now == last && now >= 2) cold = now else last = now
+      }
       assert(cold >= 2, "cold lookups must run Spark jobs")
       assert(tg.lookupCacheSize == 2)
       // warm repeats are served from the LRU — zero new jobs

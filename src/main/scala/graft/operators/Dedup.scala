@@ -888,6 +888,49 @@ object Dedup {
                   w: Int = SpanDedupW): DataFrame =
     spanDupRunsFrom(spanRowsOf(docs, idCol, textCol, w), w)
 
+  /** Per-document CROSS-CORPUS duplication fraction — the Lee-et-al
+    * "fraction of duplicated n-grams" statistic (the MEASURE the
+    * [[spanDedup]] transform acts on): per doc the window count, the
+    * count whose key is corpus-duplicated (≥ 2 distinct docs), and the
+    * integer milli fraction. Docs with < w tokens report (0, 0, 0).
+    * Rides the same shared span rows as the transform gates. */
+  def spanDupFractionFrom(base: DataFrame, spans: DataFrame,
+                          w: Int = SpanDedupW): DataFrame = {
+    requireSpanW(spans, w)
+    val dup = dupKeysOf(spans).withColumn("isdup", lit(1))
+    val per = spans.filter(col("h").isNotNull)
+      .join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+    base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_milli",
+        when(col("n_spans") === 0, lit(0L))
+          .otherwise(expr("(1000 * n_dup) div n_spans")))
+  }
+
+  /** DuckDB twin of [[spanDupFractionFrom]] on the shared sd* CTEs. */
+  def spanDupFractionSql(table: String, idCol: String, textCol: String,
+                         w: Int = SpanDedupW): String =
+    s"""WITH ${spanKeyCtes(table, idCol, textCol, w)}, sfr AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup
+       |  FROM sdsp s LEFT JOIN sddup d ON d.h = s.h
+       |  WHERE s.h IS NOT NULL GROUP BY s.doc_id
+       |)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(sfr.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(sfr.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(CASE WHEN coalesce(sfr.n_spans, 0) = 0 THEN 0
+       |       ELSE (1000 * sfr.n_dup) // sfr.n_spans END AS BIGINT)
+       |    AS dup_milli
+       |FROM sdbase b LEFT JOIN sfr ON sfr.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** [[spanDupRuns]] over precomputed [[spanRowsOf]] rows. */
   def spanDupRunsFrom(spans: DataFrame, w: Int = SpanDedupW): DataFrame = {
     requireSpanW(spans, w)

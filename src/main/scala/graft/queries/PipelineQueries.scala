@@ -1375,6 +1375,14 @@ object PipelineQueries {
     // i − row_number), so an L-token shared block reports ONE run of
     // run_len = L; the oracle replays the islands merge on the same
     // sd* span-key CTEs
+    // per-doc cross-corpus duplication FRACTION (Lee et al's
+    // duplicated-n-gram statistic — the measure the span transform acts
+    // on), riding the shared span-row cache: window count, duplicated
+    // count, integer milli fraction; sub-w docs report zeros
+    "d_span_dup_frac" -> ((s, dir) =>
+      Dedup.spanDupFractionFrom(docBase(s, dir), sharedSpanRows(s, dir))
+        .orderBy("doc_id")),
+
     "d_span_runs" -> ((s, dir) =>
       Dedup.spanDupRunsFrom(sharedSpanRows(s, dir))
         .orderBy("doc_id", "run_start")),
@@ -4243,6 +4251,8 @@ object PipelineQueries {
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
 
     "d_span_runs" -> Dedup.spanDupRunsSql(docsT, "doc_id", "text"),
+
+    "d_span_dup_frac" -> Dedup.spanDupFractionSql(docsT, "doc_id", "text"),
 
     // the streaming delta form shares the batch incremental oracle
     "s_stream_span" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",

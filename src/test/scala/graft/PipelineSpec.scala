@@ -1546,6 +1546,30 @@ class PipelineSpec extends SparkSpec {
       (4L, 2, 1, 5), (4L, 8, 1, 5)), s"got ${out.toSeq}")
   }
 
+  test("span dup fraction: planted 3w block reads 11/15 duplicated windows") {
+    // the span-runs fixture: docs 1/2 share a 15-token block inside
+    // 19-token docs -> 15 windows each, 11 duplicated -> 733 milli;
+    // doc 5 shares nothing -> 0; a sub-w doc has no windows -> zeros
+    val block = (1 to 15).map(j => s"B$j").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 $block a3 a4"),
+      (2L, s"b1 $block b2 b3 b4"),
+      (5L, "solo tokens that never repeat anywhere else"),
+      (6L, "tiny doc")).toDF("doc_id", "text")
+    val base = d.select($"doc_id", $"text")
+    val out = Dedup.spanDupFractionFrom(base,
+        Dedup.spanRowsOf(d, "doc_id", "text"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 15L, 11L, 733L), (2L, 15L, 11L, 733L),
+      (5L, 3L, 0L, 0L), (6L, 0L, 0L, 0L)), s"got ${out.toSeq}")
+    // the w guard: shared spans at w=5 must refuse a w=50 consumer
+    intercept[IllegalArgumentException] {
+      Dedup.spanDupFractionFrom(base,
+        Dedup.spanRowsOf(d, "doc_id", "text"), w = 50)
+    }
+  }
+
   test("PQ index artifacts survive a parquet round-trip") {
     import java.nio.file.Files
     val corpus = Tables.embeddings(spark, sf)

@@ -816,6 +816,13 @@ object EventStreams {
     * frozen into the checkpoint anyway, so this is a per-query property,
     * not a session one); the session conf is restored after the drain.
     * Results are partition-count-invariant — this trades nothing. */
+  /** State-operator count of the LAST [[runToMemory]] drain (read from
+    * the final StreamingQueryProgress) — spec support for mechanically
+    * pinning the "exactly ONE stateful operator" claims the streaming
+    * gates document, instead of trusting the comment. -1 when the last
+    * drain produced no progress. */
+  @volatile private[graft] var lastStateOperatorCount: Int = -1
+
   def runToMemory(stream: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete(),
                   shufflePartitions: Option[Int] = None): DataFrame = {
@@ -826,6 +833,8 @@ object EventStreams {
       val q = stream.writeStream
         .format("memory").queryName(name).outputMode(mode).start()
       q.processAllAvailable()
+      lastStateOperatorCount =
+        Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
       q.stop()
     } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
     sp.table(name)

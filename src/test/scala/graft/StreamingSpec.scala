@@ -252,6 +252,8 @@ class StreamingSpec extends SparkSpec {
       EventStreams.minhashHitsStream(st, bandIdx, "doc_id", "text"),
       "t_minhash_stream",
       mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(EventStreams.lastStateOperatorCount == 1,
+      "the whole detection chain must be stateless around ONE aggregation")
     val hitIds = drained.select($"doc_id").distinct()
       .as[Long].collect().toSet
     val remainder = delta.join(
@@ -275,6 +277,8 @@ class StreamingSpec extends SparkSpec {
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
       .groupBy("window_start", "register").agg(max($"rho_max").as("rho_max"))
       .as[(java.sql.Timestamp, Int, Int)].collect().toSet
+    assert(EventStreams.lastStateOperatorCount == 1,
+      "windowed registers must be ONE stateful aggregation")
     val b = Sketches.hllRegistersBy(
         batch.select(date_trunc("hour", $"ts").as("grp"),
           $"user_id".cast("string").as("item")), "grp", "item")
@@ -306,6 +310,7 @@ class StreamingSpec extends SparkSpec {
         EventStreams.hllRegisterStream(st, "token"), "t_hll_stream",
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
       .groupBy("register").agg(max($"rho_max").as("r"))
+    assert(EventStreams.lastStateOperatorCount == 1)
     val hllJoined = Sketches.hllRegisters(all, "token")
       .join(hllStream, Seq("register"), "left")
       .select($"register", $"rho_max",
@@ -319,6 +324,7 @@ class StreamingSpec extends SparkSpec {
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
       .groupBy("r", "bucket").agg(max($"cnt").as("cnt"))
       .orderBy("r", "bucket").collect().toSeq
+    assert(EventStreams.lastStateOperatorCount == 1)
     val batchCells = Sketches.cmsBuild(all, "token")
       .orderBy("r", "bucket").collect().toSeq
     assert(cmsStream == batchCells,

@@ -981,6 +981,10 @@ object Dedup {
     dupKeysOf(spanRows(base, w))
   }
 
+  /** [[dupSpanKeySet]] over precomputed [[spanRowsOf]] rows — the
+    * session-cached-explode form (the other From-variants' discipline). */
+  def dupSpanKeySetFrom(spans: DataFrame): DataFrame = dupKeysOf(spans)
+
   /** PER-ROW form of [[boilerplateClean]]: each doc's lines filtered
     * against a per-source drop-set ARRAY (from [[boilerplateDropSets]])
     * joined in as one static row per source — no explode, no reassembly

@@ -1383,6 +1383,37 @@ object PipelineQueries {
       Dedup.spanDupFractionFrom(docBase(s, dir), sharedSpanRows(s, dir))
         .orderBy("doc_id")),
 
+    // STREAMING per-doc duplication fraction at ingest: docs arrive as
+    // micro-batches and count their windows against the PERSISTED
+    // duplicated span-key set (batch-derived, checkpointed — cleaning
+    // against the self dup set reproduces the corpus fractions
+    // bit-for-bit, the s_stream_clean argument); stateless span rows +
+    // key equi join, ONE update-mode count aggregation, zero-window
+    // docs reattach post-drain. Shares d_span_dup_frac's oracle
+    "s_stream_span_frac" -> ((s, dir) => {
+      val dupKeys = Dedup.dupSpanKeySetFrom(sharedSpanRows(s, dir))
+        .localCheckpoint(true)
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+      val agg = graft.streaming.EventStreams.spanDupFractionStream(
+        stream, dupKeys, "doc_id", "text")
+      val drained = graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_span_frac_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val fin = drained.groupBy("doc_id")
+        .agg(max(struct(col("n_spans"), col("n_dup"))).as("m"))
+        .select(col("doc_id"), col("m.n_spans").as("n_spans"),
+          col("m.n_dup").as("n_dup"))
+      docs(s, dir).select(col("doc_id"))
+        .join(fin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_milli",
+          when(col("n_spans") === 0, lit(0L))
+            .otherwise(expr("(1000 * n_dup) div n_spans")))
+        .orderBy("doc_id")}),
+
     "d_span_runs" -> ((s, dir) =>
       Dedup.spanDupRunsFrom(sharedSpanRows(s, dir))
         .orderBy("doc_id", "run_start")),
@@ -4253,6 +4284,10 @@ object PipelineQueries {
     "d_span_runs" -> Dedup.spanDupRunsSql(docsT, "doc_id", "text"),
 
     "d_span_dup_frac" -> Dedup.spanDupFractionSql(docsT, "doc_id", "text"),
+
+    // the streaming ingest form reproduces the corpus self fractions
+    // bit-for-bit (cleans against the batch-derived dup key set)
+    "s_stream_span_frac" -> Dedup.spanDupFractionSql(docsT, "doc_id", "text"),
 
     // the streaming delta form shares the batch incremental oracle
     "s_stream_span" -> Dedup.spanDedupAgainstSql(docsT, "doc_id", "text",

@@ -362,9 +362,13 @@ object EventStreams {
     * sink sees exactly one update per doc. Empty/whitespace docs have no
     * token rows and drop here; callers reattach them from the static
     * delta frame (the batch form's base-join contract). */
-  def spanDedupStream(docsStream: DataFrame, indexKeys: DataFrame,
-                      idCol: String, textCol: String,
-                      w: Int = graft.operators.Dedup.SpanDedupW): DataFrame = {
+  /** The stateless STREAM form of the span-row explode — (doc_id, i,
+    * tok, h) with per-start 60-bit span keys built from per-row array
+    * functions (streams can't run the batch lead() window), shared by
+    * [[spanDedupStream]] and [[spanDupFractionStream]]. Empty/whitespace
+    * docs produce no rows (callers reattach them). */
+  private def spanRowStream(docsStream: DataFrame, idCol: String,
+                            textCol: String, w: Int): DataFrame = {
     import graft.functions.TextFunctions.{tokens, hash60}
     val wm1 = w - 1
     val toked = docsStream
@@ -378,13 +382,40 @@ object EventStreams {
         transform(sequence(lit(0), size(col("toks")) - w),
           i => hash60(array_join(slice(col("toks"), i + lit(1), lit(w)), " "))))
       .otherwise(array().cast("array<long>"))
-    val rows = toked
+    toked
       .withColumn("hs", concat(hs, array_repeat(lit(null).cast("long"),
         least(size(col("toks")), lit(wm1)))))
       .select(col("doc_id"),
         posexplode(arrays_zip(col("toks"), col("hs"))).as(Seq("i", "z")))
       .select(col("doc_id"), col("i"),
         col("z.toks").as("tok"), col("z.hs").as("h"))
+  }
+
+  /** STREAMING per-doc duplication fraction at ingest — the
+    * [[graft.operators.Dedup.spanDupFractionFrom]] measure with docs
+    * arriving as micro-batches, cleaned against a PERSISTED duplicated
+    * span-key set (dupSpanKeySet batch-side → the stream reproduces the
+    * corpus SELF fractions bit-for-bit, the s_stream_clean argument):
+    * stateless span rows + one stateless equi join on the 8-byte key,
+    * then ONE update-mode per-doc count aggregation. Docs with no
+    * windows (< w tokens, empty) produce no row — callers reattach
+    * zeros from the static frame. */
+  def spanDupFractionStream(docsStream: DataFrame, dupKeys: DataFrame,
+                            idCol: String, textCol: String,
+                            w: Int = graft.operators.Dedup.SpanDedupW)
+      : DataFrame =
+    spanRowStream(docsStream, idCol, textCol, w)
+      .filter(col("h").isNotNull)
+      .join(dupKeys.select(col("h"), lit(1).as("isdup")), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup"))
+
+  def spanDedupStream(docsStream: DataFrame, indexKeys: DataFrame,
+                      idCol: String, textCol: String,
+                      w: Int = graft.operators.Dedup.SpanDedupW): DataFrame = {
+    val wm1 = w - 1
+    val rows = spanRowStream(docsStream, idCol, textCol, w)
     val marked = rows.join(
       indexKeys.select(col("h"), lit(1).as("isdup")), Seq("h"), "left")
     marked.groupBy("doc_id").agg(

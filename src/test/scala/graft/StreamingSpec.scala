@@ -288,6 +288,53 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- b).take(3)} batch-only=${(b -- streamed).take(3)}")
   }
 
+  test("streaming span fraction equals the batch measure across micro-batches") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val block = (1 to 15).map(j => s"B$j").mkString(" ")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfstream").toString
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    // the shared block straddles the two micro-batches: the dup-key set
+    // is corpus-derived batch-side, so the verdicts can't depend on
+    // which batch carried which doc
+    writeFile(1, Seq((1L, s"a1 a2 $block a3 a4"), (6L, "tiny doc")))
+    writeFile(2, Seq((2L, s"b1 $block b2 b3 b4"),
+      (5L, "solo tokens that never repeat anywhere else"), (7L, "")))
+    val d = Seq((1L, s"a1 a2 $block a3 a4"), (2L, s"b1 $block b2 b3 b4"),
+      (5L, "solo tokens that never repeat anywhere else"),
+      (6L, "tiny doc"), (7L, "")).toDF("doc_id", "text")
+    val dupKeys = Dedup.dupSpanKeySet(d, "doc_id", "text").localCheckpoint(true)
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val drained = EventStreams.runToMemory(
+      EventStreams.spanDupFractionStream(st, dupKeys, "doc_id", "text"),
+      "t_span_frac_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(EventStreams.lastStateOperatorCount == 1)
+    val streamed = d.select($"doc_id")
+      .join(drained.groupBy("doc_id")
+        .agg(max(struct($"n_spans", $"n_dup")).as("m"))
+        .select($"doc_id", $"m.n_spans".as("n_spans"), $"m.n_dup".as("n_dup")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .withColumn("dup_milli", when($"n_spans" === 0, lit(0L))
+        .otherwise(expr("(1000 * n_dup) div n_spans")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = Dedup.spanDupFractionFrom(d.select($"doc_id", $"text"),
+        Dedup.spanRowsOf(d, "doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+    assert(streamed.head == ((1L, 15L, 11L, 733L)), s"got ${streamed.head}")
+  }
+
   test("streaming sketch maintenance equals the batch sketches across micro-batches") {
     import org.apache.spark.sql.types._
     import graft.operators.Sketches

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 object Bench {
   /** Forces full evaluation of every expression in the plan. A bare
     * `.count()` lets Catalyst prune projections (a fingerprint query would
@@ -44,6 +45,26 @@ object Bench {
       System.err.println(s"BENCH WARN warmup: ${e.getMessage}")
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    // Per-block environment probes (round-14 verdict): one global
+    // env_factor hid a p90 of 1.41 — a fixed-work probe timed at each
+    // block boundary (cache builds, then each name-prefix block of the
+    // sorted query loop: d/e/g/gx/m/q/s/w) gives artifact readers a
+    // per-block normalizer, so GraphX-cache-block noise is separable
+    // from, say, streaming-block noise. The probe is fixture-independent
+    // (generated data, one shuffle) and untimed relative to the queries.
+    val envBlocks = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def probeBlock(block: String): Unit = if (only.isEmpty) {
+      val t0 = System.nanoTime()
+      try materialize(spark.range(200000)
+        .select((col("id") % 9).as("k"), (col("id") % 101).as("v"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      catch { case _: Throwable => }
+      envBlocks(block) = (System.nanoTime() - t0) / 1e9
+    }
+    // trailing digits fold into one block: q1_agg/q18_bigorders are all "q"
+    def blockOf(name: String): String =
+      name.takeWhile(_ != '_').replaceAll("[0-9]+$", "")
+    probeBlock("cache")
     // Session-shared cache builds, timed as their own `cache:<name>`
     // entries BEFORE the query loop (dependency order, not sorted). The
     // per-query numbers below then measure query plans, not whichever
@@ -66,10 +87,15 @@ object Bench {
           finally CacheScope.releaseAll()
         s"cache:$name" -> timing
       }
+    var curBlock = "cache"
     val queryResults: Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
+        // name-sorted loop => prefix blocks are contiguous; probe once at
+        // each block boundary
+        val blk = blockOf(name)
+        if (blk != curBlock) { curBlock = blk; probeBlock(blk) }
         val t0 = System.nanoTime()
         val timing =
           try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -166,6 +192,12 @@ object Bench {
           parseNumMap(txt.substring(i + 11, j))
         }
       } catch { case _: Throwable => Map.empty }
+    // a silently-disabled tier 3 (format drift, sf mismatch) must be
+    // visible in the bench log, not inferred from absent retimes
+    if (prevCosts.isEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_DETAIL_last.json"))))
+      System.err.println("BENCH NOTE tier-3 retime disabled: prev detail " +
+        "file exists but yielded no costs (sf mismatch or format drift)")
     val t12Names = tier1Names ++ tier2.map(_._1)
     val tier3: Seq[(String, Double)] =
       if (only.nonEmpty || prevCosts.isEmpty) Seq.empty
@@ -181,7 +213,31 @@ object Bench {
     if (outliers.size > 40)
       System.err.println(s"BENCH WARN retime: ${outliers.size - 40} outliers " +
         s"dropped by the 40-entry cap: ${outliers.drop(40).map(_._1).mkString(",")}")
-    val retimed: Seq[(String, Double, Double)] =
+    // Cache-residency snapshot (round-14 verdict): a retime that comes
+    // back SLOWER than pass one is consistent with an evicted shared
+    // cache silently rebuilding inside the rerun — make that observable
+    // in the artifact instead of inferable. Partially-cached RDDs are the
+    // eviction signature (numCachedPartitions < numPartitions).
+    def rddResidencyJson(): String = {
+      val info = spark.sparkContext.getRDDStorageInfo
+      val partial = info.filter(r => r.numCachedPartitions < r.numPartitions)
+      val names = partial.take(12).map(r =>
+        "\"" + Option(r.name).getOrElse(s"rdd_${r.id}")
+          .replace('"', '\'').take(60) + "\"").mkString(",")
+      s"""{"n":${info.length},"n_partial":${partial.length},""" +
+        s""""mem_mb":${"%.1f".format(info.map(_.memSize).sum / 1e6)},""" +
+        s""""disk_mb":${"%.1f".format(info.map(_.diskSize).sum / 1e6)},""" +
+        s""""partial":[$names]}"""
+    }
+    val rddCachePre = rddResidencyJson()
+    // Adjudicating retime (round-14 verdict): when the proving rerun is
+    // SLOWER than pass one (gx_bipartite 8.37 -> 23.68 r14 — cold JIT or
+    // an evicted shared cache rebuilt inside the rerun), the artifact
+    // held two numbers and no verdict. Now a third sample runs: any
+    // shared cache the slow rerun lazily rebuilt is warm again by
+    // construction, so the third sample measures the plan. All samples
+    // are published; readers take the min as the plan cost.
+    val retimed: Seq[(String, Seq[Double])] =
       outliers.take(40).flatMap { case (name, t1) =>
         val rerun: Option[() => Unit] =
           if (name.startsWith("cache:")) {
@@ -199,27 +255,37 @@ object Bench {
             }
           } else queryFns.get(name).map(fn => () => materialize(fn(spark, sfDir)))
             .orElse(workloadFns.get(name).map(fn => () => fn(spark)))
-        rerun.flatMap { run =>
+        def sample(run: () => Unit): Option[Double] = {
           val t0 = System.nanoTime()
-          val second =
-            try { run(); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case e: Throwable =>
-              System.err.println(s"BENCH WARN retime $name: ${e.getMessage}"); None }
-            finally CacheScope.releaseAll()
-          second.map(t2 => (name, t1, t2))
+          try { run(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH WARN retime $name: ${e.getMessage}"); None }
+          finally CacheScope.releaseAll()
+        }
+        rerun.flatMap { run =>
+          sample(run).map { t2 =>
+            val third =
+              if (t2 > t1) {
+                System.err.println(s"BENCH NOTE retime $name: rerun slower " +
+                  s"than pass one (${"%.2f".format(t1)} -> ${"%.2f".format(t2)}), " +
+                  s"adjudicating third sample; rdd_cache=${rddResidencyJson()}")
+                sample(run).toSeq
+              } else Seq.empty
+            (name, t1 +: t2 +: third)
+          }
         }
       }
-    def retimedJsonOf(rs: Seq[(String, Double, Double)]): String =
-      rs.map { case (n, t1, t2) =>
-        "\"" + n + "\":[" + "%.3f".format(t1) + "," + "%.3f".format(t2) + "]"
+    def retimedJsonOf(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map("%.3f".format(_)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val retimedJson = retimedJsonOf(retimed)
     // HEADLINE carries at most 12 retime pairs (worst first-pass ratio
     // first) + the count — an unbounded map has overflowed the driver's
     // 2000-char log tail before; full fidelity stays in the detail file
     val retimedHeadJson = retimedJsonOf(
-      retimed.sortBy { case (n, t1, _) =>
-        -(t1 / refCosts.getOrElse(n, t1)) }.take(12))
+      retimed.sortBy { case (n, ts) =>
+        -(ts.head / refCosts.getOrElse(n, ts.head)) }.take(12))
     // Environment-inflation report: per-entry first-pass ratio vs the
     // committed local plan cost for EVERY entry with a reference (not
     // just outliers), plus the cross-entry median/p90 — the whole-run
@@ -238,7 +304,9 @@ object Bench {
     val envP90 = pct(sortedRatios, 0.9)
     val ratiosJson = ratios.map { case (n, r) =>
       "\"" + n + "\":" + "%.3f".format(r) }.mkString("{", ",", "}")
-    val envJson = s""""env_factor":${"%.3f".format(envFactor)},"env_p90":${"%.3f".format(envP90)},"n_ref":${ratios.size}"""
+    val envBlockJson = envBlocks.map { case (b, t) =>
+      "\"" + b + "\":" + "%.3f".format(t) }.mkString("{", ",", "}")
+    val envJson = s""""env_factor":${"%.3f".format(envFactor)},"env_p90":${"%.3f".format(envP90)},"n_ref":${ratios.size},"env_block":$envBlockJson"""
     def qsJson(rs: Seq[(String, Option[Double])], digits: Int): String =
       rs.map { case (k, v) =>
         "\"" + k + "\":" + v.fold("null")(d => s"%.${digits}f".format(d))
@@ -249,17 +317,19 @@ object Bench {
     // The driver captures a 2000-char log tail; the full line is ~3.5 KB and
     // has overflowed it every round (BENCH_r01..r05 all have parsed:null).
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"retimed":$retimedJson,"ratio_vs_ref":$ratiosJson,$envJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(results, 6)},"retimed":$retimedJson,"ratio_vs_ref":$ratiosJson,$envJson,"rdd_cache_pre":$rddCachePre,"rdd_cache_post":${rddResidencyJson()},"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
     // the detail also lands in the repo cwd so the driver's round-end
     // commit captures the full per-query map (the stdout tail holds only
     // the headline; cross-round per-query forensics need this file).
     // Only when cwd IS the repo (build.sbt marker) AND this is a full
-    // unfiltered run — a SPARK_GRAFT_BENCH_ONLY profiling run would
-    // otherwise overwrite the artifact with a partial 2-query map that the
-    // next hourly commit sweeps up looking like a full-round detail file
+    // unfiltered run AND the run is at the driver's bench scale (sf0.1) —
+    // a SPARK_GRAFT_BENCH_ONLY profiling run would otherwise overwrite
+    // the artifact with a partial 2-query map, and an sf0.001 smoke run
+    // would replace the sf0.1 detail and silently disable the tier-3
+    // prev-artifact retime for the next real run (bit round 15)
     val repoDetail =
-      if (only.isEmpty &&
+      if (only.isEmpty && sfDir.endsWith("sf0.1") &&
           java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_DETAIL_last.json") else Seq.empty
     for (p <- (outPath +: repoDetail).distinct)

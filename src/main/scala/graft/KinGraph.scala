@@ -173,6 +173,27 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
         coalesce(col("neighbors"), lit(Array.empty[String])).as("neighbors"))
   }
 
+  /** POSITIONAL parity variant of [[neighborsFrom]] (reference
+    * graph.py:928-940 yields one iterator PER INPUT OCCURRENCE,
+    * order-aligned — duplicated query keys included): one result per
+    * element of `keys`, aligned by position. The keyed frame stays the
+    * engine path; this facade collects it once (bounded by the query-key
+    * list, never the graph) and replays the reference's positional zip on
+    * the driver. Missing keys raise NodeNotFound, as in the loop. */
+  def neighborsFromSeq(keys: Seq[String]): Seq[(String, Seq[String])] = {
+    val byKey = neighborsFrom(keys).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    keys.map(k => k -> byKey(k))
+  }
+
+  /** Positional variant of [[predecessorsFrom]] — see [[neighborsFromSeq]]
+    * (reference graph.py:942-957). */
+  def predecessorsFromSeq(keys: Seq[String]): Seq[(String, Seq[String])] = {
+    val byKey = predecessorsFrom(keys).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    keys.map(k => k -> byKey(k))
+  }
+
   /** reference: graph.py:942-957 — same contract as [[neighborsFrom]]. */
   def predecessorsFrom(keys: Seq[String]): DataFrame = {
     requireAllExist(keys)
@@ -495,8 +516,11 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     * compaction rewrite: coalesce small files, returning (files, rows)
     * stats like the reference's reclaimed-slot accounting. */
   def compact(targetPartitions: Int = 4): (KinGraph, Long, Long) = {
-    val n = nodes.repartition(targetPartitions).cache()
-    val e = edges.repartition(targetPartitions).cache()
+    // operator-local persists routed through CacheScope so a harness
+    // releaseAll() after the consuming query drops them (the plans stay
+    // valid — they just recompute if the compacted graph is reused later)
+    val n = CacheScope.cached(nodes.repartition(targetPartitions))
+    val e = CacheScope.cached(edges.repartition(targetPartitions))
     (derive(n, e), n.count(), e.count())
   }
 

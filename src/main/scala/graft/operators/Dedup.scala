@@ -309,6 +309,67 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** LSH FALSE-DROP precision audit — the other side of [[lshTuningCurve]]
+    * (which measures candidate RECALL vs the S-curve): of the pairs the
+    * banded verdict would MERGE at est_sim ≥ tau (i.e. the docs a
+    * production dedup pass drops), how many had exact Jaccard BELOW tau —
+    * false drops — per exact-similarity decile. All comparisons integer:
+    * est_milli = floor(est_sim·1000) is IEEE-exact (est_sim is the
+    * 6-dp-rounded dyadic k/32), and the false test is 1000·inter <
+    * tau·union. A candidate pair with NO shared shingle (possible only
+    * via band-hash collision) has exact Jaccard 0 and counts as a false
+    * drop in decile 0.
+    *
+    * Scale shape: rides the already-bucketed candidate pairs and the
+    * shared-shingle exact-intersection join — no new pair generator, no
+    * all-pairs product. */
+  def lshFalseDropsFrom(cand: DataFrame, sh: DataFrame,
+                        tauMilli: Long = 700L): DataFrame = {
+    val exact = ngramJaccardPairsFrom(sh, 0.0)
+    cand.join(exact, Seq("a", "b"), "left")
+      .select(
+        floor(col("est_sim") * 1000).cast("long").as("est_milli"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        coalesce(col("union_size"), lit(0L)).as("union_size"))
+      .filter(col("est_milli") >= tauMilli)
+      .withColumn("decile",
+        when(col("union_size") === 0, lit(0))
+          .otherwise(least(expr("(10 * inter) div union_size"), lit(9L))
+            .cast("int")))
+      .withColumn("f",
+        when(col("union_size") === 0 ||
+          col("inter") * 1000 < col("union_size") * tauMilli, 1L)
+          .otherwise(0L))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_dropped"), sum(col("f")).as("n_false"))
+      .select(col("decile"), col("n_dropped"), col("n_false"),
+        expr("(1000 * n_false) div n_dropped").as("false_rate_milli"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB twin of [[lshFalseDropsFrom]] over the full-corpus candidate
+    * generator + exact-Jaccard pair replay. */
+  def lshFalseDropsSql(table: String, idCol: String, textCol: String,
+                       tauMilli: Long = 700L): String =
+    s"""WITH cand AS (${minhashCandidatesSql(table, idCol, textCol)}),
+       |ex AS (${ngramJaccardPairsSql(table, idCol, textCol, 0.0)}),
+       |jd AS (
+       |  SELECT CAST(floor(c.est_sim * 1000) AS BIGINT) AS est_milli,
+       |    CAST(coalesce(e.inter, 0) AS BIGINT) AS inter,
+       |    CAST(coalesce(e.union_size, 0) AS BIGINT) AS union_size
+       |  FROM cand c LEFT JOIN ex e ON c.a = e.a AND c.b = e.b
+       |), dr AS (
+       |  SELECT CASE WHEN union_size = 0 THEN 0
+       |      ELSE CAST(least((10 * inter) // union_size, 9) AS INT) END AS decile,
+       |    CASE WHEN union_size = 0 OR inter * 1000 < union_size * $tauMilli
+       |      THEN 1 ELSE 0 END AS f
+       |  FROM jd WHERE est_milli >= $tauMilli
+       |)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_dropped,
+       |  CAST(sum(f) AS BIGINT) AS n_false,
+       |  CAST((1000 * sum(f)) // count(*) AS BIGINT) AS false_rate_milli
+       |FROM dr GROUP BY decile ORDER BY decile""".stripMargin
+
   /** DuckDB twin of [[lshTuningCurve]]: sampled shingles, exact pair
     * jaccard, the full signature/band/candidate replay on the sample,
     * and the identical squaring tree for the expectation. */

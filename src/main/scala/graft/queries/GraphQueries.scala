@@ -222,7 +222,44 @@ object GraphQueries {
     "g_part_edges" -> ((s, dir) =>
       Tables.partEdges(s, dir)
         .select(col("src"), col("dst"), col("quantity"), col("extendedprice"))
-        .orderBy("src", "dst"))
+        .orderBy("src", "dst")),
+
+    // §2 #37 — data() attr-only projection, driver-gated: identity fields
+    // suppressed, NULL attrs AND empty-string attrs dropped
+    // (structure.py:49-62 — '' is the reference's storage encoding for
+    // "unset string"). Attributed graph over the customer table: segment
+    // is '' for BUILDING customers (empty-drop pinned), phone is NULL
+    // below nation 5 (null-drop pinned); 8 lookups through the REAL
+    // node()/nodeData() facade — bounded by the query-key list — replayed
+    // as an UNPIVOT + drop-unset filter in the oracle
+    "g_node_data" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(
+        concat(lit("C"), col("c_custkey")).as("key"),
+        col("c_name").as("name"),
+        when(col("c_mktsegment") === "BUILDING", lit(""))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        when(col("c_nationkey") < 5, lit(null).cast("string"))
+          .otherwise(concat(lit("cust_"), col("c_custkey"))).as("nick"))
+      val gr = KinGraph(cust, g(s, dir).edges)
+      val rows = (1 to 8).map(i => s"C$i").flatMap { k =>
+        gr.nodeData(k).toSeq.map { case (a, v) => (k, a, String.valueOf(v)) }
+      }
+      import s.implicits._
+      rows.toDF("key", "attr", "value").orderBy("key", "attr")
+    }),
+
+    // §2 #33 — find_tombstones/compact parity: the maintenance rewrite's
+    // reclaimed-stats row (graph.py:390-407; the reference's
+    // check_integrity example prints the same counts). Immutable
+    // snapshots have no tombstones, so compaction IS the rewrite: rows
+    // preserved exactly, partition count forced to the target
+    "g_compact" -> ((s, dir) => {
+      val (g2, nRows, eRows) = g(s, dir).compact(4)
+      import s.implicits._
+      Seq((nRows, eRows,
+          g2.nodes.rdd.getNumPartitions, g2.edges.rdd.getNumPartitions))
+        .toDF("n_nodes", "n_edges", "node_parts", "edge_parts")
+    })
   )
 
   private val SubgraphKeys: Seq[String] =
@@ -361,6 +398,26 @@ object GraphQueries {
     "g_set_predecessors" ->
       s"""$cte SELECT (SELECT count(*) FROM e WHERE dst <> 'C1') + 2 AS n_edges,
          |CAST(2 AS BIGINT) AS c1_in""".stripMargin,
+
+    "g_node_data" ->
+      """WITH ca AS (
+        |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS key,
+        |    c_name AS name,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN '' ELSE c_mktsegment END AS segment,
+        |    CASE WHEN c_nationkey < 5 THEN NULL
+        |      ELSE 'cust_' || CAST(c_custkey AS VARCHAR) END AS nick
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 8)
+        |SELECT key, attr, value FROM (
+        |  SELECT key, 'name' AS attr, name AS value FROM ca
+        |  UNION ALL SELECT key, 'nick', nick FROM ca
+        |  UNION ALL SELECT key, 'segment', segment FROM ca)
+        |WHERE value IS NOT NULL AND value <> ''
+        |ORDER BY key, attr""".stripMargin,
+
+    "g_compact" ->
+      s"""$cte SELECT (SELECT count(*) FROM n) AS n_nodes,
+         |(SELECT count(*) FROM e) AS n_edges,
+         |CAST(4 AS INT) AS node_parts, CAST(4 AS INT) AS edge_parts""".stripMargin,
 
     "g_part_edges" ->
       """SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,

@@ -144,15 +144,22 @@ object GxQueries {
       GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5))
 
   /** Session-shared landmark-BFS state (4 landmarks × 4 rounds) — the one
-    * iterative pass gx_closeness and gx_diameter both read. The landmark
-    * keys are a deterministic hash sample recomputed per call (a tiny
-    * driver probe); only the BFS state frame is cached. */
+    * iterative pass gx_closeness, gx_diameter, gx_bipartite and
+    * gx_hopdist all read. The landmark keys are a deterministic hash
+    * sample recomputed per call (a tiny driver probe); only the BFS state
+    * frame is cached. The node-sized state is localCheckpoint'ed (then
+    * statsReset per the checkpoint discipline — gx_bipartite joins it
+    * twice) INSIDE the cached build, so a later eviction of the persisted
+    * blocks recomputes a trivial RDD scan, never the whole 4-round
+    * iterative pass — the round-14 mechanism behind gx_bipartite's
+    * unexplained 8.4 s (2.4× its own plan cost with zero code changes). */
   private def sharedLmBfs(s: SparkSession, dir: String)
       : (Array[String], org.apache.spark.sql.DataFrame) = {
     val g = unionGraph(s, dir)
     val lm = GraphOps.landmarkKeys(g, 4)
-    (lm, Tables.cached("lm_bfs_4x4", s, dir)(
-      GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4)._2))
+    (lm, Tables.cached("lm_bfs_4x4", s, dir)(GraphOps.statsReset(
+      GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4)._2
+        .localCheckpoint(true))))
   }
 
   /** Forces the session-shared GraphX graph cache (vertex + edge RDDs) and

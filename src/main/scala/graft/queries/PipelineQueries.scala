@@ -2365,6 +2365,16 @@ object PipelineQueries {
     "d_lsh_tune" -> ((s, dir) =>
       Dedup.lshTuningCurve(sharedShingles(s, dir))),
 
+    // LSH false-drop PRECISION audit — the other side of d_lsh_tune's
+    // recall curve: of the pairs the banded verdict would merge at
+    // est_sim ≥ 0.7 (what a production dedup pass drops), how many had
+    // exact Jaccard BELOW the threshold, per exact decile. Rides the
+    // session-shared candidate and shingle caches; all comparisons
+    // integer (PipelineSpec plants a borderline est>tau>exact pair)
+    "d_lsh_precision" -> ((s, dir) =>
+      Dedup.lshFalseDropsFrom(sharedMinhashCands(s, dir),
+        sharedShingles(s, dir), 700L)),
+
     "d_minhash_est" -> ((s, dir) => {
       // the session-shared shingle explode feeds BOTH the (shared) LSH
       // candidates and the exact-Jaccard verify side
@@ -3712,6 +3722,66 @@ object PipelineQueries {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         shufflePartitions = Some(8))
         .orderBy("h")}),
+
+    // STREAMING sketch-state watermark EVICTION: the APPEND-mode
+    // windowed-HLL twin of s_stream_whll over the s_stream_late lattice.
+    // Update mode never drops late input (the pinned doctrine), so
+    // s_stream_whll windows by event time but cannot demonstrate
+    // eviction; append mode can. Batch 1 plants hour-windows 0..23 of
+    // 'u' items + a clock row at h48 (watermark -> 46); batch 2's clock
+    // row at h49 makes windows h <= 45 emit AND evict (wm -> 47); batch
+    // 3 replays all 50 hours with NEW 'x' items — its h <= 45 rows are
+    // genuinely dropped (those windows' register tables stay at their
+    // batch-1 values), while its h = 46 row (window end == watermark) is
+    // still accepted and that window emits carrying the x-item's
+    // registers. Pins drop-iff-end<watermark for SKETCH state the way
+    // s_stream_late pins it for counts; ONE stateful operator; the
+    // oracle replays the construction's closed form through the md5
+    // register family
+    "s_stream_hll_late" -> ((s, dir) => {
+      val tmp = scratchDir("hlllate", dir)
+      val baseEpoch = 1767225600L // 2026-01-01T00:00:00Z, hour-aligned
+      def lattice(n: Int, hExpr: String, itemExpr: String)
+          : org.apache.spark.sql.DataFrame =
+        s.range(n).select(
+          expr(s"timestamp_seconds($baseEpoch + ($hExpr) * 3600)").as("ts"),
+          expr(itemExpr).as("item"))
+      def plant(df: org.apache.spark.sql.DataFrame, name: String,
+                mtime: Long): Unit = {
+        val w = s"$tmp/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$tmp/stream/$name")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = System.currentTimeMillis()
+      plant(lattice(101, "CASE WHEN id = 100 THEN 48 ELSE id % 24 END",
+        "concat('u', id)"), "b1.parquet", t0 - 180000)
+      plant(lattice(1, "49", "'u101'"), "b2.parquet", t0 - 120000)
+      plant(lattice(50, "id % 50", "concat('x', id)"), "b3.parquet",
+        t0 - 60000)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream")
+      val regs = graft.operators.Sketches.hllRhoRows(
+          src.withWatermark("ts", "2 hours"), "item", carry = Seq("ts"))
+        .groupBy(window(col("ts"), "1 hour"), col("register"))
+        .agg(max(col("rho")).as("rho_max"))
+        .select(((unix_timestamp(col("window.start")) - baseEpoch) / 3600)
+          .cast("int").as("h"), col("register"), col("rho_max"))
+      graft.streaming.EventStreams.runToMemory(regs, "s_stream_hll_late_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("h", "register")}),
 
     // STREAMING dedup STATE-EVICTION observability:
     // dropDuplicatesWithinWatermark keeps per-key state only until the
@@ -5140,6 +5210,8 @@ object PipelineQueries {
          |FROM acum""".stripMargin,
 
     "d_lsh_tune" -> Dedup.lshTuningCurveSql(docsT, "doc_id", "text"),
+
+    "d_lsh_precision" -> Dedup.lshFalseDropsSql(docsT, "doc_id", "text", 700L),
 
     "d_source_divergence" ->
       s"""WITH jc AS (
@@ -7128,6 +7200,33 @@ object PipelineQueries {
         |SELECT CAST(h AS INT) AS h, CAST(count(*) AS BIGINT) AS n
         |FROM slkept, slw WHERE h + 1 <= w
         |GROUP BY h ORDER BY h""".stripMargin,
+
+    "s_stream_hll_late" ->
+      s"""WITH hlb1 AS (
+         |  SELECT CASE WHEN i = 100 THEN 48 ELSE i % 24 END AS h,
+         |    'u' || CAST(i AS VARCHAR) AS item
+         |  FROM (SELECT unnest(generate_series(0, 100)) AS i)
+         |), hlb2 AS (
+         |  SELECT 49 AS h, 'u101' AS item
+         |), hlw AS (
+         |  SELECT max(h) - 2 AS w
+         |  FROM (SELECT h FROM hlb1 UNION ALL SELECT h FROM hlb2)
+         |), hlb3 AS (
+         |  SELECT i % 50 AS h, 'x' || CAST(i AS VARCHAR) AS item
+         |  FROM (SELECT unnest(generate_series(0, 49)) AS i)
+         |), hlacc AS (
+         |  SELECT h, item FROM hlb1
+         |  UNION ALL SELECT h, item FROM hlb2
+         |  UNION ALL SELECT b.h, b.item FROM hlb3 b, hlw WHERE b.h + 1 >= hlw.w
+         |), hlpre AS (
+         |  SELECT h, CAST(hh % 64 AS INT) AS register, hh // 64 AS v
+         |  FROM (SELECT h, ${TextFunctions.hash60Sql("item")} AS hh FROM hlacc)
+         |)
+         |SELECT CAST(h AS INT) AS h, register,
+         |  CAST(max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS INT)
+         |    AS rho_max
+         |FROM hlpre, hlw WHERE h + 1 <= hlw.w
+         |GROUP BY h, register ORDER BY h, register""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (

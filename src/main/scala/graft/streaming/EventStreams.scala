@@ -847,27 +847,34 @@ object EventStreams {
     * frozen into the checkpoint anyway, so this is a per-query property,
     * not a session one); the session conf is restored after the drain.
     * Results are partition-count-invariant — this trades nothing. */
-  /** State-operator count of the LAST [[runToMemory]] drain (read from
-    * the final StreamingQueryProgress) — spec support for mechanically
-    * pinning the "exactly ONE stateful operator" claims the streaming
-    * gates document, instead of trusting the comment. -1 when the last
-    * drain produced no progress. */
-  @volatile private[graft] var lastStateOperatorCount: Int = -1
-
   def runToMemory(stream: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete(),
-                  shufflePartitions: Option[Int] = None): DataFrame = {
+                  shufflePartitions: Option[Int] = None): DataFrame =
+    runToMemoryCounted(stream, name, mode, shufflePartitions)._1
+
+  /** [[runToMemory]] returning ALSO the drain's state-operator count
+    * (from the final StreamingQueryProgress; -1 when the drain produced
+    * no progress) — spec support for mechanically pinning the "exactly
+    * ONE stateful operator" claims the streaming gates document. A
+    * per-call return, not a process global: concurrent drains (parallel
+    * test execution, a future concurrent bench) each read their own
+    * query's count. */
+  def runToMemoryCounted(stream: DataFrame, name: String,
+                         mode: OutputMode = OutputMode.Complete(),
+                         shufflePartitions: Option[Int] = None)
+      : (DataFrame, Int) = {
     val sp = stream.sparkSession
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    var nStateOps = -1
     shufflePartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
     try {
       val q = stream.writeStream
         .format("memory").queryName(name).outputMode(mode).start()
       q.processAllAvailable()
-      lastStateOperatorCount =
+      nStateOps =
         Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
       q.stop()
     } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
-    sp.table(name)
+    (sp.table(name), nStateOps)
   }
 }

@@ -24,20 +24,32 @@ class ContractSpec extends SparkSpec {
     // shadowed query definition becomes dead code and which oracle pairs
     // with the surviving one is luck. The runtime Map cannot see this
     // (duplicates are collapsed before any test runs), so scan the
-    // registry SOURCE: every underscore-named string key may appear at
-    // most twice per file (once in the query map, once in the oracle
-    // map). Bit round 14 twice: d_split_leakage, d_snapshot_diff.
+    // registry SOURCE — split at the query-map and oracle-map
+    // declarations and assert at most ONE binding per key per REGION
+    // (the old ≤2-per-file rule let a rows-only query duplicated inside
+    // the query map pass, and would false-trip on a name shared with
+    // sharedCacheBuilds). Bit round 14 twice: d_split_leakage,
+    // d_snapshot_diff.
     val keyDef = """"([a-z]+[a-z0-9]*_[a-z0-9_]+)"\s*->""".r
+    val qMarker = "val queries: Map[String, (SparkSession, String) => DataFrame] = Map("
+    val oMarker = "val oracles: Map[String, String] = Map("
     for (f <- Seq("GraphQueries", "AnalyticsQueries", "PipelineQueries",
         "GxQueries")) {
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/queries/$f.scala")),
         "UTF-8")
-      val over = keyDef.findAllMatchIn(src).map(_.group(1)).toSeq
-        .groupBy(identity).filter(_._2.size > 2)
-      assert(over.isEmpty,
-        s"$f.scala binds a key more than twice (query def shadowed?): " +
-          over.keys.toSeq.sorted.mkString(", "))
+      val qi = src.indexOf(qMarker)
+      val oi = src.indexOf(oMarker)
+      assert(qi >= 0 && oi > qi, s"$f.scala: registry map markers not found")
+      for ((region, body) <- Seq(
+          "query map" -> src.substring(qi, oi),
+          "oracle map" -> src.substring(oi))) {
+        val over = keyDef.findAllMatchIn(body).map(_.group(1)).toSeq
+          .groupBy(identity).filter(_._2.size > 1)
+        assert(over.isEmpty,
+          s"$f.scala binds a key more than once in the $region " +
+            s"(shadowed definition?): ${over.keys.toSeq.sorted.mkString(", ")}")
+      }
     }
   }
 

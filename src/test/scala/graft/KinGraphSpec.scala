@@ -85,6 +85,24 @@ class KinGraphSpec extends SparkSpec {
     assert(pf2 == Map("a" -> Seq.empty, "b" -> Seq("a", "c"), "c" -> Seq.empty))
   }
 
+  test("neighborsFromSeq/predecessorsFromSeq: positional reference parity — " +
+    "one result per input OCCURRENCE, duplicates included, order-aligned") {
+    // the reference's loop yields one iterator per input element
+    // (graph.py:928-957); the keyed frame collapses duplicates, so the
+    // positional facade must replay them
+    val g2 = graphOf(Oracle(Set("a", "b", "c"),
+      Set(("a", "b", 0), ("c", "b", 0))))
+    val in = Seq("a", "b", "a", "c", "a")
+    val nf = g2.neighborsFromSeq(in)
+    assert(nf.size == in.size, "one result per input occurrence")
+    assert(nf.map(_._1) == in, "order-aligned with the input")
+    assert(nf == Seq("a" -> Seq("b"), "b" -> Seq.empty, "a" -> Seq("b"),
+      "c" -> Seq("b"), "a" -> Seq("b")))
+    val pf = g2.predecessorsFromSeq(Seq("b", "b"))
+    assert(pf == Seq("b" -> Seq("a", "c"), "b" -> Seq("a", "c")))
+    assertThrows[NodeNotFound](g2.neighborsFromSeq(Seq("a", "missing_key")))
+  }
+
   test("point lookups and existence") {
     val k = oracle.nodes.head
     assert(g.node(k).getAs[String]("key") == k)

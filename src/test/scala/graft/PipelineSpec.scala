@@ -743,6 +743,46 @@ class PipelineSpec extends SparkSpec {
     assert(expMicro == 1000000L)
   }
 
+  test("lshFalseDrops counts a planted borderline est>tau>exact pair") {
+    // the borderline pair: one token substituted in a 12-token doc ->
+    // exact jaccard 8/12 = 0.667 (milli 666 < tau 700) while the
+    // deterministic md5 minhash family agrees on 25/32 lanes (est_milli
+    // 781 >= 700) AND shares an LSH band — a candidate the banded verdict
+    // drops that exact verification would keep: a FALSE drop. Doc 3 is an
+    // exact copy of doc 1 (est 1000, jaccard 1000): a TRUE drop
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val nearMiss = base.replace("bravo", "xray")
+    val docs = Seq((1L, base), (2L, nearMiss), (3L, base),
+      (4L, "a wholly different corpus of words and phrases here"))
+      .toDF("doc_id", "txt")
+    val sh = Dedup.shingleRows(docs, "doc_id", "txt")
+    val out = Dedup.lshFalseDropsFrom(Dedup.minhashCandidatesFrom(sh), sh, 700L)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // decile 6 = the two borderline pairs (1,2) and (2,3), both false
+    // drops (8*10 div 12 = 6); decile 9 = the exact pair (1,3), zero false
+    assert(out.toSeq == Seq((6, 2L, 2L, 1000L), (9, 1L, 0L, 0L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("unigram Viterbi fails loudly on non-BMP input (position-parity guard)") {
+    // Scala substring splits surrogate pairs where DuckDB slices code
+    // points — the guard must abort the query with the documented
+    // exception, never silently hash-diverge (Collocations.uniViterbi)
+    import graft.operators.Collocations
+    val vocab = Seq(("a", 5L, 100L), ("b", 5L, 100L))
+      .toDF("tok", "cnt", "score_micro")
+    val words = Seq((1L, "a😀b")).toDF("doc_id", "word")
+    val ex = intercept[Throwable] {
+      Collocations.unigramWordStats(words, vocab).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("non-BMP")),
+      s"expected the BMP-guard IllegalArgumentException, got: $ex")
+  }
+
   test("textRank centers the hub token and floors isolated tokens") {
     val corpus = Seq(
       (1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "b c"), (5L, "z"))

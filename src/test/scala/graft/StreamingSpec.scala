@@ -248,11 +248,11 @@ class StreamingSpec extends SparkSpec {
       .localCheckpoint(true)
     val st = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
-    val drained = EventStreams.runToMemory(
+    val (drained, nStateOps) = EventStreams.runToMemoryCounted(
       EventStreams.minhashHitsStream(st, bandIdx, "doc_id", "text"),
       "t_minhash_stream",
       mode = org.apache.spark.sql.streaming.OutputMode.Update())
-    assert(EventStreams.lastStateOperatorCount == 1,
+    assert(nStateOps == 1,
       "the whole detection chain must be stateless around ONE aggregation")
     val hitIds = drained.select($"doc_id").distinct()
       .as[Long].collect().toSet
@@ -272,12 +272,13 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming windowed HLL equals the batch per-window registers") {
     import graft.operators.Sketches
-    val streamed = EventStreams.runToMemory(
+    val (whllDrained, whllStateOps) = EventStreams.runToMemoryCounted(
         EventStreams.windowedHllRegisters(stream), "t_whll_stream",
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val streamed = whllDrained
       .groupBy("window_start", "register").agg(max($"rho_max").as("rho_max"))
       .as[(java.sql.Timestamp, Int, Int)].collect().toSet
-    assert(EventStreams.lastStateOperatorCount == 1,
+    assert(whllStateOps == 1,
       "windowed registers must be ONE stateful aggregation")
     val b = Sketches.hllRegistersBy(
         batch.select(date_trunc("hour", $"ts").as("grp"),
@@ -312,11 +313,11 @@ class StreamingSpec extends SparkSpec {
     val dupKeys = Dedup.dupSpanKeySet(d, "doc_id", "text").localCheckpoint(true)
     val st = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
-    val drained = EventStreams.runToMemory(
+    val (drained, nStateOps) = EventStreams.runToMemoryCounted(
       EventStreams.spanDupFractionStream(st, dupKeys, "doc_id", "text"),
       "t_span_frac_stream",
       mode = org.apache.spark.sql.streaming.OutputMode.Update())
-    assert(EventStreams.lastStateOperatorCount == 1)
+    assert(nStateOps == 1)
     val streamed = d.select($"doc_id")
       .join(drained.groupBy("doc_id")
         .agg(max(struct($"n_spans", $"n_dup")).as("m"))
@@ -353,11 +354,12 @@ class StreamingSpec extends SparkSpec {
     val all = (t1 ++ t2).toDF("token")
     val st = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
-    val hllStream = EventStreams.runToMemory(
+    val (hllDrained, hllStateOps) = EventStreams.runToMemoryCounted(
         EventStreams.hllRegisterStream(st, "token"), "t_hll_stream",
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val hllStream = hllDrained
       .groupBy("register").agg(max($"rho_max").as("r"))
-    assert(EventStreams.lastStateOperatorCount == 1)
+    assert(hllStateOps == 1)
     val hllJoined = Sketches.hllRegisters(all, "token")
       .join(hllStream, Seq("register"), "left")
       .select($"register", $"rho_max",
@@ -366,12 +368,13 @@ class StreamingSpec extends SparkSpec {
     assert(hllJoined.length == 64)
     hllJoined.foreach { case (reg, b, sm) =>
       assert(b == sm, s"register $reg: batch=$b stream=$sm") }
-    val cmsStream = EventStreams.runToMemory(
+    val (cmsDrained, cmsStateOps) = EventStreams.runToMemoryCounted(
         EventStreams.cmsCellStream(st, "token"), "t_cms_stream",
         mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    val cmsStream = cmsDrained
       .groupBy("r", "bucket").agg(max($"cnt").as("cnt"))
       .orderBy("r", "bucket").collect().toSeq
-    assert(EventStreams.lastStateOperatorCount == 1)
+    assert(cmsStateOps == 1)
     val batchCells = Sketches.cmsBuild(all, "token")
       .orderBy("r", "bucket").collect().toSeq
     assert(cmsStream == batchCells,

@@ -898,6 +898,130 @@ object Similarity {
        |  CAST((1000 * CAST(sum(q) AS BIGINT)) // count(*) AS BIGINT) AS mean_milli
        |FROM q GROUP BY grp, i""".stripMargin
 
+  /** Deterministic hash-ranked seed frame for [[int8LloydStep]]: the k
+    * ids whose salted key hash ranks lowest, cid = rank — the trainless
+    * seed rule the sampled-centroid IVF gates already replay in SQL, so
+    * a Lloyd step on top stays fully oracle-checkable (Spark ML KMeans
+    * centroids are engine-private float state). The rank window runs on
+    * the orderBy+limit k-row frame, never the corpus. */
+  def int8LloydSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    val ranked = corpus.select(col("id"))
+      .withColumn("h", graft.functions.TextFunctions.hash60(
+        concat(col("id").cast("string"), lit("km"))))
+      .orderBy(col("h"), col("id")).limit(k)
+    val w = Window.orderBy(col("h"), col("id"))
+    ranked.withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), col("id"))
+  }
+
+  /** ONE integer-exact Lloyd iteration over the int8-quantized corpus —
+    * the index-training step (IVF coarse-quantizer refinement) as a
+    * relational plan: assignment = argmin of the EXACT integer squared-L2
+    * over the affine int8 codes (ties to the smallest centroid id),
+    * update = per-(centroid, dim) integer code sums with the milli-mean,
+    * and the one-row-per-centroid readout carries membership count, total
+    * inertia and the L1 shift (milli) between the seed codes and the
+    * updated means — the numbers a training loop monitors for
+    * convergence. All integers, so every row replays exactly in DuckDB
+    * ([[int8LloydStepSql]]).
+    *
+    * Scale shape: one posexplode, one broadcast dims-row stats join, one
+    * broadcast (k × dims) seed-code join, the (id, cid) distance
+    * aggregation (n·k rows, map-side combinable), one per-id argmin, one
+    * (cid, dim) update aggregation — no corpus×corpus work; exactly the
+    * plan a 1000-executor Lloyd step runs.
+    *
+    * `seeds`: (cid, id) — [[int8LloydSeeds]] in production; specs pass
+    * explicit ids for hand-checked fixtures. A centroid whose seed codes
+    * duplicate a lower cid's can end up memberless; it is then absent
+    * from the output in BOTH engines (the deterministic tie rule). */
+  def int8LloydStep(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+    val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // cached: feeds the seed-code projection, the distance join and the
+    // update aggregation
+    val q = graft.CacheScope.cached(el.join(broadcast(stats), "i")
+      .select(col("id"), col("i"), qCode(col("v"), col("mn"), col("mx")).as("q")))
+    val seedCodes = broadcast(
+      q.join(seeds, "id").select(col("cid"), col("i"), col("q").as("cq")))
+    val dists = q.join(seedCodes, "i")
+      .groupBy(col("id"), col("cid"))
+      .agg(sum((col("q") - col("cq")).cast("long") *
+        (col("q") - col("cq"))).as("dist"))
+    val asg = dists.groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    val upd = asg.join(q, "id")
+      .groupBy(col("cid"), col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+      .withColumn("mean_milli", expr("(1000 * sum_q) div n"))
+    val shift = upd.join(seedCodes, Seq("cid", "i"))
+      .groupBy(col("cid"))
+      .agg(sum(abs(col("mean_milli") - lit(1000L) * col("cq")))
+        .as("shift_l1_milli"))
+    asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist")).as("inertia"))
+      .join(shift, "cid")
+      .select(col("cid"), col("n_assigned"), col("inertia"),
+        col("shift_l1_milli"))
+  }
+
+  /** DuckDB twin of [[int8LloydSeeds]] + [[int8LloydStep]] over the
+    * embeddings table with k hash-ranked seeds. */
+  def int8LloydStepSql(table: String, k: Int): String = {
+    val hSql = graft.functions.TextFunctions.hash60Sql(
+      "CAST(id AS VARCHAR) || 'km'")
+    s"""WITH el AS (
+       |  SELECT id, s['i'] AS i, CAST(s['v'] AS DOUBLE) AS v FROM (
+       |    SELECT vec_id AS id, unnest(list_transform(
+       |      generate_series(1, len(embedding)),
+       |      i -> {'i': i - 1, 'v': embedding[i]})) AS s
+       |    FROM $table)
+       |), stats AS (
+       |  SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+       |), q AS MATERIALIZED (
+       |  SELECT id, i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(least(floor((v - mn) * 255.0 / (mx - mn)), 255) AS INT)
+       |    END AS q
+       |  FROM el JOIN stats USING (i)
+       |), sd AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY h, id) AS rn
+       |    FROM (SELECT vec_id AS id, $hSql AS h FROM $table))
+       |  WHERE rn <= $k
+       |), sc AS (
+       |  SELECT sd.cid, q.i, q.q AS cq FROM sd JOIN q USING (id)
+       |), d AS (
+       |  SELECT q.id, sc.cid,
+       |    CAST(sum(CAST(q.q - sc.cq AS BIGINT) * (q.q - sc.cq)) AS BIGINT)
+       |      AS dist
+       |  FROM q JOIN sc ON q.i = sc.i GROUP BY q.id, sc.cid
+       |), asg AS (
+       |  SELECT id, cid, dist FROM (
+       |    SELECT id, cid, dist,
+       |      row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+       |    FROM d) WHERE rn = 1
+       |), um AS (
+       |  SELECT a.cid, q.i, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(q.q) AS BIGINT) AS sum_q,
+       |    (1000 * CAST(sum(q.q) AS BIGINT)) // count(*) AS mean_milli
+       |  FROM asg a JOIN q USING (id) GROUP BY a.cid, q.i
+       |), sh AS (
+       |  SELECT um.cid,
+       |    CAST(sum(abs(um.mean_milli - 1000 * sc.cq)) AS BIGINT)
+       |      AS shift_l1_milli
+       |  FROM um JOIN sc ON um.cid = sc.cid AND um.i = sc.i GROUP BY um.cid
+       |), mem AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM asg GROUP BY cid
+       |)
+       |SELECT mem.cid, mem.n_assigned, mem.inertia, sh.shift_l1_milli
+       |FROM mem JOIN sh ON mem.cid = sh.cid
+       |ORDER BY mem.cid""".stripMargin
+  }
+
   /** Integer-exact within-cluster outlier score — the embedding-pruning
     * pass that drops mislabeled/degenerate vectors before training:
     * quantize to int8 codes (the [[quantizeInt8]] affine+floor map),

@@ -3063,6 +3063,17 @@ object PipelineQueries {
           (col("l1_milli") >= col("p95")).as("outlier"))
         .orderBy("id")}),
 
+    // ONE Lloyd iteration over the int8-quantized embeddings with k=8
+    // hash-ranked seeds — the IVF coarse-quantizer TRAINING step as a
+    // relational plan (ML KMeans centroids are engine-private float
+    // state; this step is all-integer on the affine codes, so member
+    // counts, total inertia and the seed→mean L1 shift all hash-check
+    // cell by cell). Assignment argmin ties to the smallest centroid id
+    "e_kmeans_step" -> ((s, dir) => {
+      val c = embDouble(s, dir)
+      Similarity.int8LloydStep(c, Similarity.int8LloydSeeds(c, 8))
+        .orderBy("cid")}),
+
     // per-label integer centroid of the int8-quantized embeddings (the
     // cluster-profile step of semantic dedup): exact code sums + integer
     // milli-mean, every cell hash-checked
@@ -4537,6 +4548,8 @@ object PipelineQueries {
     "e_centroid" ->
       (Similarity.int8GroupCentroidsSql("embeddings", "label") +
         "\nORDER BY grp, dim"),
+
+    "e_kmeans_step" -> Similarity.int8LloydStepSql("embeddings", 8),
 
     // per-label floor-micro norm envelope off the exact sqrt∘dot tree
     "e_vec_stats" ->

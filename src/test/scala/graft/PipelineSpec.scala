@@ -1164,6 +1164,25 @@ class PipelineSpec extends SparkSpec {
       (1, 1, 1L, 0L, 0L)))
   }
 
+  test("int8 Lloyd step: hand-checked assignment, inertia and centroid shift") {
+    import graft.operators.Similarity
+    // codes: ids 1-3 -> (0,0), ids 4-5 -> (255,255), id 6 -> (255,0);
+    // explicit seeds c0=id1, c1=id4. id 6 ties both centroids at 255^2
+    // -> smallest cid wins. c0 mean dim0 = 255000 div 4 = 63750 milli
+    // -> L1 shift 63750; c1 members equal the seed -> zero everything
+    val c = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.0, 0.0)),
+      (4L, Seq(1.0, 1.0)), (5L, Seq(1.0, 1.0)), (6L, Seq(1.0, 0.0)))
+      .toDF("id", "vec")
+    val seeds = Seq((0, 1L), (1, 4L)).toDF("cid", "id")
+    val out = Similarity.int8LloydStep(c, seeds)
+      .orderBy("cid").as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 4L, 65025L, 63750L), (1, 2L, 0L, 0L)), s"got $out")
+    // the hash-ranked seed frame is deterministic and rank-dense
+    val sd = Similarity.int8LloydSeeds(c, 2).as[(Int, Long)].collect().toSeq
+    assert(sd.map(_._1) == Seq(0, 1) && sd.map(_._2).distinct.size == 2)
+  }
+
   test("mixture balancing equalizes skewed group sizes deterministically") {
     import graft.operators.Sampling
     val df = docs.select($"doc_id", $"lang")

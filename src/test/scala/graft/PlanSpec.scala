@@ -43,6 +43,23 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("etype"), s"etype not pruned: $readSchema")
   }
 
+  test("Lloyd step broadcasts stats + seed codes; distance agg is partial; no product") {
+    import graft.operators.Similarity
+    val c = Tables.embeddings(spark, sf).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val plan = finalPlanString(
+      Similarity.int8LloydStep(c, Similarity.int8LloydSeeds(c, 4)))
+    CacheScope.releaseAll()
+    assert(!plan.contains("CartesianProduct"),
+      "Lloyd step must never form a corpus product")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      "per-dim stats and the k×dims seed codes must broadcast")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+      plan.contains("HashAggregate"),
+      "distance/update aggregations must map-side combine")
+  }
+
   test("degree aggregation is partial+final (map-side combine)") {
     val plan = planString(parquetGraph.outDegrees)
     assert(plan.contains("partial_count") || plan.contains("partial count"),

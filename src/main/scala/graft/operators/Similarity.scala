@@ -935,7 +935,10 @@ object Similarity {
     * explicit ids for hand-checked fixtures. A centroid whose seed codes
     * duplicate a lower cid's can end up memberless; it is then absent
     * from the output in BOTH engines (the deterministic tie rule). */
-  def int8LloydStep(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+  /** The shared internals of the Lloyd readouts: cached codes, seed
+    * codes, the round-1 assignment and the per-(cid, dim) update stats. */
+  private def lloydParts(corpus: DataFrame, seeds: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
     val stats = el.groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     // cached: feeds the seed-code projection, the distance join and the
@@ -955,6 +958,11 @@ object Similarity {
       .groupBy(col("cid"), col("i"))
       .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
       .withColumn("mean_milli", expr("(1000 * sum_q) div n"))
+    (q, seedCodes, asg, upd)
+  }
+
+  def int8LloydStep(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val (_, seedCodes, asg, upd) = lloydParts(corpus, seeds)
     val shift = upd.join(seedCodes, Seq("cid", "i"))
       .groupBy(col("cid"))
       .agg(sum(abs(col("mean_milli") - lit(1000L) * col("cq")))
@@ -966,9 +974,44 @@ object Similarity {
         col("shift_l1_milli"))
   }
 
-  /** DuckDB twin of [[int8LloydSeeds]] + [[int8LloydStep]] over the
-    * embeddings table with k hash-ranked seeds. */
-  def int8LloydStepSql(table: String, k: Int): String = {
+  /** Reassignment CHURN after the Lloyd update — the OTHER convergence
+    * number a k-means loop watches: reassign every vector against the
+    * UPDATED milli-centroids (distance in exact milli² integers:
+    * Σ (1000·q − mean_milli)², ties to the smallest cid; a centroid
+    * emptied by the tie rule simply fields no candidates) and report per
+    * ROUND-1 cell how many members stayed vs left and the cell's
+    * round-2 membership. Σ n_moved / Σ n_before is the churn rate the
+    * loop's stop condition reads. All integers (milli² ≤ 255000² · dims
+    * — exact i64), so the whole two-half-step pipeline replays in
+    * DuckDB. Same scale shape as [[int8LloydStep]] plus one more
+    * broadcast (k × dims) centroid join. */
+  def int8LloydChurn(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val (q, _, asg, upd) = lloydParts(corpus, seeds)
+    val ctr = broadcast(upd.select(col("cid"), col("i"), col("mean_milli")))
+    val d2 = q.join(ctr, "i")
+      .groupBy(col("id"), col("cid"))
+      .agg(sum((lit(1000L) * col("q") - col("mean_milli")) *
+        (lit(1000L) * col("q") - col("mean_milli"))).as("dist2"))
+    val asg2 = d2.groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid2"))
+    asg.join(asg2, "id")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("cid") === col("cid2"), 1L).otherwise(0L)).as("n_stayed"))
+      .join(asg2.groupBy(col("cid2").as("cid"))
+        .agg(count(lit(1)).as("n_after")), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_stayed"), lit(0L)).as("n_stayed"),
+        (coalesce(col("n_before"), lit(0L)) -
+          coalesce(col("n_stayed"), lit(0L))).as("n_moved"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** Shared DuckDB CTE chain of the Lloyd twins: codes, hash-ranked
+    * seeds, round-1 assignment and the per-(cid, dim) update stats. */
+  private def lloydCtesSql(table: String, k: Int): String = {
     val hSql = graft.functions.TextFunctions.hash60Sql(
       "CAST(id AS VARCHAR) || 'km'")
     s"""WITH el AS (
@@ -1007,7 +1050,13 @@ object Similarity {
        |    CAST(sum(q.q) AS BIGINT) AS sum_q,
        |    (1000 * CAST(sum(q.q) AS BIGINT)) // count(*) AS mean_milli
        |  FROM asg a JOIN q USING (id) GROUP BY a.cid, q.i
-       |), sh AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[int8LloydSeeds]] + [[int8LloydStep]] over the
+    * embeddings table with k hash-ranked seeds. */
+  def int8LloydStepSql(table: String, k: Int): String =
+    s"""${lloydCtesSql(table, k)}, sh AS (
        |  SELECT um.cid,
        |    CAST(sum(abs(um.mean_milli - 1000 * sc.cq)) AS BIGINT)
        |      AS shift_l1_milli
@@ -1020,7 +1069,36 @@ object Similarity {
        |SELECT mem.cid, mem.n_assigned, mem.inertia, sh.shift_l1_milli
        |FROM mem JOIN sh ON mem.cid = sh.cid
        |ORDER BY mem.cid""".stripMargin
-  }
+
+  /** DuckDB twin of [[int8LloydChurn]]. */
+  def int8LloydChurnSql(table: String, k: Int): String =
+    s"""${lloydCtesSql(table, k)}, d2 AS (
+       |  SELECT q.id, um.cid,
+       |    CAST(sum((1000 * q.q - um.mean_milli) * (1000 * q.q - um.mean_milli))
+       |      AS BIGINT) AS dist2
+       |  FROM q JOIN um ON q.i = um.i GROUP BY q.id, um.cid
+       |), asg2 AS (
+       |  SELECT id, cid AS cid2 FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+       |    FROM d2) WHERE rn = 1
+       |), bf AS (
+       |  SELECT a.cid, CAST(count(*) AS BIGINT) AS n_before,
+       |    CAST(sum(CASE WHEN a.cid = a2.cid2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_stayed
+       |  FROM asg a JOIN asg2 a2 USING (id) GROUP BY a.cid
+       |), af AS (
+       |  SELECT cid2 AS cid, CAST(count(*) AS BIGINT) AS n_after
+       |  FROM asg2 GROUP BY cid2
+       |)
+       |SELECT coalesce(bf.cid, af.cid) AS cid,
+       |  CAST(coalesce(bf.n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(coalesce(bf.n_stayed, 0) AS BIGINT) AS n_stayed,
+       |  CAST(coalesce(bf.n_before, 0) - coalesce(bf.n_stayed, 0) AS BIGINT)
+       |    AS n_moved,
+       |  CAST(coalesce(af.n_after, 0) AS BIGINT) AS n_after
+       |FROM bf FULL OUTER JOIN af ON bf.cid = af.cid
+       |ORDER BY cid""".stripMargin
 
   /** Integer-exact within-cluster outlier score — the embedding-pruning
     * pass that drops mislabeled/degenerate vectors before training:

@@ -3074,6 +3074,16 @@ object PipelineQueries {
       Similarity.int8LloydStep(c, Similarity.int8LloydSeeds(c, 8))
         .orderBy("cid")}),
 
+    // reassignment CHURN after the Lloyd update — the convergence number
+    // the k-means loop's stop condition reads: per round-1 cell, members
+    // stayed vs moved when reassigned against the UPDATED milli-centroids
+    // (exact milli² integer distances, smallest-cid ties), plus the
+    // round-2 membership. Full two-half-step DuckDB replay
+    "e_kmeans_churn" -> ((s, dir) => {
+      val c = embDouble(s, dir)
+      Similarity.int8LloydChurn(c, Similarity.int8LloydSeeds(c, 8))
+        .orderBy("cid")}),
+
     // per-label integer centroid of the int8-quantized embeddings (the
     // cluster-profile step of semantic dedup): exact code sums + integer
     // milli-mean, every cell hash-checked
@@ -4550,6 +4560,8 @@ object PipelineQueries {
         "\nORDER BY grp, dim"),
 
     "e_kmeans_step" -> Similarity.int8LloydStepSql("embeddings", 8),
+
+    "e_kmeans_churn" -> Similarity.int8LloydChurnSql("embeddings", 8),
 
     // per-label floor-micro norm envelope off the exact sqrt∘dot tree
     "e_vec_stats" ->

@@ -1181,6 +1181,15 @@ class PipelineSpec extends SparkSpec {
     // the hash-ranked seed frame is deterministic and rank-dense
     val sd = Similarity.int8LloydSeeds(c, 2).as[(Int, Long)].collect().toSeq
     assert(sd.map(_._1) == Seq(0, 1) && sd.map(_._2).distinct.size == 2)
+    // churn half-step against the UPDATED centroids: c0's mean moved to
+    // (63750, 0) milli, so id 6 at (255000, 0) now sits 191250 from c0
+    // but 255000 from c1 in dim0 (plus 255000² in dim1) -> id 6 STAYS;
+    // ids 1-3 (0,0) stay at c0 (63750² < 2·255000²); c1 members exact
+    // -> nobody moves anywhere on this fixture
+    val churn = Similarity.int8LloydChurn(c, seeds)
+      .orderBy("cid").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(churn == Seq((0, 4L, 4L, 0L, 4L), (1, 2L, 2L, 0L, 2L)),
+      s"got $churn")
   }
 
   test("mixture balancing equalizes skewed group sizes deterministically") {

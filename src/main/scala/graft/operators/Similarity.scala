@@ -1009,6 +1009,69 @@ object Similarity {
         coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 
+  /** STREAMING centroid assignment at ingest — the index-routing half of
+    * the Lloyd step for vectors arriving as micro-batches: per-dim
+    * quantization stats and the k×dims seed codes are bounded by
+    * construction, so they collect into LITERALS (the s_stream_ann index
+    * discipline); each streamed vector then quantizes and assigns
+    * ROW-LOCALLY (transform + zip_with/aggregate folds over the literal
+    * centroid table — the batch per-(id, cid) shuffle is two stateful
+    * aggs a stream cannot run), and the per-cell membership count is the
+    * ONE update-mode aggregation (k rows of state however large the
+    * stream). The row-local quantizer repeats [[qCode]]'s exact
+    * expression shape ((v − mn) · 255.0 / (mx − mn), floor, cap) on the
+    * same collected doubles, and the distance fold repeats the batch
+    * (q − cq)·(q − cq) integer tree, so drained counts are bit-equal to
+    * the batch round-1 assignment (StreamingSpec pins it; the DuckDB
+    * twin is [[int8LloydAssignCountsSql]]). */
+  def streamingLloydAssignCounts(stream: DataFrame, corpus: DataFrame,
+                                 seeds: DataFrame): DataFrame = {
+    val el = corpus.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+    val statsDf = el.groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val stats = statsDf.orderBy("i").collect() // dims rows, bounded
+    val mns = stats.map(_.getDouble(1))
+    val mxs = stats.map(_.getDouble(2))
+    // seed codes via the SAME relational qCode path as the batch step —
+    // k×dims rows, bounded by construction
+    val qdf = el.join(broadcast(statsDf), "i")
+      .select(col("id"), col("i"), qCode(col("v"), col("mn"), col("mx")).as("q"))
+    val seedCodes = qdf.join(seeds, "id")
+      .select(col("cid"), col("i"), col("q")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getInt(2)) }
+    val mnLit = array(mns.map(lit(_)): _*)
+    val mxLit = array(mxs.map(lit(_)): _*)
+    val centroidLit = array(seedCodes.map { case (cid, codes) =>
+      struct(lit(cid).as("c"), array(codes.map(lit(_)): _*).as("codes"))
+    }: _*)
+    val qArr = transform(col("vec"), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(floor((x - mn) * lit(255.0) / (mx - mn)), lit(255L))
+          .cast("int"))
+    })
+    stream
+      .select(col("id"), qArr.as("q"))
+      .select(col("id"), array_min(transform(centroidLit, c =>
+        struct(
+          aggregate(zip_with(col("q"), c.getField("codes"),
+            (a, b) => (a - b).cast("long") * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          c.getField("c").as("c")))).as("m"))
+      .groupBy(col("m.c").as("cid"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB twin of the streaming assignment counts: the Lloyd chain's
+    * round-1 assignment, counted per cell. */
+  def int8LloydAssignCountsSql(table: String, k: Int): String =
+    s"""${lloydCtesSql(table, k)}
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned FROM asg
+       |GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Shared DuckDB CTE chain of the Lloyd twins: codes, hash-ranked
     * seeds, round-1 assignment and the per-(cid, dim) update stats. */
   private def lloydCtesSql(table: String, k: Int): String = {

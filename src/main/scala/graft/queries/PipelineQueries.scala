@@ -2950,6 +2950,29 @@ object PipelineQueries {
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy("query_id", "rank")}),
 
+    // STREAMING centroid assignment at ingest — the index-routing half
+    // of the Lloyd step with vectors arriving as micro-batches: per-dim
+    // stats and the k×dims seed codes collect into literals (bounded by
+    // construction, the s_stream_ann index discipline), each vector
+    // quantizes + assigns ROW-LOCALLY, and the per-cell count is the ONE
+    // update-mode aggregation (k rows of state however large the
+    // stream). Drained counts are bit-equal to the batch round-1
+    // assignment; the oracle replays the Lloyd chain's counts
+    "s_stream_kmeans" -> ((s, dir) => {
+      val c = embDouble(s, dir)
+      val seeds = Similarity.int8LloydSeeds(c, 8)
+      val st = graft.streaming.EventStreams.readEmbeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val agg = Similarity.streamingLloydAssignCounts(st, c, seeds)
+      val drained = graft.streaming.EventStreams.runToMemory(agg,
+        "s_stream_kmeans_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      // counts only grow across re-emissions -> collapse by max
+      drained.groupBy("cid").agg(max(col("n")).as("n_assigned"))
+        .orderBy("cid")}),
+
     // two-stage retrieval (the FAISS "refine" production shape): PQ-ADC
     // proposes a 20-deep shortlist reading M ints per corpus vector, the
     // full vectors rescore ONLY the shortlist, top-5 survive. The rerank
@@ -4562,6 +4585,8 @@ object PipelineQueries {
     "e_kmeans_step" -> Similarity.int8LloydStepSql("embeddings", 8),
 
     "e_kmeans_churn" -> Similarity.int8LloydChurnSql("embeddings", 8),
+
+    "s_stream_kmeans" -> Similarity.int8LloydAssignCountsSql("embeddings", 8),
 
     // per-label floor-micro norm envelope off the exact sqrt∘dot tree
     "e_vec_stats" ->

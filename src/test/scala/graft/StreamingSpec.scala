@@ -336,6 +336,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.head == ((1L, 15L, 11L, 733L)), s"got ${streamed.head}")
   }
 
+  test("streaming centroid assignment equals the batch round-1 counts") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmstream").toString
+    def rowsOf(rows: Seq[(Long, Seq[Float])]) =
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2))
+    def writeFile(n: Int, rows: Seq[(Long, Seq[Float])]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rowsOf(rows), 1), schema)
+        .write.parquet(s"$dir/f$n")
+    val vs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(0f, 0f), 2L -> Seq(0.1f, 0f), 3L -> Seq(1f, 1f),
+      4L -> Seq(0.9f, 1f), 5L -> Seq(0.5f, 0.5f), 6L -> Seq(0f, 1f))
+    // assignment state must accumulate ACROSS the micro-batch split
+    writeFile(1, vs.take(3)); writeFile(2, vs.drop(3))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(rowsOf(vs), 2), schema)
+    def asCorpus(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val c = asCorpus(all)
+    val seeds = Similarity.int8LloydSeeds(c, 3)
+    val st = asCorpus(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*"))
+    val (drained, nOps) = EventStreams.runToMemoryCounted(
+      Similarity.streamingLloydAssignCounts(st, c, seeds), "t_km_stream",
+      mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(nOps == 1, "row-local assignment around ONE counting aggregation")
+    val streamed = drained.groupBy("cid").agg(max($"n").as("n"))
+      .as[(Int, Long)].collect().toMap
+    val batch = Similarity.int8LloydStep(c, seeds)
+      .select($"cid", $"n_assigned").as[(Int, Long)].collect().toMap
+    CacheScope.releaseAll()
+    assert(streamed.values.sum == vs.size, s"every vector assigned: $streamed")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("streaming sketch maintenance equals the batch sketches across micro-batches") {
     import org.apache.spark.sql.types._
     import graft.operators.Sketches

@@ -107,6 +107,7 @@ object Bench {
         name -> timing
       }
     // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
+    probeBlock("w")
     val workloadResults: Seq[(String, Option[Double])] =
       BenchWorkloads.workloads.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }

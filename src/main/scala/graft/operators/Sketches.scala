@@ -37,7 +37,7 @@ object Sketches {
 
   private def cmsBucket(h: Column, r: Int): Column =
     pmod(lit(CmsA(r)) * h + lit(CmsB(r)), lit(CmsP)) % CmsWidth
-  private def cmsBucketSql(h: String, r: Int): String =
+  private[graft] def cmsBucketSql(h: String, r: Int): String =
     s"(((${CmsA(r)} * $h + ${CmsB(r)}) % $CmsP) % $CmsWidth)"
 
   /** Build the sketch: (r, bucket, cnt) with at most depth·width rows.
@@ -50,12 +50,14 @@ object Sketches {
   /** The stateless (r, bucket) pre-aggregation rows of [[cmsBuild]] —
     * depth rows per item, shared with the STREAMING cell maintenance
     * (whose per-cell count is the streaming aggregation state). */
-  def cmsBucketRows(items: DataFrame, itemCol: String): DataFrame = {
-    val h = items.select(hash32(col(itemCol)).as("h"))
+  def cmsBucketRows(items: DataFrame, itemCol: String,
+                    carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    val h = items.select(cs :+ hash32(col(itemCol)).as("h"): _*)
     val rows = (0 until CmsDepth).map(r =>
       struct(lit(r).as("r"), cmsBucket(col("h"), r).as("bucket")))
-    h.select(explode(array(rows: _*)).as("rb"))
-      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    h.select(cs :+ explode(array(rows: _*)).as("rb"): _*)
+      .select(cs :+ col("rb.r").as("r") :+ col("rb.bucket").as("bucket"): _*)
   }
 
   /** Cell-wise merge of two [[cmsBuild]] sketches — counts are additive,

@@ -3827,6 +3827,60 @@ object PipelineQueries {
         shufflePartitions = Some(8))
         .orderBy("h", "register")}),
 
+    // STREAMING ADDITIVE-sketch watermark eviction: the append-mode
+    // windowed-CMS twin of s_stream_hll_late on the SAME lattice —
+    // per-window count-min cells finalize when the watermark passes the
+    // window end, and batch 3's replayed below-watermark rows are
+    // genuinely dropped (emitted cells stay at their batch-1 counts,
+    // where an admitted row would INCREMENT a cell — the additive law's
+    // drop signature, stronger than max-merge HLL where a dropped
+    // duplicate could be invisible). ONE stateful operator; closed-form
+    // construction oracle through the CMS hash family
+    "s_stream_cms_late" -> ((s, dir) => {
+      val tmp = scratchDir("cmslate", dir)
+      val baseEpoch = 1767225600L // 2026-01-01T00:00:00Z, hour-aligned
+      def lattice(n: Int, hExpr: String, itemExpr: String)
+          : org.apache.spark.sql.DataFrame =
+        s.range(n).select(
+          expr(s"timestamp_seconds($baseEpoch + ($hExpr) * 3600)").as("ts"),
+          expr(itemExpr).as("item"))
+      def plant(df: org.apache.spark.sql.DataFrame, name: String,
+                mtime: Long): Unit = {
+        val w = s"$tmp/_w_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(w)
+        val part = new java.io.File(w).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$tmp/stream/$name")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime); ()
+      }
+      val t0 = System.currentTimeMillis()
+      plant(lattice(101, "CASE WHEN id = 100 THEN 48 ELSE id % 24 END",
+        "concat('u', id)"), "b1.parquet", t0 - 180000)
+      plant(lattice(1, "49", "'u101'"), "b2.parquet", t0 - 120000)
+      plant(lattice(50, "id % 50", "concat('x', id)"), "b3.parquet",
+        t0 - 60000)
+      val src = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/stream")
+      val cells = Sketches.cmsBucketRows(
+          src.withWatermark("ts", "2 hours"), "item", carry = Seq("ts"))
+        .groupBy(window(col("ts"), "1 hour"), col("r"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(((unix_timestamp(col("window.start")) - baseEpoch) / 3600)
+          .cast("int").as("h"), col("r"), col("bucket"), col("cnt"))
+      graft.streaming.EventStreams.runToMemory(cells, "s_stream_cms_late_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy("h", "r", "bucket")}),
+
     // STREAMING dedup STATE-EVICTION observability:
     // dropDuplicatesWithinWatermark keeps per-key state only until the
     // watermark passes first-seen event time + delay — a duplicate
@@ -7277,6 +7331,39 @@ object PipelineQueries {
          |    AS rho_max
          |FROM hlpre, hlw WHERE h + 1 <= hlw.w
          |GROUP BY h, register ORDER BY h, register""".stripMargin,
+
+    "s_stream_cms_late" -> {
+      // joined with plain newlines (no margin pipes): stripMargin only
+      // strips lines that start with '|', leaving the interpolation alone
+      val bucketRows = (0 until Sketches.CmsDepth).map(r =>
+        s"SELECT hr, $r AS r, ${Sketches.cmsBucketSql("hh", r)} AS bucket FROM clh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH clb1 AS (
+         |  SELECT CASE WHEN i = 100 THEN 48 ELSE i % 24 END AS hr,
+         |    'u' || CAST(i AS VARCHAR) AS item
+         |  FROM (SELECT unnest(generate_series(0, 100)) AS i)
+         |), clb2 AS (
+         |  SELECT 49 AS hr, 'u101' AS item
+         |), clw AS (
+         |  SELECT max(hr) - 2 AS w
+         |  FROM (SELECT hr FROM clb1 UNION ALL SELECT hr FROM clb2)
+         |), clb3 AS (
+         |  SELECT i % 50 AS hr, 'x' || CAST(i AS VARCHAR) AS item
+         |  FROM (SELECT unnest(generate_series(0, 49)) AS i)
+         |), clacc AS (
+         |  SELECT hr, item FROM clb1
+         |  UNION ALL SELECT hr, item FROM clb2
+         |  UNION ALL SELECT b.hr, b.item FROM clb3 b, clw WHERE b.hr + 1 >= clw.w
+         |), clh AS (
+         |  SELECT hr, ${TextFunctions.hash32Sql("item")} AS hh FROM clacc
+         |), clcells AS (
+         |  $bucketRows
+         |)
+         |SELECT CAST(hr AS INT) AS h, CAST(r AS INT) AS r,
+         |  CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+         |FROM clcells, clw WHERE hr + 1 <= clw.w
+         |GROUP BY hr, r, bucket ORDER BY h, r, bucket""".stripMargin
+    },
 
     "m_frames" ->
       """WITH m AS (

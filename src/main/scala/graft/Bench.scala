@@ -9,7 +9,10 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // normalized (trailing slash dropped): the "sf" field written into the
+    // detail artifact must match the next run's tier-3 string compare
+    val sfDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).getPath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -106,8 +109,10 @@ object Bench {
           finally CacheScope.releaseAll() // drop operator-local caches per query
         name -> timing
       }
-    // reference-shaped workloads (BASELINE.md table): fixed size, not SF-scaled
-    probeBlock("w")
+    // reference-shaped workloads (BASELINE.md table): fixed size, not
+    // SF-scaled. Probe key must not collide with blockOf of any future
+    // w_*-named query (which maps to "w")
+    probeBlock("workloads")
     val workloadResults: Seq[(String, Option[Double])] =
       BenchWorkloads.workloads.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -195,7 +200,10 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     // a silently-disabled tier 3 (format drift, sf mismatch) must be
     // visible in the bench log, not inferred from absent retimes
-    if (prevCosts.isEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(
+    // only when tier 3 was actually expected to run: BENCH_ONLY profiling
+    // runs disable it by design and the notice would mislead there
+    if (only.isEmpty && prevCosts.isEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_DETAIL_last.json"))))
       System.err.println("BENCH NOTE tier-3 retime disabled: prev detail " +
         "file exists but yielded no costs (sf mismatch or format drift)")
@@ -222,9 +230,11 @@ object Bench {
     def rddResidencyJson(): String = {
       val info = spark.sparkContext.getRDDStorageInfo
       val partial = info.filter(r => r.numCachedPartitions < r.numPartitions)
+      // RDD names can carry plan fragments (quotes, backslashes, newlines)
+      // that would corrupt the JSON artifact — strip, don't just re-quote
       val names = partial.take(12).map(r =>
         "\"" + Option(r.name).getOrElse(s"rdd_${r.id}")
-          .replace('"', '\'').take(60) + "\"").mkString(",")
+          .replaceAll("[\\\\\"\\p{Cntrl}]", "_").take(60) + "\"").mkString(",")
       s"""{"n":${info.length},"n_partial":${partial.length},""" +
         s""""mem_mb":${"%.1f".format(info.map(_.memSize).sum / 1e6)},""" +
         s""""disk_mb":${"%.1f".format(info.map(_.diskSize).sum / 1e6)},""" +
@@ -329,10 +339,14 @@ object Bench {
     // the artifact with a partial 2-query map, and an sf0.001 smoke run
     // would replace the sf0.1 detail and silently disable the tier-3
     // prev-artifact retime for the next real run (bit round 15)
+    val benchScale = new java.io.File(sfDir).getName == "sf0.1"
     val repoDetail =
-      if (only.isEmpty && sfDir.endsWith("sf0.1") &&
+      if (only.isEmpty && benchScale &&
           java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
         Seq("BENCH_DETAIL_last.json") else Seq.empty
+    if (only.isEmpty && !benchScale)
+      System.err.println("BENCH NOTE repo detail not written: run is not at " +
+        s"the driver's bench scale (sfDir=$sfDir)")
     for (p <- (outPath +: repoDetail).distinct)
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (fullLine + "\n").getBytes("UTF-8"))

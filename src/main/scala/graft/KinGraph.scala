@@ -29,16 +29,18 @@ import org.apache.spark.storage.StorageLevel
   */
 class KinGraph(val nodes: DataFrame, val edges: DataFrame,
                val hashFunc: Column => Column = KinGraph.DefaultHashFunc,
-               val cacheLen: Int = KinConfig.DefaultCacheLen)
+               val cacheLen: Int = KinConfig.DefaultCacheLen,
+               val maxKeyLen: Int = Int.MaxValue)
     extends Serializable {
   import KinGraph._
   private def spark: SparkSession = nodes.sparkSession
 
   /** Derived graph carrying the same pluggable key hash (reference's
-    * user-supplied hash_func ctor parameter, graph.py:41-43, 82-90) and
-    * point-lookup cache bound (reference cache_len, graph.py:29). */
+    * user-supplied hash_func ctor parameter, graph.py:41-43, 82-90),
+    * point-lookup cache bound (reference cache_len, graph.py:29) and key
+    * length contract (reference max_key_len, graph.py:23-24). */
   private def derive(n: DataFrame, e: DataFrame): KinGraph =
-    new KinGraph(n, e, hashFunc, cacheLen)
+    new KinGraph(n, e, hashFunc, cacheLen, maxKeyLen)
 
   private def strDF(name: String, vals: Seq[String]): DataFrame = {
     val sp = spark
@@ -92,8 +94,12 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
 
   /** Point lookup by key; NodeNotFound on miss (reference: graph.py:999-1036
     * — cache probe first, graph.py:1018-1023, then the storage descent). */
-  def node(key: String, maxKeyLen: Int = Int.MaxValue): Row = {
-    if (key.length > maxKeyLen) throw new KeyTooLong(key, maxKeyLen)
+  def node(key: String, maxKeyLen: Int = -1): Row = {
+    // -1 = use the graph's own contract (GraphIO.open-ed graphs default to
+    // the reference's max_key_len=15; directly-constructed graphs are
+    // permissive). An explicit non-negative argument overrides per-call.
+    val lim = if (maxKeyLen >= 0) maxKeyLen else this.maxKeyLen
+    if (key.length > lim) throw new KeyTooLong(key, lim)
     val ck = ('n', key, "", 0)
     Option(lookupCache.get(ck)).getOrElse {
       val row = nodeLookup(key).limit(1).collect()
@@ -278,6 +284,10 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
   def addNodes(newNodes: DataFrame): KinGraph = {
     val aligned = alignColumns(newNodes,
       nodes.schema.fieldNames ++ seqColOf(newNodes), keyCols = Seq("key"))
+    // graphs carrying the reference key contract (GraphIO.open default 15,
+    // graph.py:1366) validate the incoming batch eagerly — one map-side
+    // scan of the BATCH only, the batched analog of the per-insert assert
+    if (maxKeyLen != Int.MaxValue) requireKeyLen(aligned, Seq("key"), maxKeyLen)
     val merged = upsert(nodes, aligned, Seq("key"))
     derive(merged, edges)
   }
@@ -297,6 +307,8 @@ class KinGraph(val nodes: DataFrame, val edges: DataFrame,
     val aligned = alignColumns(withType,
       edges.schema.fieldNames ++ seqColOf(withType),
       keyCols = Seq("src", "dst", "etype"))
+    if (maxKeyLen != Int.MaxValue)
+      requireKeyLen(aligned, Seq("src", "dst"), maxKeyLen)
     val mergedEdges = upsert(edges, aligned, Seq("src", "dst", "etype"))
     // endpoint auto-create: keys appearing in new edges but not in nodes
     val endpointKeys = aligned.select(col("src").as("key"))
@@ -557,13 +569,14 @@ object KinGraph {
   val DefaultHashFunc: Column => Column = c => xxhash64(c)
 
   def apply(nodes: DataFrame, edges: DataFrame,
-            hashFunc: Column => Column = DefaultHashFunc): KinGraph = {
+            hashFunc: Column => Column = DefaultHashFunc,
+            maxKeyLen: Int = Int.MaxValue): KinGraph = {
     require(nodes.columns.contains("key"), "nodes needs a 'key' column")
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges needs 'src' and 'dst' columns")
     val e = if (edges.columns.contains("etype")) edges
             else edges.withColumn("etype", lit(0))
-    new KinGraph(nodes, e, hashFunc)
+    new KinGraph(nodes, e, hashFunc, maxKeyLen = maxKeyLen)
   }
 
   /** Build a graph from an edge list alone; nodes are derived from distinct

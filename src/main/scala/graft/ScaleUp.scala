@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture blow-up for scale-robustness runs: replicates an existing
+  * testdata dir `factor`× with per-replica key shifts, preserving
+  * referential integrity (orders follow customers, lineitem follows
+  * orders/suppliers/parts) and key contiguity (each key column shifts by
+  * its own original stride, so id-arithmetic plants keep working on the
+  * replicas). region/nation stay fixed (their domains are SF-fixed in
+  * TPC-H, which is exactly the density discipline the gates assume:
+  * S/C/P/O/L/doc/vec domains scale, N/R degrees grow).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * (e.g. /root/testdata/sf0.1 /tmp/sf1 10 → an sf≈1 fixture).
+  *
+  * Scale shape: one crossJoin against a `factor`-row literal range per
+  * table — embarrassingly parallel, no shuffle except the write
+  * repartition sizing output files. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, fStr) = args
+    val factor = fStr.toInt
+    require(factor >= 1, "factor >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+
+    /** Replicated frame with shifted key columns: each listed key column
+      * k becomes k + r·stride(k), stride = its original (max − min + 1),
+      * so replica key ranges tile contiguously after the original. */
+    def blowUp(df: DataFrame, keyCols: Map[String, Long]): DataFrame = {
+      val reps = spark.range(factor).select(col("id").as("__r"))
+      val wide = df.crossJoin(reps)
+      keyCols.foldLeft(wide) { case (acc, (c, stride)) =>
+        acc.withColumn(c, (col(c) + col("__r") * stride)
+          .cast(df.schema(c).dataType))
+      }.drop("__r")
+    }
+
+    def stride(df: DataFrame, c: String): Long = {
+      val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      r.getLong(1) - r.getLong(0) + 1
+    }
+
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+
+    val cust = src("customer"); val supp = src("supplier")
+    val part = src("part"); val ord = src("orders")
+    val li = src("lineitem"); val ev = src("events")
+    val doc = src("documents"); val emb = src("embeddings")
+    val (kc, ks, kp, ko) = (stride(cust, "c_custkey"), stride(supp, "s_suppkey"),
+      stride(part, "p_partkey"), stride(ord, "o_orderkey"))
+
+    write(src("region"), "region", 1)
+    write(src("nation"), "nation", 1)
+    write(blowUp(cust, Map("c_custkey" -> kc)), "customer", 4)
+    write(blowUp(supp, Map("s_suppkey" -> ks)), "supplier", 1)
+    write(blowUp(part, Map("p_partkey" -> kp)), "part", 4)
+    write(blowUp(ord, Map("o_orderkey" -> ko, "o_custkey" -> kc)), "orders", 8)
+    write(blowUp(li, Map("l_orderkey" -> ko, "l_partkey" -> kp,
+      "l_suppkey" -> ks)), "lineitem", 16)
+    write(blowUp(ev, Map("event_id" -> stride(ev, "event_id"),
+      "user_id" -> stride(ev, "user_id"))), "events", 8)
+    write(blowUp(doc, Map("doc_id" -> stride(doc, "doc_id"))), "documents", 8)
+    write(blowUp(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings", 4)
+
+    println(s"""{"scaled":"$srcDir","out":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import graft.{KinGraph, KinbakuError}
+import graft.{KinConfig, KinGraph, KinbakuError}
 
 /** Persistence for KinGraph as a parquet table pair — the Spark analog of
   * the reference's single-file storage with open flags r/w/n
@@ -24,25 +24,33 @@ object GraphIO {
   /** `hashFunc` is the reference's user-supplied `hash_func` ctor
     * parameter (graph.py:41-43, 82-90) in generalized form: the pluggable
     * key hash the opened graph uses wherever keys are hashed (e.g. GraphX
-    * vertex-id assignment). */
+    * vertex-id assignment). `maxKeyLen` is the reference's `max_key_len`
+    * (graph.py:23-24, default 15) — ON BY DEFAULT here like the reference's
+    * per-insert assert (graph.py:1366), enforced batch-wise by
+    * addNodes/addEdges; pass Int.MaxValue to disable. Graphs built directly
+    * from DataFrames (KinGraph.apply / fromEdges / GraphIO.empty) stay
+    * permissive — analytics inputs carry arbitrary keys. */
   def open(spark: SparkSession, path: String, flag: String = "w",
            hashFunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-             KinGraph.DefaultHashFunc): KinGraph =
+             KinGraph.DefaultHashFunc,
+           maxKeyLen: Int = KinConfig.DefaultMaxKeyLen): KinGraph =
     flag match {
       case "r" | "w" if exists(spark, path) =>
         KinGraph(
           spark.read.parquet(nodesPath(path)),
           spark.read.parquet(edgesPath(path)),
-          hashFunc)
+          hashFunc,
+          maxKeyLen = maxKeyLen)
       case "r" =>
         throw new KinbakuError(s"graph not found at $path (flag=r)")
-      case "w" | "n" => empty(spark, hashFunc)
+      case "w" | "n" => empty(spark, hashFunc, maxKeyLen)
       case other => throw new KinbakuError(s"unknown flag: $other")
     }
 
   def empty(spark: SparkSession,
             hashFunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-              KinGraph.DefaultHashFunc): KinGraph = {
+              KinGraph.DefaultHashFunc,
+            maxKeyLen: Int = Int.MaxValue): KinGraph = {
     import org.apache.spark.sql.types._
     val nodeSchema = StructType(Seq(StructField("key", StringType)))
     val edgeSchema = StructType(Seq(
@@ -51,7 +59,8 @@ object GraphIO {
     KinGraph(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], nodeSchema),
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema),
-      hashFunc)
+      hashFunc,
+      maxKeyLen = maxKeyLen)
   }
 
   /** Persist a graph snapshot. Output files are size-coalesced: at local

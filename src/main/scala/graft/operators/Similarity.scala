@@ -612,6 +612,57 @@ object Similarity {
         1, kNN).as("top"))
   }
 
+  /** STREAMING IVF+PQ index APPEND — the index-MAINTENANCE face that
+    * completes the ANN lifecycle next to [[streamingIvfPqTopK]] (serve)
+    * and [[streamingLloydAssignCounts]] (train): vectors arriving as
+    * micro-batches are assigned to the FIXED cells and PQ-encoded
+    * against the FIXED codebooks, emitting the index row
+    * (vec_id, cell, codes[M]) APPEND-ONLY with ZERO stateful operators.
+    * Per-vector assignment and encode are row-local given the index
+    * structure (nlist centroids + M·K codebook rows ride the plan as
+    * literals from two bounded driver collects — the
+    * [[streamingIvfPqTopK]] discipline), so appends never re-encode the
+    * corpus and never rescan. Every arithmetic step replays the batch
+    * builders expression-for-expression ([[ivfSampledAssign]]'s
+    * round(cos, 4) argmax with min-cell tie-break; [[pqEncode]]'s
+    * floor-micro argmax with min-j tie-break), so appended rows are
+    * byte-identical to the batch build's — the e_pq_incr no-drift
+    * identity, at ingest time. */
+  def streamingIvfPqAppend(vecStream: DataFrame, cells: DataFrame,
+                           codebooks: DataFrame, dim: Int,
+                           nlist: Int = 16, m: Int = PqSubspaces,
+                           k: Int = PqCodebookSize): DataFrame = {
+    val sub = dim / m
+    val centArr: Seq[Seq[Double]] = cells.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val cbFlat: Seq[Seq[Double]] = codebooks.orderBy("m", "j")
+      .select("cb").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centArr.length == nlist && cbFlat.length == m * k,
+      "index literals must cover the full index")
+    val centLit = typedlit(centArr)
+    val cbLit = typedlit(cbFlat)
+    // ascending (−sim, cell) sort ⇒ element 1 = max sim, min cell on tie
+    // — exactly ivfSampledAssign's max(struct(sim, −cell))
+    val simStruct = transform(sequence(lit(0), lit(nlist - 1)),
+      c => struct(
+        (lit(0d) - round(cosine(col("vec"),
+          element_at(centLit, (c + 1).cast("int"))), 4)).as("ns"),
+        c.cast("int").as("cell")))
+    // ascending (−micro, j) sort ⇒ element 1 = max micro, min j on tie
+    // — exactly pqEncode's max(struct(micro, −j))
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), mm =>
+      element_at(array_sort(transform(sequence(lit(0), lit(k - 1)), j =>
+        struct(
+          (lit(0L) - floor(lit(1000000.0) * dot(
+            slice(col("vec"), mm * lit(sub) + 1, lit(sub)),
+            element_at(cbLit, (mm * lit(k) + j + 1).cast("int"))))
+            .cast("long")).as("nmicro"),
+          j.cast("int").as("j")))), 1).getField("j"))
+    vecStream.select(col("id").as("vec_id"),
+      element_at(array_sort(simStruct), 1).getField("cell").as("cell"),
+      codesCol.as("codes"))
+  }
+
   /** Two-stage retrieval — PQ-ADC shortlist, exact rerank (the FAISS
     * "refine" shape every production ANN deployment runs): the compressed
     * index proposes `shortlist` candidates per query touching only M ints

@@ -219,6 +219,16 @@ object Sketches {
                        salt: String = "pct"): DataFrame = {
     val v = df.select(keyCol.as("k"), valCol.as("v"))
     val sample = graft.operators.Sampling.hashSample(v, col("k"), rate, salt)
+    sampledQuantilesFrom(sample, v, qMilli)
+  }
+
+  /** Estimate + exact-rank gate from an ALREADY-MATERIALIZED sample
+    * frame `sample`(…, v) against the full values `full`(…, v) — the
+    * shared tail of [[sampledQuantiles]], also fed by the streaming
+    * drain (which reconstructs the sample multiset from its histogram
+    * state, so stream == batch bit-identically). */
+  def sampledQuantilesFrom(sample: DataFrame, full: DataFrame,
+                           qMilli: Seq[Int]): DataFrame = {
     // foldable literal division: each fraction is ONE double division of
     // exact integers in BOTH engines (never a decimal literal)
     val fracList = qMilli.map(q => s"CAST($q AS DOUBLE) / 1000").mkString(", ")
@@ -229,7 +239,7 @@ object Sketches {
       .withColumn("q_milli",
         element_at(array(qMilli.map(q => lit(q.toLong)): _*), col("i") + 1))
       .select(col("q_milli"), col("est"), col("n_sample"))
-    v.crossJoin(broadcast(perQ))
+    full.crossJoin(broadcast(perQ))
       .groupBy("q_milli", "est", "n_sample")
       .agg(count(lit(1)).as("n"),
         sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))

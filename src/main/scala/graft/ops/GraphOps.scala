@@ -1235,6 +1235,18 @@ object GraphOps {
       partitionOn.fold(ud.distinct())(p => ud.repartition(p).distinct()))
   }
 
+  /** Both-directions view of an already-canonical DISTINCT undirected
+    * edge frame `canon`(u, v) with u < v and no self-loops (e.g. the
+    * session-shared cache:gx_und) — skips the per-query dedup shuffle
+    * [[undirectedEdges]] pays: distinct canonical pairs expanded both
+    * ways are distinct by construction. */
+  private def undirectedFromCanon(canon: DataFrame,
+                                  partitionOn: Option[Column]): DataFrame = {
+    val ud = canon.select(col("u").as("src"), col("v").as("dst"))
+      .union(canon.select(col("v").as("src"), col("u").as("dst")))
+    CacheScope.cached(partitionOn.fold(ud)(p => ud.repartition(p)))
+  }
+
   /** One-level Louvain refinement: every node synchronously evaluates
     * moving to each community among its neighbors and takes the best
     * strictly-positive modularity gain (tie: smallest label). Gains are
@@ -1722,9 +1734,11 @@ object GraphOps {
     * beyond it. Expected O(log n) rounds to empty the active set. */
   def lubyMis(g: KinGraph, rounds: Int,
               checkpointEvery: Int = 1,
-              broadcastNodeLimit: Long = 5000000L): DataFrame = {
+              broadcastNodeLimit: Long = 5000000L,
+              canonFrom: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
-    val ud = undirectedEdges(g, Some(col("dst")))
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("dst"))))
+      .getOrElse(undirectedEdges(g, Some(col("dst"))))
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
     val small = nodes.count() <= broadcastNodeLimit
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -1954,17 +1968,19 @@ object GraphOps {
     * under the node limit; the active edge set only shrinks. Expected
     * O(log m) rounds. */
   def greedyMatching(g: KinGraph, rounds: Int,
-                     broadcastNodeLimit: Long = 5000000L): DataFrame = {
+                     broadcastNodeLimit: Long = 5000000L,
+                     canonFrom: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
     val e0 = g.edges.select(col("src"), col("dst"))
-    val canon = CacheScope.cached(
+    val base = canonFrom.getOrElse(
       e0.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-        .withColumn("p",
-          conv(substring(md5(concat(lit("mat_"), col("u"), lit("|"), col("v"))),
-            1, 15), 16, 10).cast("long")))
+        .distinct())
+    val canon = CacheScope.cached(
+      base.withColumn("p",
+        conv(substring(md5(concat(lit("mat_"), col("u"), lit("|"), col("v"))),
+          1, 15), 16, 10).cast("long")))
     val small = canon.count() <= broadcastNodeLimit
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var active = canon
@@ -2097,9 +2113,11 @@ object GraphOps {
     * node-sized frames broadcast under `broadcastNodeLimit`. Expected
     * O(log n) rounds on random priorities. */
   def jpColoring(g: KinGraph, rounds: Int,
-                 broadcastNodeLimit: Long = 5000000L): DataFrame = {
+                 broadcastNodeLimit: Long = 5000000L,
+                 canonFrom: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
-    val ud = undirectedEdges(g, Some(col("dst")))
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("dst"))))
+      .getOrElse(undirectedEdges(g, Some(col("dst"))))
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
     val small = nodes.count() <= broadcastNodeLimit
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df

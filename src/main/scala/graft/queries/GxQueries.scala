@@ -796,7 +796,8 @@ object GxQueries {
     // oracle; strict-< winners are independent by construction, and
     // still-undecided nodes report honestly as 'active'
     "gx_mis" -> ((s, dir) =>
-      GraphOps.lubyMis(unionGraph(s, dir), rounds = 5)
+      GraphOps.lubyMis(unionGraph(s, dir), rounds = 5,
+        canonFrom = Some(sharedUnd(s, dir)))
         .orderBy("key")),
 
     // Boruvka minimum spanning forest — per round each component picks
@@ -805,14 +806,20 @@ object GxQueries {
     // forest edges + pick rounds fully replayed (an embedded doubling
     // unroll per merge round in the oracle)
     "gx_msf" -> ((s, dir) =>
-      GraphOps.boruvkaForest(unionGraph(s, dir), rounds = 4)
+      // rides cache:gx_und: weights are a pure projection of the shared
+      // canonical frame (same md5 family the oracle replays)
+      GraphOps.boruvkaForest(unionGraph(s, dir), rounds = 4,
+        weightsFrom = Some(sharedUnd(s, dir).withColumn("w",
+          conv(substring(md5(concat(lit("msf_"), col("u"), lit("|"), col("v"))),
+            1, 15), 16, 10).cast("long"))))
         .orderBy("u", "v")),
 
     // greedy maximal matching — MIS on the line graph, run on edges:
     // per round the strict-min-priority edge at both endpoints matches,
     // neighbors block; per-edge status+round fully replayed
     "gx_matching" -> ((s, dir) =>
-      GraphOps.greedyMatching(unionGraph(s, dir), rounds = 4)
+      GraphOps.greedyMatching(unionGraph(s, dir), rounds = 4,
+        canonFrom = Some(sharedUnd(s, dir)))
         .orderBy("u", "v")),
 
     // Jones-Plassmann greedy coloring — the scheduling/conflict-free
@@ -820,7 +827,8 @@ object GxQueries {
     // choice (χ ≤ Δ+1 by construction), unrolled-CTE replay; nodes still
     // uncolored after 6 rounds report NULL honestly
     "gx_coloring" -> ((s, dir) =>
-      GraphOps.jpColoring(unionGraph(s, dir), rounds = 6)
+      GraphOps.jpColoring(unionGraph(s, dir), rounds = 6,
+        canonFrom = Some(sharedUnd(s, dir)))
         .orderBy("key")),
 
     "gx_kcore" -> ((s, dir) =>

@@ -283,6 +283,26 @@ object PipelineQueries {
       lit("64617461"), leHexC(n * 2, 4), samples)
   }
 
+  /** The multi-SEGMENT WAV clip family for the audio fingerprint dedup
+    * gate (m_audio_dup): doc_id%3+2 segments of 8 samples (two 4-sample
+    * analysis windows each), segment s seeded q = doc_id + s with
+    * sample[j] = signed((q·31 + j·997) % 65536) — consecutive clips share
+    * planted segments byte-identically (the m_video_phash sharing
+    * discipline on the audio axis), and every windowed feature is a
+    * closed-form function of (q, j) the oracle replays. */
+  private def plantedClipWavHex(d: Column): Column = {
+    val n = (pmod(d, lit(3L)) + 2) * 8
+    val samples = array_join(
+      transform(sequence(lit(0L), n - 1), k =>
+        leHexC(pmod((d + floor(k / 8)) * 31 + pmod(k, lit(8L)) * 997,
+          lit(65536L)), 2)), "")
+    concat(
+      lit("52494646"), leHexC(lit(36L) + n * 2, 4), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), lit("0100"),
+      leHexC(lit(8000L), 4), leHexC(lit(16000L), 4), lit("0200"), lit("1000"),
+      lit("64617461"), leHexC(n * 2, 4), samples)
+  }
+
   /** The d_clean_e2e plant, shared with its streaming twin: the
     * d_boilerplate headers, the d_gopher_rep repetition tails
     * (doc_id%10 ∈ {0,1,2}) and a planted per-doc email line
@@ -2065,6 +2085,31 @@ object PipelineQueries {
           coalesce(col("r"), lit(0)).cast("int").as("rho_max"))
         .orderBy("register")}),
 
+    // STREAMING quantile-sketch maintenance at ingest: the hash-sampled
+    // quantile sketch with its VALUE HISTOGRAM as the one streaming
+    // aggregation's state (sample membership is a row-local hash
+    // predicate — no coordination, the shard-union merge law). Drain
+    // collapses by max (counts grow monotonically), the multiset is
+    // reconstructed from the histogram, and the post-drain interpolation
+    // + full-data rank gate are the BATCH code, so the oracle is shared
+    // verbatim with d_sampled_pct
+    "s_stream_quantile" -> ((s, dir) => {
+      val stream = graft.streaming.EventStreams.readDocuments(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+      val drained = graft.streaming.EventStreams.runToMemory(
+        graft.streaming.EventStreams.quantileSampleHistStream(
+          stream, col("doc_id"), col("n_tok"), 0.125),
+        "s_stream_quantile_sink",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        shufflePartitions = Some(8))
+      val hist = drained.groupBy("v").agg(max(col("cnt")).as("cnt"))
+      val sample = hist
+        .select(col("v"), explode(sequence(lit(1L), col("cnt"))))
+        .select("v")
+      val full = docs(s, dir)
+        .select(col("doc_id").as("k"), tokenCount(col("text")).as("v"))
+      Sketches.sampledQuantilesFrom(sample, full, Seq(250, 500, 750, 900))}),
+
     // STREAMING CMS maintenance at ingest: the count-min cell table with
     // the engine applying the sketch's additive-merge law per
     // micro-batch (the one streaming aggregation's state IS the cells,
@@ -2973,6 +3018,49 @@ object PipelineQueries {
       drained.groupBy("cid").agg(max(col("n")).as("n_assigned"))
         .orderBy("cid")}),
 
+    // STREAMING IVF+PQ index APPEND at ingest — the maintenance leg
+    // that completes the ANN lifecycle (serve: s_stream_ann; train:
+    // s_stream_kmeans): arriving delta vectors (id%7=3, e_pq_incr's
+    // batch) assign to the static cells and encode against the fixed
+    // codebooks ROW-LOCALLY — a STATELESS append-mode stream (zero
+    // state stores however large the delta; appends never re-encode
+    // the corpus). The gate full-outer-joins the appended rows against
+    // the batch index (cell assignment + m-ordered code array) for the
+    // same ids; the closed form IS the oracle: assignment and encode
+    // are per-vector deterministic given the index, so every appended
+    // row must match the batch build exactly
+    "s_stream_ivf_append" -> ((s, dir) => {
+      val corpus = embDouble(s, dir)
+      val dim = Similarity.inferDim(corpus)
+      val st = graft.streaming.EventStreams.readEmbeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+        .filter(pmod(col("id"), lit(7)) === 3)
+      val appended = Similarity.streamingIvfPqAppend(st,
+        sharedIvfCells(s, dir), sharedPqCodebooks(s, dir), dim)
+      val drained = graft.streaming.EventStreams.runToMemory(appended,
+        "s_stream_ivf_append_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+      val batch = sharedIvfAssign(s, dir)
+        .filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select(col("vec_id"), col("cell").as("cell_b"))
+        .join(sharedPqCodes(s, dir)
+          .groupBy("vec_id")
+          .agg(array_sort(collect_list(struct(col("m"), col("code"))))
+            .as("mc"))
+          .select(col("vec_id"),
+            expr("transform(mc, x -> x.code)").as("codes_b")),
+          Seq("vec_id"))
+      drained.join(batch, Seq("vec_id"), "full_outer")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cell") === col("cell_b"), 1L).otherwise(0L))
+            .as("n_cell_match"),
+          sum(when(col("codes") === col("codes_b"), 1L).otherwise(0L))
+            .as("n_code_match"),
+          sum(when(col("cell").isNull || col("cell_b").isNull, 1L)
+            .otherwise(0L)).as("n_missing"))}),
+
     // two-stage retrieval (the FAISS "refine" production shape): PQ-ADC
     // proposes a 20-deep shortlist reading M ints per corpus vector, the
     // full vectors rescore ONLY the shortlist, top-5 survive. The rerank
@@ -3262,6 +3350,45 @@ object PipelineQueries {
         .withColumn("n_same",
           count(lit(1)).over(Window.partitionBy(col("dhash"))))
         .orderBy("frame_id")}),
+
+    // cross-CLIP audio fingerprint dedup — the m_video_phash move on the
+    // audio axis: every clip's REAL decoded PCM flows through the SAME
+    // pcmWindowFeatures front-end as m_audio, consecutive windows pair
+    // into 8-sample segments, and each segment's feature sequence
+    // ("sum_abs:n_zc" per window, window order) IS its fingerprint.
+    // Clips sharing a fingerprint band-join on it (grouped key join,
+    // never all-pairs — the LSH discipline), yielding per clip the
+    // duplicated-segment census and the min-partner keep id. Non-vacuous
+    // by construction: clip d segment s is seeded d+s, so consecutive
+    // clips share planted segments byte-identically; the oracle replays
+    // every window feature closed-form from the seed arithmetic
+    "m_audio_dup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).select(d.as("media_id"),
+        unhex(plantedClipWavHex(d)).as("content"))
+      val feats = Multimodal.pcmWindowFeatures(media, 4).toDF()
+      val sigs = graft.CacheScope.cached(feats
+        .groupBy(col("media_id"), floor(col("win_idx") / 2).cast("int").as("seg"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          col("win_idx"),
+          concat(col("sum_abs"), lit(":"), col("n_zc")).as("f")))),
+          x => x.getField("f")), "|").as("sig")))
+      val prs = sigs.select(col("media_id"), col("seg"), col("sig"))
+        .join(sigs.select(col("media_id").as("partner"), col("sig")),
+          Seq("sig"))
+        .filter(col("media_id") =!= col("partner"))
+      val per = prs.groupBy("media_id")
+        .agg(countDistinct(col("seg")).as("n_dup_segs"),
+          countDistinct(col("partner")).as("n_partners"),
+          min(col("partner")).as("minp"))
+      sigs.groupBy("media_id").agg(count(lit(1)).as("n_segs"))
+        .join(per, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_segs"),
+          coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"),
+          coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+          when(col("minp").isNull || col("minp") > col("media_id"),
+            col("media_id")).otherwise(col("minp")).as("keep_id"))
+        .orderBy("media_id")}),
 
     // REAL nearest-neighbor resize under oracle: the m_features BMPs
     // (even doc_ids) downsample at stride 2 — imageio decodes actual
@@ -4242,6 +4369,53 @@ object PipelineQueries {
        |FROM mlead l LEFT JOIN mbest b ON b.media_id = l.media_id
        |ORDER BY l.media_id""".stripMargin
 
+  /** m_audio_dup construction-inverting oracle: replays every planted
+    * window feature closed-form from the (q = d + s, j) seed arithmetic,
+    * rebuilds the per-segment fingerprint string identically, and runs
+    * the same fingerprint-grouped partner census. */
+  private lazy val mAudioDupSql: String = {
+    // signed PCM-16 sample j of the segment seeded q
+    def sv(j: String) =
+      s"(CASE WHEN (q * 31 + ($j) * 997) % 65536 < 32768 " +
+        s"THEN (q * 31 + ($j) * 997) % 65536 " +
+        s"ELSE (q * 31 + ($j) * 997) % 65536 - 65536 END)"
+    s"""WITH adocs AS (
+       |  SELECT doc_id AS d, doc_id % 3 + 2 AS ns FROM $docsT
+       |), asegs AS (
+       |  SELECT d, s.range AS s, d + s.range AS q
+       |  FROM adocs, range(0, 4) s WHERE s.range < ns
+       |), afeat AS (
+       |  SELECT d, s, w.range AS wi,
+       |    CAST(list_aggregate(list_transform(
+       |      generate_series(w.range * 4, w.range * 4 + 3),
+       |      j -> abs(${sv("j")})), 'sum') AS BIGINT) AS sum_abs,
+       |    CAST(list_aggregate(list_transform(
+       |      generate_series(w.range * 4 + 1, w.range * 4 + 3),
+       |      j -> CASE WHEN (${sv("j - 1")} >= 0) <> (${sv("j")} >= 0)
+       |           THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_zc
+       |  FROM asegs, range(0, 2) w
+       |), asig AS MATERIALIZED (
+       |  SELECT d, s, string_agg(CAST(sum_abs AS VARCHAR) || ':' ||
+       |    CAST(n_zc AS VARCHAR), '|' ORDER BY wi) AS sig
+       |  FROM afeat GROUP BY d, s
+       |), aprs AS (
+       |  SELECT a.d AS d, a.s AS s, b.d AS partner
+       |  FROM asig a JOIN asig b ON b.sig = a.sig AND b.d <> a.d
+       |), aper AS (
+       |  SELECT d, CAST(count(DISTINCT s) AS BIGINT) AS n_dup_segs,
+       |    CAST(count(DISTINCT partner) AS BIGINT) AS n_partners,
+       |    min(partner) AS minp
+       |  FROM aprs GROUP BY d
+       |)
+       |SELECT b.d AS media_id, CAST(b.ns AS BIGINT) AS n_segs,
+       |  CAST(coalesce(p.n_dup_segs, 0) AS BIGINT) AS n_dup_segs,
+       |  CAST(coalesce(p.n_partners, 0) AS BIGINT) AS n_partners,
+       |  CAST(CASE WHEN p.minp IS NULL OR p.minp > b.d THEN b.d
+       |       ELSE p.minp END AS BIGINT) AS keep_id
+       |FROM adocs b LEFT JOIN aper p ON p.d = b.d
+       |ORDER BY media_id""".stripMargin
+  }
+
   private val mAudioSql: String =
     """WITH base AS (
       |  SELECT doc_id AS d, doc_id % 16 + 2 AS n FROM documents
@@ -4355,6 +4529,14 @@ object PipelineQueries {
        |  FROM sig s JOIN probes p ON s.tbl = p.tbl AND s.bucket = p.bucket
        |  WHERE s.id <> p.query_id
        |)""".stripMargin
+
+  /** Shared verbatim by d_sampled_pct (batch sketch) and
+    * s_stream_quantile (streaming histogram-state drain): the two forms
+    * are bit-identical by construction, so one oracle gates both. */
+  private lazy val sampledPctOracle: String =
+    s"""WITH pvals AS (
+       |  SELECT doc_id AS k, ${tokenCountSql("text")} AS v FROM $docsT
+       |), ${Sketches.sampledQuantilesSql("pvals", 0.125, Seq(250, 500, 750, 900))}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
@@ -5242,10 +5424,9 @@ object PipelineQueries {
          |  max_shard_n, min_shard_n
          |FROM rsrow ORDER BY method""".stripMargin,
 
-    "d_sampled_pct" ->
-      s"""WITH pvals AS (
-         |  SELECT doc_id AS k, ${tokenCountSql("text")} AS v FROM $docsT
-         |), ${Sketches.sampledQuantilesSql("pvals", 0.125, Seq(250, 500, 750, 900))}""".stripMargin,
+    "d_sampled_pct" -> sampledPctOracle,
+
+    "s_stream_quantile" -> sampledPctOracle,
 
     "d_bloom_merge" ->
       s"""WITH be_items AS (
@@ -7042,6 +7223,8 @@ object PipelineQueries {
     // the window-local sign-flip count are order-free integers
     "m_audio" -> mAudioSql,
 
+    "m_audio_dup" -> mAudioDupSql,
+
     // planted-sample replay incl. the doc_id%10==5 rail plant; gain is
     // pure integer division, rms = floor(1e6·sqrt(Σs²/n)) — IEEE-exact
     "m_gain" ->
@@ -7472,6 +7655,17 @@ object PipelineQueries {
       s"""SELECT
          |  CAST(count(*) * ${Similarity.PqSubspaces} AS BIGINT) AS n_cells,
          |  CAST(count(*) * ${Similarity.PqSubspaces} AS BIGINT) AS n_match,
+         |  CAST(0 AS BIGINT) AS n_missing
+         |FROM embeddings WHERE vec_id % 7 = 3""".stripMargin,
+
+    // same closed-form discipline as e_pq_incr, now covering the cell
+    // assignment too: the streamed append is deterministic given the
+    // index, so every delta vector matches the batch build cell+codes
+    "s_stream_ivf_append" ->
+      s"""SELECT
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS n_cell_match,
+         |  CAST(count(*) AS BIGINT) AS n_code_match,
          |  CAST(0 AS BIGINT) AS n_missing
          |FROM embeddings WHERE vec_id % 7 = 3""".stripMargin,
 

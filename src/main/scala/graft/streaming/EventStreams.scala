@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -522,6 +522,23 @@ object EventStreams {
     graft.operators.Sketches.cmsBucketRows(itemsStream, itemCol)
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** STREAMING hash-sampled quantile sketch maintenance at ingest —
+    * [[graft.operators.Sketches.sampledQuantiles]]' sample kept current
+    * per micro-batch: membership is a ROW-LOCAL hash predicate of the
+    * sampling key ([[graft.operators.Sampling.hashSample]], shared
+    * code), so the sketch state is the sample VALUE HISTOGRAM — ONE
+    * update-mode aggregation holding one row per distinct sampled value
+    * (bounded by the value domain, not the stream). Counts only grow;
+    * the drain collapses by max and the post-drain interpolation
+    * ([[graft.operators.Sketches.sampledQuantilesFrom]]) replays the
+    * batch estimate over the reconstructed multiset bit-for-bit. */
+  def quantileSampleHistStream(rows: DataFrame, keyCol: Column,
+                               valCol: Column, rate: Double,
+                               salt: String = "pct"): DataFrame =
+    graft.operators.Sampling.hashSample(
+        rows.select(keyCol.as("k"), valCol.as("v")), col("k"), rate, salt)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
   /** STREAMING boilerplate strip at ingest —
     * [[graft.operators.Dedup.boilerplateStrip]]'s per-batch form: each
     * streamed doc's lines are cleaned against the PERSISTED per-source
@@ -865,6 +882,15 @@ object EventStreams {
       : (DataFrame, Int) = {
     val sp = stream.sparkSession
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    // A/B hook for the state-store provider (SPARK_GRAFT_ROCKSDB=1):
+    // measures whether the update-mode drain floor is store-bound
+    // (RocksDB column families vs the default HDFS-backed map) without
+    // touching per-gate code; the provider is frozen per query at start
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = sp.conf.getOption(provKey)
+    val forceRocks = sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")
+    if (forceRocks) sp.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     var nStateOps = -1
     shufflePartitions.foreach(n => sp.conf.set("spark.sql.shuffle.partitions", n))
     try {
@@ -874,7 +900,13 @@ object EventStreams {
       nStateOps =
         Option(q.lastProgress).map(_.stateOperators.length).getOrElse(-1)
       q.stop()
-    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      sp.conf.set("spark.sql.shuffle.partitions", prev)
+      if (forceRocks) prevProv match {
+        case Some(v) => sp.conf.set(provKey, v)
+        case None => sp.conf.unset(provKey)
+      }
+    }
     (sp.table(name), nStateOps)
   }
 }

@@ -181,6 +181,27 @@ class KinGraphSpec extends SparkSpec {
     assert(bad.toSeq == Seq("x" * 20))
   }
 
+  test("GraphIO.open graphs enforce the reference max_key_len=15 by default " +
+    "(graph.py:23-24, 1366); direct construction stays permissive") {
+    val opened = io.GraphIO.open(spark, "/tmp/graft_keylen_spec", "n")
+    assertThrows[KeyTooLong](opened.addNodes(Seq("a" * 16).toDF("key")))
+    assertThrows[KeyTooLong](opened.addEdges(
+      Seq(("b" * 16, "x", 0)).toDF("src", "dst", "etype")))
+    val ok = opened.addNodes(Seq("a" * 15).toDF("key"))
+    assert(ok.nNodes == 1)
+    // derived graphs carry the contract, and point lookups honor it
+    assert(ok.maxKeyLen == KinConfig.DefaultMaxKeyLen)
+    assertThrows[KeyTooLong](ok.node("a" * 16))
+    // direct construction stays permissive: analytics keys are unbounded
+    val direct = KinGraph(Seq("z" * 40).toDF("key"),
+      Seq.empty[(String, String, Int)].toDF("src", "dst", "etype"))
+    assert(direct.addNodes(Seq("y" * 40).toDF("key")).nNodes == 2)
+    // explicit opt-out restores the permissive behavior on open
+    val loose = io.GraphIO.open(spark, "/tmp/graft_keylen_spec2", "n",
+      maxKeyLen = Int.MaxValue)
+    assert(loose.addNodes(Seq("w" * 16).toDF("key")).nNodes == 1)
+  }
+
   test("requireAttrLen enforces max_str_len on string ATTRS (ref graph.py:227-228)") {
     val batch = Seq(("k1", "short"), ("k2", "y" * 20)).toDF("key", "name")
     assertThrows[StringTooLong](g.requireAttrLen(batch, Seq("key"), 15))

@@ -21,6 +21,44 @@ def load_spark(path):
     t = pq.read_table(path)
     return t
 
+def gx_cc_unionfind(con, sql):
+    """Exact alternate oracle for gx_cc above the driver's sf0.01 gate.
+
+    The recursive min-label CTE is DuckDB-pathological at sf0.1+ (killed
+    after ~5 CPU-hours in round 15), so at larger scales we replay the SAME
+    union edge list (the non-recursive `ue` CTE prefix of the registered
+    oracle SQL, still executed by DuckDB) through a Python union-find.
+    Component label = lexicographic min key, identical to the CTE's
+    min(label) over VARCHAR and to GraphXBridge.connectedComponents'
+    reduceByKey min (all keys are ASCII).
+    """
+    cut = sql.find(", ud AS (")
+    if cut < 0:
+        raise RuntimeError("gx_cc oracle SQL shape changed; expected ', ud AS ('")
+    edges = con.sql(sql[:cut] + " SELECT src, dst FROM ue").fetchall()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for s, d in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min = {}
+    for k in parent:
+        r = find(k)
+        if r not in comp_min or k < comp_min[r]:
+            comp_min[r] = k
+    rows = [(k, comp_min[find(k)]) for k in parent]
+    return ["key", "component"], rows
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -48,9 +86,15 @@ def main():
             n_bad += 1
             continue
         try:
-            res = con.sql(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if name == "gx_cc" and os.path.basename(
+                    os.path.normpath(sf_dir)) not in ("sf0.001", "sf0.01"):
+                print("NOTE  gx_cc: union-find alternate oracle (recursive "
+                      "CTE is DuckDB-pathological above sf0.01)")
+                dcols, drows = gx_cc_unionfind(con, sql)
+            else:
+                res = con.sql(sql)
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
         except Exception as e:
             print(f"OERR  {name}: {str(e).splitlines()[0][:160]}")
             n_bad += 1

@@ -72,8 +72,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; ScaleUp output is a Spark dir
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

@@ -3,9 +3,9 @@
 JSON output (the SELFCHECK_sf01.json / SELFCHECK_sf1.json artifact format).
 
 Usage: python3 tools/sweepjson.py <sf_dir> <verify_out_dir> <out_json> \
-           [--purpose TEXT] [--rows-only q1,q2] [query ...]
+           [--purpose TEXT] [--rows-only q1,q2] [--only q3,q4,...]
 
-Positional queries (if given) limit the sweep. --rows-only names queries
+--only (comma-separated, if given) limits the sweep. --rows-only names queries
 checked for row count > 0 only (oracles that cannot run at this scale);
 everything else runs the full DuckDB compare, with selfcheck.py's gx_cc
 union-find alternate applied above sf0.01.
@@ -23,15 +23,17 @@ def main():
     ap.add_argument("sf_dir"); ap.add_argument("out_dir"); ap.add_argument("out_json")
     ap.add_argument("--purpose", default="scale-robustness oracle sweep")
     ap.add_argument("--rows-only", default="")
-    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--only", default="")
     a = ap.parse_args()
     rows_only = set(x for x in a.rows_only.split(",") if x)
-    only = set(a.queries)
+    only = set(x for x in a.only.split(",") if x)
     con = duckdb.connect()
     for t in selfcheck.TABLES:
         p = f"{a.sf_dir}/{t}.parquet"
+        # driver fixtures are single files; ScaleUp output is a Spark dir
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
     res, n_ok, n_bad = {}, 0, 0
     for name, sql in sorted(oracle.items()):

@@ -12,15 +12,26 @@ import org.apache.spark.sql.functions._
   * TPC-H, which is exactly the density discipline the gates assume:
   * S/C/P/O/L/doc/vec domains scale, N/R degrees grow).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
-  * (e.g. /root/testdata/sf0.1 /tmp/sf1 10 → an sf≈1 fixture).
+  * Replicated document TEXT gets a per-replica suffix token (replica 0
+  * stays pristine): verbatim-copied text would make every delta doc an
+  * exact near-dup of its 9 twins and collapse the dedup gates to the
+  * degenerate all-duplicates corpus; the suffix keeps cross-replica
+  * Jaccard high-but-below-1 (realistic crawl-dup structure) while every
+  * text-derived stat recomputes consistently in both engines. n_chars is
+  * re-derived from the salted text.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * (e.g. /root/testdata/sf0.1 /tmp/sf1 10 → an sf≈1 fixture;
+  * optional 4th arg = comma-list limiting which tables are written).
   *
   * Scale shape: one crossJoin against a `factor`-row literal range per
   * table — embarrassingly parallel, no shuffle except the write
   * repartition sizing output files. */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, fStr) = args
+    val (srcDir, outDir, fStr) = (args(0), args(1), args(2))
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val factor = fStr.toInt
     require(factor >= 1, "factor >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -37,14 +48,16 @@ object ScaleUp {
 
     /** Replicated frame with shifted key columns: each listed key column
       * k becomes k + r·stride(k), stride = its original (max − min + 1),
-      * so replica key ranges tile contiguously after the original. */
-    def blowUp(df: DataFrame, keyCols: Map[String, Long]): DataFrame = {
+      * so replica key ranges tile contiguously after the original.
+      * `post` runs while `__r` is still in scope (text salting). */
+    def blowUp(df: DataFrame, keyCols: Map[String, Long],
+               post: DataFrame => DataFrame = identity): DataFrame = {
       val reps = spark.range(factor).select(col("id").as("__r"))
       val wide = df.crossJoin(reps)
-      keyCols.foldLeft(wide) { case (acc, (c, stride)) =>
+      post(keyCols.foldLeft(wide) { case (acc, (c, stride)) =>
         acc.withColumn(c, (col(c) + col("__r") * stride)
           .cast(df.schema(c).dataType))
-      }.drop("__r")
+      }).drop("__r")
     }
 
     def stride(df: DataFrame, c: String): Long = {
@@ -53,8 +66,9 @@ object ScaleUp {
     }
 
     def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite")
-        .parquet(s"$outDir/$t.parquet")
+      if (tableFilter.forall(_.contains(t)))
+        df.repartition(files).write.mode("overwrite")
+          .parquet(s"$outDir/$t.parquet")
 
     val cust = src("customer"); val supp = src("supplier")
     val part = src("part"); val ord = src("orders")
@@ -73,7 +87,13 @@ object ScaleUp {
       "l_suppkey" -> ks)), "lineitem", 16)
     write(blowUp(ev, Map("event_id" -> stride(ev, "event_id"),
       "user_id" -> stride(ev, "user_id"))), "events", 8)
-    write(blowUp(doc, Map("doc_id" -> stride(doc, "doc_id"))), "documents", 8)
+    write(blowUp(doc, Map("doc_id" -> stride(doc, "doc_id")), wide =>
+      wide.withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep"),
+              col("__r").cast("string"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))),
+      "documents", 8)
     write(blowUp(emb, Map("vec_id" -> stride(emb, "vec_id"))), "embeddings", 4)
 
     println(s"""{"scaled":"$srcDir","out":"$outDir","factor":$factor}""")

@@ -420,6 +420,74 @@ class StreamingSpec extends SparkSpec {
       s"stream cells=${cmsStream.take(5)} batch=${batchCells.take(5)}")
   }
 
+  test("streaming quantile sample histogram accumulates across micro-batches " +
+    "(== batch sketch); IVF+PQ append is STATELESS and byte-identical to " +
+    "the batch index") {
+    import org.apache.spark.sql.types._
+    import graft.operators.{Sketches, Similarity}
+    // quantile: keys 21..40 appear in BOTH files, so their sampled values
+    // must count twice — equality with the batch sketch requires the
+    // histogram state to accumulate across micro-batches
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    def writeFile(n: Int, rows: Seq[(Long, Long)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1),
+        schema).write.parquet(s"$dir/f$n")
+    val r1 = (1L to 40L).map(i => (i, i % 7))
+    val r2 = (21L to 60L).map(i => (i, i % 7))
+    writeFile(1, r1); writeFile(2, r2)
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f*")
+    val (drained, nOps) = EventStreams.runToMemoryCounted(
+      EventStreams.quantileSampleHistStream(st, $"k", $"v", 0.5),
+      "t_q_stream", mode = org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(nOps == 1)
+    val hist = drained.groupBy("v").agg(max($"cnt").as("cnt"))
+    val sample = hist
+      .select($"v", explode(sequence(lit(1L), $"cnt"))).select("v")
+    val all = (r1 ++ r2).toDF("k", "v")
+    val streamRes = Sketches
+      .sampledQuantilesFrom(sample, all.select($"k", $"v"), Seq(250, 500, 750))
+      .collect().toSeq
+    val batchRes = Sketches
+      .sampledQuantiles(all, $"k", $"v", 0.5, Seq(250, 500, 750))
+      .collect().toSeq
+    assert(streamRes == batchRes)
+    // IVF+PQ append: zero state stores, rows == the batch index build
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val dim = Similarity.inferDim(corpus)
+    val cells = Similarity.ivfSampledCells(corpus)
+    val cbs = Similarity.pqCodebooks(corpus, dim)
+    val stv = EventStreams.readEmbeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .filter($"id" < 50)
+    val (appended, nOps2) = EventStreams.runToMemoryCounted(
+      Similarity.streamingIvfPqAppend(stv, cells, cbs, dim), "t_ivf_append",
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(nOps2 == 0, "index append must be stateless")
+    val streamRows = appended
+      .select($"vec_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val delta = corpus.filter($"id" < 50)
+    val batchCell = Similarity.ivfSampledAssign(delta, cells)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val batchCodes = Similarity.pqEncode(delta, cbs, dim)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct($"m", $"code"))).as("mc"))
+      .select($"vec_id", expr("transform(mc, x -> x.code)").as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(streamRows.nonEmpty && streamRows.keySet == batchCell.keySet)
+    streamRows.foreach { case (id, (cell, codes)) =>
+      assert(cell == batchCell(id), s"cell of $id")
+      assert(codes == batchCodes(id), s"codes of $id")
+    }
+  }
+
   test("streaming boilerplate strip equals the batch form across micro-batches") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),

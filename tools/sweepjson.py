@@ -10,7 +10,7 @@ checked for row count > 0 only (oracles that cannot run at this scale);
 everything else runs the full DuckDB compare, with selfcheck.py's gx_cc
 union-find alternate applied above sf0.01.
 """
-import sys, os, json, glob, argparse
+import sys, os, json, glob, argparse, threading
 import duckdb
 import pyarrow.parquet as pq
 
@@ -24,10 +24,23 @@ def main():
     ap.add_argument("--purpose", default="scale-robustness oracle sweep")
     ap.add_argument("--rows-only", default="")
     ap.add_argument("--only", default="")
+    ap.add_argument("--timeout-sec", type=float, default=0,
+                    help="per-query DuckDB budget; on expiry the query is "
+                         "interrupted and graded rows-only instead")
+    ap.add_argument("--mem-limit", default="",
+                    help="DuckDB memory_limit (e.g. 64GB) — prevents the "
+                         "OOM killer taking the whole sweep down")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip queries already recorded in out_json (the "
+                         "sweep dumps incrementally, so an OOM-killed run "
+                         "resumes where it died)")
     a = ap.parse_args()
     rows_only = set(x for x in a.rows_only.split(",") if x)
     only = set(x for x in a.only.split(",") if x)
     con = duckdb.connect()
+    if a.mem_limit:
+        con.sql(f"SET memory_limit='{a.mem_limit}'")
+        con.sql("SET temp_directory='/tmp/duckdb_sweep_tmp'")
     for t in selfcheck.TABLES:
         p = f"{a.sf_dir}/{t}.parquet"
         # driver fixtures are single files; ScaleUp output is a Spark dir
@@ -36,19 +49,39 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
     res, n_ok, n_bad = {}, 0, 0
+    if a.resume and os.path.exists(a.out_json):
+        res = json.load(open(a.out_json)).get("queries", {})
+        n_ok = sum(1 for v in res.values() if v.get("ok"))
+        n_bad = len(res) - n_ok
+        print(f"RESUME {len(res)} prior results ({n_ok} ok)")
+
+    def dump():
+        json.dump({"purpose": a.purpose, "sf_dir": a.sf_dir, "n_ok": n_ok,
+                   "n_bad": n_bad, "queries": res},
+                  open(a.out_json, "w"), indent=1, sort_keys=True)
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if a.resume and name in res:
+            continue
         spark_path = f"{a.out_dir}/{name}"
         if not glob.glob(os.path.join(spark_path, "*.parquet")):
-            res[name] = {"status": "MISS", "ok": False}; n_bad += 1; continue
+            res[name] = {"status": "MISS", "ok": False}; n_bad += 1; dump(); continue
         st = pq.read_table(spark_path)
         if name in rows_only:
             ok = st.num_rows > 0
             res[name] = {"status": "ROWS_ONLY", "ok": ok, "rows": st.num_rows}
-            n_ok += ok; n_bad += not ok
+            n_ok += ok; n_bad += not ok; dump()
             print(("OK    " if ok else "EMPTY ") + f"{name} (rows-only, {st.num_rows} rows)")
             continue
+        timer, timed_out = None, [False]
+        if a.timeout_sec > 0:
+            def fire(flag=timed_out):
+                flag[0] = True
+                con.interrupt()
+            timer = threading.Timer(a.timeout_sec, fire)
+            timer.start()
         try:
             if name == "gx_cc" and os.path.basename(
                     os.path.normpath(a.sf_dir)) not in ("sf0.001", "sf0.01"):
@@ -58,31 +91,44 @@ def main():
                 dcols = [d[0] for d in r.description]
                 drows = r.fetchall()
         except Exception as e:
-            res[name] = {"status": "OERR", "ok": False,
-                         "err": str(e).splitlines()[0][:160]}
-            n_bad += 1; print(f"OERR  {name}"); continue
+            # budget expiry or engine OOM: the ORACLE can't run at this
+            # scale — grade the Spark result rows-only, honestly labeled
+            if timed_out[0] or "emory" in str(e):
+                why = "TIMEOUT" if timed_out[0] else "ORACLE_OOM"
+                ok = st.num_rows > 0
+                res[name] = {"status": f"{why}_ROWS_ONLY", "ok": ok,
+                             "rows": st.num_rows}
+                n_ok += ok; n_bad += not ok; dump()
+                print(("OK    " if ok else "EMPTY ") +
+                      f"{name} ({why.lower()} rows-only, {st.num_rows} rows)")
+            else:
+                res[name] = {"status": "OERR", "ok": False,
+                             "err": str(e).splitlines()[0][:160]}
+                n_bad += 1; dump(); print(f"OERR  {name}: {str(e).splitlines()[0][:120]}")
+            continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         scols = st.schema.names
         srows = [tuple(r[c] for c in scols) for r in st.to_pylist()]
         sc, sr = selfcheck.norm_rows(scols, srows)
         dc, dr = selfcheck.norm_rows(dcols, drows)
         if sc != dc:
-            res[name] = {"status": "COLS", "ok": False}; n_bad += 1
+            res[name] = {"status": "COLS", "ok": False}; n_bad += 1; dump()
             print(f"COLS  {name}: spark={sc} duck={dc}"); continue
         if len(sr) != len(dr):
             res[name] = {"status": "NROW", "ok": False,
                          "spark": len(sr), "duck": len(dr)}
-            n_bad += 1; print(f"NROW  {name}: spark={len(sr)} duck={len(dr)}"); continue
+            n_bad += 1; dump(); print(f"NROW  {name}: spark={len(sr)} duck={len(dr)}"); continue
         bad = [(x, y) for x, y in zip(sr, dr) if x != y]
         if bad:
             res[name] = {"status": "VALS", "ok": False, "n_bad": len(bad)}
-            n_bad += 1
+            n_bad += 1; dump()
             print(f"VALS  {name}: {len(bad)}/{len(sr)}; first spark={bad[0][0]} duck={bad[0][1]}")
             continue
         res[name] = {"status": "OK", "ok": True, "rows": len(sr)}
-        n_ok += 1; print(f"OK    {name} ({len(sr)} rows)")
-    out = {"purpose": a.purpose, "sf_dir": a.sf_dir, "n_ok": n_ok,
-           "n_bad": n_bad, "queries": res}
-    json.dump(out, open(a.out_json, "w"), indent=1, sort_keys=True)
+        n_ok += 1; dump(); print(f"OK    {name} ({len(sr)} rows)")
+    dump()
     print(f"\n{n_ok} ok, {n_bad} bad -> {a.out_json}")
     sys.exit(1 if n_bad else 0)
 

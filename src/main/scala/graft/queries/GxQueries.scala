@@ -56,15 +56,21 @@ object GxQueries {
     * gx_pagerank_rank consumes it as the slack-tolerant ≥49/50 driver
     * gate; GraphXSpec pins the STRUCTURE of any disagreement (adjacent
     * near-tie swaps only) — the sensitivity the frame-global flag
-    * deliberately trades away. Top-n via orderBy+limit
-    * (TakeOrderedAndProject) BEFORE the position window, so the global
-    * window runs on n rows, never the node set. */
+    * deliberately trades away. BOTH rankings run the SAME 5-iteration
+    * horizon: the gate's claim is "integer fp tracks the float engine",
+    * which only divergent ROUNDING may break — with mismatched horizons
+    * (float at 10, fp at 5, as before r16) the comparison also carried
+    * convergence-speed differences, and those are graph-dependent: fine
+    * at sf0.1, but the sf1 blow-up's 10× denser nation hubs reordered
+    * the 10-iter float top-50 wholesale (gx_agree 0/50). Top-n via
+    * orderBy+limit (TakeOrderedAndProject) BEFORE the position window,
+    * so the global window runs on n rows, never the node set. */
   private[graft] def pagerankRankAlignment(s: SparkSession, dir: String,
                                            n: Int = 50): DataFrame = {
     val fp = GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
       .orderBy(col("r").desc, col("key")).limit(n)
       .select(col("key"), col("r").as("rank_fp"))
-    val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 10)
+    val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 5)
       .orderBy(col("rank").desc, col("key")).limit(n)
       .select(col("key").as("key_gx"), col("rank").as("score_gx"))
     val wfp = org.apache.spark.sql.expressions.Window

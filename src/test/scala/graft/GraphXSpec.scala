@@ -62,10 +62,11 @@ class GraphXSpec extends SparkSpec {
     // independent alignments (fresh GraphX runs) must agree on WHICH
     // positions disagree, and the swap count must stay within the
     // gate's slack. Measured distribution on this fixture (3 runs,
-    // sf0.001): zero disagreements in every run — the 10-iter float
-    // scores are far enough apart in the top 50 that no adjacent pair
-    // ties; the driver gate's floor is raised to 49/50 on that basis
-    // (one swap of slack retained for larger-SF near-ties).
+    // sf0.001): zero disagreements in every run — the float scores (same
+    // 5-iter horizon as the fp twin since r16) are far enough apart in
+    // the top 50 that no adjacent pair ties; the driver gate's floor is
+    // raised to 49/50 on that basis (one swap of slack retained for
+    // larger-SF near-ties).
     val runs = (1 to 3).map { _ =>
       val dis = graft.queries.GxQueries.pagerankRankAlignment(spark, sf)
         .select($"pos", $"key", $"key_gx")

@@ -65,7 +65,15 @@ object GraphIO {
 
   /** Persist a graph snapshot. Output files are size-coalesced: at local
     * test scale a handful of files; at cluster scale callers pass a larger
-    * target partition count. */
+    * target partition count.
+    *
+    * NOTE on key length and round-trips: `maxKeyLen` is NOT persisted (the
+    * reference's max_key_len is a ctor parameter, not a header field —
+    * graph.py:23-24), and `open` applies the reference default of 15.
+    * A graph built permissively (KinGraph.apply / fromEdges with analytics
+    * keys longer than 15) saves fine but a later `open` will throw
+    * KeyTooLong on node()/addNodes/addEdges — reopen such graphs with
+    * `maxKeyLen = Int.MaxValue`. */
   def save(g: KinGraph, path: String, numFiles: Int = 4): Unit = {
     g.nodes.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(nodesPath(path))
     g.edges.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(edgesPath(path))

@@ -36,7 +36,11 @@ def gx_cc_unionfind(con, sql):
     if cut < 0:
         raise RuntimeError("gx_cc oracle SQL shape changed; expected ', ud AS ('")
     edges = con.sql(sql[:cut] + " SELECT src, dst FROM ue").fetchall()
-    parent = {}
+    # seed from the full node set (the CTE seeds `SELECT key, key FROM un`),
+    # not just edge endpoints — an isolated node in the union graph would
+    # otherwise show on the Spark side only and fail NROW spuriously
+    nodes = [r[0] for r in con.sql(sql[:cut] + " SELECT key FROM un").fetchall()]
+    parent = {k: k for k in nodes}
 
     def find(x):
         r = x
@@ -59,12 +63,29 @@ def gx_cc_unionfind(con, sql):
     rows = [(k, comp_min[find(k)]) for k in parent]
     return ["key", "component"], rows
 
+# Alternate oracles applied ABOVE the driver's sf0.01 gate (sf dir basename
+# not sf0.001/sf0.01): name -> fn(con, registered_sql) -> (cols, rows).
+# Each replays the SAME algorithm the unrolled-CTE oracle encodes, over the
+# same DuckDB-extracted inputs, when the CTE itself is DuckDB-pathological
+# at 10x scale (recursive min-label CC, the louvain/greedy families).
+# Populated further by gx_replays.py (imported at the bottom of this file).
+ALTERNATES = {"gx_cc": gx_cc_unionfind}
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+# scale-replay oracles for the gx iterative/greedy families (round-17);
+# kept in their own module so this file stays the compare loop
+try:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import gx_replays
+    ALTERNATES.update(gx_replays.ALTERNATES)
+except ImportError:
+    pass
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -88,11 +109,12 @@ def main():
             n_bad += 1
             continue
         try:
-            if name == "gx_cc" and os.path.basename(
+            alt = ALTERNATES.get(name)
+            if alt is not None and os.path.basename(
                     os.path.normpath(sf_dir)) not in ("sf0.001", "sf0.01"):
-                print("NOTE  gx_cc: union-find alternate oracle (recursive "
-                      "CTE is DuckDB-pathological above sf0.01)")
-                dcols, drows = gx_cc_unionfind(con, sql)
+                print(f"NOTE  {name}: Python-replay alternate oracle (the "
+                      "registered CTE is DuckDB-pathological above sf0.01)")
+                dcols, drows = alt(con, sql)
             else:
                 res = con.sql(sql)
                 dcols = [d[0] for d in res.description]

@@ -37,16 +37,20 @@ def main():
     a = ap.parse_args()
     rows_only = set(x for x in a.rows_only.split(",") if x)
     only = set(x for x in a.only.split(",") if x)
-    con = duckdb.connect()
-    if a.mem_limit:
-        con.sql(f"SET memory_limit='{a.mem_limit}'")
-        con.sql("SET temp_directory='/tmp/duckdb_sweep_tmp'")
-    for t in selfcheck.TABLES:
-        p = f"{a.sf_dir}/{t}.parquet"
-        # driver fixtures are single files; ScaleUp output is a Spark dir
-        pat = p + "/*.parquet" if os.path.isdir(p) else p
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    def fresh_con():
+        c = duckdb.connect()
+        if a.mem_limit:
+            c.sql(f"SET memory_limit='{a.mem_limit}'")
+            c.sql("SET temp_directory='/tmp/duckdb_sweep_tmp'")
+        for t in selfcheck.TABLES:
+            p = f"{a.sf_dir}/{t}.parquet"
+            # driver fixtures are single files; ScaleUp output is a Spark dir
+            pat = p + "/*.parquet" if os.path.isdir(p) else p
+            if os.path.exists(p):
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
     res, n_ok, n_bad = {}, 0, 0
     if a.resume and os.path.exists(a.out_json):
@@ -75,6 +79,14 @@ def main():
             n_ok += ok; n_bad += not ok; dump()
             print(("OK    " if ok else "EMPTY ") + f"{name} (rows-only, {st.num_rows} rows)")
             continue
+        def run_oracle(c):
+            alt = selfcheck.ALTERNATES.get(name)
+            if alt is not None and os.path.basename(
+                    os.path.normpath(a.sf_dir)) not in ("sf0.001", "sf0.01"):
+                return alt(c, sql)
+            r = c.sql(sql)
+            return [d[0] for d in r.description], r.fetchall()
+
         timer, timed_out = None, [False]
         if a.timeout_sec > 0:
             def fire(flag=timed_out):
@@ -83,32 +95,73 @@ def main():
             timer = threading.Timer(a.timeout_sec, fire)
             timer.start()
         try:
-            if name == "gx_cc" and os.path.basename(
-                    os.path.normpath(a.sf_dir)) not in ("sf0.001", "sf0.01"):
-                dcols, drows = selfcheck.gx_cc_unionfind(con, sql)
-            else:
-                r = con.sql(sql)
-                dcols = [d[0] for d in r.description]
-                drows = r.fetchall()
+            dcols, drows = run_oracle(con)
         except Exception as e:
+            if timer is not None:
+                timer.cancel()
+            is_oom = isinstance(e, duckdb.OutOfMemoryException) or \
+                "Out of Memory Error" in str(e)
+            if is_oom and not timed_out[0]:
+                # an OOM can be prior-query allocator pollution rather than
+                # this query's real footprint — retry once on a fresh
+                # connection before conceding the rows-only fallback
+                # (r16: q1_agg "OOM'd" at a trivial 6M-row aggregation)
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
+                timer2 = None
+                if a.timeout_sec > 0:
+                    def fire2(flag=timed_out, c=con):
+                        flag[0] = True
+                        c.interrupt()
+                    timer2 = threading.Timer(a.timeout_sec, fire2)
+                    timer2.start()
+                try:
+                    dcols, drows = run_oracle(con)
+                    e = None
+                except Exception as e2:
+                    e = e2
+                finally:
+                    if timer2 is not None:
+                        timer2.cancel()
             # budget expiry or engine OOM: the ORACLE can't run at this
             # scale — grade the Spark result rows-only, honestly labeled
-            if timed_out[0] or "emory" in str(e):
-                why = "TIMEOUT" if timed_out[0] else "ORACLE_OOM"
-                ok = st.num_rows > 0
-                res[name] = {"status": f"{why}_ROWS_ONLY", "ok": ok,
-                             "rows": st.num_rows}
-                n_ok += ok; n_bad += not ok; dump()
-                print(("OK    " if ok else "EMPTY ") +
-                      f"{name} ({why.lower()} rows-only, {st.num_rows} rows)")
-            else:
-                res[name] = {"status": "OERR", "ok": False,
-                             "err": str(e).splitlines()[0][:160]}
-                n_bad += 1; dump(); print(f"OERR  {name}: {str(e).splitlines()[0][:120]}")
-            continue
+            if e is not None:
+                is_oom = isinstance(e, duckdb.OutOfMemoryException) or \
+                    "Out of Memory Error" in str(e)
+                if timed_out[0] or is_oom:
+                    why = "TIMEOUT" if timed_out[0] else "ORACLE_OOM"
+                    ok = st.num_rows > 0
+                    res[name] = {"status": f"{why}_ROWS_ONLY", "ok": ok,
+                                 "rows": st.num_rows}
+                    n_ok += ok; n_bad += not ok; dump()
+                    print(("OK    " if ok else "EMPTY ") +
+                          f"{name} ({why.lower()} rows-only, {st.num_rows} rows)")
+                else:
+                    res[name] = {"status": "OERR", "ok": False,
+                                 "err": str(e).splitlines()[0][:160]}
+                    n_bad += 1; dump(); print(f"OERR  {name}: {str(e).splitlines()[0][:120]}")
+                if timed_out[0]:
+                    # the interrupt may have landed after the query finished
+                    # (or on the fresh connection) — clear any stale
+                    # interrupt so it can't abort the NEXT query
+                    try:
+                        con.sql("SELECT 1").fetchall()
+                    except Exception:
+                        con = fresh_con()
+                continue
         finally:
             if timer is not None:
                 timer.cancel()
+        if timed_out[0]:
+            # timer fired but the query had already completed — drain the
+            # stale interrupt before the next loop iteration
+            try:
+                con.sql("SELECT 1").fetchall()
+            except Exception:
+                con = fresh_con()
         scols = st.schema.names
         srows = [tuple(r[c] for c in scols) for r in st.to_pylist()]
         sc, sr = selfcheck.norm_rows(scols, srows)

@@ -160,15 +160,16 @@ object Multimodal {
         // constant magics hoisted out of the per-row loop
         def magic(hex: String): Array[Byte] =
           hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-        val (png, bmp, riff, wave) =
-          (magic("89504E47"), magic("424D"), magic("52494646"), magic("57415645"))
+        val (png, bmp, riff, wave, jpg) =
+          (magic("89504E47"), magic("424D"), magic("52494646"),
+            magic("57415645"), magic("FFD8FF"))
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
           val bytes = r.getAs[Array[Byte]]("content")
           def hasMagic(m: Array[Byte], off: Int): Boolean =
             bytes.length >= off + m.length &&
               m.indices.forall(i => bytes(off + i) == m(i))
-          val isImage = hasMagic(png, 0) || hasMagic(bmp, 0)
+          val isImage = hasMagic(png, 0) || hasMagic(bmp, 0) || hasMagic(jpg, 0)
           val isWav = hasMagic(riff, 0) && hasMagic(wave, 8)
           // a malformed payload decodes to 'unknown', it never crashes
           // the task (decodeImage catches internally; guard WAV too)
@@ -176,7 +177,9 @@ object Multimodal {
             try {
               if (isImage) decodeImage(bytes).map { s =>
                 DecodedMedia(id,
-                  if (bytes(0) == 0x42) "image/bmp" else "image/png",
+                  if (bytes(0) == 0x42) "image/bmp"
+                  else if ((bytes(0) & 0xff) == 0xff) "image/jpeg"
+                  else "image/png",
                   Some(s.width), Some(s.height), Some(s.nPixels),
                   Some(s.sumR), Some(s.sumG), Some(s.sumB),
                   Some(s.sumB.toDouble / s.nPixels),
@@ -708,6 +711,95 @@ object Multimodal {
       .withColumn("probed_duration_ms",
         when(isWav && byteRate > 0,
           leU32(c, 41) * 1000L / byteRate).cast(LongType))
+  }
+
+  /** Output row of [[jpegProbe]]: the frame-header facts a triage pass
+    * reads before any entropy decode. */
+  case class JpegMeta(media_id: Long, soi_ok: Int, width: Int, height: Int,
+                      n_components: Int)
+
+  /** JPEG (JFIF/EXIF) header walk: verify the SOI marker, then scan the
+    * length-prefixed marker segments to the first SOF frame header
+    * (C0–CF excluding DHT C4 / JPG C8 / DAC CC) and read the raster
+    * dimensions and component count. Runs in `mapPartitions` — segment
+    * offsets are variable, so unlike [[probeMeta]]'s PNG/BMP/WAV probes
+    * this cannot be a fixed-offset codegen projection; it is still
+    * header-only (no entropy decode), so the corpus-wide triage cost is
+    * a few dozen byte reads per payload. Malformed payloads emit
+    * soi_ok=0 with zero dims rather than crashing the task. */
+  def jpegProbe(media: DataFrame): Dataset[JpegMeta] = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val b = r.getAs[Array[Byte]]("content")
+          def u8(i: Int): Int = b(i) & 0xff
+          def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+          var out = JpegMeta(id, 0, 0, 0, 0)
+          if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+            var off = 2
+            var done = false
+            while (!done && off + 4 <= b.length) {
+              if (u8(off) != 0xff) { done = true } // desync: stop, soi-only
+              else {
+                val m = u8(off + 1)
+                if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2
+                else if (m == 0xd9 || m == 0xda) done = true // EOI / scan data
+                else {
+                  val len = be16(off + 2)
+                  val isSof = m >= 0xc0 && m <= 0xcf &&
+                    m != 0xc4 && m != 0xc8 && m != 0xcc
+                  if (isSof && off + 9 < b.length) {
+                    out = JpegMeta(id, 1, be16(off + 7), be16(off + 5),
+                      u8(off + 9))
+                    done = true
+                  } else off += 2 + len
+                }
+              }
+            }
+            if (out.soi_ok == 0) out = JpegMeta(id, 1, 0, 0, 0)
+          }
+          out
+        }
+      }
+  }
+
+  /** Transcode decodable rasters to JPEG via the JDK encoder — the lossy
+    * member of the codec family (PNG/BMP build arithmetically; JPEG must
+    * go through an encoder). Dimensions and component structure survive
+    * the round-trip EXACTLY (gated hash-exact via [[jpegProbe]]); pixel
+    * values do not (DCT quantization), so pixel-stat gates over JPEG are
+    * rows-only by declaration. Same partition-batched shape as
+    * [[decodeMedia]]; undecodable payloads are dropped, not crashed. */
+  def transcodeJpeg(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+            if (img == null) None
+            else {
+              // the JDK jpg writer rejects rasters with alpha — repaint
+              // into a 3-byte BGR buffer (exact copy for opaque sources)
+              val rgb = new java.awt.image.BufferedImage(img.getWidth,
+                img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = rgb.createGraphics()
+              g.drawImage(img, 0, 0, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(rgb, "jpg", bos)
+              Some((id, bos.toByteArray))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF("media_id", "content")
   }
 
   /** "Resize" for the stub modality: truncate payload to `maxBytes`

@@ -174,6 +174,47 @@ object Similarity {
       .select("query_id", "vec_id", "cos_micro", "rank")
   }
 
+  /** Hard-negative mining on the LSH shortlist — the scale path of the
+    * exact cross-label miner (e_hard_negatives): candidates come from the
+    * shared-bucket multi-probe join exactly as in [[lshTopK]], the
+    * cross-label filter rides the candidate join BEFORE any distance math
+    * (same-label pairs never pay the dot product), and the floor-micro
+    * rerank keeps the `k` nearest cross-label vectors per query. Inputs
+    * carry (id, vec, label); labels travel with the vector re-attach, not
+    * a post-scoring join. Fully SQL-replayable (planes, signatures,
+    * probes, label filter, rerank), so retrieval quality is hash-checked
+    * rather than spec-asserted. */
+  def lshHardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val dim = inferDim(queries)
+    val corpusB = lshBucketed(corpus.select(col("id"), col("vec")), dim)
+      .select(col("table"), col("bucket"), col("id").as("vec_id"))
+    val qB = lshBucketed(queries.select(col("id"), col("vec")), dim)
+      .withColumnRenamed("id", "query_id")
+    val probes = qB.select(col("query_id"), col("table"),
+        explode(array((-1 until LshBitsPerTable).map(i => lit(i)): _*)).as("flip"),
+        col("bucket").as("qbucket"))
+      .withColumn("bucket", when(col("flip") === -1, col("qbucket"))
+        .otherwise(expr("qbucket ^ CAST(pow(2, flip) AS BIGINT)")))
+      .select("query_id", "table", "bucket")
+    val candIds = corpusB
+      .join(broadcast(probes), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn"), col("label").as("q_label"))
+    val cv = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"), col("label").as("neg_label"))
+    val cand = candIds.join(broadcast(qv), "query_id").join(cv, "vec_id")
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("cos_micro",
+        cosMicroCol(col("qvec"), col("qn"), col("cvec"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "neg_label", "cos_micro", "rank")
+  }
+
   /** Near-duplicate vector pairs: cosine >= threshold, candidates from
     * shared LSH buckets in any table (no all-pairs product). */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
@@ -1604,7 +1645,8 @@ object Similarity {
     * broadcast-sized however large the corpus. */
   def beamSearchTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      graphK: Int = 8, ef: Int = 12, rounds: Int = 4,
-                     prebuiltEdges: Option[DataFrame] = None): DataFrame = {
+                     prebuiltEdges: Option[DataFrame] = None,
+                     seeds: Option[DataFrame] = None): DataFrame = {
     val cor = corpus.select(col("id").as("vec_id"), col("vec"),
       norm(col("vec")).as("cn"))
     // checkpointed, not merely cached: edges feed EVERY round, and the
@@ -1616,17 +1658,40 @@ object Similarity {
       .localCheckpoint(true)
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("vec").as("qv"), norm(col("vec")).as("qn")))
-    // score only the handed-in (query, candidate) pairs: a keyed fetch of
-    // the candidate vectors, never a corpus scan
+    // seeds override the flat entry: [[hnswTopK]]'s descent hands each
+    // query its own near-entry; the default is the deterministic global
+    // minimum corpus id for every query
+    val seedDf = seeds.getOrElse {
+      val entryId = cor.agg(min(col("vec_id"))).head().getLong(0)
+      queries.select(col("id").as("query_id")).withColumn("vec_id", lit(entryId))
+    }
+    val cand = beamLoop(cor, edges, q, seedDf, ef, rounds)
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("vec_id"))
+    // the query vector itself may sit in the candidate set (it seeds
+    // navigation when the entry IS a query); exclude it from the result
+    cand.filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosm").as("cos_micro"),
+        col("rank"))
+  }
+
+  /** The shared beam-expansion loop of [[beamSearchTopK]] and
+    * [[hnswTopK]]'s per-layer descent: score the seed pairs, then
+    * `rounds` times expand the ef-best beam through `edges`, scoring
+    * only UNSEEN candidates (a keyed fetch of candidate vectors, never a
+    * corpus scan). Returns the full scored candidate set — running state
+    * stays ≤ |queries|·(1 + rounds·ef·degree) rows. */
+  private def beamLoop(cor: DataFrame, edges: DataFrame, q: DataFrame,
+                       seeds: DataFrame, ef: Int, rounds: Int): DataFrame = {
     def score(cands: DataFrame): DataFrame =
       cands.join(cor, "vec_id").join(q, "query_id")
         .select(col("query_id"), col("vec_id"),
           cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cosm"))
-    val entryId = cor.agg(min(col("vec_id"))).head().getLong(0)
-    var cand = score(queries.select(col("id").as("query_id"))
-      .withColumn("vec_id", lit(entryId))).localCheckpoint(true)
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("cosm").desc, col("vec_id"))
+    var cand = score(seeds).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val beam = cand.withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= ef).select("query_id", "vec_id")
@@ -1635,13 +1700,84 @@ object Similarity {
       val fresh = expand.join(cand, Seq("query_id", "vec_id"), "left_anti")
       cand = cand.unionByName(score(fresh)).localCheckpoint(true)
     }
-    // the query vector itself may sit in the candidate set (it seeds
-    // navigation when the entry IS a query); exclude it from the result
-    cand.filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(wBeam))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosm").as("cos_micro"),
-        col("rank"))
+    cand
+  }
+
+  /** Hash-sampled HNSW level membership: id is on layer `l` (1-based; 0
+    * is the full corpus) iff hash60(id || '|hnsw') % levelMod^l == 0 —
+    * the md5-derived family both engines (and offline Python) compute
+    * exactly, reproducing the HNSW paper's exponentially-decaying level
+    * distribution without RNG state. Nested by construction:
+    * levelMod^(l+1) | h implies levelMod^l | h, so every upper-layer
+    * node exists on all layers below and descent seeds are always valid
+    * members of the next layer down. */
+  def hnswMember(id: Column, level: Int, levelMod: Int = 8): Column =
+    pmod(graft.functions.TextFunctions.hash60(
+        concat(id.cast("string"), lit("|hnsw"))),
+      lit(math.pow(levelMod.toDouble, level.toDouble).toLong)) === 0
+
+  /** HNSW: 1–2 hash-sampled coarse layers over the NSW base layer. Each
+    * upper layer is levelMod× smaller than the one below ([[hnswMember]]);
+    * its navigable graph is degree-bounded kNN over the layer members
+    * (default build [[lshKnnEdges]] — banded, no product — same as the
+    * base). Search descends: the top layer starts at its deterministic
+    * entry (minimum member id), each layer runs a SMALL beam
+    * (upperEf × upperRounds) toward the query, and its per-query 1-best
+    * seeds the layer below; the base layer then runs the full NSW beam at
+    * `ef`. Every step is the (cos_micro DESC, vec_id) total order, so
+    * membership, layer graphs, descent and base walk all replay in SQL
+    * ([[hnswRecallSql]]). Empty layers (possible on tiny fixtures) are
+    * skipped — descent falls through to the first non-empty layer's
+    * entry.
+    *
+    * Scale shape: upper layers shrink geometrically (n/8, n/64), so the
+    * whole hierarchy costs one extra banded build per layer; descent
+    * state is |queries|·upperEf rows — broadcast-sized however large the
+    * corpus — and the base search inherits [[beamSearchTopK]]'s bounds.
+    * The hierarchy buys what flat NSW lacks at 100 TB: an entry already
+    * near the query, so base rounds spend expansion on the true
+    * neighborhood instead of traversing from the global entry. */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               graphK: Int = 8, ef: Int = 12, rounds: Int = 4,
+               levelMod: Int = 8, maxLevel: Int = 2,
+               upperK: Int = 4, upperEf: Int = 2, upperRounds: Int = 2,
+               prebuiltBase: Option[DataFrame] = None,
+               prebuiltUpper: Option[Int => DataFrame] = None): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("vec").as("qv"), norm(col("vec")).as("qn")))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("vec_id"))
+    var seed: Option[DataFrame] = None
+    for (l <- maxLevel to 1 by -1) {
+      val mem = corpus.filter(hnswMember(col("id"), l, levelMod))
+      // one tiny driver action per layer: the layer's deterministic entry
+      // (and its emptiness probe in one job)
+      val entryRow = mem.agg(min(col("id"))).head()
+      if (!entryRow.isNullAt(0)) {
+        val memCor = mem.select(col("id").as("vec_id"), col("vec"),
+          norm(col("vec")).as("cn"))
+        val edges = prebuiltUpper.map(_(l)).getOrElse(lshKnnEdges(mem, upperK))
+          .localCheckpoint(true)
+        val seedDf = seed.getOrElse(queries.select(col("id").as("query_id"))
+          .withColumn("vec_id", lit(entryRow.getLong(0))))
+        val cand = beamLoop(memCor, edges, q, seedDf, upperEf, upperRounds)
+        seed = Some(cand.withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") === 1).select("query_id", "vec_id")
+          .localCheckpoint(true))
+      }
+    }
+    // the base beam seeds from the descent result PLUS the flat global
+    // entry (one extra scored row per query): the hierarchy adds start
+    // information rather than replacing it, so on fixtures where the
+    // flat entry happens to sit well the hierarchical walk does not
+    // trade that luck away for its (usually better) descent seed
+    val baseSeeds = seed.map { sd =>
+      val entryAll = corpus.agg(min(col("id"))).head().getLong(0)
+      sd.unionByName(queries.select(col("id").as("query_id"))
+        .withColumn("vec_id", lit(entryAll))).distinct()
+    }
+    beamSearchTopK(corpus, queries, k, graphK, ef, rounds,
+      prebuiltEdges = prebuiltBase, seeds = baseSeeds)
   }
 
   /** DuckDB twin of the whole graph-beam recall report: kNN graph, entry,
@@ -1703,6 +1839,139 @@ object Similarity {
        |    SELECT query_id, vec_id, cosm, row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosm DESC, vec_id) AS rn
        |    FROM bc$rounds WHERE vec_id <> query_id)
+       |  WHERE rn <= $k
+       |), bex AS (
+       |  SELECT src AS query_id, dst AS vec_id FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosm DESC, dst) AS rn
+       |    FROM bp WHERE src IN (SELECT query_id FROM bq))
+       |  WHERE rn <= $k
+       |), bne AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM bex GROUP BY 1
+       |), bnb AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_beam,
+       |    max(cosm) AS best_micro
+       |  FROM btop GROUP BY 1
+       |), bnh AS (
+       |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM btop t JOIN bex e ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT ne.query_id, ne.n_exact, nb.n_beam,
+       |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits, nb.best_micro
+       |FROM bne ne
+       |JOIN bnb nb ON nb.query_id = ne.query_id
+       |LEFT JOIN bnh nh ON nh.query_id = ne.query_id
+       |ORDER BY ne.query_id""".stripMargin
+  }
+
+  /** DuckDB twin of the whole [[hnswTopK]] recall report: hash-sampled
+    * layer membership, per-layer kNN graphs, the greedy descent through
+    * both coarse layers, the seeded base beam, and recall vs the exact
+    * floor-micro top-k — every round an unrolled CTE. Fixed at two coarse
+    * layers: occupancy is verified non-empty at every fixture SF by the
+    * offline md5 replay (layer-2 min member id = 10 for the embeddings
+    * id domain at sf0.001 through sf1), so the oracle needs no
+    * empty-layer skip branch the Scala operator carries. */
+  def hnswRecallSql(corpusFilter: String, queryFilter: String, k: Int,
+                    graphK: Int = 8, ef: Int = 12, rounds: Int = 4,
+                    levelMod: Int = 8, upperK: Int = 4, upperEf: Int = 2,
+                    upperRounds: Int = 2): String = {
+    val cosm = (a: String, b: String) =>
+      s"CAST(floor(1000000 * (list_dot_product($a.vec, $b.vec) / " +
+        s"($a.nrm * $b.nrm))) AS BIGINT)"
+    val h60 = graft.functions.TextFunctions
+      .hash60Sql("CAST(id AS VARCHAR) || '|hnsw'")
+    // one beam-expansion chain: seed CTE -> rounds of (beam, expand,
+    // fresh, accumulate), the exact CTE shape of beamSearchRecallSql
+    def chain(pfx: String, seedCte: String, edges: String,
+              chEf: Int, chRounds: Int): String =
+      (1 to chRounds).map { r =>
+        val prev = if (r == 1) seedCte else s"${pfx}c${r - 1}"
+        s"""${pfx}b$r AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosm DESC, vec_id) AS rn FROM $prev)
+           |  WHERE rn <= $chEf
+           |), ${pfx}x$r AS (
+           |  SELECT DISTINCT b.query_id, e.dst AS vec_id
+           |  FROM ${pfx}b$r b JOIN $edges e ON e.src = b.vec_id
+           |), ${pfx}f$r AS (
+           |  SELECT x.query_id, x.vec_id FROM ${pfx}x$r x
+           |  LEFT JOIN $prev p ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+           |  WHERE p.vec_id IS NULL
+           |), ${pfx}c$r AS (
+           |  SELECT * FROM $prev
+           |  UNION ALL
+           |  SELECT n.query_id, n.vec_id, ${cosm("qv", "cv")} AS cosm
+           |  FROM ${pfx}f$r n
+           |  JOIN bnn cv ON cv.id = n.vec_id
+           |  JOIN bnn qv ON qv.id = n.query_id
+           |)""".stripMargin
+      }.mkString(", ")
+    // per-layer kNN edges: all-pairs WITHIN the layer, degree-bounded
+    def layerEdges(name: String, mem: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cosm DESC, dst) AS rn
+         |    FROM (SELECT a.id AS src, b.id AS dst, ${cosm("a", "b")} AS cosm
+         |          FROM bnn a JOIN bnn b ON a.id <> b.id
+         |          WHERE a.id IN (SELECT id FROM $mem)
+         |            AND b.id IN (SELECT id FROM $mem)) t)
+         |  WHERE rn <= $upperK
+         |)""".stripMargin
+    // per-query 1-best of a descent chain seeds the next layer down
+    def best1(name: String, from: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cosm FROM (
+         |    SELECT query_id, vec_id, cosm, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosm DESC, vec_id) AS rn
+         |    FROM $from)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH bemb AS (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE $corpusFilter
+       |), bnn AS MATERIALIZED (
+       |  SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM bemb
+       |), bp AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst, ${cosm("a", "b")} AS cosm
+       |  FROM bnn a JOIN bnn b ON a.id <> b.id
+       |), bed AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosm DESC, dst) AS rn FROM bp)
+       |  WHERE rn <= $graphK
+       |), bq AS (
+       |  SELECT id AS query_id FROM bemb WHERE $queryFilter
+       |), hm1 AS MATERIALIZED (
+       |  SELECT id FROM bemb WHERE $h60 % $levelMod = 0
+       |), hm2 AS MATERIALIZED (
+       |  SELECT id FROM bemb WHERE $h60 % ${levelMod * levelMod} = 0
+       |), ${layerEdges("he1", "hm1")}, ${layerEdges("he2", "hm2")}, h2c0 AS (
+       |  SELECT q.query_id, e.eid AS vec_id, ${cosm("qv", "cv")} AS cosm
+       |  FROM bq q
+       |  CROSS JOIN (SELECT min(id) AS eid FROM hm2) e
+       |  JOIN bnn cv ON cv.id = e.eid
+       |  JOIN bnn qv ON qv.id = q.query_id
+       |), ${chain("h2", "h2c0", "he2", upperEf, upperRounds)},
+       |${best1("hs2", s"h2c$upperRounds")}, h1c0 AS (
+       |  SELECT query_id, vec_id, cosm FROM hs2
+       |), ${chain("h1", "h1c0", "he1", upperEf, upperRounds)},
+       |${best1("hs1", s"h1c$upperRounds")}, hc0 AS (
+       |  SELECT query_id, vec_id, cosm FROM hs1
+       |  UNION
+       |  SELECT q.query_id, e.eid AS vec_id, ${cosm("qv", "cv")} AS cosm
+       |  FROM bq q
+       |  CROSS JOIN (SELECT min(id) AS eid FROM bemb) e
+       |  JOIN bnn cv ON cv.id = e.eid
+       |  JOIN bnn qv ON qv.id = q.query_id
+       |), ${chain("h", "hc0", "bed", ef, rounds)}, btop AS (
+       |  SELECT query_id, vec_id, cosm FROM (
+       |    SELECT query_id, vec_id, cosm, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosm DESC, vec_id) AS rn
+       |    FROM hc$rounds WHERE vec_id <> query_id)
        |  WHERE rn <= $k
        |), bex AS (
        |  SELECT src AS query_id, dst AS vec_id FROM (

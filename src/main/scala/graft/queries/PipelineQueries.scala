@@ -80,6 +80,39 @@ object PipelineQueries {
     embs(s, dir).select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("vec"))
 
+  /** [[embDouble]] plus the label column (the contrastive-mining input). */
+  private def embLabeled(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"), col("label"))
+
+  /** The exact cross-label hard-negative miner shared by e_hard_negatives
+    * and the e_hard_neg_recall grade of its ANN-shortlist variant: per
+    * query the top-10 nearest CROSS-LABEL vectors by floor-micro cosine.
+    * Labels ride the SAME scan as the vectors (no post-scoring label
+    * join), and the cross-label filter runs BEFORE any distance math —
+    * same-label pairs never pay the dot product. Brute force is the
+    * declared-exact baseline shape; the scale path is
+    * [[Similarity.lshHardNegatives]] (e_hard_negatives_ann). */
+  private def exactHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val withLbl = embLabeled(s, dir)
+    val q = broadcast(withLbl.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("vec").as("qv"),
+        Similarity.norm(col("vec")).as("qn"), col("label").as("q_label")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    withLbl.select(col("id").as("vec_id"), col("vec"),
+        Similarity.norm(col("vec")).as("cn"), col("label").as("neg_label"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        floor(lit(1000000.0) * (Similarity.dot(col("qv"), col("vec")) /
+          (col("qn") * col("cn")))).cast("long").as("cos_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id", "neg_label", "cos_micro", "rank")
+  }
+
   /** d_bpe and d_bpe_apply both need the 3-round merge loop (driver-side
     * argmax actions — not expressible as one lazy plan, so not
     * `Tables.cached`-able); memoize the (merges, final state) pair per
@@ -1217,29 +1250,40 @@ object PipelineQueries {
     // label-filtered corpus — brute force is the declared-exact baseline
     // shape; at scale the shortlist comes from any ANN index and the
     // label filter rides the candidate join
-    "e_hard_negatives" -> ((s, dir) => {
-      // labels ride the SAME scan as the vectors (no post-scoring label
-      // join), and the cross-label filter runs BEFORE any distance math —
-      // same-label pairs never pay the dot product
-      val withLbl = embs(s, dir).select(col("vec_id").as("id"),
-        col("embedding").cast("array<double>").as("vec"), col("label"))
-      val q = broadcast(withLbl.filter(col("id") < 5)
-        .select(col("id").as("query_id"), col("vec").as("qv"),
-          Similarity.norm(col("vec")).as("qn"), col("label").as("q_label")))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_micro").desc, col("vec_id"))
-      withLbl.select(col("id").as("vec_id"), col("vec"),
-          Similarity.norm(col("vec")).as("cn"), col("label").as("neg_label"))
-        .crossJoin(q)
-        .filter(col("vec_id") =!= col("query_id") &&
-          col("neg_label") =!= col("q_label"))
-        .select(col("query_id"), col("vec_id"), col("neg_label"),
-          floor(lit(1000000.0) * (Similarity.dot(col("qv"), col("vec")) /
-            (col("qn") * col("cn")))).cast("long").as("cos_micro"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("query_id", "vec_id", "neg_label", "cos_micro", "rank")
+    "e_hard_negatives" -> ((s, dir) =>
+      exactHardNegatives(s, dir).orderBy("query_id", "rank")),
+
+    // hard-negative mining on the ANN SHORTLIST — the scale path the
+    // exact gate above documents ("at scale the shortlist comes from any
+    // ANN index"): candidates from the shared-bucket LSH multi-probe
+    // join, cross-label filter riding the candidate join, floor-micro
+    // rerank — the full retrieval (ids, labels, scores, ranks) replays
+    // in the oracle via the shared signature CTEs (e_ann_lsh discipline)
+    "e_hard_negatives_ann" -> ((s, dir) => {
+      val withLbl = embLabeled(s, dir)
+      Similarity.lshHardNegatives(withLbl, withLbl.filter(col("id") < 5), 10)
         .orderBy("query_id", "rank")}),
+
+    // recall of the ANN-shortlisted miner vs the exact cross-label miner
+    // as a DRIVER-CHECKED number per query — both sides replay in SQL,
+    // so mining quality is a hash-matched integer, not a spec assertion
+    "e_hard_neg_recall" -> ((s, dir) => {
+      val withLbl = embLabeled(s, dir)
+      val queriesDf = withLbl.filter(col("id") < 5)
+      val exact = exactHardNegatives(s, dir).select("query_id", "vec_id")
+      val approx = Similarity.lshHardNegatives(withLbl, queriesDf, 10)
+        .select("query_id", "vec_id")
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val na = approx.groupBy("query_id").agg(count(lit(1)).as("n_ann"))
+      val nh = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      // LEFT joins both sides: a query whose every bucketed candidate is
+      // same-label has n_ann = 0 but must still appear in the report
+      ne.join(na, Seq("query_id"), "left").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")}),
 
     // cross-SOURCE duplication matrix (the governance view over the
     // near-dup candidate table): which source pairs share near-dup docs,
@@ -2809,6 +2853,44 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
         .orderBy("query_id")}),
 
+    // HNSW: two hash-sampled coarse layers over e_ann_beam's base graph
+    // (same corpus, queries, k, ef, rounds — the flat-vs-hierarchical
+    // comparison reads off the two gates' n_hits columns). Membership is
+    // the md5-derived hash60 % 8^level rule (offline-verified non-empty
+    // at every fixture SF), layer graphs are exact within-layer kNN from
+    // the SAME shared pairwise pass, greedy small-beam descent seeds the
+    // base beam — membership, layer graphs, descent, base walk and the
+    // exact-recall grade all replay in the oracle, hash-green per query
+    "e_ann_hnsw" -> ((s, dir) => {
+      val corpus = graft.CacheScope.cached(
+        embDouble(s, dir).filter(col("id") % 5 === 0))
+      val queriesDf = corpus.filter(col("id") < 50)
+      val pairs = graft.CacheScope.cached(Similarity.scoredMicro(corpus, corpus))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      def knn(p: DataFrame, deg: Int): DataFrame =
+        p.withColumn("rn", row_number().over(wE)).filter(col("rn") <= deg)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      val baseEdges = knn(pairs, 8)
+      def upperEdges(l: Int): DataFrame =
+        knn(pairs.filter(Similarity.hnswMember(col("query_id"), l) &&
+          Similarity.hnswMember(col("vec_id"), l)), 4)
+      val hn = Similarity.hnswTopK(corpus, queriesDf, 10,
+        prebuiltBase = Some(baseEdges), prebuiltUpper = Some(upperEdges))
+      val exact = pairs.filter(col("query_id") < 50)
+        .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val ne = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      val nb = hn.groupBy("query_id").agg(count(lit(1)).as("n_beam"),
+        max(col("cos_micro")).as("best_micro"))
+      val nh = hn.select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ne.join(nb, "query_id").join(nh, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"), col("n_beam"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("best_micro"))
+        .orderBy("query_id")}),
+
     // KMeans-IVF recall-floor CONTRACT row (hash-green): the index's
     // centroids are engine-private (Spark ML KMeans), so its top-k VALUES
     // have no SQL twin — but its recall against the hash-green exact
@@ -3278,6 +3360,35 @@ object PipelineQueries {
         d.as("media_id"),
         unhex(when(pmod(d, lit(2)) === 0, bmp).otherwise(wav)).as("content"))
       Multimodal.decodeMedia(media).toDF().orderBy("media_id")}),
+
+    // JPEG header round-trip under oracle: the planted BMPs transcode
+    // through the JDK's LOSSY encoder, then the marker-segment walk reads
+    // the SOF frame header back — dimensions and component count survive
+    // the round-trip exactly (DCT quantization moves pixel VALUES only),
+    // so the header path hash-checks against the planted geometry while
+    // pixel stats stay in the rows-only twin below
+    "m_jpeg" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).select(
+        d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
+      Multimodal.jpegProbe(Multimodal.transcodeJpeg(media)).toDF()
+        .orderBy("media_id")}),
+
+    // JPEG pixel decode, ROWS-ONLY BY DECLARATION (no oracleSql entry):
+    // decodeMedia routes the FFD8FF magic to the real imageio decoder,
+    // but decoded pixel values are quantized by the lossy encoder above —
+    // no closed form exists, so the driver records the weaker rows>0
+    // check. Dimensions/counts inside the rows are still exact; the spec
+    // (MultimodalSpec) additionally bounds the per-channel mean drift
+    // against the planted raster
+    "m_jpeg_stats" -> ((s, dir) => {
+      val d = col("doc_id")
+      val media = docs(s, dir).select(
+        d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
+      Multimodal.decodeMedia(Multimodal.transcodeJpeg(media)).toDF()
+        .select("media_id", "kind", "width", "height", "n_pixels",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")}),
 
     // REAL video container walk under oracle: a planted GVID container
     // per doc (magic + u16 frame count + length-prefixed BMP frames,
@@ -4952,6 +5063,16 @@ object PipelineQueries {
          |    // ((doc_id % 40000 + 8000) * 2) AS BIGINT) END AS probed_duration_ms
          |FROM $docsT ORDER BY media_id""".stripMargin,
 
+    // the JPEG encoder preserves the planted BMP geometry exactly; the
+    // oracle computes it in closed form from doc_id (w fixed at 4,
+    // h = doc_id%8+1, 3 components) — a hash match proves
+    // sofWalk(encode(decode(build(x)))) reads the true frame header
+    "m_jpeg" ->
+      s"""SELECT doc_id AS media_id, CAST(1 AS INT) AS soi_ok,
+         |  CAST(4 AS INT) AS width, CAST(doc_id % 8 + 1 AS INT) AS height,
+         |  CAST(3 AS INT) AS n_components
+         |FROM $docsT ORDER BY media_id""".stripMargin,
+
     "d_pack" ->
       s"""WITH pk AS (
          |${Sampling.seqPackSql(docsT, "doc_id", tokenCountSql("text"), 512, 8)}
@@ -5881,6 +6002,83 @@ object PipelineQueries {
         |WHERE rn <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // ANN-shortlist miner: shared signature/probe CTEs (e_ann_lsh), then
+    // the cross-label filter on the candidate join and floor-micro rerank
+    "e_hard_negatives_ann" ->
+      s"""$lshReplayCtes, hl AS (
+         |  SELECT vec_id AS id, label FROM embeddings
+         |), hsc AS (
+         |  SELECT cand.query_id, cand.vec_id, vl.label AS neg_label,
+         |    CAST(floor(1000000 * (list_dot_product(qv.vec, cv.vec) /
+         |      (sqrt(list_dot_product(qv.vec, qv.vec)) *
+         |       sqrt(list_dot_product(cv.vec, cv.vec))))) AS BIGINT) AS cos_micro
+         |  FROM cand JOIN c qv ON qv.id = cand.query_id
+         |            JOIN c cv ON cv.id = cand.vec_id
+         |            JOIN hl ql ON ql.id = cand.query_id
+         |            JOIN hl vl ON vl.id = cand.vec_id
+         |  WHERE vl.label <> ql.label
+         |)
+         |SELECT query_id, vec_id, neg_label, cos_micro, CAST(rnk AS INT) AS rank
+         |FROM (
+         |  SELECT query_id, vec_id, neg_label, cos_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, vec_id) AS rnk FROM hsc)
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // both miners replayed over one CTE prefix, recall as hash-green
+    // integers per query (LEFT joins: a query whose every bucketed
+    // candidate is same-label reports n_ann = 0, not a dropped row)
+    "e_hard_neg_recall" ->
+      s"""$lshReplayCtes, hl AS (
+         |  SELECT vec_id AS id, label FROM embeddings
+         |), hfn AS (
+         |  SELECT c.id, c.vec, sqrt(list_dot_product(c.vec, c.vec)) AS nrm,
+         |    hl.label
+         |  FROM c JOIN hl ON hl.id = c.id
+         |), hex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.id AS query_id, v.id AS vec_id,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY CAST(floor(1000000 * (list_dot_product(q.vec, v.vec) /
+         |          (q.nrm * v.nrm))) AS BIGINT) DESC, v.id) AS rnk
+         |    FROM hfn q JOIN hfn v
+         |      ON q.id < 5 AND v.id <> q.id AND v.label <> q.label)
+         |  WHERE rnk <= 10
+         |), hap AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT cand.query_id, cand.vec_id,
+         |      row_number() OVER (PARTITION BY cand.query_id
+         |        ORDER BY CAST(floor(1000000 * (list_dot_product(qv.vec, cv.vec) /
+         |          (sqrt(list_dot_product(qv.vec, qv.vec)) *
+         |           sqrt(list_dot_product(cv.vec, cv.vec))))) AS BIGINT) DESC,
+         |          cand.vec_id) AS rnk
+         |    FROM cand JOIN c qv ON qv.id = cand.query_id
+         |              JOIN c cv ON cv.id = cand.vec_id
+         |              JOIN hl ql ON ql.id = cand.query_id
+         |              JOIN hl vl ON vl.id = cand.vec_id
+         |    WHERE vl.label <> ql.label)
+         |  WHERE rnk <= 10
+         |), hne AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM hex GROUP BY 1
+         |), hna AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann
+         |  FROM hap GROUP BY 1
+         |), hnh AS (
+         |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM hap a JOIN hex e
+         |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |  GROUP BY 1
+         |)
+         |SELECT hne.query_id, hne.n_exact,
+         |  CAST(coalesce(hna.n_ann, 0) AS BIGINT) AS n_ann,
+         |  CAST(coalesce(hnh.n_hits, 0) AS BIGINT) AS n_hits
+         |FROM hne
+         |LEFT JOIN hna ON hna.query_id = hne.query_id
+         |LEFT JOIN hnh ON hnh.query_id = hne.query_id
+         |ORDER BY hne.query_id""".stripMargin,
+
     "d_dedup_pipeline" ->
       s"""WITH cand AS (
          |  SELECT * FROM (${Dedup.minhashCandidatesSql(docsT, "doc_id", "text")})
@@ -6465,6 +6663,13 @@ object PipelineQueries {
     // expansion round an unrolled CTE, recall vs the micro-exact top-k
     "e_ann_beam" ->
       Similarity.beamSearchRecallSql("vec_id % 5 = 0", "id < 50", 10),
+
+    // full HNSW replay: hash-sampled layer membership, per-layer kNN
+    // graphs, two-layer greedy descent, seeded base beam, exact recall —
+    // same corpus/queries/k as e_ann_beam so the hierarchy's gain is the
+    // cross-gate n_hits delta
+    "e_ann_hnsw" ->
+      Similarity.hnswRecallSql("vec_id % 5 = 0", "id < 50", 10),
 
     // full LSH retrieval replay, hash-green end to end: planes,
     // signatures, multi-probe, floor-micro cosine rerank — the SAME CTE

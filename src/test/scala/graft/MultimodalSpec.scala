@@ -31,6 +31,43 @@ class MultimodalSpec extends SparkSpec {
     assert(s.sumB == (for (_ <- 0 until 3; y <- 0 until 2) yield 200 + y).sum)
   }
 
+  test("JPEG transcode keeps geometry exactly; pixels drift only within lossy bounds") {
+    // near-constant 16x8 raster: JPEG quantization on a flat field is
+    // tiny, so per-channel means must land within a small drift bound
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 8)
+      img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, bos.toByteArray)).toDF("media_id", "content")
+    val jpg = Multimodal.transcodeJpeg(media).cache()
+    val bytes = jpg.select("content").head().getAs[Array[Byte]](0)
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "SOI magic")
+    // header walk reads the SOF frame exactly
+    val meta = Multimodal.jpegProbe(jpg).collect()
+    assert(meta.length == 1)
+    assert(meta(0) == Multimodal.JpegMeta(7L, 1, 16, 8, 3), s"got ${meta(0)}")
+    // real pixel decode routes by the FFD8FF magic
+    val dec = Multimodal.decodeMedia(jpg).collect().head
+    assert(dec.kind == "image/jpeg")
+    assert(dec.width.contains(16) && dec.height.contains(8) &&
+      dec.n_pixels.contains(128L))
+    def mean(s: Option[Long]) = s.get.toDouble / 128
+    assert(math.abs(mean(dec.sum_r) - 100) <= 4, s"r mean ${mean(dec.sum_r)}")
+    assert(math.abs(mean(dec.sum_g) - 150) <= 4, s"g mean ${mean(dec.sum_g)}")
+    assert(math.abs(mean(dec.sum_b) - 200) <= 4, s"b mean ${mean(dec.sum_b)}")
+    // malformed payloads: junk probes soi_ok=0; SOI-only probes 1 with
+    // zero dims — neither crashes the task
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)))
+      .toDF("media_id", "content")
+    val probed = Multimodal.jpegProbe(junk).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(probed(1L).soi_ok == 0)
+    assert(probed(2L).soi_ok == 1 && probed(2L).width == 0)
+  }
+
   test("decodeWav parses 16-bit PCM incl. negatives and non-canonical chunks") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

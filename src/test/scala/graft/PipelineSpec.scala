@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.{Collocations, Dedup, Similarity, Sketches}
 import graft.functions.TextFunctions
 import graft.sources.Tables
@@ -578,6 +579,68 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recallLsh = ex.count(bmLsh.contains).toDouble / ex.size
     assert(recallLsh >= 0.7, s"LSH-default graph-beam recall@10 = $recallLsh")
+  }
+
+  test("HNSW descent matches flat NSW recall at equal beam width and skips empty layers") {
+    val corpus = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+      .filter($"id" % 5 === 0)
+      .cache()
+    val cq = corpus.filter($"id" < 50)
+    val ex = Similarity.exactTopKMicro(corpus, cq, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val base = Similarity.exactKnnEdges(corpus)
+    def upper(l: Int) = Similarity.exactKnnEdges(
+      corpus.filter(Similarity.hnswMember($"id", l)), 4)
+    val hn = Similarity.hnswTopK(corpus, cq, 10,
+        prebuiltBase = Some(base), prebuiltUpper = Some(upper))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val flat = Similarity.beamSearchTopK(corpus, cq, 10,
+        prebuiltEdges = Some(base))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rH = ex.count(hn.contains).toDouble / ex.size
+    val rF = ex.count(flat.contains).toDouble / ex.size
+    assert(rH >= rF,
+      s"hierarchical recall $rH must be >= flat $rF at equal beam width")
+    assert(rH >= 0.9, s"HNSW recall@10 = $rH")
+    // EMPTY upper layers (levelMod so large no fixture id is a member —
+    // verified offline by the md5 replay): descent skips every layer and
+    // the search must degrade to EXACTLY the flat walk from the default
+    // entry, not throw or diverge
+    val deep = Similarity.hnswTopK(corpus, cq, 10, levelMod = 1000000,
+        prebuiltBase = Some(base), prebuiltUpper = Some(upper))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(deep == flat, "all-layers-empty HNSW must equal flat NSW exactly")
+  }
+
+  test("LSH hard negatives are all cross-label and recall the exact miner") {
+    val withLbl = Tables.embeddings(spark, sf).select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vec"), $"label")
+    val q = withLbl.filter($"id" < 10)
+    val res = Similarity.lshHardNegatives(withLbl, q, 10).cache()
+    val ql = q.select($"id".as("query_id"), $"label".as("q_label"))
+    assert(res.join(ql, "query_id").filter($"neg_label" === $"q_label")
+      .count() == 0, "every mined negative must be cross-label")
+    assert(res.groupBy("query_id").count().filter($"count" > 10).isEmpty)
+    // recall vs the exact cross-label miner: same LSH floor as lshTopK
+    val qv = q.select($"id".as("query_id"), $"vec".as("qv"),
+      Similarity.norm($"vec").as("qn"), $"label".as("q_label"))
+    val exact = withLbl.select($"id".as("vec_id"), $"vec",
+        Similarity.norm($"vec").as("cn"), $"label".as("neg_label"))
+      .crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id" && $"neg_label" =!= $"q_label")
+      .select($"query_id", $"vec_id",
+        floor(lit(1000000.0) * (Similarity.dot($"qv", $"vec") /
+          ($"qn" * $"cn"))).cast("long").as("cos_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cos_micro".desc, $"vec_id")))
+      .filter($"rank" <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = res.select("query_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH hard-negative recall@10 = $recall")
   }
 
   test("zipf fit reads -1 on a planted 1/rank vocabulary and near 0 on a flat one") {

@@ -17,8 +17,15 @@ import graft.io.GraphIO
   *
   * Each returns a row count so Bench's timing loop forces execution. */
 object BenchWorkloads {
-  private val N = 10000L
-  private val M = 5000000L
+  /** Scale multiplier for the synthetic workload sizes (default 1 = the
+    * reference's example sizes). The sf1 scale-bench runs with
+    * SPARK_GRAFT_WORKLOAD_SCALE=10: node AND edge counts scale together,
+    * so average degree stays at the reference's shape and the ratio vs
+    * the scale-1 run reads as data scaling, not densification. */
+  private val scale =
+    sys.env.getOrElse("SPARK_GRAFT_WORKLOAD_SCALE", "1").toInt
+  private val N = 10000L * scale
+  private val M = 5000000L * scale
 
   private def randomEdges(spark: SparkSession, m: Long, n: Long = N) =
     spark.range(m).select(
@@ -53,14 +60,14 @@ object BenchWorkloads {
     // checkpoint before the cascade: removeNodes references nodes twice and
     // edges twice (victim filter + anti-joins) — materialize the upsert once
     val g = GraphIO.empty(spark)
-      .addEdges(randomEdges(spark, 2000000L, 2000L)).checkpointed()
+      .addEdges(randomEdges(spark, 2000000L * scale, 2000L * scale)).checkpointed()
     val victims = g.nodes.filter(!col("key").isin("n0", "n1"))
     g.removeNodes(victims).nNodes
   }
 
   /** hub fan-out: 200k out-edges on one node + full neighbor scan. */
   def hubNeighborScan(spark: SparkSession): Long = {
-    val edges = spark.range(200000L).select(
+    val edges = spark.range(200000L * scale).select(
       lit("hub").as("src"),
       concat(lit("t"), col("id")).as("dst"),
       lit(0).as("etype"))

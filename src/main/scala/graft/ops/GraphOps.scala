@@ -2272,13 +2272,13 @@ object GraphOps {
     * emitted `ud` CTE for data-adaptive k). */
   def kCoreSql(edges: String, nodes: String, kExpr: String, rounds: Int): String = {
     val its = (1 to rounds).map { r =>
-      s"""a$r AS (
+      s"""a$r AS MATERIALIZED (
          |  SELECT dst AS key FROM ud
          |  WHERE src IN (SELECT key FROM a${r - 1})
          |    AND dst IN (SELECT key FROM a${r - 1})
          |  GROUP BY dst HAVING count(*) >= $kExpr)""".stripMargin
     }
-    (s"""ud AS (
+    (s"""ud AS MATERIALIZED (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT src, dst FROM $edges UNION ALL
         |    SELECT dst AS src, src AS dst FROM $edges)
@@ -2415,15 +2415,15 @@ object GraphOps {
     * CTE `und`(u, v) — the simpler lexical triangle enumeration (same
     * triangle set, same per-edge support). */
   def edgeSupportHistSql(und: String): String =
-    s"""tri AS (
+    s"""tri AS MATERIALIZED (
        |  SELECT a.u AS x, a.v AS y, b.v AS z
        |  FROM $und a JOIN $und b ON b.u = a.v
        |  JOIN $und c ON c.u = a.u AND c.v = b.v
-       |), te AS (
+       |), te AS MATERIALIZED (
        |  SELECT x AS u, y AS v FROM tri
        |  UNION ALL SELECT y, z FROM tri
        |  UNION ALL SELECT x, z FROM tri
-       |), sup AS (
+       |), sup AS MATERIALIZED (
        |  SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM te GROUP BY u, v
        |)
        |SELECT coalesce(sup.s, 0) AS support,

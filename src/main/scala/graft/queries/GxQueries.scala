@@ -206,7 +206,7 @@ object GxQueries {
 
   /** Shared oracle CTE: the same union graph in DuckDB. */
   private val cte =
-    """WITH ue AS (
+    """WITH ue AS MATERIALIZED (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
       |           'C' || CAST(o_custkey AS VARCHAR) AS dst
@@ -217,7 +217,7 @@ object GxQueries {
       |    SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
       |    UNION ALL
       |    SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'R' || CAST(n_regionkey AS VARCHAR) FROM nation)
-      |), un AS (
+      |), un AS MATERIALIZED (
       |  SELECT src AS key FROM ue UNION SELECT dst AS key FROM ue
       |)""".stripMargin
 
@@ -1186,12 +1186,12 @@ object GxQueries {
   )
 
   private val partCte =
-    """WITH pe AS (
+    """WITH pe AS MATERIALIZED (
       |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
       |         'P' || CAST(l_partkey AS VARCHAR) AS dst,
       |         sum(l_quantity) AS quantity
       |  FROM lineitem GROUP BY 1, 2
-      |), pn AS (
+      |), pn AS MATERIALIZED (
       |  SELECT src AS key FROM pe UNION SELECT dst AS key FROM pe
       |)""".stripMargin
 
@@ -1827,14 +1827,14 @@ object GxQueries {
          |ORDER BY direction, bucket""".stripMargin,
 
     "gx_rich_club" ->
-      s"""$cte, rund AS (
+      s"""$cte, rund AS MATERIALIZED (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM ue WHERE src <> dst
-         |), rdeg AS (
+         |), rdeg AS MATERIALIZED (
          |  SELECT n, count(*) AS d FROM (
          |    SELECT u AS n FROM rund UNION ALL SELECT v FROM rund)
          |  GROUP BY n
-         |), rcuts AS (
+         |), rcuts AS MATERIALIZED (
          |  SELECT CAST(500 AS BIGINT) AS pct_milli, quantile_cont(d, 0.5) AS cut FROM rdeg
          |  UNION ALL
          |  SELECT 750, quantile_cont(d, 0.75) FROM rdeg
@@ -1952,20 +1952,20 @@ object GxQueries {
          |ORDER BY start, i, j, label, neg_k""".stripMargin,
 
     "gx_clustering" ->
-      s"""$cte, und AS (
+      s"""$cte, und AS MATERIALIZED (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM ue WHERE src <> dst
-         |), tri AS (
+         |), tri AS MATERIALIZED (
          |  SELECT a.u AS x, a.v AS y, b.v AS z
          |  FROM und a JOIN und b ON b.u = a.v
          |  JOIN und c ON c.u = a.u AND c.v = b.v
-         |), pernode AS (
+         |), pernode AS MATERIALIZED (
          |  SELECT node, count(*) AS t FROM (
          |    SELECT x AS node FROM tri
          |    UNION ALL SELECT y FROM tri
          |    UNION ALL SELECT z FROM tri)
          |  GROUP BY node
-         |), udg AS (
+         |), udg AS MATERIALIZED (
          |  SELECT src AS key, count(*) AS deg FROM (
          |    SELECT src, dst FROM ue WHERE src <> dst
          |    UNION SELECT dst, src FROM ue WHERE src <> dst)
@@ -2032,20 +2032,20 @@ object GxQueries {
          |${GraphOps.normalizedMutualInfoSql("arpa", "arpb")}""".stripMargin,
 
     "gx_embed" ->
-      s"""$cte, und AS (
+      s"""$cte, und AS MATERIALIZED (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM ue WHERE src <> dst
          |), ${GraphOps.edgeSupportHistSql("und")}""".stripMargin,
 
     "gx_triangles" ->
-      s"""$cte, und AS (
+      s"""$cte, und AS MATERIALIZED (
          |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
          |  FROM ue WHERE src <> dst
-         |), tri AS (
+         |), tri AS MATERIALIZED (
          |  SELECT a.u AS x, a.v AS y, b.v AS z
          |  FROM und a JOIN und b ON b.u = a.v
          |  JOIN und c ON c.u = a.u AND c.v = b.v
-         |), pernode AS (
+         |), pernode AS MATERIALIZED (
          |  SELECT node, count(*) AS t FROM (
          |    SELECT x AS node FROM tri
          |    UNION ALL SELECT y FROM tri

@@ -320,10 +320,13 @@ object Bench {
     // Self-labeling (round-16 verdict): a run whose median per-entry ratio
     // vs the committed local plan costs exceeds 1.2 is environment-polluted
     // (driver BENCH_r16 shipped env_factor 1.41 unlabeled) — say so in the
-    // artifact instead of leaving readers to derive it. No-reference runs
-    // (fresh checkout, BENCH_ONLY) can't self-assess and stay unlabeled.
+    // artifact instead of leaving readers to derive it. Only meaningful at
+    // the scale the reference costs were recorded at (sf0.1): at any other
+    // SF the ratio reads data scaling, not pollution. No-reference runs
+    // (fresh checkout, BENCH_ONLY) can't self-assess either; both stay
+    // unlabeled.
     val quotableJson =
-      if (ratios.size >= 20)
+      if (ratios.size >= 20 && new java.io.File(sfDir).getName == "sf0.1")
         s""""quotable":${envFactor <= 1.2},"""
       else ""
     val envJson = s"""$quotableJson"env_factor":${"%.3f".format(envFactor)},"env_p90":${"%.3f".format(envP90)},"n_ref":${ratios.size},"env_block":$envBlockJson"""

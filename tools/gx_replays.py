@@ -39,10 +39,19 @@ def _ids(keys):
     return ks, {k: i for i, k in enumerate(ks)}
 
 
+# per-process memo: the louvain/LPA family shares one construction prefix,
+# so a full sweep re-fetches and re-derives the same base repeatedly —
+# keyed by the prefix TEXT, so any SQL change is a cache miss by definition
+_MEMO = {}
+
+
 def _union_edges(con, sql, marker):
     """Execute the oracle's own prefix for the directed edge list `ue`
-    and the node set `un`."""
+    and the node set `un`. Memoized per prefix text."""
     pre = _prefix(sql, marker)
+    hit = _MEMO.get(("ue", pre))
+    if hit is not None:
+        return hit
     edges = con.sql(pre + " SELECT src, dst FROM ue").fetchall()
     nodes = [r[0] for r in con.sql(pre + " SELECT key FROM un").fetchall()]
     ks, idx = _ids(nodes)
@@ -50,6 +59,7 @@ def _union_edges(con, sql, marker):
                       count=len(edges))
     dst = np.fromiter((idx[d] for _, d in edges), dtype=np.int64,
                       count=len(edges))
+    _MEMO[("ue", pre)] = (ks, src, dst)
     return ks, src, dst
 
 
@@ -199,13 +209,20 @@ class _Louvain:
 
 def _louvain_base(con, sql):
     """Shared prefix of the louvain-family oracles: union edges, LPA-5
-    labels, the unweighted lvund pass state."""
+    labels, the unweighted lvund pass state. Memoized per prefix text —
+    eight oracles ride the identical base at sweep time."""
+    pre = _prefix(sql, ", ud AS ")
+    hit = _MEMO.get(("lvbase", pre))
+    if hit is not None:
+        return hit
     ks, src, dst = _union_edges(con, sql, ", ud AS ")
     n = len(ks)
     l5 = _lpa5(n, src, dst)
     u, v = _und_pairs(src, dst)
     lv = _Louvain(n, u, v, np.ones(len(u), dtype=np.int64), l5)
-    return ks, n, l5, u, v, lv
+    out = (ks, n, l5, u, v, lv)
+    _MEMO[("lvbase", pre)] = out
+    return out
 
 
 def gx_louvain1(con, sql):
@@ -607,6 +624,102 @@ def gx_bipartite(con, sql):
              "bipartite_in_radius"], rows)
 
 
+# ------------------------------------------------------------ HyperANF
+def gx_anf_growth(con, sql):
+    """HyperANF growth curve: 16 md5-derived registers per endpoint node
+    (j = h%16, r = trailing-zeros(h//16)+1 capped at 40), three cumulative
+    neighborhood max-merge rounds, per-round corpus aggregates. A register
+    (key, j) exists only where some node in the ball hashes to j — absent
+    registers carry the 2^40 completion term."""
+    ks, src, dst = _union_edges(con, sql, ", agu AS ")
+    n = len(ks)
+    u, v = _und_pairs(src, dst)
+    ak = np.concatenate([u, v])
+    ab = np.concatenate([v, u])
+    members = np.zeros(n, dtype=bool)
+    members[u] = True
+    members[v] = True
+    reg = np.zeros((n, 16), dtype=np.int64)  # 0 = absent
+    for i in members.nonzero()[0].tolist():
+        h = _h60(ks[i])
+        x = h // 16
+        r = 40 if x == 0 else min((x & -x).bit_length(), 40)
+        reg[i, h % 16] = r
+    rows = []
+    for rnd in (1, 2, 3):
+        acc = reg.copy()
+        np.maximum.at(acc, ak, reg[ab])
+        reg = acc
+        mem = members.nonzero()[0]
+        rr = reg[mem]
+        nnz = (rr > 0).sum(axis=1).astype(np.int64)
+        reg_sum = rr.sum(axis=1)
+        est = (np.where(rr > 0, np.int64(1) << (40 - rr), 0).sum(axis=1)
+               + (16 - nnz) * (np.int64(1) << 40))
+        rows.append((rnd, int(len(mem)), int(reg_sum.sum()),
+                     int(est.sum())))
+    return ["round", "n_nodes", "tot_reg", "tot_est_num"], rows
+
+
+# ---------------------------------------------------------- Adamic-Adar
+def gx_adamic(con, sql):
+    """Hub-capped Adamic–Adar top-100: per common neighbor w with
+    2 <= deg(w) <= p90 cap, aa(w) = round(1e6 / ln(deg)); per (a < b)
+    pair the Σ aa and common count over shared capped neighbors. Wedges
+    enumerate vectorized per offset within sorted neighbor groups; pair
+    aggregation is one np.unique over a*n+b keys."""
+    ks, src, dst = _union_edges(con, sql, ", aud AS ")
+    n = len(ks)
+    s, d = _sym_edges(src, dst)
+    deg = np.bincount(s, minlength=n).astype(np.int64)
+    # DuckDB quantile_cont over the deg rows (nodes appearing in aud)
+    degs = np.sort(deg[deg > 0]).astype(np.float64)
+    q = 0.9 * (len(degs) - 1)
+    lo = int(math.floor(q))
+    cap = degs[lo] + (q - lo) * (degs[min(lo + 1, len(degs) - 1)] - degs[lo])
+    keep = (deg >= 2) & (deg <= cap)
+    aa = np.zeros(n, dtype=np.int64)
+    kn = keep.nonzero()[0]
+    aa[kn] = [int(math.floor(1000000.0 / math.log(x) + 0.5))
+              for x in deg[kn]]
+    # wedge hubs: sorted adjacency of capped nodes, neighbors ascending
+    on = keep[s]
+    ws, wd = s[on], d[on]
+    order = np.lexsort((wd, ws))
+    ws, wd = ws[order], wd[order]
+    sizes = np.bincount(ws, minlength=n)[ws]  # group size per row
+    pos = np.arange(len(ws)) - np.concatenate(
+        ([0], np.cumsum(np.bincount(ws, minlength=n))))[ws]
+    total_pairs = int((deg[kn] * (deg[kn] - 1) // 2).sum())
+    if total_pairs > 500_000_000:
+        raise RuntimeError(f"gx_adamic replay: {total_pairs} wedges "
+                           "exceed the in-memory budget")
+    key_parts, w_parts = [], []
+    max_d = int(deg[kn].max()) if len(kn) else 0
+    for k in range(1, max_d):
+        m = pos + k < sizes
+        if not m.any():
+            break
+        i = m.nonzero()[0]
+        a = wd[i]
+        b = wd[i + k]  # same group (pos+k < size), b > a by sort order
+        key_parts.append(a * n + b)
+        w_parts.append(aa[ws[i]])
+    if key_parts:
+        keys = np.concatenate(key_parts)
+        wts = np.concatenate(w_parts)
+        uk, inv = np.unique(keys, return_inverse=True)
+        score = _exact_sum(inv, wts, len(uk))
+        common = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        a, b = uk // n, uk % n
+        top = sorted(zip((-score).tolist(), a.tolist(), b.tolist(),
+                         score.tolist(), common.tolist()))[:100]
+        rows = [(ks[x[1]], ks[x[2]], x[3], x[4]) for x in top]
+    else:
+        rows = []
+    return ["a", "b", "score_micro", "common"], rows
+
+
 # ---------------------------------------------------------------- MSF
 def gx_msf(con, sql):
     """4 unrolled Boruvka rounds: per component the min cross edge by
@@ -671,6 +784,8 @@ def gx_msf(con, sql):
 
 
 ALTERNATES = {
+    "gx_adamic": gx_adamic,
+    "gx_anf_growth": gx_anf_growth,
     "gx_hits": gx_hits,
     "gx_labelprop": gx_labelprop,
     "gx_louvain1": gx_louvain1,

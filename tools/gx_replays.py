@@ -19,6 +19,7 @@ registered SQL itself at sf0.001 and sf0.01 by tools/test_gx_replays.py.
 """
 import hashlib
 import math
+import re
 import numpy as np
 
 
@@ -783,7 +784,330 @@ def gx_msf(con, sql):
     return ["u", "v", "w", "round"], forest
 
 
+# ================================================================ dedup/ANN
+# Replays for the minhash-LSH and cosine families, whose registered SQL is
+# DuckDB-pathological at 10x scale for a DIFFERENT reason than the gx CTEs:
+# the `sh` shingle CTE re-evaluates regexp_split_to_array(trim(text)) per
+# lambda element (O(words^2) string work per document), and e_near_dup's
+# all-pairs list_cosine_similarity join is O(n^2 * dims) in the row engine.
+# The replays keep every DuckDB-semantics-bearing step IN DuckDB (trim +
+# regexp_split per document — one split each, not words^2) and run the
+# hash/linear algebra in hashlib/numpy:
+#   - md5 replays exactly (hashlib), so shingle hashes, band values and the
+#     hash60 family are bit-identical;
+#   - minhash lane mins are int64 affine-mod arithmetic (a*h+b < 2^52);
+#   - est_sim = matches/32 is an exact 5-decimal binary fraction, so the
+#     SQL's round(.,6) is the identity on it;
+#   - list_cosine_similarity is a SEQUENTIAL per-dim fold with denominator
+#     sqrt(nx)*sqrt(ny) (probed vs DuckDB: 300/300 bit-exact) — replayed by
+#     vectorizing ACROSS pairs and looping over dims, which preserves each
+#     pair's accumulation order exactly;
+#   - DuckDB round(x, p) on DOUBLE is std::round(x*10^p)/10^p with
+#     half-away-from-zero ties — the multiply's own IEEE rounding can land
+#     exactly on .5 halves (probed: 0/400k mismatches, incl. the 2.675->2.68
+#     family that shortest-repr decimal models get wrong).
+
+
+def _round_half_away(x, p):
+    """DuckDB round(DOUBLE, p): std::round(x * 10^p) / 10^p."""
+    pw = float(10 ** p)
+    v = x * pw
+    a = abs(v)
+    f = math.floor(a)
+    r = f + (a - f >= 0.5)
+    return (r if v >= 0 else -r) / pw
+
+
+def _round4_np(v):
+    """Vectorized _round_half_away(., 4) over a float64 array."""
+    w = v * 10000.0
+    a = np.abs(w)
+    f = np.floor(a)
+    r = f + (a - f >= 0.5)
+    return np.copysign(r, w) / 10000.0
+
+
+def _uf_min_label(edges, keys):
+    """The oracles' recursive min-label reach CC: component min over the
+    symmetric edge set. Returns {key: min_label_of_component} for keys
+    that appear in `keys` (ints compare like the SQL's BIGINT min)."""
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for k in keys:
+        parent.setdefault(k, k)
+    for s, t in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(t, t)
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    return {k: find(k) for k in parent}
+
+
+_SH_MARKERS = (
+    "unnest((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3 "
+    "THEN [trim(text)]",
+    "CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT)",
+    "FROM documents",
+)
+
+
+def _minhash_sigs(con, sql):
+    """Replay the sh -> hs -> sig -> bands chain of the minhash oracles:
+    per-document 3-shingles (DuckDB's own trim + regexp_split, ONE split per
+    document), md5-derived 32-bit shingle hashes, 32 affine-mod minhash
+    lanes (constants parsed from the SQL), and the 8 band md5 values.
+    Returns (doc_ids sorted, sig int64 [n,32], bands {(band, val): [ids]}).
+    Memoized per parsed-constant set."""
+    for m in _SH_MARKERS:
+        if m not in sql:
+            raise RuntimeError(f"minhash oracle shape changed; expected {m!r}")
+    lanes = re.findall(
+        r"min\(\((\d+) \* h \+ (\d+)\) % (\d+)\) AS mh_(\d+)", sql)
+    if len(lanes) != 32 or [int(l[3]) for l in lanes] != list(range(32)):
+        raise RuntimeError("minhash oracle shape changed: expected mh_0..31")
+    mods = {int(l[2]) for l in lanes}
+    if len(mods) != 1:
+        raise RuntimeError("minhash oracle shape changed: mixed moduli")
+    mod = mods.pop()
+    band_defs = re.findall(r"(\d+) AS band, md5\((.*?)\) AS band_val", sql)
+    bands_lanes = [(int(b), [int(x) for x in re.findall(r"mh_(\d+)", expr)])
+                   for b, expr in band_defs]
+    if sorted(b for b, _ in bands_lanes) != list(range(8)) or \
+            any(len(ls) != 4 for _, ls in bands_lanes):
+        raise RuntimeError("minhash oracle shape changed: expected 8x4 bands")
+    key = ("mhsig", tuple(tuple(int(x) for x in l) for l in lanes),
+           tuple((b, tuple(ls)) for b, ls in bands_lanes))
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
+    rows = con.sql(
+        "SELECT doc_id, trim(text), "
+        r"regexp_split_to_array(trim(text), '\s+') "
+        "FROM documents ORDER BY doc_id").fetchall()
+    doc_ids = [r[0] for r in rows]
+    starts, all_h = [], []
+    pos = 0
+    for _, t, w in rows:
+        if len(w) < 3:
+            sh = {t}
+        else:
+            sh = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        starts.append(pos)
+        pos += len(sh)
+        for s in sh:
+            all_h.append(
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big"))
+    h = np.array(all_h, dtype=np.int64)
+    starts = np.array(starts, dtype=np.int64)
+    sig = np.empty((len(doc_ids), 32), dtype=np.int64)
+    for a, b, _, i in ((int(x[0]), int(x[1]), x[2], int(x[3]))
+                       for x in lanes):
+        sig[:, i] = np.minimum.reduceat((a * h + b) % mod, starts)
+    buckets = {}
+    for b, ls in bands_lanes:
+        for d in range(len(doc_ids)):
+            val = hashlib.md5(
+                ",".join(str(sig[d, l]) for l in ls).encode()).hexdigest()
+            buckets.setdefault((b, val), []).append(doc_ids[d])
+    out = (doc_ids, sig, buckets)
+    _MEMO[key] = out
+    return out
+
+
+def _minhash_pairs(con, sql):
+    """Distinct banded candidate pairs (a < b) with match counts (0..32)."""
+    doc_ids, sig, buckets = _minhash_sigs(con, sql)
+    idx = {d: i for i, d in enumerate(doc_ids)}
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > 1:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+    pairs = sorted(pairs)
+    if not pairs:
+        return [], np.zeros(0, dtype=np.int64)
+    ai = np.fromiter((idx[a] for a, _ in pairs), dtype=np.int64,
+                     count=len(pairs))
+    bi = np.fromiter((idx[b] for _, b in pairs), dtype=np.int64,
+                     count=len(pairs))
+    matches = (sig[ai] == sig[bi]).sum(axis=1).astype(np.int64)
+    return pairs, matches
+
+
+def d_minhash_lsh(con, sql):
+    """Banded candidate pairs with est_sim = matches/32 (exact 5-decimal
+    binary fraction; the SQL's round(.,6) is the identity on it)."""
+    pairs, matches = _minhash_pairs(con, sql)
+    return ["a", "b", "est_sim"], [
+        (a, b, m / 32.0) for (a, b), m in zip(pairs, matches.tolist())]
+
+
+def d_dedup_pipeline(con, sql):
+    """Candidates -> est_sim >= 0.5 edges (== matches >= 16, exact integer
+    compare) -> min-label CC -> survivors (drop non-min members)."""
+    if "WHERE est_sim >= 0.5" not in sql:
+        raise RuntimeError("dedup-pipeline oracle shape changed")
+    pairs, matches = _minhash_pairs(con, sql)
+    edges = [p for p, m in zip(pairs, matches.tolist()) if m >= 16]
+    label = _uf_min_label(edges, [])
+    drop = {k for k, v in label.items() if v != k}
+    docs = [r[0] for r in
+            con.sql("SELECT doc_id FROM documents ORDER BY doc_id")
+            .fetchall()]
+    return ["doc_id"], [(d,) for d in docs if d not in drop]
+
+
+def d_dedup_incr(con, sql):
+    """Incremental dedup: cut = (4*max(doc_id))//5; new docs (>= cut) that
+    band-match an old near-dup (est >= 0.5, a < cut <= b) drop outright;
+    the rest dedup among themselves (min-label CC over internal edges)."""
+    if "WITH cut AS (SELECT (4 * max(doc_id)) // 5 AS c FROM documents)" \
+            not in sql or "WHERE a < c AND b >= c AND est_sim >= 0.5" \
+            not in sql:
+        raise RuntimeError("dedup-incr oracle shape changed")
+    cut = con.sql(
+        "SELECT (4 * max(doc_id)) // 5 FROM documents").fetchone()[0]
+    pairs, matches = _minhash_pairs(con, sql)
+    dup = [p for p, m in zip(pairs, matches.tolist()) if m >= 16]
+    xhit = {b for a, b in dup if a < cut <= b}
+    docs = [r[0] for r in
+            con.sql("SELECT doc_id FROM documents ORDER BY doc_id")
+            .fetchall()]
+    rem = [d for d in docs if d >= cut and d not in xhit]
+    rset = set(rem)
+    internal = [(a, b) for a, b in dup
+                if a >= cut and a in rset and b in rset]
+    label = _uf_min_label(internal, [])
+    drop = {k for k, v in label.items() if v != k}
+    return ["doc_id"], [(d,) for d in rem if d not in drop]
+
+
+def _embeddings(con):
+    """vec_id-sorted ids + float64 matrix (float32 -> float64 is exact) +
+    per-vector squared norms accumulated in DIM ORDER (the sequential fold
+    list_cosine_similarity uses)."""
+    hit = _MEMO.get("embmat")
+    if hit is not None:
+        return hit
+    rows = con.sql(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "FROM embeddings ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.zeros(len(ids), dtype=np.float64)
+    for k in range(V.shape[1]):
+        nrm += V[:, k] * V[:, k]
+    out = (ids, V, np.sqrt(nrm))
+    _MEMO["embmat"] = out
+    return out
+
+
+def _seq_cosine(V, sn, ai, bi):
+    """Exact list_cosine_similarity for index-pair arrays: the dot
+    accumulates in dim order per pair (vectorized across pairs), and the
+    denominator is sqrt(nx)*sqrt(ny) — both probed bit-exact vs DuckDB."""
+    acc = np.zeros(len(ai), dtype=np.float64)
+    A, B = V[ai], V[bi]
+    for k in range(V.shape[1]):
+        acc += A[:, k] * B[:, k]
+    return acc / (sn[ai] * sn[bi])
+
+
+def e_near_dup(con, sql):
+    """All-pairs cosine near-dup: round(cos, 4) >= 0.45. A blocked matmul
+    pre-filters with a 1e-9 margin (matmul vs sequential fold differ by
+    ~1e-15 relative); survivors are recomputed with the exact sequential
+    fold and the exact DuckDB rounding."""
+    if "round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.45" not in sql \
+            or "ON a.id < b.id" not in sql:
+        raise RuntimeError("near-dup oracle shape changed")
+    ids, V, sn = _embeddings(con)
+    n = len(ids)
+    rows = []
+    step = 2048
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        approx = (V[lo:hi] @ V.T) / np.outer(sn[lo:hi], sn)
+        bi, bj = np.nonzero(approx >= 0.44995 - 1e-9)
+        keep = lo + bi < bj  # a.id < b.id on sorted ids
+        ai, bj = (lo + bi[keep]), bj[keep]
+        if not len(ai):
+            continue
+        cos = _seq_cosine(V, sn, ai, bj)
+        r = _round4_np(cos)
+        ok = r >= 0.45
+        rows.extend(zip((ids[i] for i in ai[ok].tolist()),
+                        (ids[j] for j in bj[ok].tolist()),
+                        r[ok].tolist()))
+    rows.sort()
+    return ["a", "b", "cos"], rows
+
+
+def e_semdedup(con, sql):
+    """SemDeDup: 16 hash60-selected centroids, nearest-cell assignment by
+    (round(cos,4) DESC, cell ASC), per-cell pairs with round(cos,4) >= 0.45,
+    min-label CC, drop non-min members."""
+    if "|| 'ivfc'), 1, 15) AS BIGINT) AS hc" not in sql or \
+            "ORDER BY hc, id LIMIT 16" not in sql or \
+            "round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.45" \
+            not in sql:
+        raise RuntimeError("semdedup oracle shape changed")
+    ids, V, sn = _embeddings(con)
+    n = len(ids)
+    order = sorted(range(n), key=lambda i: (_h60(str(ids[i]) + "ivfc"),
+                                            ids[i]))[:16]
+    C, cn = V[order], sn[order]
+    dots = np.zeros((n, 16), dtype=np.float64)
+    for k in range(V.shape[1]):
+        dots += V[:, k][:, None] * C[:, k][None, :]
+    cell_cos = _round4_np(dots / np.outer(sn, cn))
+    # rank by (cos DESC, cell ASC): argmax of (cos, -cell) lexicographic
+    best = np.zeros(n, dtype=np.int64)
+    bval = cell_cos[:, 0].copy()
+    for c in range(1, 16):
+        better = cell_cos[:, c] > bval
+        bval = np.where(better, cell_cos[:, c], bval)
+        best = np.where(better, c, best)
+    edges = []
+    for c in range(16):
+        mem = np.nonzero(best == c)[0]
+        if len(mem) < 2:
+            continue
+        ii, jj = np.triu_indices(len(mem), k=1)
+        for lo in range(0, len(ii), 2_000_000):
+            a = mem[ii[lo:lo + 2_000_000]]
+            b = mem[jj[lo:lo + 2_000_000]]
+            cos = _seq_cosine(V, sn, a, b)
+            cand = cos >= 0.44995 - 1e-9
+            a, b = a[cand], b[cand]
+            if not len(a):
+                continue
+            r = _round4_np(_seq_cosine(V, sn, a, b))
+            ok = r >= 0.45
+            edges.extend(zip((ids[i] for i in a[ok].tolist()),
+                             (ids[j] for j in b[ok].tolist())))
+    label = _uf_min_label(edges, [])
+    drop = {k for k, v in label.items() if v != k}
+    return ["id"], [(i,) for i in ids if i not in drop]
+
+
 ALTERNATES = {
+    "d_minhash_lsh": d_minhash_lsh,
+    "d_dedup_pipeline": d_dedup_pipeline,
+    "d_dedup_incr": d_dedup_incr,
+    "e_near_dup": e_near_dup,
+    "e_semdedup": e_semdedup,
     "gx_adamic": gx_adamic,
     "gx_anf_growth": gx_anf_growth,
     "gx_hits": gx_hits,

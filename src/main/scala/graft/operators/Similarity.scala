@@ -1661,9 +1661,14 @@ object Similarity {
     // seeds override the flat entry: [[hnswTopK]]'s descent hands each
     // query its own near-entry; the default is the deterministic global
     // minimum corpus id for every query
+    // entry as a 1-row aggregate crossJoin, NOT a collected literal: a
+    // lit() vec_id would constant-fold the injected runtime bloom
+    // filter's xxhash64 argument and hit the BloomFilterMightContain
+    // constant-codegen bug (see [[beamLoop]]); the aggregate form also
+    // saves the driver round-trip
     val seedDf = seeds.getOrElse {
-      val entryId = cor.agg(min(col("vec_id"))).head().getLong(0)
-      queries.select(col("id").as("query_id")).withColumn("vec_id", lit(entryId))
+      queries.select(col("id").as("query_id"))
+        .crossJoin(broadcast(cor.agg(min(col("vec_id")).as("vec_id"))))
     }
     val cand = beamLoop(cor, edges, q, seedDf, ef, rounds)
     val wBeam = Window.partitionBy(col("query_id"))
@@ -1685,8 +1690,17 @@ object Similarity {
     * stays ≤ |queries|·(1 + rounds·ef·degree) rows. */
   private def beamLoop(cor: DataFrame, edges: DataFrame, q: DataFrame,
                        seeds: DataFrame, ef: Int, rounds: Int): DataFrame = {
+    // the candidate/beam side is |queries|·ef·degree-bounded BY
+    // CONSTRUCTION (the whole point of beam search) — broadcast it
+    // explicitly so the corpus/edge joins are keyed broadcast fetches at
+    // any corpus size. The hint also keeps InjectRuntimeFilter from
+    // wrapping the seed join in a runtime bloom filter: a literal-seeded
+    // vec_id constant-folds the filter's xxhash64 argument, and Spark
+    // 4.1's BloomFilterMightContain codegen fails to compile on a
+    // constant (janino "java.lang.Long is not an rvalue"), dropping the
+    // whole stage to interpreter mode.
     def score(cands: DataFrame): DataFrame =
-      cands.join(cor, "vec_id").join(q, "query_id")
+      broadcast(cands).join(cor, "vec_id").join(q, "query_id")
         .select(col("query_id"), col("vec_id"),
           cosMicroCol(col("qv"), col("qn"), col("vec"), col("cn")).as("cosm"))
     val wBeam = Window.partitionBy(col("query_id"))
@@ -1695,7 +1709,7 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val beam = cand.withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= ef).select("query_id", "vec_id")
-      val expand = beam.join(edges, beam("vec_id") === edges("src"))
+      val expand = broadcast(beam).join(edges, beam("vec_id") === edges("src"))
         .select(col("query_id"), col("dst").as("vec_id")).distinct()
       val fresh = expand.join(cand, Seq("query_id", "vec_id"), "left_anti")
       cand = cand.unionByName(score(fresh)).localCheckpoint(true)
@@ -1759,7 +1773,7 @@ object Similarity {
         val edges = prebuiltUpper.map(_(l)).getOrElse(lshKnnEdges(mem, upperK))
           .localCheckpoint(true)
         val seedDf = seed.getOrElse(queries.select(col("id").as("query_id"))
-          .withColumn("vec_id", lit(entryRow.getLong(0))))
+          .crossJoin(broadcast(mem.agg(min(col("id")).as("vec_id")))))
         val cand = beamLoop(memCor, edges, q, seedDf, upperEf, upperRounds)
         seed = Some(cand.withColumn("rn", row_number().over(wBeam))
           .filter(col("rn") === 1).select("query_id", "vec_id")
@@ -1772,9 +1786,9 @@ object Similarity {
     // flat entry happens to sit well the hierarchical walk does not
     // trade that luck away for its (usually better) descent seed
     val baseSeeds = seed.map { sd =>
-      val entryAll = corpus.agg(min(col("id"))).head().getLong(0)
       sd.unionByName(queries.select(col("id").as("query_id"))
-        .withColumn("vec_id", lit(entryAll))).distinct()
+        .crossJoin(broadcast(corpus.agg(min(col("id")).as("vec_id")))))
+        .distinct()
     }
     beamSearchTopK(corpus, queries, k, graphK, ef, rounds,
       prebuiltEdges = prebuiltBase, seeds = baseSeeds)

@@ -85,8 +85,27 @@ object ScaleUp {
     write(blowUp(ord, Map("o_orderkey" -> ko, "o_custkey" -> kc)), "orders", 8)
     write(blowUp(li, Map("l_orderkey" -> ko, "l_partkey" -> kp,
       "l_suppkey" -> ks)), "lineitem", 16)
+    // Default keeps the original time span (replicas densify each second
+    // 100x at factor 100) — that is the committed-fixture shape the sf1
+    // artifacts were generated under, and it deliberately stresses
+    // time-window joins with a density-quadratic pair count.
+    // SPARK_GRAFT_SCALEUP_STRETCH_TS=1 instead tiles replicas ALONG the
+    // time axis (ts += replica * span), modelling production growth —
+    // more data means a longer span, not denser seconds — so per-window
+    // densities and event-time join selectivity stay constant with SF.
+    val stretchTs = sys.env.get("SPARK_GRAFT_SCALEUP_STRETCH_TS").contains("1")
+    val evPost: DataFrame => DataFrame =
+      if (!stretchTs) identity
+      else { wide =>
+        val r = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head()
+        val spanUs = r.getLong(1) - r.getLong(0) + 1L
+        wide.withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + col("__r") * spanUs)
+            .cast(ev.schema("ts").dataType))
+      }
     write(blowUp(ev, Map("event_id" -> stride(ev, "event_id"),
-      "user_id" -> stride(ev, "user_id"))), "events", 8)
+      "user_id" -> stride(ev, "user_id")), evPost), "events", 8)
     write(blowUp(doc, Map("doc_id" -> stride(doc, "doc_id")), wide =>
       wide.withColumn("text",
           when(col("__r") === 0, col("text"))

@@ -14,6 +14,38 @@ import sys, os, json, glob, argparse, threading
 import duckdb
 import pyarrow.parquet as pq
 
+
+class _Budget:
+    """Per-query DuckDB budget that keeps firing. A one-shot timer is not
+    enough for the multi-statement replay alternates: if the deadline
+    lands between two DuckDB calls (e.g. while numpy-converting the first
+    fetch), the stale interrupt gets drained and the replay's NEXT
+    construction-prefix query runs unbounded (gx_labelprop at sf10 ran
+    55+ min past a 600s budget, r17). Re-fires every 30s after the
+    deadline until cancelled; cancel() before any drain query."""
+
+    def __init__(self, sec, con, flag):
+        self.con, self.flag = con, flag
+        self.done = threading.Event()
+        self.t = threading.Timer(sec, self._fire)
+        self.t.daemon = True
+        self.t.start()
+
+    def _fire(self):
+        self.flag[0] = True
+        try:
+            self.con.interrupt()
+        except Exception:
+            pass
+        if not self.done.is_set():
+            self.t = threading.Timer(30, self._fire)
+            self.t.daemon = True
+            self.t.start()
+
+    def cancel(self):
+        self.done.set()
+        self.t.cancel()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import selfcheck
 
@@ -89,11 +121,7 @@ def main():
 
         timer, timed_out = None, [False]
         if a.timeout_sec > 0:
-            def fire(flag=timed_out):
-                flag[0] = True
-                con.interrupt()
-            timer = threading.Timer(a.timeout_sec, fire)
-            timer.start()
+            timer = _Budget(a.timeout_sec, con, timed_out)
         try:
             dcols, drows = run_oracle(con)
         except Exception as e:
@@ -113,11 +141,7 @@ def main():
                 con = fresh_con()
                 timer2 = None
                 if a.timeout_sec > 0:
-                    def fire2(flag=timed_out, c=con):
-                        flag[0] = True
-                        c.interrupt()
-                    timer2 = threading.Timer(a.timeout_sec, fire2)
-                    timer2.start()
+                    timer2 = _Budget(a.timeout_sec, con, timed_out)
                 try:
                     dcols, drows = run_oracle(con)
                     e = None

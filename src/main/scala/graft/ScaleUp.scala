@@ -97,11 +97,16 @@ object ScaleUp {
     val evPost: DataFrame => DataFrame =
       if (!stretchTs) identity
       else { wide =>
-        val r = ev.agg(min(unix_micros(col("ts"))),
-          max(unix_micros(col("ts")))).head()
+        // ts ships as TIMESTAMP_NTZ in current fixtures — unix_micros
+        // requires TIMESTAMP, so cast through it (session tz is UTC, and
+        // the round-trip below uses the same cast pair, so the NTZ wall
+        // time shifts by exactly replica*span)
+        def us(c: org.apache.spark.sql.Column) =
+          unix_micros(c.cast("timestamp"))
+        val r = ev.agg(min(us(col("ts"))), max(us(col("ts")))).head()
         val spanUs = r.getLong(1) - r.getLong(0) + 1L
         wide.withColumn("ts",
-          timestamp_micros(unix_micros(col("ts")) + col("__r") * spanUs)
+          timestamp_micros(us(col("ts")) + col("__r") * spanUs)
             .cast(ev.schema("ts").dataType))
       }
     write(blowUp(ev, Map("event_id" -> stride(ev, "event_id"),

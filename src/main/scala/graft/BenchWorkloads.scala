@@ -65,6 +65,55 @@ object BenchWorkloads {
     g.removeNodes(victims).nNodes
   }
 
+  /** Scratch path for the persisted-store workloads, keyed by scale so
+    * sf0.1/sf1/sf10 bench tiers never share state. */
+  private def storePath = s"${System.getProperty("java.io.tmpdir")}/graft_wstore_s$scale"
+
+  private def rmPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Initial build of the workload-A edge state into the 256-bucket
+    * MUTABLE layout ([[graft.io.GraphStore]]): batch dedup + one
+    * hash-partitioned write, strictly linear — the one-time cost the
+    * incremental entry below amortizes. Runs before
+    * w_bulk_edge_upsert_bucketed by bench name order. */
+  def bulkEdgeStoreBuild(spark: SparkSession): Long = {
+    rmPath(spark, storePath)
+    val edges = randomEdges(spark, M)
+    graft.io.GraphStore.writeEdges(spark, storePath, edges, 256)
+    graft.io.GraphStore.writeNodes(spark, storePath,
+      edges.select(col("src").as("key"))
+        .union(edges.select(col("dst").as("key"))).distinct(), 256)
+    graft.io.GraphStore.readEdges(spark, storePath).count()
+  }
+
+  /** Bucket-pruned incremental upsert (r17 verdict #1): 4 hub-localized
+    * delta batches (8 src hubs each, 10k×scale rows) applied through
+    * GraphStore.upsertEdges against the persisted state — each batch
+    * reads and rewrites ≤ 8 of 256 edge buckets, so the cost tracks the
+    * delta and its touched buckets, NOT the accumulated state (the
+    * full-state window-dedup in w_bulk_edge_upsert was the one measured
+    * 2×-over-linear core entry at 100×). Idempotent under the retimer:
+    * re-applying a delta replaces the same triples at the same cost. */
+  def bulkEdgeUpsertBucketed(spark: SparkSession): Long = {
+    val fs = new org.apache.hadoop.fs.Path(storePath + "/edges")
+    val hfs = fs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(fs)) bulkEdgeStoreBuild(spark) // isolated BENCH_ONLY runs
+    var b = 0
+    while (b < 4) {
+      val delta = spark.range(10000L * scale).select(
+        concat(lit("n"), pmod(col("id"), lit(8)) + lit(b * 8)).as("src"),
+        concat(lit("n"), pmod(xxhash64(col("id"), lit(b)), lit(N))).as("dst"),
+        lit(0).as("etype"))
+      graft.io.GraphStore.upsertEdges(spark, storePath, delta, 256)
+      b += 1
+    }
+    graft.io.GraphStore.readEdges(spark, storePath).count()
+  }
+
   /** hub fan-out: 200k out-edges on one node + full neighbor scan. */
   def hubNeighborScan(spark: SparkSession): Long = {
     val edges = spark.range(200000L * scale).select(
@@ -95,7 +144,9 @@ object BenchWorkloads {
   }
 
   val workloads: Map[String, SparkSession => Long] = Map(
+    "w_bulk_edge_store_build" -> bulkEdgeStoreBuild,
     "w_bulk_edge_upsert" -> bulkEdgeUpsert,
+    "w_bulk_edge_upsert_bucketed" -> bulkEdgeUpsertBucketed,
     "w_bulk_edge_removal" -> bulkEdgeRemoval,
     "w_bulk_node_removal" -> bulkNodeRemoval,
     "w_hub_neighbor_scan" -> hubNeighborScan,

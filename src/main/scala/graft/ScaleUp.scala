@@ -85,15 +85,16 @@ object ScaleUp {
     write(blowUp(ord, Map("o_orderkey" -> ko, "o_custkey" -> kc)), "orders", 8)
     write(blowUp(li, Map("l_orderkey" -> ko, "l_partkey" -> kp,
       "l_suppkey" -> ks)), "lineitem", 16)
-    // Default keeps the original time span (replicas densify each second
-    // 100x at factor 100) — that is the committed-fixture shape the sf1
-    // artifacts were generated under, and it deliberately stresses
-    // time-window joins with a density-quadratic pair count.
-    // SPARK_GRAFT_SCALEUP_STRETCH_TS=1 instead tiles replicas ALONG the
-    // time axis (ts += replica * span), modelling production growth —
-    // more data means a longer span, not denser seconds — so per-window
-    // densities and event-time join selectivity stay constant with SF.
-    val stretchTs = sys.env.get("SPARK_GRAFT_SCALEUP_STRETCH_TS").contains("1")
+    // DEFAULT (r17 verdict #7): tile event replicas ALONG the time axis
+    // (ts += replica * span) — production growth means a longer span,
+    // not denser seconds, so per-window densities and event-time join
+    // selectivity stay constant with SF. SPARK_GRAFT_SCALEUP_PACKED_TS=1
+    // keeps the original span instead (replicas densify each second N×
+    // at factor N) as an EXPLICIT stress fixture for time-window joins —
+    // its pair counts are density-quadratic by construction (s_range_join
+    // measured 690× at 100× packed vs 10.7× stretched, r17). The legacy
+    // SPARK_GRAFT_SCALEUP_STRETCH_TS=1 is still accepted (and redundant).
+    val stretchTs = !sys.env.get("SPARK_GRAFT_SCALEUP_PACKED_TS").contains("1")
     val evPost: DataFrame => DataFrame =
       if (!stretchTs) identity
       else { wide =>
@@ -104,10 +105,16 @@ object ScaleUp {
         def us(c: org.apache.spark.sql.Column) =
           unix_micros(c.cast("timestamp"))
         val r = ev.agg(min(us(col("ts"))), max(us(col("ts")))).head()
-        val spanUs = r.getLong(1) - r.getLong(0) + 1L
-        wide.withColumn("ts",
-          timestamp_micros(us(col("ts")) + col("__r") * spanUs)
-            .cast(ev.schema("ts").dataType))
+        // empty (or all-null-ts) events: span is meaningless and getLong
+        // would NPE — fall back to identity, matching every other branch's
+        // empty-table behaviour (writes an empty replicated table)
+        if (r.isNullAt(0) || r.isNullAt(1)) wide
+        else {
+          val spanUs = r.getLong(1) - r.getLong(0) + 1L
+          wide.withColumn("ts",
+            timestamp_micros(us(col("ts")) + col("__r") * spanUs)
+              .cast(ev.schema("ts").dataType))
+        }
       }
     write(blowUp(ev, Map("event_id" -> stride(ev, "event_id"),
       "user_id" -> stride(ev, "user_id")), evPost), "events", 8)

@@ -744,6 +744,14 @@ object Multimodal {
             while (!done && off + 4 <= b.length) {
               if (u8(off) != 0xff) { done = true } // desync: stop, soi-only
               else {
+                // JPEG permits runs of 0xFF fill bytes between segments —
+                // the marker is the first non-FF byte after the run. JDK
+                // encoders never emit fill, but external inputs may. The
+                // skip moves `off` past the loop-head bounds check, so
+                // re-verify before the length-prefixed reads below.
+                while (off + 2 < b.length && u8(off + 1) == 0xff) off += 1
+                if (off + 4 > b.length) { done = true; off = b.length }
+                else {
                 val m = u8(off + 1)
                 if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2
                 else if (m == 0xd9 || m == 0xda) done = true // EOI / scan data
@@ -756,6 +764,7 @@ object Multimodal {
                       u8(off + 9))
                     done = true
                   } else off += 2 + len
+                }
                 }
               }
             }

@@ -28,6 +28,34 @@ object AnalyticsQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // DECIMAL twin of q1_agg: the flagship's double SUM is order-dependent
+    // and flips its last rounded digit between engines at ~60M rows
+    // (FLOAT_ULP at sf10, r17). Here each measure is quantized per row
+    // with floor(x * 10^4) — one correctly-rounded IEEE multiply + exact
+    // floor, bit-identical in Spark and DuckDB — summed as BIGINT
+    // (order-free, exact), then presented as DECIMAL(38,4) via decimal
+    // MULTIPLICATION by 0.0001 (exact: scales add, no division rounding
+    // rules involved). Hash-stable at any scale by construction.
+    "q1_agg_dec" -> ((s, dir) => {
+      def u4(c: org.apache.spark.sql.Column) = floor(c * lit(10000))
+      def dec(c: org.apache.spark.sql.Column) =
+        (c.cast("decimal(30,0)") * lit(new java.math.BigDecimal("0.0001")))
+          .cast("decimal(38,4)")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(u4(col("l_quantity"))).as("q_u4"),
+          sum(u4(col("l_extendedprice"))).as("bp_u4"),
+          sum(u4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("dp_u4"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec(col("q_u4")).as("sum_qty"),
+          dec(col("bp_u4")).as("sum_base_price"),
+          dec(col("dp_u4")).as("sum_disc_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")}),
+
     // Q3-style: 3-way join + agg + top-k
     "q3_top" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -1184,6 +1212,15 @@ object AnalyticsQueries {
         |sum(l_quantity) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
         |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q1_agg_dec" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(CAST(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_qty,
+        |CAST(CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_base_price,
+        |CAST(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_disc_price,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

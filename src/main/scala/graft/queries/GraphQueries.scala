@@ -259,7 +259,56 @@ object GraphQueries {
       Seq((nRows, eRows,
           g2.nodes.rdd.getNumPartitions, g2.edges.rdd.getNumPartitions))
         .toDF("n_nodes", "n_edges", "node_parts", "edge_parts")
-    })
+    }),
+
+    // Bucket-pruned persisted upsert (graft.io.GraphStore, r17 verdict
+    // #1): a weighted part-derived edge set written ONCE into a
+    // 16-bucket mutable layout, then a delta that REPLACES w on every
+    // partkey%3 edge and INSERTS a fresh hub edge (both endpoints
+    // auto-created) per partkey%50, applied through the
+    // partition-pruned dynamic-overwrite merge. The reopened state's
+    // audit row (counts + order-free Σhash32 content checksums over
+    // edges AND nodes) proves replace, insert, endpoint auto-create,
+    // and survivor integrity in one hash; GraphStoreSpec separately
+    // pins that untouched bucket files stay byte-identical on disk
+    "g_store_upsert" -> ((s, dir) => {
+      import graft.io.GraphStore
+      val path = PipelineQueries.scratchDir("gstore", dir) + "/g"
+      val p = Tables.part(s, dir)
+      val pk = col("p_partkey")
+      val base = p.select(
+        concat(lit("S"), pmod(pk, lit(100L))).as("src"),
+        concat(lit("P"), pk).as("dst"),
+        lit(0).as("etype"),
+        pmod(pk, lit(97L)).as("w"))
+      GraphStore.writeEdges(s, path, base, 16)
+      GraphStore.writeNodes(s, path,
+        base.select(col("src").as("key"))
+          .union(base.select(col("dst").as("key"))).distinct(), 16)
+      val delta = p.filter(pmod(pk, lit(3L)) === 0)
+        .select(
+          concat(lit("S"), pmod(pk, lit(100L))).as("src"),
+          concat(lit("P"), pk).as("dst"),
+          lit(0).as("etype"),
+          (pmod(pk, lit(97L)) + 1000L).as("w"))
+        .unionByName(p.filter(pmod(pk, lit(50L)) === 0)
+          .select(
+            concat(lit("H"), pmod(pk, lit(7L))).as("src"),
+            concat(lit("Z"), pk).as("dst"),
+            lit(0).as("etype"),
+            pmod(pk, lit(11L)).as("w")))
+      GraphStore.upsertEdges(s, path, delta, 16)
+      val g2 = GraphStore.open(s, path)
+      import graft.functions.TextFunctions
+      val ec = g2.edges.agg(
+        count(lit(1)).as("n_edges"),
+        sum(TextFunctions.hash32(concat_ws(":", col("src"), col("dst"),
+          col("etype").cast("string"), col("w").cast("string"))))
+          .as("edge_sum"))
+      val nc = g2.nodes.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(TextFunctions.hash32(col("key"))).as("node_sum"))
+      ec.crossJoin(nc)})
   )
 
   private val SubgraphKeys: Seq[String] =
@@ -424,6 +473,45 @@ object GraphQueries {
         |'P' || CAST(l_partkey AS VARCHAR) AS dst,
         |sum(l_quantity) AS quantity,
         |round(sum(l_extendedprice), 2) AS extendedprice
-        |FROM lineitem GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY src, dst""".stripMargin,
+
+    // relational replay of the bucket-pruned upsert: merged state =
+    // delta ∪ (base minus delta-keyed rows); nodes = base endpoints ∪
+    // the delta's auto-created endpoints. The layout (which buckets got
+    // rewritten) is invisible to SQL by design — GraphStoreSpec pins the
+    // pruning; this oracle pins the merge CONTENT exactly
+    "g_store_upsert" ->
+      """WITH base AS (
+        |  SELECT 'S' || CAST(p_partkey % 100 AS VARCHAR) AS src,
+        |         'P' || CAST(p_partkey AS VARCHAR) AS dst,
+        |         0 AS etype, p_partkey % 97 AS w
+        |  FROM part
+        |), delta AS (
+        |  SELECT 'S' || CAST(p_partkey % 100 AS VARCHAR) AS src,
+        |         'P' || CAST(p_partkey AS VARCHAR) AS dst,
+        |         0 AS etype, p_partkey % 97 + 1000 AS w
+        |  FROM part WHERE p_partkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'H' || CAST(p_partkey % 7 AS VARCHAR),
+        |         'Z' || CAST(p_partkey AS VARCHAR), 0, p_partkey % 11
+        |  FROM part WHERE p_partkey % 50 = 0
+        |), merged AS (
+        |  SELECT * FROM delta
+        |  UNION ALL
+        |  SELECT b.* FROM base b WHERE NOT EXISTS (
+        |    SELECT 1 FROM delta d
+        |    WHERE d.src = b.src AND d.dst = b.dst AND d.etype = b.etype)
+        |), nodes AS (
+        |  SELECT src AS key FROM base UNION SELECT dst FROM base
+        |  UNION SELECT src FROM delta UNION SELECT dst FROM delta
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM merged) AS n_edges,
+        |  (SELECT CAST(sum(CAST('0x' || substring(md5(src || ':' || dst
+        |     || ':' || CAST(etype AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 8)
+        |     AS BIGINT)) AS BIGINT) FROM merged) AS edge_sum,
+        |  (SELECT count(*) FROM nodes) AS n_nodes,
+        |  (SELECT CAST(sum(CAST('0x' || substring(md5(key), 1, 8) AS BIGINT))
+        |     AS BIGINT) FROM nodes) AS node_sum""".stripMargin
   )
 }

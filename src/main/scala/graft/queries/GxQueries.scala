@@ -67,8 +67,13 @@ object GxQueries {
     * so the global window runs on n rows, never the node set. */
   private[graft] def pagerankRankAlignment(s: SparkSession, dir: String,
                                            n: Int = 50): DataFrame = {
-    val fp = GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
-      .orderBy(col("r").desc, col("key")).limit(n)
+    // the fp score table is referenced twice (the top-n cut AND the
+    // tie-class score lookup joined under the float side) — materialize
+    // once; statsReset frees the checkpoint's inherited plan stats
+    val fpAll = GraphOps.statsReset(
+      GraphOps.fixedPointPageRank(unionGraph(s, dir), iters = 5)
+        .localCheckpoint(true))
+    val fp = fpAll.orderBy(col("r").desc, col("key")).limit(n)
       .select(col("key"), col("r").as("rank_fp"))
     val gxr = GraphXBridge.pageRank(unionGx(s, dir), iters = 5)
       .orderBy(col("rank").desc, col("key")).limit(n)
@@ -77,8 +82,11 @@ object GxQueries {
       .orderBy(col("rank_fp").desc, col("key"))
     val wgx = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_gx").desc, col("key_gx"))
+    val gxPos = gxr.withColumn("pos", row_number().over(wgx))
+      .join(fpAll.select(col("key").as("key_gx"),
+        col("r").as("rank_fp_gx")), Seq("key_gx"), "left")
     fp.withColumn("pos", row_number().over(wfp))
-      .join(gxr.withColumn("pos", row_number().over(wgx)), Seq("pos"), "left")
+      .join(gxPos, Seq("pos"), "left")
   }
 
   /** Session-shared hash-weighted undirected edge set (the gx_wsssp
@@ -504,9 +512,18 @@ object GxQueries {
       val n = 50
       val W = org.apache.spark.sql.expressions.Window
       val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      // TIE-CLASS grading (r17 verdict #5): agreement at position p means
+      // the float engine's p-th key carries the SAME fp score as the fp
+      // ranking's p-th key — the float side may permute freely inside an
+      // fp tie class, never across classes. Positional key identity was
+      // ill-posed once replication-blown fixtures (graft.ScaleUp) created
+      // exact fp ties whose float twins differ only in last-ulp add-order
+      // noise; score-class identity is well-posed at every scale. The
+      // ≥ n−1 slack still absorbs one adjacent swap ACROSS a near-tie
+      // class boundary (GraphXSpec pins that structure).
       pagerankRankAlignment(s, dir, n)
         .withColumn("pos_eq",
-          when(col("key_gx") === col("key"), lit(1)).otherwise(lit(0)))
+          when(col("rank_fp_gx") === col("rank_fp"), lit(1)).otherwise(lit(0)))
         .select(col("pos"), col("key"), col("rank_fp"),
           when(sum(col("pos_eq")).over(wAll) >= lit(n - 1), lit(1))
             .otherwise(lit(0)).as("gx_agree"))

@@ -61,7 +61,7 @@ object PipelineQueries {
     } catch { case _: Throwable => } // best-effort; never blocks a query
     finally if (st != null) st.close()
   }
-  private def scratchDir(name: String, dir: String): String = {
+  private[queries] def scratchDir(name: String, dir: String): String = {
     sweepDeadScratch
     // PID in the path: concurrent JVMs (overlapping Verify + Bench) never
     // share — and so never wipe — each other's in-flight scratch state,
@@ -3374,20 +3374,36 @@ object PipelineQueries {
       Multimodal.jpegProbe(Multimodal.transcodeJpeg(media)).toDF()
         .orderBy("media_id")}),
 
-    // JPEG pixel decode, ROWS-ONLY BY DECLARATION (no oracleSql entry):
-    // decodeMedia routes the FFD8FF magic to the real imageio decoder,
-    // but decoded pixel values are quantized by the lossy encoder above —
-    // no closed form exists, so the driver records the weaker rows>0
-    // check. Dimensions/counts inside the rows are still exact; the spec
-    // (MultimodalSpec) additionally bounds the per-channel mean drift
-    // against the planted raster
+    // JPEG pixel decode as a VERDICT-ROW gate (the q_approx_distinct
+    // discipline): decoded pixel values are quantized by the lossy
+    // encoder above, so the raw sums have no closed form — but the
+    // GEOMETRY survives exactly, and the per-channel MEAN drift is
+    // bounded. The planted raster depends only on doc_id mod 256, so the
+    // payload family is finite (256 classes) and the exact drift maxima
+    // are measurable once for the deterministic JDK codec: r 5.292,
+    // g 2.042, b 14.667 (blue is the (d+p)%256 gradient whose 255→0 wrap
+    // is a sharp edge; red/green are flat but pay 4:2:0 chroma
+    // subsampling on 4-px-wide rasters). The gate hashes the exact
+    // geometry plus integer bound checks |Σdec − Σplanted| ≤ B·n with
+    // B = 6/3/15 — deterministic at ANY SF because every doc_id falls in
+    // one of the 256 measured classes; raw sums stay engine-side.
     "m_jpeg_stats" -> ((s, dir) => {
       val d = col("doc_id")
       val media = docs(s, dir).select(
         d.as("media_id"), unhex(plantedBmpHex(d)).as("content"))
-      Multimodal.decodeMedia(Multimodal.transcodeJpeg(media)).toDF()
-        .select("media_id", "kind", "width", "height", "n_pixels",
-          "sum_r", "sum_g", "sum_b")
+      val dec = Multimodal.decodeMedia(Multimodal.transcodeJpeg(media)).toDF()
+      val m = col("media_id")
+      val n = (pmod(m, lit(8L)) + 1) * 4
+      val pr = n * pmod(m * 13, lit(256L))
+      val pg = n * pmod(m * 7, lit(256L))
+      val pb = aggregate(
+        transform(sequence(lit(0L), n - 1), p => pmod(m + p, lit(256L))),
+        lit(0L), (acc, x) => acc + x)
+      dec.select(m, col("kind"), col("width"), col("height"),
+        col("n_pixels"),
+        (abs(col("sum_r") - pr) <= n * 6).cast("int").as("drift_ok_r"),
+        (abs(col("sum_g") - pg) <= n * 3).cast("int").as("drift_ok_g"),
+        (abs(col("sum_b") - pb) <= n * 15).cast("int").as("drift_ok_b"))
         .orderBy("media_id")}),
 
     // REAL video container walk under oracle: a planted GVID container
@@ -5071,6 +5087,19 @@ object PipelineQueries {
       s"""SELECT doc_id AS media_id, CAST(1 AS INT) AS soi_ok,
          |  CAST(4 AS INT) AS width, CAST(doc_id % 8 + 1 AS INT) AS height,
          |  CAST(3 AS INT) AS n_components
+         |FROM $docsT ORDER BY media_id""".stripMargin,
+
+    // JPEG pixel-decode verdict rows: geometry closed-form from doc_id;
+    // the drift verdicts are 1 for EVERY row because the payload family
+    // is finite (doc_id mod 256) and the per-class maxima under the
+    // deterministic JDK codec are measured below the gate's 6/3/15
+    // bounds — so the oracle predicts the full verdict row exactly
+    "m_jpeg_stats" ->
+      s"""SELECT doc_id AS media_id, 'image/jpeg' AS kind,
+         |  CAST(4 AS INT) AS width, CAST(doc_id % 8 + 1 AS INT) AS height,
+         |  CAST((doc_id % 8 + 1) * 4 AS BIGINT) AS n_pixels,
+         |  CAST(1 AS INT) AS drift_ok_r, CAST(1 AS INT) AS drift_ok_g,
+         |  CAST(1 AS INT) AS drift_ok_b
          |FROM $docsT ORDER BY media_id""".stripMargin,
 
     "d_pack" ->

@@ -91,6 +91,28 @@ def gx_hits(con, sql):
                                     for i in range(n)]
 
 
+# ------------------------------------------------------------- PAGERANK-FP
+def gx_pagerank_fp(con, sql):
+    """5 unrolled integer fixed-point pagerank rounds over the directed
+    union graph: r0 = 1e9; r_{t+1}(d) = 150000000 + (85 * inc) // 100 with
+    inc(d) = SUM over in-edges of r_t(s) // od(s), missing inc reads 0.
+    All-int64 algebra; total rank mass stays ~n*1e9 << 2^53, so the
+    float64 bincount segmented sum is exact."""
+    if "CAST(150000000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT)" \
+            not in sql or \
+            "SELECT key, r AS rank_fp FROM r5 ORDER BY key" not in sql:
+        raise RuntimeError("pagerank_fp oracle shape changed")
+    ks, src, dst = _union_edges(con, sql, ", od AS ")
+    n = len(ks)
+    od = np.bincount(src, minlength=n).astype(np.int64)
+    ods = od[src]  # per-edge out-degree of the source (>= 1 by construction)
+    r = np.full(n, 1000000000, dtype=np.int64)
+    for _ in range(5):
+        inc = _exact_sum(dst, r[src] // ods, n)
+        r = 150000000 + (85 * inc) // 100
+    return ["key", "rank_fp"], [(ks[i], int(r[i])) for i in range(n)]
+
+
 # ------------------------------------------------------------------- LPA
 def _sym_edges(src, dst):
     """The ud CTE: DISTINCT symmetrized directed pairs, self-loops out."""
@@ -1067,11 +1089,17 @@ def e_semdedup(con, sql):
     n = len(ids)
     order = sorted(range(n), key=lambda i: (_h60(str(ids[i]) + "ivfc"),
                                             ids[i]))[:16]
-    C, cn = V[order], sn[order]
-    dots = np.zeros((n, 16), dtype=np.float64)
-    for k in range(V.shape[1]):
-        dots += V[:, k][:, None] * C[:, k][None, :]
-    cell_cos = _round4_np(dots / np.outer(sn, cn))
+    # Nearest-cell cosines through the module's canonical exact fold
+    # (_seq_cosine, one centroid column at a time) — not a broadcast
+    # matmul — so the (round4 DESC, cell ASC) argmax can never ride a
+    # matmul-vs-fold ulp onto a round4 boundary or an inter-cell tie.
+    oarr = np.array(order, dtype=np.int64)
+    rows_idx = np.arange(n, dtype=np.int64)
+    cell_cos = np.empty((n, 16), dtype=np.float64)
+    for c in range(16):
+        cell_cos[:, c] = _seq_cosine(
+            V, sn, rows_idx, np.full(n, oarr[c], dtype=np.int64))
+    cell_cos = _round4_np(cell_cos)
     # rank by (cos DESC, cell ASC): argmax of (cos, -cell) lexicographic
     best = np.zeros(n, dtype=np.int64)
     bval = cell_cos[:, 0].copy()
@@ -1128,4 +1156,5 @@ ALTERNATES = {
     "gx_betweenness": gx_betweenness,
     "gx_bipartite": gx_bipartite,
     "gx_msf": gx_msf,
+    "gx_pagerank_fp": gx_pagerank_fp,
 }

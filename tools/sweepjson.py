@@ -27,24 +27,34 @@ class _Budget:
     def __init__(self, sec, con, flag):
         self.con, self.flag = con, flag
         self.done = threading.Event()
+        self.lock = threading.Lock()
         self.t = threading.Timer(sec, self._fire)
         self.t.daemon = True
         self.t.start()
 
     def _fire(self):
-        self.flag[0] = True
-        try:
-            self.con.interrupt()
-        except Exception:
-            pass
-        if not self.done.is_set():
+        # The lock + done-check close the cancel/fire race: without them a
+        # _fire already past cancel()'s done.set() could interrupt the
+        # connection AFTER the query finished, aborting the NEXT query
+        # with timed_out=False (graded OERR spuriously). cancel() blocks
+        # on the lock until an in-flight _fire completes, so it always
+        # cancels the newest timer.
+        with self.lock:
+            if self.done.is_set():
+                return
+            self.flag[0] = True
+            try:
+                self.con.interrupt()
+            except Exception:
+                pass
             self.t = threading.Timer(30, self._fire)
             self.t.daemon = True
             self.t.start()
 
     def cancel(self):
         self.done.set()
-        self.t.cancel()
+        with self.lock:
+            self.t.cancel()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import selfcheck
@@ -167,10 +177,11 @@ def main():
                     res[name] = {"status": "OERR", "ok": False,
                                  "err": str(e).splitlines()[0][:160]}
                     n_bad += 1; dump(); print(f"OERR  {name}: {str(e).splitlines()[0][:120]}")
-                if timed_out[0]:
-                    # the interrupt may have landed after the query finished
-                    # (or on the fresh connection) — clear any stale
-                    # interrupt so it can't abort the NEXT query
+                if timer is not None:
+                    # an interrupt may have landed after the query finished
+                    # (or on the fresh connection) even when timed_out was
+                    # never observed — drain unconditionally so a stale
+                    # interrupt can't abort the NEXT query
                     try:
                         con.sql("SELECT 1").fetchall()
                     except Exception:
@@ -179,9 +190,10 @@ def main():
         finally:
             if timer is not None:
                 timer.cancel()
-        if timed_out[0]:
-            # timer fired but the query had already completed — drain the
-            # stale interrupt before the next loop iteration
+        if timer is not None:
+            # drain unconditionally after every budgeted query: the timer
+            # may have fired just as the query completed (flag set or not) —
+            # a stale interrupt must not reach the next loop iteration
             try:
                 con.sql("SELECT 1").fetchall()
             except Exception:

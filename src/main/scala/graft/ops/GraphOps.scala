@@ -1390,11 +1390,16 @@ object GraphOps {
     * 2^cap units, so the float estimate αm·m²·2^cap / est_num is a
     * post-hoc division while the gate hashes integers. */
   def hyperAnf(und: DataFrame, rounds: Int, buckets: Int = 16,
-               rankCap: Int = 40): DataFrame = {
+               rankCap: Int = 40,
+               broadcastNodeLimit: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && buckets >= 2)
-    var st = anfSeed(und, buckets, rankCap)
+    var st = CacheScope.cached(anfSeed(und, buckets, rankCap))
+    // wide state is ~(4·buckets + key) bytes/node — 2M nodes ≈ 150 MB
+    // broadcast, the guide §3.1 comfort zone; beyond it the merge falls
+    // back to the one-shuffle union shape
+    val small = st.count() <= broadcastNodeLimit
     val adj = anfAdj(und)
-    for (_ <- 1 to rounds) st = anfStep(adj, st)
+    for (_ <- 1 to rounds) st = anfStep(adj, st, buckets, small)
     anfPerKey(st, buckets, rankCap)
   }
 
@@ -1404,12 +1409,14 @@ object GraphOps {
     * shuffles, not the triangular 1+2+…+rounds of independent runs.
     * Output one row per round: (round, n_nodes, tot_reg, tot_est_num). */
   def hyperAnfTrace(und: DataFrame, rounds: Int, buckets: Int = 16,
-                    rankCap: Int = 40): DataFrame = {
+                    rankCap: Int = 40,
+                    broadcastNodeLimit: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && buckets >= 2)
-    var st = anfSeed(und, buckets, rankCap)
+    var st = CacheScope.cached(anfSeed(und, buckets, rankCap))
+    val small = st.count() <= broadcastNodeLimit
     val adj = anfAdj(und)
     val perRound = (1 to rounds).map { r =>
-      st = anfStep(adj, st)
+      st = anfStep(adj, st, buckets, small)
       anfPerKey(st, buckets, rankCap)
         .agg(count(lit(1)).as("n_nodes"), sum(col("reg_sum")).as("tot_reg"),
           sum(col("est_num")).as("tot_est_num"))
@@ -1419,14 +1426,37 @@ object GraphOps {
     perRound.reduce(_ unionByName _)
   }
 
-  private def anfAdj(und: DataFrame): DataFrame = CacheScope.cached(
-    und.select(col("u").as("key"), col("v").as("nb"))
-      .union(und.select(col("v").as("key"), col("u").as("nb"))))
+  /** Doubled adjacency + one SELF-LOOP per node, cached hash-partitioned
+    * ON `key` (the fixedPointPageRank layout): the per-round register
+    * merge groups by `key`, so with the state broadcast the whole round
+    * is narrow over this cache — zero per-iteration edge shuffle. The
+    * self-loop delivers each node's own registers through the same join,
+    * replacing the old `st ∪ msgs` union; max-merge is idempotent, so
+    * the loop also stays harmless for the non-broadcast fallback. */
+  private def anfAdj(und: DataFrame): DataFrame = CacheScope.cached {
+    val doubled = und.select(col("u").as("key"), col("v").as("nb"))
+      .union(und.select(col("v").as("key"), col("u").as("nb")))
+    doubled
+      .union(doubled.select(col("key")).distinct()
+        .select(col("key"), col("key").as("nb")))
+      .repartition(col("key"))
+  }
 
+  /** Register state is PACKED WIDE (r18): one row per node with `buckets`
+    * int columns r0..r{B-1} (0 = empty register) instead of up to B sparse
+    * (key, j, r) rows. The sparse layout shuffled B rows per node per
+    * round (adj ⋈ state exploded to B·2m rows into the max-merge); the
+    * wide layout shuffles one row per adjacency edge and the per-bucket
+    * max-merge is B codegen `max` aggregates with map-side partial
+    * aggregation (guide §2.3: shuffle fewer bytes; §4.1: built-in
+    * expressions only). Register VALUES are identical — same seed hash,
+    * same per-bucket max recurrence — so every emitted quantity
+    * (nnz/reg_sum/est_num) is bit-identical to the sparse form and the
+    * unrolled sparse-SQL oracle still matches. */
   private def anfSeed(und: DataFrame, buckets: Int, rankCap: Int): DataFrame = {
     val nodes = und.select(col("u").as("key"))
       .union(und.select(col("v").as("key"))).distinct()
-    nodes
+    val sparse = nodes
       .withColumn("__h", graft.functions.TextFunctions.hash60(col("key")))
       .withColumn("j", pmod(col("__h"), lit(buckets.toLong)).cast("int"))
       .withColumn("__x", expr(s"__h div $buckets"))
@@ -1434,23 +1464,45 @@ object GraphOps {
       .withColumn("r",
         least(expr("bit_count((__x & -__x) - 1) + 1"), lit(rankCap))
           .cast("int"))
-      .select(col("key"), col("j"), col("r"))
+    sparse.select(col("key") +: (0 until buckets).map(k =>
+      when(col("j") === k, col("r")).otherwise(lit(0))
+        .cast("int").as(s"r$k")): _*)
   }
 
-  private def anfStep(adj: DataFrame, st: DataFrame): DataFrame =
-    statsReset(st.unionByName(
-        adj.join(st.select(col("key").as("nb"), col("j"), col("r")), "nb")
-          .select(col("key"), col("j"), col("r")))
-      .groupBy("key", "j").agg(max(col("r")).as("r"))
-      .localCheckpoint(true))
+  private def anfStep(adj: DataFrame, st: DataFrame, buckets: Int,
+                      small: Boolean): DataFrame = {
+    val regs = (0 until buckets).map(k => col(s"r$k"))
+    val byNb = st.withColumnRenamed("key", "nb")
+    // small regime: broadcast the node-sized wide state; the join and the
+    // per-key max-merge are then both narrow over adj's key partitioning
+    // (self-loops in adj carry each node's own registers). Beyond the
+    // broadcast limit, the classic one-shuffle union shape.
+    val merged =
+      if (small)
+        adj.join(broadcast(byNb), "nb").select(col("key") +: regs: _*)
+      else
+        st.unionByName(
+          adj.join(byNb, "nb").select(col("key") +: regs: _*))
+    val agg = merged.groupBy("key")
+      .agg(max(regs.head).as("r0"),
+        regs.tail.zipWithIndex.map { case (r, i) =>
+          max(r).as(s"r${i + 1}") }: _*)
+    statsReset(agg.localCheckpoint(true))
+  }
 
-  private def anfPerKey(st: DataFrame, buckets: Int, rankCap: Int): DataFrame =
-    st.groupBy("key").agg(
-      count(lit(1)).cast("int").as("nnz"),
-      sum(col("r")).as("reg_sum"),
-      (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rankCap - r)")) +
-        (lit(buckets.toLong) - count(lit(1))) *
-          lit(1L << rankCap)).as("est_num"))
+  private def anfPerKey(st: DataFrame, buckets: Int, rankCap: Int): DataFrame = {
+    val regs = (0 until buckets).map(k => col(s"r$k"))
+    // empty register (r = 0) contributes 2^rankCap to the harmonic
+    // denominator — exactly the (buckets - nnz) * 2^rankCap term of the
+    // sparse form; nnz counts non-empty registers
+    st.select(col("key"),
+      regs.map(r => when(r > 0, 1).otherwise(0)).reduce(_ + _)
+        .cast("int").as("nnz"),
+      regs.map(_.cast("long")).reduce(_ + _).as("reg_sum"),
+      (0 until buckets).map(k =>
+          expr(s"shiftleft(CAST(1 AS BIGINT), $rankCap - r$k)"))
+        .reduce(_ + _).as("est_num"))
+  }
 
   /** DuckDB twin of [[hyperAnf]]: seed registers from the same md5-60
     * bucket/rank split, `rounds` unrolled sparse max-merge CTEs over the
@@ -2460,6 +2512,9 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint(true)
     var e = degreeOriented(lex).localCheckpoint(true)
+    // No fixpoint early-exit here (unlike [[bitruss]]): the gate runs 2
+    // rounds on a graph whose peel keeps cascading, so a per-round
+    // convergence count is pure overhead — measured slower in r18.
     for (_ <- 1 to rounds) {
       e = e.join(support(e), Seq("a", "b"), "left")
         .filter(coalesce(col("supp"), lit(0L)) >= k - 2)
@@ -2546,17 +2601,46 @@ object GraphOps {
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** The shared doubling loop: final state (node, jump = f^(2^rounds),
-    * mn = min over the nodes 1..2^rounds steps ahead). */
+    * mn = min over the nodes 1..2^rounds steps ahead).
+    *
+    * EARLY FIXPOINT STOP (r18): the loop halts as soon as `jump` is
+    * POINTWISE STABLE between consecutive rounds — a sound convergence
+    * proof, not a heuristic. If f^(2^k)(v) = f^(2^(k-1))(v) for every v,
+    * then (a) every jump target is on its cycle (a tail position would
+    * advance strictly), (b) the cycle length divides 2^(k-1), so both
+    * windows already cover the whole cycle, and (c) one more round maps
+    * cycle nodes to themselves and mins over covered orbits — the state
+    * is a fixpoint, so rounds k+1..16 are provably no-ops and the
+    * stopped state EQUALS the full-depth state (labels, basins, and the
+    * jump image used by [[functionalScc]] — all identical). The probe is
+    * one narrow scan over the just-checkpointed RDD per round (the
+    * previous jump rides along as a column), while each skipped round
+    * saves a keyed self-join shuffle + checkpoint. Boruvka partner
+    * graphs (short min-weight chains into 2-cycles) stop after ~3-4
+    * rounds instead of 16; a worst-case chain still runs the full
+    * documented 2^rounds depth. (A fused-chunk variant was measured
+    * SLOWER: duplicated self-join subtrees only dedupe their exchanges,
+    * the join work itself re-executes per reference.) */
   private def doublingState(succ: DataFrame, rounds: Int): DataFrame = {
     var t = statsReset(succ.select(col("node"), col("succ").as("jump"),
       col("succ").as("mn")).localCheckpoint(true))
-    for (_ <- 1 to rounds) {
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
       val o = t.select(col("node").as("n2"), col("jump").as("j2"),
         col("mn").as("m2"))
-      t = statsReset(t.join(o, t("jump") === o("n2"))
+      val nxt = statsReset(t.join(o, t("jump") === o("n2"))
         .select(t("node"), col("j2").as("jump"),
-          least(col("mn"), col("m2")).as("mn"))
+          least(col("mn"), col("m2")).as("mn"), t("jump").as("__jprev"))
         .localCheckpoint(true))
+      r += 1
+      // probe every 4th round: a per-round probe job costs about as much
+      // as the skipped self-join on small frames, so checking at 4/8/12
+      // keeps the fast-converging case (Boruvka partner graphs, ~3
+      // rounds) at one probe while bounding the slow case's overhead
+      if (r % 4 == 0 && r < rounds)
+        stable = nxt.filter(col("jump") =!= col("__jprev")).isEmpty
+      t = nxt.drop("__jprev")
     }
     t
   }
@@ -3142,13 +3226,27 @@ object GraphOps {
     val k = e.join(s0, Seq("src", "dst"), "left")
       .select(coalesce(col("supp"), lit(0L)).as("s"))
       .agg(expr(s"greatest(1.0D, percentile(s, $q))").as("k")).head().getDouble(0)
-    for (r <- 1 to rounds) {
-      val sup = if (r == 1) s0 else support(e)
+    // Fixpoint early-exit (r18): the peel only REMOVES edges, so a round
+    // that removes nothing leaves the edge set — and therefore support(e),
+    // which is a pure function of it — unchanged for every remaining round,
+    // and the final support equals the last one computed. Each peel round
+    // is one wedge self-join (the expensive pass); the convergence probe is
+    // a count() over the just-checkpointed RDD (cheap). Identical output:
+    // skipped rounds are provably no-ops.
+    var prevCnt = e.count()
+    var lastSup = s0
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
+      val sup = if (r == 1) s0 else CacheScope.cached(support(e))
+      lastSup = sup
       e = statsReset(e.join(sup, Seq("src", "dst"), "left")
         .filter(coalesce(col("supp"), lit(0L)) >= k)
         .select("src", "dst").localCheckpoint(true))
+      val c = e.count()
+      if (c == prevCnt) converged = true else prevCnt = c
     }
-    e.join(support(e), Seq("src", "dst"), "left")
+    val finSup = if (converged) lastSup else support(e)
+    e.join(finSup, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("supp"), lit(0L)).as("supp"))
   }

@@ -495,6 +495,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == exp, s"got $out")
   }
 
+  test("pointer doubling early fixpoint stop: long tail crosses probe rounds") {
+    // 40-node tail into a 3-cycle: jump stabilizes once 2^(k-1) >= tail
+    // AND the cycle length divides 2^(k-1) (3 never divides a power of
+    // two, so stability waits for the full-depth contract here — the
+    // probe at rounds 4/8/12 must never stop early and corrupt labels).
+    // Cycle {0,1,2}, tail 42 -> 41 -> ... -> 3 -> 0 (ids ABOVE the cycle
+    // min so the label is provably the on-cycle min).
+    val succ = ((0L -> 1L) +: (1L -> 2L) +: (2L -> 0L) +:
+      (3L to 42L).map(i => i -> (i - 1))).toDF("node", "succ")
+    val out = GraphOps.pointerDoublingLabels(succ)
+      .select("node", "cycle_rep").as[(Long, Long)].collect().toMap
+    assert(out.size == 43)
+    assert(out.values.forall(_ == 0L), s"got $out")
+    // and a stabilizing shape (2-cycle: length divides 2^(k-1)) with a
+    // tail long enough that the FIRST probe (round 4, window 16) is
+    // already past it — the early-stopped state must equal full depth
+    val succ2 = ((100L -> 101L) +: (101L -> 100L) +:
+      (102L to 110L).map(i => i -> (i - 1))).toDF("node", "succ")
+    val out2 = GraphOps.pointerDoublingLabels(succ2)
+      .select("node", "cycle_rep").as[(Long, Long)].collect().toMap
+    assert(out2.size == 11 && out2.values.forall(_ == 100L), s"got $out2")
+  }
+
+  test("hyperAnf broadcast and union-fallback regimes agree bit-for-bit") {
+    val und = Seq(("a","b"),("b","c"),("c","d"),("x","y")).toDF("u", "v")
+    val bcast = GraphOps.hyperAnf(und, rounds = 2)
+      .as[(String, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val shuffle = GraphOps.hyperAnf(und, rounds = 2, broadcastNodeLimit = 0L)
+      .as[(String, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bcast == shuffle, s"broadcast=$bcast fallback=$shuffle")
+  }
+
   test("boruvkaForest: hand-weighted graph yields the exact MST") {
     // square a-b-c-d-a with diagonal a-c; weights force MST {ab, bc, cd}
     val gb = KinGraph(

@@ -291,12 +291,12 @@ object Bench {
         "\"" + n + "\":[" + ts.map("%.3f".format(_)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     val retimedJson = retimedJsonOf(retimed)
-    // HEADLINE carries at most 12 retime pairs (worst first-pass ratio
+    // HEADLINE carries at most 4 retime pairs (worst first-pass ratio
     // first) + the count — an unbounded map has overflowed the driver's
     // 2000-char log tail before; full fidelity stays in the detail file
     val retimedHeadJson = retimedJsonOf(
       retimed.sortBy { case (n, ts) =>
-        -(ts.head / refCosts.getOrElse(n, ts.head)) }.take(12))
+        -(ts.head / refCosts.getOrElse(n, ts.head)) }.take(4))
     // Environment-inflation report: per-entry first-pass ratio vs the
     // committed local plan cost for EVERY entry with a reference (not
     // just outliers), plus the cross-entry median/p90 — the whole-run
@@ -365,10 +365,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"BENCH WARN could not write $p: ${e.getMessage}")
       }
-    // HEADLINE line -> stdout, LAST, sized to survive the tail window
-    // (~30 representative queries at 3 dp ≈ 900 chars incl. the sbt
-    // success-line overhead). Full fidelity lives in the file above and in
-    // the committed BENCH_LOCAL_*.json artifacts.
+    // HEADLINE line -> stdout, LAST, sized to survive the driver's
+    // 2000-char log-tail window. Rounds 1-18 overflowed it every round
+    // (BENCH_r01..r18 all carry parsed:null): the blanket cache:* include
+    // (~25 entries, ~650 chars) plus 12 retime pairs plus env_block pushed
+    // the line to ~2050 chars, so the head ({"metric":...) fell outside
+    // the tail and the driver never parsed a single bench line. Now: the
+    // 34 named representative queries only (cache builds summed into one
+    // "cache_total" field), at most 4 headline retime pairs, env_block in
+    // the detail file only — ≈1300 chars, leaving ~600 for the sbt
+    // success line and stop-time WARN noise. Full fidelity lives in the
+    // detail file above and the committed BENCH_LOCAL_*.json artifacts.
     val headline = Set(
       "q1_agg", "q3_top", "q5_region",
       "g_counts", "g_graph_stats",
@@ -379,11 +386,17 @@ object Bench {
       "e_ann_topk", "e_ann_lsh", "e_ann_beam", "e_near_dup", "m_features",
       "s_range_join", "s_stream_tumbling", "s_stream_join",
       "w_bulk_edge_upsert", "w_bulk_edge_removal")
-    val headlineResults = results.filter { case (k, _) =>
-      headline.contains(k) || k.startsWith("cache:") }
+    val headlineResults = results.filter { case (k, _) => headline.contains(k) }
+    val cacheTotal = results.collect {
+      case (k, Some(t)) if k.startsWith("cache:") => t }.sum
+    val envHeadJson = s"""$quotableJson"env_factor":${"%.3f".format(envFactor)},"env_p90":${"%.3f".format(envP90)},"n_ref":${ratios.size}"""
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"queries":${qsJson(headlineResults, 3)},"retimed":$retimedHeadJson,"retimed_n":${retimed.size},$envJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warmup":${"%.3f".format(warmupSec)},"cache_total":${"%.3f".format(cacheTotal)},"queries":${qsJson(headlineResults, 3)},"retimed":$retimedHeadJson,"retimed_n":${retimed.size},$envHeadJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}"""
+    // stop BEFORE printing: shutdown WARNs (DAGScheduler job-group cancels
+    // etc.) otherwise land in the log tail AFTER the line and can push its
+    // head out of the driver's 2000-char window (this bit round 17)
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
+    Console.out.flush()
   }
 }

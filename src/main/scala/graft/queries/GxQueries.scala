@@ -155,7 +155,10 @@ object GxQueries {
     * 5-round iterative pass builds once per session. */
   private def sharedLpa(s: SparkSession, dir: String): DataFrame =
     Tables.cached("lpa5", s, dir)(
-      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5))
+      // canonFrom (r19): ride cache:gx_und (built earlier in cacheBuilds
+      // order) instead of re-deriving union+distinct inside this build
+      GraphOps.labelPropagationSync(unionGraph(s, dir), iters = 5,
+        canonFrom = Some(sharedUnd(s, dir))))
 
   /** Session-shared landmark-BFS state (4 landmarks × 4 rounds) — the one
     * iterative pass gx_closeness, gx_diameter, gx_bipartite and
@@ -172,7 +175,8 @@ object GxQueries {
     val g = unionGraph(s, dir)
     val lm = GraphOps.landmarkKeys(g, 4)
     (lm, Tables.cached("lm_bfs_4x4", s, dir)(GraphOps.statsReset(
-      GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4)._2
+      GraphOps.landmarkBfsState(g, nLandmarks = 4, rounds = 4,
+          canonFrom = Some(sharedUnd(s, dir)))._2
         .localCheckpoint(true))))
   }
 
@@ -200,9 +204,12 @@ object GxQueries {
     "part" -> ((s: SparkSession, d: String) =>
       Tables.cached("part", s, d)(Tables.partEdges(s, d))),
     "gx_graphx" -> ((s: SparkSession, d: String) => materializeUnionGx(s, d)),
+    // gx_und precedes lpa5/lm_bfs_4x4 since r19: both builds now derive
+    // their undirected view from it (canonFrom), so dependency order keeps
+    // its build cost attributed to cache:gx_und, not the first consumer
+    "gx_und" -> ((s: SparkSession, d: String) => sharedUnd(s, d)),
     "lpa5" -> ((s: SparkSession, d: String) => sharedLpa(s, d)),
     "lm_bfs_4x4" -> ((s: SparkSession, d: String) => sharedLmBfs(s, d)._2),
-    "gx_und" -> ((s: SparkSession, d: String) => sharedUnd(s, d)),
     "wl1" -> ((s: SparkSession, d: String) => sharedWl1(s, d)),
     "louvain1" -> ((s: SparkSession, d: String) => sharedLouvain1(s, d)),
     "gx_wund" -> ((s: SparkSession, d: String) => sharedWund(s, d)),
@@ -806,7 +813,8 @@ object GxQueries {
     // degree removed first, the gx_adamic scale guard applied to the
     // graph itself, so the statistic is self-consistent)
     "gx_jaccard" -> ((s, dir) =>
-      GraphOps.jaccardPairs(unionGraph(s, dir), 100, hubCapPercentile = 0.9)),
+      GraphOps.jaccardPairs(unionGraph(s, dir), 100, hubCapPercentile = 0.9,
+        canonFrom = Some(sharedUnd(s, dir)))),
 
     // bounded k-core peel on the supplier-part graph with DATA-ADAPTIVE
     // k = min undirected degree + 2 (a fixed k is vacuous across scale
@@ -1125,7 +1133,8 @@ object GxQueries {
     // integer micro-units of 1/ln(deg(common neighbor)), hub middles
     // above the p90 degree excluded (the data-adaptive scale guard)
     "gx_adamic" -> ((s, dir) =>
-      GraphOps.adamicAdar(unionGraph(s, dir), 100, hubCapPercentile = 0.9)),
+      GraphOps.adamicAdar(unionGraph(s, dir), 100, hubCapPercentile = 0.9,
+        canonFrom = Some(sharedUnd(s, dir)))),
 
     // out-in degree assortativity: per-edge (out_deg(src), in_deg(dst))
     // pairs reduced to one row of exact BIGINT sufficient statistics
@@ -1175,7 +1184,9 @@ object GxQueries {
       val n = d.count()
       val succ = d.select(col("doc_id").as("node"),
         expr(s"(doc_id * doc_id + 1) % $n").as("succ"))
-      GraphOps.pointerDoublingLabels(succ).orderBy("node")}),
+      // probeFrom > rounds: ρ-map cycles are ~√n-length (not powers of
+      // two), so the fixpoint probe can never fire — skip it (r19)
+      GraphOps.pointerDoublingLabels(succ, probeFrom = 17).orderBy("node")}),
 
     // strongly connected components of the same planted functional graph:
     // Spark derives SCCs from the pointer-doubling state (cycles = image
@@ -1187,7 +1198,8 @@ object GxQueries {
       val n = d.count()
       val succ = d.select(col("doc_id").as("node"),
         expr(s"(doc_id * doc_id + 1) % $n").as("succ"))
-      GraphOps.functionalScc(succ).orderBy("node")}),
+      // same probe-skip as gx_funcgraph: non-power-of-two cycles (r19)
+      GraphOps.functionalScc(succ, probeFrom = 17).orderBy("node")}),
 
     // 2-hop traversal (BFS-by-join) on the union graph
     "g_two_hop" -> ((s, dir) =>

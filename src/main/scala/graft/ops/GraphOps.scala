@@ -102,7 +102,7 @@ object GraphOps {
         g.edges.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")),
         Seq("key"), "left"))
     val small = nodesOd.count() <= broadcastNodeLimit
-    val e = CacheScope.cached(
+    val e = eagerCached(
       g.edges.select(col("src"), col("dst")).repartition(col("dst")))
     val base = (15L * scale) / 100L
     var r = nodesOd.withColumn("r", lit(scale))
@@ -162,7 +162,7 @@ object GraphOps {
     require(iters >= 1, "iters >= 1")
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
     val small = nodes.count() <= broadcastNodeLimit
-    val e = CacheScope.cached(
+    val e = eagerCached(
       g.edges.select(col("src"), col("dst")).repartition(col("dst")))
     // max over an EMPTY degree frame is a NULL cell — an edgeless graph
     // (filtered subgraph, degenerate fixture) must score all-β (inc = 0
@@ -230,7 +230,7 @@ object GraphOps {
         edges.groupBy(col("src").as("key")).agg(sum(col("w")).as("wout")),
         Seq("key"), "left"))
     val small = nodesW.count() <= broadcastNodeLimit
-    val e = CacheScope.cached(
+    val e = eagerCached(
       edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
     val base = (15L * scale) / 100L
     var r = nodesW.withColumn("r", lit(scale))
@@ -358,7 +358,7 @@ object GraphOps {
                           broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(iters >= 1, "iters >= 1")
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
-    val e = CacheScope.cached(
+    val e = eagerCached(
       edges.select(col("src"), col("dst"), col("w")).repartition(col("dst")))
     val nk = CacheScope.cached(nodes.select(col("key")))
     val small = nk.count() <= broadcastNodeLimit
@@ -424,7 +424,7 @@ object GraphOps {
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
     val od = CacheScope.cached(
       g.edges.groupBy(col("src").as("key")).agg(count(lit(1)).as("od")))
-    val e = CacheScope.cached(
+    val e = eagerCached(
       g.edges.select(col("src"), col("dst")).repartition(col("dst")))
     val small = g.nodes.count() <= broadcastNodeLimit
     val base = (15L * scale) / 100L
@@ -494,8 +494,8 @@ object GraphOps {
     val nodes = CacheScope.cached(g.nodes.select(col("key")))
     val small = nodes.count() <= broadcastNodeLimit
     val ePair = g.edges.select(col("src"), col("dst"))
-    val eDst = CacheScope.cached(ePair.repartition(col("dst")))
-    val eSrc = CacheScope.cached(ePair.repartition(col("src")))
+    val eDst = eagerCached(ePair.repartition(col("dst")))
+    val eSrc = eagerCached(ePair.repartition(col("src")))
     def half(e: DataFrame, state: DataFrame, joinKey: String,
              groupKey: String): DataFrame = {
       val st = state.withColumnRenamed("key", joinKey)
@@ -861,8 +861,10 @@ object GraphOps {
     val deg = ud.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
     val cap = deg.agg(expr(s"percentile(deg, $hubCapPercentile)").as("cap"))
     // the capped graph: every edge whose NEIGHBOR side (the potential
-    // middle w) survives the cap — one broadcast 1-row frame, no collect
-    val keep = CacheScope.cached(
+    // middle w) survives the cap — one broadcast 1-row frame, no collect.
+    // eagerCached: keep self-joins on w below — visible partitioning
+    // saves both sides' re-exchange (see eagerCached doc)
+    val keep = eagerCached(
       ud.join(deg.crossJoin(broadcast(cap))
           .filter(col("deg") <= col("cap")).select(col("w")),
         ud("src") === col("w"))
@@ -1243,12 +1245,32 @@ object GraphOps {
     * clustered distribution (duplicate pairs share a dst), so the dedup
     * reuses that one shuffle instead of adding its own — the build costs
     * one edge shuffle, not two. */
+  /** CacheScope.cached + an immediate materializing count (r19): under
+    * AQE an UNmaterialized cached plan reports UnknownPartitioning to its
+    * consumers (the adaptive final stage is not fixed at their planning
+    * time), so every downstream join/aggregation keyed on the cache's
+    * repartition column plans an ENSURE_REQUIREMENTS re-exchange of the
+    * SAME data on the SAME key — gx_adamic's plan carried
+    * hashpartitioning(w,16) directly over the hash(src,16)-cached scan.
+    * Materializing first finalizes the cached plan and makes its hash
+    * partitioning visible (probe-verified on Spark 4.1.2: deg-aggregation
+    * 1→0, wedge self-join 3→1 ENSURE_REQUIREMENTS exchanges). The count
+    * is one job over the just-built cache, work the first consumer action
+    * would have spent building it anyway — while each exchange it removes
+    * is a full pass over the frame per consumer (per ROUND in the
+    * iterative ops). */
+  private def eagerCached(df: DataFrame): DataFrame = {
+    val c = CacheScope.cached(df)
+    c.count()
+    c
+  }
+
   private def undirectedEdges(g: KinGraph,
                               partitionOn: Option[Column]): DataFrame = {
     val e0 = g.edges.select(col("src"), col("dst"))
     val ud = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-    CacheScope.cached(
+    eagerCached(
       partitionOn.fold(ud.distinct())(p => ud.repartition(p).distinct()))
   }
 
@@ -1261,7 +1283,7 @@ object GraphOps {
                                   partitionOn: Option[Column]): DataFrame = {
     val ud = canon.select(col("u").as("src"), col("v").as("dst"))
       .union(canon.select(col("v").as("src"), col("u").as("dst")))
-    CacheScope.cached(partitionOn.fold(ud)(p => ud.repartition(p)))
+    eagerCached(partitionOn.fold(ud)(p => ud.repartition(p)))
   }
 
   /** One-level Louvain refinement: every node synchronously evaluates
@@ -1355,7 +1377,7 @@ object GraphOps {
   def temporalReachability(tedges: DataFrame, seeds: DataFrame,
                            rounds: Int): DataFrame = {
     require(rounds >= 1)
-    val e = CacheScope.cached(
+    val e = eagerCached(
       tedges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
         .repartition(col("dst")))
     var arr = seeds.select(col("key")).distinct()
